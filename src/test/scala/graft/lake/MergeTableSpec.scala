@@ -1,0 +1,118 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MergeTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def orders(rows: (String, String, Double)*): DataFrame =
+    rows.toDF("order_id", "date", "amount")
+
+  private def contents(df: DataFrame): Set[(String, String, Double)] =
+    df.select("order_id", "date", "amount")
+      .as[(String, String, Double)].collect().toSet
+
+  test("overwrite then read round-trips with partition column restored") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, Some("date"))
+    t.overwrite(orders(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
+    assert(contents(t.read()) ===
+      Set(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
+  }
+
+  test("merge = update-all on match, insert-all on no-match") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, Some("date"))
+    t.overwrite(orders(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
+    t.merge(orders(("o2", "2024-01-02", 99.0), ("o3", "2024-01-03", 30.0)),
+      "order_id")
+    assert(contents(t.read()) === Set(
+      ("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 99.0),
+      ("o3", "2024-01-03", 30.0)))
+  }
+
+  test("merge is idempotent: same source twice → same table") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, Some("date"))
+    t.overwrite(orders(("o1", "2024-01-01", 10.0)))
+    val src = orders(("o1", "2024-01-01", 11.0), ("o4", "2024-01-04", 40.0))
+    t.merge(src, "order_id")
+    val after1 = contents(t.read())
+    t.merge(src, "order_id")
+    assert(contents(t.read()) === after1)
+  }
+
+  test("merge moves a row whose partition value changed") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, Some("date"))
+    t.overwrite(orders(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
+    t.merge(orders(("o1", "2024-03-03", 10.5)), "order_id")
+    assert(contents(t.read()) ===
+      Set(("o1", "2024-03-03", 10.5), ("o2", "2024-01-02", 20.0)))
+  }
+
+  test("merge rewrites only touched partitions (file-level skipping)") {
+    val root = tmpDir("mt")
+    val t = MergeTable(spark, root.toString, Some("date"))
+    t.overwrite(orders(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
+    def filesOf(version: Long): Set[String] =
+      Files.readAllLines(root.resolve("_graft_log")
+        .resolve(f"$version%020d.txt")).asScala
+        .map(_.split('\t')(0)).toSet
+    val before = filesOf(t.latestVersion())
+    t.merge(orders(("o2", "2024-01-02", 21.0)), "order_id")
+    val after = filesOf(t.latestVersion())
+    val kept = before.intersect(after)
+    // the 2024-01-01 partition's file must be carried over untouched
+    assert(kept.nonEmpty && kept.forall(_.contains("date=2024-01-01")))
+    assert((after -- before).forall(_.contains("date=2024-01-02")))
+  }
+
+  test("time travel: readVersion sees historical snapshots") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, Some("date"))
+    val v1 = t.overwrite(orders(("o1", "2024-01-01", 10.0)))
+    t.merge(orders(("o1", "2024-01-01", 99.0)), "order_id")
+    assert(contents(t.readVersion(v1)) === Set(("o1", "2024-01-01", 10.0)))
+    assert(contents(t.read()) === Set(("o1", "2024-01-01", 99.0)))
+  }
+
+  test("unpartitioned table merge") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, None)
+    t.overwrite(orders(("o1", "d", 1.0)))
+    t.merge(orders(("o1", "d", 2.0), ("o2", "d", 3.0)), "order_id")
+    assert(contents(t.read()) === Set(("o1", "d", 2.0), ("o2", "d", 3.0)))
+  }
+
+  test("compact reduces files, preserves content; vacuum drops dead dirs") {
+    val root = tmpDir("mt")
+    val t = MergeTable(spark, root.toString, Some("date"))
+    t.overwrite(orders(("o1", "2024-01-01", 1.0)))
+    t.merge(orders(("o2", "2024-01-01", 2.0)), "order_id")
+    val before = contents(t.read())
+    t.compact(filesPerPartition = 1, clusterBy = Seq(col("order_id")))
+    assert(contents(t.read()) === before)
+    t.vacuum()
+    assert(contents(t.read()) === before) // live data untouched by vacuum
+  }
+
+  test("two handles to the same table serialize through the log") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, None)
+    t.overwrite(Seq(("o1", 1.0)).toDF("order_id", "amount"))
+    val t2 = MergeTable(spark, root, None)
+    t.merge(Seq(("o2", 2.0)).toDF("order_id", "amount"), "order_id")
+    t2.merge(Seq(("o3", 3.0)).toDF("order_id", "amount"), "order_id")
+    val ids = t.read().select("order_id").as[String].collect().toSet
+    assert(ids === Set("o1", "o2", "o3"))
+    assert(t.latestVersion() === 3L)
+  }
+}
