@@ -21,13 +21,16 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
     * Spark's vectorized reader rejects; read nanos as long and convert to
-    * a proper TimestampType (µs) column. */
+    * a proper TimestampType (µs) column. The division MUST stay integral
+    * (`div`): `/` promotes to double, and epoch-nanos (~1.7e18) exceed
+    * double's 2^53 exact range, shifting ~1.6% of values by ±1µs vs the
+    * oracle's exact truncation. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
       .withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -28,7 +28,6 @@ object RefQueries {
   def scanProject(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   /** P2 — predicate filter pushed to the scan
     * (ref: product_etl.py:54-57 NOT-NULL validation filter). */
@@ -38,7 +37,6 @@ object RefQueries {
         col("l_discount") > lit(0.05))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_discount"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   /** P2/P3/A3 — one-pass valid/invalid split summary
     * (ref: product_etl.py:54-58 valid + subtract-complement,
@@ -56,14 +54,12 @@ object RefQueries {
           lit("valid")).otherwise(lit("rejected")).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("bucket"))
 
   /** P4/F1 — derived partition-date column
     * (ref: orders_etl.py:80 `to_date(order_timestamp)`). */
   def derivedDate(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .select(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"))
-      .orderBy(col("o_orderkey"))
 
   /** P6/F4 — type-conform casts (ref: orders_etl.py:76-79). */
   def conformCast(s: SparkSession, d: String): DataFrame =
@@ -72,7 +68,6 @@ object RefQueries {
         col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast("int").as("qty_int"),
         to_date(col("l_shipdate")).as("ship_date"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   /** A1 — deterministic key-dedup, latest/first-wins as a window rank
     * (ref: orders_etl.py:74 `dropDuplicates(["order_id"])`; we keep the
@@ -83,13 +78,12 @@ object RefQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"))
-      .orderBy(col("o_custkey"))
   }
 
   /** A2 — DISTINCT key projection used to build FK key sets
     * (ref: order_items_etl.py:46,56). */
   def distinctKeys(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d).select(col("l_suppkey")).distinct().orderBy(col("l_suppkey"))
+    lineitem(s, d).select(col("l_suppkey")).distinct()
 
   /** A3/A4 — COUNT(*) validation scalar
     * (ref: step_functions/lakehouse_etl_stepfunction.json:218). */
@@ -105,7 +99,6 @@ object RefQueries {
     lineitem(s, d)
       .join(openOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
   /** S6-building-block — left-anti join (the NOT-MATCHED half of MERGE,
@@ -114,7 +107,6 @@ object RefQueries {
     customer(s, d)
       .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
-      .orderBy(col("c_custkey"))
 
   /** J4 — broadcast dimension join (DOC-ONLY in the reference,
     * docs/full_implementation_guide.md:154 — implemented for real).
@@ -125,7 +117,6 @@ object RefQueries {
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_items"),
         round(sum(col("l_quantity")), 2).as("sum_qty"))
-      .orderBy(col("p_brand"))
 
   /** J5/A5 — THE flagship: top-5 products by order count
     * (ref: docs/athena_query_output.png, the published Athena query).
@@ -145,7 +136,6 @@ object RefQueries {
       .except(
         customer(s, d).filter(col("c_mktsegment") === "BUILDING")
           .select(col("c_custkey").as("custkey")))
-      .orderBy(col("custkey"))
 
   /** O2 — UNION ALL by name across per-file slices
     * (ref: orders_etl.py:71 `pd.concat` across Excel sheets). */
@@ -158,7 +148,6 @@ object RefQueries {
     hi.unionByName(lo)
       .select(col("o_orderkey"), col("o_orderstatus"),
         round(col("o_totalprice"), 2).as("total"))
-      .orderBy(col("o_orderkey"))
   }
 
   /** S6 — MERGE upsert semantics as the join rewrite our lakehouse layer
@@ -177,7 +166,6 @@ object RefQueries {
       .unionByName(source)
       .select(col("o_orderkey"), col("o_orderstatus"),
         round(col("price"), 2).as("price"))
-      .orderBy(col("o_orderkey"))
   }
 
   /** A5/TPC-H-q1-shaped — the grouped-aggregate workhorse
@@ -192,7 +180,6 @@ object RefQueries {
           .as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** HAVING — post-aggregation filter. */
   def groupHaving(s: SparkSession, d: String): DataFrame =
@@ -201,7 +188,6 @@ object RefQueries {
       .agg(count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice")), 2).as("spend"))
       .filter(col("n_orders") >= 5)
-      .orderBy(col("o_custkey"))
 
   /** Sort + limit (TakeOrderedAndProject — no global sort materialized). */
   def sortLimit(s: SparkSession, d: String): DataFrame =
@@ -220,7 +206,6 @@ object RefQueries {
         upper(col("p_brand")).as("brand_u"),
         length(col("p_name")).as("name_len"),
         split(col("p_type"), " ").getItem(0).as("type_head"))
-      .orderBy(col("p_partkey"))
 
   /** F1-F5 — date/time functions. */
   def dateFuncs(s: SparkSession, d: String): DataFrame =
@@ -230,7 +215,6 @@ object RefQueries {
         year(col("o_orderdate")).as("yr"),
         month(col("o_orderdate")).as("mo"),
         dayofmonth(col("o_orderdate")).as("dom"))
-      .orderBy(col("o_orderkey"))
 
   /** P7 — conditional / constant columns (ref: product_etl.py:65-67
     * rejection_reason literal; banding via CASE WHEN). */
@@ -242,7 +226,6 @@ object RefQueries {
           .otherwise(lit("low")).as("band"))
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("band"))
 
   /** Window ranking — top-3 orders per customer (analytic extension of the
     * reference's Athena surface, README.md:202). */
@@ -254,7 +237,6 @@ object RefQueries {
       .filter(col("rk") <= 3)
       .select(col("o_custkey"), col("o_orderkey"),
         round(col("o_totalprice"), 2).as("total"), col("rk"))
-      .orderBy(col("o_custkey"), col("rk"))
   }
 
   /** Window running aggregate — cumulative customer spend over time
@@ -266,7 +248,6 @@ object RefQueries {
     orders(s, d)
       .withColumn("running_spend", round(sum(col("o_totalprice")).over(w), 2))
       .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
-      .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
   /** ROLLUP — multi-level aggregate in one shuffle. */
@@ -274,8 +255,6 @@ object RefQueries {
     orders(s, d)
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
-      .orderBy(col("o_orderstatus").asc_nulls_first,
-        col("o_orderpriority").asc_nulls_first)
 
   /** Tumbling event-time window over the events stream table (batch run of
     * the Structured-Streaming-shaped aggregation, SURVEY §2.9). */
@@ -286,7 +265,6 @@ object RefQueries {
           .as("hour_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-      .orderBy(col("hour_start"), col("event_type"))
 
   /** Sessionization in batch — gap-based session ids via lag + cumulative
     * sum (the batch analog of flatMapGroupsWithState, SURVEY §7.5). */
@@ -305,7 +283,6 @@ object RefQueries {
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("sum_value"))
-      .orderBy(col("user_id"), col("session_id"))
   }
 
   /** Multi-way star join: fact → two dims, region-filtered revenue
@@ -318,6 +295,5 @@ object RefQueries {
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice")), 2).as("revenue"))
-      .orderBy(col("n_name"))
   }
 }
