@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.RefQueries
+import graft.ext.TextQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -56,6 +57,11 @@ object SparkEntry {
     // §2.9-shaped — event-time processing in batch
     "q_events_tumbling" -> (RefQueries.eventsTumbling _),
     "q_events_sessionize" -> (RefQueries.eventsSessionize _),
+    // §7.5(c) — LLM-pipeline text analysis over documents
+    "q_text_tokens"     -> (TextQueries.textTokens _),
+    "q_text_quality"    -> (TextQueries.textQuality _),
+    "q_text_langid"     -> (TextQueries.textLangid _),
+    "q_doc_fingerprint" -> (TextQueries.docFingerprint _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -220,5 +226,66 @@ object SparkEntry {
                ROUND(SUM(value), 2) AS sum_value
          FROM s GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+    "q_text_tokens" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents)
+         SELECT doc_id,
+                len(toks) AS n_tokens,
+                len(list_distinct(toks)) AS n_unique,
+                round(CAST(list_sum(list_transform(toks, t -> length(t)))
+                      AS DOUBLE) / len(toks), 4) AS avg_token_len,
+                round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+                  AS ttr
+         FROM t ORDER BY doc_id""",
+    "q_text_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                    FROM documents),
+         u AS (SELECT doc_id, text, len(toks) AS n_tokens,
+                 CAST(len(list_filter(toks,
+                   t -> t IN ('the', 'a', 'and', 'is', 'of'))) AS DOUBLE)
+                   / len(toks) AS stop_ratio_raw,
+                 CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                   AS ttr_raw
+               FROM t)
+         SELECT doc_id, length(text) AS n_chars, n_tokens,
+                round(stop_ratio_raw, 4) AS stop_ratio,
+                round(ttr_raw, 4) AS ttr,
+                round((CAST(n_tokens AS DOUBLE) / (n_tokens + 20))
+                      * (1.0 - stop_ratio_raw) * ttr_raw, 4) AS quality_score,
+                (n_tokens >= 20 AND stop_ratio_raw <= 0.5
+                 AND ttr_raw >= 0.05) AS quality_pass
+         FROM u ORDER BY doc_id""",
+    "q_text_langid" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                    FROM documents),
+         h AS (SELECT doc_id, lang,
+                 len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS de_hits,
+                 len(list_filter(toks, t -> t IN ('the','a','and','is','of'))) AS en_hits,
+                 len(list_filter(toks, t -> t IN ('el','la','de','y','es'))) AS es_hits,
+                 len(list_filter(toks, t -> t IN ('le','la','de','et','est'))) AS fr_hits,
+                 len(list_filter(toks, t -> t IN ('de','shi','le','zai','he'))) AS zh_hits
+               FROM t),
+         m AS (SELECT *, greatest(de_hits, en_hits, es_hits, fr_hits, zh_hits)
+                        AS mx FROM h)
+         SELECT doc_id, lang,
+                CASE WHEN de_hits = mx THEN 'de' WHEN en_hits = mx THEN 'en'
+                     WHEN es_hits = mx THEN 'es' WHEN fr_hits = mx THEN 'fr'
+                     ELSE 'zh' END AS pred_lang,
+                de_hits, en_hits, es_hits, fr_hits, zh_hits
+         FROM m ORDER BY doc_id""",
+    "q_doc_fingerprint" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                    FROM documents),
+         sh AS (SELECT doc_id, text,
+                  CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [text] END AS shingles
+                FROM t)
+         SELECT doc_id, md5(text) AS md5_fp,
+                list_min(list_transform(shingles,
+                  s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS sh_min,
+                len(list_distinct(shingles)) AS sh_count
+         FROM sh ORDER BY doc_id""",
   )
 }
