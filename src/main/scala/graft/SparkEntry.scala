@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.RefQueries
-import graft.ext.TextQueries
+import graft.ext.{DedupQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -62,6 +62,12 @@ object SparkEntry {
     "q_text_quality"    -> (TextQueries.textQuality _),
     "q_text_langid"     -> (TextQueries.textLangid _),
     "q_doc_fingerprint" -> (TextQueries.docFingerprint _),
+    // §7.5(a) — LLM-pipeline deduplication tiers
+    "q_dedup_exact"     -> (DedupQueries.dedupExact _),
+    "q_dedup_norm"      -> (DedupQueries.dedupNorm _),
+    "q_doc_neardup"     -> (DedupQueries.docNeardup _),
+    "q_doc_simhash"     -> (DedupQueries.docSimhash _),
+    "q_ngram_jaccard"   -> (DedupQueries.ngramJaccard _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -287,5 +293,18 @@ object SparkEntry {
                   s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS sh_min,
                 len(list_distinct(shingles)) AS sh_count
          FROM sh ORDER BY doc_id""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS canonical_id,
+               count(*) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY fp""",
+    "q_dedup_norm" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+               min(doc_id) AS canonical_id, count(*) AS n_copies
+         FROM documents
+         GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+         ORDER BY fp""",
+    "q_doc_neardup"   -> DedupQueries.neardupOracle,
+    "q_doc_simhash"   -> DedupQueries.simhashOracle,
+    "q_ngram_jaccard" -> DedupQueries.ngramJaccardOracle,
   )
 }

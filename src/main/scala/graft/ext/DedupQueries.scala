@@ -1,0 +1,244 @@
+package graft.ext
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — the core of an LLM
+  * training-data pipeline (SURVEY.md §7.5(a); BASELINE.json north star).
+  *
+  * Tiers, cheapest first:
+  *   1. exact duplicate groups (md5 of raw text) — one hash-shuffle;
+  *   2. normalized duplicate groups (md5 of whitespace/case-normalized
+  *      text) — catches formatting-only copies;
+  *   3. MinHash/LSH near-dup candidate pairs — banded signatures so
+  *      candidate generation is a shuffle join on band keys, NEVER an
+  *      all-pairs cross join (the only shape that survives 100 TB);
+  *   4. SimHash per-document bit fingerprints;
+  *   5. exact n-gram Jaccard verification over a bounded candidate set
+  *      (min-shingle-hash collision buckets).
+  *
+  * Every hash is md5-derived integer arithmetic (`conv(substr(md5 ...))`
+  * then universal-hash `(a*h + b) % P`) — engine-portable, so the DuckDB
+  * oracle reproduces signatures bit-for-bit. No engine-private hash
+  * functions, no UDFs; everything is codegen'd built-ins.
+  */
+object DedupQueries {
+
+  /** Mersenne prime 2^31-1; universal-hash modulus. Base hashes are 32-bit
+    * (8 hex chars of md5) reduced mod P, multipliers < 2^30, so
+    * `a*h + b < 2^61` — no Long overflow in either engine. */
+  private val P = 2147483647L
+
+  /** 12 universal-hash (a, b) pairs — Knuth multiplicative constants,
+    * deterministic so Spark and the oracle share the exact family. */
+  private[ext] val AB: Seq[(Long, Long)] =
+    (1 to 12).map { i =>
+      ((2654435761L * i) % 1073741789L, (2246822519L * i) % P)
+    }
+
+  private val NumHashes = AB.size
+  private val Bands     = 4
+  private val Rows      = NumHashes / Bands // 3 → LSH threshold ~ (1/4)^(1/3) ≈ 0.63
+
+  /** doc_id + distinct 3-word shingles + their base hashes (mod P). */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", expr(
+        """array_distinct(CASE WHEN size(toks) >= 3
+             THEN transform(sequence(0, size(toks) - 3),
+                            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+             ELSE array(text) END)"""))
+      .withColumn("hs", expr(
+        s"""transform(shingles,
+              s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint) % $P)"""))
+
+  /** doc_id + MinHash signature columns sig_0..sig_11. */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    val sigCols: Seq[Column] = AB.zipWithIndex.map { case ((a, b), i) =>
+      expr(s"array_min(transform(hs, h -> ($a * h + $b) % $P))").as(s"sig_$i")
+    }
+    shingled(s, d).select(col("doc_id") +: sigCols: _*)
+  }
+
+  /** Tier 1 — exact-duplicate groups: md5(text) → (fingerprint,
+    * canonical doc, copy count). One partial-agg shuffle at any scale. */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Tier 2 — normalized-duplicate groups: lowercase, collapse whitespace,
+    * trim, then the same group-by-fingerprint. */
+  def dedupNorm(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Tier 3 — MinHash/LSH near-duplicate pairs.
+    *
+    * signature → band keys → explode → self-join on (band, key) → distinct
+    * candidate pairs → estimate Jaccard as the fraction of agreeing
+    * signature components → keep est ≥ 0.5.
+    *
+    * Scale shape: the only joins are (a) equi-join on band keys, where
+    * bucket sizes are bounded by collision probability, and (b) doc_id
+    * lookups of the signature relation. Nothing is quadratic in corpus
+    * size; a hot band key (constant-text spam) is AQE-skew-join territory,
+    * not a plan change. */
+  def docNeardup(s: SparkSession, d: String): DataFrame = {
+    val sig = signatures(s, d).cache()
+    val bandKeys = (0 until Bands).map { j =>
+      val parts = (0 until Rows).map(r => s"sig_${j * Rows + r}")
+      s"concat_ws('_', ${parts.mkString(", ")})"
+    }
+    val exploded = sig
+      .select(col("doc_id"),
+        posexplode(expr(s"array(${bandKeys.mkString(", ")})"))
+          .as(Seq("band", "bkey")))
+    val cand = exploded.as("x")
+      .join(exploded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val eq = (0 until NumHashes)
+      .map(i => s"IF(a.sig_$i = b.sig_$i, 1, 0)").mkString(" + ")
+    cand
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .withColumn("n_eq", expr(eq))
+      .filter(col("n_eq") * 2 >= NumHashes)
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"round(cast(n_eq as double) / $NumHashes, 4)")
+          .as("est_jaccard"))
+  }
+
+  /** Tier 4 — SimHash: 16-bit per-document fingerprint from token hashes
+    * (bit j votes +1/-1 per token, sign → bit). Narrow per-row compute;
+    * hamming-neighbor lookup at scale is a join on rotated bit-chunks. */
+  def docSimhash(s: SparkSession, d: String): DataFrame = {
+    val bits = 16
+    val votes = (0 until bits).map { j =>
+      expr(
+        s"""aggregate(transform(ths, h -> 2 * cast(shiftright(h, $j) & 1 as int) - 1),
+            0, (acc, x) -> acc + x)""").as(s"v_$j")
+    }
+    val simhash = (0 until bits)
+      .map(j => s"IF(v_$j > 0, ${1L << j}, 0)").mkString(" + ")
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("ths", expr(
+        "transform(toks, t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"))
+      .select(col("doc_id") +: votes: _*)
+      .select(col("doc_id"), expr(simhash).as("simhash16"))
+  }
+
+  /** Tier 5 — exact n-gram Jaccard over a bounded candidate set: docs
+    * whose MINIMUM shingle hash collides (a 1-permutation MinHash bucket).
+    * Near-identical docs collide with probability ≈ their Jaccard; bucket
+    * sizes stay small, so the exact verify is a bucket join + per-pair
+    * array intersection — never all-pairs. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val fp = shingled(s, d)
+      .select(col("doc_id"), col("shingles"),
+        expr("array_min(hs)").as("minh"), expr("size(shingles)").as("n"))
+    fp.as("a")
+      .join(fp.as("b"),
+        col("a.minh") === col("b.minh") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter",
+        expr("size(array_intersect(a.shingles, b.shingles))"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("round(cast(inter as double) / (a.n + b.n - inter), 4)")
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  // ---- oracle SQL (generated from the same constants) ----
+
+  private val shingledCte =
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                   FROM documents),
+        sh AS (SELECT doc_id,
+                 list_distinct(CASE WHEN len(toks) >= 3
+                   THEN list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   ELSE [text] END) AS shingles
+               FROM t),
+        hs AS (SELECT doc_id, shingles,
+                 list_transform(shingles,
+                   s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % $P) AS hs
+               FROM sh)"""
+
+  /** DuckDB oracle for [[docNeardup]], generated from [[AB]] so the hash
+    * family can never drift between engines. */
+  def neardupOracle: String = {
+    val sigList = AB.map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % $P))"
+    }.mkString("[", ",\n                   ", "]")
+    // band j as (j, key-string); union the four band projections
+    val bandsSql = (0 until Bands).map { j =>
+      val parts = (0 until Rows).map(r => s"sig[${j * Rows + r + 1}]")
+      s"SELECT doc_id, $j AS band, ${parts.mkString(" || '_' || ")} AS bkey FROM sig"
+    }.mkString("\n               UNION ALL ")
+    s"""$shingledCte,
+        sig AS (SELECT doc_id,
+                  $sigList AS sig
+                FROM hs),
+        bands AS ($bandsSql),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM bands x JOIN bands y
+                   ON x.band = y.band AND x.bkey = y.bkey
+                  AND x.doc_id < y.doc_id),
+        scored AS (SELECT doc_a, doc_b,
+                     len(list_filter(range(1, ${NumHashes + 1}),
+                         i -> a.sig[i] = b.sig[i])) AS n_eq
+                   FROM cand
+                   JOIN sig a ON doc_a = a.doc_id
+                   JOIN sig b ON doc_b = b.doc_id)
+        SELECT doc_a, doc_b,
+               round(CAST(n_eq AS DOUBLE) / $NumHashes, 4) AS est_jaccard
+        FROM scored WHERE n_eq * 2 >= $NumHashes
+        ORDER BY doc_a, doc_b"""
+  }
+
+  def simhashOracle: String = {
+    val bits = 16
+    val votes = (0 until bits).map { j =>
+      s"list_sum(list_transform(ths, h -> 2 * ((h >> $j) & 1) - 1)) AS v_$j"
+    }.mkString(",\n                 ")
+    val simhash = (0 until bits)
+      .map(j => s"CASE WHEN v_$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        th AS (SELECT doc_id,
+                 list_transform(toks,
+                   t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS ths
+               FROM t),
+        v AS (SELECT doc_id,
+                 $votes
+              FROM th)
+        SELECT doc_id, $simhash AS simhash16
+        FROM v ORDER BY doc_id"""
+  }
+
+  def ngramJaccardOracle: String =
+    s"""$shingledCte,
+        fp AS (SELECT doc_id, shingles, list_min(hs) AS minh,
+                 len(shingles) AS n
+               FROM hs),
+        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    len(list_intersect(a.shingles, b.shingles)) AS inter,
+                    a.n AS na, b.n AS nb
+                  FROM fp a JOIN fp b
+                    ON a.minh = b.minh AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+        FROM pairs
+        WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.8
+        ORDER BY doc_a, doc_b"""
+}
