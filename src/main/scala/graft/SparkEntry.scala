@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.RefQueries
-import graft.ext.{DedupQueries, TextQueries}
+import graft.ext.{DedupQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -68,6 +68,9 @@ object SparkEntry {
     "q_doc_neardup"     -> (DedupQueries.docNeardup _),
     "q_doc_simhash"     -> (DedupQueries.docSimhash _),
     "q_ngram_jaccard"   -> (DedupQueries.ngramJaccard _),
+    // §7.5(b) — LLM-pipeline similarity search over embeddings
+    "q_embed_topk"      -> (SimilarityQueries.embedTopk _),
+    "q_embed_ivf"       -> (SimilarityQueries.embedIvf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -306,5 +309,7 @@ object SparkEntry {
     "q_doc_neardup"   -> DedupQueries.neardupOracle,
     "q_doc_simhash"   -> DedupQueries.simhashOracle,
     "q_ngram_jaccard" -> DedupQueries.ngramJaccardOracle,
+    "q_embed_topk"    -> SimilarityQueries.topkOracle,
+    "q_embed_ivf"     -> SimilarityQueries.ivfOracle,
   )
 }

@@ -1,0 +1,149 @@
+package graft.ext
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` corpus
+  * (`Array[Float]`, 64-dim) — SURVEY.md §7.5(b), BASELINE.json north star.
+  *
+  * Two tiers:
+  *   - [[embedTopk]]: brute-force cosine top-k — the exactness baseline.
+  *     The QUERY set is broadcast; the corpus streams through a narrow
+  *     map + per-query top-k window. At 100 TB the corpus side never
+  *     shuffles and never materializes on the driver.
+  *   - [[embedIvf]]: IVF-style two-stage search — assign every vector to
+  *     its nearest of C deterministic seed centroids (broadcast join +
+  *     argmax), then search only within the query's cell (equi-join on
+  *     cell id). This is the scale path: per-query work drops from O(N)
+  *     to O(N/C), and the cell join partitions cleanly.
+  *
+  * Numeric determinism: all dot products are computed in double with a
+  * sequential left fold (`aggregate(zip_with(...))`), similarities are
+  * rounded to 6 decimals BEFORE ranking, and ties break on neighbor id —
+  * so ranks are reproducible across engines and partitionings.
+  */
+object SimilarityQueries {
+
+  /** Sequential-fold double dot product of two float-array columns. */
+  private def dot(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
+        cast(0 as double), (acc, v) -> acc + v)"""
+
+  /** Corpus with precomputed L2 norms (one narrow pass). */
+  private def normed(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .withColumn("nrm", expr(s"sqrt(${dot("embedding", "embedding")})"))
+
+  /** Brute-force cosine top-5 for query vectors vec_id < 10. */
+  def embedTopk(s: SparkSession, d: String): DataFrame = {
+    val e = normed(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("nrm").as("qnrm"))
+    val sims = e
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"),
+        col("nrm").as("cnrm"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        expr(s"round(${dot("qvec", "cvec")} / (qnrm * cnrm), 6)"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** IVF two-stage: 8 seed centroids (vec_id < 8 — deterministic, the
+    * fixture ids are cluster-shuffled), assign all vectors by max cosine
+    * (tie → lowest centroid id), then top-3 in-cell neighbors for query
+    * vectors 8 ≤ vec_id < 28. */
+  def embedIvf(s: SparkSession, d: String): DataFrame = {
+    val e = normed(s, d)
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+        col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    val cells = e.crossJoin(broadcast(cent))
+      .withColumn("csim",
+        expr(s"round(${dot("embedding", "cvec")} / (nrm * cnrm), 6)"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"),
+        col("nrm"))
+    val q = cells.filter(col("vec_id") >= 8 && col("vec_id") < 28)
+      .select(col("vec_id").as("query_id"), col("cell"),
+        col("embedding").as("qvec"), col("nrm").as("qnrm"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cells
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("embedding").as("cvec"), col("nrm").as("cnrm"))
+      .join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        expr(s"round(${dot("qvec", "cvec")} / (qnrm * cnrm), 6)"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("cell"), col("neighbor_id"), col("sim"),
+        col("rank"))
+  }
+
+  // ---- oracle SQL ----
+
+  private val normCte =
+    """WITH n AS (SELECT vec_id, embedding,
+                    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))
+                      AS nrm
+                  FROM embeddings)"""
+
+  def topkOracle: String =
+    s"""$normCte,
+        q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qnrm
+              FROM n WHERE vec_id < 10),
+        s AS (SELECT query_id, vec_id AS neighbor_id,
+                round(list_sum(list_transform(range(1, len(qvec) + 1),
+                        i -> qvec[i]::DOUBLE * embedding[i]::DOUBLE))
+                      / (qnrm * nrm), 6) AS sim
+              FROM n CROSS JOIN q WHERE vec_id <> query_id)
+        SELECT query_id, neighbor_id, sim, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id) AS rank
+          FROM s) t
+        WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  def ivfOracle: String =
+    s"""$normCte,
+        cent AS (SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
+                 FROM n WHERE vec_id < 8),
+        asg AS (SELECT n.vec_id, cent_id,
+                  round(list_sum(list_transform(range(1, len(embedding) + 1),
+                          i -> embedding[i]::DOUBLE * cvec[i]::DOUBLE))
+                        / (nrm * cnrm), 6) AS csim
+                FROM n CROSS JOIN cent),
+        cells AS (SELECT vec_id, cent_id AS cell FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                ORDER BY csim DESC, cent_id) AS rn
+                    FROM asg) t
+                  WHERE rn = 1),
+        nc AS (SELECT n.vec_id, cell, embedding, nrm
+               FROM n JOIN cells ON n.vec_id = cells.vec_id),
+        q AS (SELECT vec_id AS query_id, cell, embedding AS qvec,
+                nrm AS qnrm
+              FROM nc WHERE vec_id >= 8 AND vec_id < 28),
+        s AS (SELECT query_id, q.cell AS cell, nc.vec_id AS neighbor_id,
+                round(list_sum(list_transform(range(1, len(qvec) + 1),
+                        i -> qvec[i]::DOUBLE * embedding[i]::DOUBLE))
+                      / (qnrm * nrm), 6) AS sim
+              FROM nc JOIN q ON nc.cell = q.cell
+              WHERE nc.vec_id <> query_id)
+        SELECT query_id, cell, neighbor_id, sim, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id) AS rank
+          FROM s) t
+        WHERE rank <= 3 ORDER BY query_id, rank"""
+}
