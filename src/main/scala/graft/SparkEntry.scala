@@ -71,6 +71,9 @@ object SparkEntry {
     // §7.5(b) — LLM-pipeline similarity search over embeddings
     "q_embed_topk"      -> (SimilarityQueries.embedTopk _),
     "q_embed_ivf"       -> (SimilarityQueries.embedIvf _),
+    // §7.5 — multimodal binary columns (stub decode, real plumbing)
+    "q_media_features"  -> ((s: SparkSession, d: String) =>
+      ext.Multimodal.decoded(s, ext.Multimodal.mediaTable(Tables.documents(s, d)))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -311,5 +314,18 @@ object SparkEntry {
     "q_ngram_jaccard" -> DedupQueries.ngramJaccardOracle,
     "q_embed_topk"    -> SimilarityQueries.topkOracle,
     "q_embed_ivf"     -> SimilarityQueries.ivfOracle,
+    "q_media_features" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                      md5(text) AS payload_md5
+                    FROM documents),
+         k AS (SELECT *, CASE n_bytes % 3 WHEN 0 THEN 'image'
+                           WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+               FROM m)
+         SELECT doc_id, kind, payload_md5, n_bytes,
+                32 + n_bytes % 608 AS width,
+                32 + (n_bytes * 7) % 448 AS height,
+                CASE WHEN kind = 'video' THEN 1 + n_bytes % 30 ELSE 1 END
+                  AS n_frames
+         FROM k ORDER BY doc_id""",
   )
 }
