@@ -110,8 +110,27 @@ object Ingestion {
     } finally { split.unpersist(); scan.unpersist() }
   }
 
-  /** S8 — catalog registration: expose a lake table to spark.sql
-    * (ref: product_etl.py:88-93 CREATE TABLE ... USING DELTA LOCATION). */
-  def register(spark: SparkSession, table: MergeTable, name: String): Unit =
+  /** S8 — persistent catalog registration mirroring the reference's
+    * `CREATE DATABASE IF NOT EXISTS` + `CREATE TABLE ... USING DELTA
+    * LOCATION` (product_etl.py:88-93, orders_etl.py:98-103): an EXTERNAL
+    * parquet table over the table's single-dir snapshot, visible to any
+    * session sharing the catalog (`spark.newSession`), surviving the
+    * DataFrame that created it. Re-running refreshes the location — the
+    * analog of the reference's crawler refresh
+    * (lambda/start_glue_crawler_lakehouse/lambda_function.py:9-16). */
+  def register(spark: SparkSession, table: MergeTable, name: String,
+      database: String = "graft"): Unit = {
+    val dir = table.snapshotDir().toUri.toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
+    spark.sql(s"DROP TABLE IF EXISTS `$database`.`$name`")
+    spark.sql(
+      s"CREATE TABLE `$database`.`$name` USING PARQUET LOCATION '$dir'")
+    if (table.partitionCol.isDefined)
+      spark.sql(s"MSCK REPAIR TABLE `$database`.`$name`")
+  }
+
+  /** Session-scoped registration (temp view over the manifest-exact read) —
+    * the lightweight variant when no cross-session catalog is needed. */
+  def registerView(spark: SparkSession, table: MergeTable, name: String): Unit =
     table.read().createOrReplaceTempView(name)
 }

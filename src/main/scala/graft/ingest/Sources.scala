@@ -70,15 +70,17 @@ object Sources {
     import scala.jdk.CollectionConverters._
     val rawDir = root.resolve("raw")
     if (!java.nio.file.Files.isDirectory(rawDir)) return Seq.empty
-    java.nio.file.Files.walk(rawDir).iterator().asScala
-      .filter(java.nio.file.Files.isRegularFile(_))
-      .filter(p => suffixes.exists(p.getFileName.toString.endsWith))
-      .flatMap { p =>
-        val rel = rawDir.relativize(p)
-        // raw/<dataset>/<file> — dataset is the first segment under raw/
-        if (rel.getNameCount >= 2) Some(rel.getName(0).toString -> p.toString)
-        else None
-      }
-      .toSeq.sortBy(_._2)
+    scala.util.Using.resource(java.nio.file.Files.walk(rawDir)) { stream =>
+      stream.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .filter(p => suffixes.exists(p.getFileName.toString.endsWith))
+        .flatMap { p =>
+          val rel = rawDir.relativize(p)
+          // raw/<dataset>/<file> — dataset is the first segment under raw/
+          if (rel.getNameCount >= 2) Some(rel.getName(0).toString -> p.toString)
+          else None
+        }
+        .toSeq.sortBy(_._2)
+    }
   }
 }

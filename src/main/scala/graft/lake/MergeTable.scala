@@ -1,9 +1,10 @@
 package graft.lake
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -25,11 +26,13 @@ import org.apache.spark.sql.functions._
   * }}}
   *
   * A manifest is the FULL list of live files (path TAB partition-value).
-  * Commit = write data files to a fresh commit dir, then atomically move a
-  * temp manifest to `<nextVersion>.txt` — the move fails if a concurrent
-  * writer took that version (optimistic concurrency, retried by re-reading).
-  * Readers resolve the highest manifest and see a consistent snapshot;
-  * uncommitted data dirs are invisible to them.
+  * Commit = write data files to a fresh commit dir, then publish a temp
+  * manifest as `<nextVersion>.txt` via `Files.createLink`, which atomically
+  * FAILS if that version already exists (`rename(2)` would silently replace
+  * it — the round-1 lost-update bug). On collision the whole operation
+  * recomputes against the fresh snapshot — never re-publishing entries
+  * derived from a stale one. Readers resolve the highest manifest and see a
+  * consistent snapshot; uncommitted data dirs are invisible to them.
   *
   * Scale notes (100 TB stance):
   *  - Only log METADATA ever touches the driver (file names + partition
@@ -59,11 +62,13 @@ final class MergeTable private (
 
   def latestVersion(): Long =
     if (!Files.isDirectory(logDir)) 0L
-    else Files.list(logDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".txt"))
-      .map(_.stripSuffix(".txt").toLong)
-      .foldLeft(0L)(math.max)
+    else Using.resource(Files.list(logDir)) { stream =>
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".txt"))
+        .map(_.stripSuffix(".txt").toLong)
+        .foldLeft(0L)(math.max)
+    }
 
   private def readManifest(v: Long): Seq[FileEntry] =
     Files.readAllLines(logDir.resolve(f"$v%020d.txt")).asScala.toSeq
@@ -73,28 +78,44 @@ final class MergeTable private (
         FileEntry(rel, if (pv == NoPartition) None else Some(pv))
       }
 
-  /** Atomically publish `entries` as the next version after `expected`.
-    * Returns the committed version. Retries on version collision. */
-  private def commit(entries: Seq[FileEntry], expected: Long): Long = {
+  /** Try to publish `entries` as version `expected + 1`. Returns the
+    * committed version, or None if a concurrent writer took it first.
+    * `Files.createLink` (unlike `Files.move`, whose Linux rename(2)
+    * silently REPLACES) atomically fails with FileAlreadyExistsException
+    * when the target exists — the existence check and the publish are one
+    * syscall, so two writers can never both win a version. Callers MUST
+    * recompute from the fresh snapshot on None, not re-publish stale
+    * entries (that would drop the other writer's files — lost update). */
+  private def tryCommit(entries: Seq[FileEntry], expected: Long): Option[Long] = {
     Files.createDirectories(logDir)
     val body = entries
       .map(e => s"${e.relPath}\t${e.partitionValue.getOrElse(NoPartition)}")
       .mkString("\n")
-    var v = expected + 1
-    while (true) {
-      val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
-      Files.writeString(tmp, body)
-      try {
-        Files.move(tmp, logDir.resolve(f"$v%020d.txt"),
-          StandardCopyOption.ATOMIC_MOVE)
-        return v
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp)
-          v = latestVersion() + 1 // lost the race; retry on top
+    val v = expected + 1
+    val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp, body)
+    try {
+      Files.createLink(logDir.resolve(f"$v%020d.txt"), tmp)
+      Some(v)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => None
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Run an optimistic write: `attempt` computes (entries, expectedVersion)
+    * from the CURRENT snapshot; on commit collision the computation reruns
+    * against the fresh snapshot. */
+  private def retryingCommit(attempt: () => (Seq[FileEntry], Long)): Long = {
+    var tries = 0
+    while (tries < MaxCommitRetries) {
+      val (entries, expected) = attempt()
+      tryCommit(entries, expected) match {
+        case Some(v) => return v
+        case None    => tries += 1
       }
     }
-    v
+    throw new java.util.ConcurrentModificationException(
+      s"MergeTable at $root: lost the commit race $MaxCommitRetries times")
   }
 
   // ---- write paths --------------------------------------------------------
@@ -109,62 +130,82 @@ final class MergeTable private (
       case None =>
         df.write.mode("overwrite").parquet(target.toString)
     }
-    val entries = Files.walk(target).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet") &&
-        Files.isRegularFile(p))
-      .map { p =>
-        val rel = root.relativize(p).toString
-        val pv = partitionCol.flatMap { pc =>
-          target.relativize(p).iterator().asScala
-            .map(_.toString)
-            .find(_.startsWith(pc + "="))
-            .map(s => unescapePathValue(s.substring(pc.length + 1)))
-        }
-        FileEntry(rel, pv)
-      }.toSeq
+    val entries = Using.resource(Files.walk(target)) { stream =>
+      stream.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+          Files.isRegularFile(p))
+        .map { p =>
+          val rel = root.relativize(p).toString
+          val pv = partitionCol.flatMap { pc =>
+            target.relativize(p).iterator().asScala
+              .map(_.toString)
+              .find(_.startsWith(pc + "="))
+              .map(s => unescapePathValue(s.substring(pc.length + 1)))
+              // Spark writes NULL partition values as the hive default dir;
+              // normalize to None so the touched-partition set (which maps a
+              // null source value to None) agrees with the written files.
+              .filter(_ != HiveDefaultPartition)
+          }
+          FileEntry(rel, pv)
+        }.toSeq
+    }
     (commitDir, entries)
   }
 
   /** S5 — full overwrite (the reference's first-load path,
-    * ref: orders_etl.py:93-96). */
+    * ref: orders_etl.py:93-96). Overwrite replaces the whole table, so on
+    * a commit collision the same entries re-publish at the fresh version
+    * (last-full-writer-wins is the overwrite contract). */
   def overwrite(df: DataFrame): Long = {
-    val (before, _) = latest()
     val (_, entries) = writeData(df)
-    commit(entries, before)
+    retryingCommit(() => (entries, latestVersion()))
   }
 
   /** S6 — MERGE upsert: source wins on key match, inserts otherwise;
-    * untouched partitions' files are carried over unchanged. */
+    * untouched partitions' files are carried over unchanged. On commit
+    * collision the merge recomputes against the fresh snapshot (so a
+    * concurrent writer's files are merged with, not clobbered); orphaned
+    * data dirs from lost attempts are reclaimed by [[vacuum]]. */
   def merge(source: DataFrame, pk: String): Long = {
-    val (version, live) = latest()
-    if (live.isEmpty) return overwrite(source)
     val src = source.cache()
     try {
-      partitionCol match {
-        case Some(pc) =>
-          // Partitions needing rewrite = those holding a matched key, plus
-          // those receiving inserts. Distinct partition *values* are log-
-          // scale metadata — safe to collect.
-          val srcParts = src.select(col(pc).cast("string")).distinct()
-            .collect().map(r => Option(r.getString(0))).toSet
-          val matchedParts = readEntries(live)
-            .join(src.select(col(pk)).distinct(), Seq(pk), "left_semi")
-            .select(col(pc).cast("string")).distinct()
-            .collect().map(r => Option(r.getString(0))).toSet
-          val touched: Set[Option[String]] =
-            srcParts.map(_.asInstanceOf[Option[String]]) ++ matchedParts
-          val (touchedFiles, keptFiles) =
-            live.partition(e => touched.contains(e.partitionValue))
-          val remaining = readEntries(touchedFiles)
-            .join(src.select(col(pk)).distinct(), Seq(pk), "left_anti")
-          val out = remaining.unionByName(src)
-          val (_, newEntries) = writeData(out)
-          commit(keptFiles ++ newEntries, version)
-        case None =>
-          val remaining = readEntries(live)
-            .join(src.select(col(pk)).distinct(), Seq(pk), "left_anti")
-          val (_, newEntries) = writeData(remaining.unionByName(src))
-          commit(newEntries, version)
+      retryingCommit { () =>
+        val (version, live) = latest()
+        if (live.isEmpty) {
+          val (_, entries) = writeData(src)
+          (entries, version)
+        } else partitionCol match {
+          case Some(pc) =>
+            // Partitions needing rewrite = those holding a matched key, plus
+            // those receiving inserts. Distinct partition *values* are log-
+            // scale metadata — safe to collect (cardinality-guarded).
+            val srcParts = src.select(col(pc).cast("string")).distinct()
+              .collect().map(r => Option(r.getString(0))).toSet
+            require(srcParts.size <= MaxPartitionsPerMerge,
+              s"merge touches ${srcParts.size} partitions (> " +
+                s"$MaxPartitionsPerMerge); repartition the source or " +
+                "raise the guard — partition values are driver metadata")
+            val matchedParts = readEntries(live)
+              .join(src.select(col(pk)).distinct(), Seq(pk), "left_semi")
+              .select(col(pc).cast("string")).distinct()
+              .collect().map(r => Option(r.getString(0))).toSet
+            val touched: Set[Option[String]] =
+              srcParts.map(_.asInstanceOf[Option[String]]) ++ matchedParts
+            val (touchedFiles, keptFiles) =
+              live.partition(e => touched.contains(e.partitionValue))
+            val remaining = readEntries(touchedFiles)
+              .join(src.select(col(pk)).distinct(), Seq(pk), "left_anti")
+            val out = remaining.unionByName(src)
+            val (_, newEntries) = writeData(out)
+            (keptFiles ++ newEntries, version)
+          case None =>
+            // Unpartitioned: inherently a full-table rewrite, as in Delta
+            // without partition pruning — warn at scale.
+            val remaining = readEntries(live)
+              .join(src.select(col(pk)).distinct(), Seq(pk), "left_anti")
+            val (_, newEntries) = writeData(remaining.unionByName(src))
+            (newEntries, version)
+        }
       }
     } finally src.unpersist()
   }
@@ -173,27 +214,44 @@ final class MergeTable private (
     * files into `filesPerPartition` files, optionally range-clustered on
     * `clusterBy` (the practical stand-in for Z-ordering — multi-dimensional
     * locality via range repartition + intra-file sort). */
-  def compact(filesPerPartition: Int = 1, clusterBy: Seq[Column] = Nil): Long = {
-    val (version, live) = latest()
-    val df0 = readEntries(live)
-    val df =
-      if (clusterBy.nonEmpty)
-        df0.repartitionByRange(filesPerPartition, clusterBy: _*)
-          .sortWithinPartitions(clusterBy: _*)
-      else df0.repartition(filesPerPartition)
-    val (_, entries) = writeData(df)
-    commit(entries, version)
-  }
+  def compact(filesPerPartition: Int = 1, clusterBy: Seq[Column] = Nil): Long =
+    retryingCommit { () =>
+      val (version, live) = latest()
+      val df0 = readEntries(live)
+      val df =
+        if (clusterBy.nonEmpty)
+          df0.repartitionByRange(filesPerPartition, clusterBy: _*)
+            .sortWithinPartitions(clusterBy: _*)
+        else df0.repartition(filesPerPartition)
+      val (_, entries) = writeData(df)
+      (entries, version)
+    }
 
-  /** Drop data dirs no manifest ≤ latest references (VACUUM-lite). */
+  /** VACUUM-lite: drop data dirs NOT referenced by the LATEST manifest,
+    * and prune all superseded manifests — after vacuum, time travel before
+    * the vacuum point is intentionally gone (manifest files are removed, so
+    * [[readVersion]] fails fast instead of resolving a snapshot whose data
+    * files were deleted). */
   def vacuum(): Unit = {
-    val (_, live) = latest()
+    val (latestV, live) = latest()
     val liveDirs = live.map(_.relPath.split('/').head).toSet
-    Files.list(root).iterator().asScala
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("commit-") &&
-        !liveDirs.contains(p.getFileName.toString))
-      .foreach(deleteRecursively)
+    Using.resource(Files.list(root)) { stream =>
+      stream.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("commit-") &&
+          !liveDirs.contains(p.getFileName.toString))
+        .toSeq
+    }.foreach(deleteRecursively)
+    if (Files.isDirectory(logDir)) {
+      Using.resource(Files.list(logDir)) { stream =>
+        stream.iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.endsWith(".txt") && n.stripSuffix(".txt").toLong < latestV
+          }
+          .toSeq
+      }.foreach(Files.deleteIfExists(_))
+    }
   }
 
   // ---- read paths ---------------------------------------------------------
@@ -213,6 +271,22 @@ final class MergeTable private (
   /** Time travel — snapshot of historical `version`. */
   def readVersion(version: Long): DataFrame = readEntries(readManifest(version))
 
+  /** A single directory holding EXACTLY the live snapshot in plain hive
+    * layout — the shape external engines (and `CREATE TABLE ... USING
+    * PARQUET LOCATION`) can read without understanding the manifest.
+    * Compacts first iff the live files span multiple commit dirs. */
+  def snapshotDir(): Path = {
+    def liveDirs(): Seq[String] = {
+      val (_, live) = latest()
+      live.map(_.relPath.split('/').head).distinct
+    }
+    val dirs = liveDirs()
+    val dir =
+      if (dirs.size == 1) dirs.head
+      else { compact(); liveDirs().head }
+    root.resolve(dir)
+  }
+
   private def readEntries(entries: Seq[FileEntry]): DataFrame = {
     if (entries.isEmpty) return emptyLike()
     // Group by commit dir: each dir is one hive-partitioned write whose
@@ -228,8 +302,10 @@ final class MergeTable private (
   }
 
   private def emptyLike(): DataFrame = {
-    // No live files: derive schema from any historical manifest, else fail.
+    // No live files: derive schema from any historical manifest that still
+    // exists (vacuum prunes superseded ones), else fail.
     val vs = (1L to latestVersion()).reverse
+      .filter(v => Files.exists(logDir.resolve(f"$v%020d.txt")))
     vs.map(readManifest).find(_.nonEmpty) match {
       case Some(entries) => readEntries(entries).limit(0)
       case None => throw new IllegalStateException(
@@ -241,6 +317,13 @@ final class MergeTable private (
 object MergeTable {
   private val LogDir = "_graft_log"
   private val NoPartition = "-"
+  private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+  private val MaxCommitRetries = 5
+  /** Distinct partition values collected to the driver per merge — log-scale
+    * metadata (same contract as Delta's log), but guard the cardinality so a
+    * mis-partitioned source (e.g. partitioned by a unique id) fails fast
+    * instead of OOMing the driver. */
+  private val MaxPartitionsPerMerge = 100000
 
   private final case class FileEntry(relPath: String,
       partitionValue: Option[String])
@@ -256,7 +339,7 @@ object MergeTable {
 
   private def deleteRecursively(p: Path): Unit = {
     import scala.jdk.CollectionConverters._
-    Files.walk(p).iterator().asScala.toSeq.reverse
+    Using.resource(Files.walk(p))(_.iterator().asScala.toSeq).reverse
       .foreach(Files.deleteIfExists(_))
   }
 }

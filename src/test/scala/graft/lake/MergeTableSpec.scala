@@ -104,6 +104,50 @@ class MergeTableSpec extends SparkSpec {
     assert(contents(t.read()) === before) // live data untouched by vacuum
   }
 
+  test("commit publish atomically fails on version collision (no clobber)") {
+    val root = tmpDir("mt")
+    val t = MergeTable(spark, root.toString, None)
+    t.overwrite(orders(("o1", "d", 1.0)))
+    // Simulate a concurrent writer owning version 2: pre-create its
+    // manifest. A rename-based publish would silently REPLACE this file;
+    // the createLink-based publish must fail, and the merge must land at
+    // version 3 computed from the fresh snapshot.
+    val foreign = root.resolve("_graft_log").resolve(f"${2L}%020d.txt")
+    val v1Body = Files.readAllLines(
+      root.resolve("_graft_log").resolve(f"${1L}%020d.txt"))
+    Files.write(foreign, v1Body)
+    val v = t.merge(orders(("o2", "d", 2.0)), "order_id")
+    assert(v === 3L, "merge must skip the taken version")
+    assert(Files.readAllLines(foreign) === v1Body,
+      "the concurrent writer's manifest must survive untouched")
+    assert(contents(t.read()) === Set(("o1", "d", 1.0), ("o2", "d", 2.0)))
+  }
+
+  test("merge handles NULL partition values (hive default dir)") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, Some("date"))
+    val withNull = Seq(("o1", Some("2024-01-01"), 1.0), ("o2", None, 2.0))
+      .toDF("order_id", "date", "amount")
+    t.overwrite(withNull)
+    // o2 lives in date=__HIVE_DEFAULT_PARTITION__; merging it again must
+    // rewrite that partition (not duplicate the key).
+    t.merge(Seq(("o2", None: Option[String], 9.0))
+      .toDF("order_id", "date", "amount"), "order_id")
+    val rows = t.read().select("order_id", "amount")
+      .as[(String, Double)].collect().toSet
+    assert(rows === Set(("o1", 1.0), ("o2", 9.0)))
+  }
+
+  test("vacuum prunes superseded manifests; time travel gone, latest intact") {
+    val root = tmpDir("mt")
+    val t = MergeTable(spark, root.toString, Some("date"))
+    val v1 = t.overwrite(orders(("o1", "2024-01-01", 1.0)))
+    t.merge(orders(("o1", "2024-01-01", 2.0)), "order_id")
+    t.vacuum()
+    assert(contents(t.read()) === Set(("o1", "2024-01-01", 2.0)))
+    intercept[Exception](t.readVersion(v1).collect())
+  }
+
   test("two handles to the same table serialize through the log") {
     val root = tmpDir("mt").toString
     val t = MergeTable(spark, root, None)
