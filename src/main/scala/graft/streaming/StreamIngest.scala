@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.lake.MergeTable
+
+/** Streaming-shaped ingestion (SURVEY.md §2.9): the reference's event-driven
+  * per-file pipeline — S3 upload → Lambda trigger → Step Function → Glue job
+  * with marker-file idempotency
+  * (lambda/trigger_lakehouse_stepfn_on_upload/lambda_function.py:28-37,
+  * lambda/lakehouse_check_processed_marker/lambda_function.py:17-28) —
+  * re-expressed as file-source Structured Streaming:
+  *
+  *   - the file source discovers new files in the raw zone (the Lambda
+  *     trigger);
+  *   - the streaming checkpoint records which files each batch consumed
+  *     (the `_processed_log` marker system, subsumed);
+  *   - `Trigger.AvailableNow` drains everything currently available then
+  *     stops (event-driven batch semantics, restart-safe);
+  *   - `foreachBatch` MERGE-upserts each micro-batch into the lake table,
+  *     so replays after a crash between checkpoint and commit are
+  *     idempotent on the primary key (effective exactly-once).
+  *
+  * At scale this is the canonical continuous-ingest shape: executors list
+  * and read files in parallel, per-batch work is the same distributed
+  * merge as batch ingestion, and no driver-side row data ever appears.
+  */
+object StreamIngest {
+
+  /** Drain all currently-available files under `rawDir` into `table`.
+    * Returns the number of micro-batches that carried rows. */
+  def runAvailableNow(
+      spark: SparkSession,
+      rawDir: String,
+      schema: StructType,
+      table: MergeTable,
+      pk: String,
+      checkpoint: String,
+      transform: DataFrame => DataFrame = identity): Long = {
+    val stream = spark.readStream
+      .format("csv")
+      .option("header", "true")
+      .schema(schema)
+      .load(rawDir)
+    @volatile var batchesWithRows = 0L
+    val query = transform(stream).writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // C6 — empty-input early exit (ref: orders_etl.py:66-69)
+        if (!batch.isEmpty) {
+          table.merge(batch, pk)
+          batchesWithRows += 1
+        }
+      }
+      .start()
+    query.awaitTermination()
+    batchesWithRows
+  }
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.SparkSpec
+import graft.lake.MergeTable
+
+class StreamIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("order_id", StringType),
+    StructField("date", StringType),
+    StructField("amount", StringType)))
+
+  private def writeCsv(dir: Path, name: String, rows: String*): Unit =
+    Files.writeString(dir.resolve(name),
+      ("order_id,date,amount" +: rows).mkString("\n"))
+
+  private def ids(t: MergeTable): Set[String] =
+    t.read().select("order_id").as[String].collect().toSet
+
+  test("AvailableNow drains the raw zone and checkpoint skips processed files") {
+    val raw = tmpDir("raw")
+    val ckpt = tmpDir("ckpt").toString
+    val t = MergeTable(spark, tmpDir("tbl").toString, Some("date"))
+    writeCsv(raw, "f1.csv", "o1,2024-01-01,10.0", "o2,2024-01-02,20.0")
+
+    val b1 = StreamIngest.runAvailableNow(spark, raw.toString, schema, t,
+      "order_id", ckpt)
+    assert(b1 >= 1)
+    assert(ids(t) === Set("o1", "o2"))
+
+    // Second drain with no new files: checkpoint = processed markers,
+    // nothing replays, table version does not advance.
+    val vBefore = t.latestVersion()
+    StreamIngest.runAvailableNow(spark, raw.toString, schema, t,
+      "order_id", ckpt)
+    assert(t.latestVersion() === vBefore)
+
+    // New file arrives → only it is ingested; existing key upserts.
+    writeCsv(raw, "f2.csv", "o2,2024-01-02,99.0", "o3,2024-01-03,30.0")
+    StreamIngest.runAvailableNow(spark, raw.toString, schema, t,
+      "order_id", ckpt)
+    assert(ids(t) === Set("o1", "o2", "o3"))
+    val o2 = t.read().filter(col("order_id") === "o2")
+      .select("amount").as[String].head()
+    assert(o2 === "99.0", "late duplicate key must upsert, not duplicate")
+  }
+
+  test("transform hook conforms batches before the merge") {
+    val raw = tmpDir("raw")
+    val t = MergeTable(spark, tmpDir("tbl").toString, Some("date"))
+    writeCsv(raw, "f1.csv", "o1,2024-01-01,10.0")
+    StreamIngest.runAvailableNow(spark, raw.toString, schema, t, "order_id",
+      tmpDir("ckpt").toString,
+      transform = _.withColumn("amount", col("amount").cast("double")))
+    assert(t.read().schema("amount").dataType.typeName === "double")
+  }
+}
