@@ -55,11 +55,31 @@ object DedupQueries {
               s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint) % $P)"""))
 
   /** doc_id + MinHash signature columns sig_0..sig_11. */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
+  private def sigFrom(sh: DataFrame): DataFrame = {
     val sigCols: Seq[Column] = AB.zipWithIndex.map { case ((a, b), i) =>
       expr(s"array_min(transform(hs, h -> ($a * h + $b) % $P))").as(s"sig_$i")
     }
-    shingled(s, d).select(col("doc_id") +: sigCols: _*)
+    sh.select(col("doc_id") +: sigCols: _*)
+  }
+
+  /** LSH candidate pairs from a signature relation: explode band keys,
+    * self-join on (band, key), distinct (doc_a < doc_b). Bucket sizes are
+    * bounded by r-way hash agreement, so this join is never all-pairs. */
+  private def candidatesFrom(sig: DataFrame): DataFrame = {
+    val bandKeys = (0 until Bands).map { j =>
+      val parts = (0 until Rows).map(r => s"sig_${j * Rows + r}")
+      s"concat_ws('_', ${parts.mkString(", ")})"
+    }
+    val exploded = sig
+      .select(col("doc_id"),
+        posexplode(expr(s"array(${bandKeys.mkString(", ")})"))
+          .as(Seq("band", "bkey")))
+    exploded.as("x")
+      .join(exploded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** Tier 1 — exact-duplicate groups: md5(text) → (fingerprint,
@@ -89,21 +109,8 @@ object DedupQueries {
     * size; a hot band key (constant-text spam) is AQE-skew-join territory,
     * not a plan change. */
   def docNeardup(s: SparkSession, d: String): DataFrame = {
-    val sig = signatures(s, d).cache()
-    val bandKeys = (0 until Bands).map { j =>
-      val parts = (0 until Rows).map(r => s"sig_${j * Rows + r}")
-      s"concat_ws('_', ${parts.mkString(", ")})"
-    }
-    val exploded = sig
-      .select(col("doc_id"),
-        posexplode(expr(s"array(${bandKeys.mkString(", ")})"))
-          .as(Seq("band", "bkey")))
-    val cand = exploded.as("x")
-      .join(exploded.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val sig = sigFrom(shingled(s, d)).cache()
+    val cand = candidatesFrom(sig)
     val eq = (0 until NumHashes)
       .map(i => s"IF(a.sig_$i = b.sig_$i, 1, 0)").mkString(" + ")
     cand
@@ -136,22 +143,27 @@ object DedupQueries {
       .select(col("doc_id"), expr(simhash).as("simhash16"))
   }
 
-  /** Tier 5 — exact n-gram Jaccard over a bounded candidate set: docs
-    * whose MINIMUM shingle hash collides (a 1-permutation MinHash bucket).
-    * Near-identical docs collide with probability ≈ their Jaccard; bucket
-    * sizes stay small, so the exact verify is a bucket join + per-pair
-    * array intersection — never all-pairs. */
+  /** Tier 5 — exact n-gram Jaccard verification of the LSH candidate pairs
+    * (the verify stage of the canonical candidates→verify near-dup
+    * pipeline): join each candidate's distinct shingle set, intersect, and
+    * keep true Jaccard ≥ 0.8. The candidate set is tiny (r-way hash
+    * agreement), so the heavy shingle arrays are only shuffled for docs
+    * that appear in some candidate pair — a 1-permutation min-hash bucket
+    * was measured 9× slower here because globally-small-hash shingles put
+    * MANY unrelated docs in one bucket. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val fp = shingled(s, d)
-      .select(col("doc_id"), col("shingles"),
-        expr("array_min(hs)").as("minh"), expr("size(shingles)").as("n"))
-    fp.as("a")
-      .join(fp.as("b"),
-        col("a.minh") === col("b.minh") && col("a.doc_id") < col("b.doc_id"))
+    val sh = shingled(s, d)
+      .select(col("doc_id"), col("shingles"), col("hs"),
+        expr("size(shingles)").as("n"))
+      .cache()
+    val cand = candidatesFrom(sigFrom(sh))
+    cand
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id"))
       .withColumn("inter",
         expr("size(array_intersect(a.shingles, b.shingles))"))
       .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("doc_a"), col("doc_b"),
         expr("round(cast(inter as double) / (a.n + b.n - inter), 4)")
           .as("jaccard"))
       .filter(col("jaccard") >= 0.8)
@@ -173,9 +185,10 @@ object DedupQueries {
                    s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % $P) AS hs
                FROM sh)"""
 
-  /** DuckDB oracle for [[docNeardup]], generated from [[AB]] so the hash
-    * family can never drift between engines. */
-  def neardupOracle: String = {
+  /** Shared CTE chain for the LSH pipeline: shingles → signatures → band
+    * keys → candidate pairs, generated from [[AB]] so the hash family can
+    * never drift between engines. */
+  private def candCte: String = {
     val sigList = AB.map { case (a, b) =>
       s"list_min(list_transform(hs, h -> ($a * h + $b) % $P))"
     }.mkString("[", ",\n                   ", "]")
@@ -192,7 +205,12 @@ object DedupQueries {
         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
                  FROM bands x JOIN bands y
                    ON x.band = y.band AND x.bkey = y.bkey
-                  AND x.doc_id < y.doc_id),
+                  AND x.doc_id < y.doc_id)"""
+  }
+
+  /** DuckDB oracle for [[docNeardup]]. */
+  def neardupOracle: String =
+    s"""$candCte,
         scored AS (SELECT doc_a, doc_b,
                      len(list_filter(range(1, ${NumHashes + 1}),
                          i -> a.sig[i] = b.sig[i])) AS n_eq
@@ -203,7 +221,6 @@ object DedupQueries {
                round(CAST(n_eq AS DOUBLE) / $NumHashes, 4) AS est_jaccard
         FROM scored WHERE n_eq * 2 >= $NumHashes
         ORDER BY doc_a, doc_b"""
-  }
 
   def simhashOracle: String = {
     val bits = 16
@@ -227,15 +244,13 @@ object DedupQueries {
   }
 
   def ngramJaccardOracle: String =
-    s"""$shingledCte,
-        fp AS (SELECT doc_id, shingles, list_min(hs) AS minh,
-                 len(shingles) AS n
-               FROM hs),
-        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    s"""$candCte,
+        pairs AS (SELECT doc_a, doc_b,
                     len(list_intersect(a.shingles, b.shingles)) AS inter,
-                    a.n AS na, b.n AS nb
-                  FROM fp a JOIN fp b
-                    ON a.minh = b.minh AND a.doc_id < b.doc_id)
+                    len(a.shingles) AS na, len(b.shingles) AS nb
+                  FROM cand
+                  JOIN hs a ON doc_a = a.doc_id
+                  JOIN hs b ON doc_b = b.doc_id)
         SELECT doc_a, doc_b,
                round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
         FROM pairs
