@@ -71,6 +71,8 @@ object SparkEntry {
     // §7.5(b) — LLM-pipeline similarity search over embeddings
     "q_embed_topk"      -> (SimilarityQueries.embedTopk _),
     "q_embed_ivf"       -> (SimilarityQueries.embedIvf _),
+    "q_embed_neardup"   -> (SimilarityQueries.embedNeardup _),
+    "q_text_bpe"        -> (TextQueries.textBpe _),
     // §7.5 — multimodal binary columns (stub decode, real plumbing)
     "q_media_features"  -> ((s: SparkSession, d: String) =>
       ext.Multimodal.decoded(s, ext.Multimodal.mediaTable(Tables.documents(s, d)))),
@@ -314,6 +316,16 @@ object SparkEntry {
     "q_ngram_jaccard" -> DedupQueries.ngramJaccardOracle,
     "q_embed_topk"    -> SimilarityQueries.topkOracle,
     "q_embed_ivf"     -> SimilarityQueries.ivfOracle,
+    "q_embed_neardup" -> SimilarityQueries.neardupOracle,
+    "q_text_bpe" ->
+      """SELECT doc_id,
+                len(string_split(text, ' ')) AS n_words,
+                len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+'))
+                  AS n_subwords,
+                round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                      / len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+')), 4)
+                  AS avg_subword_len
+         FROM documents ORDER BY doc_id""",
     "q_media_features" ->
       """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                       md5(text) AS payload_md5

@@ -96,6 +96,24 @@ object TextQueries {
         col("de_hits"), col("en_hits"), col("es_hits"), col("fr_hits"),
         col("zh_hits"))
 
+  /** BPE-ish subword counting: segment each document into maximal
+    * vowel-runs and consonant-runs via a single regex pass (the
+    * greedy-merge flavor of byte-pair tokenization, without a learned
+    * vocab) and compare against whitespace word counts. The alternation's
+    * character classes are disjoint, so Java and RE2-family engines
+    * produce identical segmentations. */
+  def textBpe(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        expr("size(split(text, ' '))").as("n_words"),
+        expr("size(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+', 0))")
+          .as("n_subwords"),
+        expr(
+          """round(cast(length(replace(text, ' ', '')) as double)
+             / size(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+', 0)), 4)""")
+          .as("avg_subword_len"))
+
   /** Document fingerprinting: a whole-text md5 plus a rolling-shingle
     * fingerprint (min over 3-word-shingle hashes — MinHash with k=1, the
     * content-defined-chunking flavor). Shared building block with the
