@@ -56,6 +56,7 @@ object SparkEntry {
     "q_window_running"  -> (RefQueries.windowRunning _),
     // §2.9-shaped — event-time processing in batch
     "q_events_tumbling" -> (RefQueries.eventsTumbling _),
+    "q_events_sliding"  -> (RefQueries.eventsSliding _),
     "q_events_sessionize" -> (RefQueries.eventsSessionize _),
     // §7.5(c) — LLM-pipeline text analysis over documents
     "q_text_tokens"     -> (TextQueries.textTokens _),
@@ -221,6 +222,14 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
                event_type, count(*) AS n, ROUND(SUM(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+    "q_events_sliding" ->
+      """WITH w AS (
+           SELECT event_type, value,
+                  (epoch_us(ts) // 1800000000) * 1800 - k * 1800 AS win_start
+           FROM events CROSS JOIN range(0, 2) t(k))
+         SELECT win_start, event_type, count(*) AS n,
+                ROUND(SUM(value), 2) AS sum_value
+         FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""",
     "q_events_sessionize" ->
       """WITH g AS (
            SELECT user_id, event_id, value, ts,

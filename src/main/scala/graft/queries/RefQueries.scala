@@ -266,6 +266,18 @@ object RefQueries {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
 
+  /** Sliding (hopping) event-time window — 1 h window every 30 min; each
+    * event lands in exactly two windows (explode is handled by Spark's
+    * `window()` expression; still one shuffle on the grouping key). */
+  def eventsSliding(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(
+        unix_timestamp(
+          window(col("ts"), "1 hour", "30 minutes").getField("start"))
+          .as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
   /** Sessionization in batch — gap-based session ids via lag + cumulative
     * sum (the batch analog of flatMapGroupsWithState, SURVEY §7.5). */
   def eventsSessionize(s: SparkSession, d: String): DataFrame = {
