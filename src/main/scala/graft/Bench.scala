@@ -33,6 +33,10 @@ object Bench {
 
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
+      // Queries may cache intermediates (LSH signatures, IVF cells);
+      // drop them between queries so timings are independent and the
+      // session's memory doesn't ratchet up across 40+ queries.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok =
         try { materialize(name); true }

@@ -41,6 +41,16 @@ object DedupQueries {
   private val Bands     = 4
   private val Rows      = NumHashes / Bands // 3 → LSH threshold ~ (1/4)^(1/3) ≈ 0.63
 
+  /** Cache AND materialize now: these relations appear on 2-4 sides of
+    * self-joins, and a lazy cache lets the first action race 4 concurrent
+    * computations of the same subtree before any of them populates it
+    * (measured 7× slowdown on the LSH queries' cold run). */
+  private[ext] def eager(df: DataFrame): DataFrame = {
+    df.cache()
+    df.count()
+    df
+  }
+
   /** doc_id + distinct 3-word shingles + their base hashes (mod P). */
   private def shingled(s: SparkSession, d: String): DataFrame =
     documents(s, d)
@@ -109,7 +119,7 @@ object DedupQueries {
     * size; a hot band key (constant-text spam) is AQE-skew-join territory,
     * not a plan change. */
   def docNeardup(s: SparkSession, d: String): DataFrame = {
-    val sig = sigFrom(shingled(s, d)).cache()
+    val sig = eager(sigFrom(shingled(s, d)))
     val cand = candidatesFrom(sig)
     val eq = (0 until NumHashes)
       .map(i => s"IF(a.sig_$i = b.sig_$i, 1, 0)").mkString(" + ")
@@ -152,14 +162,24 @@ object DedupQueries {
     * was measured 9× slower here because globally-small-hash shingles put
     * MANY unrelated docs in one bucket. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingled(s, d)
-      .select(col("doc_id"), col("shingles"), col("hs"),
-        expr("size(shingles)").as("n"))
-      .cache()
-    val cand = candidatesFrom(sigFrom(sh))
+    // Deliberately NOT cached: the shingle arrays are ~0.2 s to recompute
+    // from the scan but ~3 s to cache-write + cache-read (wide string
+    // arrays serialize badly). Recompute the narrow pipeline per use and
+    // cache only the tiny relations (candidate pairs, candidate docs).
+    def sh = shingled(s, d)
+      .select(col("doc_id"), col("shingles"), expr("size(shingles)").as("n"))
+    val cand = eager(candidatesFrom(sigFrom(shingled(s, d))))
+    // Shrink the heavy array relation to ONLY docs that appear in some
+    // candidate pair before the pair joins — broadcasting the full
+    // shingle-array relation was measured at ~6 s of the cold run (the
+    // candidate set is tiny; the full corpus' arrays are not).
+    val inCand = eager(sh.join(
+      cand.select(col("doc_a").as("doc_id"))
+        .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct(),
+      Seq("doc_id"), "left_semi"))
     cand
-      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sh.as("b"), col("doc_b") === col("b.doc_id"))
+      .join(inCand.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(inCand.as("b"), col("doc_b") === col("b.doc_id"))
       .withColumn("inter",
         expr("size(array_intersect(a.shingles, b.shingles))"))
       .select(

@@ -61,7 +61,7 @@ object SimilarityQueries {
     * (tie → lowest centroid id), then top-3 in-cell neighbors for query
     * vectors 8 ≤ vec_id < 28. */
   def embedIvf(s: SparkSession, d: String): DataFrame = {
-    val cells = assignedCells(s, d)
+    val cells = DedupQueries.eager(assignedCells(s, d))
     val q = cells.filter(col("vec_id") >= 8 && col("vec_id") < 28)
       .select(col("vec_id").as("query_id"), col("cell"),
         col("embedding").as("qvec"), col("nrm").as("qnrm"))
@@ -87,7 +87,7 @@ object SimilarityQueries {
     * the verify stage demonstrably exercised: ~20 surviving pairs at
     * sf0.01). */
   def embedNeardup(s: SparkSession, d: String): DataFrame = {
-    val cells = assignedCells(s, d)
+    val cells = DedupQueries.eager(assignedCells(s, d))
     cells.as("a")
       .join(cells.as("b"),
         col("a.cell") === col("b.cell") &&
@@ -99,9 +99,9 @@ object SimilarityQueries {
         col("a.cell").as("cell"), col("cos"))
   }
 
-  /** Cell assignment shared by [[embedIvf]] and [[embedNeardup]]. Cached:
-    * both callers use the relation on two join sides (at 100 TB this is a
-    * persisted intermediate table, not a recompute). */
+  /** Cell assignment shared by [[embedIvf]] and [[embedNeardup]]; callers
+    * eager-cache it because they use it on two join sides (at 100 TB this
+    * is a persisted intermediate table, not a recompute). */
   private def assignedCells(s: SparkSession, d: String): DataFrame = {
     val e = normed(s, d)
     val cent = e.filter(col("vec_id") < 8)
@@ -116,7 +116,6 @@ object SimilarityQueries {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"),
         col("nrm"))
-      .cache()
   }
 
   // ---- oracle SQL ----
