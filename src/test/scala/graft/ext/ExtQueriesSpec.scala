@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** End-to-end specs for the LLM-pipeline operators over a tiny synthetic
+  * corpus with PLANTED duplicate structure — proves recall/precision
+  * properties the fixture-scale oracle can't (it only proves engine
+  * agreement). */
+class ExtQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Writes documents.parquet + embeddings.parquet into a temp sfDir. */
+  private lazy val dir: String = {
+    val d = tmpDir("extq")
+    val base = "spark shuffles data across the cluster when a wide " +
+      "dependency requires rows with the same key on the same partition " +
+      "and the optimizer cannot avoid it"
+    val docs = Seq(
+      // 0 & 1: exact duplicates
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base, "en", "src0", base.length.toLong),
+      // 2: near-duplicate of 0 (last word changed → only 1 of 23 shingles
+      // differs, true jaccard ≈ 0.91)
+      (2L, base.replace("avoid it", "avoid that"), "en", "src1",
+        base.length.toLong),
+      // 3: unrelated
+      (3L, "completely different text about cooking pasta with garlic " +
+        "and olive oil on a slow flame until golden", "en", "src2", 100L),
+      // 4: short doc (exercises the <3-token shingle guard boundary)
+      (4L, "tiny doc here", "en", "src3", 13L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(16)(i => math.sin(seed * 31 + i).toFloat)
+    val nearVec = vec(7).clone(); nearVec(0) = nearVec(0) + 0.001f
+    val embs = (0 until 12).map(i => (i.toLong, vec(i), i % 3)) :+
+      ((12L, nearVec, 1))
+    embs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    d.toString
+  }
+
+  test("dedupExact groups exact copies under one canonical id") {
+    val groups = DedupQueries.dedupExact(spark, dir)
+      .filter(col("n_copies") > 1).collect()
+    assert(groups.length === 1)
+    assert(groups.head.getAs[Long]("canonical_id") === 0L)
+    assert(groups.head.getAs[Long]("n_copies") === 2L)
+  }
+
+  test("docNeardup finds planted near-dups and nothing else") {
+    val pairs = DedupQueries.docNeardup(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "exact dups are also near-dups")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)),
+      "one-word-changed doc must be caught")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not appear")
+  }
+
+  test("ngramJaccard verifies candidates with exact set similarity") {
+    val rows = DedupQueries.ngramJaccard(spark, dir)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(rows.get((0L, 1L)).contains(1.0), "identical docs → jaccard 1.0")
+    val near = rows((0L, 2L))
+    assert(near >= 0.8 && near < 1.0, s"near-dup jaccard was $near")
+  }
+
+  test("embedTopk ranks the planted near-identical vector first") {
+    val top1 = SimilarityQueries.embedTopk(spark, dir)
+      .filter(col("query_id") === 7L && col("rank") === 1).head()
+    assert(top1.getAs[Long]("neighbor_id") === 12L)
+    assert(top1.getAs[Double]("sim") > 0.999)
+  }
+
+  test("embedIvf searches only within the query's cell") {
+    val out = SimilarityQueries.embedIvf(spark, dir)
+    val byQuery = out.groupBy("query_id")
+      .agg(countDistinct("cell").as("cells")).collect()
+    assert(byQuery.nonEmpty)
+    assert(byQuery.forall(_.getAs[Long]("cells") === 1L),
+      "every query's neighbors must come from exactly one cell")
+  }
+
+  test("textQuality pass gate follows its thresholds") {
+    val byId = TextQueries.textQuality(spark, dir)
+      .select("doc_id", "n_tokens", "quality_pass").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(!byId(4L)._2, "3-token doc must fail the n_tokens >= 20 gate")
+    assert(byId(0L)._2, "long low-stopword doc must pass")
+  }
+}
