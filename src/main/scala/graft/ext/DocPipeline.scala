@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed training-data cleaning pipeline: quality gate → exact
+  * dedup → near-dup removal, as one user-facing call. This is the shape
+  * the individual operators ([[TextQueries]], [[DedupQueries]]) exist to
+  * serve — a corpus goes in, a cleaned corpus + per-stage attrition
+  * stats come out.
+  *
+  * Stage order is the cheap-first rule of large-scale dedup:
+  *   1. quality gate — narrow filter, drops junk before anything shuffles;
+  *   2. exact dedup — one hash-shuffle, keeps the lowest doc_id per
+  *      fingerprint;
+  *   3. near-dup removal — MinHash/LSH candidate pairs; from each
+  *      surviving pair the higher doc_id is dropped (union-find-free
+  *      greedy: transitive chains collapse to their minimum member over
+  *      repeated pairs since pairs always point up-id).
+  */
+object DocPipeline {
+
+  final case class CleanStats(
+      input: Long, afterQuality: Long, afterExact: Long, afterNeardup: Long)
+
+  /** Returns (cleaned corpus, attrition stats). `docs` must have the
+    * `documents` schema (doc_id, text, ...). */
+  def clean(s: SparkSession, sfDir: String): (DataFrame, CleanStats) = {
+    val docs = graft.Tables.documents(s, sfDir)
+    val input = docs.count()
+
+    // 1 — quality gate (same predicate as q_text_quality's pass flag)
+    val quality = TextQueries.textQuality(s, sfDir)
+      .filter(col("quality_pass")).select("doc_id")
+    val kept1 = docs.join(quality, Seq("doc_id"), "left_semi")
+    val n1 = kept1.count()
+
+    // 2 — exact dedup: keep the canonical (lowest) doc_id per fingerprint
+    val canonical = DedupQueries.dedupExact(s, sfDir).select(
+      col("canonical_id").as("doc_id"))
+    val kept2 = kept1.join(canonical, Seq("doc_id"), "left_semi")
+    val n2 = kept2.count()
+
+    // 3 — near-dup removal: drop the higher id of every verified pair
+    val losers = DedupQueries.docNeardup(s, sfDir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val kept3 = kept2.join(losers, Seq("doc_id"), "left_anti")
+    val n3 = kept3.count()
+
+    (kept3, CleanStats(input, n1, n2, n3))
+  }
+}
