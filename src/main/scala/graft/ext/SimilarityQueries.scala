@@ -26,15 +26,18 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
-  /** Sequential-fold double dot product of two float-array columns. */
-  private def dot(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
-        cast(0 as double), (acc, v) -> acc + v)"""
+  /** Sequential-fold double dot product of two float-array columns — the
+    * native codegen'd [[graft.functions.DotProductF]] expression
+    * (bit-identical to the `aggregate(zip_with(...))` fold it replaced,
+    * without per-element interpreted-lambda overhead). */
+  private def dot(a: String, b: String): String = s"dot_f($a, $b)"
 
   /** Corpus with precomputed L2 norms (one narrow pass). */
-  private def normed(s: SparkSession, d: String): DataFrame =
+  private def normed(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     embeddings(s, d)
       .withColumn("nrm", expr(s"sqrt(${dot("embedding", "embedding")})"))
+  }
 
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
   def embedTopk(s: SparkSession, d: String): DataFrame = {

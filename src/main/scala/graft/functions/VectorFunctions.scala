@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression: sequential-fold double dot product of two
+  * `ArrayType(FloatType)` columns.
+  *
+  * Why a custom Expression (SURVEY.md §7.4 escalation ladder): Spark's
+  * higher-order functions (`aggregate`, `zip_with`) do not participate in
+  * codegen — each element evaluates an interpreted lambda with boxing. For
+  * 64-float embeddings that interpretive overhead dominates the actual
+  * arithmetic. This expression compiles to a tight primitive loop via
+  * `doGenCode` while producing BIT-IDENTICAL results to
+  * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, (s,v) -> s+v)`
+  * — the same left-to-right double accumulation — so the DuckDB oracle
+  * parity of the similarity queries is unchanged.
+  *
+  * Null contract: null input array → null; elements are read primitively
+  * (fixture arrays contain no null elements); lengths are folded to the
+  * shorter side.
+  */
+case class DotProductF(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // No ExpectsInputTypes: AbstractDataType is private[sql] in Spark 4.
+  // Inputs are produced by this library (ArrayType(FloatType) columns);
+  // a wrong type fails at ArrayData access rather than analysis.
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_f"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      sum += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductF =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Idempotently register `dot_f` in the session so `expr("dot_f(a,b)")`
+    * resolves (the classic-Spark registration path; a SparkSessionExtensions
+    * injection would do the same for externally-built sessions). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_f", exprs => DotProductF(exprs(0), exprs(1)), "built-in")
+}
