@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.RefQueries
-import graft.ext.{DedupQueries, SimilarityQueries, TextQueries}
+import graft.ext.{DedupQueries, SimilarityQueries, SketchQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -74,6 +74,7 @@ object SparkEntry {
     "q_embed_ivf"       -> (SimilarityQueries.embedIvf _),
     "q_embed_neardup"   -> (SimilarityQueries.embedNeardup _),
     "q_text_bpe"        -> (TextQueries.textBpe _),
+    "q_sketch_distinct" -> (SketchQueries.sketchDistinct _),
     // §7.5 — multimodal binary columns (stub decode, real plumbing)
     "q_media_features"  -> ((s: SparkSession, d: String) =>
       ext.Multimodal.decoded(s, ext.Multimodal.mediaTable(Tables.documents(s, d)))),
@@ -326,6 +327,7 @@ object SparkEntry {
     "q_embed_topk"    -> SimilarityQueries.topkOracle,
     "q_embed_ivf"     -> SimilarityQueries.ivfOracle,
     "q_embed_neardup" -> SimilarityQueries.neardupOracle,
+    "q_sketch_distinct" -> SketchQueries.sketchDistinctOracle,
     "q_text_bpe" ->
       """SELECT doc_id,
                 len(string_split(text, ' ')) AS n_words,

@@ -1,0 +1,82 @@
+package graft.ext
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sketch operators — distributed cardinality estimation with
+  * ORACLE-REPRODUCIBLE results.
+  *
+  * Spark's own `approx_count_distinct` (HyperLogLog++) cannot be verified
+  * against DuckDB (different sketch internals), so the estimator here is
+  * KMV (k-minimum-values): over a shared md5-derived 32-bit hash space,
+  * the k-th smallest distinct hash h_k of a group estimates its
+  * cardinality as `(k-1) * 2^32 / h_k`. Both engines compute the same
+  * integers, so the estimate matches bit-for-bit — a sketch with an
+  * exact oracle.
+  *
+  * Scale shape: distinct-(group, hash) is one shuffle; the k smallest
+  * per group is a WindowGroupLimit (top-k pushed before the final sort),
+  * never a per-group collect. Merging partial sketches = merging sorted
+  * k-min lists — the same associativity HLL offers.
+  */
+object SketchQueries {
+
+  private val K = 64
+  private val HashSpace = 4294967296.0 // 2^32 — 8 hex chars of md5
+
+  /** Per `source`: exact distinct 3-word-shingle count vs KMV estimate. */
+  def sketchDistinct(s: SparkSession, d: String): DataFrame = {
+    val hashed = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", expr(
+        """array_distinct(CASE WHEN size(toks) >= 3
+             THEN transform(sequence(0, size(toks) - 3),
+                            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+             ELSE array(text) END)"""))
+      .select(col("source"),
+        explode(expr(
+          "transform(shingles, x -> cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint))"))
+          .as("th"))
+      .distinct()
+    val w = Window.partitionBy(col("source")).orderBy(col("th"))
+    val ranked = hashed.withColumn("rn", row_number().over(w))
+    val exact = hashed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_exact"))
+    val kth = ranked.filter(col("rn") === K)
+      .select(col("source"), col("th").as("h_k"))
+    exact
+      .join(kth, Seq("source"), "left_outer")
+      .select(
+        col("source"), col("n_exact"),
+        // fewer than K distinct values → the sketch IS the exact count
+        expr(s"""CASE WHEN h_k IS NULL THEN cast(n_exact as double)
+                 ELSE round(($K - 1) * $HashSpace / h_k, 2) END""")
+          .as("kmv_est"))
+  }
+
+  def sketchDistinctOracle: String =
+    s"""WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks
+                   FROM documents),
+        sh AS (SELECT source,
+                 list_distinct(CASE WHEN len(toks) >= 3
+                   THEN list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   ELSE [text] END) AS shingles
+               FROM t),
+        h AS (SELECT DISTINCT source,
+                unnest(list_transform(shingles,
+                  x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS th
+              FROM sh),
+        r AS (SELECT source, th,
+                row_number() OVER (PARTITION BY source ORDER BY th) AS rn
+              FROM h),
+        ex AS (SELECT source, count(*) AS n_exact FROM h GROUP BY source),
+        kk AS (SELECT source, th AS h_k FROM r WHERE rn = $K)
+        SELECT ex.source, n_exact,
+               CASE WHEN h_k IS NULL THEN CAST(n_exact AS DOUBLE)
+                    ELSE round(($K - 1) * $HashSpace / h_k, 2) END AS kmv_est
+        FROM ex LEFT JOIN kk ON ex.source = kk.source
+        ORDER BY ex.source"""
+}
