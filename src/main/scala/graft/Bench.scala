@@ -41,7 +41,7 @@ object Bench {
       val ok =
         try { materialize(name); true }
         catch { case e: Throwable =>
-          errors ::= (name -> e.toString.replaceAll("[\"\\n\\r]", " ").take(200))
+          errors ::= (name -> e.toString.replaceAll("[\"\\\\\\n\\r]", " ").take(200))
           false
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)

@@ -241,10 +241,10 @@ object SparkEntry {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          s AS (
            SELECT user_id, value,
-                  SUM(new_sess) OVER (PARTITION BY user_id
+                  CAST(SUM(new_sess) OVER (PARTITION BY user_id
                       ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS session_id
+                    AS BIGINT) AS session_id
            FROM g)
          SELECT user_id, session_id, count(*) AS n_events,
                ROUND(SUM(value), 2) AS sum_value

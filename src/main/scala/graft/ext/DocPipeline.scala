@@ -41,9 +41,15 @@ object DocPipeline {
     val kept2 = kept1.join(canonical, Seq("doc_id"), "left_semi")
     val n2 = kept2.count()
 
-    // 3 — near-dup removal: drop the higher id of every verified pair
-    val losers = DedupQueries.docNeardup(s, sfDir)
-      .select(col("doc_b").as("doc_id")).distinct()
+    // 3 — near-dup removal: drop the higher id of every verified pair,
+    // restricted to pairs whose BOTH sides survived stages 1-2. If the
+    // lower-id partner was already dropped (quality/exact-dup), doc_b is
+    // the last surviving copy of that content and must stay.
+    val keptIds = kept2.select("doc_id")
+    val survivingPairs = DedupQueries.docNeardup(s, sfDir)
+      .join(keptIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+      .join(keptIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+    val losers = survivingPairs.select(col("doc_b").as("doc_id")).distinct()
     val kept3 = kept2.join(losers, Seq("doc_id"), "left_anti")
     val n3 = kept3.count()
 

@@ -86,7 +86,7 @@ final class MergeTable private (
     * syscall, so two writers can never both win a version. Callers MUST
     * recompute from the fresh snapshot on None, not re-publish stale
     * entries (that would drop the other writer's files — lost update). */
-  private def tryCommit(entries: Seq[FileEntry], expected: Long): Option[Long] = {
+  private[lake] def tryCommit(entries: Seq[FileEntry], expected: Long): Option[Long] = {
     Files.createDirectories(logDir)
     val body = entries
       .map(e => s"${e.relPath}\t${e.partitionValue.getOrElse(NoPartition)}")
@@ -325,7 +325,7 @@ object MergeTable {
     * instead of OOMing the driver. */
   private val MaxPartitionsPerMerge = 100000
 
-  private final case class FileEntry(relPath: String,
+  private[lake] final case class FileEntry(relPath: String,
       partitionValue: Option[String])
 
   /** Open (or lazily create on first write) a table at `root`. */

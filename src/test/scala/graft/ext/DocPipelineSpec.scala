@@ -26,4 +26,31 @@ class DocPipelineSpec extends SparkSpec {
     assert(stats.afterNeardup === 1L, "near-dup doc 2 drops")
     assert(cleaned.select("doc_id").as[Long].collect().toSeq === Seq(0L))
   }
+
+  test("near-dup survivor stays when its lower-id partner already dropped") {
+    val d = tmpDir("pipe2")
+    val base = "spark shuffles data across the cluster when a wide " +
+      "dependency requires rows with the same key on the same partition " +
+      "and the optimizer cannot avoid it"
+    // 19 tokens < the quality gate's 20-token floor, but still a near-dup
+    // of the full text (shingle Jaccard ≈ 17/24).
+    val trunc = base.split(' ').take(19).mkString(" ")
+    Seq(
+      (10L, trunc, "en", "src0", trunc.length.toLong), // fails gate
+      (11L, base, "en", "src1", base.length.toLong))   // last copy — keep
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+
+    // Precondition: LSH really considers (10, 11) a near-dup pair, so the
+    // old full-corpus loser logic WOULD have deleted doc 11.
+    val pairs = DedupQueries.docNeardup(spark, d.toString)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 11L)), "fixture must form an LSH pair")
+
+    val (cleaned, stats) = DocPipeline.clean(spark, d.toString)
+    assert(stats.afterQuality === 1L, "truncated doc drops at the gate")
+    assert(stats.afterNeardup === 1L,
+      "doc 11's partner is gone, so it is the last copy and must stay")
+    assert(cleaned.select("doc_id").as[Long].collect().toSeq === Seq(11L))
+  }
 }

@@ -108,13 +108,20 @@ class MergeTableSpec extends SparkSpec {
     val root = tmpDir("mt")
     val t = MergeTable(spark, root.toString, None)
     t.overwrite(orders(("o1", "d", 1.0)))
-    // Simulate a concurrent writer owning version 2: pre-create its
-    // manifest. A rename-based publish would silently REPLACE this file;
-    // the createLink-based publish must fail, and the merge must land at
-    // version 3 computed from the fresh snapshot.
+    // Direct collision: a writer whose snapshot was the empty table
+    // (stale expected=0) publishes at version 1 — which the overwrite
+    // above already owns. A rename-based publish would silently REPLACE
+    // v1's manifest; the createLink-based publish must return None and
+    // leave it byte-identical.
+    val v1Manifest = root.resolve("_graft_log").resolve(f"${1L}%020d.txt")
+    val v1Body = Files.readAllLines(v1Manifest)
+    assert(t.tryCommit(Seq.empty, expected = 0L) === None,
+      "publishing at a taken version must report the collision")
+    assert(Files.readAllLines(v1Manifest) === v1Body,
+      "the winning writer's manifest must survive untouched")
+    // End-to-end retry: a foreign manifest owning version 2 forces merge
+    // to land at version 3, computed from the fresh snapshot.
     val foreign = root.resolve("_graft_log").resolve(f"${2L}%020d.txt")
-    val v1Body = Files.readAllLines(
-      root.resolve("_graft_log").resolve(f"${1L}%020d.txt"))
     Files.write(foreign, v1Body)
     val v = t.merge(orders(("o2", "d", 2.0)), "order_id")
     assert(v === 3L, "merge must skip the taken version")
