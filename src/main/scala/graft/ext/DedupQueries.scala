@@ -64,33 +64,41 @@ object DedupQueries {
         s"""transform(shingles,
               s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint) % $P)"""))
 
-  /** doc_id + MinHash signature columns sig_0..sig_11. */
+  /** doc_id + MinHash signature as ONE `array<bigint>` column `sig`. */
   private def sigFrom(sh: DataFrame): DataFrame = {
-    val sigCols: Seq[Column] = AB.zipWithIndex.map { case ((a, b), i) =>
-      expr(s"array_min(transform(hs, h -> ($a * h + $b) % $P))").as(s"sig_$i")
+    val sigExprs = AB.map { case (a, b) =>
+      s"array_min(transform(hs, h -> ($a * h + $b) % $P))"
     }
-    sh.select(col("doc_id") +: sigCols: _*)
+    sh.select(col("doc_id"), expr(s"array(${sigExprs.mkString(", ")})").as("sig"))
   }
 
-  /** LSH candidate pairs from a signature relation: explode band keys,
-    * self-join on (band, key), distinct (doc_a < doc_b). Bucket sizes are
-    * bounded by r-way hash agreement, so this join is never all-pairs. */
-  private def candidatesFrom(sig: DataFrame): DataFrame = {
+  /** (doc_id, sig, band, bkey) — one row per document per LSH band. */
+  private def bandsFrom(sig: DataFrame): DataFrame = {
     val bandKeys = (0 until Bands).map { j =>
-      val parts = (0 until Rows).map(r => s"sig_${j * Rows + r}")
+      val parts = (0 until Rows).map(r => s"sig[${j * Rows + r}]")
       s"concat_ws('_', ${parts.mkString(", ")})"
     }
-    val exploded = sig
-      .select(col("doc_id"),
-        posexplode(expr(s"array(${bandKeys.mkString(", ")})"))
-          .as(Seq("band", "bkey")))
-    exploded.as("x")
-      .join(exploded.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    sig.select(col("doc_id"), col("sig"),
+      posexplode(expr(s"array(${bandKeys.mkString(", ")})"))
+        .as(Seq("band", "bkey")))
   }
+
+  /** LSH candidate pairs: group band rows by (band, key) and explode each
+    * bucket's pairs in place — ONE shuffle, no self-join, no cache. Bucket
+    * sizes are bounded by r-way hash agreement, so per-bucket pair
+    * generation is never all-pairs; a hot bucket (constant-text spam) is a
+    * bounded quadratic blowup inherent to LSH, not a plan defect. */
+  private def candidatesFrom(sig: DataFrame): DataFrame =
+    bandsFrom(sig)
+      .groupBy(col("band"), col("bkey"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids)),
+                       y -> struct(x AS doc_a, y AS doc_b))))""")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
 
   /** Tier 1 — exact-duplicate groups: md5(text) → (fingerprint,
     * canonical doc, copy count). One partial-agg shuffle at any scale. */
@@ -109,29 +117,33 @@ object DedupQueries {
 
   /** Tier 3 — MinHash/LSH near-duplicate pairs.
     *
-    * signature → band keys → explode → self-join on (band, key) → distinct
-    * candidate pairs → estimate Jaccard as the fraction of agreeing
-    * signature components → keep est ≥ 0.5.
+    * signature → band keys → group by (band, key) → explode in-bucket
+    * pairs WITH both signatures attached → score estimated Jaccard as the
+    * fraction of agreeing signature components → keep est ≥ 0.5.
     *
-    * Scale shape: the only joins are (a) equi-join on band keys, where
-    * bucket sizes are bounded by collision probability, and (b) doc_id
-    * lookups of the signature relation. Nothing is quadratic in corpus
-    * size; a hot band key (constant-text spam) is AQE-skew-join territory,
-    * not a plan change. */
-  def docNeardup(s: SparkSession, d: String): DataFrame = {
-    val sig = eager(sigFrom(shingled(s, d)))
-    val cand = candidatesFrom(sig)
-    val eq = (0 until NumHashes)
-      .map(i => s"IF(a.sig_$i = b.sig_$i, 1, 0)").mkString(" + ")
-    cand
-      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
-      .withColumn("n_eq", expr(eq))
+    * Scale shape: carrying the 12-long signature through the bucket
+    * aggregate (~100 bytes/doc/band) means the pair scoring needs ZERO
+    * joins and zero caches — the whole query is two shuffles (bucket
+    * group-by, pair distinct), one action. Nothing is quadratic in corpus
+    * size; a hot band key (constant-text spam) is AQE-skew territory, not
+    * a plan change. */
+  def docNeardup(s: SparkSession, d: String): DataFrame =
+    bandsFrom(sigFrom(shingled(s, d)))
+      .groupBy(col("band"), col("bkey"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("sig")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ms, (x, i) ->
+             transform(slice(ms, i + 2, size(ms)), y ->
+               struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+                      size(filter(zip_with(x.sig, y.sig, (p, q) -> p = q),
+                                  b -> b)) AS n_eq))))""")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.n_eq").as("n_eq"))
+      .distinct()
       .filter(col("n_eq") * 2 >= NumHashes)
       .select(col("doc_a"), col("doc_b"),
         expr(s"round(cast(n_eq as double) / $NumHashes, 4)")
           .as("est_jaccard"))
-  }
 
   /** Tier 4 — SimHash: 16-bit per-document fingerprint from token hashes
     * (bit j votes +1/-1 per token, sign → bit). Narrow per-row compute;
@@ -162,21 +174,24 @@ object DedupQueries {
     * was measured 9× slower here because globally-small-hash shingles put
     * MANY unrelated docs in one bucket. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    // Deliberately NOT cached: the shingle arrays are ~0.2 s to recompute
+    // The shingle arrays are deliberately NOT cached: ~0.2 s to recompute
     // from the scan but ~3 s to cache-write + cache-read (wide string
-    // arrays serialize badly). Recompute the narrow pipeline per use and
-    // cache only the tiny relations (candidate pairs, candidate docs).
+    // arrays serialize badly). Only the TINY candidate-pair relation is
+    // cached (it is referenced three times below — the main join plus both
+    // semi-join prunes — and Spark has no cross-branch subtree reuse).
     def sh = shingled(s, d)
       .select(col("doc_id"), col("shingles"), expr("size(shingles)").as("n"))
     val cand = eager(candidatesFrom(sigFrom(shingled(s, d))))
     // Shrink the heavy array relation to ONLY docs that appear in some
     // candidate pair before the pair joins — broadcasting the full
     // shingle-array relation was measured at ~6 s of the cold run (the
-    // candidate set is tiny; the full corpus' arrays are not).
-    val inCand = eager(sh.join(
+    // candidate set is tiny; the full corpus' arrays are not). The pruned
+    // relation is recomputed per join side: scan + narrow transforms + a
+    // broadcast semi-join, cheaper than materializing the arrays.
+    def inCand = sh.join(
       cand.select(col("doc_a").as("doc_id"))
         .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct(),
-      Seq("doc_id"), "left_semi"))
+      Seq("doc_id"), "left_semi")
     cand
       .join(inCand.as("a"), col("doc_a") === col("a.doc_id"))
       .join(inCand.as("b"), col("doc_b") === col("b.doc_id"))

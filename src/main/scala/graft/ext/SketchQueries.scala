@@ -40,14 +40,16 @@ object SketchQueries {
           "transform(shingles, x -> cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint))"))
           .as("th"))
       .distinct()
+    // One pass: rank hashes per source, then a same-key aggregate reads
+    // off BOTH the exact count (max rank) and the k-th smallest hash —
+    // no second distinct, no join. The agg reuses the window's
+    // partitioning, so the whole query is two shuffles total.
     val w = Window.partitionBy(col("source")).orderBy(col("th"))
-    val ranked = hashed.withColumn("rn", row_number().over(w))
-    val exact = hashed.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_exact"))
-    val kth = ranked.filter(col("rn") === K)
-      .select(col("source"), col("th").as("h_k"))
-    exact
-      .join(kth, Seq("source"), "left_outer")
+    hashed.withColumn("rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(
+        max(col("rn")).cast("long").as("n_exact"),
+        max(when(col("rn") === K, col("th"))).as("h_k"))
       .select(
         col("source"), col("n_exact"),
         // fewer than K distinct values → the sketch IS the exact count
