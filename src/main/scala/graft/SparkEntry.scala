@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.RefQueries
+import graft.queries.{AnalyticQueries, RefQueries}
 import graft.ext.{DedupQueries, SimilarityQueries, SketchQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -54,6 +54,12 @@ object SparkEntry {
     "q_sort_limit"      -> (RefQueries.sortLimit _),
     "q_window_rank"     -> (RefQueries.windowRank _),
     "q_window_running"  -> (RefQueries.windowRunning _),
+    // analytic extensions: as-of / range joins, pivot, cube, percentiles
+    "q_asof_join"       -> (AnalyticQueries.asofJoin _),
+    "q_range_join"      -> (AnalyticQueries.rangeJoin _),
+    "q_pivot"           -> (AnalyticQueries.pivotAgg _),
+    "q_cube_agg"        -> (AnalyticQueries.cubeAgg _),
+    "q_percentiles"     -> (AnalyticQueries.percentiles _),
     // §2.9-shaped — event-time processing in batch
     "q_events_tumbling" -> (RefQueries.eventsTumbling _),
     "q_events_sliding"  -> (RefQueries.eventsSliding _),
@@ -72,6 +78,7 @@ object SparkEntry {
     // §7.5(b) — LLM-pipeline similarity search over embeddings
     "q_embed_topk"      -> (SimilarityQueries.embedTopk _),
     "q_embed_ivf"       -> (SimilarityQueries.embedIvf _),
+    "q_embed_lsh"       -> (SimilarityQueries.embedLsh _),
     "q_embed_neardup"   -> (SimilarityQueries.embedNeardup _),
     "q_text_bpe"        -> (TextQueries.textBpe _),
     "q_sketch_distinct" -> (SketchQueries.sketchDistinct _),
@@ -219,6 +226,42 @@ object SparkEntry {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                  AS running_spend
          FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_asof_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate,
+                      max(o_orderkey) AS last_orderkey
+                    FROM orders GROUP BY 1, 2)
+         SELECT e.user_id, e.event_id,
+                CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+                o.last_orderkey
+         FROM events e ASOF LEFT JOIN o
+           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+         ORDER BY user_id, event_id""",
+    "q_range_join" ->
+      """SELECT CAST(k AS INTEGER) AS band_id, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+         FROM range(0, 20) t(k) JOIN orders
+           ON o_totalprice >= k * 25000.0
+          AND o_totalprice < k * 25000.0 + 50000.0
+         GROUP BY 1 ORDER BY band_id""",
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
+    "q_cube_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST,
+                  o_orderpriority ASC NULLS FIRST""",
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+               round(quantile_cont(l_quantity, 0.5), 4) AS q50,
+               round(quantile_cont(l_quantity, 0.75), 4) AS q75,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS med_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_events_tumbling" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
                event_type, count(*) AS n, ROUND(SUM(value), 2) AS sum_value
@@ -326,6 +369,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> DedupQueries.ngramJaccardOracle,
     "q_embed_topk"    -> SimilarityQueries.topkOracle,
     "q_embed_ivf"     -> SimilarityQueries.ivfOracle,
+    "q_embed_lsh"     -> SimilarityQueries.lshOracle,
     "q_embed_neardup" -> SimilarityQueries.neardupOracle,
     "q_sketch_distinct" -> SketchQueries.sketchDistinctOracle,
     "q_text_bpe" ->

@@ -102,6 +102,53 @@ object SimilarityQueries {
         col("a.cell").as("cell"), col("cos"))
   }
 
+  /** Random-hyperplane (SimHash-for-vectors) LSH buckets — the third ANN
+    * tier, complementing brute force ([[embedTopk]]) and IVF
+    * ([[embedIvf]]). 8 deterministic Rademacher (±1) hyperplanes hash each
+    * vector to sign-bit bucket 0..255; search = equi-join on bucket +
+    * exact-cosine top-3. Per-query work is O(N/2^planes) and, unlike IVF,
+    * bucketing needs NO centroid pass over the corpus — a single narrow
+    * projection. The ±1 planes are generated from a fixed xorshift64 seed
+    * and embedded as literals in BOTH engines' SQL, so the oracle shares
+    * them by construction. */
+  def embedLsh(s: SparkSession, d: String): DataFrame = {
+    val b = DedupQueries.eager(bucketed(s, d))
+    val q = b.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("bucket"),
+        col("embedding").as("qvec"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    b.select(col("vec_id").as("neighbor_id"), col("bucket"),
+        col("embedding").as("cvec"), col("nrm").as("cnrm"))
+      .join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        expr(s"round(${dot("qvec", "cvec")} / (qnrm * cnrm), 6)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("bucket"), col("neighbor_id"), col("sim"),
+        col("rank"))
+  }
+
+  /** Corpus with the 8-bit hyperplane-sign bucket attached (narrow). */
+  private def bucketed(s: SparkSession, d: String): DataFrame = {
+    val bits = Planes.zipWithIndex.map { case (p, j) =>
+      val arr = s"CAST(array(${p.mkString(", ")}) AS ARRAY<FLOAT>)"
+      s"IF(${dot("embedding", arr)} >= 0, ${1 << j}, 0)"
+    }
+    normed(s, d).withColumn("bucket", expr(bits.mkString(" + ")))
+  }
+
+  /** 8 Rademacher hyperplanes over 64 dims from a fixed xorshift64 seed —
+    * deterministic, engine-neutral (only the literals ±1 cross engines). */
+  private[ext] val Planes: Seq[Seq[Int]] = {
+    var x = 88172645463325252L
+    Seq.fill(8)(Seq.fill(64) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      if (x >= 0) 1 else -1
+    })
+  }
+
   /** Cell assignment shared by [[embedIvf]] and [[embedNeardup]]; callers
     * eager-cache it because they use it on two join sides (at 100 TB this
     * is a persisted intermediate table, not a recompute). */
@@ -180,6 +227,31 @@ object SimilarityQueries {
                       ORDER BY sim DESC, neighbor_id) AS rank
           FROM s) t
         WHERE rank <= 3 ORDER BY query_id, rank"""
+
+  def lshOracle: String = {
+    val bits = Planes.zipWithIndex.map { case (p, j) =>
+      val lst = p.mkString("[", ", ", "]")
+      s"""CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
+            i -> embedding[i]::DOUBLE * ($lst)[i])) >= 0
+          THEN ${1 << j} ELSE 0 END"""
+    }.mkString(" + ")
+    s"""$normCte,
+        b AS (SELECT vec_id, embedding, nrm, $bits AS bucket FROM n),
+        q AS (SELECT vec_id AS query_id, bucket, embedding AS qvec,
+                nrm AS qnrm
+              FROM b WHERE vec_id < 10),
+        s AS (SELECT query_id, q.bucket AS bucket, b.vec_id AS neighbor_id,
+                round(list_sum(list_transform(range(1, len(qvec) + 1),
+                        i -> qvec[i]::DOUBLE * embedding[i]::DOUBLE))
+                      / (qnrm * nrm), 6) AS sim
+              FROM b JOIN q ON b.bucket = q.bucket
+              WHERE b.vec_id <> query_id)
+        SELECT query_id, bucket, neighbor_id, sim, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id) AS rank
+          FROM s) t
+        WHERE rank <= 3 ORDER BY query_id, rank"""
+  }
 
   def neardupOracle: String =
     s"""$cellsCte

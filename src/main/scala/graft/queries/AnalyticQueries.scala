@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic operators beyond the reference surface: as-of join, range
+  * join, pivot, cube, exact percentiles. Each is expressed in the shape
+  * that survives 100 TB (no cross joins, no driver loops) and carries a
+  * DuckDB oracle in [[graft.SparkEntry.oracleSql]].
+  */
+object AnalyticQueries {
+
+  /** As-of join — for every event, the most recent order (by o_orderdate
+    * ≤ event ts) of the same customer. Spark has no ASOF JOIN operator;
+    * the scale-correct composition is union-tag + one window pass:
+    * tag both sides, sort each user's timeline once, and carry the last
+    * seen order key forward with `last(_, ignoreNulls)`. ONE shuffle on
+    * the join key — never a per-event subquery or an inequality join.
+    * The right side is deduped to one row per (custkey, orderdate) so the
+    * as-of winner is deterministic under timestamp ties (DuckDB's ASOF
+    * picks an arbitrary one otherwise). */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"))
+    val ords = Tables.orders(s, d)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("last_orderkey"))
+      .select(col("o_custkey").as("user_id"),
+        // o_orderdate is TIMESTAMP_NTZ; the session timezone is pinned
+        // to UTC, so this cast matches DuckDB's naive epoch_us.
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
+        col("last_orderkey"))
+    // side 0 (orders) sorts before side 1 (events) at equal timestamps —
+    // the `o_orderdate <= ts` inclusive bound.
+    val tagged = ords
+      .withColumn("side", lit(0))
+      .withColumn("event_id", lit(null).cast("long"))
+      .unionByName(ev
+        .withColumn("side", lit(1))
+        .withColumn("last_orderkey", lit(null).cast("long")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("lk", last(col("last_orderkey"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("user_id"), col("event_id"), col("t_us").as("ts_us"),
+        col("lk").as("last_orderkey"))
+  }
+
+  /** Range (interval) join — orders against overlapping price bands
+    * [k·25000, k·25000 + 50000). The scale shape is bin-bucketing: map
+    * each order to the ≤ 2 bins its price can overlap (`explode`), then a
+    * plain EQUI-join on bin id + a residual range filter — never an
+    * inequality join's cross-product. */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val bands = s.range(0, 20).select(
+      col("id").cast("int").as("band_id"),
+      (col("id") * 25000.0).as("lo"),
+      (col("id") * 25000.0 + 50000.0).as("hi"))
+    Tables.orders(s, d)
+      .withColumn("b", floor(col("o_totalprice") / 25000.0).cast("int"))
+      .select(col("o_totalprice"),
+        explode(array(col("b") - 1, col("b"))).as("band_id"))
+      .join(bands, Seq("band_id"))
+      .filter(col("o_totalprice") >= col("lo") &&
+        col("o_totalprice") < col("hi"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
+  /** PIVOT — order counts per priority, one column per status. Explicit
+    * pivot values keep the plan a single pass (no values-discovery job). */
+  def pivotAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+
+  /** CUBE — all grouping-set combinations of (status, priority) in one
+    * shuffle (completes the rollup in RefQueries). */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+
+  /** Exact linear-interpolation percentiles per group (Spark `percentile`
+    * ≡ DuckDB `quantile_cont`). Quantity is whole-valued so the
+    * interpolation arithmetic is exact in double on both engines. */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("round(percentile(l_quantity, 0.25), 4)").as("q25"),
+        expr("round(percentile(l_quantity, 0.5), 4)").as("q50"),
+        expr("round(percentile(l_quantity, 0.75), 4)").as("q75"),
+        expr("round(percentile(l_extendedprice, 0.5), 4)").as("med_price"))
+}
