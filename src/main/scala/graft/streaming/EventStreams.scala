@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time stream processing over the `events` shape (ts, user_id,
+  * event_type, value) — the Structured-Streaming side of the batch
+  * event-time queries in [[graft.queries.RefQueries]] (tumbling /
+  * sliding / sessionize). The reference's "real-time" surface is
+  * event-driven batch (SURVEY.md §2.9); these operators are the shapes a
+  * true streaming deployment of the same pipeline needs:
+  *
+  *   - [[windowedCounts]]: watermarked tumbling-window aggregation —
+  *     late data beyond the watermark is dropped, windows emit once
+  *     final (append mode);
+  *   - [[sessionWindows]]: declarative gap-based sessions via the
+  *     built-in `session_window` (state store managed by Spark);
+  *   - [[sessionize]]: the same sessions via
+  *     `flatMapGroupsWithState` + event-time timeout — the custom-state
+  *     escape hatch for semantics `session_window` cannot express
+  *     (per-session aggregates beyond algebraic ones, custom gap rules).
+  *
+  * Scale shape: all three are keyed-state operators whose state is
+  * partitioned by group key across executors; nothing accumulates on the
+  * driver, and watermarks bound state size (sessions for a user whose
+  * events stopped arriving are emitted and evicted).
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour counts with a 1-hour watermark. Works identically on
+    * batch and streaming frames (same plan, no code fork). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Declarative gap sessions via the built-in session_window. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  final case class Ev(user_id: Long, ts: Timestamp, value: Double)
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, sum_value: Double)
+  /** Internal per-user open-session state (public: the state-store
+    * encoder's generated code must reach its accessors at runtime). */
+  final case class SessState(startMs: Long, lastMs: Long,
+      nEv: Long, total: Double)
+
+  val DefaultGapMs: Long = 30L * 60 * 1000
+
+  /** Custom stateful sessionization: 30-minute-gap sessions per user,
+    * emitted when the event-time watermark passes the session's gap
+    * horizon (`flatMapGroupsWithState` + EventTimeTimeout). Equivalent to
+    * the batch `q_events_sessionize` semantics, expressed as incremental
+    * keyed state. */
+  def sessionize(events: Dataset[Ev],
+      gapMs: Long = DefaultGapMs): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(sessionFn(gapMs) _)
+  }
+
+  private def sessionFn(gapMs: Long)(
+      userId: Long, rows: Iterator[Ev],
+      state: GroupState[SessState]): Iterator[Session] = {
+    val out = Seq.newBuilder[Session]
+    var cur = state.getOption
+    if (state.hasTimedOut) {
+      // Watermark passed the open session's gap horizon: final, emit.
+      cur.foreach(st => out += closed(userId, st))
+      state.remove()
+    } else {
+      // Fold this batch's events in time order; sessions closed WITHIN
+      // the batch emit immediately, the trailing open session parks in
+      // state with an event-time timeout at lastTs + gap.
+      for (e <- rows.toSeq.sortBy(_.ts.getTime)) {
+        val t = e.ts.getTime
+        cur = cur match {
+          case Some(st) if t - st.lastMs <= gapMs =>
+            Some(st.copy(lastMs = math.max(st.lastMs, t),
+              nEv = st.nEv + 1, total = st.total + e.value))
+          case Some(st) =>
+            out += closed(userId, st)
+            Some(SessState(t, t, 1, e.value))
+          case None =>
+            Some(SessState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { st =>
+        state.update(st)
+        // The timeout must sit strictly beyond the current watermark.
+        state.setTimeoutTimestamp(
+          math.max(st.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+      }
+    }
+    out.result().iterator
+  }
+
+  private def closed(userId: Long, st: SessState): Session =
+    Session(userId, new Timestamp(st.startMs), new Timestamp(st.lastMs),
+      st.nEv, st.total)
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  private case class Raw(ts: Timestamp, user_id: Long, event_type: String,
+      value: Double)
+
+  test("windowedCounts drops late rows behind the watermark (append)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Raw]
+    val q = EventStreams.windowedCounts(in.toDF())
+      .writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Window [10:00, 11:00) gets 2 rows; 12:30 pushes watermark to 11:30
+      // so that window finalizes and appends.
+      in.addData(Raw(ts(10, 5), 1, "view", 1.0), Raw(ts(10, 20), 1, "view", 2.0),
+        Raw(ts(12, 30), 2, "view", 4.0))
+      q.processAllAvailable()
+      val afterB1 = spark.table("wc")
+        .select("window_start", "n", "sum_value")
+        .as[(Timestamp, Long, Double)].collect().toSet
+      assert(afterB1 === Set((ts(10, 0), 2L, 3.0)))
+
+      // 10:40 is behind the 11:30 watermark → DROPPED (its window already
+      // finalized); 15:0 closes [12:00,13:00).
+      in.addData(Raw(ts(10, 40), 1, "view", 99.0), Raw(ts(15, 0), 2, "view", 8.0))
+      q.processAllAvailable()
+      val afterB2 = spark.table("wc")
+        .select("window_start", "n", "sum_value")
+        .as[(Timestamp, Long, Double)].collect().toSet
+      assert(afterB2 === Set(
+        (ts(10, 0), 2L, 3.0), // unchanged: the late 10:40 row never lands
+        (ts(12, 0), 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize emits sessions on event-time timeout and intra-batch gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // User 1: two events 10 min apart (one session) plus a second
+      // session starting 11:30 — the >30min gap closes the first WITHIN
+      // the batch. User 99 at 14:00 drives the watermark to 13:00.
+      in.addData(
+        EventStreams.Ev(1, ts(10, 0), 1.0), EventStreams.Ev(1, ts(10, 10), 2.0),
+        EventStreams.Ev(1, ts(11, 30), 5.0), EventStreams.Ev(99, ts(14, 0), 0.5))
+      q.processAllAvailable()
+      val b1 = spark.table("sess")
+        .as[EventStreams.Session].collect().toSet
+      assert(b1.contains(
+        EventStreams.Session(1, ts(10, 0), ts(10, 10), 2, 3.0)),
+        s"intra-batch gap must close the first session, got $b1")
+
+      // Next batch: watermark (13:00) is already past user 1's open
+      // session horizon (11:30 + 30min = 12:00) → timeout fires, session
+      // (11:30, 1 event) emits.
+      in.addData(EventStreams.Ev(99, ts(15, 0), 0.5))
+      q.processAllAvailable()
+      val b2 = spark.table("sess")
+        .as[EventStreams.Session].collect().toSet
+      assert(b2.contains(
+        EventStreams.Session(1, ts(11, 30), ts(11, 30), 1, 5.0)),
+        s"event-time timeout must flush the open session, got $b2")
+    } finally q.stop()
+  }
+
+  test("sessionWindows (declarative) splits on the gap in batch mode") {
+    val df = Seq(
+      (1L, ts(10, 0), 1.0), (1L, ts(10, 10), 2.0), // session A
+      (1L, ts(11, 30), 5.0),                       // session B (>30min gap)
+      (2L, ts(10, 0), 7.0))                        // other user
+      .toDF("user_id", "ts", "value")
+    val out = EventStreams.sessionWindows(df)
+      .select("user_id", "session_start", "n_events", "sum_value")
+      .as[(Long, Timestamp, Long, Double)].collect().toSet
+    assert(out === Set(
+      (1L, ts(10, 0), 2L, 3.0),
+      (1L, ts(11, 30), 1L, 5.0),
+      (2L, ts(10, 0), 1L, 7.0)))
+  }
+}
