@@ -1,7 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -66,10 +67,29 @@ case class DotProductF(left: Expression, right: Expression)
 }
 
 object VectorFunctions {
+  private[functions] val DotFBuilder: Seq[Expression] => Expression =
+    exprs => DotProductF(exprs(0), exprs(1))
+
   /** Idempotently register `dot_f` in the session so `expr("dot_f(a,b)")`
-    * resolves (the classic-Spark registration path; a SparkSessionExtensions
-    * injection would do the same for externally-built sessions). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_f", exprs => DotProductF(exprs(0), exprs(1)), "built-in")
+    * resolves (the classic-Spark registration path;
+    * [[GraftExtensions]] does the same for externally-built sessions via
+    * `spark.sql.extensions`). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("dot_f")))
+      reg.createOrReplaceTempFunction("dot_f", DotFBuilder, "built-in")
+  }
+}
+
+/** SparkSessionExtensions hook: `--conf
+  * spark.sql.extensions=graft.functions.GraftExtensions` injects this
+  * library's native functions into ANY session at build time — the
+  * registration path for sessions this library does not construct
+  * (spark-submit jobs, notebooks, Spark Connect servers). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("dot_f"),
+      new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
+      VectorFunctions.DotFBuilder))
 }

@@ -36,6 +36,20 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(out(1).isNullAt(0))
   }
 
+  test("register is idempotent and GraftExtensions injects the same builder") {
+    VectorFunctions.register(spark)
+    VectorFunctions.register(spark) // second call: no replace, no warning
+    assert(spark.sessionState.functionRegistry.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("dot_f")))
+    // The extensions hook (spark.sql.extensions=graft.functions.
+    // GraftExtensions) must apply cleanly and its builder must produce
+    // the native expression.
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val built = VectorFunctions.DotFBuilder(Seq(Literal(1), Literal(2)))
+    assert(built.isInstanceOf[DotProductF])
+  }
+
   test("dot_f participates in whole-stage codegen") {
     VectorFunctions.register(spark)
     // Parquet round-trip: a local Seq constant-folds to LocalTableScan and
