@@ -60,6 +60,7 @@ object SparkEntry {
     "q_pivot"           -> (AnalyticQueries.pivotAgg _),
     "q_cube_agg"        -> (AnalyticQueries.cubeAgg _),
     "q_percentiles"     -> (AnalyticQueries.percentiles _),
+    "q_distinct_salted" -> (AnalyticQueries.distinctSalted _),
     // §2.9-shaped — event-time processing in batch
     "q_events_tumbling" -> (RefQueries.eventsTumbling _),
     "q_events_sliding"  -> (RefQueries.eventsSliding _),
@@ -85,6 +86,8 @@ object SparkEntry {
     // §7.5 — multimodal binary columns (stub decode, real plumbing)
     "q_media_features"  -> ((s: SparkSession, d: String) =>
       ext.Multimodal.decoded(s, ext.Multimodal.mediaTable(Tables.documents(s, d)))),
+    "q_media_transform" -> ((s: SparkSession, d: String) =>
+      ext.Multimodal.transformed(s, ext.Multimodal.mediaTable(Tables.documents(s, d)))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -262,6 +265,9 @@ object SparkEntry {
                round(quantile_cont(l_quantity, 0.75), 4) AS q75,
                round(quantile_cont(l_extendedprice, 0.5), 4) AS med_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_distinct_salted" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     "q_events_tumbling" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
                event_type, count(*) AS n, ROUND(SUM(value), 2) AS sum_value
@@ -394,5 +400,24 @@ object SparkEntry {
                 CASE WHEN kind = 'video' THEN 1 + n_bytes % 30 ELSE 1 END
                   AS n_frames
          FROM k ORDER BY doc_id""",
+    "q_media_transform" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes
+                    FROM documents),
+         k AS (SELECT doc_id, n_bytes,
+                 CASE n_bytes % 3 WHEN 0 THEN 'image'
+                   WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                 32 + n_bytes % 608 AS width,
+                 32 + (n_bytes * 7) % 448 AS height,
+                 CASE WHEN n_bytes % 3 = 2 THEN 1 + n_bytes % 30 ELSE 1 END
+                   AS n_frames
+               FROM m),
+         g AS (SELECT *, greatest(width, height) AS mx FROM k)
+         SELECT doc_id, kind, width, height,
+                CAST(CASE WHEN mx <= 224 THEN width
+                     ELSE width * 224 // mx END AS INTEGER) AS out_w,
+                CAST(CASE WHEN mx <= 224 THEN height
+                     ELSE height * 224 // mx END AS INTEGER) AS out_h,
+                CAST((n_frames - 1) // 5 + 1 AS INTEGER) AS frames_sampled
+         FROM g ORDER BY doc_id""",
   )
 }

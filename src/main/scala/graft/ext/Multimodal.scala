@@ -21,6 +21,33 @@ trait MediaDecoder extends Serializable {
   def decode(r: MediaRecord): DecodedMedia
 }
 
+/** Transform output: post-resize geometry + sampled frame count. */
+case class TransformedMedia(
+    doc_id: Long, kind: String, width: Int, height: Int,
+    out_w: Int, out_h: Int, frames_sampled: Int)
+
+/** Pluggable media transform (resize / frame-sample), second
+  * `mapPartitions` stage after decode. */
+trait MediaTransform extends Serializable {
+  def apply(d: DecodedMedia): TransformedMedia
+}
+
+/** STUB resize + frame-sample transform: computes the output geometry
+  * (fit into 224×224 preserving aspect, integer arithmetic) and samples
+  * every 5th frame. In a real deployment the pixel/frame work happens
+  * here; the stub keeps the arithmetic oracle-reproducible. */
+object StubResizeSample extends MediaTransform {
+  val Target = 224
+  val Stride = 5
+  def apply(d: DecodedMedia): TransformedMedia = {
+    val m = math.max(d.width, d.height)
+    val ow = if (m <= Target) d.width else d.width * Target / m
+    val oh = if (m <= Target) d.height else d.height * Target / m
+    TransformedMedia(d.doc_id, d.kind, d.width, d.height, ow, oh,
+      (d.n_frames - 1) / Stride + 1)
+  }
+}
+
 /** STUB decoder — this container ships no image/audio/video codecs, so
   * the decode step is a clearly-marked deterministic fake (pure
   * arithmetic on payload size). The Spark-side plumbing around it —
@@ -79,6 +106,19 @@ object Multimodal {
       .drop("n_bytes")
       .as[MediaRecord]
       .mapPartitions(batch => batch.map(decoder.decode))
+      .toDF()
+  }
+
+  /** Decode → resize/frame-sample, both stages partition-parallel typed
+    * mapPartitions (decode's range partitioning carries through the
+    * narrow transform — no extra shuffle). */
+  def transformed(s: SparkSession, media: DataFrame,
+      decoder: MediaDecoder = StubDecoder,
+      transform: MediaTransform = StubResizeSample): DataFrame = {
+    import s.implicits._
+    decoded(s, media, decoder)
+      .as[DecodedMedia]
+      .mapPartitions(batch => batch.map(transform.apply))
       .toDF()
   }
 }

@@ -92,6 +92,21 @@ object AnalyticQueries {
       .agg(count(lit(1)).as("n"),
         round(sum(col("o_totalprice")), 2).as("total"))
 
+  /** Skew-safe distinct count — count(DISTINCT l_suppkey) per return
+    * flag, two-stage over a salt derived FROM THE DISTINCT COLUMN: the
+    * per-salt distinct sets are disjoint by construction, so the partial
+    * counts sum exactly. A hot group's distinct work spreads over 16
+    * reducers instead of landing on one (the generic skew recipe for
+    * any group-by whose per-group state is decomposable). The salt is
+    * deterministic (`pmod`, not `rand()`), so task retries and the
+    * oracle agree. */
+  def distinctSalted(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), pmod(col("l_suppkey"), lit(16)).as("salt"))
+      .agg(count_distinct(col("l_suppkey")).as("part"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("part")).as("n_supp"))
+
   /** Exact linear-interpolation percentiles per group (Spark `percentile`
     * ≡ DuckDB `quantile_cont`). Quantity is whole-valued so the
     * interpolation arithmetic is exact in double on both engines. */

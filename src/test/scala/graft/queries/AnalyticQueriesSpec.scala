@@ -1,0 +1,53 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class AnalyticQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  private def nanos(s: String): Long = ts(s).getTime * 1000000L
+
+  test("asofJoin picks the latest order at-or-before each event, else null") {
+    val d = tmpDir("asof")
+    // events.parquet ships ts as raw NANOS longs (Tables.events converts)
+    Seq(
+      (1L, nanos("2024-01-10 00:00:00"), 7L, "view", 1.0, ""),
+      (2L, nanos("2024-03-01 12:00:00"), 7L, "view", 1.0, ""),
+      (3L, nanos("2024-02-01 00:00:00"), 7L, "view", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    Seq(
+      // user 7: two orders same day (tie → max orderkey), one later order
+      (100L, 7L, "O", 10.0, ts("2024-02-01 00:00:00"), "P"),
+      (101L, 7L, "O", 10.0, ts("2024-02-01 00:00:00"), "P"),
+      (102L, 7L, "O", 10.0, ts("2024-03-01 12:00:00"), "P"), // == event 2 ts
+      (200L, 9L, "O", 10.0, ts("2024-01-01 00:00:00"), "P"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$d/orders.parquet")
+
+    val out = AnalyticQueries.asofJoin(spark, d.toString)
+      .select("event_id", "last_orderkey")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(1L) === None, "event before any order -> null")
+    assert(out(2L) === Some(102L), "inclusive bound: order AT event ts wins")
+    assert(out(3L) === Some(101L), "date tie breaks to max orderkey")
+  }
+
+  test("rangeJoin assigns each order to every overlapping band") {
+    val d = tmpDir("range")
+    Seq(
+      (1L, 1L, "O", 10000.0, ts("2024-01-01 00:00:00"), "P"), // band 0 only
+      (2L, 1L, "O", 50000.0, ts("2024-01-01 00:00:00"), "P")) // bands 1 and 2
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$d/orders.parquet")
+    val out = AnalyticQueries.rangeJoin(spark, d.toString)
+      .select("band_id", "n", "total")
+      .as[(Int, Long, Double)].collect().toSet
+    assert(out === Set((0, 1L, 10000.0), (1, 1L, 50000.0), (2, 1L, 50000.0)))
+  }
+}
