@@ -61,6 +61,9 @@ object SparkEntry {
     "q_cube_agg"        -> (AnalyticQueries.cubeAgg _),
     "q_percentiles"     -> (AnalyticQueries.percentiles _),
     "q_distinct_salted" -> (AnalyticQueries.distinctSalted _),
+    "q_json_extract"    -> (AnalyticQueries.jsonExtract _),
+    "q_intersect"       -> (AnalyticQueries.intersectKeys _),
+    "q_scalar_subquery" -> (AnalyticQueries.scalarSubquery _),
     // §2.9-shaped — event-time processing in batch
     "q_events_tumbling" -> (RefQueries.eventsTumbling _),
     "q_events_sliding"  -> (RefQueries.eventsSliding _),
@@ -268,6 +271,25 @@ object SparkEntry {
     "q_distinct_salted" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+                 AS avg_k
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    "q_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders
+         INTERSECT
+         SELECT c_custkey AS custkey FROM customer
+         WHERE c_mktsegment = 'BUILDING'
+         ORDER BY custkey""",
+    "q_scalar_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+         FROM orders
+         WHERE o_totalprice >
+           (SELECT round(avg(o_totalprice), 2) FROM orders)
+         GROUP BY 1 ORDER BY o_orderpriority""",
     "q_events_tumbling" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
                event_type, count(*) AS n, ROUND(SUM(value), 2) AS sum_value

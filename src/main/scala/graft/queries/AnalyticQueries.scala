@@ -107,6 +107,40 @@ object AnalyticQueries {
       .groupBy(col("l_returnflag"))
       .agg(sum(col("part")).as("n_supp"))
 
+  /** JSON extraction — parse the events' `props` JSON payload with a
+    * path expression and aggregate the extracted field. `get_json_object`
+    * is a codegen'd scalar op; at scale JSON parsing stays a narrow
+    * per-row transform ahead of the one aggregation shuffle. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"))
+
+  /** INTERSECT-distinct — customers who placed an order AND are in the
+    * BUILDING segment (completes the set-op family with except/union). */
+  def intersectKeys(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+      .intersect(Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey")))
+
+  /** Scalar-subquery filter — orders above the global average price.
+    * The scalar aggregate is computed once and broadcast into the filter
+    * (a 1-row cross join), so the fact table streams through unshuffled
+    * until the final group-by. The threshold is rounded to 2 decimals so
+    * both engines compare against the identical constant. */
+  def scalarSubquery(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val avgP = o.agg(round(avg(col("o_totalprice")), 2).as("ap"))
+    o.join(broadcast(avgP))
+      .filter(col("o_totalprice") > col("ap"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
   /** Exact linear-interpolation percentiles per group (Spark `percentile`
     * ≡ DuckDB `quantile_cont`). Quantity is whole-valued so the
     * interpolation arithmetic is exact in double on both engines. */
