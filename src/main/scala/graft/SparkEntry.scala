@@ -62,6 +62,7 @@ object SparkEntry {
     "q_percentiles"     -> (AnalyticQueries.percentiles _),
     "q_distinct_salted" -> (AnalyticQueries.distinctSalted _),
     "q_json_extract"    -> (AnalyticQueries.jsonExtract _),
+    "q_window_range"    -> (AnalyticQueries.windowRange _),
     "q_intersect"       -> (AnalyticQueries.intersectKeys _),
     "q_scalar_subquery" -> (AnalyticQueries.scalarSubquery _),
     // §2.9-shaped — event-time processing in batch
@@ -277,6 +278,17 @@ object SparkEntry {
                round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
                  AS avg_k
          FROM events GROUP BY 1 ORDER BY event_type""",
+    "q_window_range" ->
+      """SELECT o_orderkey, o_custkey,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INTEGER)
+                 AS d,
+               count(*) OVER w AS n_30d,
+               round(SUM(o_totalprice) OVER w, 2) AS spend_30d
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""",
     "q_intersect" ->
       """SELECT o_custkey AS custkey FROM orders
          INTERSECT

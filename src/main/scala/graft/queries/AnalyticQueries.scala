@@ -107,6 +107,21 @@ object AnalyticQueries {
       .groupBy(col("l_returnflag"))
       .agg(sum(col("part")).as("n_supp"))
 
+  /** RANGE-frame window — per customer, order count and spend within the
+    * trailing 30 days of each order. The frame is VALUE-based (days since
+    * epoch), so results are deterministic under same-day ties — unlike a
+    * ROWS frame — and the whole query is one shuffle + one sorted pass. */
+  def windowRange(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("d", unix_date(col("o_orderdate").cast("date")))
+      .withColumn("n_30d", count(lit(1)).over(w))
+      .withColumn("spend_30d", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_orderkey"), col("o_custkey"), col("d"),
+        col("n_30d"), col("spend_30d"))
+  }
+
   /** JSON extraction — parse the events' `props` JSON payload with a
     * path expression and aggregate the extracted field. `get_json_object`
     * is a codegen'd scalar op; at scale JSON parsing stays a narrow
