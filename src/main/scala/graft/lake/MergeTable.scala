@@ -50,6 +50,9 @@ final class MergeTable private (
 
   import MergeTable._
 
+  @transient private lazy val logger =
+    org.slf4j.LoggerFactory.getLogger(classOf[MergeTable])
+
   private def logDir: Path = root.resolve(LogDir)
 
   // ---- log ----------------------------------------------------------------
@@ -200,7 +203,12 @@ final class MergeTable private (
             (keptFiles ++ newEntries, version)
           case None =>
             // Unpartitioned: inherently a full-table rewrite, as in Delta
-            // without partition pruning — warn at scale.
+            // without partition pruning.
+            if (live.size >= FullRewriteWarnFiles)
+              logger.warn(
+                s"MergeTable at $root: unpartitioned MERGE rewrites all " +
+                  s"${live.size} live files; declare a partition column " +
+                  "to get partition-level file skipping")
             val remaining = readEntries(live)
               .join(src.select(col(pk)).distinct(), Seq(pk), "left_anti")
             val (_, newEntries) = writeData(remaining.unionByName(src))
@@ -319,6 +327,9 @@ object MergeTable {
   private val NoPartition = "-"
   private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
   private val MaxCommitRetries = 5
+  /** Unpartitioned merges rewrite every live file; warn once the table is
+    * big enough for that to matter. */
+  private val FullRewriteWarnFiles = 64
   /** Distinct partition values collected to the driver per merge — log-scale
     * metadata (same contract as Delta's log), but guard the cardinality so a
     * mis-partitioned source (e.g. partitioned by a unique id) fails fast
