@@ -80,6 +80,8 @@ object SparkEntry {
     "q_doc_neardup"     -> (DedupQueries.docNeardup _),
     "q_doc_simhash"     -> (DedupQueries.docSimhash _),
     "q_ngram_jaccard"   -> (DedupQueries.ngramJaccard _),
+    "q_chunk_dedup"     -> (DedupQueries.chunkDedup _),
+    "q_text_repetition" -> (TextQueries.textRepetition _),
     // §7.5(b) — LLM-pipeline similarity search over embeddings
     "q_embed_topk"      -> (SimilarityQueries.embedTopk _),
     "q_embed_ivf"       -> (SimilarityQueries.embedIvf _),
@@ -407,6 +409,22 @@ object SparkEntry {
     "q_doc_neardup"   -> DedupQueries.neardupOracle,
     "q_doc_simhash"   -> DedupQueries.simhashOracle,
     "q_ngram_jaccard" -> DedupQueries.ngramJaccardOracle,
+    "q_chunk_dedup"   -> DedupQueries.chunkDedupOracle,
+    "q_text_repetition" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                    FROM documents),
+         b AS (SELECT doc_id,
+                 unnest(CASE WHEN len(toks) >= 2
+                   THEN list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1])
+                   ELSE [text] END) AS bigram
+               FROM t),
+         c AS (SELECT doc_id, bigram, count(*) AS cnt
+               FROM b GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+                max(cnt) AS top_cnt,
+                round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4) AS rep_ratio
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
     "q_embed_topk"    -> SimilarityQueries.topkOracle,
     "q_embed_ivf"     -> SimilarityQueries.ivfOracle,
     "q_embed_lsh"     -> SimilarityQueries.lshOracle,

@@ -204,7 +204,52 @@ object DedupQueries {
       .filter(col("jaccard") >= 0.8)
   }
 
+  /** Tier 6 — passage-level dedup (the C4/RefinedWeb shape): split each
+    * document into fixed 10-token chunks, fingerprint each chunk, and
+    * charge every chunk whose fingerprint is owned by an earlier doc as a
+    * foreign duplicate. Two shuffles (owner agg + ownership join); the
+    * chunk relation is narrow (doc_id, fp). */
+  def chunkDedup(s: SparkSession, d: String): DataFrame = {
+    val chunks = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, cast(ceil(size(toks) / 10.0) as int) - 1),
+             i -> concat_ws(' ', slice(toks, i * 10 + 1, 10)))"""))
+        .as("chunk"))
+      .withColumn("fp", md5(col("chunk")))
+      .select("doc_id", "fp")
+    val owners = chunks.groupBy(col("fp")).agg(min(col("doc_id")).as("owner"))
+    chunks.join(owners, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_foreign"))
+      .withColumn("dup_ratio",
+        round(col("n_foreign").cast("double") / col("n_chunks"), 4))
+  }
+
   // ---- oracle SQL (generated from the same constants) ----
+
+  /** DuckDB oracle for [[chunkDedup]]. sum() is CAST to BIGINT — DuckDB
+    * sums integers into HUGEINT, which hash-mismatches Spark's LongType. */
+  val chunkDedupOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+       c AS (SELECT doc_id,
+               unnest(list_transform(
+                 range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+                 i -> md5(array_to_string(
+                        toks[(i * 10 + 1):(i * 10 + 10)], ' ')))) AS fp
+             FROM t),
+       o AS (SELECT fp, min(doc_id) AS owner FROM c GROUP BY fp)
+       SELECT doc_id, count(*) AS n_chunks,
+              CAST(sum(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_foreign,
+              round(CAST(sum(CASE WHEN owner < doc_id THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*), 4) AS dup_ratio
+       FROM c JOIN o USING (fp)
+       GROUP BY doc_id ORDER BY doc_id"""
 
   private val shingledCte =
     s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks

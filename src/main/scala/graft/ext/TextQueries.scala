@@ -114,6 +114,25 @@ object TextQueries {
              / size(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+', 0)), 4)""")
           .as("avg_subword_len"))
 
+  /** Repetition scoring (the Gopher-style quality rule): the share of a
+    * document's 2-grams taken by its single most frequent 2-gram.
+    * Boilerplate/spam repeats the same phrase; prose doesn't. Two-stage
+    * aggregate — (doc, bigram) counts, then per-doc max — both shuffles
+    * on keys that include doc_id, so no hot partition. */
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    withToks(documents(s, d))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 2
+             THEN transform(sequence(0, size(toks) - 2),
+                            i -> concat_ws(' ', toks[i], toks[i+1]))
+             ELSE array(text) END""")).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"), max(col("cnt")).as("top_cnt"))
+      .withColumn("rep_ratio",
+        round(col("top_cnt").cast("double") / col("n_bigrams"), 4))
+
   /** Document fingerprinting: a whole-text md5 plus a rolling-shingle
     * fingerprint (min over 3-word-shingle hashes — MinHash with k=1, the
     * content-defined-chunking flavor). Shared building block with the
