@@ -64,12 +64,14 @@ object DedupQueries {
         s"""transform(shingles,
               s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint) % $P)"""))
 
-  /** doc_id + MinHash signature as ONE `array<bigint>` column `sig`. */
+  /** doc_id + MinHash signature as ONE `array<bigint>` column `sig`,
+    * computed by the native codegen'd [[graft.functions.MinHashSig]]
+    * expression (one traversal, primitive loops) — bit-identical to the
+    * `array(array_min(transform(hs, ...)), ...)` HOF form it replaced
+    * (proven by MinHashFunctionsSpec). */
   private def sigFrom(sh: DataFrame): DataFrame = {
-    val sigExprs = AB.map { case (a, b) =>
-      s"array_min(transform(hs, h -> ($a * h + $b) % $P))"
-    }
-    sh.select(col("doc_id"), expr(s"array(${sigExprs.mkString(", ")})").as("sig"))
+    graft.functions.MinHashFunctions.register(sh.sparkSession, AB, P)
+    sh.select(col("doc_id"), expr("minhash_sig(hs)").as("sig"))
   }
 
   /** (doc_id, sig, band, bkey) — one row per document per LSH band. */
