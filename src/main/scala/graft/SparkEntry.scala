@@ -89,6 +89,7 @@ object SparkEntry {
     "q_embed_neardup"   -> (SimilarityQueries.embedNeardup _),
     "q_text_bpe"        -> (TextQueries.textBpe _),
     "q_sketch_distinct" -> (SketchQueries.sketchDistinct _),
+    "q_sketch_kmv"      -> (SketchQueries.sketchKmv _),
     // §7.5 — multimodal binary columns (stub decode, real plumbing)
     "q_media_features"  -> ((s: SparkSession, d: String) =>
       ext.Multimodal.decoded(s, ext.Multimodal.mediaTable(Tables.documents(s, d)))),
@@ -430,6 +431,7 @@ object SparkEntry {
     "q_embed_lsh"     -> SimilarityQueries.lshOracle,
     "q_embed_neardup" -> SimilarityQueries.neardupOracle,
     "q_sketch_distinct" -> SketchQueries.sketchDistinctOracle,
+    "q_sketch_kmv"    -> SketchQueries.sketchKmvOracle,
     "q_text_bpe" ->
       """SELECT doc_id,
                 len(string_split(text, ' ')) AS n_words,

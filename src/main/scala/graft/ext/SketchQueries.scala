@@ -26,9 +26,10 @@ object SketchQueries {
   private val K = 64
   private val HashSpace = 4294967296.0 // 2^32 — 8 hex chars of md5
 
-  /** Per `source`: exact distinct 3-word-shingle count vs KMV estimate. */
-  def sketchDistinct(s: SparkSession, d: String): DataFrame = {
-    val hashed = documents(s, d)
+  /** (source, shingle-hash) stream — NOT deduplicated (the sketch and the
+    * exact path each dedup their own way). */
+  private def shingleHashes(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("shingles", expr(
         """array_distinct(CASE WHEN size(toks) >= 3
@@ -39,7 +40,10 @@ object SketchQueries {
         explode(expr(
           "transform(shingles, x -> cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint))"))
           .as("th"))
-      .distinct()
+
+  /** Per `source`: exact distinct 3-word-shingle count vs KMV estimate. */
+  def sketchDistinct(s: SparkSession, d: String): DataFrame = {
+    val hashed = shingleHashes(s, d).distinct()
     // One pass: rank hashes per source, then a same-key aggregate reads
     // off BOTH the exact count (max rank) and the k-th smallest hash —
     // no second distinct, no join. The agg reuses the window's
@@ -56,6 +60,22 @@ object SketchQueries {
         expr(s"""CASE WHEN h_k IS NULL THEN cast(n_exact as double)
                  ELSE round(($K - 1) * $HashSpace / h_k, 2) END""")
           .as("kmv_est"))
+  }
+
+  /** Per `source`: KMV estimate via the bounded-memory [[KmvSketch]]
+    * Aggregator — O(k) state per group regardless of cardinality, with
+    * map-side partial aggregation (the scale path; [[sketchDistinct]] is
+    * the exact-comparison variant). Feeds the RAW hash stream: the sketch
+    * dedups internally. */
+  def sketchKmv(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    shingleHashes(s, d)
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new KmvSketch(K).toColumn.name("raw"))
+      .toDF("source", "raw")
+      .select(col("source"), round(col("raw"), 2).as("kmv_est"))
   }
 
   def sketchDistinctOracle: String =
@@ -77,6 +97,31 @@ object SketchQueries {
         ex AS (SELECT source, count(*) AS n_exact FROM h GROUP BY source),
         kk AS (SELECT source, th AS h_k FROM r WHERE rn = $K)
         SELECT ex.source, n_exact,
+               CASE WHEN h_k IS NULL THEN CAST(n_exact AS DOUBLE)
+                    ELSE round(($K - 1) * $HashSpace / h_k, 2) END AS kmv_est
+        FROM ex LEFT JOIN kk ON ex.source = kk.source
+        ORDER BY ex.source"""
+
+  /** Same CTE chain as [[sketchDistinctOracle]], estimate only. */
+  def sketchKmvOracle: String =
+    s"""WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks
+                   FROM documents),
+        sh AS (SELECT source,
+                 list_distinct(CASE WHEN len(toks) >= 3
+                   THEN list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   ELSE [text] END) AS shingles
+               FROM t),
+        h AS (SELECT DISTINCT source,
+                unnest(list_transform(shingles,
+                  x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS th
+              FROM sh),
+        r AS (SELECT source, th,
+                row_number() OVER (PARTITION BY source ORDER BY th) AS rn
+              FROM h),
+        ex AS (SELECT source, count(*) AS n_exact FROM h GROUP BY source),
+        kk AS (SELECT source, th AS h_k FROM r WHERE rn = $K)
+        SELECT ex.source,
                CASE WHEN h_k IS NULL THEN CAST(n_exact AS DOUBLE)
                     ELSE round(($K - 1) * $HashSpace / h_k, 2) END AS kmv_est
         FROM ex LEFT JOIN kk ON ex.source = kk.source
