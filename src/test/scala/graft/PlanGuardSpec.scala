@@ -1,0 +1,29 @@
+package graft
+
+/** Systemic plan guard over the ENTIRE query surface: no query may plan
+  * a cartesian product, and nested-loop joins may appear only where a
+  * broadcast cross join is the intended shape (1-row scalar broadcast,
+  * tiny query/centroid sets against a streaming corpus). Catches the
+  * classic silent scale-killer — a join that degrades to all-pairs after
+  * an innocent-looking edit. */
+class PlanGuardSpec extends SparkSpec {
+
+  /** Queries whose plan legitimately contains BroadcastNestedLoopJoin:
+    * the broadcast side is ≤ a few rows (scalar aggregate, ≤10 query
+    * vectors, 8 centroids) and the condition is non-equi by design. */
+  private val intendedBroadcastNL = Set(
+    "q_scalar_subquery", "q_embed_topk", "q_embed_ivf", "q_embed_neardup")
+
+  test("no cartesian products; nested-loop joins only where intended") {
+    val d = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      spark.catalog.clearCache()
+      val plan = fn(spark, d).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+      if (!intendedBroadcastNL(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unintended nested-loop join:\n$plan")
+    }
+  }
+}
