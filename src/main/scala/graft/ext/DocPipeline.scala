@@ -24,15 +24,22 @@ object DocPipeline {
       input: Long, afterQuality: Long, afterExact: Long, afterNeardup: Long)
 
   /** Returns (cleaned corpus, attrition stats). `docs` must have the
-    * `documents` schema (doc_id, text, ...). */
-  def clean(s: SparkSession, sfDir: String): (DataFrame, CleanStats) = {
+    * `documents` schema (doc_id, text, ...). `maxRepRatio` is the
+    * Gopher-style boilerplate cutoff: documents whose most frequent
+    * bigram takes more than this share of all bigrams drop at the gate. */
+  def clean(s: SparkSession, sfDir: String,
+      maxRepRatio: Double = 0.2): (DataFrame, CleanStats) = {
     val docs = graft.Tables.documents(s, sfDir)
     val input = docs.count()
 
-    // 1 — quality gate (same predicate as q_text_quality's pass flag)
+    // 1 — quality gate: q_text_quality's pass flag AND the repetition
+    // cutoff (both narrow per-doc signals; cheapest stage runs first)
     val quality = TextQueries.textQuality(s, sfDir)
       .filter(col("quality_pass")).select("doc_id")
+    val lowRep = TextQueries.textRepetition(s, sfDir)
+      .filter(col("rep_ratio") <= maxRepRatio).select("doc_id")
     val kept1 = docs.join(quality, Seq("doc_id"), "left_semi")
+      .join(lowRep, Seq("doc_id"), "left_semi")
     val n1 = kept1.count()
 
     // 2 — exact dedup: keep the canonical (lowest) doc_id per fingerprint

@@ -1,5 +1,7 @@
 package graft.ext
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class DocPipelineSpec extends SparkSpec {
@@ -24,6 +26,28 @@ class DocPipelineSpec extends SparkSpec {
     assert(stats.afterQuality === 3L, "short doc drops at the gate")
     assert(stats.afterExact === 2L, "doc 1 collapses into doc 0")
     assert(stats.afterNeardup === 1L, "near-dup doc 2 drops")
+    assert(cleaned.select("doc_id").as[Long].collect().toSeq === Seq(0L))
+  }
+
+  test("repetitive boilerplate drops at the gate even when quality passes") {
+    val d = tmpDir("pipe3")
+    val base = "spark shuffles data across the cluster when a wide " +
+      "dependency requires rows with the same key on the same partition " +
+      "and the optimizer cannot avoid it"
+    // 51 tokens, zero stopword hits, ttr 0.059 — PASSES q_text_quality —
+    // but its top bigram ('free money') takes 17/50 = 0.34 of all bigrams.
+    val spam = Array.fill(17)("free money now").mkString(" ")
+    Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, spam, "en", "spam", spam.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+
+    val quality = TextQueries.textQuality(spark, d.toString)
+      .filter(col("quality_pass")).select("doc_id").as[Long].collect().toSet
+    assert(quality === Set(0L, 1L), "spam must pass the base quality gate")
+    val (cleaned, stats) = DocPipeline.clean(spark, d.toString)
+    assert(stats.afterQuality === 1L, "repetition cutoff catches the spam")
     assert(cleaned.select("doc_id").as[Long].collect().toSeq === Seq(0L))
   }
 
