@@ -187,13 +187,13 @@ object DedupQueries {
     // Shrink the heavy array relation to ONLY docs that appear in some
     // candidate pair before the pair joins — broadcasting the full
     // shingle-array relation was measured at ~6 s of the cold run (the
-    // candidate set is tiny; the full corpus' arrays are not). The pruned
-    // relation is recomputed per join side: scan + narrow transforms + a
-    // broadcast semi-join, cheaper than materializing the arrays.
-    def inCand = sh.join(
+    // candidate set is tiny; the full corpus' arrays are not). The PRUNED
+    // relation (candidate docs only) is small enough that one eager cache
+    // beats recomputing the scan + shingle transforms per join side.
+    val inCand = eager(sh.join(
       cand.select(col("doc_a").as("doc_id"))
         .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct(),
-      Seq("doc_id"), "left_semi")
+      Seq("doc_id"), "left_semi"))
     cand
       .join(inCand.as("a"), col("doc_a") === col("a.doc_id"))
       .join(inCand.as("b"), col("doc_b") === col("b.doc_id"))
