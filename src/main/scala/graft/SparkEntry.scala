@@ -59,6 +59,7 @@ object SparkEntry {
     "q_range_join"      -> (AnalyticQueries.rangeJoin _),
     "q_pivot"           -> (AnalyticQueries.pivotAgg _),
     "q_cube_agg"        -> (AnalyticQueries.cubeAgg _),
+    "q_grouping_sets"   -> (AnalyticQueries.groupingSets _),
     "q_percentiles"     -> (AnalyticQueries.percentiles _),
     "q_distinct_salted" -> (AnalyticQueries.distinctSalted _),
     "q_json_extract"    -> (AnalyticQueries.jsonExtract _),
@@ -263,6 +264,13 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
                ROUND(SUM(o_totalprice), 2) AS total
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST,
+                  o_orderpriority ASC NULLS FIRST""",
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
          ORDER BY o_orderstatus ASC NULLS FIRST,
                   o_orderpriority ASC NULLS FIRST""",
     "q_percentiles" ->

@@ -122,6 +122,19 @@ object AnalyticQueries {
         col("n_30d"), col("spend_30d"))
   }
 
+  /** GROUPING SETS — the general grouping-set form (rollup and cube are
+    * its specializations), expressed through the `spark.sql` surface over
+    * a registered view: per-status totals and per-priority totals in ONE
+    * shuffle over an Expand, instead of two separate aggregation jobs. */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+         FROM orders_gs
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""")
+  }
+
   /** JSON extraction — parse the events' `props` JSON payload with a
     * path expression and aggregate the extracted field. `get_json_object`
     * is a codegen'd scalar op; at scale JSON parsing stays a narrow

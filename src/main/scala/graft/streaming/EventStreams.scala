@@ -52,6 +52,31 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join — attribute each click to the same
+    * user's impressions within the preceding `windowMinutes`. Both sides
+    * carry watermarks, so the join state (buffered unmatched rows) is
+    * EVICTED once the event-time bound passes — the property that keeps a
+    * forever-running join's state finite. Equi-key on user_id + a time
+    * interval condition: Spark plans a streaming symmetric hash join
+    * partitioned by the key. */
+  def clickAttribution(impressions: DataFrame, clicks: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val imp = impressions
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("imp_ts"),
+        col("value").as("imp_value"))
+    val clk = clicks
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    clk.join(imp,
+      clk("user_id") === imp("user_id") &&
+        col("imp_ts") <= col("click_ts") &&
+        col("imp_ts") >= col("click_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(clk("user_id"), col("imp_ts"), col("click_ts"),
+        col("imp_value"), col("click_value"))
+  }
+
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
   final case class Session(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long, sum_value: Double)

@@ -79,6 +79,30 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clickAttribution joins clicks to in-window impressions only") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Raw]
+    val clicks = MemoryStream[Raw]
+    val q = EventStreams.clickAttribution(
+        imps.toDF().select("user_id", "ts", "value"),
+        clicks.toDF().select("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      imps.addData(
+        Raw(ts(10, 0), 1, "imp", 1.0),   // within 30min of the click
+        Raw(ts(9, 20), 1, "imp", 2.0),   // too old for the 10:15 click
+        Raw(ts(10, 5), 2, "imp", 3.0))   // other user
+      clicks.addData(Raw(ts(10, 15), 1, "click", 9.0))
+      q.processAllAvailable()
+      val out = spark.table("attr")
+        .select("user_id", "imp_value", "click_value")
+        .as[(Long, Double, Double)].collect().toSet
+      assert(out === Set((1L, 1.0, 9.0)),
+        "only the in-window same-user impression attributes")
+    } finally q.stop()
+  }
+
   test("sessionWindows (declarative) splits on the gap in batch mode") {
     val df = Seq(
       (1L, ts(10, 0), 1.0), (1L, ts(10, 10), 2.0), // session A
