@@ -52,6 +52,15 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exactly-once dedup: drop events whose `event_id` was
+    * already seen, keeping per-key state only until the watermark passes
+    * (bounded state — the streaming analog of the batch key-dedup A1 and
+    * of the marker-file idempotency the reference uses per file). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-stream interval join — attribute each click to the same
     * user's impressions within the preceding `windowMinutes`. Both sides
     * carry watermarks, so the join state (buffered unmatched rows) is

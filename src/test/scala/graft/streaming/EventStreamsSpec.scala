@@ -103,6 +103,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupEvents drops replayed event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    final case class E(event_id: Long, ts: Timestamp, value: Double)
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventStreams.dedupEvents(
+        in.toDF().toDF("event_id", "ts", "value"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, ts(10, 0), 1.0), (2L, ts(10, 5), 2.0))
+      q.processAllAvailable()
+      // replayed event 1 (the reference's duplicate-file case) + new 3
+      in.addData((1L, ts(10, 0), 1.0), (3L, ts(10, 10), 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id")
+        .as[Long].collect().toSeq.sorted
+      assert(ids === Seq(1L, 2L, 3L), "replayed id must appear exactly once")
+    } finally q.stop()
+  }
+
   test("sessionWindows (declarative) splits on the gap in batch mode") {
     val df = Seq(
       (1L, ts(10, 0), 1.0), (1L, ts(10, 10), 2.0), // session A
