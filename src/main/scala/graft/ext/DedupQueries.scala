@@ -209,9 +209,12 @@ object DedupQueries {
   /** Tier 6 — passage-level dedup (the C4/RefinedWeb shape): split each
     * document into fixed 10-token chunks, fingerprint each chunk, and
     * charge every chunk whose fingerprint is owned by an earlier doc as a
-    * foreign duplicate. Two shuffles (owner agg + ownership join); the
-    * chunk relation is narrow (doc_id, fp). */
+    * foreign duplicate. Ownership is a whole-partition window min over
+    * fp — ONE shuffle by fp, no join — then the per-doc rollup reuses
+    * nothing and shuffles once more by doc_id. The chunk relation is
+    * narrow (doc_id, fp) throughout. */
   def chunkDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val chunks = documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
@@ -220,8 +223,8 @@ object DedupQueries {
         .as("chunk"))
       .withColumn("fp", md5(col("chunk")))
       .select("doc_id", "fp")
-    val owners = chunks.groupBy(col("fp")).agg(min(col("doc_id")).as("owner"))
-    chunks.join(owners, Seq("fp"))
+    chunks
+      .withColumn("owner", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_chunks"),

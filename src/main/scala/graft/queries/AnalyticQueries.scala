@@ -18,20 +18,20 @@ object AnalyticQueries {
     * tag both sides, sort each user's timeline once, and carry the last
     * seen order key forward with `last(_, ignoreNulls)`. ONE shuffle on
     * the join key — never a per-event subquery or an inequality join.
-    * The right side is deduped to one row per (custkey, orderdate) so the
-    * as-of winner is deterministic under timestamp ties (DuckDB's ASOF
-    * picks an arbitrary one otherwise). */
+    * Timestamp ties resolve INSIDE the window ordering (ascending order
+    * key → `last()` sees the max-key order at the latest time ≤ ts), so
+    * no dedup pre-aggregate is needed — the whole as-of join is ONE
+    * shuffle. (DuckDB's ASOF picks an arbitrary winner under ties, so the
+    * oracle dedups its right side to the same max-key row.) */
   def asofJoin(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(
       col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"))
     val ords = Tables.orders(s, d)
-      .groupBy(col("o_custkey"), col("o_orderdate"))
-      .agg(max(col("o_orderkey")).as("last_orderkey"))
       .select(col("o_custkey").as("user_id"),
         // o_orderdate is TIMESTAMP_NTZ; the session timezone is pinned
         // to UTC, so this cast matches DuckDB's naive epoch_us.
         unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
-        col("last_orderkey"))
+        col("o_orderkey").as("last_orderkey"))
     // side 0 (orders) sorts before side 1 (events) at equal timestamps —
     // the `o_orderdate <= ts` inclusive bound.
     val tagged = ords
@@ -41,7 +41,7 @@ object AnalyticQueries {
         .withColumn("side", lit(1))
         .withColumn("last_orderkey", lit(null).cast("long")))
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("t_us"), col("side"), col("event_id"))
+      .orderBy(col("t_us"), col("side"), col("last_orderkey"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("lk", last(col("last_orderkey"), ignoreNulls = true).over(w))
