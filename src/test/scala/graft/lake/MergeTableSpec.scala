@@ -155,6 +155,24 @@ class MergeTableSpec extends SparkSpec {
     intercept[Exception](t.readVersion(v1).collect())
   }
 
+  test("concurrent merges from two threads both land (optimistic retry)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, None)
+    t.overwrite(orders(("o1", "d", 1.0)))
+    // Two uncoordinated writers race for the next version; the loser must
+    // recompute against the winner's snapshot, so BOTH rows survive.
+    val f1 = Future(t.merge(orders(("o2", "d", 2.0)), "order_id"))
+    val f2 = Future(t.merge(orders(("o3", "d", 3.0)), "order_id"))
+    Await.result(f1, 120.seconds)
+    Await.result(f2, 120.seconds)
+    assert(contents(t.read()) ===
+      Set(("o1", "d", 1.0), ("o2", "d", 2.0), ("o3", "d", 3.0)))
+    assert(t.latestVersion() === 3L, "exactly two post-overwrite commits")
+  }
+
   test("two handles to the same table serialize through the log") {
     val root = tmpDir("mt").toString
     val t = MergeTable(spark, root, None)
