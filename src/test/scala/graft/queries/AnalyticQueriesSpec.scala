@@ -37,6 +37,25 @@ class AnalyticQueriesSpec extends SparkSpec {
     assert(out(3L) === Some(101L), "date tie breaks to max orderkey")
   }
 
+  test("salted distinct count equals the direct count(DISTINCT)") {
+    val d = tmpDir("salt")
+    val rng = new scala.util.Random(11)
+    // skewed: flag A holds ~95% of rows with many duplicate suppkeys
+    val rows = Seq.tabulate(2000) { i =>
+      if (i % 20 == 0) ("B", rng.nextInt(10).toLong)
+      else ("A", rng.nextInt(300).toLong)
+    }
+    rows.toDF("l_returnflag", "l_suppkey")
+      .coalesce(2).write.parquet(s"$d/lineitem.parquet")
+    val salted = AnalyticQueries.distinctSalted(spark, d.toString)
+      .as[(String, Long)].collect().toMap
+    val direct = rows.toDF("l_returnflag", "l_suppkey")
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.countDistinct("l_suppkey"))
+      .as[(String, Long)].collect().toMap
+    assert(salted === direct)
+  }
+
   test("rangeJoin assigns each order to every overlapping band") {
     val d = tmpDir("range")
     Seq(
