@@ -70,6 +70,7 @@ object SparkEntry {
     "q_events_tumbling" -> (RefQueries.eventsTumbling _),
     "q_events_sliding"  -> (RefQueries.eventsSliding _),
     "q_events_sessionize" -> (RefQueries.eventsSessionize _),
+    "q_events_sessionw" -> (RefQueries.eventsSessionWindow _),
     // §7.5(c) — LLM-pipeline text analysis over documents
     "q_text_tokens"     -> (TextQueries.textTokens _),
     "q_text_quality"    -> (TextQueries.textQuality _),
@@ -342,6 +343,27 @@ object SparkEntry {
            FROM g)
          SELECT user_id, session_id, count(*) AS n_events,
                ROUND(SUM(value), 2) AS sum_value
+         FROM s GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+    "q_events_sessionw" ->
+      """WITH g AS (
+           SELECT user_id, event_id, value, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            >= 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, value, ts,
+                  CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+           FROM g)
+         SELECT user_id, session_id,
+                CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+                count(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
          FROM s GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
     "q_text_tokens" ->

@@ -297,6 +297,28 @@ object RefQueries {
         round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** Gap sessions via the BUILT-IN `session_window` — the scale path for
+    * sessionization: sessions merge map-side (partial session states
+    * combine before the shuffle), so a hot user costs a merge of partial
+    * sessions instead of one reducer sorting all its events (the
+    * [[eventsSessionize]] window form's skew profile). The trailing
+    * session-index window runs over SESSIONS, not events — orders of
+    * magnitude fewer rows. Boundary semantics: an event exactly at
+    * lastTs + gap starts a NEW session (diff >= gap), mirrored in the
+    * oracle. */
+  def eventsSessionWindow(s: SparkSession, d: String): DataFrame = {
+    val sess = events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sw.start"))
+    sess
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Multi-way star join: fact → two dims, region-filtered revenue
     * (both dims broadcast; one fact-side shuffle total for the agg). */
   def starJoin(s: SparkSession, d: String): DataFrame = {
