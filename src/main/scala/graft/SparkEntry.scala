@@ -88,6 +88,7 @@ object SparkEntry {
     "q_embed_topk"      -> (SimilarityQueries.embedTopk _),
     "q_embed_ivf"       -> (SimilarityQueries.embedIvf _),
     "q_embed_lsh"       -> (SimilarityQueries.embedLsh _),
+    "q_embed_mplsh"     -> (SimilarityQueries.embedMplsh _),
     "q_embed_neardup"   -> (SimilarityQueries.embedNeardup _),
     "q_text_bpe"        -> (TextQueries.textBpe _),
     "q_sketch_distinct" -> (SketchQueries.sketchDistinct _),
@@ -97,6 +98,13 @@ object SparkEntry {
       ext.Multimodal.decoded(s, ext.Multimodal.mediaTable(Tables.documents(s, d)))),
     "q_media_transform" -> ((s: SparkSession, d: String) =>
       ext.Multimodal.transformed(s, ext.Multimodal.mediaTable(Tables.documents(s, d)))),
+    // Composed cleaning pipeline end-to-end (quality+repetition gate →
+    // exact dedup → near-dup removal). No single-statement SQL oracle —
+    // the driver records the weaker rows-only check; stage semantics are
+    // each oracle-checked individually and the composition is unit-tested
+    // (DocPipelineSpec).
+    "q_doc_pipeline"    -> ((s: SparkSession, d: String) =>
+      ext.DocPipeline.clean(s, d)._1.select("doc_id", "source", "n_chars")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -459,6 +467,7 @@ object SparkEntry {
     "q_embed_topk"    -> SimilarityQueries.topkOracle,
     "q_embed_ivf"     -> SimilarityQueries.ivfOracle,
     "q_embed_lsh"     -> SimilarityQueries.lshOracle,
+    "q_embed_mplsh"   -> SimilarityQueries.mplshOracle,
     "q_embed_neardup" -> SimilarityQueries.neardupOracle,
     "q_sketch_distinct" -> SketchQueries.sketchDistinctOracle,
     "q_sketch_kmv"    -> SketchQueries.sketchKmvOracle,

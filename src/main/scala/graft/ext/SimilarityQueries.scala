@@ -111,10 +111,25 @@ object SimilarityQueries {
     * projection. The ±1 planes are generated from a fixed xorshift64 seed
     * and embedded as literals in BOTH engines' SQL, so the oracle shares
     * them by construction. */
-  def embedLsh(s: SparkSession, d: String): DataFrame = {
+  def embedLsh(s: SparkSession, d: String): DataFrame =
+    lshSearch(s, d, multiProbe = false)
+
+  /** Multi-probe variant: each query ALSO probes the 8 buckets at
+    * Hamming distance 1 from its own (flip one sign bit) — the standard
+    * recall knob for hyperplane LSH. Only the tiny QUERY side explodes
+    * (9 probe rows per query); the corpus stays single-bucketed, so the
+    * added cost is probe fan-in, never a corpus blowup. */
+  def embedMplsh(s: SparkSession, d: String): DataFrame =
+    lshSearch(s, d, multiProbe = true)
+
+  private def lshSearch(s: SparkSession, d: String,
+      multiProbe: Boolean): DataFrame = {
     val b = DedupQueries.eager(bucketed(s, d))
+    val probeList = "bucket" +: (if (multiProbe)
+      Planes.indices.map(j => s"bucket ^ ${1 << j}") else Seq.empty[String])
     val q = b.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("bucket"),
+      .select(col("vec_id").as("query_id"),
+        explode(expr(s"array(${probeList.mkString(", ")})")).as("bucket"),
         col("embedding").as("qvec"), col("nrm").as("qnrm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
@@ -228,17 +243,23 @@ object SimilarityQueries {
           FROM s) t
         WHERE rank <= 3 ORDER BY query_id, rank"""
 
-  def lshOracle: String = {
+  def lshOracle: String = lshOracleImpl(multiProbe = false)
+  def mplshOracle: String = lshOracleImpl(multiProbe = true)
+
+  private def lshOracleImpl(multiProbe: Boolean): String = {
     val bits = Planes.zipWithIndex.map { case (p, j) =>
       val lst = p.mkString("[", ", ", "]")
       s"""CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
             i -> embedding[i]::DOUBLE * ($lst)[i])) >= 0
           THEN ${1 << j} ELSE 0 END"""
     }.mkString(" + ")
+    val probes = "bucket" +: (if (multiProbe)
+      Planes.indices.map(j => s"xor(bucket, ${1 << j})") else Seq.empty[String])
     s"""$normCte,
         b AS (SELECT vec_id, embedding, nrm, $bits AS bucket FROM n),
-        q AS (SELECT vec_id AS query_id, bucket, embedding AS qvec,
-                nrm AS qnrm
+        q AS (SELECT vec_id AS query_id,
+                unnest([${probes.mkString(", ")}]) AS bucket,
+                embedding AS qvec, nrm AS qnrm
               FROM b WHERE vec_id < 10),
         s AS (SELECT query_id, q.bucket AS bucket, b.vec_id AS neighbor_id,
                 round(list_sum(list_transform(range(1, len(qvec) + 1),
