@@ -104,7 +104,7 @@ object SparkEntry {
     // each oracle-checked individually and the composition is unit-tested
     // (DocPipelineSpec).
     "q_doc_pipeline"    -> ((s: SparkSession, d: String) =>
-      ext.DocPipeline.clean(s, d)._1.select("doc_id", "source", "n_chars")),
+      ext.DocPipeline.cleanedCorpus(s, d).select("doc_id", "source", "n_chars")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

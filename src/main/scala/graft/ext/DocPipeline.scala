@@ -23,14 +23,13 @@ object DocPipeline {
   final case class CleanStats(
       input: Long, afterQuality: Long, afterExact: Long, afterNeardup: Long)
 
-  /** Returns (cleaned corpus, attrition stats). `docs` must have the
-    * `documents` schema (doc_id, text, ...). `maxRepRatio` is the
-    * Gopher-style boilerplate cutoff: documents whose most frequent
-    * bigram takes more than this share of all bigrams drop at the gate. */
-  def clean(s: SparkSession, sfDir: String,
-      maxRepRatio: Double = 0.2): (DataFrame, CleanStats) = {
+  /** The three stage outputs, built LAZILY (no actions). `maxRepRatio`
+    * is the Gopher-style boilerplate cutoff: documents whose most
+    * frequent bigram takes more than this share of all bigrams drop at
+    * the gate. */
+  private def stages(s: SparkSession, sfDir: String,
+      maxRepRatio: Double): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = graft.Tables.documents(s, sfDir)
-    val input = docs.count()
 
     // 1 — quality gate: q_text_quality's pass flag AND the repetition
     // cutoff (both narrow per-doc signals; cheapest stage runs first)
@@ -40,13 +39,11 @@ object DocPipeline {
       .filter(col("rep_ratio") <= maxRepRatio).select("doc_id")
     val kept1 = docs.join(quality, Seq("doc_id"), "left_semi")
       .join(lowRep, Seq("doc_id"), "left_semi")
-    val n1 = kept1.count()
 
     // 2 — exact dedup: keep the canonical (lowest) doc_id per fingerprint
     val canonical = DedupQueries.dedupExact(s, sfDir).select(
       col("canonical_id").as("doc_id"))
     val kept2 = kept1.join(canonical, Seq("doc_id"), "left_semi")
-    val n2 = kept2.count()
 
     // 3 — near-dup removal: drop the higher id of every verified pair,
     // restricted to pairs whose BOTH sides survived stages 1-2. If the
@@ -58,8 +55,21 @@ object DocPipeline {
       .join(keptIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
     val losers = survivingPairs.select(col("doc_b").as("doc_id")).distinct()
     val kept3 = kept2.join(losers, Seq("doc_id"), "left_anti")
-    val n3 = kept3.count()
+    (docs, kept1, kept2, kept3)
+  }
 
-    (kept3, CleanStats(input, n1, n2, n3))
+  /** The cleaned corpus as ONE lazy plan — no stats actions; use this
+    * when only the output matters (the `q_doc_pipeline` bench entry). */
+  def cleanedCorpus(s: SparkSession, sfDir: String,
+      maxRepRatio: Double = 0.2): DataFrame =
+    stages(s, sfDir, maxRepRatio)._4
+
+  /** Returns (cleaned corpus, attrition stats); the stats cost one
+    * count() action per stage. */
+  def clean(s: SparkSession, sfDir: String,
+      maxRepRatio: Double = 0.2): (DataFrame, CleanStats) = {
+    val (docs, kept1, kept2, kept3) = stages(s, sfDir, maxRepRatio)
+    (kept3, CleanStats(docs.count(), kept1.count(), kept2.count(),
+      kept3.count()))
   }
 }
