@@ -60,6 +60,33 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** JSON-lines scan with explicit schema + PERMISSIVE corruption
+    * tolerance (same contract as [[csvPermissive]]: malformed lines land
+    * in `_corrupt_record`). Explicit schema keeps the read single-pass —
+    * schema inference would scan the data twice, a non-starter at
+    * 100 TB. */
+  def jsonLines(spark: SparkSession, dir: String,
+      schema: StructType): PermissiveScan = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    val raw = spark.read
+      .format("json")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .load(dir)
+      .cache()
+    val good = raw.filter(raw("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val bad = raw.filter(raw("_corrupt_record").isNotNull)
+      .select("_corrupt_record")
+    PermissiveScan(good, bad, raw)
+  }
+
+  /** ORC table scan — same columnar contract as parquet (predicate
+    * pushdown + column pruning reach the stripe reader). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S10 — raw-zone file detection: prefix/suffix filter + dataset from the
     * 2nd path segment (ref:
     * lambda/trigger_lakehouse_stepfn_on_upload/lambda_function.py:12-31).

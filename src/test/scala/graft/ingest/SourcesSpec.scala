@@ -40,6 +40,32 @@ class SourcesSpec extends SparkSpec {
     } finally scan.unpersist()
   }
 
+  test("jsonLines quarantines malformed lines, keeps good ones") {
+    val dir = tmpDir("json")
+    Files.writeString(dir.resolve("a.jsonl"),
+      """{"order_id": "o1", "amount": 10.5}
+        |not json at all
+        |{"order_id": "o2", "amount": 20.0}""".stripMargin)
+    val scan = Sources.jsonLines(spark, dir.toString, schema)
+    try {
+      val good = scan.good.select("order_id", "amount")
+        .as[(String, Double)].collect().toSet
+      assert(good === Set(("o1", 10.5), ("o2", 20.0)))
+      assert(scan.corrupt.count() === 1)
+    } finally scan.unpersist()
+  }
+
+  test("orc round-trips with predicate pushdown at the scan") {
+    val p = tmpDir("orc").toString + "/t"
+    Seq(("o1", 10.0), ("o2", 20.0), ("o3", 30.0)).toDF("order_id", "amount")
+      .write.orc(p)
+    val scan = Sources.orc(spark, p).filter($"amount" > 15.0)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(amount)"),
+      s"expected the filter pushed to the ORC reader:\n$plan")
+    assert(scan.count() === 2)
+  }
+
   test("detectRawFiles filters by prefix/suffix and derives dataset names") {
     val root = tmpDir("zone")
     val raw = root.resolve("raw")
