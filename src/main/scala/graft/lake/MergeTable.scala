@@ -169,7 +169,17 @@ final class MergeTable private (
     * collision the merge recomputes against the fresh snapshot (so a
     * concurrent writer's files are merged with, not clobbered); orphaned
     * data dirs from lost attempts are reclaimed by [[vacuum]]. */
-  def merge(source: DataFrame, pk: String): Long = {
+  def merge(source: DataFrame, pk: String): Long =
+    merge(source, pk, evolveSchema = false)
+
+  /** MERGE with optional schema evolution (the reference's DOC-ONLY
+    * "Schema Evolution" claim, README.md:14,117 — implemented for real,
+    * mirroring Delta's `mergeSchema`): with `evolveSchema`, columns new
+    * in the source are ADDED to the table (existing rows read NULL) and
+    * columns missing from the source are kept (source rows get NULL).
+    * Without it, schema drift fails fast (enforcement — the reference's
+    * actual behavior). */
+  def merge(source: DataFrame, pk: String, evolveSchema: Boolean): Long = {
     val src = source.cache()
     try {
       retryingCommit { () =>
@@ -198,7 +208,7 @@ final class MergeTable private (
               live.partition(e => touched.contains(e.partitionValue))
             val remaining = readEntries(touchedFiles)
               .join(src.select(col(pk)).distinct(), Seq(pk), "left_anti")
-            val out = remaining.unionByName(src)
+            val out = remaining.unionByName(src, evolveSchema)
             val (_, newEntries) = writeData(out)
             (keptFiles ++ newEntries, version)
           case None =>
@@ -211,7 +221,7 @@ final class MergeTable private (
                   "to get partition-level file skipping")
             val remaining = readEntries(live)
               .join(src.select(col(pk)).distinct(), Seq(pk), "left_anti")
-            val (_, newEntries) = writeData(remaining.unionByName(src))
+            val (_, newEntries) = writeData(remaining.unionByName(src, evolveSchema))
             (newEntries, version)
         }
       }
@@ -279,6 +289,20 @@ final class MergeTable private (
   /** Time travel — snapshot of historical `version`. */
   def readVersion(version: Long): DataFrame = readEntries(readManifest(version))
 
+  /** Time travel by timestamp (Delta's `timestampAsOf`; the reference's
+    * DOC-ONLY time-travel claim, README.md:118): the snapshot at the
+    * highest version whose manifest was published at or before `ts`.
+    * Commit times come from manifest file mtimes — the same clock Delta's
+    * timestamp travel trusts. */
+  def readAsOf(ts: java.time.Instant): DataFrame = {
+    val vs = (1L to latestVersion())
+      .filter(v => Files.exists(logDir.resolve(f"$v%020d.txt")))
+      .filter(v => !Files.getLastModifiedTime(logDir.resolve(f"$v%020d.txt"))
+        .toInstant.isAfter(ts))
+    require(vs.nonEmpty, s"MergeTable at $root: no commit at or before $ts")
+    readEntries(readManifest(vs.max))
+  }
+
   /** A single directory holding EXACTLY the live snapshot in plain hive
     * layout — the shape external engines (and `CREATE TABLE ... USING
     * PARQUET LOCATION`) can read without understanding the manifest.
@@ -306,7 +330,10 @@ final class MergeTable private (
           .option("basePath", root.resolve(dir).toString)
           .parquet(paths: _*)
       }
-      .reduce(_ unionByName _)
+      // allowMissingColumns: after an evolveSchema merge, carried-over
+      // files from untouched partitions still have the pre-evolution
+      // schema — they read NULL for columns added later.
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   private def emptyLike(): DataFrame = {

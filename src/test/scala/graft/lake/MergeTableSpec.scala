@@ -84,6 +84,21 @@ class MergeTableSpec extends SparkSpec {
     assert(contents(t.read()) === Set(("o1", "2024-01-01", 99.0)))
   }
 
+  test("time travel by timestamp resolves the snapshot at that instant") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, Some("date"))
+    t.overwrite(orders(("o1", "2024-01-01", 10.0)))
+    Thread.sleep(20)
+    val between = java.time.Instant.now()
+    Thread.sleep(20)
+    t.merge(orders(("o1", "2024-01-01", 99.0)), "order_id")
+    assert(contents(t.readAsOf(between)) === Set(("o1", "2024-01-01", 10.0)))
+    assert(contents(t.readAsOf(java.time.Instant.now())) ===
+      Set(("o1", "2024-01-01", 99.0)))
+    intercept[IllegalArgumentException](
+      t.readAsOf(between.minusSeconds(3600)))
+  }
+
   test("unpartitioned table merge") {
     val root = tmpDir("mt").toString
     val t = MergeTable(spark, root, None)
@@ -128,6 +143,29 @@ class MergeTableSpec extends SparkSpec {
     assert(Files.readAllLines(foreign) === v1Body,
       "the concurrent writer's manifest must survive untouched")
     assert(contents(t.read()) === Set(("o1", "d", 1.0), ("o2", "d", 2.0)))
+  }
+
+  test("merge with evolveSchema adds new columns; without it fails fast") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, Some("date"))
+    // TWO partitions so the evolution merge leaves one partition's files
+    // carrying the pre-evolution schema
+    t.overwrite(orders(("o1", "2024-01-01", 1.0), ("o2", "2024-02-02", 2.0)))
+    val widened = Seq(("o1", "2024-01-01", 9.0, "web"))
+      .toDF("order_id", "date", "amount", "channel")
+    intercept[Exception](t.merge(widened, "order_id"))
+    t.merge(widened, "order_id", evolveSchema = true)
+    // o2's partition was untouched: its old-schema files must read NULL
+    // for the evolved column
+    val rows = t.read().select("order_id", "amount", "channel")
+      .as[(String, Double, Option[String])].collect().toSet
+    assert(rows === Set(("o1", 9.0, Some("web")), ("o2", 2.0, None)))
+    // a later non-evolved-source merge keeps the widened schema
+    t.merge(Seq(("o3", "2024-03-03", 3.0))
+      .toDF("order_id", "date", "amount"), "order_id", evolveSchema = true)
+    val rows2 = t.read().select("order_id", "channel")
+      .as[(String, Option[String])].collect().toSet
+    assert(rows2 === Set(("o1", Some("web")), ("o2", None), ("o3", None)))
   }
 
   test("merge handles NULL partition values (hive default dir)") {
