@@ -323,7 +323,14 @@ final class MergeTable private (
     if (entries.isEmpty) return emptyLike()
     // Group by commit dir: each dir is one hive-partitioned write whose
     // basePath restores the partition column.
-    entries.groupBy(_.relPath.split('/').head).toSeq.sortBy(_._1)
+    val byDir = entries.groupBy(_.relPath.split('/').head)
+    // Each live commit dir contributes one scan node to every read; a
+    // long merge history without compaction degrades plan size linearly.
+    if (byDir.size >= CompactionAdviceDirs)
+      logger.warn(
+        s"MergeTable at $root: live files span ${byDir.size} commit dirs; " +
+          "run compact() to collapse them into one scan")
+    byDir.toSeq.sortBy(_._1)
       .map { case (dir, es) =>
         val paths = es.map(e => root.resolve(e.relPath).toString)
         spark.read
@@ -357,6 +364,9 @@ object MergeTable {
   /** Unpartitioned merges rewrite every live file; warn once the table is
     * big enough for that to matter. */
   private val FullRewriteWarnFiles = 64
+  /** Advise compaction when live files span this many commit dirs (each
+    * dir is a scan node in every read plan). */
+  private val CompactionAdviceDirs = 32
   /** Distinct partition values collected to the driver per merge — log-scale
     * metadata (same contract as Delta's log), but guard the cardinality so a
     * mis-partitioned source (e.g. partitioned by a unique id) fails fast
