@@ -46,7 +46,8 @@ import org.apache.spark.sql.functions._
 final class MergeTable private (
     val spark: SparkSession,
     val root: Path,
-    val partitionCol: Option[String]) {
+    val partitionCol: Option[String],
+    val statsCol: Option[String]) {
 
   import MergeTable._
 
@@ -77,8 +78,12 @@ final class MergeTable private (
     Files.readAllLines(logDir.resolve(f"$v%020d.txt")).asScala.toSeq
       .filter(_.nonEmpty)
       .map { line =>
-        val Array(rel, pv) = line.split('\t')
-        FileEntry(rel, if (pv == NoPartition) None else Some(pv))
+        val parts = line.split('\t')
+        val pv = if (parts(1) == NoPartition) None else Some(parts(1))
+        val stats =
+          if (parts.length >= 4) Some((parts(2).toLong, parts(3).toLong))
+          else None
+        FileEntry(parts(0), pv, stats)
       }
 
   /** Try to publish `entries` as version `expected + 1`. Returns the
@@ -92,7 +97,10 @@ final class MergeTable private (
   private[lake] def tryCommit(entries: Seq[FileEntry], expected: Long): Option[Long] = {
     Files.createDirectories(logDir)
     val body = entries
-      .map(e => s"${e.relPath}\t${e.partitionValue.getOrElse(NoPartition)}")
+      .map { e =>
+        val base = s"${e.relPath}\t${e.partitionValue.getOrElse(NoPartition)}"
+        e.stats.fold(base) { case (mn, mx) => s"$base\t$mn\t$mx" }
+      }
       .mkString("\n")
     val v = expected + 1
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
@@ -152,8 +160,30 @@ final class MergeTable private (
           FileEntry(rel, pv)
         }.toSeq
     }
-    (commitDir, entries)
+    (commitDir, withStats(target, entries))
   }
+
+  /** Attach per-file min/max of `statsCol` (one metadata-scale pass over
+    * the freshly written commit dir — numFiles rows to the driver, same
+    * contract as Delta's stats collection at write time). */
+  private def withStats(target: Path,
+      entries: Seq[FileEntry]): Seq[FileEntry] =
+    statsCol.fold(entries) { sc =>
+      val byName = spark.read
+        .option("basePath", target.toString)
+        .parquet(target.toString)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(sc).cast("long")).as("mn"),
+          max(col(sc).cast("long")).as("mx"))
+        .collect()
+        .flatMap { r =>
+          if (r.isNullAt(1) || r.isNullAt(2)) None
+          else Some((r.getString(0).split('/').last,
+            (r.getLong(1), r.getLong(2))))
+        }
+        .toMap
+      entries.map(e => e.copy(stats = byName.get(e.relPath.split('/').last)))
+    }
 
   /** S5 — full overwrite (the reference's first-load path,
     * ref: orders_etl.py:93-96). Overwrite replaces the whole table, so on
@@ -286,6 +316,24 @@ final class MergeTable private (
     readEntries(pruned)
   }
 
+  /** Stats-based data skipping (Delta-style file pruning): the rows with
+    * `statsCol` in [lo, hi], scanning ONLY live files whose recorded
+    * min/max range intersects the bound. Files without stats are scanned
+    * (safe fallback — e.g. pre-stats history). */
+  def readRange(lo: Long, hi: Long): DataFrame = {
+    val sc = statsCol.getOrElse(throw new IllegalStateException(
+      s"MergeTable at $root was opened without a statsCol"))
+    readEntries(rangeEntries(lo, hi))
+      .filter(col(sc).cast("long").between(lo, hi))
+  }
+
+  /** Live entries surviving the [lo, hi] stats prune (exposed for tests
+    * to assert files are actually skipped). */
+  private[lake] def rangeEntries(lo: Long, hi: Long): Seq[FileEntry] = {
+    val (_, live) = latest()
+    live.filter(_.stats.forall { case (mn, mx) => mx >= lo && mn <= hi })
+  }
+
   /** Time travel — snapshot of historical `version`. */
   def readVersion(version: Long): DataFrame = readEntries(readManifest(version))
 
@@ -374,12 +422,17 @@ object MergeTable {
   private val MaxPartitionsPerMerge = 100000
 
   private[lake] final case class FileEntry(relPath: String,
-      partitionValue: Option[String])
+      partitionValue: Option[String],
+      stats: Option[(Long, Long)] = None)
 
-  /** Open (or lazily create on first write) a table at `root`. */
+  /** Open (or lazily create on first write) a table at `root`.
+    * `statsCol` names a long-castable column whose per-file min/max is
+    * recorded in the manifest, enabling [[MergeTable.readRange]] file
+    * skipping (Delta-style data skipping). */
   def apply(spark: SparkSession, root: String,
-      partitionCol: Option[String] = None): MergeTable =
-    new MergeTable(spark, Paths.get(root), partitionCol)
+      partitionCol: Option[String] = None,
+      statsCol: Option[String] = None): MergeTable =
+    new MergeTable(spark, Paths.get(root), partitionCol, statsCol)
 
   /** Spark escapes special chars in partition dir names (URL-style). */
   private def unescapePathValue(s: String): String =

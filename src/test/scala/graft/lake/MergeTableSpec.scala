@@ -168,6 +168,29 @@ class MergeTableSpec extends SparkSpec {
     assert(rows2 === Set(("o1", Some("web")), ("o2", None), ("o3", None)))
   }
 
+  test("readRange skips files by manifest min/max stats") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, None, statsCol = Some("k"))
+    // 4 range-partitioned files with disjoint k ranges
+    val df = spark.range(0, 100).toDF("k")
+      .withColumn("payload", col("k") * 2)
+      .repartitionByRange(4, col("k"))
+    t.overwrite(df)
+    val total = t.rangeEntries(Long.MinValue, Long.MaxValue).size
+    assert(total >= 4, s"expected >=4 stats-bearing files, got $total")
+    val pruned = t.rangeEntries(10, 20)
+    assert(pruned.size < total, "disjoint-range files must be skipped")
+    assert(pruned.forall(_.stats.isDefined))
+    val rows = t.readRange(10, 20).select("k").as[Long].collect().toSet
+    assert(rows === (10L to 20L).toSet)
+    // stats survive a merge: carried-over entries keep theirs, new files
+    // get fresh ones
+    t.merge(Seq((500L, 1000L)).toDF("k", "payload"), "k")
+    assert(t.readRange(400, 600).select("k").as[Long].collect().toSeq ===
+      Seq(500L))
+    assert(t.rangeEntries(400, 600).forall(_.stats.isDefined))
+  }
+
   test("merge handles NULL partition values (hive default dir)") {
     val root = tmpDir("mt").toString
     val t = MergeTable(spark, root, Some("date"))
