@@ -148,23 +148,18 @@ object DedupQueries {
           .as("est_jaccard"))
 
   /** Tier 4 — SimHash: 16-bit per-document fingerprint from token hashes
-    * (bit j votes +1/-1 per token, sign → bit). Narrow per-row compute;
-    * hamming-neighbor lookup at scale is a join on rotated bit-chunks. */
+    * (bit j votes +1/-1 per token, sign → bit), computed by the native
+    * codegen'd [[graft.functions.SimHash16]] expression in one traversal
+    * (bit-identical to the 16-lambda HOF form it replaced — proven by
+    * SimHashFunctionsSpec). Narrow per-row compute; hamming-neighbor
+    * lookup at scale is a join on rotated bit-chunks. */
   def docSimhash(s: SparkSession, d: String): DataFrame = {
-    val bits = 16
-    val votes = (0 until bits).map { j =>
-      expr(
-        s"""aggregate(transform(ths, h -> 2 * cast(shiftright(h, $j) & 1 as int) - 1),
-            0, (acc, x) -> acc + x)""").as(s"v_$j")
-    }
-    val simhash = (0 until bits)
-      .map(j => s"IF(v_$j > 0, ${1L << j}, 0)").mkString(" + ")
+    graft.functions.SimHashFunctions.register(s)
     documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("ths", expr(
         "transform(toks, t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"))
-      .select(col("doc_id") +: votes: _*)
-      .select(col("doc_id"), expr(simhash).as("simhash16"))
+      .select(col("doc_id"), expr("simhash16(ths)").as("simhash16"))
   }
 
   /** Tier 5 — exact n-gram Jaccard verification of the LSH candidate pairs
