@@ -84,6 +84,7 @@ object SparkEntry {
     "q_ngram_jaccard"   -> (DedupQueries.ngramJaccard _),
     "q_chunk_dedup"     -> (DedupQueries.chunkDedup _),
     "q_text_repetition" -> (TextQueries.textRepetition _),
+    "q_doc_sample"      -> (TextQueries.docSample _),
     // §7.5(b) — LLM-pipeline similarity search over embeddings
     "q_embed_topk"      -> (SimilarityQueries.embedTopk _),
     "q_embed_ivf"       -> (SimilarityQueries.embedIvf _),
@@ -449,6 +450,14 @@ object SparkEntry {
     "q_doc_simhash"   -> DedupQueries.simhashOracle,
     "q_ngram_jaccard" -> DedupQueries.ngramJaccardOracle,
     "q_chunk_dedup"   -> DedupQueries.chunkDedupOracle,
+    "q_doc_sample" ->
+      """SELECT doc_id, lang,
+               ('0x' || substr(md5(doc_id || ':sample'), 1, 8))::BIGINT % 100
+                 AS bucket
+         FROM documents
+         WHERE ('0x' || substr(md5(doc_id || ':sample'), 1, 8))::BIGINT % 100
+               < 20
+         ORDER BY doc_id""",
     "q_text_repetition" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
                     FROM documents),

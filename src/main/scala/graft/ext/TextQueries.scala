@@ -114,6 +114,21 @@ object TextQueries {
              / size(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+', 0)), 4)""")
           .as("avg_subword_len"))
 
+  /** Deterministic hash sampling — the reproducible way to sample a
+    * corpus: membership is a pure function of the key (md5 of doc_id +
+    * salt), so the sample is stable across retries, engines, and
+    * partitionings, and two pipelines sampling the same rate get the
+    * SAME documents (join-stable). `rand()`-based sampling has none of
+    * these properties. Keeps the 20 of 100 hash buckets below the
+    * threshold — a narrow filter the scan absorbs. */
+  def docSample(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("bucket", expr(
+        """cast(conv(substring(md5(concat(cast(doc_id as string), ':sample')),
+           1, 8), 16, 10) as bigint) % 100"""))
+      .filter(col("bucket") < 20)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+
   /** Repetition scoring (the Gopher-style quality rule): the share of a
     * document's 2-grams taken by its single most frequent 2-gram.
     * Boilerplate/spam repeats the same phrase; prose doesn't. Two-stage
