@@ -28,8 +28,14 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    // Warmup: flagship join+agg, untimed.
-    try materialize("q_top_products") catch { case _: Throwable => () }
+    // Warmup, untimed: one representative per engine path (join+agg,
+    // window, LSH/HOF, native vector expression) so the first timed
+    // query of each shape doesn't absorb its codegen/JIT cost.
+    for (w <- Seq("q_top_products", "q_window_rank", "q_doc_neardup",
+        "q_embed_topk")) {
+      try materialize(w) catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
 
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
