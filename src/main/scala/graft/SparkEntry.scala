@@ -61,6 +61,7 @@ object SparkEntry {
     "q_cube_agg"        -> (AnalyticQueries.cubeAgg _),
     "q_grouping_sets"   -> (AnalyticQueries.groupingSets _),
     "q_percentiles"     -> (AnalyticQueries.percentiles _),
+    "q_percentiles_bd"  -> (AnalyticQueries.percentilesBounded _),
     "q_distinct_salted" -> (AnalyticQueries.distinctSalted _),
     "q_json_extract"    -> (AnalyticQueries.jsonExtract _),
     "q_window_range"    -> (AnalyticQueries.windowRange _),
@@ -290,12 +291,19 @@ object SparkEntry {
                round(quantile_cont(l_quantity, 0.75), 4) AS q75,
                round(quantile_cont(l_extendedprice, 0.5), 4) AS med_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_percentiles_bd" ->
+      """SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+               round(quantile_cont(l_quantity, 0.5), 4) AS q50,
+               round(quantile_cont(l_quantity, 0.75), 4) AS q75
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_distinct_salted" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 AS BIGINT) AS sum_k,
                round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
                  AS avg_k
          FROM events GROUP BY 1 ORDER BY event_type""",
@@ -339,7 +347,7 @@ object SparkEntry {
       """WITH g AS (
            SELECT user_id, event_id, value, ts,
                   CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                        THEN 1 ELSE 0 END AS new_sess
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -410,9 +418,9 @@ object SparkEntry {
          h AS (SELECT doc_id, lang,
                  len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS de_hits,
                  len(list_filter(toks, t -> t IN ('the','a','and','is','of'))) AS en_hits,
-                 len(list_filter(toks, t -> t IN ('el','la','de','y','es'))) AS es_hits,
-                 len(list_filter(toks, t -> t IN ('le','la','de','et','est'))) AS fr_hits,
-                 len(list_filter(toks, t -> t IN ('de','shi','le','zai','he'))) AS zh_hits
+                 len(list_filter(toks, t -> t IN ('el','los','una','y','es'))) AS es_hits,
+                 len(list_filter(toks, t -> t IN ('le','la','les','et','est'))) AS fr_hits,
+                 len(list_filter(toks, t -> t IN ('shi','zai','he','wo','ni'))) AS zh_hits
                FROM t),
          m AS (SELECT *, greatest(de_hits, en_hits, es_hits, fr_hits, zh_hits)
                         AS mx FROM h)

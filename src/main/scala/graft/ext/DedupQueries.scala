@@ -25,19 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  /** Mersenne prime 2^31-1; universal-hash modulus. Base hashes are 32-bit
-    * (8 hex chars of md5) reduced mod P, multipliers < 2^30, so
-    * `a*h + b < 2^61` — no Long overflow in either engine. */
-  private val P = 2147483647L
+  /** Universal-hash modulus and family — canonical definition lives in
+    * [[graft.functions.HashFamily]] (shared with the `minhash_sig`
+    * injection in GraftExtensions); the oracle SQL below is generated from
+    * the same constants. */
+  private val P = graft.functions.HashFamily.P
+  private[ext] val AB: Seq[(Long, Long)] = graft.functions.HashFamily.AB
 
-  /** 12 universal-hash (a, b) pairs — Knuth multiplicative constants,
-    * deterministic so Spark and the oracle share the exact family. */
-  private[ext] val AB: Seq[(Long, Long)] =
-    (1 to 12).map { i =>
-      ((2654435761L * i) % 1073741789L, (2246822519L * i) % P)
-    }
-
-  private val NumHashes = AB.size
+  private[ext] val NumHashes = AB.size
   private val Bands     = 4
   private val Rows      = NumHashes / Bands // 3 → LSH threshold ~ (1/4)^(1/3) ≈ 0.63
 
@@ -267,8 +262,10 @@ object DedupQueries {
 
   /** Shared CTE chain for the LSH pipeline: shingles → signatures → band
     * keys → candidate pairs, generated from [[AB]] so the hash family can
-    * never drift between engines. */
-  private def candCte: String = {
+    * never drift between engines. Exposed to [[DocPipeline]] so the
+    * composed pipeline oracle reuses the exact same chain (`t` carries
+    * doc_id/text/toks for the quality CTEs). */
+  private[ext] def candCte: String = {
     val sigList = AB.map { case (a, b) =>
       s"list_min(list_transform(hs, h -> ($a * h + $b) % $P))"
     }.mkString("[", ",\n                   ", "]")

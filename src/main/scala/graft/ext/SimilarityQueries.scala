@@ -59,10 +59,12 @@ object SimilarityQueries {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
-  /** IVF two-stage: 8 seed centroids (vec_id < 8 — deterministic, the
-    * fixture ids are cluster-shuffled), assign all vectors by max cosine
-    * (tie → lowest centroid id), then top-3 in-cell neighbors for query
-    * vectors 8 ≤ vec_id < 28. */
+  /** IVF two-stage: [[ivfCells]] seed centroids (√(N/8), min 8 — cells
+    * GROW with the corpus so per-query in-cell work keeps shrinking;
+    * seeds = lowest vec_ids, deterministic, the fixture ids are
+    * cluster-shuffled), assign all vectors by max cosine (tie → lowest
+    * centroid id), then top-3 in-cell neighbors for query vectors
+    * 8 ≤ vec_id < 28. */
   def embedIvf(s: SparkSession, d: String): DataFrame = {
     val cells = DedupQueries.eager(assignedCells(s, d))
     val q = cells.filter(col("vec_id") >= 8 && col("vec_id") < 28)
@@ -84,22 +86,56 @@ object SimilarityQueries {
   }
 
   /** Embedding-cosine near-duplicate pairs — the 5th dedup tier (vector
-    * space instead of token space). Candidates = pairs sharing an IVF cell
-    * (bucketed equi-join on cell id, never all-pairs); verify = exact
-    * cosine ≥ 0.4 (the fixtures plant no true high-cosine dups — 0.4 keeps
-    * the verify stage demonstrably exercised: ~20 surviving pairs at
-    * sf0.01). */
+    * space instead of token space). Candidates = pairs sharing a
+    * hyperplane-LSH bucket in either of 2 independent bands whose WIDTH
+    * GROWS WITH THE CORPUS ([[bandBits]]: target ~8 vectors/bucket, so
+    * bucket count ∝ N and the expected candidate-pair count is O(N), not
+    * O(N²/constant) — the round-3 fixed-8-cell all-pairs stage was
+    * quadratic). Verify = exact cosine ≥ 0.4 (the fixtures plant no true
+    * high-cosine dups — 0.4 keeps the verify stage demonstrably
+    * exercised); a pair surviving in both bands is deduplicated by the
+    * final group-by (cos is identical on both copies). */
   def embedNeardup(s: SparkSession, d: String): DataFrame = {
-    val cells = DedupQueries.eager(assignedCells(s, d))
-    cells.as("a")
-      .join(cells.as("b"),
-        col("a.cell") === col("b.cell") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos",
-        expr(s"round(${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6)"))
-      .filter(col("cos") >= 0.4)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.cell").as("cell"), col("cos"))
+    val e = DedupQueries.eager(banded(s, d))
+    def pairsIn(bcol: String): DataFrame =
+      e.as("a")
+        .join(e.as("b"),
+          col(s"a.$bcol") === col(s"b.$bcol") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos",
+          expr(s"round(${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6)"))
+        .filter(col("cos") >= 0.4)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("cos"))
+    pairsIn("b0").unionByName(pairsIn("b1"))
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(min(col("cos")).as("cos"))
+  }
+
+  /** Band width (sign bits per LSH band) for a corpus of `n` vectors:
+    * the smallest b in [4, 16] with 2^b buckets ≥ n / 8 (target ~8
+    * vectors per bucket, so in-bucket pair work stays O(N) as the corpus
+    * grows). INTEGER-ONLY arithmetic — the oracle evaluates the same rule
+    * per bit as `j < 4 OR n > 8·2^j` (monotone in j, so bit j is active
+    * iff j < b), with no float log that could round differently across
+    * engines. */
+  private[ext] def bandBits(n: Long): Int =
+    4 + (4 until 16).count(j => n > (8L << j))
+
+  /** Corpus with TWO independent corpus-width LSH band buckets attached
+    * (narrow). Band 0 uses planes 0..b, band 1 uses planes 16..16+b of
+    * the fixed 32-plane family. */
+  private def banded(s: SparkSession, d: String): DataFrame = {
+    val b = bandBits(embeddings(s, d).count())
+    def bucket(offset: Int): String =
+      (0 until b).map { j =>
+        val p = Planes32(offset + j)
+        val arr = s"CAST(array(${p.mkString(", ")}) AS ARRAY<FLOAT>)"
+        s"IF(${dot("embedding", arr)} >= 0, ${1 << j}, 0)"
+      }.mkString(" + ")
+    normed(s, d)
+      .withColumn("b0", expr(bucket(0)))
+      .withColumn("b1", expr(bucket(16)))
   }
 
   /** Random-hyperplane (SimHash-for-vectors) LSH buckets — the third ANN
@@ -154,22 +190,42 @@ object SimilarityQueries {
     normed(s, d).withColumn("bucket", expr(bits.mkString(" + ")))
   }
 
-  /** 8 Rademacher hyperplanes over 64 dims from a fixed xorshift64 seed —
-    * deterministic, engine-neutral (only the literals ±1 cross engines). */
-  private[ext] val Planes: Seq[Seq[Int]] = {
+  /** 32 Rademacher hyperplanes over 64 dims from a fixed xorshift64 seed —
+    * deterministic, engine-neutral (only the literals ±1 cross engines).
+    * The first 8 serve [[embedLsh]]/[[embedMplsh]]; [[embedNeardup]]'s two
+    * corpus-width bands draw from 0..16 and 16..32. */
+  private[ext] val Planes32: Seq[Seq[Int]] = {
     var x = 88172645463325252L
-    Seq.fill(8)(Seq.fill(64) {
+    Seq.fill(32)(Seq.fill(64) {
       x ^= x << 13; x ^= x >>> 7; x ^= x << 17
       if (x >= 0) 1 else -1
     })
   }
 
-  /** Cell assignment shared by [[embedIvf]] and [[embedNeardup]]; callers
-    * eager-cache it because they use it on two join sides (at 100 TB this
-    * is a persisted intermediate table, not a recompute). */
+  /** The 8-plane prefix used by the fixed-width LSH search tier. */
+  private[ext] val Planes: Seq[Seq[Int]] = Planes32.take(8)
+
+  /** IVF centroid count for a corpus of `n` vectors: √(n/8) (min 8), so
+    * cells grow with the corpus and per-query in-cell work O(n/C) keeps
+    * shrinking relative to n (the round-3 fixed C=8 stopped shrinking).
+    * `sqrt`/`ceil` are IEEE-exact, so Scala and the oracle's SQL agree. */
+  private[ext] def ivfCells(n: Long): Long =
+    math.max(8L, math.ceil(math.sqrt(n / 8.0)).toLong)
+
+  /** SQL form of [[ivfCells]] over the corpus row count. */
+  private val ivfCellsSql: String =
+    "(SELECT GREATEST(8, CAST(ceil(sqrt(count(*) / 8.0)) AS BIGINT)) " +
+      "FROM embeddings)"
+
+  /** Cell assignment used by [[embedIvf]]; callers eager-cache it because
+    * they use it on two join sides (at 100 TB this is a persisted
+    * intermediate table, not a recompute). Centroids = the first
+    * [[ivfCells]] vec_ids (deterministic; the fixture ids are
+    * cluster-shuffled, so id order is an unbiased seed draw). */
   private def assignedCells(s: SparkSession, d: String): DataFrame = {
     val e = normed(s, d)
-    val cent = e.filter(col("vec_id") < 8)
+    val c = ivfCells(embeddings(s, d).count())
+    val cent = e.filter(col("vec_id") < c)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
         col("nrm").as("cnrm"))
     val wAssign = Window.partitionBy(col("vec_id"))
@@ -208,11 +264,12 @@ object SimilarityQueries {
         WHERE rank <= 5 ORDER BY query_id, rank"""
 
   /** Shared cell-assignment CTE chain (normed corpus → centroids → argmax
-    * assignment → `nc` = corpus with cell ids). */
+    * assignment → `nc` = corpus with cell ids). Centroid count is the
+    * same corpus-derived [[ivfCells]] rule as the Spark side. */
   private val cellsCte: String =
     s"""$normCte,
         cent AS (SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
-                 FROM n WHERE vec_id < 8),
+                 FROM n WHERE vec_id < $ivfCellsSql),
         asg AS (SELECT n.vec_id, cent_id,
                   round(list_sum(list_transform(range(1, len(embedding) + 1),
                           i -> embedding[i]::DOUBLE * cvec[i]::DOUBLE))
@@ -274,14 +331,37 @@ object SimilarityQueries {
         WHERE rank <= 3 ORDER BY query_id, rank"""
   }
 
-  def neardupOracle: String =
-    s"""$cellsCte
-        SELECT vec_a, vec_b, cell, cos FROM (
-          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell AS cell,
-                 round(list_sum(list_transform(range(1, len(a.embedding) + 1),
-                         i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-                       / (a.nrm * b.nrm), 6) AS cos
-          FROM nc a JOIN nc b
-            ON a.cell = b.cell AND a.vec_id < b.vec_id) t
-        WHERE cos >= 0.4 ORDER BY vec_a, vec_b"""
+  def neardupOracle: String = {
+    // Same corpus-width band rule as the Spark side ([[bandBits]]): bit j
+    // of a band bucket is active iff j < 4 OR n > 8·2^j — pure integer
+    // comparisons, so the two engines can never disagree on the width.
+    def bucketSql(offset: Int): String =
+      (0 until 16).map { j =>
+        val lst = Planes32(offset + j).mkString("[", ", ", "]")
+        val sign =
+          s"""list_sum(list_transform(range(1, len(embedding) + 1),
+                i -> embedding[i]::DOUBLE * ($lst)[i])) >= 0"""
+        val cond = if (j < 4) sign else s"nn > ${8L << j} AND $sign"
+        s"CASE WHEN $cond THEN ${1 << j} ELSE 0 END"
+      }.mkString("\n                 + ")
+    val pairCos =
+      """round(list_sum(list_transform(range(1, len(x.embedding) + 1),
+               i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+             / (x.nrm * y.nrm), 6)"""
+    s"""$normCte,
+        params AS (SELECT count(*) AS nn FROM embeddings),
+        bb AS (SELECT vec_id, embedding, nrm,
+                 ${bucketSql(0)} AS b0,
+                 ${bucketSql(16)} AS b1
+               FROM n, params),
+        pairs AS (
+          SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, $pairCos AS cos
+          FROM bb x JOIN bb y ON x.b0 = y.b0 AND x.vec_id < y.vec_id
+          UNION ALL
+          SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, $pairCos AS cos
+          FROM bb x JOIN bb y ON x.b1 = y.b1 AND x.vec_id < y.vec_id)
+        SELECT vec_a, vec_b, min(cos) AS cos
+        FROM pairs WHERE cos >= 0.4
+        GROUP BY vec_a, vec_b ORDER BY vec_a, vec_b"""
+  }
 }

@@ -69,10 +69,12 @@ object TextQueries {
 
   /** Language identification via stopword-marker hit counts (the classic
     * n-gram/stopword heuristic): score each candidate language by marker
-    * occurrences, pick the argmax with an alphabetical tie-break. The
-    * synthetic corpus is English-ish word soup, so predictions skew `en` —
-    * the operator is graded on machinery + determinism, not fixture
-    * realism. */
+    * occurrences, pick the argmax with an alphabetical tie-break. Marker
+    * sets are pairwise DISJOINT so per-language scores are uncorrelated
+    * (a shared token like 'de' or 'la' would couple fr/es/zh scores to
+    * de/en). The synthetic corpus is English-ish word soup, so predictions
+    * skew `en` — the operator is graded on machinery + determinism, not
+    * fixture realism. */
   def textLangid(s: SparkSession, d: String): DataFrame =
     withToks(documents(s, d))
       .withColumn("de_hits", expr(
@@ -80,11 +82,11 @@ object TextQueries {
       .withColumn("en_hits", expr(
         "size(filter(toks, t -> t IN ('the', 'a', 'and', 'is', 'of')))"))
       .withColumn("es_hits", expr(
-        "size(filter(toks, t -> t IN ('el', 'la', 'de', 'y', 'es')))"))
+        "size(filter(toks, t -> t IN ('el', 'los', 'una', 'y', 'es')))"))
       .withColumn("fr_hits", expr(
-        "size(filter(toks, t -> t IN ('le', 'la', 'de', 'et', 'est')))"))
+        "size(filter(toks, t -> t IN ('le', 'la', 'les', 'et', 'est')))"))
       .withColumn("zh_hits", expr(
-        "size(filter(toks, t -> t IN ('de', 'shi', 'le', 'zai', 'he')))"))
+        "size(filter(toks, t -> t IN ('shi', 'zai', 'he', 'wo', 'ni')))"))
       .withColumn("mx",
         expr("greatest(de_hits, en_hits, es_hits, fr_hits, zh_hits)"))
       .select(

@@ -89,3 +89,22 @@ object MinHashFunctions {
         "minhash_sig", exprs => MinHashSig(exprs.head, ab, p), "built-in")
   }
 }
+
+/** The library's canonical MinHash universal-hash family — single source
+  * of truth shared by [[graft.ext.DedupQueries]] (which also generates the
+  * DuckDB oracle SQL from it) and [[GraftExtensions]] (which binds the
+  * injected `minhash_sig` to it), so the hash family can never drift
+  * between the query layer and externally-built sessions. */
+object HashFamily {
+  /** Mersenne prime 2^31-1; universal-hash modulus. Base hashes are 32-bit
+    * (8 hex chars of md5) reduced mod P, multipliers < 2^30, so
+    * `a*h + b < 2^61` — no Long overflow in either engine. */
+  val P: Long = 2147483647L
+
+  /** 12 universal-hash (a, b) pairs — Knuth multiplicative constants,
+    * deterministic so Spark and the oracle share the exact family. */
+  val AB: Seq[(Long, Long)] =
+    (1 to 12).map { i =>
+      ((2654435761L * i) % 1073741789L, (2246822519L * i) % P)
+    }
+}

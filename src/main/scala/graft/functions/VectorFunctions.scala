@@ -82,14 +82,24 @@ object VectorFunctions {
 }
 
 /** SparkSessionExtensions hook: `--conf
-  * spark.sql.extensions=graft.functions.GraftExtensions` injects this
-  * library's native functions into ANY session at build time — the
-  * registration path for sessions this library does not construct
-  * (spark-submit jobs, notebooks, Spark Connect servers). */
+  * spark.sql.extensions=graft.functions.GraftExtensions` injects ALL of
+  * this library's native functions (`dot_f`, `simhash16`, and
+  * `minhash_sig` bound to the canonical [[HashFamily]]) into ANY session
+  * at build time — the registration path for sessions this library does
+  * not construct (spark-submit jobs, notebooks, Spark Connect servers). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
       VectorFunctions.DotFBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+      exprs => SimHash16(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      exprs => MinHashSig(exprs.head, HashFamily.AB, HashFamily.P)))
+  }
 }

@@ -123,17 +123,17 @@ object AnalyticQueries {
   }
 
   /** GROUPING SETS — the general grouping-set form (rollup and cube are
-    * its specializations), expressed through the `spark.sql` surface over
-    * a registered view: per-status totals and per-priority totals in ONE
-    * shuffle over an Expand, instead of two separate aggregation jobs. */
-  def groupingSets(s: SparkSession, d: String): DataFrame = {
-    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
-    s.sql(
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-               round(sum(o_totalprice), 2) AS total
-         FROM orders_gs
-         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""")
-  }
+    * its specializations): per-status totals and per-priority totals in
+    * ONE shuffle over an Expand, instead of two separate aggregation jobs.
+    * Uses the Dataset `groupingSets` API directly — no session-global temp
+    * view, so concurrent callers share no mutable catalog state. */
+  def groupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
 
   /** JSON extraction — parse the events' `props` JSON payload with a
     * path expression and aggregate the extracted field. `get_json_object`
@@ -171,7 +171,14 @@ object AnalyticQueries {
 
   /** Exact linear-interpolation percentiles per group (Spark `percentile`
     * ≡ DuckDB `quantile_cont`). Quantity is whole-valued so the
-    * interpolation arithmetic is exact in double on both engines. */
+    * interpolation arithmetic is exact in double on both engines.
+    *
+    * SCALE WARNING: Spark's exact `percentile` is a
+    * TypedImperativeAggregate that buffers EVERY value of a group in one
+    * reducer — with 3 `l_returnflag` groups that is N/3 doubles in one
+    * task at 100 TB (OOM, not slow). This query is kept for reference
+    * parity at fixture scale; the 100 TB path for a bounded-domain column
+    * is [[percentilesBounded]] (identical results, O(domain) state). */
   def percentiles(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
@@ -180,4 +187,43 @@ object AnalyticQueries {
         expr("round(percentile(l_quantity, 0.5), 4)").as("q50"),
         expr("round(percentile(l_quantity, 0.75), 4)").as("q75"),
         expr("round(percentile(l_extendedprice, 0.5), 4)").as("med_price"))
+
+  /** Scale-safe EXACT percentiles for a bounded-domain column — the
+    * 100 TB replacement for the value-buffering `percentile` aggregate.
+    * `l_quantity` takes 50 distinct whole values, so the exact
+    * interpolated percentile is computable from a count-by-value
+    * aggregate (per-group state = O(domain), map-side combinable) plus a
+    * cumulative pass over the TINY (group × domain) result:
+    * rank h = p·(n−1); the values at ranks ⌊h⌋/⌈h⌉ fall out of the
+    * cumulative counts; linear interpolation between them is exactly
+    * `percentile`'s / DuckDB `quantile_cont`'s formula. The windows run
+    * over ≤ |groups|·|domain| rows — driver-safe at any corpus size.
+    * p ∈ {0.25, 0.5, 0.75} are exact binary fractions, so h = p·(n−1) is
+    * exact in double and both engines agree bitwise. */
+  def percentilesBounded(s: SparkSession, d: String): DataFrame = {
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    val cum = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    val qs = Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75")
+    val aggs = qs.flatMap { case (p, nm) =>
+      Seq(
+        min(when(col("cum") > floor(lit(p) * (col("n") - 1).cast("double")),
+          col("v"))).as(s"${nm}_lo"),
+        min(when(col("cum") > ceil(lit(p) * (col("n") - 1).cast("double")),
+          col("v"))).as(s"${nm}_hi"),
+        min(lit(p) * (col("n") - 1).cast("double")).as(s"${nm}_h"))
+    }
+    cum.groupBy(col("l_returnflag"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("l_returnflag") +: qs.map { case (_, nm) =>
+        round(col(s"${nm}_lo") +
+          (col(s"${nm}_h") - floor(col(s"${nm}_h"))) *
+            (col(s"${nm}_hi") - col(s"${nm}_lo")), 4).as(nm)
+      }: _*)
+  }
 }

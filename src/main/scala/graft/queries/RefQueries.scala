@@ -279,7 +279,11 @@ object RefQueries {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
 
   /** Sessionization in batch — gap-based session ids via lag + cumulative
-    * sum (the batch analog of flatMapGroupsWithState, SURVEY §7.5). */
+    * sum (the batch analog of flatMapGroupsWithState, SURVEY §7.5).
+    * Boundary rule: an event exactly gap after the previous one starts a
+    * NEW session (diff >= gap) — the same rule as `session_window` and
+    * [[graft.streaming.EventStreams.sessionize]], so all three
+    * sessionizers in this library agree on the boundary case. */
   def eventsSessionize(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
@@ -288,7 +292,7 @@ object RefQueries {
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_sess",
         when(col("prev_ts").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >=
             gapMin * 60L * 1000000L, lit(1)).otherwise(lit(0)))
       .withColumn("session_id", sum(col("new_sess")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -100,7 +100,9 @@ object EventStreams {
     * emitted when the event-time watermark passes the session's gap
     * horizon (`flatMapGroupsWithState` + EventTimeTimeout). Equivalent to
     * the batch `q_events_sessionize` semantics, expressed as incremental
-    * keyed state. */
+    * keyed state. Boundary rule: an event exactly at lastTs + gap starts
+    * a NEW session (diff >= gap) — same rule as `session_window` and the
+    * batch sessionizers. */
   def sessionize(events: Dataset[Ev],
       gapMs: Long = DefaultGapMs): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -127,7 +129,7 @@ object EventStreams {
       for (e <- rows.toSeq.sortBy(_.ts.getTime)) {
         val t = e.ts.getTime
         cur = cur match {
-          case Some(st) if t - st.lastMs <= gapMs =>
+          case Some(st) if t - st.lastMs < gapMs =>
             Some(st.copy(lastMs = math.max(st.lastMs, t),
               nEv = st.nEv + 1, total = st.total + e.value))
           case Some(st) =>

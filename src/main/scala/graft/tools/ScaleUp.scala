@@ -21,9 +21,13 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     val OK = 1000000000L  // orderkey stride per copy
-    val CK = 10000000L    // custkey stride
+    val CK = 10000000L    // custkey stride — ALSO the events.user_id
+                          // stride: user_id joins o_custkey (asof join),
+                          // so both sides must shift by the same stride
+                          // or cross-copy FKs break; CK also exceeds the
+                          // fixture user_id range, so copies never merge
+                          // distinct users' event streams.
     val DK = 10000000L    // doc/vec/event id stride
-    val UK = 1000L        // user stride
 
     def rep(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
@@ -44,7 +48,7 @@ object ScaleUp {
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * OK)))
     rep("events")((df, i) => df
       .withColumn("event_id", col("event_id") + lit(i * DK))
-      .withColumn("user_id", col("user_id") + lit(i * UK)))
+      .withColumn("user_id", col("user_id") + lit(i * CK)))
     // Distinct vowel permutation per copy: changes (nearly) every token,
     // so shingle overlap across copies is ~0 — cross-copy docs are NOT
     // near-duplicates and dedup workloads scale on corpus size, not on
