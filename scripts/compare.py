@@ -70,12 +70,22 @@ def main():
             only_d = list(dset - sset)[:3]
             print(f"FAIL {name}: rows spark={len(spark)-1} duck={len(duck)-1}"
                   f"\n  only-spark: {only_s}\n  only-duck:  {only_d}")
-    # Queries WITHOUT an oracle get the driver's weaker rows-only check.
+    # Queries WITHOUT an oracle get the driver's weaker rows-only check —
+    # but ONLY if they are intentionally oracle-less (explicit allowlist).
+    # An unexpected extra (stale dir from a renamed query, or an oracle
+    # entry accidentally dropped) must FAIL, not silently downgrade from
+    # hash-checked to rows>0. Currently every query has an oracle.
+    ROWS_ONLY_OK: set = set()
     import glob
     import os
     for d in sorted(glob.glob(f"{out_dir}/q_*")):
         name = os.path.basename(d)
         if name in oracle:
+            continue
+        if name not in ROWS_ONLY_OK:
+            print(f"FAIL {name}: output dir has no oracle entry and is not "
+                  f"in the rows-only allowlist (stale dir or dropped oracle?)")
+            n_fail += 1
             continue
         try:
             n = con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]

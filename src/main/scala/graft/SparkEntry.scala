@@ -101,10 +101,9 @@ object SparkEntry {
     "q_media_transform" -> ((s: SparkSession, d: String) =>
       ext.Multimodal.transformed(s, ext.Multimodal.mediaTable(Tables.documents(s, d)))),
     // Composed cleaning pipeline end-to-end (quality+repetition gate →
-    // exact dedup → near-dup removal). No single-statement SQL oracle —
-    // the driver records the weaker rows-only check; stage semantics are
-    // each oracle-checked individually and the composition is unit-tested
-    // (DocPipelineSpec).
+    // exact dedup → near-dup removal), hash-checked against a single
+    // composed DuckDB statement (DocPipeline.pipelineOracle) and
+    // unit-tested (DocPipelineSpec).
     "q_doc_pipeline"    -> ((s: SparkSession, d: String) =>
       ext.DocPipeline.cleanedCorpus(s, d).select("doc_id", "source", "n_chars")),
   )
@@ -488,6 +487,7 @@ object SparkEntry {
     "q_embed_neardup" -> SimilarityQueries.neardupOracle,
     "q_sketch_distinct" -> SketchQueries.sketchDistinctOracle,
     "q_sketch_kmv"    -> SketchQueries.sketchKmvOracle,
+    "q_doc_pipeline"  -> ext.DocPipeline.pipelineOracle(),
     "q_text_bpe" ->
       """SELECT doc_id,
                 len(string_split(text, ' ')) AS n_words,

@@ -72,4 +72,59 @@ object DocPipeline {
     (kept3, CleanStats(docs.count(), kept1.count(), kept2.count(),
       kept3.count()))
   }
+
+  /** DuckDB oracle for the COMPOSED pipeline — the stage CTEs of
+    * `q_text_quality`, `q_text_repetition`, `q_dedup_exact`, and
+    * `q_doc_neardup` (via [[DedupQueries.candCte]], so the LSH hash
+    * family is shared by construction) chained into one statement with
+    * the same kept1→kept2→kept3 attrition as [[stages]]. The repetition
+    * gate compares the ROUNDED rep_ratio, exactly like the Spark side
+    * (which filters on textRepetition's round(...,4) column). */
+  def pipelineOracle(maxRepRatio: Double = 0.2): String = {
+    val nh = DedupQueries.NumHashes
+    s"""${DedupQueries.candCte},
+        quality AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, len(toks) AS n_tokens,
+                   CAST(len(list_filter(toks,
+                     t -> t IN ('the', 'a', 'and', 'is', 'of'))) AS DOUBLE)
+                     / len(toks) AS stop_ratio_raw,
+                   CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                     AS ttr_raw
+            FROM t) u
+          WHERE n_tokens >= 20 AND stop_ratio_raw <= 0.5
+            AND ttr_raw >= 0.05),
+        bg AS (SELECT doc_id,
+                 unnest(CASE WHEN len(toks) >= 2
+                   THEN list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1])
+                   ELSE [text] END) AS bigram
+               FROM t),
+        bgc AS (SELECT doc_id, bigram, count(*) AS cnt
+                FROM bg GROUP BY 1, 2),
+        lowrep AS (SELECT doc_id FROM bgc GROUP BY doc_id
+                   HAVING round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4)
+                          <= $maxRepRatio),
+        kept2 AS (
+          SELECT doc_id FROM documents
+          WHERE doc_id IN (SELECT doc_id FROM quality)
+            AND doc_id IN (SELECT doc_id FROM lowrep)
+            AND doc_id IN (SELECT min(doc_id) FROM documents
+                           GROUP BY md5(text))),
+        losers AS (
+          SELECT DISTINCT doc_b AS doc_id
+          FROM (SELECT doc_a, doc_b,
+                  len(list_filter(range(1, ${nh + 1}),
+                      i -> a.sig[i] = b.sig[i])) AS n_eq
+                FROM cand
+                JOIN sig a ON doc_a = a.doc_id
+                JOIN sig b ON doc_b = b.doc_id) p
+          WHERE n_eq * 2 >= $nh
+            AND doc_a IN (SELECT doc_id FROM kept2)
+            AND doc_b IN (SELECT doc_id FROM kept2))
+        SELECT d.doc_id, d.source, d.n_chars FROM documents d
+        WHERE d.doc_id IN (SELECT doc_id FROM kept2)
+          AND d.doc_id NOT IN (SELECT doc_id FROM losers)
+        ORDER BY d.doc_id"""
+  }
 }
