@@ -42,6 +42,10 @@ import org.apache.spark.sql.functions._
   *    merge touching 1 of 10k date partitions rewrites 1/10k of the table.
   *  - Readers prune files from the manifest by partition value before the
   *    scan ([[read(partitionFilter)]]) — log-level partition pruning.
+  *  - Read plans are ONE scan node no matter how many commits the live
+  *    snapshot spans (partition values come from the manifest, not the
+  *    path layout), so a long streaming-ingest history degrades file
+  *    count — fixable by compact() — but never plan size.
   */
 final class MergeTable private (
     val spark: SparkSession,
@@ -372,24 +376,61 @@ final class MergeTable private (
     // Group by commit dir: each dir is one hive-partitioned write whose
     // basePath restores the partition column.
     val byDir = entries.groupBy(_.relPath.split('/').head)
-    // Each live commit dir contributes one scan node to every read; a
-    // long merge history without compaction degrades plan size linearly.
+    // Many dirs of small files still cost scan TASKS (not plan nodes);
+    // compaction remains the small-file remedy.
     if (byDir.size >= CompactionAdviceDirs)
       logger.warn(
         s"MergeTable at $root: live files span ${byDir.size} commit dirs; " +
-          "run compact() to collapse them into one scan")
-    byDir.toSeq.sortBy(_._1)
-      .map { case (dir, es) =>
-        val paths = es.map(e => root.resolve(e.relPath).toString)
-        spark.read
-          .option("basePath", root.resolve(dir).toString)
-          .parquet(paths: _*)
+          "run compact() to coalesce small files")
+    if (byDir.size == 1) {
+      val (dir, es) = byDir.head
+      return hiveRead(dir, es)
+    }
+    // ONE scan node regardless of commit-dir count (a long merge history
+    // previously contributed one scan node per live dir, degrading every
+    // read plan linearly): scan ALL live files in a single multi-path
+    // read under the UNION of the per-dir schemas (per-file missing
+    // columns read NULL — covers evolveSchema history), and re-attach the
+    // partition column from MANIFEST metadata — the log, not the path
+    // layout, is the source of truth (as in Delta) — via a broadcast
+    // (fileName → partitionValue) map, cast to the hive-inferred type.
+    // Per-dir schema resolution is a driver footer read (metadata-scale,
+    // no jobs); part-file names embed a job UUID so they are unique
+    // across dirs (the same invariant `withStats` keys on).
+    val dirSchemas = byDir.toSeq.sortBy(_._1)
+      .map { case (dir, es) => hiveRead(dir, es).schema }
+    val partField = partitionCol.flatMap(pc =>
+      dirSchemas.flatMap(_.fields.find(_.name == pc)).headOption)
+    val dataFields = dirSchemas.flatMap(_.fields)
+      .filterNot(f => partitionCol.contains(f.name))
+      .foldLeft(Vector.empty[org.apache.spark.sql.types.StructField]) {
+        (acc, f) => if (acc.exists(_.name == f.name)) acc else acc :+ f
       }
-      // allowMissingColumns: after an evolveSchema merge, carried-over
-      // files from untouched partitions still have the pre-evolution
-      // schema — they read NULL for columns added later.
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val base = spark.read
+      .schema(org.apache.spark.sql.types.StructType(dataFields))
+      .parquet(entries.map(e => root.resolve(e.relPath).toString): _*)
+    (partitionCol, partField) match {
+      case (Some(pc), Some(pf)) =>
+        import spark.implicits._
+        val fpMap = entries
+          .map(e => (e.relPath.split('/').last, e.partitionValue.orNull))
+          .toDF("__graft_file", "__graft_pv")
+        base
+          .withColumn("__graft_file",
+            substring_index(input_file_name(), "/", -1))
+          .join(broadcast(fpMap), Seq("__graft_file"), "left")
+          .withColumn(pc, col("__graft_pv").cast(pf.dataType))
+          .select(dataFields.map(f => col(f.name)) :+ col(pc): _*)
+      case _ => base
+    }
   }
+
+  /** Hive-layout read of the files of ONE commit dir; basePath restores
+    * the partition column with inferred type. */
+  private def hiveRead(dir: String, es: Seq[FileEntry]): DataFrame =
+    spark.read
+      .option("basePath", root.resolve(dir).toString)
+      .parquet(es.map(e => root.resolve(e.relPath).toString): _*)
 
   private def emptyLike(): DataFrame = {
     // No live files: derive schema from any historical manifest that still
@@ -412,8 +453,10 @@ object MergeTable {
   /** Unpartitioned merges rewrite every live file; warn once the table is
     * big enough for that to matter. */
   private val FullRewriteWarnFiles = 64
-  /** Advise compaction when live files span this many commit dirs (each
-    * dir is a scan node in every read plan). */
+  /** Advise compaction when live files span this many commit dirs. Reads
+    * stay ONE scan node at any dir count (manifest-attached partition
+    * values), but many dirs of small files still cost scan tasks and
+    * listing time. */
   private val CompactionAdviceDirs = 32
   /** Distinct partition values collected to the driver per merge — log-scale
     * metadata (same contract as Delta's log), but guard the cardinality so a

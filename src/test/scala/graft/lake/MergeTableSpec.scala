@@ -234,6 +234,29 @@ class MergeTableSpec extends SparkSpec {
     assert(t.latestVersion() === 3L, "exactly two post-overwrite commits")
   }
 
+  test("a 50-commit history reads through ONE scan node, no compact()") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, Some("date"))
+    t.overwrite(orders(("o0", "d000", 0.0)))
+    // Each merge inserts into a FRESH partition, so every commit's file is
+    // carried over by all later merges: live files end up spanning 50
+    // commit dirs — the streaming-ingest shape that previously built one
+    // scan node per dir into every read plan.
+    (1 to 49).foreach { i =>
+      t.merge(orders((s"o$i", f"d$i%03d", i.toDouble)), "order_id")
+    }
+    val df = t.read()
+    val nScans = "Scan parquet".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(nScans === 1,
+      s"expected ONE parquet scan over a 50-dir history, got $nScans")
+    // ... and the manifest-attached partition column is correct.
+    assert(contents(df) ===
+      (0 to 49).map(i => (s"o$i", f"d$i%03d", i.toDouble)).toSet)
+    // Log-level partition pruning still composes with the one-scan read.
+    assert(contents(t.read(Some(_ == "d007"))) === Set(("o7", "d007", 7.0)))
+  }
+
   test("two handles to the same table serialize through the log") {
     val root = tmpDir("mt").toString
     val t = MergeTable(spark, root, None)
