@@ -95,7 +95,18 @@ object SimilarityQueries {
     * high-cosine dups — 0.4 keeps the verify stage demonstrably
     * exercised); a pair surviving in both bands is deduplicated by the
     * final group-by (cos is identical on both copies). */
-  def embedNeardup(s: SparkSession, d: String): DataFrame = {
+  def embedNeardup(s: SparkSession, d: String): DataFrame =
+    neardupScored(s, d)
+      .filter(col("cos") >= 0.4)
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(min(col("cos")).as("cos"))
+
+  /** Candidate pairs of [[embedNeardup]] with their exact cosine, BEFORE
+    * the ≥ 0.4 verify cut (band-duplicated pairs included) — the
+    * operator's cost diagnostic: the row count here is the verify work,
+    * which must grow ~linearly in corpus size for the bucketing to be
+    * scale-safe (see ScaleUp evidence, SURVEY §6.1). */
+  def neardupScored(s: SparkSession, d: String): DataFrame = {
     val e = DedupQueries.eager(banded(s, d))
     def pairsIn(bcol: String): DataFrame =
       e.as("a")
@@ -104,12 +115,9 @@ object SimilarityQueries {
             col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos",
           expr(s"round(${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6)"))
-        .filter(col("cos") >= 0.4)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           col("cos"))
     pairsIn("b0").unionByName(pairsIn("b1"))
-      .groupBy(col("vec_a"), col("vec_b"))
-      .agg(min(col("cos")).as("cos"))
   }
 
   /** Band width (sign bits per LSH band) for a corpus of `n` vectors:

@@ -60,8 +60,18 @@ object ScaleUp {
       .withColumn("text",
         if (i == 0) col("text")
         else translate(col("text"), "aeiou", vowelPerms(i % vowelPerms.size))))
-    rep("embeddings")((df, i) =>
-      df.withColumn("vec_id", col("vec_id") + lit(i * DK)))
+    // Circular dimension shift per copy: preserves norms and the value
+    // distribution but rotates the direction, so a vector and its shifted
+    // copies have near-zero cosine — cross-copy vectors are NOT near-dups
+    // and vector-dedup workloads scale on corpus size, not on an
+    // artificially inflated duplicate rate (identical copies would make
+    // every vector 8 exact twins: cos 1.0).
+    rep("embeddings")((df, i) => df
+      .withColumn("vec_id", col("vec_id") + lit(i * DK))
+      .withColumn("embedding",
+        if (i == 0) col("embedding")
+        else expr(s"concat(slice(embedding, ${i % 63 + 1}, " +
+          s"size(embedding) - ${i % 63}), slice(embedding, 1, ${i % 63}))")))
     spark.stop()
   }
 }
