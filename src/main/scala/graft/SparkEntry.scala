@@ -93,6 +93,9 @@ object SparkEntry {
     "q_embed_mplsh"     -> (SimilarityQueries.embedMplsh _),
     "q_embed_neardup"   -> (SimilarityQueries.embedNeardup _),
     "q_text_bpe"        -> (TextQueries.textBpe _),
+    "q_text_pii"        -> (TextQueries.textPii _),
+    "q_doc_mix"         -> (TextQueries.docMix _),
+    "q_doc_decontaminate" -> (DedupQueries.decontaminate _),
     "q_sketch_distinct" -> (SketchQueries.sketchDistinct _),
     "q_sketch_kmv"      -> (SketchQueries.sketchKmv _),
     // §7.5 — multimodal binary columns (stub decode, real plumbing)
@@ -488,6 +491,9 @@ object SparkEntry {
     "q_sketch_distinct" -> SketchQueries.sketchDistinctOracle,
     "q_sketch_kmv"    -> SketchQueries.sketchKmvOracle,
     "q_doc_pipeline"  -> ext.DocPipeline.pipelineOracle(),
+    "q_text_pii"      -> TextQueries.textPiiOracle,
+    "q_doc_mix"       -> TextQueries.docMixOracle,
+    "q_doc_decontaminate" -> DedupQueries.decontaminateOracle,
     "q_text_bpe" ->
       """SELECT doc_id,
                 len(string_split(text, ' ')) AS n_words,

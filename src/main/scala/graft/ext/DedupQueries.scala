@@ -205,15 +205,7 @@ object DedupQueries {
     * narrow (doc_id, fp) throughout. */
   def chunkDedup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val chunks = documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, cast(ceil(size(toks) / 10.0) as int) - 1),
-             i -> concat_ws(' ', slice(toks, i * 10 + 1, 10)))"""))
-        .as("chunk"))
-      .withColumn("fp", md5(col("chunk")))
-      .select("doc_id", "fp")
-    chunks
+    chunked(s, d)
       .withColumn("owner", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .groupBy(col("doc_id"))
       .agg(
@@ -224,7 +216,77 @@ object DedupQueries {
         round(col("n_foreign").cast("double") / col("n_chunks"), 4))
   }
 
+  /** (doc_id, fp) for every fixed 10-token chunk — the narrow chunk
+    * relation shared by [[chunkDedup]] and [[decontaminate]]. */
+  private def chunked(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, cast(ceil(size(toks) / 10.0) as int) - 1),
+             i -> concat_ws(' ', slice(toks, i * 10 + 1, 10)))"""))
+        .as("chunk"))
+      .withColumn("fp", md5(col("chunk")))
+      .select("doc_id", "fp")
+
+  /** Tier 7 — train/eval DECONTAMINATION (the n-gram-overlap check run
+    * before any benchmark number is trusted): a deterministic 5 %
+    * hash-holdout of documents is the "eval set"; every training document
+    * sharing at least one 10-token chunk fingerprint with any eval
+    * document is flagged with its contamination ratio. Plan shape: the
+    * narrow chunk relation is split by the hash rule (no second scan of
+    * text), eval fingerprints are deduped, and the flagging is ONE
+    * equi-join on fp + one doc_id aggregate — at 100 TB the eval side is
+    * the small join side (AQE broadcasts it when it fits). Membership
+    * uses the [[TextQueries.docSample]] hash rule, so the holdout is
+    * stable across engines, retries, and partitionings. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val ch = chunked(s, d).withColumn("is_eval", expr(
+      """cast(conv(substring(md5(concat(cast(doc_id as string), ':eval')),
+         1, 8), 16, 10) as bigint) % 100 < 5"""))
+    val evalFps = ch.filter(col("is_eval"))
+      .select(col("fp")).distinct().withColumn("hit", lit(1L))
+    ch.filter(!col("is_eval"))
+      .join(evalFps, Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .filter(col("n_hits") > 0)
+      .withColumn("contamination",
+        round(col("n_hits").cast("double") / col("n_chunks"), 4))
+  }
+
   // ---- oracle SQL (generated from the same constants) ----
+
+  /** DuckDB oracle for [[decontaminate]] — same chunking as
+    * [[chunkDedupOracle]], same hash-holdout rule as the Spark side. */
+  val decontaminateOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+       c AS (SELECT doc_id,
+               unnest(list_transform(
+                 range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+                 i -> md5(array_to_string(
+                        toks[(i * 10 + 1):(i * 10 + 10)], ' ')))) AS fp
+             FROM t),
+       e AS (SELECT doc_id,
+               ('0x' || substr(md5(doc_id || ':eval'), 1, 8))::BIGINT % 100
+                 < 5 AS is_eval
+             FROM documents),
+       ce AS (SELECT c.doc_id, fp, is_eval
+              FROM c JOIN e ON c.doc_id = e.doc_id),
+       efp AS (SELECT DISTINCT fp FROM ce WHERE is_eval)
+       SELECT doc_id, count(*) AS n_chunks,
+              CAST(sum(CASE WHEN fp IN (SELECT fp FROM efp)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+              round(CAST(sum(CASE WHEN fp IN (SELECT fp FROM efp)
+                                  THEN 1 ELSE 0 END) AS DOUBLE)
+                    / count(*), 4) AS contamination
+       FROM ce WHERE NOT is_eval
+       GROUP BY doc_id
+       HAVING sum(CASE WHEN fp IN (SELECT fp FROM efp)
+                       THEN 1 ELSE 0 END) > 0
+       ORDER BY doc_id"""
 
   /** DuckDB oracle for [[chunkDedup]]. sum() is CAST to BIGINT — DuckDB
     * sums integers into HUGEINT, which hash-mismatches Spark's LongType. */

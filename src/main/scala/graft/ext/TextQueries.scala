@@ -150,6 +150,121 @@ object TextQueries {
       .withColumn("rep_ratio",
         round(col("top_cnt").cast("double") / col("n_bigrams"), 4))
 
+  /** PII regexes — ASCII-only constructs (`\b`, `\d`, explicit classes)
+    * chosen to mean the SAME thing under Java regex (Spark) and RE2
+    * (DuckDB); the oracle SQL is generated from these constants. */
+  private[ext] val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[ext] val PhoneRe = """\b\d{3}-\d{3}-\d{4}\b"""
+  private[ext] val IpRe    = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+
+  /** The redaction chain of [[textPii]] (exposed for the spec's
+    * no-residual-match property). */
+  private[ext] def redactPii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, lit(EmailRe), lit("[EMAIL]")),
+        lit(PhoneRe), lit("[PHONE]")),
+      lit(IpRe), lit("[IP]"))
+
+  /** PII detection + redaction — the scrubbing stage every training-data
+    * pipeline runs before anything else sees the text. Counts and redacts
+    * emails, US-style phone numbers, and IPv4 addresses in one narrow
+    * codegen'd pass (regexp_count + chained regexp_replace — no UDFs, no
+    * shuffle). The fixture corpus is PII-free word soup, so deterministic
+    * synthetic PII is APPENDED in-query for doc_id multiples of 7/11/13 —
+    * the operator under test is the detector/redactor; the augmentation
+    * only makes the fixture exercise it. */
+  def textPii(s: SparkSession, d: String): DataFrame = {
+    val aug = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact u"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit(" call 555-867-5309"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        concat(lit(" from 10.0.0."), (col("doc_id") % 256).cast("string")))
+        .otherwise(lit("")))
+    val redacted = redactPii(col("aug"))
+    documents(s, d)
+      .withColumn("aug", aug)
+      .select(
+        col("doc_id"),
+        regexp_count(col("aug"), lit(EmailRe)).as("n_emails"),
+        regexp_count(col("aug"), lit(PhoneRe)).as("n_phones"),
+        regexp_count(col("aug"), lit(IpRe)).as("n_ips"),
+        length(redacted).as("red_len"),
+        md5(redacted).as("red_fp"))
+  }
+
+  /** Domain mixing — deterministically downsample each `source` to a
+    * per-source target rate (the data-mixture step of corpus assembly:
+    * upweight scarce domains, cap abundant ones). Membership is the same
+    * hash-stable rule as [[docSample]] (pure function of doc_id + salt:
+    * retry/engine/partitioning-stable), so rerunning the mix — or
+    * computing it in another engine — keeps the SAME documents. Rates
+    * cycle 20/35/50/65/80 % by source index; the summary is one narrow
+    * projection + one aggregate. */
+  def docMix(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("rate_pct",
+        expr("20 + 15 * (cast(substring(source, 4, 16) as int) % 5)"))
+      .withColumn("bucket", expr(
+        """cast(conv(substring(md5(concat(cast(doc_id as string), ':mix')),
+           1, 8), 16, 10) as bigint) % 100"""))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("bucket") < col("rate_pct"), 1L).otherwise(0L))
+          .as("n_kept"),
+        min(col("rate_pct")).as("rate_pct"))
+      .withColumn("kept_ratio",
+        round(col("n_kept").cast("double") / col("n_total"), 4))
+
+  /** DuckDB oracle for [[textPii]] — generated from the SAME regex
+    * constants, so the pattern can never drift between engines. DuckDB
+    * plain string literals do not process backslashes, so the Java regex
+    * source embeds verbatim. */
+  val textPiiOracle: String =
+    s"""WITH a AS (
+          SELECT doc_id, concat(text,
+            CASE WHEN doc_id % 7 = 0
+                 THEN concat(' contact u', doc_id::VARCHAR, '@example.com')
+                 ELSE '' END,
+            CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309'
+                 ELSE '' END,
+            CASE WHEN doc_id % 13 = 0
+                 THEN concat(' from 10.0.0.', (doc_id % 256)::VARCHAR)
+                 ELSE '' END) AS aug
+          FROM documents)
+        SELECT doc_id,
+          len(regexp_extract_all(aug, '$EmailRe')) AS n_emails,
+          len(regexp_extract_all(aug, '$PhoneRe')) AS n_phones,
+          len(regexp_extract_all(aug, '$IpRe')) AS n_ips,
+          length(regexp_replace(regexp_replace(regexp_replace(aug,
+            '$EmailRe', '[EMAIL]', 'g'),
+            '$PhoneRe', '[PHONE]', 'g'),
+            '$IpRe', '[IP]', 'g')) AS red_len,
+          md5(regexp_replace(regexp_replace(regexp_replace(aug,
+            '$EmailRe', '[EMAIL]', 'g'),
+            '$PhoneRe', '[PHONE]', 'g'),
+            '$IpRe', '[IP]', 'g')) AS red_fp
+        FROM a ORDER BY doc_id"""
+
+  /** DuckDB oracle for [[docMix]]. */
+  val docMixOracle: String =
+    """WITH m AS (SELECT source, doc_id,
+         20 + 15 * (CAST(substr(source, 4) AS INT) % 5) AS rate_pct,
+         ('0x' || substr(md5(doc_id || ':mix'), 1, 8))::BIGINT % 100
+           AS bucket
+       FROM documents)
+       SELECT source, count(*) AS n_total,
+              CAST(sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+              min(rate_pct) AS rate_pct,
+              round(CAST(sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*), 4) AS kept_ratio
+       FROM m GROUP BY source ORDER BY source"""
+
   /** Document fingerprinting: a whole-text md5 plus a rolling-shingle
     * fingerprint (min over 3-word-shingle hashes — MinHash with k=1, the
     * content-defined-chunking flavor). Shared building block with the

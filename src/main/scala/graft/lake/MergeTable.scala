@@ -399,8 +399,14 @@ final class MergeTable private (
     // across dirs (the same invariant `withStats` keys on).
     val dirSchemas = byDir.toSeq.sortBy(_._1)
       .map { case (dir, es) => hiveRead(dir, es).schema }
-    val partField = partitionCol.flatMap(pc =>
-      dirSchemas.flatMap(_.fields.find(_.name == pc)).headOption)
+    // A dir whose every file sits in the hive default (null) partition
+    // infers NullType for the partition column — prefer a dir with a real
+    // inferred type; all-null falls back to a typed null literal below.
+    val partField = partitionCol.flatMap { pc =>
+      val fs = dirSchemas.flatMap(_.fields.find(_.name == pc))
+      fs.find(_.dataType != org.apache.spark.sql.types.NullType)
+        .orElse(fs.headOption)
+    }
     val dataFields = dirSchemas.flatMap(_.fields)
       .filterNot(f => partitionCol.contains(f.name))
       .foldLeft(Vector.empty[org.apache.spark.sql.types.StructField]) {
@@ -415,11 +421,14 @@ final class MergeTable private (
         val fpMap = entries
           .map(e => (e.relPath.split('/').last, e.partitionValue.orNull))
           .toDF("__graft_file", "__graft_pv")
+        val pv =
+          if (pf.dataType == org.apache.spark.sql.types.NullType) lit(null)
+          else col("__graft_pv").cast(pf.dataType)
         base
           .withColumn("__graft_file",
             substring_index(input_file_name(), "/", -1))
           .join(broadcast(fpMap), Seq("__graft_file"), "left")
-          .withColumn(pc, col("__graft_pv").cast(pf.dataType))
+          .withColumn(pc, pv)
           .select(dataFields.map(f => col(f.name)) :+ col(pc): _*)
       case _ => base
     }

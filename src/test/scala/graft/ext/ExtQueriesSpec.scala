@@ -86,6 +86,64 @@ class ExtQueriesSpec extends SparkSpec {
       "every query's neighbors must come from exactly one cell")
   }
 
+  test("textPii counts planted PII and the redaction removes every match") {
+    val out = TextQueries.textPii(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 0 is a multiple of 7, 11, AND 13 → gets all three plants
+    assert(out(0L).getAs[Int]("n_emails") === 1)
+    assert(out(0L).getAs[Int]("n_phones") === 1)
+    assert(out(0L).getAs[Int]("n_ips") === 1)
+    assert(out(1L).getAs[Int]("n_emails") === 0)
+    // a PII-dense probe string must come out with ZERO residual matches
+    val probe = Seq(
+      "mail a.b+c@ex-1.co.uk or x@y.io, call 555-123-4567, " +
+        "host 10.255.0.7 then 1.2.3.4 end").toDF("s")
+    val res = probe.select(
+      regexp_count(TextQueries.redactPii(col("s")),
+        lit("""[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""")).as("e"),
+      regexp_count(TextQueries.redactPii(col("s")),
+        lit("""\b\d{3}-\d{3}-\d{4}\b""")).as("p"),
+      regexp_count(TextQueries.redactPii(col("s")),
+        lit("""\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""")).as("i")).head()
+    assert(res.getInt(0) === 0 && res.getInt(1) === 0 && res.getInt(2) === 0)
+  }
+
+  test("docMix keeps a hash-stable per-source subset at the target rate") {
+    val d001 = "/root/testdata/sf0.001"
+    val rows = TextQueries.docMix(spark, d001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val expectedRate = 20 + 15 * (src.stripPrefix("src").toInt % 5)
+      assert(r.getAs[Int]("rate_pct") === expectedRate, s"rate for $src")
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_total"))
+    }
+    // determinism: a second run keeps the SAME counts (hash, not rand)
+    val again = TextQueries.docMix(spark, d001).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_kept")).toMap
+    rows.foreach(r => assert(
+      again(r.getAs[String]("source")) === r.getAs[Long]("n_kept")))
+  }
+
+  test("decontaminate flags only train docs sharing a chunk with the holdout") {
+    val d001 = "/root/testdata/sf0.001"
+    val flagged = DedupQueries.decontaminate(spark, d001).collect()
+    assert(flagged.nonEmpty, "fixture has known train/eval chunk overlap")
+    flagged.foreach { r =>
+      assert(r.getAs[Long]("n_hits") >= 1L)
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_chunks"))
+      val ratio = r.getAs[Double]("contamination")
+      assert(ratio > 0.0 && ratio <= 1.0)
+    }
+    // no flagged doc may itself be in the eval holdout
+    import org.apache.spark.sql.functions.{conv, concat, substring, md5 => smd5, lit => slit}
+    val evalIds = graft.Tables.documents(spark, d001)
+      .filter(conv(substring(smd5(concat(col("doc_id").cast("string"),
+        slit(":eval"))), 1, 8), 16, 10).cast("bigint") % 100 < 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged.forall(r => !evalIds.contains(r.getAs[Long]("doc_id"))))
+  }
+
   test("textQuality pass gate follows its thresholds") {
     val byId = TextQueries.textQuality(spark, dir)
       .select("doc_id", "n_tokens", "quality_pass").collect()
