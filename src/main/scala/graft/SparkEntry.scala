@@ -96,6 +96,7 @@ object SparkEntry {
     "q_text_pii"        -> (TextQueries.textPii _),
     "q_doc_mix"         -> (TextQueries.docMix _),
     "q_doc_decontaminate" -> (DedupQueries.decontaminate _),
+    "q_dedup_cc"        -> (DedupQueries.dedupClusters _),
     "q_sketch_distinct" -> (SketchQueries.sketchDistinct _),
     "q_sketch_kmv"      -> (SketchQueries.sketchKmv _),
     // §7.5 — multimodal binary columns (stub decode, real plumbing)
@@ -494,6 +495,7 @@ object SparkEntry {
     "q_text_pii"      -> TextQueries.textPiiOracle,
     "q_doc_mix"       -> TextQueries.docMixOracle,
     "q_doc_decontaminate" -> DedupQueries.decontaminateOracle,
+    "q_dedup_cc"      -> DedupQueries.dedupClustersOracle,
     "q_text_bpe" ->
       """SELECT doc_id,
                 len(string_split(text, ' ')) AS n_words,

@@ -256,7 +256,90 @@ object DedupQueries {
         round(col("n_hits").cast("double") / col("n_chunks"), 4))
   }
 
+  /** Convergence bound for [[dedupClusters]] — label propagation needs at
+    * most graph-diameter rounds; real near-dup graphs are shallow (most
+    * clusters are cliques from one LSH bucket), so 50 is far beyond any
+    * plausible diameter and overrunning it is a bug, not a workload. */
+  private val MaxCcRounds = 50
+
+  /** Tier 8 — near-dup CLUSTERING: connected components over the LSH
+    * near-dup pairs (the decision step of corpus dedup: pairs → clusters →
+    * one canonical survivor per cluster, the MinHash-LSH + union-find
+    * shape of C4/RefinedWeb-style pipelines; greedy per-pair dropping —
+    * [[DocPipeline]] — over-deletes on transitive chains, clustering
+    * doesn't). Implementation is iterative min-label propagation to a
+    * FIXPOINT: each round joins labels to the bidirectional edge list and
+    * takes the per-node min; rounds ≤ graph diameter.
+    *
+    * Scale shape: every round is ONE shuffle join over the PAIR GRAPH —
+    * which is LSH output, orders of magnitude smaller than the corpus —
+    * never over the corpus itself; the driver sees only the convergence
+    * count per round. This is the battle-tested big-data CC shape
+    * (label propagation, as in GraphX's connectedComponents, without the
+    * RDD API); the round count is O(diameter), bounded by [[MaxCcRounds]]
+    * and verified converged before returning. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = eager(docNeardup(s, d).select(col("doc_a"), col("doc_b")))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(
+        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = eager(edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < MaxCcRounds) {
+      val prop = eager(
+        edges.join(labels, edges("src") === labels("doc_id"))
+          .select(col("dst").as("doc_id"), col("cluster_id"))
+          .unionByName(labels.select(col("doc_id"), col("cluster_id")))
+          .groupBy(col("doc_id"))
+          .agg(min(col("cluster_id")).as("cluster_id")))
+      changed = prop
+        .join(labels.select(col("doc_id"), col("cluster_id").as("old")),
+          Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = prop
+      rounds += 1
+    }
+    require(changed == 0,
+      s"connected components did not converge in $MaxCcRounds rounds")
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
   // ---- oracle SQL (generated from the same constants) ----
+
+  /** DuckDB oracle for [[dedupClusters]]: the same LSH pair chain
+    * ([[candCte]] + the est-Jaccard cut), then transitive closure via a
+    * recursive CTE and min-reachable-id labels. `WITH` is rewritten to
+    * `WITH RECURSIVE` because the recursive member must share the one
+    * with-list with the generated chain. */
+  def dedupClustersOracle: String =
+    s"""${candCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        scored AS (SELECT doc_a, doc_b,
+                     len(list_filter(range(1, ${NumHashes + 1}),
+                         i -> a.sig[i] = b.sig[i])) AS n_eq
+                   FROM cand
+                   JOIN sig a ON doc_a = a.doc_id
+                   JOIN sig b ON doc_b = b.doc_id),
+        nd AS (SELECT doc_a, doc_b FROM scored
+               WHERE n_eq * 2 >= $NumHashes),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM nd
+                  UNION SELECT doc_b, doc_a FROM nd),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        lab AS (SELECT a AS doc_id, least(min(b), a) AS cluster_id
+                FROM reach GROUP BY a)
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               doc_id = cluster_id AS is_canonical
+        FROM lab ORDER BY doc_id"""
 
   /** DuckDB oracle for [[decontaminate]] — same chunking as
     * [[chunkDedupOracle]], same hash-holdout rule as the Spark side. */

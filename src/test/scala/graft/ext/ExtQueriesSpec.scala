@@ -144,6 +144,18 @@ class ExtQueriesSpec extends SparkSpec {
     assert(flagged.forall(r => !evalIds.contains(r.getAs[Long]("doc_id"))))
   }
 
+  test("dedupClusters collapses the transitive near-dup chain to one root") {
+    // planted pairs are (0,1), (0,2), (1,2) → one cluster rooted at 0
+    val rows = DedupQueries.dedupClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Boolean]("is_canonical"))).toMap
+    assert(rows.keySet === Set(0L, 1L, 2L))
+    assert(rows.values.forall { case (cid, sz, _) => cid === 0L && sz === 3L })
+    assert(rows(0L)._3 && !rows(1L)._3 && !rows(2L)._3,
+      "exactly the min doc id is canonical")
+  }
+
   test("textQuality pass gate follows its thresholds") {
     val byId = TextQueries.textQuality(spark, dir)
       .select("doc_id", "n_tokens", "quality_pass").collect()
