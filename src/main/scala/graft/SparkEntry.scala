@@ -99,6 +99,7 @@ object SparkEntry {
     "q_dedup_cc"        -> (DedupQueries.dedupClusters _),
     "q_sketch_distinct" -> (SketchQueries.sketchDistinct _),
     "q_sketch_kmv"      -> (SketchQueries.sketchKmv _),
+    "q_sketch_hll"      -> (SketchQueries.sketchHll _),
     // §7.5 — multimodal binary columns (stub decode, real plumbing)
     "q_media_features"  -> ((s: SparkSession, d: String) =>
       ext.Multimodal.decoded(s, ext.Multimodal.mediaTable(Tables.documents(s, d)))),
@@ -491,6 +492,7 @@ object SparkEntry {
     "q_embed_neardup" -> SimilarityQueries.neardupOracle,
     "q_sketch_distinct" -> SketchQueries.sketchDistinctOracle,
     "q_sketch_kmv"    -> SketchQueries.sketchKmvOracle,
+    "q_sketch_hll"    -> SketchQueries.sketchHllOracle,
     "q_doc_pipeline"  -> ext.DocPipeline.pipelineOracle(),
     "q_text_pii"      -> TextQueries.textPiiOracle,
     "q_doc_mix"       -> TextQueries.docMixOracle,

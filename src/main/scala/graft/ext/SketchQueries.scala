@@ -78,6 +78,94 @@ object SketchQueries {
       .select(col("source"), round(col("raw"), 2).as("kmv_est"))
   }
 
+  // ---- deterministic HyperLogLog ----
+
+  /** HLL registers: p = 4 ⇒ m = 16; the 32-bit md5 hash splits into a
+    * 4-bit register index (top bits) and a 28-bit suffix whose
+    * leading-zero count (+1) is the register's rho. */
+  private val HllP = 4
+  private val HllM = 1 << HllP // 16
+  private val SuffixBits = 32 - HllP // 28
+  /** alpha_m · m² for the raw HLL estimate — computed ONCE here and
+    * embedded as the same double literal in both engines' SQL. */
+  private val HllAlphaM2 = 0.7213 / (1 + 1.079 / HllM) * HllM * HllM
+
+  /** Per `source`: exact distinct shingle count vs a DETERMINISTIC
+    * HyperLogLog estimate — the production cardinality sketch, made
+    * oracle-exact: registers derive from the shared md5 hash space, rho
+    * comes from `length(bin(v))` (integer/string arithmetic, no float
+    * log), and register contributions are 1/2^rho — exact binary
+    * fractions, so both engines sum identical doubles. Spark's own
+    * `approx_count_distinct` is also HLL but its sketch internals are
+    * engine-private and unverifiable; this one is reproducible anywhere.
+    *
+    * Scale shape: distinct-(source, hash) is one shuffle, then the
+    * register fold is an O(m)-state aggregate (map-side combinable) —
+    * the same merge-by-max associativity real HLL relies on. The
+    * small-range linear-counting branch (E ≤ 2.5m with empty registers)
+    * uses `ln` — the one non-exact float op — and does not trigger on
+    * corpora with ≥ ~10·m distinct values per group (all fixtures). */
+  def sketchHll(s: SparkSession, d: String): DataFrame = {
+    val hashed = shingleHashes(s, d).distinct()
+    hashed
+      .withColumn("idx", expr(s"th >> $SuffixBits"))
+      .withColumn("v", expr(s"th & ${(1L << SuffixBits) - 1}"))
+      .withColumn("rho", expr(
+        s"""CASE WHEN v = 0 THEN ${SuffixBits + 1}
+            ELSE $SuffixBits - length(bin(v)) + 1 END"""))
+      .groupBy(col("source"), col("idx"))
+      .agg(max(col("rho")).as("rho"), count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("cnt")).as("n_exact"),
+        count(lit(1)).as("m_used"),
+        sum(expr("1.0 / cast(shiftleft(1L, rho) as double)")).as("s_used"))
+      .select(
+        col("source"), col("n_exact"),
+        expr(
+          s"""round(CASE WHEN $HllAlphaM2 / (s_used + ($HllM - m_used) * 1.0)
+                           <= 2.5 * $HllM AND m_used < $HllM
+                    THEN $HllM * ln($HllM / cast($HllM - m_used as double))
+                    ELSE $HllAlphaM2 / (s_used + ($HllM - m_used) * 1.0)
+                    END, 2)""").as("hll_est"))
+  }
+
+  /** Same shared hash CTE as the KMV oracles; the HLL register fold in
+    * DuckDB SQL, generated from the same constants. */
+  def sketchHllOracle: String =
+    s"""WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks
+                   FROM documents),
+        sh AS (SELECT source,
+                 list_distinct(CASE WHEN len(toks) >= 3
+                   THEN list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   ELSE [text] END) AS shingles
+               FROM t),
+        h AS (SELECT DISTINCT source,
+                unnest(list_transform(shingles,
+                  x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS th
+              FROM sh),
+        b AS (SELECT source, th >> $SuffixBits AS idx,
+                th & ${(1L << SuffixBits) - 1} AS v
+              FROM h),
+        r AS (SELECT source, idx,
+                CASE WHEN v = 0 THEN ${SuffixBits + 1}
+                     ELSE $SuffixBits - length(bin(v)) + 1 END AS rho
+              FROM b),
+        reg AS (SELECT source, idx, max(rho) AS rho, count(*) AS cnt
+                FROM r GROUP BY 1, 2),
+        g AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_exact,
+                count(*) AS m_used,
+                sum(1.0 / CAST(1::BIGINT << rho AS DOUBLE)) AS s_used
+              FROM reg GROUP BY source)
+        SELECT source, n_exact,
+               round(CASE WHEN $HllAlphaM2 / (s_used + ($HllM - m_used) * 1.0)
+                              <= 2.5 * $HllM AND m_used < $HllM
+                     THEN $HllM * ln($HllM / CAST($HllM - m_used AS DOUBLE))
+                     ELSE $HllAlphaM2 / (s_used + ($HllM - m_used) * 1.0)
+                     END, 2) AS hll_est
+        FROM g ORDER BY source"""
+
   def sketchDistinctOracle: String =
     s"""WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks
                    FROM documents),

@@ -156,6 +156,24 @@ class ExtQueriesSpec extends SparkSpec {
       "exactly the min doc id is canonical")
   }
 
+  test("sketchHll tracks exact cardinality within sketch variance") {
+    val d001 = "/root/testdata/sf0.001"
+    val rows = SketchQueries.sketchHll(spark, d001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Double]("hll_est")
+      // m=16 → σ ≈ 26%; 3σ bounds with slack for the small fixture
+      assert(est > exact * 0.35 && est < exact * 2.5,
+        s"${r.getAs[String]("source")}: est $est vs exact $exact")
+    }
+    // determinism: identical on a second run
+    val again = SketchQueries.sketchHll(spark, d001).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("hll_est")).toMap
+    rows.foreach(r => assert(
+      again(r.getAs[String]("source")) === r.getAs[Double]("hll_est")))
+  }
+
   test("textQuality pass gate follows its thresholds") {
     val byId = TextQueries.textQuality(spark, dir)
       .select("doc_id", "n_tokens", "quality_pass").collect()
