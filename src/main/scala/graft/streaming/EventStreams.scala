@@ -86,6 +86,18 @@ object EventStreams {
         col("imp_value"), col("click_value"))
   }
 
+  /** Stream-static enrichment — join each event against a STATIC (or
+    * slowly-refreshed) dimension table by key. The static side needs no
+    * watermark and holds no streaming state: Spark re-plans it per
+    * micro-batch and broadcasts it when it fits (`broadcast` hinted here
+    * — dims are small by definition), so the stream never shuffles. This
+    * is the streaming face of the batch broadcast dim join (J4) and the
+    * standard shape for attaching user/product attributes to a live
+    * event stream. */
+  def enrichEvents(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
   final case class Session(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long, sum_value: Double)

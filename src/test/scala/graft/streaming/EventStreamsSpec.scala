@@ -123,6 +123,24 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichEvents joins a live stream against a static dim per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[Raw]
+    val q = EventStreams.enrichEvents(in.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Raw(ts(10, 0), 1, "view", 1.0),
+        Raw(ts(10, 1), 3, "view", 2.0)) // user 3 has no dim row → null tier
+      q.processAllAvailable()
+      val out = spark.table("enrich").select("user_id", "tier")
+        .as[(Long, Option[String])].collect().toSet
+      assert(out === Set((1L, Some("gold")), (3L, None)),
+        "left join keeps dim-less events with a null attribute")
+    } finally q.stop()
+  }
+
   test("sessionWindows (declarative) splits on the gap in batch mode") {
     val df = Seq(
       (1L, ts(10, 0), 1.0), (1L, ts(10, 10), 2.0), // session A
