@@ -1,0 +1,231 @@
+package graft.ingest
+
+import java.io.InputStream
+import java.util.zip.ZipFile
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+import scala.util.Using
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** S2 for REAL — multi-sheet `.xlsx` ingestion with zero external
+  * dependencies (ref: `orders_etl.py:41-64`, boto3 bytes → `pd.ExcelFile`
+  * → iterate `sheet_names`, skip sheets that fail to parse).
+  *
+  * An xlsx file is a zip of XML parts; the JDK ships both the zip reader
+  * (`java.util.zip`) and a streaming XML parser (StAX), so no Excel
+  * library is needed. Parsing runs on the DRIVER by design: spreadsheets
+  * are an inherently small, human-authored format (the reference parses
+  * them driver-side in pandas too) — they are the entry point of a
+  * pipeline, not its bulk data, which arrives as CSV/Parquet and scans
+  * distributed ([[Sources]]). The parsed rows feed `createDataFrame`, and
+  * everything downstream is a normal distributed plan.
+  *
+  * Reference semantics preserved:
+  *   - every sheet is read, first row = header (`pd.read_excel` default);
+  *   - a sheet whose header does not match the first successful sheet's
+  *     is SKIPPED and reported, not fatal (the per-sheet try/except at
+  *     `orders_etl.py:57-64`);
+  *   - surviving sheets are concatenated (`pd.concat`), here with a
+  *     `_sheet` provenance column appended.
+  *
+  * All cells surface as strings (numbers as their stored lexical form,
+  * booleans as true/false, shared/inline strings resolved); the caller
+  * applies the typed schema cast exactly as it does after a CSV scan.
+  */
+object Excel {
+
+  final case class XlsxResult(df: DataFrame, skippedSheets: Seq[String])
+
+  /** Read every sheet of `path`; union the ones whose header matches the
+    * first parseable sheet's header. */
+  def readXlsx(spark: SparkSession, path: String): XlsxResult = {
+    val sheets = parseWorkbook(path) // (sheetName, rows) in workbook order
+    val header = sheets.collectFirst {
+      case (_, rows) if rows.nonEmpty => rows.head
+    }.getOrElse(throw new IllegalArgumentException(
+      s"xlsx at $path has no non-empty sheet"))
+    val width = header.length
+    val (good, skipped) = sheets.partition {
+      case (_, rows) => rows.headOption.contains(header)
+    }
+    val data = good.flatMap { case (name, rows) =>
+      rows.drop(1).map { r =>
+        val padded = r.padTo(width, null).take(width)
+        Row.fromSeq(padded :+ name)
+      }
+    }
+    val schema = StructType(
+      header.map(c => StructField(c, StringType, nullable = true)) :+
+        StructField("_sheet", StringType, nullable = false))
+    XlsxResult(
+      spark.createDataFrame(data.asJava, schema),
+      skipped.map(_._1))
+  }
+
+  /** (sheetName, rows-of-cells) for every sheet, in workbook order. Cells
+    * are resolved to strings; rows are padded only as far as their last
+    * populated cell (caller pads to header width). */
+  private def parseWorkbook(path: String): Seq[(String, Vector[Vector[String]])] =
+    Using.resource(new ZipFile(path)) { zip =>
+      def open(name: String): Option[InputStream] =
+        Option(zip.getEntry(name)).map(zip.getInputStream)
+
+      val shared = open("xl/sharedStrings.xml")
+        .map(parseSharedStrings).getOrElse(Vector.empty)
+      val rels = open("xl/_rels/workbook.xml.rels")
+        .map(parseRels).getOrElse(Map.empty)
+      val wb = open("xl/workbook.xml")
+        .map(parseWorkbookSheets).getOrElse(Seq.empty)
+      wb.flatMap { case (name, rid) =>
+        val target = rels.get(rid)
+          .map(t => if (t.startsWith("/")) t.drop(1) else s"xl/$t")
+        target.flatMap(open).map(in => name -> parseSheet(in, shared))
+      }
+    }
+
+  private def xmlReader(in: InputStream) = {
+    val f = XMLInputFactory.newInstance()
+    // No DTDs/external entities in spreadsheet parts — disable resolution
+    // outright (XXE hygiene for untrusted uploads, the raw-zone case).
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.createXMLStreamReader(in)
+  }
+
+  /** `<sst><si>…</si></sst>`: one entry per `<si>`, concatenating every
+    * `<t>` within it (plain and rich-text runs). */
+  private def parseSharedStrings(in: InputStream): Vector[String] =
+    Using.resource(in) { s =>
+      val r = xmlReader(s)
+      val out = Vector.newBuilder[String]
+      var cur: StringBuilder = null
+      var inT = false
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "si" => cur = new StringBuilder
+              case "t"  => inT = cur != null
+              case _    =>
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (inT) cur.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "t"  => inT = false
+              case "si" => out += cur.toString; cur = null
+              case _    =>
+            }
+          case _ =>
+        }
+      }
+      out.result()
+    }
+
+  /** workbook.xml.rels: Relationship Id → Target. */
+  private def parseRels(in: InputStream): Map[String, String] =
+    Using.resource(in) { s =>
+      val r = xmlReader(s)
+      val out = Map.newBuilder[String, String]
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+          r.getLocalName == "Relationship") {
+          val id = r.getAttributeValue(null, "Id")
+          val target = r.getAttributeValue(null, "Target")
+          if (id != null && target != null) out += id -> target
+        }
+      }
+      out.result()
+    }
+
+  /** workbook.xml: sheet name → relationship id, in declaration order. */
+  private def parseWorkbookSheets(in: InputStream): Seq[(String, String)] =
+    Using.resource(in) { s =>
+      val r = xmlReader(s)
+      val out = Seq.newBuilder[(String, String)]
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+          r.getLocalName == "sheet") {
+          val name = r.getAttributeValue(null, "name")
+          // the r:id attribute lives in the officeDocument relationships
+          // namespace; match by local name to stay prefix-agnostic
+          val rid = (0 until r.getAttributeCount)
+            .find(i => r.getAttributeLocalName(i) == "id")
+            .map(r.getAttributeValue)
+          (Option(name), rid) match {
+            case (Some(n), Some(i)) => out += n -> i
+            case _                  =>
+          }
+        }
+      }
+      out.result()
+    }
+
+  /** One worksheet's `<sheetData>`: rows of cells resolved to strings.
+    * Cell refs ("B3") place values in their column; gaps read null. */
+  private def parseSheet(in: InputStream,
+      shared: Vector[String]): Vector[Vector[String]] =
+    Using.resource(in) { s =>
+      val r = xmlReader(s)
+      val rows = Vector.newBuilder[Vector[String]]
+      var row: mutable.ArrayBuffer[String] = null
+      var cellCol = -1
+      var cellType = ""
+      var inV = false
+      var inT = false
+      var text: StringBuilder = null
+      def endCell(): Unit = if (row != null && cellCol >= 0 && text != null) {
+        val raw = text.toString
+        val v = cellType match {
+          case "s" => shared.lift(raw.trim.toInt).orNull
+          case "b" => if (raw.trim == "1") "true" else "false"
+          case _   => raw // n (default), str, inlineStr: lexical form
+        }
+        while (row.length <= cellCol) row += null
+        row(cellCol) = v
+        text = null
+      }
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "row" => row = mutable.ArrayBuffer.empty[String]
+              case "c" if row != null =>
+                val ref = Option(r.getAttributeValue(null, "r"))
+                cellCol = ref.map(colIndex).getOrElse(row.length)
+                cellType =
+                  Option(r.getAttributeValue(null, "t")).getOrElse("")
+                text = null
+              case "v" => inV = true; text = new StringBuilder
+              case "t" => inT = true
+                if (text == null) text = new StringBuilder
+              case _ =>
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if ((inV || inT) && text != null) text.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "v"   => inV = false
+              case "t"   => inT = false
+              case "c"   => endCell(); cellCol = -1
+              case "row" =>
+                if (row != null) rows += row.toVector
+                row = null
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+      rows.result()
+    }
+
+  /** "BC7" → zero-based column index 54. */
+  private def colIndex(ref: String): Int =
+    ref.takeWhile(_.isLetter).foldLeft(0)((a, c) =>
+      a * 26 + (c.toUpper - 'A' + 1)) - 1
+}
