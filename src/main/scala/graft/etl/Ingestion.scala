@@ -51,7 +51,30 @@ object Ingestion {
   def ordersJob(spark: SparkSession, rawDir: String, tableRoot: String,
       quarantinePath: String): JobResult = {
     val scan = Sources.csvPermissive(spark, rawDir, Schemas.ordersRaw)
-    val conformed = scan.good
+    try runOrders(spark, scan.good, tableRoot, quarantinePath)
+    finally scan.unpersist()
+  }
+
+  /** orders from a REAL `.xlsx` workbook — the reference's actual input
+    * format (`orders_etl.py:41-64`): [[graft.ingest.Excel.readXlsx]]
+    * unions header-matched sheets (skipping bad ones, like the per-sheet
+    * try/except), the string cells conform to the typed raw schema, and
+    * the SAME validate → dedup → MERGE chain as the CSV path runs. */
+  def ordersJobXlsx(spark: SparkSession, xlsxPath: String, tableRoot: String,
+      quarantinePath: String): JobResult = {
+    val sheets = graft.ingest.Excel.readXlsx(spark, xlsxPath)
+    val raw = sheets.df.select(Schemas.ordersRaw.fields.toSeq
+      .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    runOrders(spark, raw, tableRoot, quarantinePath)
+  }
+
+  /** Shared orders chain: conform → rules/quarantine → dedup → MERGE
+    * (ref: orders_etl.py:57-96; `total_amount > 0` and timestamp-range
+    * rules are the DOC-ONLY claims of
+    * docs/full_implementation_guide.md:142-143, implemented for real). */
+  private def runOrders(spark: SparkSession, raw: DataFrame,
+      tableRoot: String, quarantinePath: String): JobResult = {
+    val conformed = raw
       .withColumn("order_timestamp", col("order_timestamp").cast("timestamp"))
       .withColumn("date", to_date(col("order_timestamp")))
       .withColumn("ingestion_timestamp", current_timestamp())
@@ -71,7 +94,7 @@ object Ingestion {
       val table = MergeTable(spark, tableRoot, Some(Schemas.ordersPartition))
       val v = table.merge(deduped, Schemas.ordersPk)
       JobResult(v, deduped.count(), split.rejected.count())
-    } finally { split.unpersist(); scan.unpersist() }
+    } finally split.unpersist()
   }
 
   /** order_items: permissive CSV scan → required fields → conform →

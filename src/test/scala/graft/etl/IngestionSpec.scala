@@ -73,6 +73,30 @@ class IngestionSpec extends SparkSpec {
       Set("Missing required fields", "total_amount must be positive"))
   }
 
+  test("ordersJobXlsx ingests a real multi-sheet workbook end-to-end") {
+    val dir = tmpDir("etlx")
+    val header =
+      Seq("order_num", "order_id", "user_id", "order_timestamp", "total_amount")
+    val xlsx = graft.ingest.XlsxTestData.write(dir.resolve("orders.xlsx"), Seq(
+      "Jan" -> Seq(header,
+        Seq("1", "ox1", "u1", "2024-01-01 10:00:00", "25.5"),
+        Seq("2", "ox2", "u2", "2024-01-01 11:00:00", "10.0")),
+      "Feb" -> Seq(header,
+        Seq("3", "ox3", "u3", "2024-02-01 10:00:00", null), // null amt OK
+        Seq("4", "ox4", null, "2024-02-01 11:00:00", "5.0")), // → quarantine
+      "Scratch" -> Seq(Seq("junk"), Seq("zzz")))) // bad header → skipped
+    val r = Ingestion.ordersJobXlsx(spark, xlsx,
+      s"$dir/tables/orders", s"$dir/quarantine/orders")
+    assert(r.validRows === 3 && r.rejectedRows === 1)
+    val t = MergeTable(spark, s"$dir/tables/orders", Some("date")).read()
+    assert(t.select("order_id").as[String].collect().toSet ===
+      Set("ox1", "ox2", "ox3"))
+    assert(t.select("total_amount").where($"order_id" === "ox1")
+      .as[Double].head() === 25.5)
+    assert(t.select("date").distinct().as[java.sql.Date].collect()
+      .map(_.toString).toSet === Set("2024-01-01", "2024-02-01"))
+  }
+
   test("re-ingesting an overlapping batch MERGE-updates, doesn't duplicate") {
     val (dir, productsT, _, _) = setup()
     Ingestion.productsJob(spark, s"$dir/raw/products", productsT,
