@@ -257,6 +257,35 @@ class MergeTableSpec extends SparkSpec {
     assert(contents(t.read(Some(_ == "d007"))) === Set(("o7", "d007", 7.0)))
   }
 
+  test("changes() emits insert/update/delete with log-level partition pruning") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, Some("date"))
+    val v1 = t.overwrite(orders(
+      ("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0),
+      ("o3", "2024-01-03", 30.0)))
+    // merge: update o2, insert o4; o1/o3 partitions carried over untouched
+    val v2 = t.merge(
+      orders(("o2", "2024-01-02", 99.0), ("o4", "2024-01-04", 40.0)),
+      "order_id")
+    val cdf = t.changes(v1, v2, "order_id")
+    val rows = cdf.select("order_id", "amount", "_change_type")
+      .as[(String, Double, String)].collect().toSet
+    assert(rows === Set(("o2", 99.0, "update"), ("o4", 40.0, "insert")),
+      "carried-over rows must not appear in the feed")
+    // pruning: only the two touched partitions' files are scanned
+    val scanned = "file:[^\\]\\s,]*commit-[^\\]\\s,]*".r
+      .findAllIn(cdf.queryExecution.executedPlan.toString).toSet
+    assert(!scanned.exists(_.contains("date=2024-01-01")) &&
+      !scanned.exists(_.contains("date=2024-01-03")),
+      s"untouched partitions must be pruned at the log level, scanned=$scanned")
+    // delete shows up when a version drops a key
+    val v3 = t.overwrite(orders(("o2", "2024-01-02", 99.0)))
+    val del = t.changes(v2, v3, "order_id")
+      .select("order_id", "_change_type")
+      .as[(String, String)].collect().toSet
+    assert(del === Set(("o1", "delete"), ("o3", "delete"), ("o4", "delete")))
+  }
+
   test("two handles to the same table serialize through the log") {
     val root = tmpDir("mt").toString
     val t = MergeTable(spark, root, None)
