@@ -200,16 +200,27 @@ object AnalyticQueries {
     * over ≤ |groups|·|domain| rows — driver-safe at any corpus size.
     * p ∈ {0.25, 0.5, 0.75} are exact binary fractions, so h = p·(n−1) is
     * exact in double and both engines agree bitwise. */
-  def percentilesBounded(s: SparkSession, d: String): DataFrame = {
-    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+  def percentilesBounded(s: SparkSession, d: String): DataFrame =
+    boundedPercentiles(Tables.lineitem(s, d), "l_returnflag", "l_quantity",
+      Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75"))
+
+  /** The general bounded-domain exact-percentile operator behind
+    * [[percentilesBounded]]: linear-interpolation percentiles of
+    * `valCol` per `groupCol` computed from a count-by-value aggregate —
+    * identical results to Spark's `percentile` (proven for arbitrary
+    * inputs by BoundedPercentilesPropsSpec) with O(domain) state instead
+    * of O(rows) buffering. */
+  def boundedPercentiles(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, valCol: String,
+      qs: Seq[(Double, String)]): DataFrame = {
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("l_returnflag"))
-    val cum = Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"), col("l_quantity").as("v"))
+    val wAll = Window.partitionBy(col(groupCol))
+    val cum = df
+      .groupBy(col(groupCol), col(valCol).as("v"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(wCum))
       .withColumn("n", sum(col("cnt")).over(wAll))
-    val qs = Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75")
     val aggs = qs.flatMap { case (p, nm) =>
       Seq(
         min(when(col("cum") > floor(lit(p) * (col("n") - 1).cast("double")),
@@ -218,9 +229,9 @@ object AnalyticQueries {
           col("v"))).as(s"${nm}_hi"),
         min(lit(p) * (col("n") - 1).cast("double")).as(s"${nm}_h"))
     }
-    cum.groupBy(col("l_returnflag"))
+    cum.groupBy(col(groupCol))
       .agg(aggs.head, aggs.tail: _*)
-      .select(col("l_returnflag") +: qs.map { case (_, nm) =>
+      .select(col(groupCol) +: qs.map { case (_, nm) =>
         round(col(s"${nm}_lo") +
           (col(s"${nm}_h") - floor(col(s"${nm}_h"))) *
             (col(s"${nm}_hi") - col(s"${nm}_lo")), 4).as(nm)
