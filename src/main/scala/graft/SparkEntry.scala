@@ -94,6 +94,7 @@ object SparkEntry {
     "q_embed_neardup"   -> (SimilarityQueries.embedNeardup _),
     "q_text_bpe"        -> (TextQueries.textBpe _),
     "q_text_pii"        -> (TextQueries.textPii _),
+    "q_text_colloc"     -> (TextQueries.textColloc _),
     "q_doc_mix"         -> (TextQueries.docMix _),
     "q_doc_decontaminate" -> (DedupQueries.decontaminate _),
     "q_dedup_cc"        -> (DedupQueries.dedupClusters _),
@@ -495,6 +496,7 @@ object SparkEntry {
     "q_sketch_hll"    -> SketchQueries.sketchHllOracle,
     "q_doc_pipeline"  -> ext.DocPipeline.pipelineOracle(),
     "q_text_pii"      -> TextQueries.textPiiOracle,
+    "q_text_colloc"   -> TextQueries.textCollocOracle,
     "q_doc_mix"       -> TextQueries.docMixOracle,
     "q_doc_decontaminate" -> DedupQueries.decontaminateOracle,
     "q_dedup_cc"      -> DedupQueries.dedupClustersOracle,

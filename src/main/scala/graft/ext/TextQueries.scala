@@ -265,6 +265,67 @@ object TextQueries {
                     AS DOUBLE) / count(*), 4) AS kept_ratio
        FROM m GROUP BY source ORDER BY source"""
 
+  /** Collocation extraction — corpus-level bigram LIFT scores
+    * (P(xy) / (P(x)·P(y)), the log-free form of PMI: division of exact
+    * integer counts is IEEE-correctly-rounded in both engines, where a
+    * float `log` could differ in the last ulp and break the oracle hash).
+    * Returns the top 50 bigrams with count ≥ 5 by lift (bigram
+    * tie-break). Plan shape: one bigram count aggregate + one unigram
+    * count aggregate + two vocabulary-sized equi-joins + top-k — every
+    * relation is vocab-scale, not corpus-scale, after the first
+    * aggregates. */
+  def textColloc(s: SparkSession, d: String): DataFrame = {
+    val toks = withToks(documents(s, d))
+    val uni = toks
+      .select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val totals = toks.select(
+      sum(expr("size(toks)")).as("n_uni"),
+      sum(expr("greatest(size(toks) - 1, 0)")).as("n_bi"))
+    val bi = toks
+      .select(explode(expr(
+        """CASE WHEN size(toks) >= 2
+             THEN transform(sequence(0, size(toks) - 2),
+                            i -> struct(toks[i] AS w1, toks[i+1] AS w2))
+             ELSE array() END""")).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 5)
+    bi
+      .join(uni.select(col("w").as("w1"), col("c_w").as("c_x")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_y")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(
+        concat_ws(" ", col("w1"), col("w2")).as("bigram"), col("c_xy"),
+        round(col("c_xy").cast("double") * col("n_uni") * col("n_uni") /
+          (col("n_bi") * col("c_x") * col("c_y")), 4).as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(50)
+  }
+
+  /** DuckDB oracle for [[textColloc]]. */
+  val textCollocOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+       u AS (SELECT unnest(toks) AS w FROM t),
+       uni AS (SELECT w, count(*) AS c_w FROM u GROUP BY w),
+       tot AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS n_uni,
+                 CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS n_bi
+               FROM t),
+       b AS (SELECT unnest(list_transform(range(1, len(toks)),
+                      i -> [toks[i], toks[i+1]])) AS bg
+             FROM t WHERE len(toks) >= 2),
+       bi AS (SELECT bg[1] AS w1, bg[2] AS w2, count(*) AS c_xy
+              FROM b GROUP BY 1, 2 HAVING count(*) >= 5)
+       SELECT w1 || ' ' || w2 AS bigram, c_xy,
+              round(CAST(c_xy AS DOUBLE) * n_uni * n_uni
+                    / (n_bi * cx.c_w * cy.c_w), 4) AS lift
+       FROM bi
+       JOIN uni cx ON bi.w1 = cx.w
+       JOIN uni cy ON bi.w2 = cy.w
+       CROSS JOIN tot
+       ORDER BY lift DESC, bigram LIMIT 50"""
+
   /** Document fingerprinting: a whole-text md5 plus a rolling-shingle
     * fingerprint (min over 3-word-shingle hashes — MinHash with k=1, the
     * content-defined-chunking flavor). Shared building block with the

@@ -12,7 +12,7 @@ class PlanGuardSpec extends SparkSpec {
     * the broadcast side is ≤ a few rows (scalar aggregate, ≤10 query
     * vectors, 8 centroids) and the condition is non-equi by design. */
   private val intendedBroadcastNL = Set(
-    "q_scalar_subquery", "q_embed_topk", "q_embed_ivf")
+    "q_scalar_subquery", "q_embed_topk", "q_embed_ivf", "q_text_colloc")
 
   test("no cartesian products; nested-loop joins only where intended") {
     val d = "/root/testdata/sf0.001"
