@@ -164,4 +164,88 @@ object EventStreams {
   private def closed(userId: Long, st: SessState): Session =
     Session(userId, new Timestamp(st.startMs), new Timestamp(st.lastMs),
       st.nEv, st.total)
+
+  /** The same gap sessions on Spark 4's `transformWithState` — the
+    * successor to `flatMapGroupsWithState` (typed per-key state
+    * primitives, explicit timers, RocksDB-backed state store; the query
+    * must run with
+    * `spark.sql.streaming.stateStore.providerClass =
+    * ...state.RocksDBStateStoreProvider`). Semantics are identical to
+    * [[sessionize]] incl. the diff >= gap boundary rule — proven by the
+    * shared spec scenario. */
+  def sessionizeTws(events: Dataset[Ev],
+      gapMs: Long = DefaultGapMs): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+}
+
+/** Per-user session state machine for [[EventStreams.sessionizeTws]].
+  * Fold this batch's events in time order (sessions closed within the
+  * batch emit immediately); the trailing open session parks in a typed
+  * ValueState with an event-time timer at its gap horizon. A stale timer
+  * (from a horizon the batch has since advanced past) self-heals: the
+  * expiry handler re-registers instead of emitting early. */
+final class SessionProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, EventStreams.Ev, EventStreams.Session] {
+  import EventStreams.{Ev, SessState, Session}
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues}
+
+  @transient private var sess:
+    org.apache.spark.sql.streaming.ValueState[SessState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sess = getHandle.getValueState[SessState]("sess",
+      org.apache.spark.sql.Encoders.product[SessState], TTLConfig.NONE)
+
+  override def handleInputRows(userId: Long, rows: Iterator[Ev],
+      tv: TimerValues): Iterator[Session] = {
+    val out = Seq.newBuilder[Session]
+    var cur = if (sess.exists()) Some(sess.get()) else None
+    for (e <- rows.toSeq.sortBy(_.ts.getTime)) {
+      val t = e.ts.getTime
+      cur = cur match {
+        case Some(st) if t - st.lastMs < gapMs =>
+          Some(st.copy(lastMs = math.max(st.lastMs, t),
+            nEv = st.nEv + 1, total = st.total + e.value))
+        case Some(st) =>
+          out += emit(userId, st)
+          Some(SessState(t, t, 1, e.value))
+        case None =>
+          Some(SessState(t, t, 1, e.value))
+      }
+    }
+    cur.foreach { st =>
+      sess.update(st)
+      getHandle.registerTimer(
+        math.max(st.lastMs + gapMs, tv.getCurrentWatermarkInMs() + 1))
+    }
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(userId: Long, tv: TimerValues,
+      info: ExpiredTimerInfo): Iterator[Session] =
+    if (!sess.exists()) Iterator.empty
+    else {
+      val st = sess.get()
+      if (tv.getCurrentWatermarkInMs() >= st.lastMs + gapMs) {
+        sess.clear()
+        Iterator.single(emit(userId, st))
+      } else {
+        // stale timer from an earlier horizon — re-arm, don't emit
+        getHandle.registerTimer(
+          math.max(st.lastMs + gapMs, tv.getCurrentWatermarkInMs() + 1))
+        Iterator.empty
+      }
+    }
+
+  private def emit(userId: Long, st: SessState): Session =
+    Session(userId, new Timestamp(st.startMs), new Timestamp(st.lastMs),
+      st.nEv, st.total)
 }

@@ -123,6 +123,43 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeTws (transformWithState) matches the fMGWS semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[EventStreams.Ev]
+      val q = EventStreams.sessionizeTws(in.toDS())
+        .writeStream.format("memory").queryName("sesstws")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // Same scenario as the fMGWS test: intra-batch gap closes the
+        // first session; the later watermark times out the open one.
+        in.addData(
+          EventStreams.Ev(1, ts(10, 0), 1.0), EventStreams.Ev(1, ts(10, 10), 2.0),
+          EventStreams.Ev(1, ts(11, 30), 5.0), EventStreams.Ev(99, ts(14, 0), 0.5))
+        q.processAllAvailable()
+        val b1 = spark.table("sesstws")
+          .as[EventStreams.Session].collect().toSet
+        assert(b1.contains(
+          EventStreams.Session(1, ts(10, 0), ts(10, 10), 2, 3.0)),
+          s"intra-batch gap must close the first session, got $b1")
+        in.addData(EventStreams.Ev(99, ts(15, 0), 0.5))
+        q.processAllAvailable()
+        val b2 = spark.table("sesstws")
+          .as[EventStreams.Session].collect().toSet
+        assert(b2.contains(
+          EventStreams.Session(1, ts(11, 30), ts(11, 30), 1, 5.0)),
+          s"event-time timer must flush the open session, got $b2")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("enrichEvents joins a live stream against a static dim per batch") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
