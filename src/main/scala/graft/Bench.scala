@@ -60,7 +60,11 @@ object Bench {
       }
       val med =
         if (times.isEmpty) -1.0
-        else times.sorted.apply((times.size - 1) / 2)
+        else {
+          val s = times.sorted
+          if (s.size % 2 == 1) s(s.size / 2)
+          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+        }
       val best = if (times.isEmpty) -1.0 else times.min
       (name, med, best)
     }
@@ -68,7 +72,10 @@ object Bench {
       results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val qs = json(_._2)
     val qsMin = json(_._3)
-    val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+    // a query failing several runs pushes one entry per run — keep one
+    // per query or the emitted JSON object has duplicate keys
+    val errJson = errors.reverse.distinctBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"queries_min":$qsMin,"errors":$errJson,"sf":"$sfDir"}""")

@@ -63,6 +63,13 @@ object Ingestion {
   def ordersJobXlsx(spark: SparkSession, xlsxPath: String, tableRoot: String,
       quarantinePath: String): JobResult = {
     val sheets = graft.ingest.Excel.readXlsx(spark, xlsxPath)
+    // A skipped sheet is silently-dropped data unless surfaced: warn with
+    // names (the reference prints its per-sheet failures the same way).
+    if (sheets.skippedSheets.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ordersJobXlsx($xlsxPath): skipped header-mismatched sheets " +
+          sheets.skippedSheets.mkString("[", ", ", "]") +
+          " — their rows are in neither the table nor the quarantine")
     val raw = sheets.df.select(Schemas.ordersRaw.fields.toSeq
       .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
     runOrders(spark, raw, tableRoot, quarantinePath)

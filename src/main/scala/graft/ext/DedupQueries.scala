@@ -233,16 +233,20 @@ object DedupQueries {
     * hash-holdout of documents is the "eval set"; every training document
     * sharing at least one 10-token chunk fingerprint with any eval
     * document is flagged with its contamination ratio. Plan shape: the
-    * narrow chunk relation is split by the hash rule (no second scan of
-    * text), eval fingerprints are deduped, and the flagging is ONE
-    * equi-join on fp + one doc_id aggregate — at 100 TB the eval side is
-    * the small join side (AQE broadcasts it when it fits). Membership
+    * narrow chunk relation is computed ONCE (eager-cached; it feeds both
+    * join sides — at 100 TB it is a persisted intermediate table) and
+    * split by the hash rule, eval fingerprints are deduped, and the
+    * flagging is ONE equi-join on fp + one doc_id aggregate — the eval
+    * side is the small join side (AQE broadcasts it when it fits). Membership
     * uses the [[TextQueries.docSample]] hash rule, so the holdout is
     * stable across engines, retries, and partitionings. */
   def decontaminate(s: SparkSession, d: String): DataFrame = {
-    val ch = chunked(s, d).withColumn("is_eval", expr(
+    // eager-cache the narrow chunk relation: it feeds BOTH join sides
+    // (eval fingerprints + train chunks), and without the cache Spark
+    // recomputes the full text scan + chunk explosion + md5 per subtree
+    val ch = eager(chunked(s, d).withColumn("is_eval", expr(
       """cast(conv(substring(md5(concat(cast(doc_id as string), ':eval')),
-         1, 8), 16, 10) as bigint) % 100 < 5"""))
+         1, 8), 16, 10) as bigint) % 100 < 5""")))
     val evalFps = ch.filter(col("is_eval"))
       .select(col("fp")).distinct().withColumn("hit", lit(1L))
     ch.filter(!col("is_eval"))

@@ -297,8 +297,12 @@ object TextQueries {
       .crossJoin(broadcast(totals))
       .select(
         concat_ws(" ", col("w1"), col("w2")).as("bigram"), col("c_xy"),
+        // the denominator product overflows Long at large-corpus counts
+        // (n_bi·c_x·c_y > 2^63 for stopword pairs at ~10^7 docs) — promote
+        // to double BEFORE multiplying, in the same order as the oracle
         round(col("c_xy").cast("double") * col("n_uni") * col("n_uni") /
-          (col("n_bi") * col("c_x") * col("c_y")), 4).as("lift"))
+          (col("n_bi").cast("double") * col("c_x") * col("c_y")), 4)
+          .as("lift"))
       .orderBy(col("lift").desc, col("bigram"))
       .limit(50)
   }
@@ -319,7 +323,7 @@ object TextQueries {
               FROM b GROUP BY 1, 2 HAVING count(*) >= 5)
        SELECT w1 || ' ' || w2 AS bigram, c_xy,
               round(CAST(c_xy AS DOUBLE) * n_uni * n_uni
-                    / (n_bi * cx.c_w * cy.c_w), 4) AS lift
+                    / (CAST(n_bi AS DOUBLE) * cx.c_w * cy.c_w), 4) AS lift
        FROM bi
        JOIN uni cx ON bi.w1 = cx.w
        JOIN uni cy ON bi.w2 = cy.w

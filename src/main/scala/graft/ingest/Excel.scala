@@ -34,8 +34,11 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *     `_sheet` provenance column appended.
   *
   * All cells surface as strings (numbers as their stored lexical form,
-  * booleans as true/false, shared/inline strings resolved); the caller
-  * applies the typed schema cast exactly as it does after a CSV scan.
+  * booleans as true/false, shared/inline strings resolved, and numeric
+  * cells carrying a DATE STYLE — how Excel actually stores timestamps —
+  * as "yyyy-MM-dd HH:mm:ss" via the styles.xml number-format mapping);
+  * the caller applies the typed schema cast exactly as it does after a
+  * CSV scan.
   */
 object Excel {
 
@@ -77,6 +80,8 @@ object Excel {
 
       val shared = open("xl/sharedStrings.xml")
         .map(parseSharedStrings).getOrElse(Vector.empty)
+      val dateStyles = open("xl/styles.xml")
+        .map(parseDateStyles).getOrElse(Set.empty)
       val rels = open("xl/_rels/workbook.xml.rels")
         .map(parseRels).getOrElse(Map.empty)
       val wb = open("xl/workbook.xml")
@@ -84,7 +89,8 @@ object Excel {
       wb.flatMap { case (name, rid) =>
         val target = rels.get(rid)
           .map(t => if (t.startsWith("/")) t.drop(1) else s"xl/$t")
-        target.flatMap(open).map(in => name -> parseSheet(in, shared))
+        target.flatMap(open)
+          .map(in => name -> parseSheet(in, shared, dateStyles))
       }
     }
 
@@ -127,6 +133,68 @@ object Excel {
       out.result()
     }
 
+  /** Excel's builtin date/time number formats (ECMA-376 §18.8.30). */
+  private val BuiltinDateFmts: Set[Int] = ((14 to 22) ++ (45 to 47)).toSet
+
+  /** styles.xml → the set of cellXfs style INDICES (what a cell's `s`
+    * attribute references) whose number format renders a date/time.
+    * Custom formats count as dates when, after stripping quoted/bracketed
+    * sections and color codes, they contain a date token (the classic
+    * heuristic POI uses). Excel-authored workbooks store timestamps as
+    * NUMERIC SERIALS + a date style — without this mapping they would
+    * surface as raw numbers like "45292.4375". */
+  private def parseDateStyles(in: InputStream): Set[Int] =
+    Using.resource(in) { s =>
+      val r = xmlReader(s)
+      val custom = Map.newBuilder[Int, String]
+      val xfFmtIds = Vector.newBuilder[Int]
+      var inCellXfs = false
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "numFmt" =>
+                (Option(r.getAttributeValue(null, "numFmtId")),
+                  Option(r.getAttributeValue(null, "formatCode"))) match {
+                  case (Some(id), Some(code)) => custom += id.toInt -> code
+                  case _                      =>
+                }
+              case "cellXfs" => inCellXfs = true
+              case "xf" if inCellXfs =>
+                xfFmtIds += Option(r.getAttributeValue(null, "numFmtId"))
+                  .map(_.toInt).getOrElse(0)
+              case _ =>
+            }
+          case XMLStreamConstants.END_ELEMENT
+              if r.getLocalName == "cellXfs" => inCellXfs = false
+          case _ =>
+        }
+      }
+      val customMap = custom.result()
+      def isDateFmt(id: Int): Boolean =
+        BuiltinDateFmts(id) || customMap.get(id).exists { code =>
+          code.replaceAll("\"[^\"]*\"|\\[[^\\]]*\\]", "")
+            .exists("ymdhs".contains(_))
+        }
+      xfFmtIds.result().zipWithIndex.collect {
+        case (fmtId, i) if isDateFmt(fmtId) => i
+      }.toSet
+    }
+
+  /** Serial date (days since 1899-12-30, fraction = time of day) →
+    * "yyyy-MM-dd HH:mm:ss". The 1899-12-30 epoch absorbs Excel's
+    * 1900-leap-year bug for all post-Feb-1900 dates. */
+  private def serialToTimestamp(raw: String): String = {
+    val d = raw.toDouble
+    var days = math.floor(d).toLong
+    var secs = math.round((d - days) * 86400.0)
+    if (secs >= 86400) { days += 1; secs -= 86400 }
+    java.time.LocalDateTime.of(1899, 12, 30, 0, 0)
+      .plusDays(days).plusSeconds(secs)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+  }
+
   /** workbook.xml.rels: Relationship Id → Target. */
   private def parseRels(in: InputStream): Map[String, String] =
     Using.resource(in) { s =>
@@ -168,14 +236,15 @@ object Excel {
 
   /** One worksheet's `<sheetData>`: rows of cells resolved to strings.
     * Cell refs ("B3") place values in their column; gaps read null. */
-  private def parseSheet(in: InputStream,
-      shared: Vector[String]): Vector[Vector[String]] =
+  private def parseSheet(in: InputStream, shared: Vector[String],
+      dateStyles: Set[Int]): Vector[Vector[String]] =
     Using.resource(in) { s =>
       val r = xmlReader(s)
       val rows = Vector.newBuilder[Vector[String]]
       var row: mutable.ArrayBuffer[String] = null
       var cellCol = -1
       var cellType = ""
+      var cellStyle = -1
       var inV = false
       var inT = false
       var text: StringBuilder = null
@@ -184,7 +253,11 @@ object Excel {
         val v = cellType match {
           case "s" => shared.lift(raw.trim.toInt).orNull
           case "b" => if (raw.trim == "1") "true" else "false"
-          case _   => raw // n (default), str, inlineStr: lexical form
+          // numeric cell carrying a date style: an Excel-authored
+          // timestamp, stored as a day serial — convert to ISO text
+          case "" | "n" if dateStyles(cellStyle) && raw.trim.nonEmpty =>
+            serialToTimestamp(raw.trim)
+          case _ => raw // n (default), str, inlineStr: lexical form
         }
         while (row.length <= cellCol) row += null
         row(cellCol) = v
@@ -200,6 +273,8 @@ object Excel {
                 cellCol = ref.map(colIndex).getOrElse(row.length)
                 cellType =
                   Option(r.getAttributeValue(null, "t")).getOrElse("")
+                cellStyle = Option(r.getAttributeValue(null, "s"))
+                  .map(_.toInt).getOrElse(-1)
                 text = null
               case "v" => inV = true; text = new StringBuilder
               case "t" => inT = true

@@ -365,9 +365,19 @@ final class MergeTable private (
       .filter(p => pa.get(p) != pb.get(p))
     val a = readEntries(ea.filter(e => changedParts(e.partitionValue)))
     val b = readEntries(eb.filter(e => changedParts(e.partitionValue)))
-    val cols = a.columns.toSeq.intersect(b.columns.toSeq).filterNot(_ == pk)
-    def packed(df: DataFrame, as: String): DataFrame =
-      df.select(col(pk), struct(cols.map(col): _*).as(as))
+    // UNION of the two versions' columns, not intersection: after an
+    // evolveSchema merge an update confined to an evolved column must
+    // still register as a change (and the feed must carry the evolved
+    // column). The version lacking a column reads it as a typed null.
+    val types =
+      (a.schema.fields ++ b.schema.fields).map(f => f.name -> f.dataType).toMap
+    val cols = (a.columns.toSeq ++ b.columns.toSeq).distinct
+      .filterNot(_ == pk)
+    def packed(df: DataFrame, as: String): DataFrame = {
+      val have = df.columns.toSet
+      df.select(col(pk), struct(cols.map(c =>
+        if (have(c)) col(c) else lit(null).cast(types(c)).as(c)): _*).as(as))
+    }
     packed(a, "_pre").join(packed(b, "_post"), Seq(pk), "full_outer")
       .withColumn("_change_type",
         when(col("_pre").isNull, "insert")

@@ -96,6 +96,63 @@ class ExcelSpec extends SparkSpec {
     p.toString
   }
 
+  test("readXlsx converts date-styled numeric serials to ISO timestamps") {
+    val p = tmpDir("xlsxd").resolve("dated.xlsx")
+    def entry(z: ZipOutputStream, name: String, body: String): Unit = {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(body.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    Using.resource(new ZipOutputStream(Files.newOutputStream(p))) { z =>
+      entry(z, "xl/workbook.xml",
+        """<?xml version="1.0"?>
+          |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+          |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |  <sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets>
+          |</workbook>""".stripMargin)
+      entry(z, "xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |  <Relationship Id="rId1" Type="w" Target="worksheets/sheet1.xml"/>
+          |</Relationships>""".stripMargin)
+      // style 0: General; style 1: builtin datetime 22; style 2: custom
+      // date format; style 3: custom NON-date format (thousands)
+      entry(z, "xl/styles.xml",
+        """<?xml version="1.0"?>
+          |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |  <numFmts count="2">
+          |    <numFmt numFmtId="164" formatCode="yyyy-mm-dd"/>
+          |    <numFmt numFmtId="165" formatCode="#,##0.00"/>
+          |  </numFmts>
+          |  <cellXfs count="4">
+          |    <xf numFmtId="0"/><xf numFmtId="22"/>
+          |    <xf numFmtId="164"/><xf numFmtId="165"/>
+          |  </cellXfs>
+          |</styleSheet>""".stripMargin)
+      entry(z, "xl/worksheets/sheet1.xml",
+        """<?xml version="1.0"?>
+          |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |  <sheetData>
+          |    <row r="1">
+          |      <c r="A1" t="inlineStr"><is><t>ts</t></is></c>
+          |      <c r="B1" t="inlineStr"><is><t>d</t></is></c>
+          |      <c r="C1" t="inlineStr"><is><t>amount</t></is></c>
+          |    </row>
+          |    <row r="2">
+          |      <c r="A2" s="1"><v>45292.4375</v></c>
+          |      <c r="B2" s="2"><v>45292</v></c>
+          |      <c r="C2" s="3"><v>1234.5</v></c>
+          |    </row>
+          |  </sheetData>
+          |</worksheet>""".stripMargin)
+    }
+    val df = Excel.readXlsx(spark, p.toString).df
+    val row = df.select("ts", "d", "amount")
+      .as[(String, String, String)].head()
+    assert(row === ("2024-01-01 10:30:00", "2024-01-01 00:00:00", "1234.5"),
+      "date-styled serials convert; non-date numerics stay lexical")
+  }
+
   test("readXlsx unions matching sheets, resolves cell kinds, skips bad ones") {
     val path = writeXlsx(tmpDir("xlsx"))
     val res = Excel.readXlsx(spark, path)
