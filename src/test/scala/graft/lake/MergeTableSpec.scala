@@ -286,6 +286,24 @@ class MergeTableSpec extends SparkSpec {
     assert(del === Set(("o1", "delete"), ("o3", "delete"), ("o4", "delete")))
   }
 
+  test("changes() across an evolveSchema merge carries the evolved column") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, Some("date"))
+    val v1 = t.overwrite(orders(("o1", "2024-01-01", 10.0)))
+    // evolved source: same amount, NEW column channel — the only change
+    // is confined to the evolved column
+    val v2 = t.merge(
+      Seq(("o1", "2024-01-01", 10.0, "web"))
+        .toDF("order_id", "date", "amount", "channel"),
+      "order_id", evolveSchema = true)
+    val rows = t.changes(v1, v2, "order_id")
+      .select("order_id", "channel", "_change_type")
+      .as[(String, Option[String], String)].collect().toSet
+    assert(rows === Set(("o1", Some("web"), "update")),
+      "an update confined to the evolved column must register, with the " +
+        "evolved column in the feed")
+  }
+
   test("two handles to the same table serialize through the log") {
     val root = tmpDir("mt").toString
     val t = MergeTable(spark, root, None)
