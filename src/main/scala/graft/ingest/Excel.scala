@@ -300,7 +300,7 @@ object Excel {
     }
 
   /** "BC7" → zero-based column index 54. */
-  private def colIndex(ref: String): Int =
+  private[ingest] def colIndex(ref: String): Int =
     ref.takeWhile(_.isLetter).foldLeft(0)((a, c) =>
       a * 26 + (c.toUpper - 'A' + 1)) - 1
 }

@@ -96,6 +96,17 @@ class ExcelSpec extends SparkSpec {
     p.toString
   }
 
+  test("column ref codecs round-trip (reader vs independent builder)") {
+    // Excel.colIndex (reader) and XlsxTestData.colRef (test builder) are
+    // independent implementations of the base-26 bijection — agreement
+    // across a wide range guards both against off-by-one at the Z/AA/AZ
+    // boundaries.
+    (0 until 10000).foreach { i =>
+      assert(Excel.colIndex(XlsxTestData.colRef(i) + "1") === i, s"col $i")
+    }
+    assert(XlsxTestData.colRef(Excel.colIndex("BC7")) === "BC")
+  }
+
   test("readXlsx converts date-styled numeric serials to ISO timestamps") {
     val p = tmpDir("xlsxd").resolve("dated.xlsx")
     def entry(z: ZipOutputStream, name: String, body: String): Unit = {

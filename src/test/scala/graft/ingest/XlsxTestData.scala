@@ -60,7 +60,7 @@ object XlsxTestData {
     path.toString
   }
 
-  private def colRef(i: Int): String = {
+  private[ingest] def colRef(i: Int): String = {
     var n = i + 1
     val sb = new StringBuilder
     while (n > 0) {
