@@ -326,10 +326,30 @@ object DedupQueries {
       s"connected components did not converge in $MaxCcRounds rounds")
     val sizes = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, Seq("cluster_id"))
+    // Materialize the (small — one row per pair-graph node) output, then
+    // release the iteration's pinned state: the last round's cached
+    // labels and the localCheckpointed pair graph. Without this, library
+    // callers composing the operator with other queries in one session
+    // ratchet executor memory (Bench clears cache between queries; they
+    // don't). The returned frame is self-contained — callers done with
+    // it can release it via [[releaseCheckpointed]].
+    val out = labels.join(sizes, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    releaseCheckpointed(pairs0)
+    out
   }
+
+  /** Drop the block-manager state behind a localCheckpointed frame.
+    * `Dataset.unpersist()` only clears cache-manager entries; checkpoint
+    * blocks belong to the wrapped `LogicalRDD`'s RDD and must be released
+    * there. Safe only once nothing will read the frame again. */
+  private[ext] def releaseCheckpointed(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
 
   // ---- oracle SQL (generated from the same constants) ----
 

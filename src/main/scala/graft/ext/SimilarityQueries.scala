@@ -120,30 +120,40 @@ object SimilarityQueries {
     pairsIn("b0").unionByName(pairsIn("b1"))
   }
 
+  /** Hard ceiling on band width. 40 sign bits = up to 2^40 buckets per
+    * band; the width rule below stops growing once n > 8·2^39 ≈ 4.4e12
+    * vectors — for 64-dim float32 embeddings that is ≈ 1.1 PB of raw
+    * vector data, an order of magnitude past the 100 TB design target.
+    * (The round-4 cap of 16 bits bound at ~262k vectors — a structural
+    * limit of the old 32-plane family, not of the corpus.) Buckets are
+    * BIGINT so bits ≥ 31 cannot overflow. */
+  private[ext] val MaxBandBits = 40
+
   /** Band width (sign bits per LSH band) for a corpus of `n` vectors:
-    * the smallest b in [4, 16] with 2^b buckets ≥ n / 8 (target ~8
-    * vectors per bucket, so in-bucket pair work stays O(N) as the corpus
-    * grows). INTEGER-ONLY arithmetic — the oracle evaluates the same rule
-    * per bit as `j < 4 OR n > 8·2^j` (monotone in j, so bit j is active
-    * iff j < b), with no float log that could round differently across
-    * engines. */
+    * the smallest b in [4, [[MaxBandBits]]] with 2^b buckets ≥ n / 8
+    * (target ~8 vectors per bucket, so in-bucket pair work stays O(N) as
+    * the corpus grows). INTEGER-ONLY arithmetic — the oracle evaluates
+    * the same rule per bit as `j < 4 OR n > 8·2^j` (monotone in j, so
+    * bit j is active iff j < b), with no float log that could round
+    * differently across engines. */
   private[ext] def bandBits(n: Long): Int =
-    4 + (4 until 16).count(j => n > (8L << j))
+    4 + (4 until MaxBandBits).count(j => n > (8L << j))
 
   /** Corpus with TWO independent corpus-width LSH band buckets attached
-    * (narrow). Band 0 uses planes 0..b, band 1 uses planes 16..16+b of
-    * the fixed 32-plane family. */
+    * (narrow). Band 0 uses planes 0..b and band 1 uses planes
+    * [[MaxBandBits]]..[[MaxBandBits]]+b of the on-demand plane family, so
+    * the two bands never share a plane at any width. */
   private def banded(s: SparkSession, d: String): DataFrame = {
     val b = bandBits(embeddings(s, d).count())
     def bucket(offset: Int): String =
       (0 until b).map { j =>
-        val p = Planes32(offset + j)
+        val p = planeFamily(offset + j)
         val arr = s"CAST(array(${p.mkString(", ")}) AS ARRAY<FLOAT>)"
-        s"IF(${dot("embedding", arr)} >= 0, ${1 << j}, 0)"
+        s"IF(${dot("embedding", arr)} >= 0, CAST(${1L << j} AS BIGINT), 0)"
       }.mkString(" + ")
     normed(s, d)
       .withColumn("b0", expr(bucket(0)))
-      .withColumn("b1", expr(bucket(16)))
+      .withColumn("b1", expr(bucket(MaxBandBits)))
   }
 
   /** Random-hyperplane (SimHash-for-vectors) LSH buckets — the third ANN
@@ -198,20 +208,24 @@ object SimilarityQueries {
     normed(s, d).withColumn("bucket", expr(bits.mkString(" + ")))
   }
 
-  /** 32 Rademacher hyperplanes over 64 dims from a fixed xorshift64 seed —
-    * deterministic, engine-neutral (only the literals ±1 cross engines).
-    * The first 8 serve [[embedLsh]]/[[embedMplsh]]; [[embedNeardup]]'s two
-    * corpus-width bands draw from 0..16 and 16..32. */
-  private[ext] val Planes32: Seq[Seq[Int]] = {
+  /** 2·[[MaxBandBits]] Rademacher hyperplanes over 64 dims from a fixed
+    * xorshift64 seed — deterministic, engine-neutral (only the literals
+    * ±1 cross engines), and extendable by construction: plane k is simply
+    * the k-th draw of the seeded stream, so widening [[MaxBandBits]]
+    * regenerates a longer prefix-compatible family (the round-4 ADVICE
+    * fix for the 16-bit structural cap). The first 8 serve
+    * [[embedLsh]]/[[embedMplsh]]; [[embedNeardup]]'s two corpus-width
+    * bands draw from [0, MaxBandBits) and [MaxBandBits, 2·MaxBandBits). */
+  private[ext] val planeFamily: Seq[Seq[Int]] = {
     var x = 88172645463325252L
-    Seq.fill(32)(Seq.fill(64) {
+    Seq.fill(2 * MaxBandBits)(Seq.fill(64) {
       x ^= x << 13; x ^= x >>> 7; x ^= x << 17
       if (x >= 0) 1 else -1
     })
   }
 
   /** The 8-plane prefix used by the fixed-width LSH search tier. */
-  private[ext] val Planes: Seq[Seq[Int]] = Planes32.take(8)
+  private[ext] val Planes: Seq[Seq[Int]] = planeFamily.take(8)
 
   /** IVF centroid count for a corpus of `n` vectors: √(n/8) (min 8), so
     * cells grow with the corpus and per-query in-cell work O(n/C) keeps
@@ -344,13 +358,13 @@ object SimilarityQueries {
     // of a band bucket is active iff j < 4 OR n > 8·2^j — pure integer
     // comparisons, so the two engines can never disagree on the width.
     def bucketSql(offset: Int): String =
-      (0 until 16).map { j =>
-        val lst = Planes32(offset + j).mkString("[", ", ", "]")
+      (0 until MaxBandBits).map { j =>
+        val lst = planeFamily(offset + j).mkString("[", ", ", "]")
         val sign =
           s"""list_sum(list_transform(range(1, len(embedding) + 1),
                 i -> embedding[i]::DOUBLE * ($lst)[i])) >= 0"""
         val cond = if (j < 4) sign else s"nn > ${8L << j} AND $sign"
-        s"CASE WHEN $cond THEN ${1 << j} ELSE 0 END"
+        s"CASE WHEN $cond THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
       }.mkString("\n                 + ")
     val pairCos =
       """round(list_sum(list_transform(range(1, len(x.embedding) + 1),
@@ -360,7 +374,7 @@ object SimilarityQueries {
         params AS (SELECT count(*) AS nn FROM embeddings),
         bb AS (SELECT vec_id, embedding, nrm,
                  ${bucketSql(0)} AS b0,
-                 ${bucketSql(16)} AS b1
+                 ${bucketSql(MaxBandBits)} AS b1
                FROM n, params),
         pairs AS (
           SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, $pairCos AS cos

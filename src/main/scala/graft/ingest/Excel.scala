@@ -7,7 +7,7 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
 
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
-import scala.util.Using
+import scala.util.{Failure, Success, Try, Using}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -27,9 +27,13 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *
   * Reference semantics preserved:
   *   - every sheet is read, first row = header (`pd.read_excel` default);
-  *   - a sheet whose header does not match the first successful sheet's
-  *     is SKIPPED and reported, not fatal (the per-sheet try/except at
-  *     `orders_etl.py:57-64`);
+  *   - a sheet that FAILS TO PARSE (malformed XML, bad shared-string
+  *     index, unparseable cell) or whose header lacks a column of the
+  *     first successful sheet's is SKIPPED and reported, never fatal —
+  *     the per-sheet try/except at `orders_etl.py:57-64`;
+  *   - columns are aligned BY NAME to the first successful sheet's
+  *     header (extra columns dropped, any order accepted — `pd.concat`
+  *     tolerates reordered/extra columns the same way);
   *   - surviving sheets are concatenated (`pd.concat`), here with a
   *     `_sheet` provenance column appended.
   *
@@ -44,22 +48,25 @@ object Excel {
 
   final case class XlsxResult(df: DataFrame, skippedSheets: Seq[String])
 
-  /** Read every sheet of `path`; union the ones whose header matches the
-    * first parseable sheet's header. */
+  /** Read every sheet of `path`; union (aligned by column name) the ones
+    * that parse AND carry every column of the first parseable sheet's
+    * header. Parse failures and header mismatches alike only skip the one
+    * sheet. */
   def readXlsx(spark: SparkSession, path: String): XlsxResult = {
-    val sheets = parseWorkbook(path) // (sheetName, rows) in workbook order
-    val header = sheets.collectFirst {
+    val sheets = parseWorkbook(path) // (sheetName, Try(rows)) in order
+    val parsed = sheets.collect { case (n, Success(rows)) => n -> rows }
+    val unparseable = sheets.collect { case (n, Failure(_)) => n }
+    val header = parsed.collectFirst {
       case (_, rows) if rows.nonEmpty => rows.head
     }.getOrElse(throw new IllegalArgumentException(
-      s"xlsx at $path has no non-empty sheet"))
-    val width = header.length
-    val (good, skipped) = sheets.partition {
-      case (_, rows) => rows.headOption.contains(header)
+      s"xlsx at $path has no parseable non-empty sheet"))
+    val (good, mismatched) = parsed.partition { case (_, rows) =>
+      rows.headOption.exists(h => header.forall(h.contains))
     }
     val data = good.flatMap { case (name, rows) =>
+      val colOf = header.map(rows.head.indexOf(_)) // by-name alignment
       rows.drop(1).map { r =>
-        val padded = r.padTo(width, null).take(width)
-        Row.fromSeq(padded :+ name)
+        Row.fromSeq(colOf.map(i => if (i < r.length) r(i) else null) :+ name)
       }
     }
     val schema = StructType(
@@ -67,13 +74,18 @@ object Excel {
         StructField("_sheet", StringType, nullable = false))
     XlsxResult(
       spark.createDataFrame(data.asJava, schema),
-      skipped.map(_._1))
+      unparseable ++ mismatched.map(_._1))
   }
 
-  /** (sheetName, rows-of-cells) for every sheet, in workbook order. Cells
-    * are resolved to strings; rows are padded only as far as their last
-    * populated cell (caller pads to header width). */
-  private def parseWorkbook(path: String): Seq[(String, Vector[Vector[String]])] =
+  /** (sheetName, Try(rows-of-cells)) for every sheet, in workbook order.
+    * Cells are resolved to strings; rows are padded only as far as their
+    * last populated cell (caller pads to header width). A sheet whose XML
+    * fails to parse (malformed markup, out-of-range shared-string index,
+    * non-numeric text in a typed cell) surfaces as a `Failure` for THAT
+    * sheet only — the workbook-level parts (shared strings, styles, rels)
+    * stay fatal, since without them no sheet is interpretable. */
+  private def parseWorkbook(
+      path: String): Seq[(String, Try[Vector[Vector[String]]])] =
     Using.resource(new ZipFile(path)) { zip =>
       def open(name: String): Option[InputStream] =
         Option(zip.getEntry(name)).map(zip.getInputStream)
@@ -90,7 +102,7 @@ object Excel {
         val target = rels.get(rid)
           .map(t => if (t.startsWith("/")) t.drop(1) else s"xl/$t")
         target.flatMap(open)
-          .map(in => name -> parseSheet(in, shared, dateStyles))
+          .map(in => name -> Try(parseSheet(in, shared, dateStyles)))
       }
     }
 

@@ -373,12 +373,20 @@ final class MergeTable private (
       (a.schema.fields ++ b.schema.fields).map(f => f.name -> f.dataType).toMap
     val cols = (a.columns.toSeq ++ b.columns.toSeq).distinct
       .filterNot(_ == pk)
-    def packed(df: DataFrame, as: String): DataFrame = {
+    def packed(df: DataFrame, keyAs: String, as: String): DataFrame = {
       val have = df.columns.toSet
-      df.select(col(pk), struct(cols.map(c =>
+      df.select(col(pk).as(keyAs), struct(cols.map(c =>
         if (have(c)) col(c) else lit(null).cast(types(c)).as(c)): _*).as(as))
     }
-    packed(a, "_pre").join(packed(b, "_post"), Seq(pk), "full_outer")
+    // Null-safe (<=>) join key: a plain-equality join never matches a
+    // null pk, so an UNCHANGED null-pk row in a touched partition would
+    // surface as a spurious delete + insert. The pk is assumed unique per
+    // snapshot (the same contract MERGE itself relies on), which with <=>
+    // extends to "at most one null-pk row".
+    packed(a, "_pk_pre", "_pre")
+      .join(packed(b, "_pk_post", "_post"),
+        col("_pk_pre") <=> col("_pk_post"), "full_outer")
+      .withColumn(pk, coalesce(col("_pk_post"), col("_pk_pre")))
       .withColumn("_change_type",
         when(col("_pre").isNull, "insert")
           .when(col("_post").isNull, "delete")

@@ -174,6 +174,24 @@ class ExtQueriesSpec extends SparkSpec {
       again(r.getAs[String]("source")) === r.getAs[Double]("hll_est")))
   }
 
+  test("bandBits grows past the old 16-bit cap and the family covers it") {
+    import SimilarityQueries.{MaxBandBits, bandBits, planeFamily}
+    // smallest b with 2^b buckets >= n/8, across six orders of magnitude
+    assert(bandBits(500) === 6)
+    assert(bandBits(262144) === 15)      // where the round-4 cap bound
+    assert(bandBits(10000000) === 21)    // past the old 16-bit ceiling
+    assert(bandBits(400000000000L) === 36) // ~100 TB of 64-dim float32
+    assert(bandBits(Long.MaxValue) === MaxBandBits)
+    // monotone — a bigger corpus never gets a narrower band
+    val widths = Seq(1L, 1000L, 1000000L, 1000000000L, 1000000000000L)
+      .map(bandBits)
+    assert(widths === widths.sorted)
+    // both bands have a full MaxBandBits of planes to draw from, and the
+    // two draws never share a plane
+    assert(planeFamily.size === 2 * MaxBandBits)
+    assert(planeFamily.distinct.size === planeFamily.size)
+  }
+
   test("textQuality pass gate follows its thresholds") {
     val byId = TextQueries.textQuality(spark, dir)
       .select("doc_id", "n_tokens", "quality_pass").collect()

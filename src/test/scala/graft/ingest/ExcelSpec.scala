@@ -182,4 +182,43 @@ class ExcelSpec extends SparkSpec {
       "cast(order_id as bigint) AS order_id", "cast(amount as double) AS amount")
     assert(typed.where("amount > 8").count() === 1)
   }
+
+  test("readXlsx skips a sheet whose XML fails to parse, keeps the rest") {
+    val p = tmpDir("xlsxbroken").resolve("broken.xlsx")
+    XlsxTestData.writeRawParts(p, Seq(
+      "Good" -> XlsxTestData.sheetXml(
+        Seq(Seq("id", "v"), Seq("1", "a"))),
+      // truncated markup: StAX throws mid-sheet
+      "Mangled" -> """<?xml version="1.0"?><worksheet><sheetData><row""",
+      // well-formed XML but a non-integer shared-string index
+      "BadRef" -> """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |  <sheetData><row r="1">
+        |    <c r="A1" t="s"><v>notanint</v></c>
+        |  </row></sheetData>
+        |</worksheet>""".stripMargin,
+      "Good2" -> XlsxTestData.sheetXml(Seq(Seq("id", "v"), Seq("2", "b")))))
+    val res = Excel.readXlsx(spark, p.toString)
+    assert(res.skippedSheets.toSet === Set("Mangled", "BadRef"),
+      "each failing sheet skips alone; the workbook survives")
+    assert(res.df.select("id", "v", "_sheet").as[(String, String, String)]
+      .collect().toSet === Set(("1", "a", "Good"), ("2", "b", "Good2")))
+  }
+
+  test("readXlsx aligns reordered/extra columns by name, skips missing") {
+    val p = tmpDir("xlsxalign").resolve("align.xlsx")
+    XlsxTestData.write(p, Seq(
+      "Base"    -> Seq(Seq("order_id", "amount"), Seq("1", "10")),
+      // same columns, different order, plus an extra one → aligned
+      "Shuffled" -> Seq(Seq("extra", "amount", "order_id"),
+        Seq("x", "20", "2")),
+      // missing a required column → skipped
+      "Partial" -> Seq(Seq("order_id"), Seq("3"))))
+    val res = Excel.readXlsx(spark, p.toString)
+    assert(res.skippedSheets === Seq("Partial"))
+    assert(res.df.columns.toSeq === Seq("order_id", "amount", "_sheet"),
+      "schema is the first sheet's header; extra columns dropped")
+    assert(res.df.as[(String, String, String)].collect().toSet ===
+      Set(("1", "10", "Base"), ("2", "20", "Shuffled")))
+  }
 }

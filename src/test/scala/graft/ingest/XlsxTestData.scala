@@ -15,7 +15,12 @@ object XlsxTestData {
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
   /** Null cells are omitted (read back as null). Returns the file path. */
-  def write(path: Path, sheets: Seq[(String, Seq[Seq[String]])]): String = {
+  def write(path: Path, sheets: Seq[(String, Seq[Seq[String]])]): String =
+    writeRawParts(path, sheets.map { case (n, rows) => n -> sheetXml(rows) })
+
+  /** Like [[write]], but each sheet's part body is RAW bytes — for specs
+    * that need a malformed worksheet among good ones. */
+  def writeRawParts(path: Path, sheets: Seq[(String, String)]): String = {
     def entry(z: ZipOutputStream, name: String, body: String): Unit = {
       z.putNextEntry(new ZipEntry(name))
       z.write(body.getBytes("UTF-8"))
@@ -39,25 +44,29 @@ object XlsxTestData {
            |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
            |  $rels
            |</Relationships>""".stripMargin)
-      sheets.zipWithIndex.foreach { case ((_, rows), i) =>
-        val body = rows.zipWithIndex.map { case (cells, r) =>
-          val cs = cells.zipWithIndex.collect {
-            case (v, c) if v != null =>
-              val ref = s"${colRef(c)}${r + 1}"
-              s"""<c r="$ref" t="inlineStr"><is><t>${esc(v)}</t></is></c>"""
-          }.mkString
-          s"""<row r="${r + 1}">$cs</row>"""
-        }.mkString("\n")
-        entry(z, s"xl/worksheets/sheet${i + 1}.xml",
-          s"""<?xml version="1.0"?>
-             |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
-             |  <sheetData>
-             |$body
-             |  </sheetData>
-             |</worksheet>""".stripMargin)
+      sheets.zipWithIndex.foreach { case ((_, body), i) =>
+        entry(z, s"xl/worksheets/sheet${i + 1}.xml", body)
       }
     }
     path.toString
+  }
+
+  /** A well-formed inline-string worksheet body for [[writeRawParts]]. */
+  def sheetXml(rows: Seq[Seq[String]]): String = {
+    val body = rows.zipWithIndex.map { case (cells, r) =>
+      val cs = cells.zipWithIndex.collect {
+        case (v, c) if v != null =>
+          val ref = s"${colRef(c)}${r + 1}"
+          s"""<c r="$ref" t="inlineStr"><is><t>${esc(v)}</t></is></c>"""
+      }.mkString
+      s"""<row r="${r + 1}">$cs</row>"""
+    }.mkString("\n")
+    s"""<?xml version="1.0"?>
+       |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+       |  <sheetData>
+       |$body
+       |  </sheetData>
+       |</worksheet>""".stripMargin
   }
 
   private[ingest] def colRef(i: Int): String = {

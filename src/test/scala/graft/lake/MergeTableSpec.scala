@@ -304,6 +304,21 @@ class MergeTableSpec extends SparkSpec {
         "evolved column in the feed")
   }
 
+  test("changes() carries an unchanged null-pk row silently (null-safe key)") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, Some("date"))
+    // the null-pk row shares a partition with the updated row, so log
+    // pruning does NOT hide it — both versions scan it
+    val v1 = t.overwrite(orders(
+      (null, "2024-01-01", 5.0), ("o1", "2024-01-01", 10.0)))
+    val v2 = t.merge(orders(("o1", "2024-01-01", 99.0)), "order_id")
+    val rows = t.changes(v1, v2, "order_id")
+      .select("order_id", "amount", "_change_type")
+      .as[(Option[String], Double, String)].collect().toSet
+    assert(rows === Set((Some("o1"), 99.0, "update")),
+      "an unchanged null-pk row must not surface as delete + insert")
+  }
+
   test("two handles to the same table serialize through the log") {
     val root = tmpDir("mt").toString
     val t = MergeTable(spark, root, None)
