@@ -101,6 +101,9 @@ object SparkEntry {
     "q_sketch_distinct" -> (SketchQueries.sketchDistinct _),
     "q_sketch_kmv"      -> (SketchQueries.sketchKmv _),
     "q_sketch_hll"      -> (SketchQueries.sketchHll _),
+    "q_sketch_cms"      -> (SketchQueries.sketchCms _),
+    "q_text_tfidf"      -> (TextQueries.textTfidf _),
+    "q_doc_stratified"  -> (TextQueries.docStratified _),
     // §7.5 — multimodal binary columns (stub decode, real plumbing)
     "q_media_features"  -> ((s: SparkSession, d: String) =>
       ext.Multimodal.decoded(s, ext.Multimodal.mediaTable(Tables.documents(s, d)))),
@@ -494,6 +497,9 @@ object SparkEntry {
     "q_sketch_distinct" -> SketchQueries.sketchDistinctOracle,
     "q_sketch_kmv"    -> SketchQueries.sketchKmvOracle,
     "q_sketch_hll"    -> SketchQueries.sketchHllOracle,
+    "q_sketch_cms"    -> SketchQueries.sketchCmsOracle,
+    "q_text_tfidf"    -> TextQueries.textTfidfOracle,
+    "q_doc_stratified" -> TextQueries.docStratifiedOracle,
     "q_doc_pipeline"  -> ext.DocPipeline.pipelineOracle(),
     "q_text_pii"      -> TextQueries.textPiiOracle,
     "q_text_colloc"   -> TextQueries.textCollocOracle,

@@ -214,4 +214,75 @@ object SketchQueries {
                     ELSE round(($K - 1) * $HashSpace / h_k, 2) END AS kmv_est
         FROM ex LEFT JOIN kk ON ex.source = kk.source
         ORDER BY ex.source"""
+
+  /** Count-min sketch geometry: [[CmsDepth]] independent md5-derived hash
+    * rows × [[CmsWidth]] counters. Width is deliberately SMALL relative
+    * to the fixture vocabulary so collisions (and therefore nonzero
+    * overcounts) are actually exercised, not just theoretically possible. */
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+
+  /** Count-min sketch heavy hitters over the token stream — the classic
+    * bounded-memory frequency sketch: each occurrence increments one
+    * counter per hash row; estimate(t) = min over rows of the counter t
+    * hashes to, always ≥ the true count. Returns the top 20 tokens by
+    * estimate (token tie-break) with their true counts and overcounts.
+    *
+    * Deterministic by construction: hashes are md5-derived, counters are
+    * exact integers — the DuckDB oracle rebuilds the SAME sketch
+    * bit-for-bit (unlike Spark's private `count_min_sketch` binary).
+    *
+    * Scale shape: the sketch is ONE map-side-combinable aggregate down to
+    * depth·width = 1024 rows — constant-size state, mergeable
+    * across partitions/streams (the point of CMS over exact counting);
+    * the probe side joins the vocabulary (≪ corpus after the tf
+    * aggregate) to the tiny cell table on (row, cell). No stage is
+    * corpus×depth wide after the first partial aggregate. */
+  def sketchCms(s: SparkSession, d: String): DataFrame = {
+    val occ = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("term"))
+    def cellExpr(termCol: String, jCol: String): String =
+      s"""cast(conv(substring(md5(concat($termCol, ':cms:',
+            cast($jCol as string))), 1, 8), 16, 10) as bigint) % $CmsWidth"""
+    val cells = occ
+      .select(explode(expr(
+        s"""transform(sequence(0, ${CmsDepth - 1}),
+              j -> struct(j AS j, ${cellExpr("term", "j")} AS cell))"""))
+        .as("jc"))
+      .groupBy(col("jc.j").as("j"), col("jc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val truth = occ.groupBy(col("term")).agg(count(lit(1)).as("true_cnt"))
+    truth
+      .select(col("term"), col("true_cnt"),
+        explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("j"))
+      .withColumn("cell", expr(cellExpr("term", "j")))
+      .join(cells, Seq("j", "cell"))
+      .groupBy(col("term"))
+      .agg(min(col("cnt")).as("est_cnt"), min(col("true_cnt")).as("true_cnt"))
+      .withColumn("overcount", col("est_cnt") - col("true_cnt"))
+      .orderBy(col("est_cnt").desc, col("term"))
+      .limit(20)
+      .select(col("term"), col("est_cnt"), col("true_cnt"), col("overcount"))
+  }
+
+  /** DuckDB oracle for [[sketchCms]] — same geometry constants, same md5
+    * cell rule, so the sketch is rebuilt identically. */
+  def sketchCmsOracle: String =
+    s"""WITH occ AS (SELECT unnest(string_split(text, ' ')) AS term
+                     FROM documents),
+        js AS (SELECT unnest(range(0, $CmsDepth)) AS j),
+        jc AS (SELECT term, j,
+                 ('0x' || substr(md5(term || ':cms:' || j), 1, 8))::BIGINT
+                   % $CmsWidth AS cell
+               FROM occ CROSS JOIN js),
+        cells AS (SELECT j, cell, count(*) AS cnt FROM jc GROUP BY j, cell),
+        truth AS (SELECT term, count(*) AS true_cnt FROM occ GROUP BY term),
+        probe AS (SELECT term, true_cnt, j,
+                    ('0x' || substr(md5(term || ':cms:' || j), 1, 8))::BIGINT
+                      % $CmsWidth AS cell
+                  FROM truth CROSS JOIN js),
+        est AS (SELECT term, min(cnt) AS est_cnt, min(true_cnt) AS true_cnt
+                FROM probe JOIN cells USING (j, cell) GROUP BY term)
+        SELECT term, est_cnt, true_cnt, est_cnt - true_cnt AS overcount
+        FROM est ORDER BY est_cnt DESC, term LIMIT 20"""
 }

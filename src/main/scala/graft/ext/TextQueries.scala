@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` corpus — the LLM-training-
@@ -329,6 +330,99 @@ object TextQueries {
        JOIN uni cy ON bi.w2 = cy.w
        CROSS JOIN tot
        ORDER BY lift DESC, bigram LIMIT 50"""
+
+  /** TF-IDF term scoring — the classic retrieval/keyword signal: per
+    * document, the top 3 terms by tf·idf. idf is the LOG-FREE rational
+    * form N/df (same trick as [[textColloc]]'s lift: one division of
+    * exact integer counts is IEEE-correctly-rounded identically in both
+    * engines, where a float `log` could differ in the last ulp and break
+    * the oracle hash), so score = tf · N / df.
+    *
+    * Plan shape: one (doc, term) count aggregate over the exploded
+    * corpus (linear in token count, keys include doc_id — no hot
+    * partition), one vocab-scale df aggregate, one vocab-keyed equi-join
+    * (the term relation is ≪ corpus after aggregation; AQE broadcasts
+    * it), then a per-doc top-k window. Nothing is ever corpus×vocab. */
+  def textTfidf(s: SparkSession, d: String): DataFrame = {
+    val tf = withToks(documents(s, d))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = documents(s, d).select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf").cast("double") * col("n_docs") / col("df"), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rnk"))
+  }
+
+  /** DuckDB oracle for [[textTfidf]]. */
+  val textTfidfOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+       u AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM u GROUP BY 1, 2),
+       df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       sc AS (SELECT doc_id, tf.term AS term, tf, df,
+                round(CAST(tf AS DOUBLE) * n_docs / df, 4) AS score
+              FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+       SELECT doc_id, term, tf, df, score, rnk FROM (
+         SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, term) AS rnk
+         FROM sc) z
+       WHERE rnk <= 3 ORDER BY doc_id, rnk"""
+
+  /** Per-stratum document budget for [[docStratified]]. */
+  private val StratTarget = 24
+
+  /** Equal-allocation stratified sampling: every `lang` stratum keeps
+    * ~[[StratTarget]] documents REGARDLESS of stratum size — the
+    * equal-precision design (small strata survive whole, big ones thin
+    * out), complementing [[docMix]]'s fixed per-source rates. The
+    * per-stratum rate is DERIVED FROM THE DATA with integer-only ceil
+    * division (`(target·100 + n − 1) div n`, capped at 100), and
+    * membership stays a pure hash of doc_id — deterministic across
+    * engines, retries, and partitionings.
+    *
+    * Plan shape: one tiny stratum-count aggregate broadcast back onto
+    * the corpus, then a narrow filter. Deliberately NOT the rank-within-
+    * stratum exact-k design: that sorts each stratum inside one task
+    * (5 langs ⇒ 5 hot partitions at 100 TB — the same trap as exact
+    * percentiles), while this shape never shuffles the corpus at all. */
+  def docStratified(s: SparkSession, d: String): DataFrame = {
+    val strata = documents(s, d)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_stratum"))
+      .withColumn("rate_pct", least(lit(100L),
+        expr(s"(${StratTarget * 100} + n_stratum - 1) div n_stratum")))
+    documents(s, d)
+      .join(broadcast(strata), Seq("lang"))
+      .withColumn("bucket", expr(
+        """cast(conv(substring(md5(concat(cast(doc_id as string), ':strat')),
+           1, 8), 16, 10) as bigint) % 100"""))
+      .filter(col("bucket") < col("rate_pct"))
+      .select(col("doc_id"), col("lang"), col("n_stratum"),
+        col("rate_pct"), col("bucket"))
+  }
+
+  /** DuckDB oracle for [[docStratified]] — same integer-only rate rule. */
+  val docStratifiedOracle: String =
+    s"""WITH s AS (SELECT lang, count(*) AS n_stratum,
+                     least(100, (${StratTarget * 100} + count(*) - 1)
+                                // count(*)) AS rate_pct
+                   FROM documents GROUP BY lang),
+        b AS (SELECT doc_id, d.lang AS lang, n_stratum, rate_pct,
+                ('0x' || substr(md5(doc_id || ':strat'), 1, 8))::BIGINT % 100
+                  AS bucket
+              FROM documents d JOIN s ON d.lang = s.lang)
+        SELECT doc_id, lang, n_stratum, rate_pct, bucket
+        FROM b WHERE bucket < rate_pct ORDER BY doc_id"""
 
   /** Document fingerprinting: a whole-text md5 plus a rolling-shingle
     * fingerprint (min over 3-word-shingle hashes — MinHash with k=1, the

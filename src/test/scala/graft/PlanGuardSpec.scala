@@ -12,7 +12,8 @@ class PlanGuardSpec extends SparkSpec {
     * the broadcast side is ≤ a few rows (scalar aggregate, ≤10 query
     * vectors, 8 centroids) and the condition is non-equi by design. */
   private val intendedBroadcastNL = Set(
-    "q_scalar_subquery", "q_embed_topk", "q_embed_ivf", "q_text_colloc")
+    "q_scalar_subquery", "q_embed_topk", "q_embed_ivf", "q_text_colloc",
+    "q_text_tfidf") // 1-row n_docs scalar broadcast against the tf stream
 
   test("no cartesian products; nested-loop joins only where intended") {
     val d = "/root/testdata/sf0.001"

@@ -174,6 +174,56 @@ class ExtQueriesSpec extends SparkSpec {
       again(r.getAs[String]("source")) === r.getAs[Double]("hll_est")))
   }
 
+  test("sketchCms estimates dominate true counts and agree where exact") {
+    val rows = SketchQueries.sketchCms(spark, dir)
+      .select("term", "est_cnt", "true_cnt").as[(String, Long, Long)]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, est, tru) =>
+      assert(est >= tru, s"CMS must never undercount ($t: $est < $tru)")
+      assert(tru > 0)
+    }
+    // the top estimate's TRUE count must equal the real corpus count
+    val (topTerm, _, topTrue) = rows.head
+    val exact = graft.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") === topTerm).count()
+    assert(topTrue === exact)
+  }
+
+  test("textTfidf surfaces document-distinctive terms first") {
+    val rows = TextQueries.textTfidf(spark, dir)
+      .select("doc_id", "term", "df", "score", "rnk")
+      .as[(Long, String, Long, Double, Int)].collect()
+    val byDoc = rows.groupBy(_._1)
+    byDoc.values.foreach { ts =>
+      assert(ts.length <= 3)
+      val ordered = ts.sortBy(_._5)
+      assert(ordered.map(-_._4).sorted.toSeq === ordered.map(-_._4).toSeq,
+        "scores must be non-increasing in rank")
+    }
+    // the pasta doc's top terms are unique to it (df = 1) — idf wins
+    assert(byDoc(3L).forall(_._3 === 1L))
+  }
+
+  test("docStratified derives per-stratum rates from stratum size") {
+    // single 5-doc stratum: rate caps at 100 → everything survives
+    val small = TextQueries.docStratified(spark, dir)
+      .select("rate_pct", "doc_id").as[(Long, Long)].collect()
+    assert(small.length === 5 && small.forall(_._1 === 100L))
+    // a 600-doc stratum thins to ceil(2400/600) = 4 percent
+    val d2 = tmpDir("strat")
+    (0 until 600).map(i => (i.toLong, s"doc number $i body", "en", "s0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d2/documents.parquet")
+    val big = TextQueries.docStratified(spark, d2.toString)
+      .select("rate_pct", "bucket").as[(Long, Long)].collect()
+    assert(big.forall(_._1 === 4L), "rate must derive from stratum size")
+    assert(big.forall(_._2 < 4L), "membership is the hash-bucket cut")
+    assert(big.length > 0 && big.length < 60,
+      s"~4% of 600 expected, got ${big.length}")
+  }
+
   test("bandBits grows past the old 16-bit cap and the family covers it") {
     import SimilarityQueries.{MaxBandBits, bandBits, planeFamily}
     // smallest b with 2^b buckets >= n/8, across six orders of magnitude
