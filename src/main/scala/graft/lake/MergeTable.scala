@@ -264,8 +264,8 @@ final class MergeTable private (
 
   /** DOC-ONLY OPTIMIZE implemented for real (README.md:119): rewrite live
     * files into `filesPerPartition` files, optionally range-clustered on
-    * `clusterBy` (the practical stand-in for Z-ordering — multi-dimensional
-    * locality via range repartition + intra-file sort). */
+    * `clusterBy` (LINEAR clustering — locality on the leading column
+    * only; for multi-dimensional locality see [[zorder]]). */
   def compact(filesPerPartition: Int = 1, clusterBy: Seq[Column] = Nil): Long =
     retryingCommit { () =>
       val (version, live) = latest()
@@ -278,6 +278,119 @@ final class MergeTable private (
       val (_, entries) = writeData(df)
       (entries, version)
     }
+
+  /** The reference's DOC-ONLY "Z-ordering" claim (README.md:119,
+    * docs/full_implementation_guide.md:317-321) implemented for real:
+    * rewrite live files clustered on the Z-ORDER CURVE over `cols` —
+    * each column min-max-scaled to 16 bits, bits interleaved
+    * (bit j of column k → position j·n+k), then range-repartitioned and
+    * sorted by the Z-value. Unlike [[compact]]'s linear `clusterBy`
+    * (which gives the trailing columns no locality at all), every
+    * Z-ordered file covers a narrow range of EVERY clustered column, so
+    * single-column min/max stats ([[readRange]]) skip files for
+    * predicates on any of them — the Delta `OPTIMIZE ... ZORDER BY`
+    * semantics.
+    *
+    * Scale shape: the min/max scaling pass is one tiny aggregate (2·n
+    * doubles to the driver); the Z-value is a narrow codegen'd integer
+    * expression; the rewrite is the same range-shuffle a plain
+    * clustered compact pays. */
+  def zorder(cols: Seq[String], filesPerPartition: Int = 1): Long = {
+    require(cols.nonEmpty && cols.size <= 3,
+      s"zorder takes 1-3 columns (16 bits each, long-width Z), got $cols")
+    retryingCommit { () =>
+      val (version, live) = latest()
+      val df0 = readEntries(live)
+      val mm = df0
+        .select(cols.flatMap(c => Seq(
+          min(col(c).cast("double")), max(col(c).cast("double")))): _*)
+        .head()
+      val scaled = cols.indices.map { i =>
+        val (mn, mx) =
+          if (mm.isNullAt(2 * i) || mm.isNullAt(2 * i + 1)) (0.0, 1.0)
+          else (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+        val span = if (mx > mn) mx - mn else 1.0
+        s"CAST(((CAST(${cols(i)} AS DOUBLE) - $mn) / $span) * 65535 AS BIGINT)"
+      }
+      val z = (0 until 16).flatMap(j => scaled.indices.map(k =>
+        s"(((${scaled(k)} >> $j) & 1) << ${j * cols.size + k})"))
+        .mkString(" + ")
+      val df = df0.withColumn(ZCol, expr(z))
+        .repartitionByRange(filesPerPartition, col(ZCol))
+        .sortWithinPartitions(col(ZCol))
+        .drop(ZCol)
+      val (_, entries) = writeData(df)
+      (entries, version)
+    }
+  }
+
+  /** Delta-parity DELETE: drop rows where `predicate` is TRUE (null-
+    * predicate rows survive, as in SQL DELETE). Only files that CONTAIN
+    * a matching row are rewritten; everything else is carried over
+    * untouched — the touched-file set is discovered with one
+    * `input_file_name()` scan whose result is numFiles-scale driver
+    * metadata, the same contract as the MERGE partition discovery. */
+  def delete(predicate: Column): Long = retryingCommit { () =>
+    val (version, live) = latest()
+    if (live.isEmpty) (live, version)
+    else {
+      val hit = touchedFileNames(live, predicate)
+      if (hit.isEmpty) (live, version)
+      else {
+        val (touched, kept) =
+          live.partition(e => hit(e.relPath.split('/').last))
+        val survivors = readEntries(touched)
+          .filter(!coalesce(predicate, lit(false)))
+        val (_, newEntries) = writeData(survivors)
+        (kept ++ newEntries, version)
+      }
+    }
+  }
+
+  /** Delta-parity UPDATE: for rows where `predicate` is TRUE, replace
+    * each column in `set` with its expression (null-predicate rows stay
+    * unchanged). File-level rewrite discipline identical to [[delete]].
+    * The partition column cannot be updated (a partition-moving update
+    * is a delete + insert — run those instead). */
+  def update(predicate: Column, set: Map[String, Column]): Long = {
+    require(set.nonEmpty, "update needs at least one SET column")
+    require(!partitionCol.exists(set.contains),
+      s"cannot update partition column $partitionCol; delete + merge instead")
+    retryingCommit { () =>
+      val (version, live) = latest()
+      if (live.isEmpty) (live, version)
+      else {
+        val hit = touchedFileNames(live, predicate)
+        if (hit.isEmpty) (live, version)
+        else {
+          val (touched, kept) =
+            live.partition(e => hit(e.relPath.split('/').last))
+          val base = readEntries(touched)
+          set.keys.foreach(c => require(base.columns.contains(c),
+            s"SET column $c does not exist in the table"))
+          val updated = set.foldLeft(base) { case (df, (c, v)) =>
+            df.withColumn(c,
+              when(coalesce(predicate, lit(false)), v).otherwise(col(c)))
+          }
+          val (_, newEntries) = writeData(updated)
+          (kept ++ newEntries, version)
+        }
+      }
+    }
+  }
+
+  /** Basenames of live files holding at least one `predicate` match.
+    * Part-file names embed a job UUID, so basenames are unique across
+    * commit dirs (the invariant [[withStats]] and [[readEntries]] key
+    * on). `input_file_name()` is evaluated in the scan stage, before
+    * any exchange, so the tag is exact. */
+  private def touchedFileNames(live: Seq[FileEntry],
+      predicate: Column): Set[String] =
+    readEntries(live)
+      .withColumn(FileTag, substring_index(input_file_name(), "/", -1))
+      .filter(predicate)
+      .select(col(FileTag)).distinct()
+      .collect().map(_.getString(0)).toSet
 
   /** VACUUM-lite: drop data dirs NOT referenced by the LATEST manifest,
     * and prune all superseded manifests — after vacuum, time travel before
@@ -330,6 +443,10 @@ final class MergeTable private (
     readEntries(rangeEntries(lo, hi))
       .filter(col(sc).cast("long").between(lo, hi))
   }
+
+  /** Latest live file entries (exposed for tests to assert which files a
+    * write rewrote vs carried over). */
+  private[lake] def liveEntries(): Seq[FileEntry] = latest()._2
 
   /** Live entries surviving the [lo, hi] stats prune (exposed for tests
     * to assert files are actually skipped). */
@@ -518,6 +635,8 @@ final class MergeTable private (
 object MergeTable {
   private val LogDir = "_graft_log"
   private val NoPartition = "-"
+  private val ZCol = "__graft_z"
+  private val FileTag = "__graft_file_tag"
   private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
   private val MaxCommitRetries = 5
   /** Unpartitioned merges rewrite every live file; warn once the table is

@@ -319,6 +319,71 @@ class MergeTableSpec extends SparkSpec {
       "an unchanged null-pk row must not surface as delete + insert")
   }
 
+  test("delete() rewrites only files containing a match; null pred keeps") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, Some("date"))
+    t.overwrite(orders(
+      ("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0),
+      ("o3", "2024-01-03", 30.0), (null, "2024-01-03", 99.0)))
+    val before = t.liveEntries().map(_.relPath).toSet
+    t.delete(col("amount") > 15.0 && col("order_id").startsWith("o2"))
+    assert(contents(t.read()) ===
+      Set(("o1", "2024-01-01", 10.0), ("o3", "2024-01-03", 30.0),
+        (null, "2024-01-03", 99.0)),
+      "only the matching row goes; a null-predicate row survives")
+    val after = t.liveEntries().map(_.relPath).toSet
+    val carried = before.intersect(after)
+    assert(carried.exists(_.contains("date=2024-01-01")) &&
+      carried.exists(_.contains("date=2024-01-03")),
+      s"files without matches must be carried over untouched: $carried")
+    assert(!after.exists(p => before(p) && p.contains("date=2024-01-02")),
+      "the file holding the match must be rewritten")
+    // a no-match delete commits a no-op version, rewriting nothing
+    val v = t.delete(col("amount") > 1000.0)
+    assert(t.liveEntries().map(_.relPath).toSet === after && v > 0)
+  }
+
+  test("update() rewrites matching files only and leaves null-pred rows") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, Some("date"))
+    t.overwrite(orders(
+      ("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0),
+      (null, "2024-01-02", 5.0)))
+    val before = t.liveEntries().map(_.relPath).toSet
+    t.update(col("order_id") === "o2", Map("amount" -> (col("amount") * 2)))
+    assert(contents(t.read()) === Set(
+      ("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 40.0),
+      (null, "2024-01-02", 5.0)),
+      "matched row updated; null-predicate row untouched")
+    val after = t.liveEntries().map(_.relPath).toSet
+    assert(before.intersect(after).exists(_.contains("date=2024-01-01")),
+      "the match-free file is carried over")
+    intercept[IllegalArgumentException] {
+      t.update(col("order_id") === "o1", Map("date" -> lit("2024-01-09")))
+    }
+  }
+
+  test("zorder() gives trailing-column locality that linear clusterBy can't") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, None, statsCol = Some("amount"))
+    // qty and amount are independent: linear clustering on qty leaves
+    // every file spanning the full amount domain
+    val rows = (0 until 4096).map(i => (i.toLong, (i % 64).toLong,
+      ((i * 37) % 64).toLong))
+    t.overwrite(rows.toDF("id", "qty", "amount"))
+    t.compact(4, clusterBy = Seq(col("qty")))
+    val linearHits = t.rangeEntries(0, 15).size
+    assert(linearHits === 4,
+      s"linear qty clustering cannot skip on amount (got $linearHits/4)")
+    t.zorder(Seq("qty", "amount"), 4)
+    val zHits = t.rangeEntries(0, 15).size
+    assert(zHits <= 2, s"z-order must skip amount-high files (got $zHits/4)")
+    // the rewrite is a reorganization, not a data change
+    assert(t.read().count() === 4096)
+    assert(t.read().agg(sum(col("amount"))).head().getLong(0) ===
+      rows.map(_._3).sum)
+  }
+
   test("two handles to the same table serialize through the log") {
     val root = tmpDir("mt").toString
     val t = MergeTable(spark, root, None)
