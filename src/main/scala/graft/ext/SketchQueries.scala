@@ -232,30 +232,33 @@ object SketchQueries {
     * exact integers — the DuckDB oracle rebuilds the SAME sketch
     * bit-for-bit (unlike Spark's private `count_min_sketch` binary).
     *
-    * Scale shape: the sketch is ONE map-side-combinable aggregate down to
-    * depth·width = 1024 rows — constant-size state, mergeable
-    * across partitions/streams (the point of CMS over exact counting);
-    * the probe side joins the vocabulary (≪ corpus after the tf
-    * aggregate) to the tiny cell table on (row, cell). No stage is
-    * corpus×depth wide after the first partial aggregate. */
+    * Scale shape: the corpus is touched ONCE — the (term, tf) aggregate
+    * (map-side-combinable, one shuffle on term). The cell matrix is then
+    * built from that VOCAB-scale relation (each cell's counter = sum of
+    * the tf of the terms hashing into it — identical to counting
+    * occurrences directly, at 1/corpus-size the explode cost), collapsing
+    * to depth·width = 1024 rows of constant, mergeable state (the point
+    * of CMS over exact counting); the probe joins vocab×depth rows to
+    * the tiny cell table on (row, cell). Nothing after the first
+    * aggregate is corpus-scale. */
   def sketchCms(s: SparkSession, d: String): DataFrame = {
-    val occ = documents(s, d)
-      .select(explode(split(col("text"), " ")).as("term"))
     def cellExpr(termCol: String, jCol: String): String =
       s"""cast(conv(substring(md5(concat($termCol, ':cms:',
             cast($jCol as string))), 1, 8), 16, 10) as bigint) % $CmsWidth"""
-    val cells = occ
-      .select(explode(expr(
-        s"""transform(sequence(0, ${CmsDepth - 1}),
-              j -> struct(j AS j, ${cellExpr("term", "j")} AS cell))"""))
-        .as("jc"))
-      .groupBy(col("jc.j").as("j"), col("jc.cell").as("cell"))
-      .agg(count(lit(1)).as("cnt"))
-    val truth = occ.groupBy(col("term")).agg(count(lit(1)).as("true_cnt"))
-    truth
+    // vocab-scale; used on both the build and probe sides, so eager-cache
+    // (at 100 TB this is the persisted term-frequency table)
+    val truth = DedupQueries.eager(
+      documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("true_cnt")))
+    val probed = truth
       .select(col("term"), col("true_cnt"),
         explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("j"))
       .withColumn("cell", expr(cellExpr("term", "j")))
+    val cells = probed
+      .groupBy(col("j"), col("cell"))
+      .agg(sum(col("true_cnt")).as("cnt"))
+    probed
       .join(cells, Seq("j", "cell"))
       .groupBy(col("term"))
       .agg(min(col("cnt")).as("est_cnt"), min(col("true_cnt")).as("true_cnt"))
