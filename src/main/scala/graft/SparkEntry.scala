@@ -102,8 +102,10 @@ object SparkEntry {
     "q_sketch_kmv"      -> (SketchQueries.sketchKmv _),
     "q_sketch_hll"      -> (SketchQueries.sketchHll _),
     "q_sketch_cms"      -> (SketchQueries.sketchCms _),
+    "q_sketch_bloom"    -> (SketchQueries.sketchBloom _),
     "q_text_tfidf"      -> (TextQueries.textTfidf _),
     "q_doc_stratified"  -> (TextQueries.docStratified _),
+    "q_window_lag"      -> (AnalyticQueries.windowLag _),
     // §7.5 — multimodal binary columns (stub decode, real plumbing)
     "q_media_features"  -> ((s: SparkSession, d: String) =>
       ext.Multimodal.decoded(s, ext.Multimodal.mediaTable(Tables.documents(s, d)))),
@@ -498,8 +500,23 @@ object SparkEntry {
     "q_sketch_kmv"    -> SketchQueries.sketchKmvOracle,
     "q_sketch_hll"    -> SketchQueries.sketchHllOracle,
     "q_sketch_cms"    -> SketchQueries.sketchCmsOracle,
+    "q_sketch_bloom"  -> SketchQueries.sketchBloomOracle,
     "q_text_tfidf"    -> TextQueries.textTfidfOracle,
     "q_doc_stratified" -> TextQueries.docStratifiedOracle,
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+               lag(o_totalprice) OVER w AS prev_price,
+               lead(o_totalprice) OVER w AS next_price,
+               first_value(o_totalprice) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS first_price,
+               date_diff('day', lag(o_orderdate) OVER w, o_orderdate)
+                 AS days_since_prev
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
     "q_doc_pipeline"  -> ext.DocPipeline.pipelineOracle(),
     "q_text_pii"      -> TextQueries.textPiiOracle,
     "q_text_colloc"   -> TextQueries.textCollocOracle,

@@ -268,6 +268,97 @@ object SketchQueries {
       .select(col("term"), col("est_cnt"), col("true_cnt"), col("overcount"))
   }
 
+  /** Bloom filter geometry: [[BloomBits]]-bit array, [[BloomHashes]]
+    * md5-derived set bits per key. Sized so the fixture holdout (~5% of
+    * docs) yields a visible-but-small false-positive rate. */
+  private val BloomBits = 4096
+  private val BloomHashes = 3
+
+  /** Bloom-filter semi-join prefilter — the scale path for
+    * membership-style joins (the decontamination shape: "which corpus
+    * docs might be in the eval holdout?"). Build side = distinct
+    * fingerprints of the 5% hash-holdout; the filter is ONE distinct
+    * aggregate down to ≤ [[BloomBits]] set-bit positions (constant-size,
+    * broadcastable state — exactly the bloom-pruning engines push into
+    * scans); probing is a narrow per-row hash + a broadcast join. The
+    * exact semi-join runs here ONLY to measure the false-positive rate
+    * per source; a production pipeline would run it solely on the
+    * bloom-surviving fraction. No false negatives by construction
+    * (`n_true` rows are always `maybe` — asserted in the spec).
+    *
+    * Deterministic: positions are md5-derived integers, so the DuckDB
+    * oracle rebuilds the same filter bit-for-bit. */
+  def sketchBloom(s: SparkSession, d: String): DataFrame = {
+    def posArr(fpCol: String): String =
+      s"""array_distinct(transform(sequence(0, ${BloomHashes - 1}), j ->
+            cast(conv(substring(md5(concat($fpCol, ':b', cast(j as string))),
+              1, 8), 16, 10) as bigint) % $BloomBits))"""
+    val docs = documents(s, d)
+      .withColumn("fp", md5(col("text")))
+      .withColumn("hold", expr(
+        """cast(conv(substring(md5(concat(cast(doc_id as string),
+           ':bloomhold')), 1, 8), 16, 10) as bigint) % 100 < 5"""))
+    val evalFps = docs.filter(col("hold")).select(col("fp")).distinct()
+    val bits = evalFps
+      .select(explode(expr(posArr("fp"))).as("pos")).distinct()
+      .withColumn("hit", lit(1))
+    val probed = docs
+      .withColumn("parr", expr(posArr("fp")))
+      .withColumn("n_pos", size(col("parr")))
+      .select(col("doc_id"), col("source"), col("fp"), col("n_pos"),
+        explode(col("parr")).as("pos"))
+      .join(broadcast(bits), Seq("pos"), "left")
+      .groupBy(col("doc_id"), col("source"), col("fp"), col("n_pos"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .withColumn("maybe", col("n_hits") === col("n_pos"))
+    probed
+      .join(evalFps.withColumn("tr", lit(1)), Seq("fp"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"),
+        sum(when(col("tr") === 1, 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("maybe") && col("tr").isNull, 1L).otherwise(0L))
+          .as("n_false_pos"))
+  }
+
+  /** DuckDB oracle for [[sketchBloom]] — same geometry, same md5 position
+    * rule. */
+  def sketchBloomOracle: String =
+    s"""WITH dd AS (SELECT doc_id, source, md5(text) AS fp,
+              ('0x' || substr(md5(doc_id || ':bloomhold'), 1, 8))::BIGINT
+                % 100 < 5 AS hold
+            FROM documents),
+        pp AS (SELECT doc_id, source, fp, hold,
+                 list_distinct(list_transform(range(0, $BloomHashes),
+                   j -> ('0x' || substr(md5(fp || ':b' || j), 1, 8))::BIGINT
+                        % $BloomBits)) AS parr
+               FROM dd),
+        ev AS (SELECT DISTINCT fp FROM dd WHERE hold),
+        bits AS (SELECT DISTINCT
+                   unnest(list_distinct(list_transform(range(0, $BloomHashes),
+                     j -> ('0x' || substr(md5(fp || ':b' || j), 1, 8))::BIGINT
+                          % $BloomBits))) AS pos
+                 FROM ev),
+        pr AS (SELECT doc_id, source, fp, len(parr) AS n_pos,
+                 unnest(parr) AS pos
+               FROM pp),
+        hits AS (SELECT doc_id, source, fp, n_pos,
+                   sum(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END)
+                     AS n_hits
+                 FROM pr LEFT JOIN bits ON pr.pos = bits.pos
+                 GROUP BY 1, 2, 3, 4),
+        fl AS (SELECT h.doc_id, h.source, (n_hits = n_pos) AS maybe,
+                 (ev.fp IS NOT NULL) AS tr
+               FROM hits h LEFT JOIN ev ON h.fp = ev.fp)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_maybe,
+               CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+               CAST(sum(CASE WHEN maybe AND NOT tr THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_false_pos
+        FROM fl GROUP BY source ORDER BY source"""
+
   /** DuckDB oracle for [[sketchCms]] — same geometry constants, same md5
     * cell rule, so the sketch is rebuilt identically. */
   def sketchCmsOracle: String =

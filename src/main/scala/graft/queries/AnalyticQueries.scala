@@ -188,6 +188,30 @@ object AnalyticQueries {
         expr("round(percentile(l_quantity, 0.75), 4)").as("q75"),
         expr("round(percentile(l_extendedprice, 0.5), 4)").as("med_price"))
 
+  /** Offset window functions (lag/lead/first_value) over each customer's
+    * order history — previous/next order price, the customer's first
+    * order price so far, and days since the previous order. Completes
+    * the window family (ranking: `windowRank`; running frames:
+    * `windowRunning`/`windowRange`; offsets: here). ONE shuffle on
+    * o_custkey, one sorted pass serves all four functions (same window
+    * spec ⇒ Spark plans a single Window operator); the
+    * (o_orderdate, o_orderkey) ordering is a total order, so every
+    * offset is deterministic. */
+  def windowLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("first_price"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .as("days_since_prev"))
+  }
+
   /** Scale-safe EXACT percentiles for a bounded-domain column — the
     * 100 TB replacement for the value-buffering `percentile` aggregate.
     * `l_quantity` takes 50 distinct whole values, so the exact

@@ -191,6 +191,28 @@ class ExtQueriesSpec extends SparkSpec {
     assert(topTrue === exact)
   }
 
+  test("sketchBloom never false-negatives; false positives are counted") {
+    val d2 = tmpDir("bloom")
+    // 200 docs, 50 distinct texts (4 copies each): holdout docs share
+    // fingerprints with non-holdout copies, so true matches exceed the
+    // holdout itself
+    (0 until 200)
+      .map(i => (i.toLong, s"text body number ${i % 50}", "en",
+        s"s${i % 4}", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d2/documents.parquet")
+    val rows = SketchQueries.sketchBloom(spark, d2.toString)
+      .select("source", "n_docs", "n_maybe", "n_true", "n_false_pos")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._2).sum === 200L)
+    rows.foreach { case (src, _, nMaybe, nTrue, nFp) =>
+      assert(nTrue <= nMaybe, s"$src: a Bloom filter may not false-negative")
+      assert(nFp === nMaybe - nTrue, src)
+    }
+    assert(rows.map(_._4).sum > 0, "holdout copies must register as true")
+    assert(rows.map(_._3).sum < 200L, "the filter must be selective")
+  }
+
   test("textTfidf surfaces document-distinctive terms first") {
     val rows = TextQueries.textTfidf(spark, dir)
       .select("doc_id", "term", "df", "score", "rnk")

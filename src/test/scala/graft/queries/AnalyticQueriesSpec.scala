@@ -37,6 +37,37 @@ class AnalyticQueriesSpec extends SparkSpec {
     assert(out(3L) === Some(101L), "date tie breaks to max orderkey")
   }
 
+  test("windowLag serves every offset function from one window pass") {
+    val d = tmpDir("wlag")
+    Seq(
+      (1L, 5L, "O", 10.0, ts("2024-01-01 00:00:00"), "P"),
+      (2L, 5L, "O", 20.0, ts("2024-01-03 00:00:00"), "P"),
+      (3L, 5L, "O", 30.0, ts("2024-01-10 00:00:00"), "P"),
+      (4L, 6L, "O", 99.0, ts("2024-02-01 00:00:00"), "P"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$d/orders.parquet")
+    val q = AnalyticQueries.windowLag(spark, d.toString)
+    val rows = q
+      .select("o_orderkey", "prev_price", "next_price", "first_price",
+        "days_since_prev")
+      .as[(Long, Option[Double], Option[Double], Double, Option[Int])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rows(1L) === ((1L, None, Some(20.0), 10.0, None)),
+      "partition start: no prev, no gap")
+    assert(rows(2L) === ((2L, Some(10.0), Some(30.0), 10.0, Some(2))))
+    assert(rows(3L) === ((3L, Some(20.0), None, 10.0, Some(7))))
+    assert(rows(4L) === ((4L, None, None, 99.0, None)),
+      "other customer is its own partition")
+    // all four functions share (partitionBy, orderBy) → ONE Window
+    // operator, one shuffle, one sorted pass
+    val plan = q.queryExecution.executedPlan.toString
+    assert("\\bWindow \\[".r.findAllIn(plan).size === 1,
+      s"expected a single Window operator:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"expected a single shuffle:\n$plan")
+  }
+
   test("salted distinct count equals the direct count(DISTINCT)") {
     val d = tmpDir("salt")
     val rng = new scala.util.Random(11)
