@@ -106,6 +106,8 @@ object SparkEntry {
     "q_text_tfidf"      -> (TextQueries.textTfidf _),
     "q_doc_stratified"  -> (TextQueries.docStratified _),
     "q_window_lag"      -> (AnalyticQueries.windowLag _),
+    "q_events_gapfill"  -> (AnalyticQueries.eventsGapfill _),
+    "q_histogram"       -> (AnalyticQueries.histogram _),
     // §7.5 — multimodal binary columns (stub decode, real plumbing)
     "q_media_features"  -> ((s: SparkSession, d: String) =>
       ext.Multimodal.decoded(s, ext.Multimodal.mediaTable(Tables.documents(s, d)))),
@@ -517,6 +519,35 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY o_custkey
                       ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, o_orderkey""",
+    "q_events_gapfill" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day
+                    FROM events WHERE user_id < 100),
+         c AS (SELECT user_id, day, count(*) AS n FROM e GROUP BY 1, 2),
+         r AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+               FROM e GROUP BY 1),
+         g AS (SELECT user_id,
+                 unnest(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+                   INTERVAL 1 DAY))::DATE AS day
+               FROM r)
+         SELECT g.user_id, g.day, coalesce(n, CAST(0 AS BIGINT)) AS n_events,
+                (n IS NULL) AS filled
+         FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.day = c.day
+         ORDER BY 1, 2""",
+    "q_histogram" ->
+      """WITH mm AS (SELECT min(l_extendedprice) AS mn,
+                       max(l_extendedprice) AS mx
+                     FROM lineitem),
+         b AS (SELECT CAST(least(19,
+                 floor((l_extendedprice - mn) / ((mx - mn) / 20.0)))
+                 AS BIGINT) AS bin
+               FROM lineitem CROSS JOIN mm),
+         c AS (SELECT bin, count(*) AS n FROM b GROUP BY bin)
+         SELECT bin,
+                round(mn + bin * ((mx - mn) / 20.0), 2) AS bin_lo,
+                round(mn + (bin + 1) * ((mx - mn) / 20.0), 2) AS bin_hi,
+                n,
+                round(n / sum(n) OVER (), 4) AS frac
+         FROM c CROSS JOIN mm ORDER BY bin""",
     "q_doc_pipeline"  -> ext.DocPipeline.pipelineOracle(),
     "q_text_pii"      -> TextQueries.textPiiOracle,
     "q_text_colloc"   -> TextQueries.textCollocOracle,

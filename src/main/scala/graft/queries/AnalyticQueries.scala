@@ -212,6 +212,65 @@ object AnalyticQueries {
           .as("days_since_prev"))
   }
 
+  /** Time-series gap filling (daily resample): each user's event
+    * timeline densified to a continuous daily grid between their first
+    * and last active day, zero-filling silent days — the standard
+    * pre-step for rolling/trend features over sparse activity data.
+    *
+    * Scale shape: one (user, day) count aggregate; the grid derives from
+    * a USER-level min/max aggregate (one row per user) and explodes to
+    * exactly the output size (per-user day span — linear in the result,
+    * not in events); the fill join is an equi-join on (user, day). Every
+    * key includes user_id — no hot partition. Restricted to
+    * user_id < 100 to keep the fixture result bounded. */
+  def eventsGapfill(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).filter(col("user_id") < 100)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val counts = e.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val grid = e.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    grid.join(counts, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        col("n").isNull.as("filled"))
+  }
+
+  /** Equal-width histogram (20 bins over the global [min, max]) of
+    * l_extendedprice — the profiling primitive behind binning, NDV
+    * estimation, and range-partitioning decisions. Shape: one 1-row
+    * min/max aggregate broadcast against the streaming scan, a narrow
+    * codegen'd bin computation, one 20-group aggregate — never a sort,
+    * never per-value state. `bin = least(19, floor((x−mn)/w))` where
+    * `w = (mx−mn)/20`: each step is a single correctly-rounded IEEE op
+    * evaluated in the same order by both engines, so bin assignment can
+    * never disagree. The share division normalizes over a 20-row window
+    * — constant-size, driver-safe. */
+  def histogram(s: SparkSession, d: String): DataFrame = {
+    val mm = Tables.lineitem(s, d)
+      .agg(min(col("l_extendedprice")).as("mn"),
+        max(col("l_extendedprice")).as("mx"))
+    val binned = Tables.lineitem(s, d)
+      .select(col("l_extendedprice").as("x"))
+      .crossJoin(broadcast(mm))
+      .withColumn("bin", expr(
+        "CAST(least(19, floor((x - mn) / ((mx - mn) / 20.0))) AS BIGINT)"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    binned
+      .crossJoin(broadcast(mm))
+      .select(col("bin"),
+        round(col("mn") + col("bin") * ((col("mx") - col("mn")) / 20.0), 2)
+          .as("bin_lo"),
+        round(col("mn") +
+          (col("bin") + 1) * ((col("mx") - col("mn")) / 20.0), 2)
+          .as("bin_hi"),
+        col("n"),
+        round(col("n") / sum(col("n")).over(Window.partitionBy()), 4)
+          .as("frac"))
+  }
+
   /** Scale-safe EXACT percentiles for a bounded-domain column — the
     * 100 TB replacement for the value-buffering `percentile` aggregate.
     * `l_quantity` takes 50 distinct whole values, so the exact

@@ -13,7 +13,9 @@ class PlanGuardSpec extends SparkSpec {
     * vectors, 8 centroids) and the condition is non-equi by design. */
   private val intendedBroadcastNL = Set(
     "q_scalar_subquery", "q_embed_topk", "q_embed_ivf", "q_text_colloc",
-    "q_text_tfidf") // 1-row n_docs scalar broadcast against the tf stream
+    // 1-row scalar broadcasts (corpus size / global min-max) against a
+    // streaming fact side
+    "q_text_tfidf", "q_histogram")
 
   test("no cartesian products; nested-loop joins only where intended") {
     val d = "/root/testdata/sf0.001"

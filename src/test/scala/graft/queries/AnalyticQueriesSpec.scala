@@ -68,6 +68,45 @@ class AnalyticQueriesSpec extends SparkSpec {
       s"expected a single shuffle:\n$plan")
   }
 
+  test("eventsGapfill densifies each user's day range with zero-fill") {
+    val d = tmpDir("gapfill")
+    Seq(
+      (1L, nanos("2024-01-01 10:00:00"), 7L, "view", 1.0, ""),
+      (2L, nanos("2024-01-01 11:00:00"), 7L, "view", 1.0, ""),
+      (3L, nanos("2024-01-04 09:00:00"), 7L, "view", 1.0, ""), // 2-day gap
+      (4L, nanos("2024-02-01 00:00:00"), 8L, "view", 1.0, ""), // single day
+      (5L, nanos("2024-03-01 00:00:00"), 999L, "view", 1.0, "")) // filtered
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val rows = AnalyticQueries.eventsGapfill(spark, d.toString)
+      .select("user_id", "day", "n_events", "filled")
+      .as[(Long, java.sql.Date, Long, Boolean)].collect()
+      .map(r => (r._1, r._2.toString, r._3, r._4)).toSet
+    assert(rows === Set(
+      (7L, "2024-01-01", 2L, false),
+      (7L, "2024-01-02", 0L, true),
+      (7L, "2024-01-03", 0L, true),
+      (7L, "2024-01-04", 1L, false),
+      (8L, "2024-02-01", 1L, false)),
+      "continuous per-user grid; silent days zero-filled and flagged")
+  }
+
+  test("histogram bins partition the value range and sum to the total") {
+    val d = tmpDir("hist")
+    val xs = (0 until 1000).map(i => ((i * 7919) % 1000).toDouble)
+    xs.toDF("l_extendedprice").coalesce(1)
+      .write.parquet(s"$d/lineitem.parquet")
+    val rows = AnalyticQueries.histogram(spark, d.toString)
+      .select("bin", "bin_lo", "bin_hi", "n", "frac")
+      .as[(Long, Double, Double, Long, Double)].collect()
+    assert(rows.map(_._4).sum === 1000L, "every value lands in one bin")
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 19))
+    assert(rows.forall(r => r._2 < r._3), "bins are non-degenerate")
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 0.01)
+    // uniform data -> every bin populated with ~n/20
+    assert(rows.length === 20 && rows.forall(r => r._4 >= 30 && r._4 <= 70))
+  }
+
   test("salted distinct count equals the direct count(DISTINCT)") {
     val d = tmpDir("salt")
     val rng = new scala.util.Random(11)
