@@ -241,10 +241,27 @@ object SketchQueries {
     * of CMS over exact counting); the probe joins vocab×depth rows to
     * the tiny cell table on (row, cell). Nothing after the first
     * aggregate is corpus-scale. */
+  /** The shared md5 cell rule: term × hash-row index → counter column. */
+  private def cellExpr(termCol: String, jCol: String): String =
+    s"""cast(conv(substring(md5(concat($termCol, ':cms:',
+          cast($jCol as string))), 1, 8), 16, 10) as bigint) % $CmsWidth"""
+
+  /** Count-min cell counters for a raw term frame — the STREAMABLE face
+    * of [[sketchCms]]: groupBy (row, cell) count is an incrementally
+    * maintainable aggregation with constant depth·width state, so the
+    * same expression runs over a batch frame or a `readStream`
+    * (Update/Complete mode) and the sketch merges across micro-batches
+    * by construction (spec-verified equal to the one-shot batch sketch). */
+  def cmsCells(terms: DataFrame, termCol: String): DataFrame =
+    terms
+      .select(explode(expr(
+        s"""transform(sequence(0, ${CmsDepth - 1}),
+              j -> struct(j AS j, ${cellExpr(termCol, "j")} AS cell))"""))
+        .as("jc"))
+      .groupBy(col("jc.j").as("j"), col("jc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+
   def sketchCms(s: SparkSession, d: String): DataFrame = {
-    def cellExpr(termCol: String, jCol: String): String =
-      s"""cast(conv(substring(md5(concat($termCol, ':cms:',
-            cast($jCol as string))), 1, 8), 16, 10) as bigint) % $CmsWidth"""
     // vocab-scale; used on both the build and probe sides, so eager-cache
     // (at 100 TB this is the persisted term-frequency table)
     val truth = DedupQueries.eager(
@@ -289,37 +306,53 @@ object SketchQueries {
     * Deterministic: positions are md5-derived integers, so the DuckDB
     * oracle rebuilds the same filter bit-for-bit. */
   def sketchBloom(s: SparkSession, d: String): DataFrame = {
-    def posArr(fpCol: String): String =
-      s"""array_distinct(transform(sequence(0, ${BloomHashes - 1}), j ->
-            cast(conv(substring(md5(concat($fpCol, ':b', cast(j as string))),
-              1, 8), 16, 10) as bigint) % $BloomBits))"""
     val docs = documents(s, d)
       .withColumn("fp", md5(col("text")))
       .withColumn("hold", expr(
         """cast(conv(substring(md5(concat(cast(doc_id as string),
            ':bloomhold')), 1, 8), 16, 10) as bigint) % 100 < 5"""))
     val evalFps = docs.filter(col("hold")).select(col("fp")).distinct()
-    val bits = evalFps
-      .select(explode(expr(posArr("fp"))).as("pos")).distinct()
-      .withColumn("hit", lit(1))
-    val probed = docs
-      .withColumn("parr", expr(posArr("fp")))
-      .withColumn("n_pos", size(col("parr")))
-      .select(col("doc_id"), col("source"), col("fp"), col("n_pos"),
-        explode(col("parr")).as("pos"))
-      .join(broadcast(bits), Seq("pos"), "left")
-      .groupBy(col("doc_id"), col("source"), col("fp"), col("n_pos"))
-      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
-      .withColumn("maybe", col("n_hits") === col("n_pos"))
-    probed
+    bloomPrefilter(evalFps, docs, "fp")
       .join(evalFps.withColumn("tr", lit(1)), Seq("fp"), "left")
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"),
+        sum(when(col("bloom_maybe"), 1L).otherwise(0L)).as("n_maybe"),
         sum(when(col("tr") === 1, 1L).otherwise(0L)).as("n_true"),
-        sum(when(col("maybe") && col("tr").isNull, 1L).otherwise(0L))
+        sum(when(col("bloom_maybe") && col("tr").isNull, 1L).otherwise(0L))
           .as("n_false_pos"))
+  }
+
+  /** The general Bloom prefilter behind [[sketchBloom]] — library API:
+    * tag every `probe` row with `bloom_maybe`, true iff `keyCol` MIGHT
+    * appear among `build`'s keys (never a false negative). The filter is
+    * materialized as its REAL representation — an m-bit bitmap packed
+    * into m/64 long words, collected once (constant-size driver
+    * metadata, the same way engines ship bloom filters into scans) and
+    * embedded as an array literal — so each probe is `hashes` O(1) bit
+    * tests in one narrow codegen'd expression: no join, no shuffle, no
+    * per-row explode. Keys hash through their canonical string form on
+    * both sides. */
+  def bloomPrefilter(build: DataFrame, probe: DataFrame, keyCol: String,
+      bits: Int = BloomBits, hashes: Int = BloomHashes): DataFrame = {
+    require(bits > 0 && bits % 64 == 0, s"bits must be a multiple of 64: $bits")
+    def posArr(c: String): String =
+      s"""array_distinct(transform(sequence(0, ${hashes - 1}), j ->
+            cast(conv(substring(md5(concat(CAST($c AS STRING), ':b',
+              cast(j as string))), 1, 8), 16, 10) as bigint) % $bits))"""
+    val words = new Array[Long](bits / 64)
+    build.select(col(keyCol).as("k")).na.drop()
+      .select(explode(expr(posArr("k"))).as("pos")).distinct()
+      .collect()
+      .foreach { r =>
+        val p = r.getLong(0)
+        words((p >> 6).toInt) |= 1L << (p & 63)
+      }
+    val wordArr = words.mkString("array(", "L, ", "L)")
+    probe.withColumn("bloom_maybe", expr(
+      s"""forall(${posArr(keyCol)}, p ->
+            ((shiftright(element_at($wordArr, CAST(p DIV 64 AS INT) + 1),
+              CAST(p % 64 AS INT))) & 1) = 1)"""))
   }
 
   /** DuckDB oracle for [[sketchBloom]] — same geometry, same md5 position

@@ -223,18 +223,27 @@ object AnalyticQueries {
     * not in events); the fill join is an equi-join on (user, day). Every
     * key includes user_id — no hot partition. Restricted to
     * user_id < 100 to keep the fixture result bounded. */
-  def eventsGapfill(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d).filter(col("user_id") < 100)
-      .select(col("user_id"), to_date(col("ts")).as("day"))
-    val counts = e.groupBy(col("user_id"), col("day"))
+  def eventsGapfill(s: SparkSession, d: String): DataFrame =
+    gapfillDaily(
+      Tables.events(s, d).filter(col("user_id") < 100)
+        .select(col("user_id"), to_date(col("ts")).as("day")),
+      keyCol = "user_id", dayCol = "day")
+      .withColumnRenamed("n_rows", "n_events")
+
+  /** The general daily gap-fill operator behind [[eventsGapfill]]:
+    * per `keyCol`, one row per day from that key's first to last `dayCol`
+    * value, with the day's row count (`n_rows`, 0 on silent days) and a
+    * `filled` flag. Library API — callable on any (key, date) frame. */
+  def gapfillDaily(df: DataFrame, keyCol: String, dayCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol), col(dayCol))
       .agg(count(lit(1)).as("n"))
-    val grid = e.groupBy(col("user_id"))
-      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-      .select(col("user_id"),
-        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
-    grid.join(counts, Seq("user_id", "day"), "left")
-      .select(col("user_id"), col("day"),
-        coalesce(col("n"), lit(0L)).as("n_events"),
+    val grid = df.groupBy(col(keyCol))
+      .agg(min(col(dayCol)).as("d0"), max(col(dayCol)).as("d1"))
+      .select(col(keyCol),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as(dayCol))
+    grid.join(counts, Seq(keyCol, dayCol), "left")
+      .select(col(keyCol), col(dayCol),
+        coalesce(col("n"), lit(0L)).as("n_rows"),
         col("n").isNull.as("filled"))
   }
 
@@ -248,23 +257,29 @@ object AnalyticQueries {
     * evaluated in the same order by both engines, so bin assignment can
     * never disagree. The share division normalizes over a 20-row window
     * — constant-size, driver-safe. */
-  def histogram(s: SparkSession, d: String): DataFrame = {
-    val mm = Tables.lineitem(s, d)
-      .agg(min(col("l_extendedprice")).as("mn"),
-        max(col("l_extendedprice")).as("mx"))
-    val binned = Tables.lineitem(s, d)
-      .select(col("l_extendedprice").as("x"))
+  def histogram(s: SparkSession, d: String): DataFrame =
+    histogramOf(Tables.lineitem(s, d), "l_extendedprice", bins = 20)
+
+  /** The general equal-width histogram behind [[histogram]]: `bins`
+    * buckets of `valCol` over its global [min, max]. Library API —
+    * callable on any frame; plan shape as documented on [[histogram]]. */
+  def histogramOf(df: DataFrame, valCol: String, bins: Int): DataFrame = {
+    require(bins > 0)
+    val mm = df.agg(min(col(valCol)).as("mn"), max(col(valCol)).as("mx"))
+    val binned = df
+      .select(col(valCol).as("x"))
       .crossJoin(broadcast(mm))
       .withColumn("bin", expr(
-        "CAST(least(19, floor((x - mn) / ((mx - mn) / 20.0))) AS BIGINT)"))
+        s"CAST(least(${bins - 1}, floor((x - mn) / ((mx - mn) / $bins.0)))" +
+          " AS BIGINT)"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
     binned
       .crossJoin(broadcast(mm))
       .select(col("bin"),
-        round(col("mn") + col("bin") * ((col("mx") - col("mn")) / 20.0), 2)
+        round(col("mn") + col("bin") * ((col("mx") - col("mn")) / bins), 2)
           .as("bin_lo"),
         round(col("mn") +
-          (col("bin") + 1) * ((col("mx") - col("mn")) / 20.0), 2)
+          (col("bin") + 1) * ((col("mx") - col("mn")) / bins), 2)
           .as("bin_hi"),
         col("n"),
         round(col("n") / sum(col("n")).over(Window.partitionBy()), 4)

@@ -191,6 +191,45 @@ class ExtQueriesSpec extends SparkSpec {
     assert(topTrue === exact)
   }
 
+  test("cmsCells maintains the sketch incrementally over a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = SketchQueries
+      .cmsCells(in.toDF().withColumnRenamed("value", "term"), "term")
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData("a", "b", "a")
+      q.processAllAvailable()
+      in.addData("b", "c", "a")
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream")
+        .as[(Int, Long, Long)].collect().toSet
+      val batch = SketchQueries
+        .cmsCells(Seq("a", "b", "a", "b", "c", "a").toDF("term"), "term")
+        .as[(Int, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        "micro-batch-merged sketch must equal the one-shot batch sketch")
+    } finally q.stop()
+  }
+
+  test("bloomPrefilter: every build key passes, FPs stay near theory") {
+    // deterministic pseudo-random key universe; 60 build keys, 400 probes
+    val universe = (0 until 400).map(i => f"key-${(i * 2654435761L) % 100000}%d")
+    val build = universe.take(60).toDF("k")
+    val probe = universe.toDF("k")
+    val tagged = SketchQueries.bloomPrefilter(build, probe, "k")
+      .as[(String, Boolean)].collect().toMap
+    universe.take(60).foreach(k =>
+      assert(tagged(k), s"build key $k may NEVER be filtered (false negative)"))
+    val fps = universe.drop(60).count(k => tagged(k))
+    // 60 keys * 3 hashes <= 180 of 4096 bits set -> per-probe FP rate
+    // <= (180/4096)^3 ~ 8.5e-5; 340 probes -> expect ~0, allow slack
+    assert(fps <= 3, s"false-positive count $fps far above theory")
+  }
+
   test("sketchBloom never false-negatives; false positives are counted") {
     val d2 = tmpDir("bloom")
     // 200 docs, 50 distinct texts (4 copies each): holdout docs share
