@@ -384,6 +384,32 @@ class MergeTableSpec extends SparkSpec {
       rows.map(_._3).sum)
   }
 
+  test("zorder tolerates constant and null-bearing cluster columns") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, None)
+    Seq((1L, 5L, null.asInstanceOf[java.lang.Long]),
+      (2L, 5L, java.lang.Long.valueOf(9L)),
+      (3L, 5L, java.lang.Long.valueOf(1L)))
+      .toDF("id", "constant", "maybe_null")
+      .createOrReplaceTempView("zsrc")
+    t.overwrite(spark.table("zsrc"))
+    t.zorder(Seq("constant", "maybe_null"), 2)
+    assert(t.read().count() === 3, "degenerate spans must not lose rows")
+    intercept[IllegalArgumentException] { t.zorder(Nil) }
+    intercept[IllegalArgumentException] { t.zorder(Seq("a", "b", "c", "d")) }
+  }
+
+  test("delete() of every row leaves a readable empty table") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, Some("date"))
+    t.overwrite(orders(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
+    t.delete(col("amount") > 0.0)
+    assert(t.read().count() === 0)
+    // and the table stays writable afterwards
+    t.merge(orders(("o3", "2024-01-03", 30.0)), "order_id")
+    assert(contents(t.read()) === Set(("o3", "2024-01-03", 30.0)))
+  }
+
   test("two handles to the same table serialize through the log") {
     val root = tmpDir("mt").toString
     val t = MergeTable(spark, root, None)
