@@ -301,12 +301,18 @@ object DedupQueries {
         pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = eager(edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")))
-    var changed = 1L
+    // Convergence signal: per-node labels only ever DECREASE (min-label
+    // propagation), so the overflow-safe total label sum is strictly
+    // decreasing until the fixpoint — equal sums ⟺ no node changed. One
+    // tiny aggregate per round (which also materializes the cached
+    // `prop`), replacing the former prop⋈labels diff join whose plan was
+    // the dominant per-round fixed cost on small pair graphs.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var changed = true
     var rounds = 0
-    while (changed > 0 && rounds < MaxCcRounds) {
-      // ONE action per round: the convergence count materializes the
-      // cached `prop` as a side effect (a separate eager count per round
-      // was measured to double the loop's fixed overhead).
+    while (changed && rounds < MaxCcRounds) {
       val prop =
         edges.join(labels, edges("src") === labels("doc_id"))
           .select(col("dst").as("doc_id"), col("cluster_id"))
@@ -314,15 +320,14 @@ object DedupQueries {
           .groupBy(col("doc_id"))
           .agg(min(col("cluster_id")).as("cluster_id"))
       prop.cache()
-      changed = prop
-        .join(labels.select(col("doc_id"), col("cluster_id").as("old")),
-          Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("old")).count()
+      val s = labelSum(prop)
+      changed = s.compareTo(prevSum) != 0
+      prevSum = s
       labels.unpersist()
       labels = prop
       rounds += 1
     }
-    require(changed == 0,
+    require(!changed,
       s"connected components did not converge in $MaxCcRounds rounds")
     val sizes = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
