@@ -282,12 +282,23 @@ object DedupQueries {
     * (label propagation, as in GraphX's connectedComponents, without the
     * RDD API); the round count is O(diameter), bounded by [[MaxCcRounds]]
     * and verified converged before returning. */
-  def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    // localCheckpoint truncates the LSH lineage before iterating — without
-    // it every round's action re-optimizes the whole MinHash/band plan
-    // (measured ~1 s of pure Catalyst work per round); the iterative-
-    // algorithm idiom MLlib and GraphFrames use.
-    val pairs0 = docNeardup(s, d).select(col("doc_a"), col("doc_b"))
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    connectedComponents(docNeardup(s, d), "doc_a", "doc_b", "doc_id")
+
+  /** The general connected-components operator behind [[dedupClusters]]
+    * (and the vector-space [[SimilarityQueries.embedClusters]]) —
+    * library API: min-label propagation over any (aCol, bCol) edge
+    * frame, returning one row per node: `nodeCol`, `cluster_id`,
+    * `cluster_size`, `is_canonical`. Scale/convergence notes on
+    * [[dedupClusters]] apply: each round is one shuffle join over the
+    * PAIR GRAPH, never the corpus. */
+  def connectedComponents(pairsIn: DataFrame, aCol: String, bCol: String,
+      nodeCol: String): DataFrame = {
+    // localCheckpoint truncates the input lineage before iterating —
+    // without it every round's action re-optimizes the whole upstream
+    // plan (measured ~1 s of pure Catalyst work per round); the
+    // iterative-algorithm idiom MLlib and GraphFrames use.
+    val pairs0 = pairsIn.select(col(aCol).as("doc_a"), col(bCol).as("doc_b"))
       .localCheckpoint(true)
     // Adaptive loop parallelism: the checkpoint above already counted the
     // pair graph, so size the iterative joins to IT, not to the corpus —
@@ -339,7 +350,8 @@ object DedupQueries {
     // don't). The returned frame is self-contained — callers done with
     // it can release it via [[releaseCheckpointed]].
     val out = labels.join(sizes, Seq("cluster_id"))
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+      .select(col("doc_id").as(nodeCol), col("cluster_id"),
+        col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
       .localCheckpoint(true)
     labels.unpersist()

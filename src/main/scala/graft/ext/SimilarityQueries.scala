@@ -101,6 +101,17 @@ object SimilarityQueries {
       .groupBy(col("vec_a"), col("vec_b"))
       .agg(min(col("cos")).as("cos"))
 
+  /** Vector-space near-dup CLUSTERING: connected components over the
+    * [[embedNeardup]] pair graph — the same decision step
+    * [[DedupQueries.dedupClusters]] runs for token-space dups (pairs →
+    * clusters → one canonical survivor), here over embedding-cosine
+    * edges. Composes the shared
+    * [[DedupQueries.connectedComponents]] loop; scale shape identical
+    * (rounds over the PAIR graph only, never the corpus). */
+  def embedClusters(s: SparkSession, d: String): DataFrame =
+    DedupQueries.connectedComponents(
+      embedNeardup(s, d), "vec_a", "vec_b", "vec_id")
+
   /** Candidate pairs of [[embedNeardup]] with their exact cosine, BEFORE
     * the ≥ 0.4 verify cut (band-duplicated pairs included) — the
     * operator's cost diagnostic: the row count here is the verify work,
@@ -353,10 +364,12 @@ object SimilarityQueries {
         WHERE rank <= 3 ORDER BY query_id, rank"""
   }
 
-  def neardupOracle: String = {
-    // Same corpus-width band rule as the Spark side ([[bandBits]]): bit j
-    // of a band bucket is active iff j < 4 OR n > 8·2^j — pure integer
-    // comparisons, so the two engines can never disagree on the width.
+  /** Shared WITH-chain for the neardup family: normed corpus → band
+    * buckets → candidate `pairs(vec_a, vec_b, cos)`. Same corpus-width
+    * band rule as the Spark side ([[bandBits]]): bit j of a band bucket
+    * is active iff j < 4 OR n > 8·2^j — pure integer comparisons, so the
+    * two engines can never disagree on the width. */
+  private def neardupChain: String = {
     def bucketSql(offset: Int): String =
       (0 until MaxBandBits).map { j =>
         val lst = planeFamily(offset + j).mkString("[", ", ", "]")
@@ -381,9 +394,32 @@ object SimilarityQueries {
           FROM bb x JOIN bb y ON x.b0 = y.b0 AND x.vec_id < y.vec_id
           UNION ALL
           SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, $pairCos AS cos
-          FROM bb x JOIN bb y ON x.b1 = y.b1 AND x.vec_id < y.vec_id)
+          FROM bb x JOIN bb y ON x.b1 = y.b1 AND x.vec_id < y.vec_id)"""
+  }
+
+  def neardupOracle: String =
+    s"""$neardupChain
         SELECT vec_a, vec_b, min(cos) AS cos
         FROM pairs WHERE cos >= 0.4
         GROUP BY vec_a, vec_b ORDER BY vec_a, vec_b"""
-  }
+
+  /** DuckDB oracle for [[embedClusters]]: the neardup pair chain, then
+    * transitive closure via a recursive CTE and min-reachable-id labels
+    * (the same construction as `dedupClustersOracle`). */
+  def embedClustersOracle: String =
+    s"""${neardupChain.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        nd AS (SELECT vec_a, vec_b FROM pairs WHERE cos >= 0.4
+               GROUP BY vec_a, vec_b),
+        edges AS (SELECT vec_a AS a, vec_b AS b FROM nd
+                  UNION SELECT vec_b, vec_a FROM nd),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        lab AS (SELECT a AS vec_id, least(min(b), a) AS cluster_id
+                FROM reach GROUP BY a)
+        SELECT vec_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               vec_id = cluster_id AS is_canonical
+        FROM lab ORDER BY vec_id"""
 }

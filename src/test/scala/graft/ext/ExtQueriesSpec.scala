@@ -156,6 +156,19 @@ class ExtQueriesSpec extends SparkSpec {
       "exactly the min doc id is canonical")
   }
 
+  test("embedClusters puts the planted near-identical vectors together") {
+    val rows = SimilarityQueries.embedClusters(spark, dir)
+      .select("vec_id", "cluster_id", "is_canonical")
+      .as[(Long, Long, Boolean)].collect()
+    val byId = rows.map(r => r._1 -> r._2).toMap
+    assert(byId.contains(12L) && byId(12L) === byId(7L),
+      "vector 12 is a perturbed copy of 7 — same cluster")
+    rows.foreach { case (v, c, canon) =>
+      assert(c <= v, "cluster label is the min reachable id")
+      assert(canon === (v == c))
+    }
+  }
+
   test("sketchHll tracks exact cardinality within sketch variance") {
     val d001 = "/root/testdata/sf0.001"
     val rows = SketchQueries.sketchHll(spark, d001).collect()
