@@ -470,7 +470,18 @@ final class MergeTable private (
     * file sets differ are scanned on either side — a merge that touched 1
     * of 10k partitions diffs 1/10k of the table. The remaining diff is
     * one pk-shuffle full-outer join with null-safe struct comparison. */
-  def changes(fromV: Long, toV: Long, pk: String): DataFrame = {
+  def changes(fromV: Long, toV: Long, pk: String): DataFrame =
+    changes(fromV, toV, pk, updateImages = false)
+
+  /** Change data feed with Delta's full image contract when
+    * `updateImages` is set: updates emit TWO rows — `update_preimage`
+    * and `update_postimage` — instead of one post-image row, which is
+    * what downstream incremental consumers (e.g.
+    * [[IncrementalAgg]] materialized-view maintenance) need to subtract
+    * the old contribution and add the new one. Inserts/deletes are
+    * unchanged. */
+  def changes(fromV: Long, toV: Long, pk: String,
+      updateImages: Boolean): DataFrame = {
     val ea = readManifest(fromV)
     val eb = readManifest(toV)
     def byPart(es: Seq[FileEntry]): Map[Option[String], Set[String]] =
@@ -500,7 +511,7 @@ final class MergeTable private (
     // surface as a spurious delete + insert. The pk is assumed unique per
     // snapshot (the same contract MERGE itself relies on), which with <=>
     // extends to "at most one null-pk row".
-    packed(a, "_pk_pre", "_pre")
+    val diffed = packed(a, "_pk_pre", "_pre")
       .join(packed(b, "_pk_post", "_post"),
         col("_pk_pre") <=> col("_pk_post"), "full_outer")
       .withColumn(pk, coalesce(col("_pk_post"), col("_pk_pre")))
@@ -509,7 +520,8 @@ final class MergeTable private (
           .when(col("_post").isNull, "delete")
           .when(!(col("_pre") <=> col("_post")), "update"))
       .filter(col("_change_type").isNotNull)
-      .select(
+    if (!updateImages)
+      diffed.select(
         col(pk) +:
           // post-image for insert/update (field-level coalesce would leak
           // pre-image values into columns an update set to NULL),
@@ -517,6 +529,23 @@ final class MergeTable private (
           cols.map(c => when(col("_post").isNotNull, col(s"_post.$c"))
             .otherwise(col(s"_pre.$c")).as(c)) :+
           col("_change_type"): _*)
+    else
+      // one narrow pass: updates explode to their two images
+      diffed
+        .select(col(pk), explode(
+          when(col("_change_type") === "insert",
+            array(struct(col("_post").as("img"), lit("insert").as("ct"))))
+            .when(col("_change_type") === "delete",
+              array(struct(col("_pre").as("img"), lit("delete").as("ct"))))
+            .otherwise(array(
+              struct(col("_post").as("img"),
+                lit("update_postimage").as("ct")),
+              struct(col("_pre").as("img"),
+                lit("update_preimage").as("ct"))))).as("e"))
+        .select(
+          col(pk) +:
+            cols.map(c => col(s"e.img.$c").as(c)) :+
+            col("e.ct").as("_change_type"): _*)
   }
 
   /** Time travel by timestamp (Delta's `timestampAsOf`; the reference's

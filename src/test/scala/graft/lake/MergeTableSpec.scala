@@ -410,6 +410,50 @@ class MergeTableSpec extends SparkSpec {
     assert(contents(t.read()) === Set(("o3", "2024-01-03", 30.0)))
   }
 
+  test("changes(updateImages=true) emits Delta's dual update images") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, Some("date"))
+    val v1 = t.overwrite(orders(("o1", "2024-01-01", 10.0)))
+    val v2 = t.merge(orders(("o1", "2024-01-01", 99.0)), "order_id")
+    val rows = t.changes(v1, v2, "order_id", updateImages = true)
+      .select("order_id", "amount", "_change_type")
+      .as[(String, Double, String)].collect().toSet
+    assert(rows === Set(
+      ("o1", 10.0, "update_preimage"), ("o1", 99.0, "update_postimage")))
+  }
+
+  test("incremental aggregate maintenance matches full recompute") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, Some("date"))
+    val v1 = t.overwrite(orders(
+      ("o1", "2024-01-01", 10.0), ("o2", "2024-01-01", 20.0),
+      ("o3", "2024-01-02", 30.0)))
+    // materialize the initial aggregate once, then NEVER rescan the base
+    var agg = IncrementalAgg.fullAggregate(t.readVersion(v1), "date", "amount")
+    // v2: update o2 (same partition as o1), insert o4 in a new partition
+    val v2 = t.merge(
+      orders(("o2", "2024-01-01", 25.0), ("o4", "2024-01-03", 40.0)),
+      "order_id")
+    agg = IncrementalAgg.applyDelta(agg,
+      IncrementalAgg.sumCountDelta(
+        t.changes(v1, v2, "order_id", updateImages = true), "date", "amount"),
+      "date")
+    // v3: delete o3 — its whole partition's group must drop out
+    t.delete(col("order_id") === "o3")
+    val v3 = t.latestVersion()
+    agg = IncrementalAgg.applyDelta(agg,
+      IncrementalAgg.sumCountDelta(
+        t.changes(v2, v3, "order_id", updateImages = true), "date", "amount"),
+      "date")
+    val incremental = agg.as[(String, Double, Long)].collect().toSet
+    val recomputed = IncrementalAgg
+      .fullAggregate(t.read(), "date", "amount")
+      .as[(String, Double, Long)].collect().toSet
+    assert(incremental === recomputed)
+    assert(incremental === Set(
+      ("2024-01-01", 35.0, 2L), ("2024-01-03", 40.0, 1L)))
+  }
+
   test("two handles to the same table serialize through the log") {
     val root = tmpDir("mt").toString
     val t = MergeTable(spark, root, None)
