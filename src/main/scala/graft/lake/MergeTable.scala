@@ -173,7 +173,7 @@ final class MergeTable private (
   private def withStats(target: Path,
       entries: Seq[FileEntry]): Seq[FileEntry] =
     statsCol.fold(entries) { sc =>
-      val byName = spark.read
+      val byKey = spark.read
         .option("basePath", target.toString)
         .parquet(target.toString)
         .groupBy(input_file_name().as("f"))
@@ -182,11 +182,10 @@ final class MergeTable private (
         .collect()
         .flatMap { r =>
           if (r.isNullAt(1) || r.isNullAt(2)) None
-          else Some((r.getString(0).split('/').last,
-            (r.getLong(1), r.getLong(2))))
+          else Some((fileKey(r.getString(0)), (r.getLong(1), r.getLong(2))))
         }
         .toMap
-      entries.map(e => e.copy(stats = byName.get(e.relPath.split('/').last)))
+      entries.map(e => e.copy(stats = byKey.get(fileKey(e.relPath))))
     }
 
   /** S5 — full overwrite (the reference's first-load path,
@@ -338,7 +337,7 @@ final class MergeTable private (
       if (hit.isEmpty) (live, version)
       else {
         val (touched, kept) =
-          live.partition(e => hit(e.relPath.split('/').last))
+          live.partition(e => hit(fileKey(e.relPath)))
         val survivors = readEntries(touched)
           .filter(!coalesce(predicate, lit(false)))
         val (_, newEntries) = writeData(survivors)
@@ -364,7 +363,7 @@ final class MergeTable private (
         if (hit.isEmpty) (live, version)
         else {
           val (touched, kept) =
-            live.partition(e => hit(e.relPath.split('/').last))
+            live.partition(e => hit(fileKey(e.relPath)))
           val base = readEntries(touched)
           set.keys.foreach(c => require(base.columns.contains(c),
             s"SET column $c does not exist in the table"))
@@ -379,15 +378,13 @@ final class MergeTable private (
     }
   }
 
-  /** Basenames of live files holding at least one `predicate` match.
-    * Part-file names embed a job UUID, so basenames are unique across
-    * commit dirs (the invariant [[withStats]] and [[readEntries]] key
-    * on). `input_file_name()` is evaluated in the scan stage, before
-    * any exchange, so the tag is exact. */
+  /** [[fileKey]]s of live files holding at least one `predicate` match.
+    * `input_file_name()` is evaluated in the scan stage, before any
+    * exchange, so the tag is exact. */
   private def touchedFileNames(live: Seq[FileEntry],
       predicate: Column): Set[String] =
     readEntries(live)
-      .withColumn(FileTag, substring_index(input_file_name(), "/", -1))
+      .withColumn(FileTag, substring_index(input_file_name(), "/", -2))
       .filter(predicate)
       .select(col(FileTag)).distinct()
       .collect().map(_.getString(0)).toSet
@@ -626,14 +623,14 @@ final class MergeTable private (
       case (Some(pc), Some(pf)) =>
         import spark.implicits._
         val fpMap = entries
-          .map(e => (e.relPath.split('/').last, e.partitionValue.orNull))
+          .map(e => (fileKey(e.relPath), e.partitionValue.orNull))
           .toDF("__graft_file", "__graft_pv")
         val pv =
           if (pf.dataType == org.apache.spark.sql.types.NullType) lit(null)
           else col("__graft_pv").cast(pf.dataType)
         base
           .withColumn("__graft_file",
-            substring_index(input_file_name(), "/", -1))
+            substring_index(input_file_name(), "/", -2))
           .join(broadcast(fpMap), Seq("__graft_file"), "left")
           .withColumn(pc, pv)
           .select(dataFields.map(f => col(f.name)) :+ col(pc): _*)
@@ -694,6 +691,17 @@ object MergeTable {
       partitionCol: Option[String] = None,
       statsCol: Option[String] = None): MergeTable =
     new MergeTable(spark, Paths.get(root), partitionCol, statsCol)
+
+  /** The last two path components — "<partition-or-commit-dir>/<part-file>"
+    * — the file identity every path↔manifest correlation keys on.
+    * Basenames ALONE are not unique: within one commit, two partition
+    * dirs hold part files with the SAME task index + job UUID (e.g. a
+    * single-task write into two date partitions both emits
+    * `part-00000-<uuid>`), so a basename-keyed map would attach one
+    * partition's value (or stats) to the other's file. Two components
+    * disambiguate within a commit; across commits the job UUID does. */
+  private def fileKey(path: String): String =
+    path.split('/').takeRight(2).mkString("/")
 
   /** Spark escapes special chars in partition dir names (URL-style). */
   private def unescapePathValue(s: String): String =

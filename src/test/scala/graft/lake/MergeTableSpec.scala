@@ -410,6 +410,26 @@ class MergeTableSpec extends SparkSpec {
     assert(contents(t.read()) === Set(("o3", "2024-01-03", 30.0)))
   }
 
+  test("same-named part files in two partitions of one commit stay distinct") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, Some("date"), statsCol = Some("amount"))
+    t.overwrite(orders(("o0", "2024-01-01", 1.0)))
+    // ONE task writing TWO date partitions → both dirs emit a part file
+    // with the same task index + job UUID (identical basename). A second
+    // commit forces the multi-dir manifest-map read path.
+    t.merge(
+      orders(("o2", "2024-01-02", 99.0), ("o3", "2024-01-03", 30.0))
+        .coalesce(1),
+      "order_id")
+    assert(contents(t.read()) === Set(
+      ("o0", "2024-01-01", 1.0), ("o2", "2024-01-02", 99.0),
+      ("o3", "2024-01-03", 30.0)),
+      "basename-keyed partition attach would duplicate rows across dates")
+    // stats must also bind to the right file, not a same-named sibling
+    assert(contents(t.readRange(90, 100)) ===
+      Set(("o2", "2024-01-02", 99.0)))
+  }
+
   test("changes(updateImages=true) emits Delta's dual update images") {
     val root = tmpDir("mt").toString
     val t = MergeTable(spark, root, Some("date"))

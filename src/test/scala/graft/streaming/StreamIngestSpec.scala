@@ -60,4 +60,40 @@ class StreamIngestSpec extends SparkSpec {
       transform = _.withColumn("amount", col("amount").cast("double")))
     assert(t.read().schema("amount").dataType.typeName === "double")
   }
+
+  test("a materialized view follows streaming ingest via the change feed") {
+    val raw = tmpDir("raw")
+    val ckpt = tmpDir("ckpt").toString
+    val t = MergeTable(spark, tmpDir("tbl").toString, Some("date"))
+    val typed: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      _.withColumn("amount", col("amount").cast("double"))
+    writeCsv(raw, "f1.csv", "o1,2024-01-01,10.0", "o2,2024-01-02,20.0")
+    StreamIngest.runAvailableNow(spark, raw.toString, schema, t,
+      "order_id", ckpt, transform = typed)
+    val vInit = t.latestVersion()
+    // materialize the view ONCE at the current version...
+    var agg = graft.lake.IncrementalAgg
+      .fullAggregate(t.readVersion(vInit), "date", "amount")
+    // ...then a second ingest wave (upsert + insert) arrives
+    writeCsv(raw, "f2.csv", "o2,2024-01-02,99.0", "o3,2024-01-03,30.0")
+    StreamIngest.runAvailableNow(spark, raw.toString, schema, t,
+      "order_id", ckpt, transform = typed)
+    val vNow = t.latestVersion()
+    assert(vNow > vInit)
+    // the view catches up from the log-pruned feed alone — the base
+    // table is never rescanned
+    agg = graft.lake.IncrementalAgg.applyDelta(agg,
+      graft.lake.IncrementalAgg.sumCountDelta(
+        t.changes(vInit, vNow, "order_id", updateImages = true),
+        "date", "amount"),
+      "date")
+    val view = agg.as[(String, Double, Long)].collect().toSet
+    val recomputed = graft.lake.IncrementalAgg
+      .fullAggregate(t.read(), "date", "amount")
+      .as[(String, Double, Long)].collect().toSet
+    assert(view === recomputed)
+    assert(view === Set(
+      ("2024-01-01", 10.0, 1L), ("2024-01-02", 99.0, 1L),
+      ("2024-01-03", 30.0, 1L)))
+  }
 }
