@@ -324,17 +324,26 @@ object DedupQueries {
     var changed = true
     var rounds = 0
     while (changed && rounds < MaxCcRounds) {
+      // localCheckpoint (not cache) each round: caching materializes the
+      // DATA but the logical plan still nests every prior round — at
+      // graph diameters beyond ~15 the 2^rounds-node plan OOMs the
+      // driver in plan stringification alone (caught by the union-find
+      // property spec on a chain-heavy graph). Checkpointing truncates
+      // the plan to a constant-size LogicalRDD, so rounds stay O(1) in
+      // driver memory — high-diameter graphs are then bounded by
+      // MaxCcRounds, not by plan explosion.
       val prop =
         edges.join(labels, edges("src") === labels("doc_id"))
           .select(col("dst").as("doc_id"), col("cluster_id"))
           .unionByName(labels.select(col("doc_id"), col("cluster_id")))
           .groupBy(col("doc_id"))
           .agg(min(col("cluster_id")).as("cluster_id"))
-      prop.cache()
+          .localCheckpoint(true)
       val s = labelSum(prop)
       changed = s.compareTo(prevSum) != 0
       prevSum = s
       labels.unpersist()
+      releaseCheckpointed(labels)
       labels = prop
       rounds += 1
     }
@@ -355,6 +364,7 @@ object DedupQueries {
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
       .localCheckpoint(true)
     labels.unpersist()
+    releaseCheckpointed(labels)
     releaseCheckpointed(pairs0)
     out
   }
@@ -362,11 +372,18 @@ object DedupQueries {
   /** Drop the block-manager state behind a localCheckpointed frame.
     * `Dataset.unpersist()` only clears cache-manager entries; checkpoint
     * blocks belong to the wrapped `LogicalRDD`'s RDD and must be released
-    * there. Safe only once nothing will read the frame again. */
+    * there. Matches ONLY a top-level checkpoint root (a frame returned by
+    * `localCheckpoint` directly) — a deep collect would also release
+    * checkpoints this frame merely READS (e.g. a labels plan built over
+    * the still-live pair graph), yanking blocks out from under later
+    * rounds. No-op for non-checkpoint frames. Safe only once nothing
+    * will read the frame again. */
   private[ext] def releaseCheckpointed(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(false))
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   // ---- oracle SQL (generated from the same constants) ----
 

@@ -156,6 +156,40 @@ class ExtQueriesSpec extends SparkSpec {
       "exactly the min doc id is canonical")
   }
 
+  test("connectedComponents matches a union-find oracle on random graphs") {
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min-label normalization: root of each node IS the min reachable
+      // id because union always parents the larger root under the smaller
+      edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+    }
+    // three deterministic pseudo-random graph shapes: sparse, chain-heavy,
+    // and denser with self-contained clusters
+    val graphs = Seq(7L, 13L, 29L).map { seed =>
+      (0 until 40).map { i =>
+        val a = (i * seed) % 30
+        val b = (i * seed + seed * seed) % 30
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+    }
+    graphs.foreach { edges =>
+      val df = edges.toDF("a", "b")
+      val got = DedupQueries.connectedComponents(df, "a", "b", "node")
+        .select("node", "cluster_id").as[(Long, Long)].collect().toMap
+      val want = unionFind(30, edges)
+      assert(got === want, s"edges=$edges")
+    }
+  }
+
   test("embedClusters puts the planted near-identical vectors together") {
     val rows = SimilarityQueries.embedClusters(spark, dir)
       .select("vec_id", "cluster_id", "is_canonical")

@@ -410,6 +410,25 @@ class MergeTableSpec extends SparkSpec {
     assert(contents(t.read()) === Set(("o3", "2024-01-03", 30.0)))
   }
 
+  test("concurrent delete and merge both land (optimistic retry)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, Some("date"))
+    t.overwrite(orders(
+      ("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
+    // a delete and an unrelated-key merge race; whichever loses the
+    // commit must recompute against the winner's snapshot, so the final
+    // state is order-independent
+    val f1 = Future(t.delete(col("order_id") === "o2"))
+    val f2 = Future(t.merge(orders(("o3", "2024-01-03", 30.0)), "order_id"))
+    Await.result(f1, 120.seconds)
+    Await.result(f2, 120.seconds)
+    assert(contents(t.read()) ===
+      Set(("o1", "2024-01-01", 10.0), ("o3", "2024-01-03", 30.0)))
+  }
+
   test("same-named part files in two partitions of one commit stay distinct") {
     val root = tmpDir("mt").toString
     val t = MergeTable(spark, root, Some("date"), statsCol = Some("amount"))
