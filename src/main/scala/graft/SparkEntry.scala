@@ -539,8 +539,8 @@ object SparkEntry {
       """WITH mm AS (SELECT min(l_extendedprice) AS mn,
                        max(l_extendedprice) AS mx
                      FROM lineitem),
-         b AS (SELECT CAST(least(19,
-                 floor((l_extendedprice - mn) / ((mx - mn) / 20.0)))
+         b AS (SELECT CAST(CASE WHEN mx = mn THEN 0 ELSE least(19,
+                 floor((l_extendedprice - mn) / ((mx - mn) / 20.0))) END
                  AS BIGINT) AS bin
                FROM lineitem CROSS JOIN mm),
          c AS (SELECT bin, count(*) AS n FROM b GROUP BY bin)

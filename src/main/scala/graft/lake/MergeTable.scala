@@ -367,10 +367,17 @@ final class MergeTable private (
           val base = readEntries(touched)
           set.keys.foreach(c => require(base.columns.contains(c),
             s"SET column $c does not exist in the table"))
-          val updated = set.foldLeft(base) { case (df, (c, v)) =>
-            df.withColumn(c,
+          // SQL UPDATE semantics: EVERY SET expression evaluates against
+          // the OLD row (so `SET a = b, b = a` swaps). Stage new values
+          // under temp names first — a sequential withColumn chain would
+          // leak one SET's result into the next one's inputs.
+          val staged = set.foldLeft(base) { case (df, (c, v)) =>
+            df.withColumn(s"__graft_set_$c",
               when(coalesce(predicate, lit(false)), v).otherwise(col(c)))
           }
+          val updated = staged.select(base.columns.map(c =>
+            if (set.contains(c)) col(s"__graft_set_$c").as(c)
+            else col(c)): _*)
           val (_, newEntries) = writeData(updated)
           (kept ++ newEntries, version)
         }

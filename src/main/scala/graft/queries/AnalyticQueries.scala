@@ -269,9 +269,11 @@ object AnalyticQueries {
     val binned = df
       .select(col(valCol).as("x"))
       .crossJoin(broadcast(mm))
+      // mx = mn (all values equal) would divide 0/0 into NaN, which the
+      // two engines cast differently — a single degenerate bin 0 instead
       .withColumn("bin", expr(
-        s"CAST(least(${bins - 1}, floor((x - mn) / ((mx - mn) / $bins.0)))" +
-          " AS BIGINT)"))
+        s"CAST(CASE WHEN mx = mn THEN 0 ELSE least(${bins - 1}," +
+          s" floor((x - mn) / ((mx - mn) / $bins.0))) END AS BIGINT)"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
     binned
       .crossJoin(broadcast(mm))

@@ -363,6 +363,18 @@ class MergeTableSpec extends SparkSpec {
     }
   }
 
+  test("update() evaluates every SET expression against the OLD row") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, None)
+    t.overwrite(Seq(("o1", 1.0, 2.0)).toDF("order_id", "a", "b"))
+    // SQL swap semantics: a=b, b=a must read both from the pre-image
+    t.update(col("order_id") === "o1",
+      Map("a" -> col("b"), "b" -> col("a")))
+    val row = t.read().select("a", "b").as[(Double, Double)].head()
+    assert(row === ((2.0, 1.0)),
+      "a sequential withColumn chain would yield (2.0, 2.0)")
+  }
+
   test("zorder() gives trailing-column locality that linear clusterBy can't") {
     val root = tmpDir("mt").toString
     val t = MergeTable(spark, root, None, statsCol = Some("amount"))

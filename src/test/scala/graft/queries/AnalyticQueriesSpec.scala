@@ -105,6 +105,13 @@ class AnalyticQueriesSpec extends SparkSpec {
     assert(math.abs(rows.map(_._5).sum - 1.0) < 0.01)
     // uniform data -> every bin populated with ~n/20
     assert(rows.length === 20 && rows.forall(r => r._4 >= 30 && r._4 <= 70))
+    // degenerate domain (all values equal) -> one bin, no NaN casts
+    val d2 = tmpDir("hist1")
+    Seq.fill(5)(42.0).toDF("l_extendedprice").coalesce(1)
+      .write.parquet(s"$d2/lineitem.parquet")
+    val flat = AnalyticQueries.histogram(spark, d2.toString)
+      .select("bin", "n").as[(Long, Long)].collect()
+    assert(flat.toSeq === Seq((0L, 5L)))
   }
 
   test("salted distinct count equals the direct count(DISTINCT)") {
