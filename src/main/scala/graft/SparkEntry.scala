@@ -108,6 +108,7 @@ object SparkEntry {
     "q_doc_stratified"  -> (TextQueries.docStratified _),
     "q_window_lag"      -> (AnalyticQueries.windowLag _),
     "q_events_gapfill"  -> (AnalyticQueries.eventsGapfill _),
+    "q_events_funnel"   -> (AnalyticQueries.eventsFunnel _),
     "q_histogram"       -> (AnalyticQueries.histogram _),
     // §7.5 — multimodal binary columns (stub decode, real plumbing)
     "q_media_features"  -> ((s: SparkSession, d: String) =>
@@ -535,6 +536,24 @@ object SparkEntry {
                 (n IS NULL) AS filled
          FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.day = c.day
          ORDER BY 1, 2""",
+    "q_events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+                      CAST(epoch_us(ts) AS BIGINT) AS t
+                    FROM events),
+         s1 AS (SELECT user_id, min(t) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND t >= t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+                WHERE event_type = 'purchase' AND t >= t2 GROUP BY 1),
+         u AS (SELECT user_id, 1 AS stage FROM s1
+               UNION ALL SELECT user_id, 2 FROM s2
+               UNION ALL SELECT user_id, 3 FROM s3)
+         SELECT stage,
+                CASE stage WHEN 1 THEN 'view' WHEN 2 THEN 'click'
+                  ELSE 'purchase' END AS stage_name,
+                count(*) AS n_users
+         FROM u GROUP BY stage ORDER BY stage""",
     "q_histogram" ->
       """WITH mm AS (SELECT min(l_extendedprice) AS mn,
                        max(l_extendedprice) AS mx

@@ -247,6 +247,40 @@ object AnalyticQueries {
         col("n").isNull.as("filled"))
   }
 
+  /** Funnel analysis (view → click → purchase): per-stage user counts
+    * where stage k only counts events AT OR AFTER the user's stage-k−1
+    * completion time — the ordered-sequence semantics (a click before
+    * the first view does not advance the funnel).
+    *
+    * Scale shape: one conditional min-aggregate per stage, chained by
+    * user_id equi-joins (stage k's relation is ≤ stage k−1's — funnel
+    * attrition shrinks every step), then a tiny tagged union + count.
+    * Deliberately NOT a per-user event-array collect (which buffers a
+    * user's whole history in one aggregation buffer) and NOT a window
+    * over the event stream. */
+  def eventsFunnel(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("t"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("t")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click").join(s1, Seq("user_id"))
+      .filter(col("t") >= col("t1"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("t") >= col("t2"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("t3"))
+    s1.select(col("user_id"), lit(1).as("stage"))
+      .unionByName(s2.select(col("user_id"), lit(2).as("stage")))
+      .unionByName(s3.select(col("user_id"), lit(3).as("stage")))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("stage_name",
+        when(col("stage") === 1, "view")
+          .when(col("stage") === 2, "click").otherwise("purchase"))
+      .select(col("stage"), col("stage_name"), col("n_users"))
+  }
+
   /** Equal-width histogram (20 bins over the global [min, max]) of
     * l_extendedprice — the profiling primitive behind binning, NDV
     * estimation, and range-partitioning decisions. Shape: one 1-row

@@ -91,6 +91,29 @@ class AnalyticQueriesSpec extends SparkSpec {
       "continuous per-user grid; silent days zero-filled and flagged")
   }
 
+  test("eventsFunnel only advances stages in event-time order") {
+    val d = tmpDir("funnel")
+    Seq(
+      // user 7 completes the whole funnel in order
+      (1L, nanos("2024-01-01 10:00:00"), 7L, "view", 1.0, ""),
+      (2L, nanos("2024-01-01 11:00:00"), 7L, "click", 1.0, ""),
+      (3L, nanos("2024-01-01 12:00:00"), 7L, "purchase", 1.0, ""),
+      // user 8's click PRECEDES their first view -> funnel stops at view
+      (4L, nanos("2024-01-01 09:00:00"), 8L, "click", 1.0, ""),
+      (5L, nanos("2024-01-01 10:00:00"), 8L, "view", 1.0, ""),
+      (6L, nanos("2024-01-01 11:00:00"), 8L, "purchase", 1.0, ""),
+      // user 9 only views
+      (7L, nanos("2024-01-01 10:00:00"), 9L, "view", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val rows = AnalyticQueries.eventsFunnel(spark, d.toString)
+      .select("stage", "stage_name", "n_users")
+      .as[(Int, String, Long)].collect().toSet
+    assert(rows === Set(
+      (1, "view", 3L), (2, "click", 1L), (3, "purchase", 1L)),
+      "out-of-order events must not advance the funnel")
+  }
+
   test("histogram bins partition the value range and sum to the total") {
     val d = tmpDir("hist")
     val xs = (0 until 1000).map(i => ((i * 7919) % 1000).toDouble)
