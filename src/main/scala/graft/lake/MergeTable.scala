@@ -3,6 +3,7 @@ package graft.lake
 import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 
+import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 import scala.util.Using
 
@@ -22,21 +23,39 @@ import org.apache.spark.sql.functions._
   * Layout:
   * {{{
   *   <root>/commit-<version>-<uuid>/<partCol>=<v>/part-*.parquet  (data)
-  *   <root>/_graft_log/<version%020d>.txt                         (manifest)
+  *   <root>/_graft_log/<version%020d>.txt   (commit delta: A/R lines)
+  *   <root>/_graft_log/<version%020d>.ckpt  (full snapshot, every N commits)
   * }}}
   *
-  * A manifest is the FULL list of live files (path TAB partition-value).
+  * The log is INCREMENTAL, the Delta-log shape: each commit publishes only
+  * its own changes — `A <path> <partition> [min max]` lines for files it
+  * adds, `R <path>` lines for files it removes — so commit metadata IO is
+  * O(files changed), not O(files live). A streaming ingest committing one
+  * micro-batch per file (the reference's per-file trigger cadence,
+  * ref: lambda/trigger_lakehouse_stepfn_on_upload/lambda_function.py:28-37)
+  * pays a ~2-line delta per commit regardless of table size; full-snapshot
+  * manifests would pay O(F) per commit — O(F²) cumulative. Readers
+  * reconstruct a snapshot from the newest full CHECKPOINT at or below the
+  * requested version (written every [[MergeTable.CheckpointInterval]]
+  * commits, and at vacuum) plus the few deltas after it, so reads touch
+  * O(F + interval) log lines, never the whole history.
+  *
   * Commit = write data files to a fresh commit dir, then publish a temp
-  * manifest as `<nextVersion>.txt` via `Files.createLink`, which atomically
+  * delta file as `<nextVersion>.txt` via `Files.createLink`, which atomically
   * FAILS if that version already exists (`rename(2)` would silently replace
   * it — the round-1 lost-update bug). On collision the whole operation
-  * recomputes against the fresh snapshot — never re-publishing entries
-  * derived from a stale one. Readers resolve the highest manifest and see a
-  * consistent snapshot; uncommitted data dirs are invisible to them.
+  * recomputes against the fresh snapshot — never re-publishing a delta
+  * derived from a stale one. Checkpoints are derived data published the
+  * same way (create-if-absent) AFTER the commit wins, so a crash between
+  * the two only costs read-side fold work, never correctness. Readers
+  * resolve the highest delta version and see a consistent snapshot;
+  * uncommitted data dirs are invisible to them.
   *
   * Scale notes (100 TB stance):
   *  - Only log METADATA ever touches the driver (file names + partition
   *    values) — never row data. Same contract as Delta's log.
+  *  - Commit metadata IO is O(changed files) per commit (delta entries),
+  *    amortized O(live files / interval) for the periodic checkpoint.
   *  - MERGE rewrites only partitions that contain a matching key or receive
   *    an insert (computed with a semi-join, not a full scan collect), so a
   *    merge touching 1 of 10k date partitions rewrites 1/10k of the table.
@@ -62,10 +81,10 @@ final class MergeTable private (
 
   // ---- log ----------------------------------------------------------------
 
-  /** Live (version, entries) of the latest committed manifest. */
+  /** Live (version, entries) of the latest committed snapshot. */
   private def latest(): (Long, Seq[FileEntry]) = {
     val v = latestVersion()
-    if (v == 0L) (0L, Seq.empty) else (v, readManifest(v))
+    if (v == 0L) (0L, Seq.empty) else (v, snapshotAt(v))
   }
 
   def latestVersion(): Long =
@@ -78,37 +97,79 @@ final class MergeTable private (
         .foldLeft(0L)(math.max)
     }
 
-  private def readManifest(v: Long): Seq[FileEntry] =
-    Files.readAllLines(logDir.resolve(f"$v%020d.txt")).asScala.toSeq
-      .filter(_.nonEmpty)
-      .map { line =>
-        val parts = line.split('\t')
-        val pv = if (parts(1) == NoPartition) None else Some(parts(1))
-        val stats =
-          if (parts.length >= 4) Some((parts(2).toLong, parts(3).toLong))
-          else None
-        FileEntry(parts(0), pv, stats)
-      }
+  /** Highest checkpoint version at or below `v` (0 = the empty table). */
+  private def checkpointAtOrBelow(v: Long): Long =
+    if (!Files.isDirectory(logDir)) 0L
+    else Using.resource(Files.list(logDir)) { stream =>
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(CkptSuffix))
+        .map(_.stripSuffix(CkptSuffix).toLong)
+        .filter(_ <= v)
+        .foldLeft(0L)(math.max)
+    }
 
-  /** Try to publish `entries` as version `expected + 1`. Returns the
+  /** One A/R-tagged log file (a commit delta, or a checkpoint — which is
+    * all A lines). */
+  private def readLogFile(p: Path): Seq[LogAction] =
+    Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { line =>
+      val parts = line.split('\t')
+      parts(0) match {
+        case "R" => Remove(parts(1))
+        case "A" =>
+          val pv = if (parts(2) == NoPartition) None else Some(parts(2))
+          val stats =
+            if (parts.length >= 5) Some((parts(3).toLong, parts(4).toLong))
+            else None
+          Add(FileEntry(parts(1), pv, stats))
+        case other => throw new IllegalStateException(
+          s"MergeTable at $root: unknown log action '$other' in $p")
+      }
+    }
+
+  /** Snapshot reconstruction: newest checkpoint ≤ `v`, then fold the
+    * commit deltas (ckpt, v]. Fails fast (instead of silently resolving a
+    * partial snapshot) when a needed delta was pruned by [[vacuum]]. */
+  private def snapshotAt(v: Long): Seq[FileEntry] = {
+    val ckpt = checkpointAtOrBelow(v)
+    val base: mutable.LinkedHashMap[String, FileEntry] = mutable.LinkedHashMap(
+      (if (ckpt == 0L) Seq.empty
+       else readLogFile(logDir.resolve(f"$ckpt%020d$CkptSuffix")))
+        .collect { case Add(e) => e.relPath -> e }: _*)
+    ((ckpt + 1) to v).foreach { w =>
+      val p = logDir.resolve(f"$w%020d.txt")
+      if (!Files.exists(p)) throw new IllegalStateException(
+        s"MergeTable at $root: version $v is unreadable — commit delta $w " +
+          "was pruned (vacuum removes pre-vacuum history)")
+      readLogFile(p).foreach {
+        case Add(e)    => base.update(e.relPath, e)
+        case Remove(f) => base.remove(f)
+      }
+    }
+    base.values.toSeq
+  }
+
+  private def deltaBody(delta: CommitDelta): String =
+    (delta.removes.map(f => s"R\t$f") ++
+      delta.adds.map { e =>
+        val base = s"A\t${e.relPath}\t${e.partitionValue.getOrElse(NoPartition)}"
+        e.stats.fold(base) { case (mn, mx) => s"$base\t$mn\t$mx" }
+      }).mkString("\n")
+
+  /** Try to publish `delta` as version `expected + 1`. Returns the
     * committed version, or None if a concurrent writer took it first.
     * `Files.createLink` (unlike `Files.move`, whose Linux rename(2)
     * silently REPLACES) atomically fails with FileAlreadyExistsException
     * when the target exists — the existence check and the publish are one
     * syscall, so two writers can never both win a version. Callers MUST
-    * recompute from the fresh snapshot on None, not re-publish stale
-    * entries (that would drop the other writer's files — lost update). */
-  private[lake] def tryCommit(entries: Seq[FileEntry], expected: Long): Option[Long] = {
+    * recompute from the fresh snapshot on None, not re-publish a delta
+    * derived from a stale one (that would drop the other writer's changes
+    * — lost update). */
+  private[lake] def tryCommit(delta: CommitDelta, expected: Long): Option[Long] = {
     Files.createDirectories(logDir)
-    val body = entries
-      .map { e =>
-        val base = s"${e.relPath}\t${e.partitionValue.getOrElse(NoPartition)}"
-        e.stats.fold(base) { case (mn, mx) => s"$base\t$mn\t$mx" }
-      }
-      .mkString("\n")
     val v = expected + 1
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.writeString(tmp, body)
+    Files.writeString(tmp, deltaBody(delta))
     try {
       Files.createLink(logDir.resolve(f"$v%020d.txt"), tmp)
       Some(v)
@@ -117,16 +178,33 @@ final class MergeTable private (
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** Run an optimistic write: `attempt` computes (entries, expectedVersion)
+  /** Publish a full checkpoint at `v` (create-if-absent; a checkpoint is
+    * DERIVED data, so losing the race — or crashing before writing it —
+    * only costs later readers some delta-fold work). */
+  private def writeCheckpoint(v: Long): Unit = {
+    val target = logDir.resolve(f"$v%020d$CkptSuffix")
+    if (Files.exists(target)) return
+    val body = deltaBody(CommitDelta(snapshotAt(v), Nil))
+    val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp, body)
+    try Files.createLink(target, tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  /** Run an optimistic write: `attempt` computes (delta, expectedVersion)
     * from the CURRENT snapshot; on commit collision the computation reruns
-    * against the fresh snapshot. */
-  private def retryingCommit(attempt: () => (Seq[FileEntry], Long)): Long = {
+    * against the fresh snapshot. Every Nth version also publishes a full
+    * checkpoint, bounding later reads' delta folds. */
+  private def retryingCommit(attempt: () => (CommitDelta, Long)): Long = {
     var tries = 0
     while (tries < MaxCommitRetries) {
-      val (entries, expected) = attempt()
-      tryCommit(entries, expected) match {
-        case Some(v) => return v
-        case None    => tries += 1
+      val (delta, expected) = attempt()
+      tryCommit(delta, expected) match {
+        case Some(v) =>
+          if (v % CheckpointInterval == 0) writeCheckpoint(v)
+          return v
+        case None => tries += 1
       }
     }
     throw new java.util.ConcurrentModificationException(
@@ -194,7 +272,10 @@ final class MergeTable private (
     * (last-full-writer-wins is the overwrite contract). */
   def overwrite(df: DataFrame): Long = {
     val (_, entries) = writeData(df)
-    retryingCommit(() => (entries, latestVersion()))
+    retryingCommit { () =>
+      val (version, live) = latest()
+      (CommitDelta(entries, live.map(_.relPath)), version)
+    }
   }
 
   /** S6 — MERGE upsert: source wins on key match, inserts otherwise;
@@ -219,7 +300,7 @@ final class MergeTable private (
         val (version, live) = latest()
         if (live.isEmpty) {
           val (_, entries) = writeData(src)
-          (entries, version)
+          (CommitDelta(entries, Nil), version)
         } else partitionCol match {
           case Some(pc) =>
             // Partitions needing rewrite = those holding a matched key, plus
@@ -237,13 +318,15 @@ final class MergeTable private (
               .collect().map(r => Option(r.getString(0))).toSet
             val touched: Set[Option[String]] =
               srcParts.map(_.asInstanceOf[Option[String]]) ++ matchedParts
-            val (touchedFiles, keptFiles) =
-              live.partition(e => touched.contains(e.partitionValue))
+            val touchedFiles =
+              live.filter(e => touched.contains(e.partitionValue))
             val remaining = readEntries(touchedFiles)
               .join(src.select(col(pk)).distinct(), Seq(pk), "left_anti")
             val out = remaining.unionByName(src, evolveSchema)
             val (_, newEntries) = writeData(out)
-            (keptFiles ++ newEntries, version)
+            // Delta entries: only the rewritten files appear in the log —
+            // untouched partitions' files are implicitly carried over.
+            (CommitDelta(newEntries, touchedFiles.map(_.relPath)), version)
           case None =>
             // Unpartitioned: inherently a full-table rewrite, as in Delta
             // without partition pruning.
@@ -255,7 +338,7 @@ final class MergeTable private (
             val remaining = readEntries(live)
               .join(src.select(col(pk)).distinct(), Seq(pk), "left_anti")
             val (_, newEntries) = writeData(remaining.unionByName(src, evolveSchema))
-            (newEntries, version)
+            (CommitDelta(newEntries, live.map(_.relPath)), version)
         }
       }
     } finally src.unpersist()
@@ -275,7 +358,7 @@ final class MergeTable private (
             .sortWithinPartitions(clusterBy: _*)
         else df0.repartition(filesPerPartition)
       val (_, entries) = writeData(df)
-      (entries, version)
+      (CommitDelta(entries, live.map(_.relPath)), version)
     }
 
   /** The reference's DOC-ONLY "Z-ordering" claim (README.md:119,
@@ -319,7 +402,7 @@ final class MergeTable private (
         .sortWithinPartitions(col(ZCol))
         .drop(ZCol)
       val (_, entries) = writeData(df)
-      (entries, version)
+      (CommitDelta(entries, live.map(_.relPath)), version)
     }
   }
 
@@ -331,17 +414,16 @@ final class MergeTable private (
     * metadata, the same contract as the MERGE partition discovery. */
   def delete(predicate: Column): Long = retryingCommit { () =>
     val (version, live) = latest()
-    if (live.isEmpty) (live, version)
+    if (live.isEmpty) (CommitDelta(Nil, Nil), version)
     else {
       val hit = touchedFileNames(live, predicate)
-      if (hit.isEmpty) (live, version)
+      if (hit.isEmpty) (CommitDelta(Nil, Nil), version)
       else {
-        val (touched, kept) =
-          live.partition(e => hit(fileKey(e.relPath)))
+        val touched = live.filter(e => hit(fileKey(e.relPath)))
         val survivors = readEntries(touched)
           .filter(!coalesce(predicate, lit(false)))
         val (_, newEntries) = writeData(survivors)
-        (kept ++ newEntries, version)
+        (CommitDelta(newEntries, touched.map(_.relPath)), version)
       }
     }
   }
@@ -357,13 +439,12 @@ final class MergeTable private (
       s"cannot update partition column $partitionCol; delete + merge instead")
     retryingCommit { () =>
       val (version, live) = latest()
-      if (live.isEmpty) (live, version)
+      if (live.isEmpty) (CommitDelta(Nil, Nil), version)
       else {
         val hit = touchedFileNames(live, predicate)
-        if (hit.isEmpty) (live, version)
+        if (hit.isEmpty) (CommitDelta(Nil, Nil), version)
         else {
-          val (touched, kept) =
-            live.partition(e => hit(fileKey(e.relPath)))
+          val touched = live.filter(e => hit(fileKey(e.relPath)))
           val base = readEntries(touched)
           set.keys.foreach(c => require(base.columns.contains(c),
             s"SET column $c does not exist in the table"))
@@ -379,7 +460,7 @@ final class MergeTable private (
             if (set.contains(c)) col(s"__graft_set_$c").as(c)
             else col(c)): _*)
           val (_, newEntries) = writeData(updated)
-          (kept ++ newEntries, version)
+          (CommitDelta(newEntries, touched.map(_.relPath)), version)
         }
       }
     }
@@ -396,13 +477,16 @@ final class MergeTable private (
       .select(col(FileTag)).distinct()
       .collect().map(_.getString(0)).toSet
 
-  /** VACUUM-lite: drop data dirs NOT referenced by the LATEST manifest,
-    * and prune all superseded manifests — after vacuum, time travel before
-    * the vacuum point is intentionally gone (manifest files are removed, so
-    * [[readVersion]] fails fast instead of resolving a snapshot whose data
-    * files were deleted). */
+  /** VACUUM-lite: drop data dirs NOT referenced by the LATEST snapshot,
+    * and prune all pre-latest log files (commit deltas AND checkpoints) —
+    * after vacuum, time travel before the vacuum point is intentionally
+    * gone ([[readVersion]] fails fast instead of resolving a snapshot
+    * whose data files were deleted). A checkpoint is published at the
+    * latest version FIRST, so the surviving snapshot reconstructs from it
+    * alone with no dependence on the pruned deltas. */
   def vacuum(): Unit = {
     val (latestV, live) = latest()
+    if (latestV > 0L) writeCheckpoint(latestV)
     val liveDirs = live.map(_.relPath.split('/').head).toSet
     Using.resource(Files.list(root)) { stream =>
       stream.iterator().asScala
@@ -416,7 +500,9 @@ final class MergeTable private (
         stream.iterator().asScala
           .filter { p =>
             val n = p.getFileName.toString
-            n.endsWith(".txt") && n.stripSuffix(".txt").toLong < latestV
+            (n.endsWith(".txt") && n.stripSuffix(".txt").toLong < latestV) ||
+              (n.endsWith(CkptSuffix) &&
+                n.stripSuffix(CkptSuffix).toLong < latestV)
           }
           .toSeq
       }.foreach(Files.deleteIfExists(_))
@@ -460,7 +546,7 @@ final class MergeTable private (
   }
 
   /** Time travel — snapshot of historical `version`. */
-  def readVersion(version: Long): DataFrame = readEntries(readManifest(version))
+  def readVersion(version: Long): DataFrame = readEntries(snapshotAt(version))
 
   /** Change data feed between two committed versions (the Delta CDF
     * shape): every row inserted, updated, or deleted from `fromV` to
@@ -486,8 +572,8 @@ final class MergeTable private (
     * unchanged. */
   def changes(fromV: Long, toV: Long, pk: String,
       updateImages: Boolean): DataFrame = {
-    val ea = readManifest(fromV)
-    val eb = readManifest(toV)
+    val ea = snapshotAt(fromV)
+    val eb = snapshotAt(toV)
     def byPart(es: Seq[FileEntry]): Map[Option[String], Set[String]] =
       es.groupBy(_.partitionValue).map { case (p, fs) =>
         p -> fs.map(_.relPath).toSet
@@ -563,7 +649,7 @@ final class MergeTable private (
       .filter(v => !Files.getLastModifiedTime(logDir.resolve(f"$v%020d.txt"))
         .toInstant.isAfter(ts))
     require(vs.nonEmpty, s"MergeTable at $root: no commit at or before $ts")
-    readEntries(readManifest(vs.max))
+    readEntries(snapshotAt(vs.max))
   }
 
   /** A single directory holding EXACTLY the live snapshot in plain hive
@@ -653,11 +739,12 @@ final class MergeTable private (
       .parquet(es.map(e => root.resolve(e.relPath).toString): _*)
 
   private def emptyLike(): DataFrame = {
-    // No live files: derive schema from any historical manifest that still
-    // exists (vacuum prunes superseded ones), else fail.
+    // No live files: derive schema from any historical snapshot that is
+    // still reconstructible (vacuum prunes pre-latest history), else fail.
     val vs = (1L to latestVersion()).reverse
-      .filter(v => Files.exists(logDir.resolve(f"$v%020d.txt")))
-    vs.map(readManifest).find(_.nonEmpty) match {
+    vs.iterator
+      .flatMap(v => scala.util.Try(snapshotAt(v)).toOption)
+      .find(_.nonEmpty) match {
       case Some(entries) => readEntries(entries).limit(0)
       case None => throw new IllegalStateException(
         s"MergeTable at $root has no data and no history")
@@ -668,6 +755,11 @@ final class MergeTable private (
 object MergeTable {
   private val LogDir = "_graft_log"
   private val NoPartition = "-"
+  private val CkptSuffix = ".ckpt"
+  /** Publish a full checkpoint every N commits: reads fold at most N
+    * deltas; per-commit metadata stays O(changed files) with an amortized
+    * O(live/N) checkpoint cost — Delta's log-compaction trade. */
+  private[lake] val CheckpointInterval = 10L
   private val ZCol = "__graft_z"
   private val FileTag = "__graft_file_tag"
   private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
@@ -689,6 +781,14 @@ object MergeTable {
   private[lake] final case class FileEntry(relPath: String,
       partitionValue: Option[String],
       stats: Option[(Long, Long)] = None)
+
+  /** One commit's log content: files it adds, relPaths it removes. */
+  private[lake] final case class CommitDelta(adds: Seq[FileEntry],
+      removes: Seq[String])
+
+  private sealed trait LogAction
+  private final case class Add(entry: FileEntry) extends LogAction
+  private final case class Remove(relPath: String) extends LogAction
 
   /** Open (or lazily create on first write) a table at `root`.
     * `statsCol` names a long-castable column whose per-file min/max is

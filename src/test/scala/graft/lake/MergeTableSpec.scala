@@ -62,17 +62,20 @@ class MergeTableSpec extends SparkSpec {
     val root = tmpDir("mt")
     val t = MergeTable(spark, root.toString, Some("date"))
     t.overwrite(orders(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
-    def filesOf(version: Long): Set[String] =
-      Files.readAllLines(root.resolve("_graft_log")
-        .resolve(f"$version%020d.txt")).asScala
-        .map(_.split('\t')(0)).toSet
-    val before = filesOf(t.latestVersion())
+    val before = t.liveEntries().map(_.relPath).toSet
     t.merge(orders(("o2", "2024-01-02", 21.0)), "order_id")
-    val after = filesOf(t.latestVersion())
+    val after = t.liveEntries().map(_.relPath).toSet
     val kept = before.intersect(after)
     // the 2024-01-01 partition's file must be carried over untouched
     assert(kept.nonEmpty && kept.forall(_.contains("date=2024-01-01")))
     assert((after -- before).forall(_.contains("date=2024-01-02")))
+    // ... and the carried-over file must not even be MENTIONED in the
+    // commit's delta (incremental log: metadata IO is O(changed files))
+    val delta = Files.readAllLines(root.resolve("_graft_log")
+      .resolve(f"${t.latestVersion()}%020d.txt")).asScala
+      .filter(_.nonEmpty).map(_.split('\t')(1)).toSet
+    assert(delta.forall(_.contains("date=2024-01-02")),
+      s"delta must only mention the rewritten partition's files: $delta")
   }
 
   test("time travel: readVersion sees historical snapshots") {
@@ -130,7 +133,7 @@ class MergeTableSpec extends SparkSpec {
     // leave it byte-identical.
     val v1Manifest = root.resolve("_graft_log").resolve(f"${1L}%020d.txt")
     val v1Body = Files.readAllLines(v1Manifest)
-    assert(t.tryCommit(Seq.empty, expected = 0L) === None,
+    assert(t.tryCommit(MergeTable.CommitDelta(Nil, Nil), expected = 0L) === None,
       "publishing at a taken version must report the collision")
     assert(Files.readAllLines(v1Manifest) === v1Body,
       "the winning writer's manifest must survive untouched")
@@ -503,6 +506,67 @@ class MergeTableSpec extends SparkSpec {
     assert(incremental === recomputed)
     assert(incremental === Set(
       ("2024-01-01", 35.0, 2L), ("2024-01-03", 40.0, 1L)))
+  }
+
+  test("per-commit log bytes are O(changed files), not O(live files)") {
+    // 200 synthetic commits, each adding 2 files and removing 1 — the live
+    // set grows to ~200 files. With full-snapshot manifests the 200th
+    // commit would write ~200 lines; the incremental log must keep EVERY
+    // commit's delta at exactly 3 lines, with full checkpoints appearing
+    // only every CheckpointInterval commits.
+    val root = tmpDir("mt")
+    val t = MergeTable(spark, root.toString, None)
+    var expected = 0L
+    (1 to 200).foreach { i =>
+      val delta = MergeTable.CommitDelta(
+        adds = Seq(
+          MergeTable.FileEntry(s"commit-$i/part-a.parquet", None),
+          MergeTable.FileEntry(s"commit-$i/part-b.parquet", None)),
+        removes =
+          if (i == 1) Nil else Seq(s"commit-${i - 1}/part-b.parquet"))
+      expected = t.tryCommit(delta, expected).get
+    }
+    val log = root.resolve("_graft_log")
+    val deltaLines = (1L to 200L).map { v =>
+      Files.readAllLines(log.resolve(f"$v%020d.txt")).asScala
+        .count(_.nonEmpty)
+    }
+    assert(deltaLines.max <= 3,
+      s"a commit's delta must stay O(changed files); saw max ${deltaLines.max}")
+    // reconstruction: 200 - 199 removes leaves 201 live files
+    assert(t.liveEntries().size === 201)
+    assert(t.liveEntries().map(_.relPath).contains("commit-200/part-b.parquet"))
+    assert(!t.liveEntries().map(_.relPath).contains("commit-199/part-b.parquet"))
+  }
+
+  test("checkpoints bound snapshot reconstruction and survive vacuum") {
+    val root = tmpDir("mt")
+    val t = MergeTable(spark, root.toString, Some("date"))
+    // 12 real commits — crosses the CheckpointInterval=10 boundary
+    t.overwrite(orders(("o0", "2024-01-01", 0.0)))
+    (1 to 11).foreach { i =>
+      t.merge(orders((s"o$i", f"2024-02-$i%02d", i.toDouble)), "order_id")
+    }
+    val log = root.resolve("_graft_log")
+    assert(Files.exists(log.resolve(f"${10L}%020d.ckpt")),
+      "a full checkpoint must be published at version 10")
+    // time travel works across the checkpoint boundary in both directions
+    // (version v holds rows o0..o(v-1): v1 is the overwrite, v2..v12 merges)
+    assert(contents(t.readVersion(9)).size === 9)
+    assert(contents(t.readVersion(12)).size === 12)
+    // CDF across the boundary
+    val ch = t.changes(9, 12, "order_id")
+      .select("order_id").as[String].collect().toSet
+    assert(ch === Set("o9", "o10", "o11"))
+    // vacuum: latest snapshot survives on its own checkpoint; history gone
+    val before = contents(t.read())
+    t.vacuum()
+    assert(contents(t.read()) === before)
+    assert(Files.exists(log.resolve(f"${12L}%020d.ckpt")))
+    intercept[IllegalStateException](t.readVersion(9).collect())
+    // writes continue cleanly after vacuum
+    t.merge(orders(("o99", "2024-03-01", 99.0)), "order_id")
+    assert(contents(t.read()).size === 13)
   }
 
   test("two handles to the same table serialize through the log") {
