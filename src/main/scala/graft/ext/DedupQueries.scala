@@ -265,6 +265,8 @@ object DedupQueries {
     * clusters are cliques from one LSH bucket), so 50 is far beyond any
     * plausible diameter and overrunning it is a bug, not a workload. */
   private val MaxCcRounds = 50
+  /** CC loop sizing: one partition per this many pair-graph edges. */
+  private val CcEdgesPerPartition = 50000L
 
   /** Tier 8 — near-dup CLUSTERING: connected components over the LSH
     * near-dup pairs (the decision step of corpus dedup: pairs → clusters →
@@ -302,11 +304,14 @@ object DedupQueries {
       .localCheckpoint(true)
     // Adaptive loop parallelism: the checkpoint above already counted the
     // pair graph, so size the iterative joins to IT, not to the corpus —
-    // a small graph (the common case: pairs ≪ corpus) runs the whole loop
-    // in one partition with near-zero shuffle overhead per round, while a
-    // huge one keeps the session's default parallelism.
+    // one partition per ~50k edges, floored at 1 (tiny graphs skip
+    // per-round shuffle scheduling entirely) and capped at the session's
+    // default parallelism (huge graphs use every core, never more).
+    val nParts = math.max(1L, math.min(pairs0.count() / CcEdgesPerPartition,
+      pairsIn.sparkSession.sparkContext.defaultParallelism.toLong)).toInt
     val pairs =
-      if (pairs0.count() <= 1000000) pairs0.coalesce(1) else pairs0
+      if (nParts < pairs0.rdd.getNumPartitions) pairs0.coalesce(nParts)
+      else pairs0
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(
         pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))

@@ -258,26 +258,46 @@ object AnalyticQueries {
     * Deliberately NOT a per-user event-array collect (which buffers a
     * user's whole history in one aggregation buffer) and NOT a window
     * over the event stream. */
-  def eventsFunnel(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d).select(col("user_id"), col("event_type"),
-      unix_micros(col("ts")).as("t"))
-    val s1 = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("t")).as("t1"))
-    val s2 = e.filter(col("event_type") === "click").join(s1, Seq("user_id"))
-      .filter(col("t") >= col("t1"))
-      .groupBy(col("user_id")).agg(min(col("t")).as("t2"))
-    val s3 = e.filter(col("event_type") === "purchase")
-      .join(s2, Seq("user_id"))
-      .filter(col("t") >= col("t2"))
-      .groupBy(col("user_id")).agg(min(col("t")).as("t3"))
-    s1.select(col("user_id"), lit(1).as("stage"))
-      .unionByName(s2.select(col("user_id"), lit(2).as("stage")))
-      .unionByName(s3.select(col("user_id"), lit(3).as("stage")))
+  def eventsFunnel(s: SparkSession, d: String): DataFrame =
+    funnelOf(
+      Tables.events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t")),
+      keyCol = "user_id", stageCol = "event_type", timeCol = "t",
+      stages = Seq("view", "click", "purchase"))
+
+  /** The general k-stage ordered funnel behind [[eventsFunnel]] — library
+    * API: `stages` is the ordered list of `stageCol` values; stage k only
+    * counts events at or after the key's stage-k−1 completion time
+    * (`timeCol` must be totally ordered — epoch micros, a date, …).
+    * Returns one row per stage: `stage` (1-based), `stage_name`,
+    * `n_users`. Counts are monotonically non-increasing by construction
+    * (stage k's relation is an equi-join against stage k−1's — funnel
+    * attrition shrinks every step); plan shape as documented on
+    * [[eventsFunnel]]: one conditional min-aggregate per stage chained by
+    * key equi-joins, then a tiny tagged union + count. */
+  def funnelOf(events: DataFrame, keyCol: String, stageCol: String,
+      timeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val e = events.select(col(keyCol).as("__k"), col(stageCol).as("__s"),
+      col(timeCol).as("__t"))
+    // firsts(k) = per-key completion time of stage k (min qualifying __t)
+    val firsts = stages.zipWithIndex
+      .foldLeft(Vector.empty[DataFrame]) { case (acc, (name, i)) =>
+        val base = e.filter(col("__s") === name)
+        val qualified =
+          if (i == 0) base
+          else base.join(acc.last.select(col("__k"),
+              col("__tk").as("__prev")), Seq("__k"))
+            .filter(col("__t") >= col("__prev"))
+        acc :+ qualified.groupBy(col("__k")).agg(min(col("__t")).as("__tk"))
+      }
+    firsts.zipWithIndex
+      .map { case (f, i) => f.select(col("__k"), lit(i + 1).as("stage")) }
+      .reduce(_.unionByName(_))
       .groupBy(col("stage"))
       .agg(count(lit(1)).as("n_users"))
       .withColumn("stage_name",
-        when(col("stage") === 1, "view")
-          .when(col("stage") === 2, "click").otherwise("purchase"))
+        element_at(array(stages.map(lit): _*), col("stage")))
       .select(col("stage"), col("stage_name"), col("n_users"))
   }
 
@@ -299,24 +319,30 @@ object AnalyticQueries {
     * callable on any frame; plan shape as documented on [[histogram]]. */
   def histogramOf(df: DataFrame, valCol: String, bins: Int): DataFrame = {
     require(bins > 0)
-    val mm = df.agg(min(col(valCol)).as("mn"), max(col(valCol)).as("mx"))
+    // The global [min, max] is collected ONCE as two doubles (a 1-row
+    // aggregate — the same driver-safe metadata contract as a broadcast
+    // variable) and injected as literals, so the input is scanned exactly
+    // twice (stats pass + binning pass) instead of three times via two
+    // cross-joined copies of the aggregate.
+    val mmRow = df.agg(min(col(valCol)).cast("double").as("mn"),
+      max(col(valCol)).cast("double").as("mx")).head()
+    val (mn, mx) =
+      if (mmRow.isNullAt(0)) (lit(null).cast("double"), lit(null).cast("double"))
+      else (lit(mmRow.getDouble(0)), lit(mmRow.getDouble(1)))
     val binned = df
       .select(col(valCol).as("x"))
-      .crossJoin(broadcast(mm))
       // mx = mn (all values equal) would divide 0/0 into NaN, which the
       // two engines cast differently — a single degenerate bin 0 instead
-      .withColumn("bin", expr(
-        s"CAST(CASE WHEN mx = mn THEN 0 ELSE least(${bins - 1}," +
-          s" floor((x - mn) / ((mx - mn) / $bins.0))) END AS BIGINT)"))
+      .withColumn("bin",
+        when(mx === mn, lit(0L))
+          .otherwise(least(lit(bins - 1L),
+            floor((col("x") - mn) / ((mx - mn) / bins.toDouble))))
+          .cast("bigint"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
     binned
-      .crossJoin(broadcast(mm))
       .select(col("bin"),
-        round(col("mn") + col("bin") * ((col("mx") - col("mn")) / bins), 2)
-          .as("bin_lo"),
-        round(col("mn") +
-          (col("bin") + 1) * ((col("mx") - col("mn")) / bins), 2)
-          .as("bin_hi"),
+        round(mn + col("bin") * ((mx - mn) / bins), 2).as("bin_lo"),
+        round(mn + (col("bin") + 1) * ((mx - mn) / bins), 2).as("bin_hi"),
         col("n"),
         round(col("n") / sum(col("n")).over(Window.partitionBy()), 4)
           .as("frac"))

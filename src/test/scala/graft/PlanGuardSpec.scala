@@ -13,9 +13,8 @@ class PlanGuardSpec extends SparkSpec {
     * vectors, 8 centroids) and the condition is non-equi by design. */
   private val intendedBroadcastNL = Set(
     "q_scalar_subquery", "q_embed_topk", "q_embed_ivf", "q_text_colloc",
-    // 1-row scalar broadcasts (corpus size / global min-max) against a
-    // streaming fact side
-    "q_text_tfidf", "q_histogram")
+    // 1-row scalar broadcast (corpus size) against a streaming fact side
+    "q_text_tfidf")
 
   test("no cartesian products; nested-loop joins only where intended") {
     val d = "/root/testdata/sf0.001"
@@ -28,5 +27,16 @@ class PlanGuardSpec extends SparkSpec {
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans an unintended nested-loop join:\n$plan")
     }
+  }
+
+  test("q_histogram's returned plan scans the input exactly once") {
+    // The [min, max] stats pass is collected eagerly at build time, so
+    // counting the eager scan the whole query reads the input exactly
+    // twice — the returned plan must hold the single binning scan, never
+    // extra cross-joined copies of the aggregate.
+    val plan = SparkEntry.queries("q_histogram")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"expected exactly 1 input scan, saw $scans:\n$plan")
   }
 }

@@ -114,6 +114,35 @@ class AnalyticQueriesSpec extends SparkSpec {
       "out-of-order events must not advance the funnel")
   }
 
+  test("funnelOf: k stages, counts monotonically non-increasing") {
+    // property over seeded-random event streams: whatever the event
+    // order, stage counts can only shrink (stage k's relation is an
+    // equi-join against stage k-1's)
+    val stages = Seq("a", "b", "c", "d")
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val events = (0 until 400).map { i =>
+        (rnd.nextInt(40).toLong, stages(rnd.nextInt(4)), rnd.nextInt(1000).toLong)
+      }.toDF("uid", "etype", "t")
+      val out = AnalyticQueries
+        .funnelOf(events, "uid", "etype", "t", stages)
+        .orderBy("stage")
+        .select("stage", "stage_name", "n_users")
+        .as[(Int, String, Long)].collect()
+      assert(out.map(_._2).toSeq === out.map(r => stages(r._1 - 1)).toSeq,
+        "stage_name follows the given stage order")
+      val counts = out.map(_._3)
+      assert(counts.zip(counts.drop(1)).forall { case (a, b) => a >= b },
+        s"seed $seed: counts must be non-increasing, saw ${counts.toSeq}")
+    }
+    // a key completing stages strictly in order reaches the end
+    val ordered = Seq((1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L),
+      (1L, "d", 4L)).toDF("uid", "etype", "t")
+    val full = AnalyticQueries.funnelOf(ordered, "uid", "etype", "t", stages)
+      .select("stage", "n_users").as[(Int, Long)].collect().toSet
+    assert(full === Set((1, 1L), (2, 1L), (3, 1L), (4, 1L)))
+  }
+
   test("histogram bins partition the value range and sum to the total") {
     val d = tmpDir("hist")
     val xs = (0 until 1000).map(i => ((i * 7919) % 1000).toDouble)
