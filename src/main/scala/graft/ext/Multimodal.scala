@@ -21,6 +21,12 @@ trait MediaDecoder extends Serializable {
   def decode(r: MediaRecord): DecodedMedia
 }
 
+/** Real-resize output: original + output geometry and the re-encoded
+  * PNG bytes ([[Multimodal.resizedImages]]). */
+case class ResizedImage(
+    doc_id: Long, width: Int, height: Int, out_w: Int, out_h: Int,
+    out_png: Array[Byte])
+
 /** Transform output: post-resize geometry + sampled frame count. */
 case class TransformedMedia(
     doc_id: Long, kind: String, width: Int, height: Int,
@@ -48,12 +54,11 @@ object StubResizeSample extends MediaTransform {
   }
 }
 
-/** STUB decoder — this container ships no image/audio/video codecs, so
-  * the decode step is a clearly-marked deterministic fake (pure
-  * arithmetic on payload size). The Spark-side plumbing around it —
-  * binary schema, partition-parallel batch decode, typed output — is
-  * real and oracle-tested; swapping in a JNI/javacv decoder is a
-  * one-class change. */
+/** STUB decoder — deterministic fake (pure arithmetic on payload size)
+  * for payloads that genuinely cannot be decoded in this environment:
+  * audio/video (the JDK ships no codecs for them) and the synthetic
+  * text-byte fixtures, whose "features" must stay oracle-reproducible
+  * in SQL. Real images route through [[ImageIoDecoder]] instead. */
 object StubDecoder extends MediaDecoder {
   def decode(r: MediaRecord): DecodedMedia = {
     val n = r.media.length
@@ -64,6 +69,38 @@ object StubDecoder extends MediaDecoder {
       height = 32 + (n * 7) % 448,
       n_frames = if (r.kind == "video") 1 + n % 30 else 1)
   }
+}
+
+/** REAL image decoder via the JDK's own `javax.imageio` (PNG/JPEG/GIF/BMP
+  * readers ship with every JVM — no external codec dependency). An
+  * `image`-kind payload whose magic bytes mark a real image is decoded on
+  * the executor for its true dimensions; anything else — audio/video
+  * kinds, or payloads that aren't actual image bytes (the synthetic
+  * fixtures) — falls back to [[StubDecoder]]'s deterministic formula so
+  * those rows stay SQL-oracle-reproducible. Default decoder for
+  * [[Multimodal.decoded]]. */
+object ImageIoDecoder extends MediaDecoder {
+  /** Magic-byte sniff (PNG / JPEG / GIF / BMP) — cheaper than handing
+    * every payload to an ImageIO reader probe. */
+  private[ext] def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+        (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) ||
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
+        (b(0) == 'B' && b(1) == 'M'))
+
+  private[ext] def readImage(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (!looksLikeImage(b)) None
+    else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+
+  def decode(r: MediaRecord): DecodedMedia =
+    (if (r.kind == "image") readImage(r.media) else None) match {
+      case Some(img) => DecodedMedia(
+        doc_id = r.doc_id, kind = r.kind, payload_md5 = r.payload_md5,
+        n_bytes = r.media.length,
+        width = img.getWidth, height = img.getHeight, n_frames = 1)
+      case None => StubDecoder.decode(r)
+    }
 }
 
 /** Multimodal-column plumbing (SURVEY.md §7.5 extension; BASELINE.json
@@ -98,7 +135,7 @@ object Multimodal {
     * decoder. Range-partitions on payload size first so decode cost
     * balances across executors. */
   def decoded(s: SparkSession, media: DataFrame,
-      decoder: MediaDecoder = StubDecoder): DataFrame = {
+      decoder: MediaDecoder = ImageIoDecoder): DataFrame = {
     import s.implicits._
     media
       .withColumn("n_bytes", octet_length(col("media")))
@@ -113,12 +150,54 @@ object Multimodal {
     * mapPartitions (decode's range partitioning carries through the
     * narrow transform — no extra shuffle). */
   def transformed(s: SparkSession, media: DataFrame,
-      decoder: MediaDecoder = StubDecoder,
+      decoder: MediaDecoder = ImageIoDecoder,
       transform: MediaTransform = StubResizeSample): DataFrame = {
     import s.implicits._
     decoded(s, media, decoder)
       .as[DecodedMedia]
       .mapPartitions(batch => batch.map(transform.apply))
+      .toDF()
+  }
+
+  /** REAL pixel resize for image payloads, decode→scale→re-encode FUSED
+    * into one `mapPartitions` stage: raw pixels live only inside a single
+    * task — they never cross a shuffle or revisit the driver, which is
+    * the only layout that survives 100 TB of media (a decode→shuffle→
+    * resize split would move decompressed pixel buffers over the
+    * network). Aspect-preserving fit into `target`×`target` with the
+    * same integer arithmetic as [[StubResizeSample]]; output is
+    * PNG-re-encoded bytes + geometry. Non-image or undecodable payloads
+    * are dropped (this is the image branch of the pipeline; audio/video
+    * route through the stub path). */
+  def resizedImages(s: SparkSession, media: DataFrame,
+      target: Int = StubResizeSample.Target): DataFrame = {
+    import s.implicits._
+    media
+      .withColumn("n_bytes", octet_length(col("media")))
+      .repartitionByRange(col("n_bytes"))
+      .drop("n_bytes")
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        ImageIoDecoder.readImage(r.media).filter(_ => r.kind == "image")
+          .map { img =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val m = math.max(w, h)
+            val ow = if (m <= target) w else w * target / m
+            val oh = if (m <= target) h else h * target / m
+            val out = new java.awt.image.BufferedImage(
+              ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, ow, oh, null)
+            } finally g.dispose()
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", buf)
+            ResizedImage(r.doc_id, w, h, ow, oh, buf.toByteArray)
+          }
+      })
       .toDF()
   }
 }

@@ -41,4 +41,69 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.decoded(spark, Multimodal.mediaTable(docs), doubler)
     assert(out.filter(col("doc_id") === 0L).head().getAs[Int]("width") == 10)
   }
+
+  /** A real in-memory PNG: w×h gradient, encoded by the JDK itself. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 255 / w << 16) | (y * 255 / h << 8) | 0x40)))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  private def mediaOf(rows: (Long, String, Array[Byte])*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "kind", "media")
+      .withColumn("payload_md5", md5(col("media")))
+      .select("doc_id", "kind", "payload_md5", "media")
+  }
+
+  test("ImageIoDecoder reads true dimensions from real PNG/JPEG bytes") {
+    val png = pngBytes(64, 48)
+    // JPEG round-trip of the same gradient, also JDK-encoded
+    val jimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val jbuf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(jimg, "jpg", jbuf)
+    val media = mediaOf(
+      (1L, "image", png),
+      (2L, "image", jbuf.toByteArray),
+      (3L, "image", "not an image at all".getBytes("UTF-8")),
+      (4L, "audio", png)) // wrong kind -> stub path even for real bytes
+    val out = Multimodal.decoded(spark, media)
+      .select("doc_id", "width", "height", "n_frames")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(out(1L) === ((64, 48, 1)), "PNG decodes to its true geometry")
+    assert(out(2L) === ((64, 48, 1)), "JPEG decodes to its true geometry")
+    val n3 = "not an image at all".getBytes("UTF-8").length
+    assert(out(3L) === ((32 + n3 % 608, 32 + (n3 * 7) % 448, 1)),
+      "undecodable payload falls back to the deterministic stub")
+    assert(out(4L)._1 === 32 + png.length % 608,
+      "non-image kinds stay on the stub path")
+  }
+
+  test("resizedImages really scales pixels, aspect-preserving, re-encoded") {
+    val media = mediaOf(
+      (1L, "image", pngBytes(640, 480)), // landscape, needs shrink
+      (2L, "image", pngBytes(20, 10)),   // already fits -> untouched
+      (3L, "audio", pngBytes(64, 64)),   // dropped: not the image branch
+      (4L, "image", "plain text".getBytes("UTF-8"))) // dropped: undecodable
+    val out = Multimodal.resizedImages(spark, media, target = 224)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet === Set(1L, 2L))
+    val r1 = out(1L)
+    assert((r1.getAs[Int]("out_w"), r1.getAs[Int]("out_h")) === ((224, 168)))
+    // the payload is a REAL resized image: decode it back and check
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r1.getAs[Array[Byte]]("out_png")))
+    assert((back.getWidth, back.getHeight) === ((224, 168)))
+    // bilinear scaling preserves the gradient direction: left edge darker
+    // red channel than right edge
+    def red(rgb: Int) = (rgb >> 16) & 0xFF
+    assert(red(back.getRGB(4, 84)) < red(back.getRGB(219, 84)))
+    val r2 = out(2L)
+    assert((r2.getAs[Int]("out_w"), r2.getAs[Int]("out_h")) === ((20, 10)))
+  }
 }
