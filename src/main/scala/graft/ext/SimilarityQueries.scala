@@ -40,9 +40,16 @@ object SimilarityQueries {
   }
 
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
-  def embedTopk(s: SparkSession, d: String): DataFrame = {
+  def embedTopk(s: SparkSession, d: String): DataFrame =
+    bruteTopkFor(s, d, loId = 0, hiId = 10, k = 5)
+
+  /** Exact cosine top-`k` for query vectors `loId ≤ vec_id < hiId` — the
+    * ground-truth engine behind [[embedTopk]] and the recall measurement
+    * of [[graft.tools.IvfRecall]]. */
+  private[graft] def bruteTopkFor(s: SparkSession, d: String,
+      loId: Long, hiId: Long, k: Int): DataFrame = {
     val e = normed(s, d)
-    val q = e.filter(col("vec_id") < 10)
+    val q = e.filter(col("vec_id") >= loId && col("vec_id") < hiId)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("nrm").as("qnrm"))
     val sims = e
@@ -55,7 +62,7 @@ object SimilarityQueries {
       .orderBy(col("sim").desc, col("neighbor_id"))
     sims
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
@@ -65,9 +72,25 @@ object SimilarityQueries {
     * cluster-shuffled), assign all vectors by max cosine (tie → lowest
     * centroid id), then top-3 in-cell neighbors for query vectors
     * 8 ≤ vec_id < 28. */
-  def embedIvf(s: SparkSession, d: String): DataFrame = {
-    val cells = DedupQueries.eager(assignedCells(s, d))
-    val q = cells.filter(col("vec_id") >= 8 && col("vec_id") < 28)
+  def embedIvf(s: SparkSession, d: String): DataFrame =
+    embedIvfRounds(s, d, LloydRounds)
+
+  /** Per-cell vector counts at a given Lloyd round count — the balance
+    * diagnostic for [[graft.tools.IvfRecall]] (max cell size bounds the
+    * worst-case in-cell search cost). */
+  private[graft] def cellSizes(s: SparkSession, d: String,
+      rounds: Int): DataFrame =
+    assignedCells(s, d, rounds).groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+
+  /** [[embedIvf]] with an explicit Lloyd round count (0 = raw id-order
+    * seeds) and query-id window — the recall diagnostic knobs for
+    * [[graft.tools.IvfRecall]] (the oracle query fixes 8..28; recall is
+    * measured over a wider window for statistical weight). */
+  private[graft] def embedIvfRounds(s: SparkSession, d: String,
+      rounds: Int, qLo: Long = 8, qHi: Long = 28): DataFrame = {
+    val cells = DedupQueries.eager(assignedCells(s, d, rounds))
+    val q = cells.filter(col("vec_id") >= qLo && col("vec_id") < qHi)
       .select(col("vec_id").as("query_id"), col("cell"),
         col("embedding").as("qvec"), col("nrm").as("qnrm"))
     val wRank = Window.partitionBy(col("query_id"))
@@ -250,17 +273,14 @@ object SimilarityQueries {
     "(SELECT GREATEST(8, CAST(ceil(sqrt(count(*) / 8.0)) AS BIGINT)) " +
       "FROM embeddings)"
 
-  /** Cell assignment used by [[embedIvf]]; callers eager-cache it because
-    * they use it on two join sides (at 100 TB this is a persisted
-    * intermediate table, not a recompute). Centroids = the first
-    * [[ivfCells]] vec_ids (deterministic; the fixture ids are
-    * cluster-shuffled, so id order is an unbiased seed draw). */
-  private def assignedCells(s: SparkSession, d: String): DataFrame = {
-    val e = normed(s, d)
-    val c = ivfCells(embeddings(s, d).count())
-    val cent = e.filter(col("vec_id") < c)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
-        col("nrm").as("cnrm"))
+  /** Fixed Lloyd refinement rounds for the IVF centroids. Two rounds is
+    * the standard cheap fix for unbalanced seed cells; the round count is
+    * a constant so the oracle replays the exact same chain as CTEs. */
+  private[ext] val LloydRounds = 2
+
+  /** One argmax cell assignment of the normed corpus against `cent`
+    * (broadcast C rows; corpus streams — never shuffles on this join). */
+  private def assignTo(e: DataFrame, cent: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cent_id"))
     e.crossJoin(broadcast(cent))
@@ -270,6 +290,53 @@ object SimilarityQueries {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"),
         col("nrm"))
+  }
+
+  /** One Lloyd step: new centroid = per-cell component mean. The mean is
+    * computed over components QUANTIZED to 1e-6 fixed-point BIGINTs, so
+    * the cross-partition sum is an exact integer — order-independent,
+    * hence bit-identical between Spark's partial aggregation and the
+    * oracle's single-threaded fold (a raw double `avg` is summed in
+    * partition order and can flip a downstream round(·, 6) boundary).
+    * The mean is then cast back to float so refined centroids flow
+    * through the same codegen'd `dot_f` as the seed ones. Cells that end
+    * up empty simply drop out (both engines group only realized cells). */
+  private def lloydStep(asg: DataFrame): DataFrame = {
+    val m = asg
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("p", "v")))
+      .withColumn("q", floor(col("v").cast("double") * lit(1e6)).cast("long"))
+      .groupBy(col("cell"), col("p"))
+      .agg((sum(col("q")).cast("double") / count(lit(1)) / lit(1e6))
+        .cast("float").as("m"))
+    m.groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
+        x => x.getField("m")).as("cvec"))
+      .select(col("cell").as("cent_id"), col("cvec"),
+        expr(s"sqrt(${dot("cvec", "cvec")})").as("cnrm"))
+  }
+
+  /** Cell assignment used by [[embedIvf]]; callers eager-cache it because
+    * they use it on two join sides (at 100 TB this is a persisted
+    * intermediate table, not a recompute). Seeds = the first [[ivfCells]]
+    * vec_ids (deterministic; the fixture ids are cluster-shuffled, so id
+    * order is an unbiased draw), refined by [[LloydRounds]] deterministic
+    * Lloyd steps — untrained seeds give luck-of-id-order cell balance on
+    * clustered data; the refinement pulls centroids to actual cluster
+    * mass (measured recall@3 evidence in SURVEY §6.2). Each refined
+    * centroid table is C rows, eager-materialized so the corpus is
+    * scanned once per assignment pass (LloydRounds + 1 total), never
+    * re-derived through a nested plan. */
+  private def assignedCells(s: SparkSession, d: String,
+      rounds: Int = LloydRounds): DataFrame = {
+    val e = normed(s, d)
+    val c = ivfCells(embeddings(s, d).count())
+    val seed = e.filter(col("vec_id") < c)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+        col("nrm").as("cnrm"))
+    val cent = (1 to rounds).foldLeft(seed) { (cn, _) =>
+      DedupQueries.eager(lloydStep(assignTo(e, cn)))
+    }
+    assignTo(e, cent)
   }
 
   // ---- oracle SQL ----
@@ -296,25 +363,58 @@ object SimilarityQueries {
           FROM s) t
         WHERE rank <= 5 ORDER BY query_id, rank"""
 
-  /** Shared cell-assignment CTE chain (normed corpus → centroids → argmax
-    * assignment → `nc` = corpus with cell ids). Centroid count is the
-    * same corpus-derived [[ivfCells]] rule as the Spark side. */
-  private val cellsCte: String =
-    s"""$normCte,
-        cent AS (SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
-                 FROM n WHERE vec_id < $ivfCellsSql),
-        asg AS (SELECT n.vec_id, cent_id,
+  /** One argmax-assignment CTE pair against centroid table `cent`:
+    * `asg$k` (all csims) → `cells$k` (winning cell per vector). Mirrors
+    * [[assignTo]] exactly (round-6 csim, tie → lowest cent_id). */
+  private def assignCte(k: String, cent: String): String =
+    s"""asg$k AS (SELECT n.vec_id, cent_id,
                   round(list_sum(list_transform(range(1, len(embedding) + 1),
                           i -> embedding[i]::DOUBLE * cvec[i]::DOUBLE))
                         / (nrm * cnrm), 6) AS csim
-                FROM n CROSS JOIN cent),
-        cells AS (SELECT vec_id, cent_id AS cell FROM (
+                FROM n CROSS JOIN $cent),
+        cells$k AS (SELECT vec_id, cent_id AS cell FROM (
                     SELECT *, row_number() OVER (PARTITION BY vec_id
                                 ORDER BY csim DESC, cent_id) AS rn
-                    FROM asg) t
-                  WHERE rn = 1),
+                    FROM asg$k) t
+                  WHERE rn = 1)"""
+
+  /** One Lloyd-step CTE chain: cells`k` → centroid table `cent$next`.
+    * Mirrors [[lloydStep]] bit-for-bit: components quantized to 1e-6
+    * fixed-point BIGINTs, exact integer sum (order-independent), the
+    * same (sum / count / 1e6) double division, cast to REAL. */
+  private def lloydCte(k: String, next: String): String =
+    s"""exp$next AS (SELECT cell,
+                  unnest(list_transform(range(1, len(embedding) + 1),
+                    i -> {'p': i,
+                          'v': CAST(floor(embedding[i]::DOUBLE * 1000000.0)
+                                    AS BIGINT)})) AS pv
+                FROM cells$k JOIN n USING (vec_id)),
+        m$next AS (SELECT cell, pv.p AS p,
+                  (CAST(CAST(sum(pv.v) AS BIGINT) AS DOUBLE)
+                     / count(*) / 1000000.0)::REAL AS m
+                FROM exp$next GROUP BY cell, pv.p),
+        cent$next AS (SELECT cell AS cent_id, cvec,
+                  sqrt(list_sum(list_transform(cvec,
+                    x -> x::DOUBLE * x::DOUBLE))) AS cnrm
+                FROM (SELECT cell, list(m ORDER BY p) AS cvec
+                      FROM m$next GROUP BY cell) t)"""
+
+  /** Shared cell-assignment CTE chain (normed corpus → seed centroids →
+    * [[LloydRounds]] Lloyd refinements → final argmax assignment → `nc` =
+    * corpus with cell ids). Centroid count and every refinement step are
+    * the same corpus-derived rules as the Spark side. */
+  private val cellsCte: String = {
+    val rounds = (1 to LloydRounds).map { r =>
+      s"${assignCte(s"_r$r", s"cent${r - 1}")},\n        ${lloydCte(s"_r$r", s"$r")}"
+    }.mkString(",\n        ")
+    s"""$normCte,
+        cent0 AS (SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
+                 FROM n WHERE vec_id < $ivfCellsSql),
+        $rounds,
+        ${assignCte("", s"cent$LloydRounds")},
         nc AS (SELECT n.vec_id, cell, embedding, nrm
                FROM n JOIN cells ON n.vec_id = cells.vec_id)"""
+  }
 
   def ivfOracle: String =
     s"""$cellsCte,

@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: recall@3 of the IVF search tier against brute-force ground
+  * truth, by Lloyd refinement round count — the measured evidence that
+  * centroid refinement buys recall (SURVEY §6.2).
+  * Usage: runMain graft.tools.IvfRecall [sfDir] [rounds...]  */
+object IvfRecall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val rounds =
+      if (args.length > 1) args.tail.map(_.toInt).toSeq else Seq(0, 1, 2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ground truth: exact cosine top-3 over a 500-query window (the
+    // oracle query's 20 ids are too few for a stable recall estimate)
+    val (qLo, qHi) = (8L, 508L)
+    val truth = graft.ext.SimilarityQueries
+      .bruteTopkFor(spark, sfDir, loId = qLo, hiId = qHi, k = 3)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    for (r <- rounds) {
+      spark.catalog.clearCache()
+      val got = graft.ext.SimilarityQueries
+        .embedIvfRounds(spark, sfDir, r, qLo, qHi)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      val recall = got.intersect(truth).size.toDouble / truth.size
+      spark.catalog.clearCache()
+      val sizes = graft.ext.SimilarityQueries.cellSizes(spark, sfDir, r)
+        .select("n").as[Long].collect()
+      val (mx, mean) = (sizes.max, sizes.sum.toDouble / sizes.length)
+      println(f"RECALL rounds=$r recall@3=$recall%.3f " +
+        f"hits=${got.intersect(truth).size}/${truth.size} " +
+        f"cells=${sizes.length} max_cell=$mx mean_cell=$mean%.1f " +
+        f"imbalance=${mx / mean}%.2f")
+    }
+    spark.stop()
+  }
+}
