@@ -78,7 +78,12 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"queries_min":$qsMin,"errors":$errJson,"sf":"$sfDir"}""")
+    // `cpus` records the actual measurement regime: sub-second query
+    // medians swing 3-4× between local[4] and local[32] from per-task
+    // overhead alone (round-5 "events-family shift" root cause, SURVEY
+    // §6.3) — a bench line without the core count is not comparable
+    // across rounds.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"cpus":$cpus,"queries":$qs,"queries_min":$qsMin,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
