@@ -279,18 +279,26 @@ object SimilarityQueries {
   private[ext] val LloydRounds = 2
 
   /** One argmax cell assignment of the normed corpus against `cent`
-    * (broadcast C rows; corpus streams — never shuffles on this join). */
-  private def assignTo(e: DataFrame, cent: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cent_id"))
+    * (broadcast C rows; corpus streams — never shuffles on this join).
+    * The argmax is a map-side-combinable `max(struct(csim, −cent_id))`
+    * aggregate — NOT a row_number window, which would sort-shuffle all
+    * N×C scored rows; the agg combines them to N rows before the one
+    * shuffle. Struct ordering compares csim first, then −cent_id, so the
+    * winner is exactly the window's (csim DESC, cent_id ASC) head.
+    * embedding/nrm are constant per vec_id, so `first` is
+    * deterministic. */
+  private def assignTo(e: DataFrame, cent: DataFrame): DataFrame =
     e.crossJoin(broadcast(cent))
       .withColumn("csim",
         expr(s"round(${dot("embedding", "cvec")} / (nrm * cnrm), 6)"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"),
-        col("nrm"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(
+        max(struct(col("csim"), (-col("cent_id")).as("neg_cent")))
+          .as("best"),
+        first(col("embedding")).as("embedding"),
+        first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), (-col("best.neg_cent")).as("cell"),
+        col("embedding"), col("nrm"))
 
   /** One Lloyd step: new centroid = per-cell component mean. The mean is
     * computed over components QUANTIZED to 1e-6 fixed-point BIGINTs, so
@@ -328,7 +336,11 @@ object SimilarityQueries {
     * re-derived through a nested plan. */
   private def assignedCells(s: SparkSession, d: String,
       rounds: Int = LloydRounds): DataFrame = {
-    val e = normed(s, d)
+    // The normed corpus feeds rounds+1 assignment passes — cache it once
+    // (at 100 TB this is the persisted normed-embedding intermediate
+    // every ANN system maintains, same stance as the cells cache).
+    val e =
+      if (rounds == 0) normed(s, d) else DedupQueries.eager(normed(s, d))
     val c = ivfCells(embeddings(s, d).count())
     val seed = e.filter(col("vec_id") < c)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
