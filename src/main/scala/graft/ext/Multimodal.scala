@@ -159,6 +159,91 @@ object Multimodal {
       .toDF()
   }
 
+  /** Perceptual 64-bit average-hash (aHash) per decodable image payload —
+    * the image-space analog of the text tiers' simhash: decode → 8×8
+    * block-mean grayscale → threshold at the global cell mean → one bit
+    * per cell. All integer arithmetic (luma = (299r+587g+114b)/1000,
+    * block means exact over pixel sums), so the hash is deterministic
+    * across JVMs and partitionings. Decode+hash fused in one
+    * mapPartitions stage — pixels never leave the task. Non-image /
+    * undecodable payloads are dropped. */
+  def imageHashes(s: SparkSession, media: DataFrame): DataFrame = {
+    import s.implicits._
+    media
+      .withColumn("n_bytes", octet_length(col("media")))
+      .repartitionByRange(col("n_bytes"))
+      .drop("n_bytes")
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        ImageIoDecoder.readImage(r.media).filter(_ => r.kind == "image")
+          .map(img => (r.doc_id, aHash(img)))
+      })
+      .toDF("doc_id", "ahash")
+  }
+
+  /** 8×8 block-mean aHash of a decoded image (see [[imageHashes]]). */
+  private[ext] def aHash(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val cells = new Array[Long](64)
+    var gy = 0
+    while (gy < 8) {
+      val (y0, y1) = (gy * h / 8, math.max((gy + 1) * h / 8, gy * h / 8 + 1))
+      var gx = 0
+      while (gx < 8) {
+        val (x0, x1) = (gx * w / 8, math.max((gx + 1) * w / 8, gx * w / 8 + 1))
+        var sum = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            sum += (299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+              114L * (rgb & 0xFF)) / 1000L
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(1, (math.min(y1, h) - y0) * (math.min(x1, w) - x0))
+        cells(gy * 8 + gx) = sum / n
+        gx += 1
+      }
+      gy += 1
+    }
+    val mean = cells.sum / 64
+    cells.zipWithIndex.foldLeft(0L) { case (acc, (c, i)) =>
+      if (c > mean) acc | (1L << i) else acc
+    }
+  }
+
+  /** Image near-duplicate pairs by perceptual-hash Hamming distance —
+    * the image dedup tier. Candidates = pairs sharing any of the hash's
+    * four 16-bit bands (one equi-join shuffle on (band, key) — the same
+    * banded-signature shape as the simhash/minhash text tiers, never
+    * all-pairs); verify = exact `bit_count(xor)` ≤ `maxHamming`. The
+    * 4-band pigeonhole guarantees full recall for Hamming ≤ 3; larger
+    * thresholds trade recall like any banded LSH. Output: (doc_a, doc_b,
+    * hamming), doc_a < doc_b, one row per pair. Feed into
+    * [[DedupQueries.connectedComponents]] for cluster decisions. */
+  def imageNeardup(s: SparkSession, media: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val bands = imageHashes(s, media)
+      .select(col("doc_id"), col("ahash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xFFFFL))
+              .as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("ahash"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
   /** REAL pixel resize for image payloads, decode→scale→re-encode FUSED
     * into one `mapPartitions` stage: raw pixels live only inside a single
     * task — they never cross a shuffle or revisit the driver, which is

@@ -84,6 +84,40 @@ class MultimodalSpec extends SparkSpec {
       "non-image kinds stay on the stub path")
   }
 
+  test("imageNeardup pairs perceptually-close images, not distinct ones") {
+    import spark.implicits._
+    // base: gradient; nearNoise: same gradient with a few pixels nudged
+    // (hamming should be tiny); inverted: reversed gradient (far)
+    val base = pngBytes(64, 48)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    (0 until 5).foreach(i => img.setRGB(i, i, img.getRGB(i, i) ^ 0x070707))
+    val nearBuf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", nearBuf)
+    val inv = new java.awt.image.BufferedImage(
+      64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 64).foreach(x => (0 until 48).foreach(y =>
+      inv.setRGB(x, y, ((63 - x) * 255 / 64 << 16) | ((47 - y) * 255 / 48 << 8))))
+    val invBuf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(inv, "png", invBuf)
+    val media = mediaOf(
+      (1L, "image", base),
+      (2L, "image", nearBuf.toByteArray),
+      (3L, "image", invBuf.toByteArray),
+      (4L, "image", base), // exact duplicate of 1 -> hamming 0
+      (5L, "audio", base)) // not the image branch
+    val hashes = Multimodal.imageHashes(spark, media)
+      .as[(Long, Long)].collect().toMap
+    assert(hashes.keySet === Set(1L, 2L, 3L, 4L))
+    assert(hashes(1L) === hashes(4L), "identical bytes -> identical hash")
+    val pairs = Multimodal.imageNeardup(spark, media, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) === 0)
+    assert(pairs.contains((1L, 2L)), "noise-perturbed copy is a near-dup")
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      "the inverted gradient is not a near-dup of anything")
+  }
+
   test("resizedImages really scales pixels, aspect-preserving, re-encoded") {
     val media = mediaOf(
       (1L, "image", pngBytes(640, 480)), // landscape, needs shrink
