@@ -108,6 +108,10 @@ object SparkEntry {
     "q_doc_stratified"  -> (TextQueries.docStratified _),
     "q_window_lag"      -> (AnalyticQueries.windowLag _),
     "q_events_gapfill"  -> (AnalyticQueries.eventsGapfill _),
+    "q_events_retention" -> (AnalyticQueries.eventsRetention _),
+    "q_doc_pack"        -> (TextQueries.docPack _),
+    "q_doc_chunks"      -> (TextQueries.docChunks _),
+    "q_embed_quant"     -> (SimilarityQueries.embedQuant _),
     "q_events_funnel"   -> (AnalyticQueries.eventsFunnel _),
     "q_histogram"       -> (AnalyticQueries.histogram _),
     // §7.5 — multimodal binary columns (stub decode, real plumbing)
@@ -569,6 +573,21 @@ object SparkEntry {
                 n,
                 round(n / sum(n) OVER (), 4) AS frac
          FROM c CROSS JOIN mm ORDER BY bin""",
+    "q_events_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                       FROM events),
+         coh AS (SELECT user_id, MIN(day) AS cohort_day
+                 FROM days GROUP BY user_id)
+         SELECT cohort_day,
+                CAST(date_diff('day', cohort_day, day) AS BIGINT)
+                  AS day_offset,
+                count(*) AS n_active
+         FROM days JOIN coh USING (user_id)
+         GROUP BY cohort_day, day_offset
+         ORDER BY cohort_day, day_offset""",
+    "q_doc_pack"      -> TextQueries.docPackOracle,
+    "q_doc_chunks"    -> TextQueries.docChunksOracle,
+    "q_embed_quant"   -> SimilarityQueries.embedQuantOracle,
     "q_doc_pipeline"  -> ext.DocPipeline.pipelineOracle(),
     "q_text_pii"      -> TextQueries.textPiiOracle,
     "q_text_colloc"   -> TextQueries.textCollocOracle,

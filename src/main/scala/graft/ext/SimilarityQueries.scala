@@ -534,4 +534,67 @@ object SimilarityQueries {
                count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
                vec_id = cluster_id AS is_canonical
         FROM lab ORDER BY vec_id"""
+
+  /** Symmetric int8 quantization — the storage/serving compression step
+    * of an embedding pipeline: per vector, scale by max|component|/127
+    * and round each component to an int8 code. Cuts a float32 corpus 4×
+    * (the first thing you do before a 100 TB ANN index).
+    *
+    * Everything is per-row higher-order-function arithmetic in DOUBLE
+    * (components are cast up from float32 first, so Spark and DuckDB do
+    * the identical IEEE ops) — narrow, codegen'd, zero shuffle. The
+    * rounding rule is an explicit `floor(x + 0.5)` so both engines share
+    * one halfway convention, and the reported `max_err` uses `array_max`
+    * (order-independent), never a sequential float fold. Zero vectors
+    * quantize to all-zero codes (scale 0 guard). */
+  def embedQuant(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .withColumn("dv", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("mx", expr("array_max(transform(dv, x -> abs(x)))"))
+      .withColumn("q", expr(
+        """CASE WHEN mx > 0.0
+             THEN transform(dv, x -> cast(floor(x * 127.0 / mx + 0.5) as int))
+             ELSE transform(dv, x -> 0) END"""))
+      .select(
+        col("vec_id"),
+        expr("size(dv)").as("n_dims"),
+        expr("round(mx / 127.0, 8)").as("scale"),
+        expr("cast(aggregate(q, 0, (acc, x) -> acc + x) as bigint)")
+          .as("q_sum"),
+        md5(expr("concat_ws(',', transform(q, x -> cast(x as string)))"))
+          .as("q_fp"),
+        expr(
+          """CASE WHEN mx > 0.0
+               THEN round(array_max(transform(dv, x ->
+                 abs(x - floor(x * 127.0 / mx + 0.5) * mx / 127.0))), 8)
+               ELSE 0.0 END""").as("max_err"))
+
+  /** DuckDB oracle for [[embedQuant]] — same double-only arithmetic and
+    * the same explicit `floor(x + 0.5)` halfway rule. */
+  def embedQuantOracle: String =
+    """WITH t AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+         FROM embeddings),
+       m AS (
+         SELECT vec_id, dv,
+                list_max(list_transform(dv, x -> abs(x))) AS mx
+         FROM t),
+       q AS (
+         SELECT vec_id, dv, mx,
+                CASE WHEN mx > 0.0
+                  THEN list_transform(dv,
+                         x -> CAST(FLOOR(x * 127.0 / mx + 0.5) AS INTEGER))
+                  ELSE list_transform(dv, x -> 0) END AS qc
+         FROM m)
+       SELECT vec_id,
+              CAST(len(dv) AS INTEGER) AS n_dims,
+              round(mx / 127.0, 8) AS scale,
+              CAST(list_sum(qc) AS BIGINT) AS q_sum,
+              md5(array_to_string(qc, ',')) AS q_fp,
+              CASE WHEN mx > 0.0
+                THEN round(list_max(list_transform(dv, x ->
+                  abs(x - FLOOR(x * 127.0 / mx + 0.5) * mx / 127.0))), 8)
+                ELSE 0.0 END AS max_err
+       FROM q ORDER BY vec_id"""
 }

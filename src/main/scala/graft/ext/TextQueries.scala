@@ -443,4 +443,111 @@ object TextQueries {
                s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)))""")
           .as("sh_min"),
         expr("size(array_distinct(shingles))").as("sh_count"))
+
+  /** Sequence-packing budget (tokens per training sequence) and the shard
+    * fan-out for [[docPack]]. Shared with the oracle SQL so the two
+    * engines can never drift. */
+  private[ext] val PackBudget = 512
+  private[ext] val PackShards = 16
+
+  /** Sequence packing — the concat-and-chunk step that turns a cleaned
+    * corpus into fixed-budget training sequences: documents are laid out
+    * in a deterministic order and cut into packs of [[PackBudget]] tokens;
+    * a document belongs to the pack where it STARTS (the standard
+    * concat-then-chunk rule, so no document is split across the summary).
+    *
+    * Scale design: the running token sum is a window, and an unbounded
+    * global window is a single-partition bottleneck — so packing runs
+    * per (source, shard) with [[PackShards]] deterministic shards per
+    * source (`doc_id % 16`). Order within a shard only fixes WHICH pack a
+    * document lands in, not the semantics, so sharding preserves the
+    * contract (every pack ≥ budget once full) while the window
+    * parallelizes across source×shard partitions — at 100 TB you raise
+    * [[PackShards]] until each shard fits an executor. Output is the
+    * per-pack manifest (what a sequence-builder job would consume). */
+  def docPack(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"), col("pshard"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    withToks(documents(s, d))
+      .select(col("source"), (col("doc_id") % PackShards).as("pshard"),
+        col("doc_id"), expr("size(toks)").as("n_tokens"))
+      .withColumn("prev_cum",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id",
+        floor(col("prev_cum") / lit(PackBudget.toDouble)).cast("long"))
+      .groupBy(col("source"), col("pshard"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  /** DuckDB oracle for [[docPack]] — identical shard/window/floor rule,
+    * generated from the same constants. */
+  val docPackOracle: String =
+    s"""WITH t AS (SELECT source, doc_id % $PackShards AS pshard, doc_id,
+                     len(string_split(text, ' ')) AS n_tokens
+                   FROM documents),
+        c AS (SELECT source, pshard, doc_id, n_tokens,
+                COALESCE(SUM(n_tokens) OVER (
+                  PARTITION BY source, pshard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS prev_cum
+              FROM t)
+        SELECT source, pshard,
+               CAST(FLOOR(prev_cum / ${PackBudget}.0) AS BIGINT) AS pack_id,
+               count(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM c GROUP BY source, pshard, pack_id
+        ORDER BY source, pshard, pack_id"""
+
+  /** Chunk window/stride for [[docChunks]] (tokens). Stride < window ⇒
+    * adjacent chunks overlap by `ChunkWindow - ChunkStride` tokens — the
+    * retrieval-index / context-window prep shape. */
+  private[ext] val ChunkWindow = 64
+  private[ext] val ChunkStride = 48
+
+  /** Overlapping token-window chunking — split each document into
+    * [[ChunkWindow]]-token chunks every [[ChunkStride]] tokens (the
+    * RAG-indexing / long-doc-training prep step). One narrow pass:
+    * `sequence` generates the start offsets, `explode` emits one row per
+    * chunk, `slice` + `concat_ws` + `md5` fingerprint it — all codegen'd
+    * HOFs, no shuffle at all (the explode is embarrassingly parallel and
+    * output-proportional; chunk text itself is dropped after hashing so
+    * only fixed-width rows leave the stage). */
+  def docChunks(s: SparkSession, d: String): DataFrame =
+    withToks(documents(s, d))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, size(toks) - 1, $ChunkStride)"))
+          .as("chunk_start"))
+      .select(
+        col("doc_id"),
+        (col("chunk_start") / ChunkStride).cast("long").as("chunk_idx"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        expr(s"size(slice(toks, chunk_start + 1, $ChunkWindow))")
+          .as("chunk_len"),
+        md5(expr(
+          s"concat_ws(' ', slice(toks, chunk_start + 1, $ChunkWindow))"))
+          .as("chunk_fp"))
+
+  /** DuckDB oracle for [[docChunks]] — `range` is end-exclusive where
+    * Spark's `sequence` is end-inclusive, so the bounds differ by one for
+    * the SAME start set; list slicing is 1-based inclusive on both. */
+  val docChunksOracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        e AS (SELECT doc_id, toks,
+                unnest(range(0, len(toks), $ChunkStride)) AS chunk_start
+              FROM t)
+        SELECT doc_id,
+               CAST(chunk_start // $ChunkStride AS BIGINT) AS chunk_idx,
+               CAST(chunk_start AS BIGINT) AS chunk_start,
+               CAST(len(toks[chunk_start + 1 : chunk_start + $ChunkWindow])
+                    AS INTEGER) AS chunk_len,
+               md5(array_to_string(
+                     toks[chunk_start + 1 : chunk_start + $ChunkWindow], ' '))
+                 AS chunk_fp
+        FROM e ORDER BY doc_id, chunk_idx"""
 }

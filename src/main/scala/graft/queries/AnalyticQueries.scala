@@ -247,6 +247,37 @@ object AnalyticQueries {
         col("n").isNull.as("filled"))
   }
 
+  /** Cohort retention (the day-N retention matrix): users are cohorted by
+    * their FIRST active day; each later active day contributes to cell
+    * (cohort_day, day_offset). The classic growth-analytics readout —
+    * row = a cohort, column = days since acquisition, value = users still
+    * active.
+    *
+    * Scale shape: one distinct (user, day) projection feeds BOTH the
+    * cohort min-aggregate and the activity side, joined back on user_id —
+    * two shuffles total, every key includes user_id (no hot partition),
+    * and the final matrix aggregate is output-sized (cohorts × offsets).
+    * Never a self-join of raw events against raw events. */
+  def eventsRetention(s: SparkSession, d: String): DataFrame =
+    retentionOf(
+      Tables.events(s, d).select(col("user_id"), to_date(col("ts")).as("day")),
+      keyCol = "user_id", dayCol = "day")
+
+  /** The general cohort-retention operator behind [[eventsRetention]] —
+    * library API on any (key, date) activity frame: returns one row per
+    * (cohort_day, day_offset) with the count of keys whose first active
+    * day is `cohort_day` and who were active `day_offset` days later.
+    * `day_offset = 0` rows recover each cohort's size. */
+  def retentionOf(df: DataFrame, keyCol: String, dayCol: String): DataFrame = {
+    val days = df.select(col(keyCol), col(dayCol)).distinct()
+    val cohorts = days.groupBy(col(keyCol))
+      .agg(min(col(dayCol)).as("cohort_day"))
+    days.join(cohorts, Seq(keyCol))
+      .groupBy(col("cohort_day"),
+        datediff(col(dayCol), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Funnel analysis (view → click → purchase): per-stage user counts
     * where stage k only counts events AT OR AFTER the user's stage-k−1
     * completion time — the ordered-sequence semantics (a click before

@@ -1,0 +1,187 @@
+package graft.ext
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.AnalyticQueries
+
+/** Specs for the training-data prep operators added in round 6:
+  * sequence packing ([[TextQueries.docPack]]), overlapping chunking
+  * ([[TextQueries.docChunks]]), int8 quantization
+  * ([[SimilarityQueries.embedQuant]]) and cohort retention
+  * ([[AnalyticQueries.retentionOf]]). The oracle gate proves engine
+  * agreement; these prove the operators' algebraic contracts. */
+class PipelinePrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  // ---- docPack -----------------------------------------------------------
+
+  test("docPack partitions the corpus: doc and token totals are preserved") {
+    val packs = TextQueries.docPack(spark, sf)
+    val Array(nDocs, nToks) = packs
+      .agg(sum("n_docs"), sum("pack_tokens")).as[(Long, Long)]
+      .collect().map(t => Array(t._1, t._2)).head
+    val Array(expDocs, expToks) = TextQueries.textTokens(spark, sf)
+      .agg(count(lit(1)), sum("n_tokens")).as[(Long, Long)]
+      .collect().map(t => Array(t._1, t._2)).head
+    assert(nDocs === expDocs, "every document lands in exactly one pack")
+    assert(nToks === expToks, "token mass is preserved")
+  }
+
+  test("docPack packs are ordered and cut at the budget") {
+    val budget = TextQueries.PackBudget
+    val groups = TextQueries.docPack(spark, sf)
+      .select("source", "pshard", "pack_id", "pack_tokens",
+        "first_doc", "last_doc")
+      .as[(String, Long, Long, Long, Long, Long)]
+      .collect()
+      .groupBy(t => (t._1, t._2))
+    assert(groups.nonEmpty)
+    groups.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._3)
+      // doc ranges of consecutive packs never overlap (docs are laid out
+      // in id order, each assigned to the pack where it starts)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 < b._5,
+          s"pack ${a._3} range must precede pack ${b._3}")
+        case _ =>
+      }
+      // concat-and-chunk rule: the cumulative token count up through any
+      // non-final pack reaches the next pack's starting boundary
+      var cum = 0L
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          cum += a._4
+          assert(cum >= budget * b._3,
+            s"pack ${b._3} starts at offset ${budget * b._3} but only " +
+              s"$cum tokens precede it")
+        case _ =>
+      }
+    }
+  }
+
+  // ---- docChunks ---------------------------------------------------------
+
+  test("docChunks emits ceil(n/stride) chunks of width ≤ window per doc") {
+    val stride = TextQueries.ChunkStride
+    val window = TextQueries.ChunkWindow
+    val chunks = TextQueries.docChunks(spark, sf)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_chunks"),
+        max("chunk_len").as("max_len"))
+    val joined = TextQueries.textTokens(spark, sf)
+      .select(col("doc_id"), col("n_tokens"))
+      .join(chunks, Seq("doc_id"))
+      .as[(Long, Long, Long, Int)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (id, n, nChunks, maxLen) =>
+      assert(nChunks === (n + stride - 1) / stride,
+        s"doc $id: $n tokens must yield ceil(n/$stride) chunks")
+      assert(maxLen <= window, s"doc $id: chunk wider than $window")
+    }
+  }
+
+  test("docChunks fingerprints the exact overlapping token windows") {
+    val d = tmpDir("chunks")
+    val toks = (0 until 100).map(i => s"t$i")
+    Seq((1L, toks.mkString(" "), "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val rows = TextQueries.docChunks(spark, d.toString)
+      .orderBy("chunk_idx")
+      .select("chunk_start", "chunk_len", "chunk_fp")
+      .as[(Long, Int, String)].collect()
+    val stride = TextQueries.ChunkStride
+    val window = TextQueries.ChunkWindow
+    assert(rows.length === 3) // starts 0, 48, 96 for 100 tokens
+    rows.zipWithIndex.foreach { case ((start, len, fp), i) =>
+      assert(start === i.toLong * stride)
+      val expected = toks.slice(start.toInt, start.toInt + window)
+      assert(len === expected.length)
+      assert(fp === md5hex(expected.mkString(" ")),
+        s"chunk $i must fingerprint tokens [$start, ${start + window})")
+    }
+  }
+
+  // ---- embedQuant --------------------------------------------------------
+
+  test("embedQuant error never exceeds half a quantization step") {
+    val rows = SimilarityQueries.embedQuant(spark, sf)
+      .select("scale", "max_err").as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (scale, err) =>
+      assert(scale >= 0.0)
+      // round-to-nearest: |x - q*scale| ≤ scale/2 (+ rounding of the
+      // reported figures to 8 decimals)
+      assert(err <= scale / 2 + 1e-8,
+        s"max_err $err exceeds half-step ${scale / 2}")
+    }
+  }
+
+  test("embedQuant codes a known vector exactly") {
+    val d = tmpDir("quant")
+    Seq((1L, Array(1.0f, -0.5f, 0.25f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    val r = SimilarityQueries.embedQuant(spark, d.toString)
+      .select("n_dims", "scale", "q_sum", "q_fp")
+      .as[(Int, Double, Long, String)].collect().head
+    // mx = 1.0 → codes: floor(v*127 + 0.5) = 127, -63, 32, 0
+    assert(r._1 === 4)
+    assert(math.abs(r._2 - 1.0 / 127.0) < 5e-9) // scale is rounded to 8 dp
+    assert(r._3 === (127L - 63L + 32L + 0L))
+    assert(r._4 === md5hex("127,-63,32,0"))
+  }
+
+  test("embedQuant maps the zero vector to all-zero codes") {
+    val d = tmpDir("quant0")
+    Seq((1L, Array(0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    val r = SimilarityQueries.embedQuant(spark, d.toString)
+      .select("scale", "q_sum", "max_err").as[(Double, Long, Double)]
+      .collect().head
+    assert(r === ((0.0, 0L, 0.0)))
+  }
+
+  // ---- retentionOf -------------------------------------------------------
+
+  test("retentionOf builds the cohort matrix from first-active days") {
+    val activity = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-04"),
+      (1L, "2024-01-02"), // duplicate activity collapses
+      (2L, "2024-01-02"),
+      (3L, "2024-01-01"), (3L, "2024-01-11"))
+      .toDF("user_id", "day_s")
+      .select(col("user_id"), to_date(col("day_s")).as("day"))
+    val m = AnalyticQueries.retentionOf(activity, "user_id", "day")
+      .select(col("cohort_day").cast("string"), col("day_offset"),
+        col("n_active"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(m === Set(
+      ("2024-01-01", 0L, 2L),  // users 1 and 3 acquired on day 0
+      ("2024-01-01", 1L, 1L),  // user 1 back next day
+      ("2024-01-01", 3L, 1L),
+      ("2024-01-01", 10L, 1L), // user 3 back on day 10
+      ("2024-01-02", 0L, 1L))) // user 2's own cohort
+  }
+
+  test("retentionOf offset-0 cells recover cohort sizes") {
+    val days = graft.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val m = AnalyticQueries.retentionOf(days, "user_id", "day")
+    val day0 = m.filter(col("day_offset") === 0)
+      .agg(sum("n_active")).as[Long].collect().head
+    val users = days.select("user_id").distinct().count()
+    assert(day0 === users,
+      "every user appears exactly once at their cohort's offset 0")
+  }
+}
