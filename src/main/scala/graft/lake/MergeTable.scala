@@ -361,6 +361,63 @@ final class MergeTable private (
       (CommitDelta(entries, live.map(_.relPath)), version)
     }
 
+  /** Delta-parity `OPTIMIZE` (bin-packing flavor): coalesce only the
+    * UNDER-SIZED live files. Within each partition, files below
+    * `targetBytes` are bin-packed (first-fit-decreasing over numFiles-
+    * scale driver metadata — the same contract as DELETE's touched-file
+    * discovery) and rewritten as ~`targetBytes` files; every right-sized
+    * file is carried over UNTOUCHED, and with the incremental commit log
+    * an untouched file costs zero commit bytes.
+    *
+    * This is the maintenance job a streaming-ingest table actually runs:
+    * [[compact]] rewrites the WHOLE table per call (O(table) IO — fine
+    * for re-clustering, unrunnable as routine upkeep at 100 TB), while
+    * this pays O(small-file bytes) no matter how large the table has
+    * grown. Bin ids are hash-distributed to writer tasks, so a hash
+    * collision can only MERGE two bins into one larger output file,
+    * never split one. Logical content is unchanged — the change feed
+    * across a compaction commit is empty. A partition with fewer than
+    * two under-sized files is left alone; if nothing qualifies, the
+    * commit is an empty delta. */
+  def compactSmall(targetBytes: Long): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    retryingCommit { () =>
+      val (version, live) = latest()
+      val small = live
+        .map(e => (e, Files.size(root.resolve(e.relPath))))
+        .filter(_._2 < targetBytes)
+        .groupBy(_._1.partitionValue)
+        .filter(_._2.size >= 2)
+      if (small.isEmpty) (CommitDelta(Nil, Nil), version)
+      else {
+        val binOf = Map.newBuilder[String, Int]
+        var nBins = 0
+        small.values.foreach { group =>
+          val fill = mutable.ArrayBuffer.empty[Long]
+          group.sortBy(-_._2).foreach { case (e, sz) =>
+            val i = fill.indexWhere(_ + sz <= targetBytes)
+            val bin =
+              if (i >= 0) { fill(i) += sz; i }
+              else { fill += sz; fill.length - 1 }
+            binOf += fileKey(e.relPath) -> (nBins + bin)
+          }
+          nBins += fill.length
+        }
+        val touched = small.values.flatten.map(_._1).toSeq
+        import spark.implicits._
+        val binDf = broadcast(
+          binOf.result().toSeq.toDF(FileTag, BinCol))
+        val packed = readEntries(touched)
+          .withColumn(FileTag, substring_index(input_file_name(), "/", -2))
+          .join(binDf, Seq(FileTag))
+          .repartition(nBins, col(BinCol))
+          .drop(BinCol, FileTag)
+        val (_, entries) = writeData(packed)
+        (CommitDelta(entries, touched.map(_.relPath)), version)
+      }
+    }
+  }
+
   /** The reference's DOC-ONLY "Z-ordering" claim (README.md:119,
     * docs/full_implementation_guide.md:317-321) implemented for real:
     * rewrite live files clustered on the Z-ORDER CURVE over `cols` —
@@ -761,6 +818,7 @@ object MergeTable {
     * O(live/N) checkpoint cost — Delta's log-compaction trade. */
   private[lake] val CheckpointInterval = 10L
   private val ZCol = "__graft_z"
+  private val BinCol = "__graft_bin"
   private val FileTag = "__graft_file_tag"
   private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
   private val MaxCommitRetries = 5

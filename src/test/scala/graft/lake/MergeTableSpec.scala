@@ -122,6 +122,63 @@ class MergeTableSpec extends SparkSpec {
     assert(contents(t.read()) === before) // live data untouched by vacuum
   }
 
+  test("compactSmall bin-packs only under-sized files; big files untouched") {
+    val root = tmpDir("mt")
+    val t = MergeTable(spark, root.toString, None)
+    // one genuinely large file (10k rows ≫ 8 KiB) ...
+    t.overwrite((1 to 10000)
+      .map(i => (s"big$i", "2024-01-01", i.toDouble))
+      .toDF("order_id", "date", "amount").coalesce(1))
+    // ... plus three small single-commit files from streaming-style merges
+    for (i <- 1 to 3)
+      t.merge(orders((s"s$i", "2024-01-02", i.toDouble)), "order_id")
+    val before = t.read().count()
+    val liveBefore = t.liveEntries().map(_.relPath)
+    val sizes = liveBefore.map(p =>
+      p -> Files.size(java.nio.file.Paths.get(root.toString, p))).toMap
+    val target = 8L * 1024
+    val (bigs, smalls) = liveBefore.partition(p => sizes(p) >= target)
+    assert(bigs.size === 1 && smalls.size === 3, s"fixture shape: $sizes")
+
+    val vBefore = t.latestVersion()
+    val vAfter = t.compactSmall(target)
+    val liveAfter = t.liveEntries().map(_.relPath)
+    assert(liveAfter.contains(bigs.head),
+      "the right-sized file must be carried over with its identity intact")
+    assert(smalls.forall(p => !liveAfter.contains(p)),
+      "every under-sized file must be rewritten")
+    assert(liveAfter.size === 2, "3 small files pack into 1")
+    assert(t.read().count() === before)
+    // the commit delta never mentions the untouched file — O(changed
+    // files) metadata, the X77 contract
+    val delta = Files.readAllLines(
+      root.resolve("_graft_log").resolve(f"$vAfter%020d.txt")).asScala
+    assert(!delta.exists(_.contains(bigs.head.split('/').last)))
+    // logical content unchanged ⇒ empty change feed across the commit
+    assert(t.changes(vBefore, vAfter, "order_id").count() === 0)
+    // a second pass finds <2 small files per partition ⇒ empty delta
+    val liveNow = t.liveEntries().map(_.relPath).toSet
+    t.compactSmall(target)
+    assert(t.liveEntries().map(_.relPath).toSet === liveNow,
+      "no-op when nothing qualifies")
+  }
+
+  test("compactSmall packs per partition and keeps the partition column") {
+    val root = tmpDir("mt")
+    val t = MergeTable(spark, root.toString, Some("date"))
+    t.overwrite(orders(("o1", "2024-01-01", 1.0), ("o2", "2024-01-02", 2.0)))
+    for (i <- 3 to 8) // 3 more small files in each of the two partitions
+      t.merge(orders((s"o$i", s"2024-01-0${1 + i % 2}", i.toDouble)),
+        "order_id")
+    val before = contents(t.read())
+    t.compactSmall(64L * 1024)
+    assert(contents(t.read()) === before)
+    val perPart = t.liveEntries().groupBy(_.partitionValue)
+      .map { case (pv, es) => (pv, es.size) }
+    assert(perPart === Map(Some("2024-01-01") -> 1, Some("2024-01-02") -> 1),
+      "each partition's small files pack into one file")
+  }
+
   test("commit publish atomically fails on version collision (no clobber)") {
     val root = tmpDir("mt")
     val t = MergeTable(spark, root.toString, None)
