@@ -27,6 +27,12 @@ case class ResizedImage(
     doc_id: Long, width: Int, height: Int, out_w: Int, out_h: Int,
     out_png: Array[Byte])
 
+/** Decoded audio: true signal-level metadata + RMS level
+  * ([[Multimodal.audioFeatures]]). */
+case class DecodedAudio(
+    doc_id: Long, sample_rate: Int, channels: Int, bits: Int,
+    n_samples: Long, duration_ms: Long, rms: Double)
+
 /** Transform output: post-resize geometry + sampled frame count. */
 case class TransformedMedia(
     doc_id: Long, kind: String, width: Int, height: Int,
@@ -216,33 +222,189 @@ object Multimodal {
   }
 
   /** Image near-duplicate pairs by perceptual-hash Hamming distance —
-    * the image dedup tier. Candidates = pairs sharing any of the hash's
-    * four 16-bit bands (one equi-join shuffle on (band, key) — the same
-    * banded-signature shape as the simhash/minhash text tiers, never
-    * all-pairs); verify = exact `bit_count(xor)` ≤ `maxHamming`. The
-    * 4-band pigeonhole guarantees full recall for Hamming ≤ 3; larger
-    * thresholds trade recall like any banded LSH. Output: (doc_a, doc_b,
-    * hamming), doc_a < doc_b, one row per pair. Feed into
+    * the image dedup tier. Candidates and verification via the shared
+    * [[bandedHammingPairs]] machinery; feed the output into
     * [[DedupQueries.connectedComponents]] for cluster decisions. */
   def imageNeardup(s: SparkSession, media: DataFrame,
-      maxHamming: Int = 3): DataFrame = {
-    val bands = imageHashes(s, media)
-      .select(col("doc_id"), col("ahash"),
+      maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(
+      imageHashes(s, media).withColumnRenamed("ahash", "h64"), maxHamming)
+
+  /** 64-bit-hash near-duplicate pairs, shared by the image (aHash,
+    * [[imageNeardup]]) and audio (energy hash, [[audioNeardup]]) tiers.
+    * Candidates = pairs sharing any of the hash's four 16-bit bands (one
+    * equi-join shuffle on (band, key) — the same banded-signature shape
+    * as the simhash/minhash text tiers, never all-pairs); verify = exact
+    * `bit_count(xor)` ≤ `maxHamming`. The 4-band pigeonhole guarantees
+    * full recall for Hamming ≤ 3; larger thresholds trade recall like
+    * any banded LSH. Input columns: (doc_id, h64). Output: (doc_a,
+    * doc_b, hamming), doc_a < doc_b, one row per pair. */
+  private[ext] def bandedHammingPairs(hashes: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val bands = hashes
+      .select(col("doc_id"), col("h64"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
-            shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xFFFFL))
+            shiftright(col("h64"), b * 16).bitwiseAND(lit(0xFFFFL))
               .as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("ahash"), col("bk.band").as("band"),
+      .select(col("doc_id"), col("h64"), col("bk.band").as("band"),
         col("bk.key").as("key"))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
+        bit_count(col("a.h64").bitwiseXOR(col("b.h64"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(min(col("hamming")).as("hamming"))
   }
+
+  /** Magic-byte sniff for the container formats the JDK's own
+    * `javax.sound.sampled` decodes (WAV / AIFF / AU — no external codec
+    * dependency, the audio analog of [[ImageIoDecoder]]'s sniff). */
+  private[ext] def looksLikeAudio(b: Array[Byte]): Boolean =
+    b.length >= 12 && (
+      (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') ||
+        (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M') ||
+        (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd'))
+
+  /** Decode an audio container to (format, raw PCM bytes); None when the
+    * payload isn't real audio (the synthetic fixtures) or the encoding
+    * is unsupported. Runs on executors only. */
+  private[ext] def readAudio(b: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Array[Byte])] =
+    if (!looksLikeAudio(b)) None
+    else scala.util.Try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try (in.getFormat, in.readAllBytes()) finally in.close()
+    }.toOption
+
+  /** Interleaved PCM bytes → per-frame mono samples in [-1, 1) (channels
+    * averaged). Supports the encodings WAV/AIFF actually carry: signed
+    * 16-bit (either endianness) and signed/unsigned 8-bit. */
+  private[ext] def monoSamples(fmt: javax.sound.sampled.AudioFormat,
+      data: Array[Byte]): Option[Array[Double]] = {
+    import javax.sound.sampled.AudioFormat.Encoding._
+    val ch = fmt.getChannels
+    val bits = fmt.getSampleSizeInBits
+    val enc = fmt.getEncoding
+    val ok = (bits == 16 && enc == PCM_SIGNED) ||
+      (bits == 8 && (enc == PCM_SIGNED || enc == PCM_UNSIGNED))
+    if (!ok || ch < 1) return None
+    val bytesPerSample = bits / 8
+    val frames = data.length / (bytesPerSample * ch)
+    val out = new Array[Double](frames)
+    var f = 0
+    while (f < frames) {
+      var acc = 0.0
+      var c = 0
+      while (c < ch) {
+        val i = (f * ch + c) * bytesPerSample
+        val v =
+          if (bits == 16) {
+            val (lo, hi) =
+              if (fmt.isBigEndian) (data(i + 1), data(i)) else (data(i), data(i + 1))
+            ((hi << 8) | (lo & 0xFF)).toShort / 32768.0
+          } else if (enc == PCM_SIGNED) data(i) / 128.0
+          else ((data(i) & 0xFF) - 128) / 128.0
+        acc += v
+        c += 1
+      }
+      out(f) = acc / ch
+      f += 1
+    }
+    Some(out)
+  }
+
+  /** REAL audio decode via the JDK's own `javax.sound.sampled` — true
+    * signal-level features per decodable audio payload: sample rate,
+    * channels, bit depth, frame count, duration, RMS level. The audio
+    * analog of the ImageIO tier: decode + feature extraction fused in
+    * one mapPartitions stage, samples never leave the task. Non-audio
+    * kinds and undecodable payloads are dropped (this is the real-audio
+    * branch; the synthetic fixtures route through the stub path of
+    * [[decoded]]). */
+  def audioFeatures(s: SparkSession, media: DataFrame): DataFrame = {
+    import s.implicits._
+    media
+      .withColumn("n_bytes", octet_length(col("media")))
+      .repartitionByRange(col("n_bytes"))
+      .drop("n_bytes")
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        (if (r.kind == "audio") readAudio(r.media) else None)
+          .flatMap { case (fmt, data) =>
+            monoSamples(fmt, data).map { xs =>
+              val n = xs.length
+              val energy = xs.foldLeft(0.0)((a, x) => a + x * x)
+              DecodedAudio(
+                doc_id = r.doc_id,
+                sample_rate = fmt.getSampleRate.toInt,
+                channels = fmt.getChannels,
+                bits = fmt.getSampleSizeInBits,
+                n_samples = n.toLong,
+                duration_ms =
+                  math.round(n * 1000.0 / fmt.getSampleRate),
+                rms = if (n == 0) 0.0
+                  else BigDecimal(math.sqrt(energy / n))
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            }
+          }
+      })
+      .toDF()
+  }
+
+  /** 64-bit energy-envelope hash per decodable audio payload — the audio
+    * analog of [[aHash]]: the signal is cut into 64 equal windows, each
+    * window's mean energy compared against the whole-signal mean, one
+    * bit per window. Robust to low-level noise and uniform gain (both
+    * sides of the comparison scale together), sensitive to WHERE the
+    * loud parts are — the envelope is what survives re-encoding. Fused
+    * decode→hash in one mapPartitions stage. */
+  def audioHashes(s: SparkSession, media: DataFrame): DataFrame = {
+    import s.implicits._
+    media
+      .withColumn("n_bytes", octet_length(col("media")))
+      .repartitionByRange(col("n_bytes"))
+      .drop("n_bytes")
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        (if (r.kind == "audio") readAudio(r.media) else None)
+          .flatMap { case (fmt, data) => monoSamples(fmt, data) }
+          .filter(_.length >= 64)
+          .map(xs => (r.doc_id, energyHash(xs)))
+      })
+      .toDF("doc_id", "h64")
+  }
+
+  /** 64-window energy-envelope hash of a mono signal (see
+    * [[audioHashes]]). */
+  private[ext] def energyHash(xs: Array[Double]): Long = {
+    val n = xs.length
+    val win = new Array[Double](64)
+    var w = 0
+    while (w < 64) {
+      val (i0, i1) = (w * n / 64, math.max((w + 1) * n / 64, w * n / 64 + 1))
+      var sum = 0.0
+      var i = i0
+      while (i < math.min(i1, n)) { sum += xs(i) * xs(i); i += 1 }
+      win(w) = sum / math.max(1, math.min(i1, n) - i0)
+      w += 1
+    }
+    val mean = win.sum / 64
+    win.zipWithIndex.foldLeft(0L) { case (acc, (e, i)) =>
+      if (e > mean) acc | (1L << i) else acc
+    }
+  }
+
+  /** Audio near-duplicate pairs by energy-envelope-hash Hamming distance
+    * — the audio dedup tier, sharing [[bandedHammingPairs]] (one
+    * (band, key) equi-join, exact verify) with the image tier. */
+  def audioNeardup(s: SparkSession, media: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(audioHashes(s, media), maxHamming)
 
   /** REAL pixel resize for image payloads, decode→scale→re-encode FUSED
     * into one `mapPartitions` stage: raw pixels live only inside a single

@@ -140,4 +140,87 @@ class MultimodalSpec extends SparkSpec {
     val r2 = out(2L)
     assert((r2.getAs[Int]("out_w"), r2.getAs[Int]("out_h")) === ((20, 10)))
   }
+
+  /** A real in-memory 16-bit mono WAV, encoded by the JDK itself. */
+  private def wavBytes(samples: Array[Short],
+      sampleRate: Float = 8000f): Array[Byte] = {
+    import javax.sound.sampled._
+    val data = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { i => // little-endian PCM_SIGNED 16
+      data(2 * i) = (samples(i) & 0xFF).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length)
+    val buf = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
+  }
+
+  /** 6400 samples whose loudness follows `pattern` over 64 windows
+    * (100 samples each): a full-scale-ish sine where the pattern bit is
+    * set, near-silence elsewhere — an unambiguous energy envelope. */
+  private def envelopeSignal(pattern: Int => Boolean,
+      noise: Int => Short = _ => 0): Array[Short] =
+    Array.tabulate(6400) { i =>
+      val loud = pattern(i / 100)
+      val amp = if (loud) 16000.0 else 100.0
+      (amp * math.sin(2 * math.Pi * i / 20.0) + noise(i)).toShort
+    }
+
+  test("audioFeatures decodes real WAV bytes: rate, geometry, RMS level") {
+    val sine = Array.tabulate(8000)(i =>
+      (16384 * math.sin(2 * math.Pi * 440 * i / 8000.0)).toShort)
+    val media = mediaOf(
+      (1L, "audio", wavBytes(sine)),
+      (2L, "audio", "not audio".getBytes("UTF-8")), // dropped: undecodable
+      (3L, "image", wavBytes(sine)))                // dropped: wrong kind
+    val out = Multimodal.audioFeatures(spark, media).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === Set(1L))
+    val r = out.head
+    assert(r.getAs[Int]("sample_rate") === 8000)
+    assert(r.getAs[Int]("channels") === 1)
+    assert(r.getAs[Int]("bits") === 16)
+    assert(r.getAs[Long]("n_samples") === 8000L)
+    assert(r.getAs[Long]("duration_ms") === 1000L)
+    // a full-cycle sine's RMS is amplitude/sqrt(2)
+    val expected = 16384.0 / 32768.0 / math.sqrt(2.0)
+    assert(math.abs(r.getAs[Double]("rms") - expected) < 0.005)
+  }
+
+  test("audioNeardup pairs re-noised envelopes, not a different envelope") {
+    val pattern = (w: Int) => w % 3 == 0
+    val rnd = new scala.util.Random(7)
+    val noisy = (_: Int) => (rnd.nextInt(41) - 20).toShort
+    val media = mediaOf(
+      (1L, "audio", wavBytes(envelopeSignal(pattern))),
+      (2L, "audio", wavBytes(envelopeSignal(pattern, noisy))),
+      (3L, "audio", wavBytes(envelopeSignal(w => !pattern(w)))),
+      (4L, "audio", wavBytes(envelopeSignal(pattern))))
+    val pairs = Multimodal.audioNeardup(spark, media, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) === 0,
+      "bit-identical signals hash identically")
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L)),
+      "low-level noise must not change the energy envelope")
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      "the complementary envelope is not a near-dup of anything")
+  }
+
+  test("monoSamples downmixes stereo and handles both endiannesses") {
+    import javax.sound.sampled.AudioFormat
+    // stereo frame: L=+16384, R=-16384 -> mono 0; then L=R=+8192 -> 0.25
+    val le = Array[Byte](0, 64, 0, -64, 0, 32, 0, 32)
+    val xs = Multimodal.monoSamples(
+      new AudioFormat(8000f, 16, 2, true, false), le).get
+    assert(xs.length === 2)
+    assert(math.abs(xs(0)) < 1e-9)
+    assert(math.abs(xs(1) - 0.25) < 1e-9)
+    val be = Array[Byte](64, 0, -64, 0, 32, 0, 32, 0)
+    val ys = Multimodal.monoSamples(
+      new AudioFormat(8000f, 16, 2, true, true), be).get
+    assert(ys.toSeq === xs.toSeq, "endianness must not change the signal")
+  }
 }
