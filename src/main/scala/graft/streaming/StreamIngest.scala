@@ -59,4 +59,64 @@ object StreamIngest {
     query.awaitTermination()
     batchesWithRows
   }
+
+  /** Streaming SCD Type-2: drain all currently-available files under
+    * `rawDir` and maintain dimension HISTORY in `table` via
+    * [[graft.lake.Scd2.merge]] — the CDC-dims-to-warehouse shape (a
+    * change stream in, point-in-time-queryable history out).
+    *
+    * Each row carries its batch label in `labelCol` (a sortable
+    * effective date, e.g. ISO); a micro-batch may span several labels —
+    * they are applied in label order, so history stays monotone even
+    * when the drain catches up over many days at once. The distinct
+    * label list per batch is label-cardinality metadata (a few strings
+    * to the driver), never row data. One row per (pk, label) is the
+    * source contract (the same row-grain the reference's dim feeds
+    * have).
+    *
+    * Exactly-once: the checkpoint dedups input FILES across restarts,
+    * and [[graft.lake.Scd2]] is idempotent per (pk, label) wave — a
+    * crash between checkpoint and commit replays the batch into a
+    * no-op merge, so history never double-opens. */
+  def runScd2AvailableNow(
+      spark: SparkSession,
+      rawDir: String,
+      schema: StructType,
+      table: MergeTable,
+      pk: String,
+      labelCol: String,
+      checkpoint: String,
+      transform: DataFrame => DataFrame = identity): Long = {
+    val stream = spark.readStream
+      .format("csv")
+      .option("header", "true")
+      .schema(schema)
+      .load(rawDir)
+    @volatile var waves = 0L
+    val query = transform(stream).writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val cached = batch.cache()
+          try {
+            val labels = cached
+              .select(org.apache.spark.sql.functions.col(labelCol))
+              .distinct().collect().map(_.get(0).toString).sorted
+            labels.foreach { lab =>
+              graft.lake.Scd2.merge(
+                table,
+                cached.filter(
+                  org.apache.spark.sql.functions.col(labelCol) === lab)
+                  .drop(labelCol),
+                pk, lab)
+              waves += 1
+            }
+          } finally cached.unpersist()
+        }
+      }
+      .start()
+    query.awaitTermination()
+    waves
+  }
 }

@@ -96,4 +96,54 @@ class StreamIngestSpec extends SparkSpec {
       ("2024-01-01", 10.0, 1L), ("2024-01-02", 99.0, 1L),
       ("2024-01-03", 30.0, 1L)))
   }
+
+  test("streaming SCD2 maintains dimension history across drains") {
+    import graft.lake.Scd2
+    val dimSchema = StructType(Seq(
+      StructField("prod_id", StringType),
+      StructField("price", StringType),
+      StructField("as_of", StringType)))
+    val raw = tmpDir("raw")
+    val ckpt = tmpDir("ckpt").toString
+    val t = MergeTable(spark, tmpDir("dim").toString, Some(Scd2.Slice))
+    def writeDim(name: String, rows: String*): Unit =
+      Files.writeString(raw.resolve(name),
+        ("prod_id,price,as_of" +: rows).mkString("\n"))
+
+    // one file spanning TWO labels: both waves apply, in label order
+    writeDim("d1.csv",
+      "p1,10,2024-01-01", "p2,5,2024-01-01", "p1,20,2024-02-01")
+    val w1 = StreamIngest.runScd2AvailableNow(spark, raw.toString, dimSchema,
+      t, "prod_id", "as_of", ckpt)
+    assert(w1 === 2, "two labels = two SCD2 waves")
+    def hist(): Set[(String, String, String, String, Boolean)] =
+      t.read().select(col("prod_id"), col("price"), col(Scd2.EffFrom),
+          col(Scd2.EffTo), col(Scd2.Current))
+        .as[(String, String, String, Option[String], Boolean)]
+        .collect().map(r => (r._1, r._2, r._3, r._4.orNull, r._5)).toSet
+    assert(hist() === Set(
+      ("p1", "10", "2024-01-01", "2024-02-01", false),
+      ("p1", "20", "2024-02-01", null, true),
+      ("p2", "5", "2024-01-01", null, true)))
+
+    // re-drain with no new files: checkpoint skips everything
+    val vBefore = t.latestVersion()
+    StreamIngest.runScd2AvailableNow(spark, raw.toString, dimSchema,
+      t, "prod_id", "as_of", ckpt)
+    assert(t.latestVersion() === vBefore)
+
+    // a late file with one real change and one no-op row
+    writeDim("d2.csv", "p1,20,2024-03-01", "p2,6,2024-03-01")
+    StreamIngest.runScd2AvailableNow(spark, raw.toString, dimSchema,
+      t, "prod_id", "as_of", ckpt)
+    assert(hist() === Set(
+      ("p1", "10", "2024-01-01", "2024-02-01", false),
+      ("p1", "20", "2024-02-01", null, true), // unchanged: not re-opened
+      ("p2", "5", "2024-01-01", "2024-03-01", false),
+      ("p2", "6", "2024-03-01", null, true)))
+    // point-in-time question answered from the streamed history
+    val janPrices = Scd2.asOfView(t, "2024-01-15")
+      .select("prod_id", "price").as[(String, String)].collect().toSet
+    assert(janPrices === Set(("p1", "10"), ("p2", "5")))
+  }
 }
