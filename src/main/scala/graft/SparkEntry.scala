@@ -109,6 +109,7 @@ object SparkEntry {
     "q_window_lag"      -> (AnalyticQueries.windowLag _),
     "q_events_gapfill"  -> (AnalyticQueries.eventsGapfill _),
     "q_events_retention" -> (AnalyticQueries.eventsRetention _),
+    "q_table_profile"   -> (AnalyticQueries.tableProfile _),
     "q_doc_pack"        -> (TextQueries.docPack _),
     "q_doc_chunks"      -> (TextQueries.docChunks _),
     "q_embed_quant"     -> (SimilarityQueries.embedQuant _),
@@ -585,6 +586,15 @@ object SparkEntry {
          FROM days JOIN coh USING (user_id)
          GROUP BY cohort_day, day_offset
          ORDER BY cohort_day, day_offset""",
+    "q_table_profile" -> Seq("l_quantity", "l_discount", "l_shipdate",
+        "l_returnflag")
+      .map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+              CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+              count(DISTINCT $c) AS n_distinct,
+              CAST(MIN($c) AS VARCHAR) AS min_s,
+              CAST(MAX($c) AS VARCHAR) AS max_s FROM lineitem""")
+      .mkString("", " UNION ALL ", " ORDER BY col_name"),
     "q_doc_pack"      -> TextQueries.docPackOracle,
     "q_doc_chunks"    -> TextQueries.docChunksOracle,
     "q_embed_quant"   -> SimilarityQueries.embedQuantOracle,

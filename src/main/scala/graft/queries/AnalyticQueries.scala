@@ -247,6 +247,38 @@ object AnalyticQueries {
         col("n").isNull.as("filled"))
   }
 
+  /** ANALYZE-style table profile over representative lineitem columns —
+    * see [[profileOf]]. */
+  def tableProfile(s: SparkSession, d: String): DataFrame =
+    profileOf(Tables.lineitem(s, d),
+      Seq("l_quantity", "l_discount", "l_shipdate", "l_returnflag"))
+
+  /** The column-statistics profiler behind [[tableProfile]] — library
+    * API: per column, row count, null count, EXACT distinct count, and
+    * min/max rendered as strings (one uniform schema across column
+    * types). The `ANALYZE TABLE`-shaped pass a planner, data-quality
+    * monitor, or migration diff runs first on any new table.
+    *
+    * Scale shape: one narrow aggregate pass per column (each scan reads
+    * ONLY its column — parquet column pruning makes the per-column cost
+    * that column's bytes, not the table's). Exact NDV is the
+    * oracle-checkable choice here; at 100 TB swap in
+    * `approx_count_distinct` or the deterministic HLL sketch (X57) for
+    * a one-pass all-columns profile — the output contract is identical. */
+  def profileOf(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    cols.map { c =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_s"),
+        max(col(c)).cast("string").as("max_s"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Cohort retention (the day-N retention matrix): users are cohorted by
     * their FIRST active day; each later active day contributes to cell
     * (cohort_day, day_offset). The classic growth-analytics readout —

@@ -198,4 +198,17 @@ class AnalyticQueriesSpec extends SparkSpec {
       .as[(Int, Long, Double)].collect().toSet
     assert(out === Set((0, 1L, 10000.0), (1, 1L, 50000.0), (2, 1L, 50000.0)))
   }
+
+  test("profileOf counts rows, nulls, exact NDV and renders min/max") {
+    val df = Seq(
+      (Some(1.5), Some("a")), (Some(2.5), None),
+      (None, Some("a")), (Some(2.5), Some("b")))
+      .toDF("x", "s")
+    val p = AnalyticQueries.profileOf(df, Seq("x", "s"))
+      .as[(String, Long, Long, Long, String, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(p("x") === (("x", 4L, 1L, 2L, "1.5", "2.5")),
+      "NDV excludes nulls; null counted separately")
+    assert(p("s") === (("s", 4L, 1L, 2L, "a", "b")))
+  }
 }
