@@ -126,6 +126,10 @@ object SparkEntry {
     // unit-tested (DocPipelineSpec).
     "q_doc_pipeline"    -> ((s: SparkSession, d: String) =>
       ext.DocPipeline.cleanedCorpus(s, d).select("doc_id", "source", "n_chars")),
+    // End-to-end assembly: clean -> sequence-pack, one composed plan and
+    // one composed CTE oracle (DocPipeline.assembledPacksOracle).
+    "q_corpus_pack"     -> ((s: SparkSession, d: String) =>
+      ext.DocPipeline.assembledPacks(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -599,6 +603,7 @@ object SparkEntry {
     "q_doc_chunks"    -> TextQueries.docChunksOracle,
     "q_embed_quant"   -> SimilarityQueries.embedQuantOracle,
     "q_doc_pipeline"  -> ext.DocPipeline.pipelineOracle(),
+    "q_corpus_pack"   -> ext.DocPipeline.assembledPacksOracle(),
     "q_text_pii"      -> TextQueries.textPiiOracle,
     "q_text_colloc"   -> TextQueries.textCollocOracle,
     "q_doc_mix"       -> TextQueries.docMixOracle,

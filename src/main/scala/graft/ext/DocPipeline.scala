@@ -80,7 +80,16 @@ object DocPipeline {
     * the same kept1→kept2→kept3 attrition as [[stages]]. The repetition
     * gate compares the ROUNDED rep_ratio, exactly like the Spark side
     * (which filters on textRepetition's round(...,4) column). */
-  def pipelineOracle(maxRepRatio: Double = 0.2): String = {
+  def pipelineOracle(maxRepRatio: Double = 0.2): String =
+    s"""${pipelineCtes(maxRepRatio)}
+        SELECT d.doc_id, d.source, d.n_chars FROM documents d
+        WHERE d.doc_id IN (SELECT doc_id FROM kept2)
+          AND d.doc_id NOT IN (SELECT doc_id FROM losers)
+        ORDER BY d.doc_id"""
+
+  /** The pipeline's CTE chain alone (ends with `kept2` + `losers`), for
+    * composition into larger statements ([[assembledPacksOracle]]). */
+  private def pipelineCtes(maxRepRatio: Double): String = {
     val nh = DedupQueries.NumHashes
     s"""${DedupQueries.candCte},
         quality AS (
@@ -121,10 +130,49 @@ object DocPipeline {
                 JOIN sig b ON doc_b = b.doc_id) p
           WHERE n_eq * 2 >= $nh
             AND doc_a IN (SELECT doc_id FROM kept2)
-            AND doc_b IN (SELECT doc_id FROM kept2))
-        SELECT d.doc_id, d.source, d.n_chars FROM documents d
-        WHERE d.doc_id IN (SELECT doc_id FROM kept2)
-          AND d.doc_id NOT IN (SELECT doc_id FROM losers)
-        ORDER BY d.doc_id"""
+            AND doc_b IN (SELECT doc_id FROM kept2))"""
+  }
+
+  /** End-to-end corpus ASSEMBLY: the cleaned corpus flowing straight
+    * into sequence packing ([[TextQueries.packOf]]) — clean → pack as
+    * ONE lazy composed plan, the full prep line from raw documents to
+    * the training-sequence manifest. Attrition happens before the
+    * packing window ever sees a row, so the expensive stages run on the
+    * smallest possible relation. */
+  def assembledPacks(s: SparkSession, sfDir: String,
+      maxRepRatio: Double = 0.2): DataFrame =
+    TextQueries.packOf(
+      cleanedCorpus(s, sfDir, maxRepRatio)
+        .select(col("source"), col("doc_id"),
+          expr("size(split(text, ' '))").as("n_tokens")))
+
+  /** DuckDB oracle for [[assembledPacks]] — the pipeline CTE chain plus
+    * the SAME shard/window/floor pack rule as `q_doc_pack`, generated
+    * from the shared constants. */
+  def assembledPacksOracle(maxRepRatio: Double = 0.2): String = {
+    val budget = TextQueries.PackBudget
+    val shards = TextQueries.PackShards
+    s"""${pipelineCtes(maxRepRatio)},
+        cleaned AS (
+          SELECT d.source, d.doc_id,
+                 len(string_split(d.text, ' ')) AS n_tokens,
+                 d.doc_id % $shards AS pshard
+          FROM documents d
+          WHERE d.doc_id IN (SELECT doc_id FROM kept2)
+            AND d.doc_id NOT IN (SELECT doc_id FROM losers)),
+        cum AS (
+          SELECT source, pshard, doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source, pshard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prev_cum
+          FROM cleaned)
+        SELECT source, pshard,
+               CAST(FLOOR(prev_cum / $budget.0) AS BIGINT) AS pack_id,
+               count(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM cum GROUP BY source, pshard, pack_id
+        ORDER BY source, pshard, pack_id"""
   }
 }

@@ -465,12 +465,20 @@ object TextQueries {
     * parallelizes across source×shard partitions — at 100 TB you raise
     * [[PackShards]] until each shard fits an executor. Output is the
     * per-pack manifest (what a sequence-builder job would consume). */
-  def docPack(s: SparkSession, d: String): DataFrame = {
+  def docPack(s: SparkSession, d: String): DataFrame =
+    packOf(withToks(documents(s, d))
+      .select(col("source"), col("doc_id"),
+        expr("size(toks)").as("n_tokens")))
+
+  /** The sequence-packing operator behind [[docPack]] — library API on
+    * any (source, doc_id, n_tokens) frame (e.g. a CLEANED corpus — see
+    * [[DocPipeline.assembledPacks]]). */
+  def packOf(docsWithTokens: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("source"), col("pshard"))
       .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
-    withToks(documents(s, d))
+    docsWithTokens
       .select(col("source"), (col("doc_id") % PackShards).as("pshard"),
-        col("doc_id"), expr("size(toks)").as("n_tokens"))
+        col("doc_id"), col("n_tokens"))
       .withColumn("prev_cum",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("pack_id",

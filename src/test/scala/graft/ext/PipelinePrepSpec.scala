@@ -68,6 +68,16 @@ class PipelinePrepSpec extends SparkSpec {
     }
   }
 
+  test("assembledPacks packs exactly the cleaned corpus") {
+    val packs = DocPipeline.assembledPacks(spark, sf)
+    val packed = packs.agg(sum("n_docs")).as[Long].collect().head
+    val cleaned = DocPipeline.cleanedCorpus(spark, sf).count()
+    assert(packed === cleaned,
+      "every cleaned doc lands in exactly one pack, dropped docs in none")
+    assert(cleaned < TextQueries.textTokens(spark, sf).count(),
+      "the gate must actually drop something for this case to bite")
+  }
+
   // ---- docChunks ---------------------------------------------------------
 
   test("docChunks emits ceil(n/stride) chunks of width ≤ window per doc") {
