@@ -111,6 +111,7 @@ object SparkEntry {
     "q_events_retention" -> (AnalyticQueries.eventsRetention _),
     "q_table_profile"   -> (AnalyticQueries.tableProfile _),
     "q_doc_pack"        -> (TextQueries.docPack _),
+    "q_text_rarity"     -> (TextQueries.textRarity _),
     "q_doc_chunks"      -> (TextQueries.docChunks _),
     "q_embed_quant"     -> (SimilarityQueries.embedQuant _),
     "q_events_funnel"   -> (AnalyticQueries.eventsFunnel _),
@@ -601,6 +602,18 @@ object SparkEntry {
       .mkString("", " UNION ALL ", " ORDER BY col_name"),
     "q_doc_pack"      -> TextQueries.docPackOracle,
     "q_doc_chunks"    -> TextQueries.docChunksOracle,
+    "q_text_rarity" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+         tf AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM t)
+         SELECT doc_id, count(*) AS n_tokens,
+                round(avg(nn / n), 4) AS avg_rarity,
+                round(max(nn / n), 4) AS max_rarity,
+                CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hapax
+         FROM t JOIN tf USING (tok) CROSS JOIN tot
+         GROUP BY doc_id ORDER BY doc_id""",
     "q_embed_quant"   -> SimilarityQueries.embedQuantOracle,
     "q_doc_pipeline"  -> ext.DocPipeline.pipelineOracle(),
     "q_corpus_pack"   -> ext.DocPipeline.assembledPacksOracle(),

@@ -511,6 +511,37 @@ object TextQueries {
         FROM c GROUP BY source, pshard, pack_id
         ORDER BY source, pshard, pack_id"""
 
+  /** Corpus-frequency rarity scoring — the frequency flavor of the
+    * CCNet/KenLM quality signal: a document full of corpus-rare tokens
+    * is either specialist text worth upweighting or junk worth a second
+    * look; either way the score drives mixture decisions. Per doc:
+    * mean and max inverse relative token frequency (N/n_tok — unusual
+    * tokens score high) and the hapax count (corpus-frequency-1 tokens).
+    * Deliberately RATIONAL arithmetic only (counts and their ratios, no
+    * log/exp), so both engines compute bit-comparable doubles and the
+    * oracle hash-matches.
+    *
+    * Scale shape: the term-frequency relation is vocabulary-sized
+    * (shuffle keyed by token); the doc join is token-keyed, where stop
+    * words are hot keys — AQE skew-join splits them, or broadcast `tf`
+    * outright when the vocabulary fits (fixture-scale does). The final
+    * per-doc aggregate is keyed by doc_id — no hot partition. */
+  def textRarity(s: SparkSession, d: String): DataFrame = {
+    val toks = withToks(documents(s, d))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val tot = toks.agg(count(lit(1)).cast("double").as("nn"))
+    toks
+      .join(tf, Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(col("nn") / col("n")), 4).as("avg_rarity"),
+        round(max(col("nn") / col("n")), 4).as("max_rarity"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+  }
+
   /** Chunk window/stride for [[docChunks]] (tokens). Stride < window ⇒
     * adjacent chunks overlap by `ChunkWindow - ChunkStride` tokens — the
     * retrieval-index / context-window prep shape. */

@@ -78,6 +78,23 @@ class PipelinePrepSpec extends SparkSpec {
       "the gate must actually drop something for this case to bite")
   }
 
+  test("textRarity scores corpus-rare tokens high and counts hapaxes") {
+    val d = tmpDir("rare")
+    Seq(
+      (1L, "common common common", "en", "s0", 0L),
+      (2L, "common unique", "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val m = TextQueries.textRarity(spark, d.toString)
+      .select("doc_id", "n_tokens", "avg_rarity", "max_rarity", "n_hapax")
+      .as[(Long, Long, Double, Double, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // corpus: 5 tokens; 'common' freq 4 (rarity 1.25), 'unique' freq 1
+    // (rarity 5.0, a hapax)
+    assert(m(1L) === ((1L, 3L, 1.25, 1.25, 0L)))
+    assert(m(2L) === ((2L, 2L, 3.125, 5.0, 1L)))
+  }
+
   // ---- docChunks ---------------------------------------------------------
 
   test("docChunks emits ceil(n/stride) chunks of width ≤ window per doc") {
