@@ -344,6 +344,99 @@ final class MergeTable private (
     } finally src.unpersist()
   }
 
+  /** APPLY CHANGES INTO (the Delta Live Tables CDC-apply shape): apply a
+    * change feed — rows tagged `_change_type` ∈ insert / update /
+    * update_postimage / update_preimage / delete, the exact schema
+    * [[changes]] emits — as ONE atomic commit. Inserts and update
+    * post-images upsert (source wins on key match); deletes drop the
+    * key; `update_preimage` rows are informational and ignored. A
+    * replica must never expose a state where the deletes have landed but
+    * the upserts haven't (or vice versa), which is why this is one
+    * commit, not a delete() followed by a merge().
+    *
+    * With `sequenceBy`, a feed carrying SEVERAL events per key (an
+    * out-of-order CDC stream, not a snapshot diff) is first collapsed to
+    * each key's latest event by that ordering — Delta's
+    * `APPLY CHANGES ... SEQUENCE BY` contract, which requires the
+    * sequence to be unique per key (ties would make the winner
+    * nondeterministic, so they fail fast). [[changes]] feeds are already
+    * net-one-event-per-key and don't need it.
+    *
+    * Scale shape: identical to [[merge]] — touched partitions are
+    * discovered with a semi-join (deletes and updates both match live
+    * keys; inserts contribute their own partition values), only touched
+    * files are rewritten, and the sequence collapse is one pk-shuffle
+    * aggregate. Applying a feed of absent-key deletes rewrites nothing. */
+  def mergeCdc(feed: DataFrame, pk: String,
+      sequenceBy: Option[String] = None): Long = {
+    require(feed.columns.contains(ChangeType),
+      s"mergeCdc feed needs a $ChangeType column " +
+        "(insert/update/update_postimage/update_preimage/delete)")
+    val events = feed.filter(col(ChangeType) =!= "update_preimage")
+    val collapsed = sequenceBy match {
+      case Some(seq) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col(pk)).orderBy(col(seq).desc)
+        val ranked = events
+          .withColumn(SeqRank, row_number().over(w))
+          .withColumn(SeqPeer, count(lit(1)).over(
+            Window.partitionBy(col(pk), col(seq))))
+        // rank 1 with a sequence peer = two events tied at the key's
+        // newest sequence value — the winner would be arbitrary.
+        val dup = ranked.filter(col(SeqRank) === 1 && col(SeqPeer) > 1)
+          .select(col(pk)).limit(1).collect()
+        require(dup.isEmpty,
+          s"mergeCdc: duplicate $seq for key ${dup.headOption.map(_.get(0))}" +
+            " — SEQUENCE BY must be unique per key")
+        // the sequence is feed metadata, not table data
+        ranked.filter(col(SeqRank) === 1).drop(SeqRank, SeqPeer, seq)
+      case None => events
+    }
+    val src = collapsed.cache()
+    try {
+      retryingCommit { () =>
+        val (version, live) = latest()
+        val upserts = src.filter(col(ChangeType) =!= "delete").drop(ChangeType)
+        val keys = src.select(col(pk)).distinct()
+        if (live.isEmpty) {
+          val (_, entries) = writeData(upserts)
+          (CommitDelta(entries, Nil), version)
+        } else partitionCol match {
+          case Some(pc) =>
+            val insParts = upserts.select(col(pc).cast("string")).distinct()
+              .collect().map(r => Option(r.getString(0))).toSet
+            require(insParts.size <= MaxPartitionsPerMerge,
+              s"mergeCdc touches ${insParts.size} partitions (> " +
+                s"$MaxPartitionsPerMerge); repartition the feed or raise " +
+                "the guard — partition values are driver metadata")
+            val matchedParts = readEntries(live)
+              .join(keys, Seq(pk), "left_semi")
+              .select(col(pc).cast("string")).distinct()
+              .collect().map(r => Option(r.getString(0))).toSet
+            val touched: Set[Option[String]] =
+              insParts.map(_.asInstanceOf[Option[String]]) ++ matchedParts
+            val touchedFiles =
+              live.filter(e => touched.contains(e.partitionValue))
+            val remaining = readEntries(touchedFiles)
+              .join(keys, Seq(pk), "left_anti")
+            val out = remaining.unionByName(upserts)
+            val (_, newEntries) = writeData(out)
+            (CommitDelta(newEntries, touchedFiles.map(_.relPath)), version)
+          case None =>
+            if (live.size >= FullRewriteWarnFiles)
+              logger.warn(
+                s"MergeTable at $root: unpartitioned CDC apply rewrites " +
+                  s"all ${live.size} live files; declare a partition " +
+                  "column to get partition-level file skipping")
+            val remaining = readEntries(live)
+              .join(keys, Seq(pk), "left_anti")
+            val (_, newEntries) = writeData(remaining.unionByName(upserts))
+            (CommitDelta(newEntries, live.map(_.relPath)), version)
+        }
+      }
+    } finally src.unpersist()
+  }
+
   /** DOC-ONLY OPTIMIZE implemented for real (README.md:119): rewrite live
     * files into `filesPerPartition` files, optionally range-clustered on
     * `clusterBy` (LINEAR clustering — locality on the leading column
@@ -819,6 +912,11 @@ object MergeTable {
   private[lake] val CheckpointInterval = 10L
   private val ZCol = "__graft_z"
   private val BinCol = "__graft_bin"
+  /** The change-feed tag column, shared by [[MergeTable.changes]]
+    * (producer) and [[MergeTable.mergeCdc]] (consumer). */
+  val ChangeType = "_change_type"
+  private val SeqRank = "__graft_seq_rank"
+  private val SeqPeer = "__graft_seq_peer"
   private val FileTag = "__graft_file_tag"
   private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
   private val MaxCommitRetries = 5

@@ -1,0 +1,94 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+import scala.util.Using
+
+/** Table replication driven by the change data feed — the lakehouse
+  * pattern for keeping a downstream copy (DR region, reporting store,
+  * test environment) in sync WITHOUT rescanning the source: each sync
+  * ships only [[MergeTable.changes]] between the last-applied source
+  * version and the source's head, applied to the replica as one atomic
+  * [[MergeTable.mergeCdc]] commit. The reference copies tables by full
+  * re-read (ref: product_etl.py:40-47 re-reads the whole raw zone per
+  * run); at 100 TB a full copy per sync is unrunnable, while a CDF
+  * sync's cost tracks the CHANGED partitions only.
+  *
+  * The replica remembers the last source version it applied in a
+  * watermark file under its own root (`_graft_replica/<v>.sync`,
+  * published create-if-absent like commit deltas). Crash between the
+  * mergeCdc commit and the watermark publish replays that window on the
+  * next sync — safe, because applying a snapshot diff twice is a
+  * logical no-op (upserts re-assert rows the replica already has,
+  * deletes hit absent keys).
+  *
+  * Scale notes:
+  *  - Sync IO is O(changed partitions), via changes()'s log-level
+  *    partition pruning; an idle source costs one directory listing.
+  *  - The watermark is one empty file per sync; [[prune]] keeps only
+  *    the newest (older ones are never read — same discipline as
+  *    vacuum's log pruning).
+  *  - Bootstrap needs no special path: from version 0, changes() emits
+  *    the full snapshot as inserts, and mergeCdc on an empty replica
+  *    writes it directly.
+  */
+object Replica {
+  private val SyncDir = "_graft_replica"
+  private val SyncSuffix = ".sync"
+
+  /** Last source version applied to `replica` (0 = never synced). */
+  def syncedVersion(replica: MergeTable): Long = {
+    val dir = replica.root.resolve(SyncDir)
+    if (!Files.isDirectory(dir)) 0L
+    else Using.resource(Files.list(dir)) { s =>
+      s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(SyncSuffix))
+        .map(_.stripSuffix(SyncSuffix).toLong)
+        .foldLeft(0L)(math.max)
+    }
+  }
+
+  private def publishWatermark(replica: MergeTable, v: Long): Unit = {
+    val dir = replica.root.resolve(SyncDir)
+    Files.createDirectories(dir)
+    val target = dir.resolve(f"$v%020d$SyncSuffix")
+    // Create-if-absent: a concurrent sync that already published this
+    // watermark is fine — both applied the same window.
+    try Files.createFile(target)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  }
+
+  /** Catch `replica` up to `source`'s head. Returns the source version
+    * the replica now reflects. No-op (no new commit, no new watermark)
+    * when the replica is already current. */
+  def sync(source: MergeTable, replica: MergeTable, pk: String): Long = {
+    val from = syncedVersion(replica)
+    val to = source.latestVersion()
+    require(from <= to,
+      s"replica at ${replica.root} is ahead of source (synced $from, " +
+        s"source head $to) — is it tracking a different table?")
+    if (to > from) {
+      val feed = source.changes(from, to, pk)
+      replica.mergeCdc(feed, pk)
+      publishWatermark(replica, to)
+    }
+    to
+  }
+
+  /** Drop all but the newest watermark file (housekeeping; old
+    * watermarks are never read). */
+  def prune(replica: MergeTable): Unit = {
+    val keep = syncedVersion(replica)
+    val dir = replica.root.resolve(SyncDir)
+    if (Files.isDirectory(dir)) {
+      Using.resource(Files.list(dir)) { s =>
+        s.iterator().asScala.toSeq
+      }.filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(SyncSuffix) && n.stripSuffix(SyncSuffix).toLong < keep
+      }.foreach(Files.deleteIfExists(_))
+    }
+  }
+}

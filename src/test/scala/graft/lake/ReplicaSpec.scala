@@ -1,0 +1,188 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** mergeCdc (APPLY CHANGES INTO) and Replica (CDF-driven table sync). */
+class ReplicaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def orders(rows: (String, String, Double)*): DataFrame =
+    rows.toDF("order_id", "date", "amount")
+
+  private def contents(df: DataFrame): Set[(String, String, Double)] =
+    df.select("order_id", "date", "amount")
+      .as[(String, String, Double)].collect().toSet
+
+  private def feed(rows: (String, String, Double, String)*): DataFrame =
+    rows.toDF("order_id", "date", "amount", MergeTable.ChangeType)
+
+  test("mergeCdc applies insert + update + delete in ONE commit") {
+    val t = MergeTable(spark, tmpDir("cdc").toString, Some("date"))
+    t.overwrite(orders(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
+    val v0 = t.latestVersion()
+    t.mergeCdc(feed(
+      ("o1", "2024-01-01", 11.0, "update"),
+      ("o2", "2024-01-02", 20.0, "delete"),
+      ("o3", "2024-01-03", 30.0, "insert")), "order_id")
+    assert(t.latestVersion() === v0 + 1)
+    assert(contents(t.read()) ===
+      Set(("o1", "2024-01-01", 11.0), ("o3", "2024-01-03", 30.0)))
+  }
+
+  test("mergeCdc ignores update_preimage rows (full-image feeds apply)") {
+    val t = MergeTable(spark, tmpDir("cdc").toString, Some("date"))
+    t.overwrite(orders(("o1", "2024-01-01", 10.0)))
+    t.mergeCdc(feed(
+      ("o1", "2024-01-01", 10.0, "update_preimage"),
+      ("o1", "2024-01-01", 12.0, "update_postimage")), "order_id")
+    assert(contents(t.read()) === Set(("o1", "2024-01-01", 12.0)))
+  }
+
+  test("mergeCdc delete of an absent key rewrites nothing") {
+    val t = MergeTable(spark, tmpDir("cdc").toString, Some("date"))
+    t.overwrite(orders(("o1", "2024-01-01", 10.0)))
+    val filesBefore = t.liveEntries().map(_.relPath).toSet
+    t.mergeCdc(feed(("zz", "2024-09-09", 0.0, "delete")), "order_id")
+    assert(contents(t.read()) === Set(("o1", "2024-01-01", 10.0)))
+    assert(t.liveEntries().map(_.relPath).toSet === filesBefore,
+      "absent-key delete must carry every live file over untouched")
+  }
+
+  test("mergeCdc only rewrites touched partitions") {
+    val t = MergeTable(spark, tmpDir("cdc").toString, Some("date"))
+    t.overwrite(orders(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
+    val untouchedBefore = t.liveEntries()
+      .filter(_.partitionValue.contains("2024-01-02")).map(_.relPath).toSet
+    t.mergeCdc(feed(("o1", "2024-01-01", 99.0, "update")), "order_id")
+    val untouchedAfter = t.liveEntries()
+      .filter(_.partitionValue.contains("2024-01-02")).map(_.relPath).toSet
+    assert(untouchedAfter === untouchedBefore)
+  }
+
+  test("mergeCdc SEQUENCE BY collapses an out-of-order multi-event feed") {
+    val t = MergeTable(spark, tmpDir("cdc").toString, Some("date"))
+    t.overwrite(orders(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
+    val events = Seq(
+      // o1: update@2 arrives before insert-ish update@1 — latest (seq 3)
+      // is a delete, so o1 must end up gone.
+      ("o1", "2024-01-01", 50.0, "update", 2L),
+      ("o1", "2024-01-01", 40.0, "update", 1L),
+      ("o1", "2024-01-01", 40.0, "delete", 3L),
+      // o3: delete@1 then insert@2 (key re-created) — must survive.
+      ("o3", "2024-01-03", 33.0, "delete", 1L),
+      ("o3", "2024-01-03", 31.0, "insert", 2L)
+    ).toDF("order_id", "date", "amount", MergeTable.ChangeType, "seq")
+    t.mergeCdc(events, "order_id", sequenceBy = Some("seq"))
+    assert(contents(t.read()) ===
+      Set(("o2", "2024-01-02", 20.0), ("o3", "2024-01-03", 31.0)))
+  }
+
+  test("mergeCdc SEQUENCE BY rejects a tie at a key's newest sequence") {
+    val t = MergeTable(spark, tmpDir("cdc").toString, Some("date"))
+    t.overwrite(orders(("o1", "2024-01-01", 10.0)))
+    val tied = Seq(
+      ("o1", "2024-01-01", 1.0, "update", 7L),
+      ("o1", "2024-01-01", 2.0, "update", 7L)
+    ).toDF("order_id", "date", "amount", MergeTable.ChangeType, "seq")
+    val e = intercept[IllegalArgumentException] {
+      t.mergeCdc(tied, "order_id", sequenceBy = Some("seq"))
+    }
+    assert(e.getMessage.contains("unique per key"))
+  }
+
+  test("Replica.sync bootstraps an empty replica from version 0") {
+    val src = MergeTable(spark, tmpDir("src").toString, Some("date"))
+    val rep = MergeTable(spark, tmpDir("rep").toString, Some("date"))
+    src.overwrite(orders(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
+    val v = Replica.sync(src, rep, "order_id")
+    assert(v === src.latestVersion())
+    assert(contents(rep.read()) === contents(src.read()))
+    assert(Replica.syncedVersion(rep) === v)
+  }
+
+  test("Replica.sync catches up incrementally across merge/update/delete") {
+    val src = MergeTable(spark, tmpDir("src").toString, Some("date"))
+    val rep = MergeTable(spark, tmpDir("rep").toString, Some("date"))
+    src.overwrite(orders(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
+    Replica.sync(src, rep, "order_id")
+    src.merge(orders(("o2", "2024-01-02", 99.0), ("o3", "2024-01-03", 30.0)),
+      "order_id")
+    src.update(col("order_id") === "o1", Map("amount" -> lit(11.0)))
+    src.delete(col("order_id") === "o3")
+    val repVersionsBefore = rep.latestVersion()
+    Replica.sync(src, rep, "order_id")
+    assert(contents(rep.read()) === contents(src.read()))
+    // three source commits arrive as ONE replica commit (atomic window)
+    assert(rep.latestVersion() === repVersionsBefore + 1)
+  }
+
+  test("Replica.sync is a no-op when already current") {
+    val src = MergeTable(spark, tmpDir("src").toString, Some("date"))
+    val rep = MergeTable(spark, tmpDir("rep").toString, Some("date"))
+    src.overwrite(orders(("o1", "2024-01-01", 10.0)))
+    Replica.sync(src, rep, "order_id")
+    val v = rep.latestVersion()
+    Replica.sync(src, rep, "order_id")
+    assert(rep.latestVersion() === v, "current replica must not commit")
+  }
+
+  test("replaying a sync window is logically idempotent (crash recovery)") {
+    val src = MergeTable(spark, tmpDir("src").toString, Some("date"))
+    val rep = MergeTable(spark, tmpDir("rep").toString, Some("date"))
+    src.overwrite(orders(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
+    Replica.sync(src, rep, "order_id")
+    src.merge(orders(("o1", "2024-01-01", 11.0)), "order_id")
+    src.delete(col("order_id") === "o2")
+    val head = src.latestVersion()
+    // simulate crash-after-commit-before-watermark: apply the window
+    // manually, then run sync (which replays the same window).
+    rep.mergeCdc(src.changes(Replica.syncedVersion(rep), head, "order_id"),
+      "order_id")
+    Replica.sync(src, rep, "order_id")
+    assert(contents(rep.read()) === contents(src.read()))
+    assert(Replica.syncedVersion(rep) === head)
+  }
+
+  test("Replica.prune keeps only the newest watermark") {
+    val src = MergeTable(spark, tmpDir("src").toString, Some("date"))
+    val rep = MergeTable(spark, tmpDir("rep").toString, Some("date"))
+    src.overwrite(orders(("o1", "2024-01-01", 10.0)))
+    Replica.sync(src, rep, "order_id")
+    src.merge(orders(("o2", "2024-01-02", 20.0)), "order_id")
+    Replica.sync(src, rep, "order_id")
+    Replica.prune(rep)
+    val dir = rep.root.resolve("_graft_replica")
+    val files = {
+      val s = Files.list(dir)
+      try {
+        val l = new java.util.ArrayList[java.nio.file.Path]()
+        s.forEach(p => { l.add(p); () })
+        scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.toList
+      } finally s.close()
+    }
+    assert(files.size === 1)
+    assert(Replica.syncedVersion(rep) === src.latestVersion())
+  }
+
+  test("replica change feed mirrors the source window's net effect") {
+    val src = MergeTable(spark, tmpDir("src").toString, Some("date"))
+    val rep = MergeTable(spark, tmpDir("rep").toString, Some("date"))
+    src.overwrite(orders(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
+    Replica.sync(src, rep, "order_id")
+    val repV0 = rep.latestVersion()
+    src.merge(orders(("o1", "2024-01-01", 15.0), ("o3", "2024-01-03", 30.0)),
+      "order_id")
+    src.delete(col("order_id") === "o2")
+    Replica.sync(src, rep, "order_id")
+    val repFeed = rep.changes(repV0, rep.latestVersion(), "order_id")
+      .select("order_id", MergeTable.ChangeType)
+      .as[(String, String)].collect().toSet
+    assert(repFeed === Set(
+      ("o1", "update"), ("o2", "delete"), ("o3", "insert")))
+  }
+}
