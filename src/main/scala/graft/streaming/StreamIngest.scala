@@ -119,4 +119,80 @@ object StreamIngest {
     query.awaitTermination()
     waves
   }
+
+  /** CDC stream → `APPLY CHANGES INTO` (composition X13 + X94): drain a
+    * raw zone of change-event files — rows tagged
+    * [[MergeTable.ChangeType]] plus a per-key-unique sequence column —
+    * into `table` via [[MergeTable.mergeCdc]], one atomic commit per
+    * micro-batch.
+    *
+    * Cross-batch ordering is the part a per-batch mergeCdc alone can't
+    * give: a LATE event (its sequence at or below the target's stored
+    * sequence for that key) arriving in a later batch must be ignored,
+    * not applied last-writer-wins. The sequence column therefore lives
+    * ON in the table as a regular column, and each batch is guarded by
+    * one pk equi-join against the target's current (pk, seq) — exactly
+    * Delta Live Tables' stored `__apply_changes` sequence discipline.
+    * Within a batch, events collapse to each key's newest by sequence
+    * first (ties fail fast via mergeCdc's contract).
+    *
+    * Exactly-once: the checkpoint dedups input files; a crash between
+    * checkpoint and commit replays the batch, whose events are then all
+    * at-or-below the stored sequences — the guard turns the replay into
+    * an empty apply. A DELETE drops the key's guard row with it (no
+    * tombstone retention): a stale pre-delete event arriving after the
+    * delete re-inserts. Retain tombstones upstream if the stream can be
+    * that late.
+    *
+    * Returns the number of micro-batches that applied at least one
+    * event. */
+  def runCdcAvailableNow(
+      spark: SparkSession,
+      rawDir: String,
+      schema: StructType,
+      table: MergeTable,
+      pk: String,
+      seqCol: String,
+      checkpoint: String,
+      transform: DataFrame => DataFrame = identity): Long = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    require(schema.fieldNames.contains(MergeTable.ChangeType),
+      s"CDC stream schema needs a ${MergeTable.ChangeType} column")
+    require(schema.fieldNames.contains(seqCol),
+      s"CDC stream schema needs the sequence column $seqCol")
+    val stream = spark.readStream
+      .format("csv")
+      .option("header", "true")
+      .schema(schema)
+      .load(rawDir)
+    @volatile var applied = 0L
+    val query = transform(stream).writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val w = Window.partitionBy(col(pk)).orderBy(col(seqCol).desc)
+          val collapsed = batch
+            .withColumn("__graft_rn", row_number().over(w))
+            .filter(col("__graft_rn") === 1).drop("__graft_rn")
+          val guarded =
+            if (table.latestVersion() == 0L) collapsed
+            else collapsed.join(
+              table.read().select(col(pk).as("__graft_pk"),
+                col(seqCol).as("__graft_cur_seq")),
+              col(pk) <=> col("__graft_pk"), "left")
+              .filter(col("__graft_cur_seq").isNull ||
+                col(seqCol) > col("__graft_cur_seq"))
+              .drop("__graft_pk", "__graft_cur_seq")
+          if (!guarded.isEmpty) {
+            table.mergeCdc(guarded, pk)
+            applied += 1
+          }
+        }
+      }
+      .start()
+    query.awaitTermination()
+    applied
+  }
 }

@@ -146,4 +146,65 @@ class StreamIngestSpec extends SparkSpec {
       .select("prod_id", "price").as[(String, String)].collect().toSet
     assert(janPrices === Set(("p1", "10"), ("p2", "5")))
   }
+
+  test("streaming CDC apply guards late events across drains") {
+    import org.apache.spark.sql.types.LongType
+    val cdcSchema = StructType(Seq(
+      StructField("order_id", StringType),
+      StructField("date", StringType),
+      StructField("amount", StringType),
+      StructField(MergeTable.ChangeType, StringType),
+      StructField("seq", LongType)))
+    val raw = tmpDir("raw")
+    val ckpt = tmpDir("ckpt").toString
+    val t = MergeTable(spark, tmpDir("tbl").toString, Some("date"))
+    def writeCdc(name: String, rows: String*): Unit =
+      Files.writeString(raw.resolve(name),
+        (s"order_id,date,amount,${MergeTable.ChangeType},seq" +: rows)
+          .mkString("\n"))
+    def state(): Set[(String, String, Long)] =
+      t.read().select("order_id", "amount", "seq")
+        .as[(String, String, Long)].collect().toSet
+
+    // drain 1: bootstrap inserts; o1 has TWO in-batch events → collapses
+    // to its newest (seq 2)
+    writeCdc("c1.csv",
+      "o1,2024-01-01,10.0,insert,1",
+      "o1,2024-01-01,12.0,update,2",
+      "o2,2024-01-02,20.0,insert,1")
+    assert(StreamIngest.runCdcAvailableNow(spark, raw.toString, cdcSchema,
+      t, "order_id", "seq", ckpt) === 1)
+    assert(state() === Set(("o1", "12.0", 2L), ("o2", "20.0", 1L)))
+
+    // drain 2: update o1, delete o2, insert o3
+    writeCdc("c2.csv",
+      "o1,2024-01-01,50.0,update,5",
+      "o2,2024-01-02,20.0,delete,2",
+      "o3,2024-01-03,30.0,insert,1")
+    StreamIngest.runCdcAvailableNow(spark, raw.toString, cdcSchema,
+      t, "order_id", "seq", ckpt)
+    assert(state() === Set(("o1", "50.0", 5L), ("o3", "30.0", 1L)))
+
+    // drain 3: a LATE o1 event (seq 3 < stored 5) must be ignored while
+    // the in-order o3 event applies — cross-batch sequence discipline
+    writeCdc("c3.csv",
+      "o1,2024-01-01,30.0,update,3",
+      "o3,2024-01-03,33.0,update,2")
+    StreamIngest.runCdcAvailableNow(spark, raw.toString, cdcSchema,
+      t, "order_id", "seq", ckpt)
+    assert(state() === Set(("o1", "50.0", 5L), ("o3", "33.0", 2L)))
+
+    // drain 4: ONLY late events → guard empties the batch, no commit
+    val vBefore = t.latestVersion()
+    writeCdc("c4.csv", "o1,2024-01-01,1.0,update,4")
+    assert(StreamIngest.runCdcAvailableNow(spark, raw.toString, cdcSchema,
+      t, "order_id", "seq", ckpt) === 0)
+    assert(t.latestVersion() === vBefore)
+
+    // re-drain with no new files: checkpoint skips everything
+    StreamIngest.runCdcAvailableNow(spark, raw.toString, cdcSchema,
+      t, "order_id", "seq", ckpt)
+    assert(t.latestVersion() === vBefore)
+    assert(state() === Set(("o1", "50.0", 5L), ("o3", "33.0", 2L)))
+  }
 }
