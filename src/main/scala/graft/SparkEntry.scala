@@ -110,6 +110,7 @@ object SparkEntry {
     "q_events_gapfill"  -> (AnalyticQueries.eventsGapfill _),
     "q_events_retention" -> (AnalyticQueries.eventsRetention _),
     "q_table_profile"   -> (AnalyticQueries.tableProfile _),
+    "q_graph_pagerank"  -> (AnalyticQueries.graphPagerank _),
     "q_doc_pack"        -> (TextQueries.docPack _),
     "q_text_rarity"     -> (TextQueries.textRarity _),
     "q_doc_chunks"      -> (TextQueries.docChunks _),
@@ -600,6 +601,7 @@ object SparkEntry {
               CAST(MIN($c) AS VARCHAR) AS min_s,
               CAST(MAX($c) AS VARCHAR) AS max_s FROM lineitem""")
       .mkString("", " UNION ALL ", " ORDER BY col_name"),
+    "q_graph_pagerank" -> AnalyticQueries.graphPagerankOracle,
     "q_doc_pack"      -> TextQueries.docPackOracle,
     "q_doc_chunks"    -> TextQueries.docChunksOracle,
     "q_text_rarity" ->

@@ -383,7 +383,7 @@ object DedupQueries {
     * the still-live pair graph), yanking blocks out from under later
     * rounds. No-op for non-checkpoint frames. Safe only once nothing
     * will read the frame again. */
-  private[ext] def releaseCheckpointed(df: DataFrame): Unit =
+  private[graft] def releaseCheckpointed(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(false)

@@ -460,4 +460,110 @@ object AnalyticQueries {
             (col(s"${nm}_hi") - col(s"${nm}_lo")), 4).as(nm)
       }: _*)
   }
+
+  // ---- iterative graph analytics: PageRank --------------------------------
+
+  /** Fixed-point PageRank constants, shared by the Spark operator and the
+    * generated DuckDB oracle so both engines run IDENTICAL integer
+    * arithmetic: ranks are BIGINTs in units of 1/[[PrScale]], damping is
+    * the exact rational [[PrDampNum]]/100, and every per-edge
+    * contribution is an integer floor-division — integer sums are
+    * order-independent, so partial aggregation order can never produce a
+    * hash mismatch (the same trick as the X80 fixed-point centroids). */
+  val PrScale = 10000000000L
+  val PrDampNum = 85L
+  val PrIters = 3
+  val PrTopK = 20
+  private val PrTeleport = PrScale * (100L - PrDampNum) / 100L
+
+  /** PageRank over the co-purchase graph: parts are linked when they
+    * appear in the same order (the "customers also bought" graph), and
+    * rank finds the structurally central products — the link-analysis
+    * flavor of product importance, vs [[RefQueries]]' pure revenue
+    * top-k. Edge build is ONE equi-join on l_orderkey (the inequality
+    * only filters the matched pairs); each of the [[PrIters]] rounds is
+    * one edge-shuffle aggregate over the PAIR graph, never the fact
+    * table. */
+  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.alias("x").join(li.alias("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+    pageRankOf(pairs, "a", "b", PrIters)
+      .orderBy(col("rank_fp").desc, col("node"))
+      .limit(PrTopK)
+      .select(col("node").as("part_id"), col("degree"), col("rank_fp"))
+  }
+
+  /** The general PageRank operator behind [[graphPagerank]] — library
+    * API: undirected edge list in (`aCol`, `bCol`; symmetrized
+    * internally), one row per node out: `node`, `degree`, `rank_fp`
+    * (fixed-point, 1.0 = [[PrScale]]). The classic unnormalized
+    * formulation r' = (1−d) + d·Σ r(u)/deg(u) over in-neighbors, run
+    * for a FIXED `iters` rounds in exact integer arithmetic (see
+    * [[PrScale]]) so results are bit-reproducible across engines and
+    * partitionings.
+    *
+    * Scale shape: the edge list and degree relation are materialized
+    * once (localCheckpoint — the CC-loop discipline, so k rounds nest
+    * k× neither the plan nor the upstream edge build); each round is
+    * ONE shuffle join edges⋈ranks + an integer-sum aggregate, all
+    * map-side combinable; the driver never sees row data. Output is
+    * materialized before the pinned inputs are released. */
+  def pageRankOf(pairs: DataFrame, aCol: String, bCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"pageRankOf needs at least one iteration: $iters")
+    val p0 = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(true)
+    val edges = p0.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(p0.select(col("b").as("src"), col("a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    var r = deg.select(col("src").as("id"), lit(PrScale).as("r"))
+    (1 to iters).foreach { _ =>
+      r = edges.join(r, edges("src") === r("id"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("dst").as("id"),
+          (lit(PrTeleport) + expr(s"($PrDampNum * s) div 100")).as("r"))
+    }
+    val out = r.join(deg, r("id") === deg("src"))
+      .select(col("id").as("node"), col("d").as("degree"),
+        col("r").as("rank_fp"))
+      .localCheckpoint(true)
+    graft.ext.DedupQueries.releaseCheckpointed(p0)
+    graft.ext.DedupQueries.releaseCheckpointed(deg)
+    out
+  }
+
+  /** DuckDB oracle for [[graphPagerank]] — the identical integer
+    * recurrence with the [[PrIters]] rounds unrolled as CTEs (DuckDB
+    * `//` is floor division; every operand is positive, so it agrees
+    * with Spark's `div` truncation). */
+  def graphPagerankOracle: String = {
+    val iterCtes = (1 to PrIters).map { k =>
+      s"""r$k AS (SELECT e.dst AS id,
+             CAST($PrTeleport + ($PrDampNum * SUM(p.r // d.d)) // 100
+                  AS BIGINT) AS r
+           FROM edges e JOIN r${k - 1} p ON e.src = p.id
+           JOIN deg d ON e.src = d.src
+           GROUP BY e.dst)"""
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+           AND x.l_partkey < y.l_partkey),
+        edges AS (SELECT a AS src, b AS dst FROM pairs
+                  UNION ALL SELECT b, a FROM pairs),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+                FROM edges GROUP BY src),
+        r0 AS (SELECT src AS id, CAST($PrScale AS BIGINT) AS r FROM deg),
+        $iterCtes
+        SELECT d.src AS part_id, d.d AS degree, r.r AS rank_fp
+        FROM r$PrIters r JOIN deg d ON r.id = d.src
+        ORDER BY rank_fp DESC, part_id LIMIT $PrTopK"""
+  }
 }

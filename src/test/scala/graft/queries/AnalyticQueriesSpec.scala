@@ -211,4 +211,58 @@ class AnalyticQueriesSpec extends SparkSpec {
       "NDV excludes nulls; null counted separately")
     assert(p("s") === (("s", 4L, 1L, 2L, "a", "b")))
   }
+
+  /** Independent driver-side PageRank with the same integer fixed-point
+    * recurrence — adjacency maps, no Spark. */
+  private def refPageRank(pairs: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] = {
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val teleport = AnalyticQueries.PrScale *
+      (100L - AnalyticQueries.PrDampNum) / 100L
+    var r: Map[Long, Long] = deg.map { case (k, _) =>
+      k -> AnalyticQueries.PrScale
+    }
+    (1 to iters).foreach { _ =>
+      r = edges.groupBy(_._2).map { case (v, es) =>
+        v -> (teleport +
+          AnalyticQueries.PrDampNum *
+            es.map { case (u, _) => r(u) / deg(u) }.sum / 100L)
+      }
+    }
+    r
+  }
+
+  test("pageRankOf matches an independent adjacency-map implementation") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (5L, 1L), (6L, 7L))
+    val got = AnalyticQueries
+      .pageRankOf(pairs.toDF("a", "b"), "a", "b", iters = 3)
+      .select("node", "rank_fp").as[(Long, Long)].collect().toMap
+    assert(got === refPageRank(pairs, 3))
+  }
+
+  test("pageRankOf: star center outranks its leaves; degrees correct") {
+    val star = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L))
+    val rows = AnalyticQueries
+      .pageRankOf(star.toDF("a", "b"), "a", "b", iters = 3)
+      .select("node", "degree", "rank_fp")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rows(10L)._1 === 4L)
+    assert(rows(1L)._1 === 1L)
+    assert(rows(10L)._2 > rows(1L)._2, "hub must outrank leaves")
+    assert(Seq(1L, 2L, 3L, 4L).map(rows(_)._2).distinct.size === 1,
+      "symmetric leaves tie exactly (integer arithmetic, no float drift)")
+  }
+
+  test("pageRankOf is partitioning-invariant (exact integer sums)") {
+    val pairs = (1L to 40L).map(i => (i, i % 7 + 100L))
+    val one = AnalyticQueries
+      .pageRankOf(pairs.toDF("a", "b").coalesce(1), "a", "b", 2)
+      .select("node", "rank_fp").as[(Long, Long)].collect().toSet
+    val many = AnalyticQueries
+      .pageRankOf(pairs.toDF("a", "b").repartition(13), "a", "b", 2)
+      .select("node", "rank_fp").as[(Long, Long)].collect().toSet
+    assert(one === many)
+  }
 }
