@@ -111,6 +111,7 @@ object SparkEntry {
     "q_events_retention" -> (AnalyticQueries.eventsRetention _),
     "q_table_profile"   -> (AnalyticQueries.tableProfile _),
     "q_graph_pagerank"  -> (AnalyticQueries.graphPagerank _),
+    "q_events_anomaly"  -> (AnalyticQueries.eventsAnomaly _),
     "q_doc_pack"        -> (TextQueries.docPack _),
     "q_text_rarity"     -> (TextQueries.textRarity _),
     "q_doc_chunks"      -> (TextQueries.docChunks _),
@@ -602,6 +603,19 @@ object SparkEntry {
               CAST(MAX($c) AS VARCHAR) AS max_s FROM lineitem""")
       .mkString("", " UNION ALL ", " ORDER BY col_name"),
     "q_graph_pagerank" -> AnalyticQueries.graphPagerankOracle,
+    "q_events_anomaly" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+         c AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+         m AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+               FROM c GROUP BY 1),
+         dv AS (SELECT c.event_type, day, n, med, abs(n - med) AS adev
+                FROM c JOIN m USING (event_type)),
+         md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+                FROM dv GROUP BY 1)
+         SELECT dv.event_type, day, n, med, mad
+         FROM dv JOIN md USING (event_type)
+         WHERE adev > 2.0 * mad
+         ORDER BY event_type, day""",
     "q_doc_pack"      -> TextQueries.docPackOracle,
     "q_doc_chunks"    -> TextQueries.docChunksOracle,
     "q_text_rarity" ->

@@ -461,6 +461,48 @@ object AnalyticQueries {
       }: _*)
   }
 
+  // ---- robust anomaly detection -------------------------------------------
+
+  /** Robust daily-volume anomaly detection: days whose event count sits
+    * more than `k`×MAD from that event type's median daily count — the
+    * median/MAD outlier rule (robust to the outliers themselves, unlike
+    * mean/stddev z-scores where one spike inflates its own yardstick).
+    *
+    * Determinism across engines: daily counts are integers, so the
+    * median is a half-integer, absolute deviations are half-integers,
+    * and the MAD is a quarter-integer — all exact binary fractions that
+    * double represents exactly; `k`×MAD and the comparison are then
+    * single correctly-rounded IEEE ops both engines evaluate
+    * identically. No epsilon, no hash risk. */
+  def eventsAnomaly(s: SparkSession, d: String): DataFrame =
+    anomalyOf(
+      Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day")),
+      keyCol = "event_type", dayCol = "day", k = 2.0)
+
+  /** The general median/MAD anomaly operator behind [[eventsAnomaly]] —
+    * library API over any (key, day) event frame; returns the flagged
+    * days with their count, median and MAD. `percentile` here buffers
+    * per-group values, but its input is the (key, day) COUNT relation —
+    * bounded by keys × days, not by corpus rows — so the buffering is
+    * scale-safe by construction (same argument as [[profileOf]]'s
+    * exact NDV; swap in [[boundedPercentiles]] if the day axis ever
+    * stops being bounded). */
+  def anomalyOf(df: DataFrame, keyCol: String, dayCol: String,
+      k: Double): DataFrame = {
+    val counts = df.groupBy(col(keyCol), col(dayCol))
+      .agg(count(lit(1)).as("n"))
+    val med = counts.groupBy(col(keyCol))
+      .agg(expr("percentile(n, 0.5)").as("med"))
+    val dev = counts.join(broadcast(med), Seq(keyCol))
+      .withColumn("adev", abs(col("n") - col("med")))
+    val mad = dev.groupBy(col(keyCol))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq(keyCol))
+      .filter(col("adev") > lit(k) * col("mad"))
+      .select(col(keyCol), col(dayCol), col("n"), col("med"), col("mad"))
+  }
+
   // ---- iterative graph analytics: PageRank --------------------------------
 
   /** Fixed-point PageRank constants, shared by the Spark operator and the

@@ -233,6 +233,24 @@ class AnalyticQueriesSpec extends SparkSpec {
     r
   }
 
+  test("anomalyOf flags exactly the hand-planted spike via median/MAD") {
+    // type A: counts 10,10,10,12,100 on five days -> med 10, adev
+    // {0,0,0,2,90}, MAD 0... use counts with nonzero MAD:
+    // 8,10,10,12,100 -> med 10, adev {2,0,0,2,90}, MAD 2 -> only the
+    // 100-day exceeds 2*MAD=4. type B: flat 5s -> MAD 0, adev 0 -> no
+    // flag (0 > 0 is false).
+    val rows =
+      Seq.fill(8)(("A", "2024-01-01")) ++ Seq.fill(10)(("A", "2024-01-02")) ++
+      Seq.fill(10)(("A", "2024-01-03")) ++ Seq.fill(12)(("A", "2024-01-04")) ++
+      Seq.fill(100)(("A", "2024-01-05")) ++
+      (1 to 3).flatMap(d => Seq.fill(5)(("B", s"2024-02-0$d")))
+    val df = rows.toDF("k", "day")
+    val out = AnalyticQueries.anomalyOf(df, "k", "day", k = 2.0)
+      .select("k", "day", "n", "med", "mad")
+      .as[(String, String, Long, Double, Double)].collect().toSet
+    assert(out === Set(("A", "2024-01-05", 100L, 10.0, 2.0)))
+  }
+
   test("pageRankOf matches an independent adjacency-map implementation") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
       (5L, 1L), (6L, 7L))
