@@ -569,6 +569,129 @@ object SimilarityQueries {
                  abs(x - floor(x * 127.0 / mx + 0.5) * mx / 127.0))), 8)
                ELSE 0.0 END""").as("max_err"))
 
+  // ---- product quantization (the IVF-PQ storage half) ---------------------
+
+  /** PQ geometry, shared with the oracle: [[PqSubs]] subspaces, [[PqK]]
+    * centroids per subspace (codes fit a byte at K ≤ 256), [[PqRounds]]
+    * deterministic Lloyd rounds from first-K seeds. */
+  private[ext] val PqSubs = 4
+  private[ext] val PqK = 8
+  private[ext] val PqRounds = 1
+
+  /** Product quantization: each vector's M=[[PqSubs]] sub-vectors coded
+    * as their nearest per-subspace centroid — the storage half of
+    * FAISS-style IVF-PQ, compressing a float32 corpus to M small codes
+    * per vector (vs [[embedQuant]]'s scalar int8: PQ is the variant
+    * whose asymmetric distance tables make coded search cheap). Output:
+    * one row per (vec_id, sub) with the code and the squared
+    * reconstruction error in that subspace.
+    *
+    * Determinism: sub-vector distances are in-order double folds both
+    * engines evaluate identically (round-6 like the IVF csim); argmin =
+    * `min(struct(dist, cent_id))` — a map-side-combinable aggregate,
+    * tie → lowest cent_id; Lloyd means use the 1e-6 fixed-point integer
+    * sums of [[lloydStep]], so centroid training is bit-identical under
+    * any partitioning.
+    *
+    * Scale shape: centroid tables are (M × K) rows — broadcast; the
+    * corpus streams through assignment (never shuffles on the join);
+    * training aggregates are map-side combinable; each Lloyd round is
+    * materialized so rounds never nest plans. */
+  def embedPq(s: SparkSession, d: String): DataFrame =
+    pqCodesOf(embeddings(s, d), PqSubs, PqK, PqRounds)
+
+  /** The general PQ operator behind [[embedPq]] — library API over any
+    * (vec_id, embedding) frame. */
+  def pqCodesOf(e: DataFrame, subs: Int, k: Int, rounds: Int): DataFrame = {
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    require(dim % subs == 0, s"dim $dim not divisible into $subs subspaces")
+    val subLen = dim / subs
+    val sub = DedupQueries.eager(
+      e.select(col("vec_id"), posexplode(array((0 until subs).map(i =>
+        expr(s"transform(slice(embedding, ${i * subLen + 1}, $subLen), " +
+          "x -> cast(x as double))")): _*)).as(Seq("sub", "svec"))))
+    val seed = sub.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").as("cent_id"), col("svec").as("cvec"))
+    val cent = (1 to rounds).foldLeft(seed) { (cn, _) =>
+      DedupQueries.eager(pqLloyd(pqAssign(sub, cn)))
+    }
+    pqAssign(sub, cent)
+      .select(col("vec_id"), col("sub"), col("code"), col("err"))
+  }
+
+  /** Nearest-centroid assignment within each subspace: round-6 squared
+    * L2, argmin via `min(struct(dist, cent_id))` (no N×K sort window). */
+  private def pqAssign(sub: DataFrame, cent: DataFrame): DataFrame =
+    sub.join(broadcast(cent), Seq("sub"))
+      .withColumn("dist", expr(
+        "round(aggregate(zip_with(svec, cvec, (x, c) -> (x - c) * (x - c)), " +
+          "0D, (acc, v) -> acc + v), 6)"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("cent_id"))).as("best"),
+        first(col("svec")).as("svec"))
+      .select(col("vec_id"), col("sub"), col("best.cent_id").as("code"),
+        col("best.dist").as("err"), col("svec"))
+
+  /** One per-subspace Lloyd step with [[lloydStep]]'s 1e-6 fixed-point
+    * mean discipline (exact integer sums — order-independent). */
+  private def pqLloyd(asg: DataFrame): DataFrame =
+    asg.select(col("sub"), col("code").as("cell"),
+        posexplode(col("svec")).as(Seq("p", "v")))
+      .withColumn("q", floor(col("v") * lit(1e6)).cast("long"))
+      .groupBy(col("sub"), col("cell"), col("p"))
+      .agg((sum(col("q")).cast("double") / count(lit(1)) / lit(1e6)).as("m"))
+      .groupBy(col("sub"), col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
+        x => x.getField("m")).as("cvec"))
+      .select(col("sub"), col("cell").as("cent_id"), col("cvec"))
+
+  /** DuckDB oracle for [[embedPq]]: identical subspace slicing, round-6
+    * distances, argmin tie rule, and fixed-point Lloyd means, with the
+    * [[PqRounds]] training rounds unrolled as CTEs. */
+  def embedPqOracle: String = {
+    def asgCte(k: String, cent: String): String =
+      s"""asg$k AS (SELECT s.vec_id, s.sub, c.cent_id,
+              round(list_sum(list_transform(range(1, len(s.svec) + 1),
+                i -> (s.svec[i] - c.cvec[i]) * (s.svec[i] - c.cvec[i]))), 6)
+                AS dist
+            FROM sub s JOIN $cent c ON s.sub = c.sub),
+          code$k AS (SELECT vec_id, sub, cent_id, dist FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                          ORDER BY dist, cent_id) AS rn
+              FROM asg$k) t
+            WHERE rn = 1)"""
+    val lloydCtes = (1 to PqRounds).map { r =>
+      s"""${asgCte(s"_r$r", s"cent${r - 1}")},
+          exp$r AS (SELECT s.sub, c.cent_id AS cell,
+                unnest(list_transform(range(1, len(s.svec) + 1),
+                  i -> {'p': i,
+                        'v': CAST(floor(s.svec[i] * 1000000.0) AS BIGINT)}))
+                  AS pv
+              FROM code_r$r c JOIN sub s
+                ON c.vec_id = s.vec_id AND c.sub = s.sub),
+          m$r AS (SELECT sub, cell, pv.p AS p,
+                CAST(CAST(sum(pv.v) AS BIGINT) AS DOUBLE)
+                  / count(*) / 1000000.0 AS m
+              FROM exp$r GROUP BY sub, cell, pv.p),
+          cent$r AS (SELECT sub, cell AS cent_id, list(m ORDER BY p) AS cvec
+              FROM (SELECT sub, cell, p, m FROM m$r) t
+              GROUP BY sub, cell)"""
+    }.mkString(",\n")
+    s"""WITH sub AS (
+          SELECT vec_id, s.sub AS sub,
+                 list_transform(
+                   embedding[(s.sub * (len(embedding) // $PqSubs) + 1):
+                             ((s.sub + 1) * (len(embedding) // $PqSubs))],
+                   x -> CAST(x AS DOUBLE)) AS svec
+          FROM embeddings, (SELECT unnest(range(0, $PqSubs)) AS sub) s),
+        cent0 AS (SELECT sub, vec_id AS cent_id, svec AS cvec
+                  FROM sub WHERE vec_id < $PqK),
+        $lloydCtes,
+        ${asgCte("_f", s"cent$PqRounds")}
+        SELECT vec_id, sub, cent_id AS code, dist AS err
+        FROM code_f ORDER BY vec_id, sub"""
+  }
+
   /** DuckDB oracle for [[embedQuant]] — same double-only arithmetic and
     * the same explicit `floor(x + 0.5)` halfway rule. */
   def embedQuantOracle: String =

@@ -211,4 +211,57 @@ class PipelinePrepSpec extends SparkSpec {
     assert(day0 === users,
       "every user appears exactly once at their cohort's offset 0")
   }
+
+  // ---- product quantization ----------------------------------------------
+
+  private def embFrame(vecs: Seq[(Long, Seq[Float])]) =
+    vecs.toDF("vec_id", "embedding")
+
+  test("pqCodesOf with 0 rounds codes a seed vector as itself, err 0") {
+    val vs = (0L until 4L).map(i =>
+      i -> Seq.tabulate(8)(p => (i * 8 + p).toFloat / 10f))
+    val extra = Seq(100L -> vs(2)._2) // duplicate of seed 2
+    val out = SimilarityQueries
+      .pqCodesOf(embFrame(vs ++ extra), subs = 2, k = 4, rounds = 0)
+      .select("vec_id", "sub", "code", "err")
+      .as[(Long, Int, Long, Double)].collect()
+    // every seed codes as itself with zero error in both subspaces
+    vs.foreach { case (id, _) =>
+      val mine = out.filter(_._1 == id)
+      assert(mine.length === 2)
+      assert(mine.forall(r => r._3 == id && r._4 == 0.0),
+        s"seed $id must be its own nearest centroid: ${mine.toSeq}")
+    }
+    // the duplicate of seed 2 gets seed 2's codes, err 0
+    assert(out.filter(_._1 == 100L).forall(r => r._3 == 2L && r._4 == 0.0))
+  }
+
+  test("pqCodesOf codes are identical for identical vectors after training") {
+    val base = Seq.tabulate(8)(p => math.sin(p + 1).toFloat)
+    val vs = (0L until 10L).map(i =>
+      i -> Seq.tabulate(8)(p => (math.sin(i * 8 + p) * 0.5).toFloat)) ++
+      Seq(50L -> base, 51L -> base)
+    val out = SimilarityQueries
+      .pqCodesOf(embFrame(vs), subs = 4, k = 4, rounds = 1)
+      .select("vec_id", "sub", "code")
+      .as[(Long, Int, Long)].collect()
+    val a = out.filter(_._1 == 50L).map(r => r._2 -> r._3).toMap
+    val b = out.filter(_._1 == 51L).map(r => r._2 -> r._3).toMap
+    assert(a === b, "identical vectors must get identical PQ codes")
+    assert(out.forall(r => r._3 >= 0L && r._3 < 4L), "codes within [0, K)")
+  }
+
+  test("pqCodesOf is partitioning-invariant (fixed-point Lloyd)") {
+    val vs = (0L until 24L).map(i =>
+      i -> Seq.tabulate(8)(p => (math.cos(i * 3 + p) * 2).toFloat))
+    val one = SimilarityQueries
+      .pqCodesOf(embFrame(vs).coalesce(1), 2, 4, 1)
+      .select("vec_id", "sub", "code", "err")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val many = SimilarityQueries
+      .pqCodesOf(embFrame(vs).repartition(7), 2, 4, 1)
+      .select("vec_id", "sub", "code", "err")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(one === many)
+  }
 }
