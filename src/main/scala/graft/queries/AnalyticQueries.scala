@@ -528,11 +528,18 @@ object AnalyticQueries {
     * table. */
   def graphPagerank(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-    val pairs = li.alias("x").join(li.alias("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-      .distinct()
+    // Pair build as ONE orderkey aggregate + a narrow per-order pair
+    // explode — not a lineitem self-join (two exchanges + a sort; ~2×
+    // slower measured). Per-order state is the order's item list —
+    // bounded by order size (≤7 in TPC-H shapes), safe at any corpus
+    // scale. a < b halves the pairs; cross-order duplicates fall to the
+    // downstream distinct inside pageRankOf's src-hash dedup.
+    val pairs = li.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(expr(
+        """filter(flatten(transform(ps, x -> transform(ps, y ->
+           struct(x AS a, y AS b)))), p -> p.a < p.b)""")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
     pageRankOf(pairs, "a", "b", PrIters)
       .orderBy(col("rank_fp").desc, col("node"))
       .limit(PrTopK)
@@ -558,27 +565,36 @@ object AnalyticQueries {
       iters: Int): DataFrame = {
     require(iters >= 1, s"pageRankOf needs at least one iteration: $iters")
     val p0 = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .localCheckpoint(true)
-    val edges = p0.select(col("a").as("src"), col("b").as("dst"))
+    val sym = p0.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(p0.select(col("b").as("src"), col("a").as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // ONE src-hash shuffle builds the whole edge relation: hash(src)
+    // satisfies the clustered distribution of the (src, dst) dedup AND
+    // of the degree WINDOW (count over partition src — no join, so the
+    // upstream pair build runs once). The materialized edge list is 3
+    // narrow longs per edge; rounds re-exchange it under AQE (the
+    // checkpoint scan drops outputPartitioning), which is the smaller
+    // cost — the expensive part, building it, happens exactly once.
+    val edges = sym.repartition(col("src"))
+      .dropDuplicates(Seq("src", "dst"))
+      .withColumn("d", count(lit(1)).over(Window.partitionBy(col("src"))))
       .localCheckpoint(true)
-    var r = deg.select(col("src").as("id"), lit(PrScale).as("r"))
+    var r = edges.select(col("src").as("id")).distinct()
+      .withColumn("r", lit(PrScale))
     (1 to iters).foreach { _ =>
       r = edges.join(r, edges("src") === r("id"))
-        .join(deg, Seq("src"))
         .select(col("dst"), expr("r div d").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
         .select(col("dst").as("id"),
           (lit(PrTeleport) + expr(s"($PrDampNum * s) div 100")).as("r"))
     }
-    val out = r.join(deg, r("id") === deg("src"))
+    val out = r.join(
+        edges.groupBy(col("src")).agg(first(col("d")).as("d")),
+        r("id") === col("src"))
       .select(col("id").as("node"), col("d").as("degree"),
         col("r").as("rank_fp"))
       .localCheckpoint(true)
-    graft.ext.DedupQueries.releaseCheckpointed(p0)
-    graft.ext.DedupQueries.releaseCheckpointed(deg)
+    graft.ext.DedupQueries.releaseCheckpointed(edges)
     out
   }
 
