@@ -603,20 +603,32 @@ object SimilarityQueries {
   /** The general PQ operator behind [[embedPq]] — library API over any
     * (vec_id, embedding) frame. */
   def pqCodesOf(e: DataFrame, subs: Int, k: Int, rounds: Int): DataFrame = {
+    val sub = pqSubRel(e, subs)
+    pqAssign(sub, pqTrain(sub, k, rounds))
+      .select(col("vec_id"), col("sub"), col("code"), col("err"))
+  }
+
+  /** Subspace relation: one row per (vec_id, sub) with the double-cast
+    * sub-vector — eager-cached because training + assignment make
+    * rounds+1 passes over it. */
+  private def pqSubRel(e: DataFrame, subs: Int): DataFrame = {
     val dim = e.select(size(col("embedding"))).head().getInt(0)
     require(dim % subs == 0, s"dim $dim not divisible into $subs subspaces")
     val subLen = dim / subs
-    val sub = DedupQueries.eager(
+    DedupQueries.eager(
       e.select(col("vec_id"), posexplode(array((0 until subs).map(i =>
         expr(s"transform(slice(embedding, ${i * subLen + 1}, $subLen), " +
           "x -> cast(x as double))")): _*)).as(Seq("sub", "svec"))))
+  }
+
+  /** First-K seeds refined by `rounds` fixed-point Lloyd steps; each
+    * refined table is materialized so rounds never nest plans. */
+  private def pqTrain(sub: DataFrame, k: Int, rounds: Int): DataFrame = {
     val seed = sub.filter(col("vec_id") < k)
       .select(col("sub"), col("vec_id").as("cent_id"), col("svec").as("cvec"))
-    val cent = (1 to rounds).foldLeft(seed) { (cn, _) =>
+    (1 to rounds).foldLeft(seed) { (cn, _) =>
       DedupQueries.eager(pqLloyd(pqAssign(sub, cn)))
     }
-    pqAssign(sub, cent)
-      .select(col("vec_id"), col("sub"), col("code"), col("err"))
   }
 
   /** Nearest-centroid assignment within each subspace: round-6 squared
@@ -645,10 +657,76 @@ object SimilarityQueries {
         x => x.getField("m")).as("cvec"))
       .select(col("sub"), col("cell").as("cent_id"), col("cvec"))
 
-  /** DuckDB oracle for [[embedPq]]: identical subspace slicing, round-6
-    * distances, argmin tie rule, and fixed-point Lloyd means, with the
-    * [[PqRounds]] training rounds unrolled as CTEs. */
-  def embedPqOracle: String = {
+  /** ADC search over the PQ codes — the search half of IVF-PQ: each
+    * query computes its exact per-subspace distance to every centroid
+    * (an M×K distance TABLE, tiny), then every coded vector's
+    * approximate distance is the SUM of table lookups at its codes —
+    * never a full-dimension computation against corpus vectors. Top-3
+    * per query by approximate distance.
+    *
+    * Determinism: per-subspace lookup distances are floored to 1e-6
+    * fixed-point BIGINTs (both engines compute the raw double with the
+    * same in-order fold, so the floor agrees), making the per-vector
+    * sum an order-independent integer — no float-summation hash risk.
+    *
+    * Scale shape: the distance table is (queries × M × K) rows —
+    * broadcast; the codes relation streams through the lookup join (no
+    * corpus shuffle); the only shuffle is the (query, vec) sum — rows,
+    * not vectors. At 100 TB you'd first prune candidates to the probed
+    * IVF cells (X7) and ADC-score only those; corpus-wide ADC here
+    * keeps the oracle exhaustive. */
+  def embedPqSearch(s: SparkSession, d: String): DataFrame = {
+    val sub = pqSubRel(embeddings(s, d), PqSubs)
+    val cent = pqTrain(sub, PqK, PqRounds)
+    val codes = pqAssign(sub, cent).select(col("vec_id"), col("sub"),
+      col("code"))
+    val dt = sub.filter(col("vec_id") < 10)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cent), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cent_id"),
+        expr("CAST(floor(aggregate(zip_with(svec, cvec, " +
+          "(x, c) -> (x - c) * (x - c)), 0D, (acc, v) -> acc + v) " +
+          "* 1000000.0) AS BIGINT)").as("dfp"))
+    val scored = codes
+      .join(broadcast(dt),
+        codes("sub") === dt("sub") && codes("code") === dt("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dfp")).as("adist_fp"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_fp"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adist_fp"), col("rank"))
+  }
+
+  /** DuckDB oracle for [[embedPqSearch]] — the shared PQ training chain
+    * plus the same fixed-point distance-table lookup sum. */
+  def embedPqSearchOracle: String =
+    s"""$pqCteChain,
+        dt AS (SELECT s.vec_id AS query_id, s.sub, c.cent_id,
+              CAST(floor(list_sum(list_transform(range(1, len(s.svec) + 1),
+                i -> (s.svec[i] - c.cvec[i]) * (s.svec[i] - c.cvec[i])))
+                * 1000000.0) AS BIGINT) AS dfp
+            FROM sub s JOIN cent$PqRounds c ON s.sub = c.sub
+            WHERE s.vec_id < 10),
+        sc AS (SELECT query_id, cd.vec_id AS neighbor_id,
+              CAST(SUM(dfp) AS BIGINT) AS adist_fp
+            FROM code_f cd JOIN dt
+              ON cd.sub = dt.sub AND cd.cent_id = dt.cent_id
+            WHERE cd.vec_id <> dt.query_id
+            GROUP BY query_id, cd.vec_id)
+        SELECT query_id, neighbor_id, adist_fp, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY adist_fp, neighbor_id) AS rank
+          FROM sc) t
+        WHERE rank <= 3 ORDER BY query_id, rank"""
+
+  /** Shared PQ training CTE chain (subspace slicing → first-K seeds →
+    * [[PqRounds]] fixed-point Lloyd rounds → final assignment
+    * `code_f`), used by both PQ oracles. */
+  private def pqCteChain: String = {
     def asgCte(k: String, cent: String): String =
       s"""asg$k AS (SELECT s.vec_id, s.sub, c.cent_id,
               round(list_sum(list_transform(range(1, len(s.svec) + 1),
@@ -687,10 +765,16 @@ object SimilarityQueries {
         cent0 AS (SELECT sub, vec_id AS cent_id, svec AS cvec
                   FROM sub WHERE vec_id < $PqK),
         $lloydCtes,
-        ${asgCte("_f", s"cent$PqRounds")}
+        ${asgCte("_f", s"cent$PqRounds")}"""
+  }
+
+  /** DuckDB oracle for [[embedPq]]: identical subspace slicing, round-6
+    * distances, argmin tie rule, and fixed-point Lloyd means, with the
+    * [[PqRounds]] training rounds unrolled as CTEs. */
+  def embedPqOracle: String =
+    s"""$pqCteChain
         SELECT vec_id, sub, cent_id AS code, dist AS err
         FROM code_f ORDER BY vec_id, sub"""
-  }
 
   /** DuckDB oracle for [[embedQuant]] — same double-only arithmetic and
     * the same explicit `floor(x + 0.5)` halfway rule. */

@@ -251,6 +251,22 @@ class PipelinePrepSpec extends SparkSpec {
     assert(out.forall(r => r._3 >= 0L && r._3 < 4L), "codes within [0, K)")
   }
 
+  test("embedPqSearch: 3 ranked neighbors per query, ascending, no self") {
+    val rows = SimilarityQueries.embedPqSearch(spark, sf)
+      .select("query_id", "neighbor_id", "adist_fp", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet === (0L until 10L).toSet)
+    byQ.values.foreach { g =>
+      assert(g.map(_._4).sorted.toSeq === Seq(1, 2, 3))
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._3).toSeq === sorted.map(_._3).sorted.toSeq,
+        "approx distance must be ascending in rank")
+      assert(g.forall(r => r._2 != r._1), "self excluded")
+      assert(g.forall(_._3 >= 0L))
+    }
+  }
+
   test("pqCodesOf is partitioning-invariant (fixed-point Lloyd)") {
     val vs = (0L until 24L).map(i =>
       i -> Seq.tabulate(8)(p => (math.cos(i * 3 + p) * 2).toFloat))
