@@ -112,6 +112,8 @@ object SparkEntry {
     "q_table_profile"   -> (AnalyticQueries.tableProfile _),
     "q_graph_pagerank"  -> (AnalyticQueries.graphPagerank _),
     "q_events_anomaly"  -> (AnalyticQueries.eventsAnomaly _),
+    "q_events_markov"   -> (AnalyticQueries.eventsMarkov _),
+    "q_skew_profile"    -> (AnalyticQueries.skewProfile _),
     "q_doc_pack"        -> (TextQueries.docPack _),
     "q_text_rarity"     -> (TextQueries.textRarity _),
     "q_doc_chunks"      -> (TextQueries.docChunks _),
@@ -605,6 +607,32 @@ object SparkEntry {
               CAST(MAX($c) AS VARCHAR) AS max_s FROM lineitem""")
       .mkString("", " UNION ALL ", " ORDER BY col_name"),
     "q_graph_pagerank" -> AnalyticQueries.graphPagerankOracle,
+    "q_events_markov" ->
+      """WITH o AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+           FROM events),
+         c AS (SELECT prev AS prev_state, event_type AS next_state,
+                 count(*) AS n
+               FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT prev_state, CAST(sum(n) AS BIGINT) AS tot
+               FROM c GROUP BY 1)
+         SELECT c.prev_state, c.next_state, n,
+                round(n / CAST(tot AS DOUBLE), 6) AS p
+         FROM c JOIN t USING (prev_state)
+         ORDER BY prev_state, next_state""",
+    "q_skew_profile" ->
+      """WITH c AS (SELECT CAST(l_suppkey AS VARCHAR) AS key,
+                      count(*) AS n
+                    FROM lineitem GROUP BY 1),
+         tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+         top AS (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 20)
+         SELECT key, n,
+                round(n / CAST(tot AS DOUBLE), 6) AS share,
+                round(CAST(sum(n) OVER (ORDER BY n DESC, key
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) / CAST(tot AS DOUBLE), 6) AS cum_share
+         FROM top, tt ORDER BY n DESC, key""",
     "q_events_anomaly" ->
       """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
          c AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),

@@ -461,6 +461,78 @@ object AnalyticQueries {
       }: _*)
   }
 
+  // ---- sequence analytics: Markov transitions -----------------------------
+
+  /** First-order Markov transition matrix over each user's event
+    * sequence: counts and probabilities of event_type → next event_type
+    * — the behavioral-model summary behind next-action prediction and
+    * funnel-shape sanity checks.
+    *
+    * Shape: one lag window per user (tie-free order: ts, then the
+    * unique event_id — both engines sequence identically), one
+    * (prev, next) count aggregate (types² rows), totals joined back
+    * broadcast. The probability is a single integer÷integer IEEE
+    * division both engines evaluate on identical operands. */
+  def eventsMarkov(s: SparkSession, d: String): DataFrame =
+    markovOf(
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id")),
+      keyCol = "user_id", stateCol = "event_type",
+      orderCols = Seq("ts", "event_id"))
+
+  /** The general transition-matrix operator behind [[eventsMarkov]] —
+    * library API: per `keyCol` sequence (ordered tie-free by
+    * `orderCols`), count state→state transitions and their per-source
+    * probabilities. */
+  def markovOf(df: DataFrame, keyCol: String, stateCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+    val c = df
+      .withColumn("__prev", lag(col(stateCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_state"),
+        col(stateCol).as("next_state"))
+      .agg(count(lit(1)).as("n"))
+    val tot = c.groupBy(col("prev_state"))
+      .agg(sum(col("n")).as("tot"))
+    c.join(broadcast(tot), Seq("prev_state"))
+      .select(col("prev_state"), col("next_state"), col("n"),
+        round(col("n") / col("tot").cast("double"), 6).as("p"))
+  }
+
+  // ---- key-skew profiling -------------------------------------------------
+
+  /** Hot-key profile of lineitem's supplier key — the diagnostic you
+    * run BEFORE a big join to decide whether a key needs salting
+    * ([[distinctSalted]]) or an AQE skew split: top keys by row count
+    * with each key's share and the cumulative share of the head. */
+  def skewProfile(s: SparkSession, d: String): DataFrame =
+    skewOf(Tables.lineitem(s, d), "l_suppkey", topK = 20)
+
+  /** The general hot-key profiler behind [[skewProfile]]: top-`topK`
+    * values of `keyCol` by count, with share of total rows and
+    * cumulative share (tie-free order: count desc, then key). The
+    * count aggregate is map-side combinable; total is the SAME relation
+    * re-aggregated (tiny — distinct keys), the top-k is a
+    * TakeOrdered, and the cumulative window runs over k rows. */
+  def skewOf(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("tot"))
+    val top = counts
+      .orderBy(col("n").desc, col("key"))
+      .limit(topK)
+    val wCum = Window.orderBy(col("n").desc, col("key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("share", round(col("n") / col("tot").cast("double"), 6))
+      .withColumn("cum_share",
+        round(sum(col("n")).over(wCum) / col("tot").cast("double"), 6))
+      .select(col("key"), col("n"), col("share"), col("cum_share"))
+  }
+
   // ---- robust anomaly detection -------------------------------------------
 
   /** Robust daily-volume anomaly detection: days whose event count sits

@@ -233,6 +233,39 @@ class AnalyticQueriesSpec extends SparkSpec {
     r
   }
 
+  test("markovOf counts hand-built transitions with exact probabilities") {
+    val ev = Seq(
+      (1L, "A", 1L, 10L), (1L, "B", 2L, 11L), (1L, "B", 3L, 12L),
+      (2L, "A", 1L, 20L), (2L, "C", 2L, 21L),
+      (3L, "Z", 9L, 30L)) // single event: no transition
+      .toDF("user_id", "state", "t", "eid")
+    val out = AnalyticQueries
+      .markovOf(ev, "user_id", "state", Seq("t", "eid"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(out === Set(
+      ("A", "B", 1L, 0.5), ("A", "C", 1L, 0.5), ("B", "B", 1L, 1.0)))
+  }
+
+  test("markovOf sequences ties deterministically via the order columns") {
+    // same ts for both events: eid breaks the tie, so the transition is
+    // always X->Y, never Y->X
+    val ev = Seq((1L, "X", 5L, 1L), (1L, "Y", 5L, 2L))
+      .toDF("user_id", "state", "t", "eid")
+    val out = AnalyticQueries
+      .markovOf(ev, "user_id", "state", Seq("t", "eid"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(out === Set(("X", "Y", 1L, 1.0)))
+  }
+
+  test("skewOf ranks hot keys with share and cumulative share") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d"))
+      .toDF("k")
+    val out = AnalyticQueries.skewOf(df, "k", topK = 3)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      ("a", 5L, 0.5, 0.5), ("b", 3L, 0.3, 0.8), ("c", 1L, 0.1, 0.9)))
+  }
+
   test("anomalyOf flags exactly the hand-planted spike via median/MAD") {
     // type A: counts 10,10,10,12,100 on five days -> med 10, adev
     // {0,0,0,2,90}, MAD 0... use counts with nonzero MAD:
