@@ -114,6 +114,7 @@ object SparkEntry {
     "q_events_anomaly"  -> (AnalyticQueries.eventsAnomaly _),
     "q_events_markov"   -> (AnalyticQueries.eventsMarkov _),
     "q_skew_profile"    -> (AnalyticQueries.skewProfile _),
+    "q_expectations"    -> (AnalyticQueries.expectations _),
     "q_doc_pack"        -> (TextQueries.docPack _),
     "q_text_rarity"     -> (TextQueries.textRarity _),
     "q_doc_chunks"      -> (TextQueries.docChunks _),
@@ -607,6 +608,33 @@ object SparkEntry {
               CAST(MAX($c) AS VARCHAR) AS max_s FROM lineitem""")
       .mkString("", " UNION ALL ", " ORDER BY col_name"),
     "q_graph_pagerank" -> AnalyticQueries.graphPagerankOracle,
+    "q_expectations" ->
+      """WITH a AS (SELECT count(*) AS n_rows,
+             CAST(sum(CASE WHEN coalesce(l_quantity > 0, FALSE)
+                  THEN 0 ELSE 1 END) AS BIGINT) AS f0,
+             CAST(sum(CASE WHEN coalesce(l_quantity <= 41, FALSE)
+                  THEN 0 ELSE 1 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN coalesce(l_discount BETWEEN 0 AND 0.05,
+                  FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS f2,
+             CAST(sum(CASE WHEN l_shipdate IS NOT NULL
+                  THEN 0 ELSE 1 END) AS BIGINT) AS f3
+           FROM lineitem)
+         SELECT r.rule, a.n_rows,
+                CASE r.rule
+                  WHEN 'quantity_positive' THEN f0
+                  WHEN 'quantity_under_41' THEN f1
+                  WHEN 'discount_in_range' THEN f2
+                  ELSE f3 END AS n_fail,
+                round(CASE r.rule
+                  WHEN 'quantity_positive' THEN f0
+                  WHEN 'quantity_under_41' THEN f1
+                  WHEN 'discount_in_range' THEN f2
+                  ELSE f3 END
+                  / CAST(CASE WHEN a.n_rows = 0 THEN 1
+                         ELSE a.n_rows END AS DOUBLE), 6) AS fail_frac
+         FROM a, (VALUES ('quantity_positive'), ('quantity_under_41'),
+                  ('discount_in_range'), ('shipdate_present')) r(rule)
+         ORDER BY r.rule""",
     "q_events_markov" ->
       """WITH o AS (SELECT user_id, event_type,
              lag(event_type) OVER (PARTITION BY user_id

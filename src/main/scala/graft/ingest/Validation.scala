@@ -67,6 +67,35 @@ object Validation {
 
   /** S7 — quarantine sink for rejected rows
     * (ref: product_etl.py:64-70 — CSV, header, overwrite). */
+  /** DLT-style expectations report: evaluate every named rule in ONE
+    * pass over the data — each rule becomes a conditional-sum aggregate
+    * (map-side combinable, no per-rule scan, no shuffle beyond the
+    * single 1-row agg) — and return one row per rule with the total,
+    * failure count and failure fraction. Null rule results count as
+    * failures (SQL three-valued logic would otherwise let an
+    * unvalidatable row pass silently). The per-rule relation is
+    * rules-sized; `explode` of the packed struct array keeps it one
+    * job. Complements [[withRules]], which materializes the
+    * passing/failing ROWS — this is the monitoring half (the numbers a
+    * DLT pipeline graphs per batch). */
+  def expectationsOf(df: DataFrame,
+      rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "expectations need at least one rule")
+    val aggs = rules.zipWithIndex.map { case ((_, rule), i) =>
+      sum(when(coalesce(rule, lit(false)), 0L).otherwise(1L)).as(s"__f$i")
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    one.select(explode(array(rules.zipWithIndex.map { case ((nm, _), i) =>
+        struct(lit(nm).as("rule"), col("__n").as("n_rows"),
+          col(s"__f$i").as("n_fail"))
+      }: _*)).as("e"))
+      .select(col("e.rule").as("rule"), col("e.n_rows").as("n_rows"),
+        col("e.n_fail").as("n_fail"),
+        round(col("e.n_fail") /
+          when(col("e.n_rows") === 0L, lit(1L))
+            .otherwise(col("e.n_rows")).cast("double"), 6).as("fail_frac"))
+  }
+
   def writeQuarantine(rejected: DataFrame, path: String): Unit =
     if (!rejected.isEmpty)
       rejected.write.mode("overwrite").option("header", "true").csv(path)

@@ -99,4 +99,40 @@ object Scd2 {
   def asOfView(t: MergeTable, label: String): DataFrame =
     t.read().filter(col(EffFrom) <= lit(label) &&
       (col(EffTo).isNull || col(EffTo) > lit(label)))
+
+  /** Point-in-time-correct enrichment: join each fact row to the
+    * dimension VERSION that was in effect at the fact's own `labelCol`
+    * — the leakage-safe feature join for training data (joining today's
+    * dimension onto yesterday's facts trains on information the model
+    * wouldn't have had; the ML-feature-store "time travel" rule).
+    * [[asOfView]] answers one label; this answers every fact's label in
+    * one pass.
+    *
+    * Facts whose label predates the key's first version (or whose key
+    * never existed) keep their row with null dimension columns — a
+    * training pipeline drops or imputes explicitly, never silently.
+    *
+    * Scale shape: ONE pk equi-join (the interval predicate piggybacks
+    * on it — history rows per key are few, so the per-key interval
+    * filter is cheap post-join work, never a range-join explosion);
+    * facts stream, history is dimension-sized. Dimension columns win
+    * name clashes via the `_dim` suffix only when needed. */
+  def pointInTimeJoin(facts: DataFrame, t: MergeTable, pk: String,
+      labelCol: String): DataFrame = {
+    val hist = t.read()
+    val dimCols = hist.columns.filterNot(
+      Seq(pk, SKey, Slice).contains(_))
+    val factCols = facts.columns.toSet
+    val renamed = dimCols.map { c =>
+      if (factCols(c)) col(s"h.$c").as(s"${c}_dim") else col(s"h.$c")
+    }
+    facts.alias("f").join(
+      hist.alias("h"),
+      col(s"f.$pk") === col(s"h.$pk") &&
+        col(s"h.$EffFrom") <= col(s"f.$labelCol") &&
+        (col(s"h.$EffTo").isNull ||
+          col(s"h.$EffTo") > col(s"f.$labelCol")),
+      "left")
+      .select(facts.columns.map(c => col(s"f.$c")) ++ renamed: _*)
+  }
 }

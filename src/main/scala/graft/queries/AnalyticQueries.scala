@@ -502,6 +502,23 @@ object AnalyticQueries {
         round(col("n") / col("tot").cast("double"), 6).as("p"))
   }
 
+  // ---- declarative expectations -------------------------------------------
+
+  /** DLT-style expectations report over lineitem: every rule evaluated
+    * in ONE pass as conditional-sum aggregates (see
+    * [[graft.ingest.Validation.expectationsOf]]); one row per rule with
+    * total, failures and failure fraction — the per-batch numbers a
+    * pipeline monitors. Rules deliberately mix always-pass invariants
+    * with thresholds the fixture violates, so both outcomes are
+    * hash-checked. */
+  def expectations(s: SparkSession, d: String): DataFrame =
+    graft.ingest.Validation.expectationsOf(
+      Tables.lineitem(s, d), Seq(
+        "quantity_positive" -> (col("l_quantity") > 0),
+        "quantity_under_41" -> (col("l_quantity") <= 41),
+        "discount_in_range" -> col("l_discount").between(0, 0.05),
+        "shipdate_present" -> col("l_shipdate").isNotNull))
+
   // ---- key-skew profiling -------------------------------------------------
 
   /** Hot-key profile of lineitem's supplier key — the diagnostic you

@@ -14,7 +14,9 @@ class PlanGuardSpec extends SparkSpec {
   private val intendedBroadcastNL = Set(
     "q_scalar_subquery", "q_embed_topk", "q_embed_ivf", "q_text_colloc",
     // 1-row scalar broadcast (corpus size) against a streaming fact side
-    "q_text_tfidf", "q_text_rarity")
+    "q_text_tfidf", "q_text_rarity",
+    // 1-row total broadcast against the 20-row top-k relation
+    "q_skew_profile")
 
   test("no cartesian products; nested-loop joins only where intended") {
     val d = "/root/testdata/sf0.001"

@@ -69,4 +69,42 @@ class Scd2Spec extends SparkSpec {
     assert(hist(t).contains((1L, 10.0, "2024-01-01", "2024-03-01", false)))
     assert(hist(t).contains((1L, 10.0, "2024-03-01", null, true)))
   }
+
+  test("pointInTimeJoin enriches each fact with its era's dimension row") {
+    val t = MergeTable(spark, tmpDir("scd").toString, Some(Scd2.Slice))
+    Scd2.merge(t, dim((1L, "ball", 10.0), (2L, "bat", 5.0)),
+      "prod_id", "2024-01-01")
+    Scd2.merge(t, dim((1L, "ball", 20.0), (2L, "bat", 5.0)),
+      "prod_id", "2024-02-01")
+    val facts = Seq(
+      (100L, 1L, "2024-01-15"), // era 1: price 10
+      (101L, 1L, "2024-02-01"), // era 2 opens AT its label: price 20
+      (102L, 1L, "2024-03-20"), // current era: price 20
+      (103L, 2L, "2024-03-01"), // never-changed key: price 5
+      (104L, 1L, "2023-12-31"), // before history: null dim
+      (105L, 9L, "2024-02-10")) // unknown key: null dim
+      .toDF("sale_id", "prod_id", "sale_label")
+    val out = Scd2.pointInTimeJoin(facts, t, "prod_id", "sale_label")
+      .select(col("sale_id"), col("price"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out === Map(
+      100L -> Some(10.0), 101L -> Some(20.0), 102L -> Some(20.0),
+      103L -> Some(5.0), 104L -> None, 105L -> None))
+    // exactly one row per fact — intervals never overlap
+    assert(Scd2.pointInTimeJoin(facts, t, "prod_id", "sale_label")
+      .count() === facts.count())
+  }
+
+  test("pointInTimeJoin suffixes clashing dimension columns") {
+    val t = MergeTable(spark, tmpDir("scd").toString, Some(Scd2.Slice))
+    Scd2.merge(t, dim((1L, "ball", 10.0)), "prod_id", "2024-01-01")
+    val facts = Seq((100L, 1L, "2024-02-01", 99.0))
+      .toDF("sale_id", "prod_id", "sale_label", "price") // clashes
+    val out = Scd2.pointInTimeJoin(facts, t, "prod_id", "sale_label")
+    assert(out.columns.contains("price") &&
+      out.columns.contains("price_dim"))
+    val row = out.select(col("price"), col("price_dim"))
+      .as[(Double, Double)].collect().head
+    assert(row === ((99.0, 10.0)))
+  }
 }
