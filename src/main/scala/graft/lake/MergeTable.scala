@@ -788,6 +788,31 @@ final class MergeTable private (
             col("e.ct").as("_change_type"): _*)
   }
 
+  /** DESCRIBE HISTORY parity: one row per commit — version, publish
+    * time (the same manifest mtime clock [[readAsOf]] trusts), files
+    * added/removed, and whether a checkpoint exists at that version.
+    * Reads only the log directory (metadata-scale; never data files),
+    * newest first. Vacuumed-away versions are listed only if their
+    * delta survives. */
+  def history(): DataFrame = {
+    import spark.implicits._
+    val rows = (1L to latestVersion()).reverse.flatMap { v =>
+      val p = logDir.resolve(f"$v%020d.txt")
+      if (!Files.exists(p)) None
+      else {
+        val actions = readLogFile(p)
+        Some((v,
+          java.sql.Timestamp.from(
+            Files.getLastModifiedTime(p).toInstant),
+          actions.count(_.isInstanceOf[Add]).toLong,
+          actions.count(_.isInstanceOf[Remove]).toLong,
+          Files.exists(logDir.resolve(f"$v%020d$CkptSuffix"))))
+      }
+    }
+    rows.toDF("version", "committed_at", "n_added", "n_removed",
+      "has_checkpoint")
+  }
+
   /** Time travel by timestamp (Delta's `timestampAsOf`; the reference's
     * DOC-ONLY time-travel claim, README.md:118): the snapshot at the
     * highest version whose manifest was published at or before `ts`.

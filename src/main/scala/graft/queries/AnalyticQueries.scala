@@ -461,6 +461,32 @@ object AnalyticQueries {
       }: _*)
   }
 
+  // ---- skew-safe joins ----------------------------------------------------
+
+  /** Skew-safe equi-join (the join-side companion to [[distinctSalted]]
+    * and the remedy [[skewOf]] diagnoses for): each LEFT row gets one
+    * of `salts` salt values, each RIGHT row is replicated across ALL
+    * salts, and the join runs on (key, salt) — a hot key's rows spread
+    * over `salts` reducers instead of one. The salt assignment may be
+    * any value in range (every choice matches exactly one replica), so
+    * correctness is partitioning-independent. Right-side replication
+    * costs |right|×salts — use when the right side is the smaller
+    * relation but too big to broadcast and AQE's size-based skew split
+    * doesn't trigger (e.g. the skew is downstream of this join's
+    * output). Inner and left joins only: replication would break
+    * right/full-outer multiplicity. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts >= 1, s"salts must be positive: $salts")
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"saltedJoin supports inner/left joins, got $joinType")
+    val l = left.withColumn("__salt",
+      floor(rand(42) * salts).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
   // ---- sequence analytics: Markov transitions -----------------------------
 
   /** First-order Markov transition matrix over each user's event

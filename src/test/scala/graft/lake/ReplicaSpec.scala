@@ -169,6 +169,24 @@ class ReplicaSpec extends SparkSpec {
     assert(Replica.syncedVersion(rep) === src.latestVersion())
   }
 
+  test("history lists every commit newest-first with add/remove counts") {
+    val t = MergeTable(spark, tmpDir("hist").toString, Some("date"))
+    t.overwrite(orders(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
+    t.merge(orders(("o1", "2024-01-01", 11.0)), "order_id")
+    t.delete(col("order_id") === "o2")
+    val h = t.history()
+      .select("version", "n_added", "n_removed", "has_checkpoint")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(h.map(_._1) === Seq(3L, 2L, 1L), "newest first")
+    val byV = h.map(r => r._1 -> r).toMap
+    assert(byV(1L)._2 === 2L && byV(1L)._3 === 0L, "overwrite adds 2 files")
+    assert(byV(2L)._2 === 1L && byV(2L)._3 === 1L,
+      "merge rewrote only o1's partition")
+    assert(byV(3L)._2 >= 0L && byV(3L)._3 === 1L,
+      "delete removed o2's file")
+    assert(t.history().schema.fieldNames.contains("committed_at"))
+  }
+
   test("replica change feed mirrors the source window's net effect") {
     val src = MergeTable(spark, tmpDir("src").toString, Some("date"))
     val rep = MergeTable(spark, tmpDir("rep").toString, Some("date"))

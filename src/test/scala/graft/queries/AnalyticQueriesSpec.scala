@@ -233,6 +233,22 @@ class AnalyticQueriesSpec extends SparkSpec {
     r
   }
 
+  test("saltedJoin equals the plain join on a skewed key distribution") {
+    val left = (Seq.fill(500)(("hot", 1)) ++
+      (1 to 50).map(i => (s"k$i", i))).toDF("k", "lv")
+    val right = Seq(("hot", "H"), ("k1", "A"), ("k1", "B"), ("k7", "C"))
+      .toDF("k", "rv")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "lv", "rv").as[(String, Int, Option[String])]
+        .collect().sorted.toSeq
+    assert(norm(AnalyticQueries.saltedJoin(left, right, "k", salts = 8)) ===
+      norm(left.join(right, Seq("k"), "inner")),
+      "inner: salted == plain (incl. k1's duplicate right rows)")
+    assert(norm(AnalyticQueries.saltedJoin(left, right, "k", 8, "left")) ===
+      norm(left.join(right, Seq("k"), "left")),
+      "left: unmatched keys keep their null row")
+  }
+
   test("markovOf counts hand-built transitions with exact probabilities") {
     val ev = Seq(
       (1L, "A", 1L, 10L), (1L, "B", 2L, 11L), (1L, "B", 3L, 12L),
