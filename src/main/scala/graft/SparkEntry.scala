@@ -121,6 +121,7 @@ object SparkEntry {
     "q_embed_quant"     -> (SimilarityQueries.embedQuant _),
     "q_embed_pq"        -> (SimilarityQueries.embedPq _),
     "q_embed_pq_search" -> (SimilarityQueries.embedPqSearch _),
+    "q_embed_ivfpq"     -> (SimilarityQueries.embedIvfPq _),
     "q_events_funnel"   -> (AnalyticQueries.eventsFunnel _),
     "q_histogram"       -> (AnalyticQueries.histogram _),
     // §7.5 — multimodal binary columns (stub decode, real plumbing)
@@ -691,6 +692,7 @@ object SparkEntry {
     "q_embed_quant"   -> SimilarityQueries.embedQuantOracle,
     "q_embed_pq"      -> SimilarityQueries.embedPqOracle,
     "q_embed_pq_search" -> SimilarityQueries.embedPqSearchOracle,
+    "q_embed_ivfpq"   -> SimilarityQueries.embedIvfPqOracle,
     "q_doc_pipeline"  -> ext.DocPipeline.pipelineOracle(),
     "q_corpus_pack"   -> ext.DocPipeline.assembledPacksOracle(),
     "q_text_pii"      -> TextQueries.textPiiOracle,

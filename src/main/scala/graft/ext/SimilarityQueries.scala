@@ -723,50 +723,131 @@ object SimilarityQueries {
           FROM sc) t
         WHERE rank <= 3 ORDER BY query_id, rank"""
 
-  /** Shared PQ training CTE chain (subspace slicing → first-K seeds →
-    * [[PqRounds]] fixed-point Lloyd rounds → final assignment
-    * `code_f`), used by both PQ oracles. */
-  private def pqCteChain: String = {
+  /** Shared PQ training CTE chain BODY (subspace slicing → first-K
+    * seeds → [[PqRounds]] fixed-point Lloyd rounds → final assignment
+    * `${p}code_f`), used by all PQ oracles. Every CTE name takes the
+    * `p` prefix so the chain composes into one WITH-list with the IVF
+    * [[cellsCte]] (whose cent/asg/exp/m names would otherwise
+    * collide). */
+  private def pqCteBody(p: String): String = {
     def asgCte(k: String, cent: String): String =
-      s"""asg$k AS (SELECT s.vec_id, s.sub, c.cent_id,
+      s"""${p}asg$k AS (SELECT s.vec_id, s.sub, c.cent_id,
               round(list_sum(list_transform(range(1, len(s.svec) + 1),
                 i -> (s.svec[i] - c.cvec[i]) * (s.svec[i] - c.cvec[i]))), 6)
                 AS dist
-            FROM sub s JOIN $cent c ON s.sub = c.sub),
-          code$k AS (SELECT vec_id, sub, cent_id, dist FROM (
+            FROM ${p}sub s JOIN $cent c ON s.sub = c.sub),
+          ${p}code$k AS (SELECT vec_id, sub, cent_id, dist FROM (
               SELECT *, row_number() OVER (PARTITION BY vec_id, sub
                           ORDER BY dist, cent_id) AS rn
-              FROM asg$k) t
+              FROM ${p}asg$k) t
             WHERE rn = 1)"""
     val lloydCtes = (1 to PqRounds).map { r =>
-      s"""${asgCte(s"_r$r", s"cent${r - 1}")},
-          exp$r AS (SELECT s.sub, c.cent_id AS cell,
+      s"""${asgCte(s"_r$r", s"${p}cent${r - 1}")},
+          ${p}exp$r AS (SELECT s.sub, c.cent_id AS cell,
                 unnest(list_transform(range(1, len(s.svec) + 1),
                   i -> {'p': i,
                         'v': CAST(floor(s.svec[i] * 1000000.0) AS BIGINT)}))
                   AS pv
-              FROM code_r$r c JOIN sub s
+              FROM ${p}code_r$r c JOIN ${p}sub s
                 ON c.vec_id = s.vec_id AND c.sub = s.sub),
-          m$r AS (SELECT sub, cell, pv.p AS p,
+          ${p}m$r AS (SELECT sub, cell, pv.p AS p,
                 CAST(CAST(sum(pv.v) AS BIGINT) AS DOUBLE)
                   / count(*) / 1000000.0 AS m
-              FROM exp$r GROUP BY sub, cell, pv.p),
-          cent$r AS (SELECT sub, cell AS cent_id, list(m ORDER BY p) AS cvec
-              FROM (SELECT sub, cell, p, m FROM m$r) t
+              FROM ${p}exp$r GROUP BY sub, cell, pv.p),
+          ${p}cent$r AS (SELECT sub, cell AS cent_id,
+                list(m ORDER BY p) AS cvec
+              FROM (SELECT sub, cell, p, m FROM ${p}m$r) t
               GROUP BY sub, cell)"""
     }.mkString(",\n")
-    s"""WITH sub AS (
+    s"""${p}sub AS (
           SELECT vec_id, s.sub AS sub,
                  list_transform(
                    embedding[(s.sub * (len(embedding) // $PqSubs) + 1):
                              ((s.sub + 1) * (len(embedding) // $PqSubs))],
                    x -> CAST(x AS DOUBLE)) AS svec
           FROM embeddings, (SELECT unnest(range(0, $PqSubs)) AS sub) s),
-        cent0 AS (SELECT sub, vec_id AS cent_id, svec AS cvec
-                  FROM sub WHERE vec_id < $PqK),
+        ${p}cent0 AS (SELECT sub, vec_id AS cent_id, svec AS cvec
+                  FROM ${p}sub WHERE vec_id < $PqK),
         $lloydCtes,
-        ${asgCte("_f", s"cent$PqRounds")}"""
+        ${asgCte("_f", s"${p}cent$PqRounds")}"""
   }
+
+  private def pqCteChain: String = s"WITH ${pqCteBody("")}"
+
+  /** IVF-PQ combined search — the canonical big-ANN shape: the IVF
+    * index PRUNES candidates to the query's cell (X7's √N Lloyd-refined
+    * cells), then ADC over PQ codes SCORES only those candidates — the
+    * corpus is touched once for cell assignment and once for coding;
+    * search itself reads codes, never vectors. Same 20 queries as
+    * [[embedIvf]]; same fixed-point ADC determinism as
+    * [[embedPqSearch]].
+    *
+    * Scale shape: candidate generation is the one cell-keyed equi-join
+    * [[embedIvf]] already pays; scoring joins candidates to the codes
+    * relation on vec_id and to the broadcast distance table — the full
+    * ADC sweep of [[embedPqSearch]] never happens. This is the
+    * composition the X99 scaladoc promises for 100 TB. */
+  def embedIvfPq(s: SparkSession, d: String): DataFrame = {
+    val cells = DedupQueries.eager(
+      assignedCells(s, d).select(col("vec_id"), col("cell")))
+    val sub = pqSubRel(embeddings(s, d), PqSubs)
+    val cent = pqTrain(sub, PqK, PqRounds)
+    val codes = pqAssign(sub, cent)
+      .select(col("vec_id"), col("sub"), col("code"))
+    val q = cells.filter(col("vec_id") >= 8 && col("vec_id") < 28)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cand = cells.join(q, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val dt = sub.filter(col("vec_id") >= 8 && col("vec_id") < 28)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cent), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cent_id"),
+        expr("CAST(floor(aggregate(zip_with(svec, cvec, " +
+          "(x, c) -> (x - c) * (x - c)), 0D, (acc, v) -> acc + v) " +
+          "* 1000000.0) AS BIGINT)").as("dfp"))
+    val scored = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(dt), Seq("query_id", "sub"))
+      .filter(col("code") === col("cent_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dfp")).as("adist_fp"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_fp"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adist_fp"), col("rank"))
+  }
+
+  /** DuckDB oracle for [[embedIvfPq]] — the IVF cells chain and the
+    * prefix-renamed PQ chain composed in one WITH-list, then the same
+    * prune→ADC→rank. */
+  def embedIvfPqOracle: String =
+    s"""$cellsCte,
+        ${pqCteBody("pq")},
+        q2 AS (SELECT vec_id AS query_id, cell FROM nc
+               WHERE vec_id >= 8 AND vec_id < 28),
+        cand2 AS (SELECT q2.query_id, nc.vec_id AS neighbor_id
+                  FROM nc JOIN q2 ON nc.cell = q2.cell
+                  WHERE nc.vec_id <> q2.query_id),
+        dt2 AS (SELECT s.vec_id AS query_id, s.sub, c.cent_id,
+              CAST(floor(list_sum(list_transform(range(1, len(s.svec) + 1),
+                i -> (s.svec[i] - c.cvec[i]) * (s.svec[i] - c.cvec[i])))
+                * 1000000.0) AS BIGINT) AS dfp
+            FROM pqsub s JOIN pqcent$PqRounds c ON s.sub = c.sub
+            WHERE s.vec_id >= 8 AND s.vec_id < 28),
+        sc2 AS (SELECT cand2.query_id, cand2.neighbor_id,
+              CAST(SUM(dfp) AS BIGINT) AS adist_fp
+            FROM cand2
+            JOIN pqcode_f cd ON cd.vec_id = cand2.neighbor_id
+            JOIN dt2 ON dt2.query_id = cand2.query_id
+              AND dt2.sub = cd.sub AND dt2.cent_id = cd.cent_id
+            GROUP BY cand2.query_id, cand2.neighbor_id)
+        SELECT query_id, neighbor_id, adist_fp, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY adist_fp, neighbor_id) AS rank
+          FROM sc2) t
+        WHERE rank <= 3 ORDER BY query_id, rank"""
 
   /** DuckDB oracle for [[embedPq]]: identical subspace slicing, round-6
     * distances, argmin tie rule, and fixed-point Lloyd means, with the

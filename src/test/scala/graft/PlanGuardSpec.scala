@@ -12,7 +12,8 @@ class PlanGuardSpec extends SparkSpec {
     * the broadcast side is ≤ a few rows (scalar aggregate, ≤10 query
     * vectors, 8 centroids) and the condition is non-equi by design. */
   private val intendedBroadcastNL = Set(
-    "q_scalar_subquery", "q_embed_topk", "q_embed_ivf", "q_text_colloc",
+    "q_scalar_subquery", "q_embed_topk", "q_embed_ivf", "q_embed_ivfpq",
+    "q_text_colloc",
     // 1-row scalar broadcast (corpus size) against a streaming fact side
     "q_text_tfidf", "q_text_rarity",
     // 1-row total broadcast against the 20-row top-k relation

@@ -267,6 +267,29 @@ class PipelinePrepSpec extends SparkSpec {
     }
   }
 
+  test("embedIvfPq prunes to the query cell and scores like ADC") {
+    val ivfpq = SimilarityQueries.embedIvfPq(spark, sf)
+      .select("query_id", "neighbor_id", "adist_fp", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(ivfpq.nonEmpty)
+    ivfpq.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._4).sorted.toSeq === (1 to g.length).toSeq,
+        "contiguous ranks (a small cell may yield < 3 candidates)")
+      assert(g.forall(r => r._2 != r._1))
+    }
+    // pruned search never returns more rows per query than the corpus-
+    // wide ADC's cap, and agrees with it on the approximate distance of
+    // any (query, neighbor) both return
+    val full = SimilarityQueries.embedPqSearch(spark, sf)
+      .select("query_id", "neighbor_id", "adist_fp")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    ivfpq.foreach { case (q, n, d, _) =>
+      full.get((q, n)).foreach(fd => assert(fd === d,
+        s"ADC distance must match corpus-wide ADC for ($q,$n)"))
+    }
+  }
+
   test("pqCodesOf is partitioning-invariant (fixed-point Lloyd)") {
     val vs = (0L until 24L).map(i =>
       i -> Seq.tabulate(8)(p => (math.cos(i * 3 + p) * 2).toFloat))
