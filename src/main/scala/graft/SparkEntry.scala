@@ -109,6 +109,7 @@ object SparkEntry {
     "q_window_lag"      -> (AnalyticQueries.windowLag _),
     "q_events_gapfill"  -> (AnalyticQueries.eventsGapfill _),
     "q_events_retention" -> (AnalyticQueries.eventsRetention _),
+    "q_events_rolling"  -> (AnalyticQueries.eventsRolling _),
     "q_table_profile"   -> (AnalyticQueries.tableProfile _),
     "q_graph_pagerank"  -> (AnalyticQueries.graphPagerank _),
     "q_events_anomaly"  -> (AnalyticQueries.eventsAnomaly _),
@@ -609,6 +610,30 @@ object SparkEntry {
               CAST(MAX($c) AS VARCHAR) AS max_s FROM lineitem""")
       .mkString("", " UNION ALL ", " ORDER BY col_name"),
     "q_graph_pagerank" -> AnalyticQueries.graphPagerankOracle,
+    "q_events_rolling" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day
+                    FROM events WHERE user_id < 100),
+         c AS (SELECT user_id, day, count(*) AS n FROM e GROUP BY 1, 2),
+         r AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+               FROM e GROUP BY 1),
+         g AS (SELECT user_id,
+                 unnest(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+                   INTERVAL 1 DAY))::DATE AS day
+               FROM r),
+         f AS (SELECT g.user_id, g.day,
+                 coalesce(n, CAST(0 AS BIGINT)) AS n_events
+               FROM g LEFT JOIN c ON g.user_id = c.user_id
+                 AND g.day = c.day)
+         SELECT user_id, day, n_events,
+                CAST(sum(n_events) OVER w7 AS BIGINT) AS sum7,
+                round(CAST(sum(n_events) OVER w7 AS BIGINT)
+                  / CAST(count(*) OVER w7 AS DOUBLE), 6) AS avg7,
+                n_events - lag(n_events) OVER
+                  (PARTITION BY user_id ORDER BY day) AS delta
+         FROM f
+         WINDOW w7 AS (PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, day""",
     "q_expectations" ->
       """WITH a AS (SELECT count(*) AS n_rows,
              CAST(sum(CASE WHEN coalesce(l_quantity > 0, FALSE)

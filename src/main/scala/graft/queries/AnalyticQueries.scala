@@ -247,6 +247,31 @@ object AnalyticQueries {
         col("n").isNull.as("filled"))
   }
 
+  /** Rolling features over the gapfilled daily series — the
+    * feature-engineering step [[eventsGapfill]] exists to serve:
+    * trailing 7-day sum and mean of daily activity plus the
+    * day-over-day delta, per user. The dense grid makes ROWS frames
+    * correct (a silent day is a 0 row, not a hole), so `rows between 6
+    * preceding` IS the calendar week — the reason to gapfill before
+    * windowing. One extra window pass over the gapfilled relation
+    * (user-keyed partitions, output-sized); the mean is windowed
+    * int-sum ÷ int-count, one IEEE division both engines agree on. */
+  def eventsRolling(s: SparkSession, d: String): DataFrame = {
+    val base = gapfillDaily(
+      Tables.events(s, d).filter(col("user_id") < 100)
+        .select(col("user_id"), to_date(col("ts")).as("day")),
+      keyCol = "user_id", dayCol = "day")
+      .withColumnRenamed("n_rows", "n_events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val w7 = w.rowsBetween(-6, Window.currentRow)
+    base.select(
+      col("user_id"), col("day"), col("n_events"),
+      sum(col("n_events")).over(w7).as("sum7"),
+      round(sum(col("n_events")).over(w7) /
+        count(lit(1)).over(w7).cast("double"), 6).as("avg7"),
+      (col("n_events") - lag(col("n_events"), 1).over(w)).as("delta"))
+  }
+
   /** ANALYZE-style table profile over representative lineitem columns —
     * see [[profileOf]]. */
   def tableProfile(s: SparkSession, d: String): DataFrame =
