@@ -110,6 +110,8 @@ object SparkEntry {
     "q_events_gapfill"  -> (AnalyticQueries.eventsGapfill _),
     "q_events_retention" -> (AnalyticQueries.eventsRetention _),
     "q_events_rolling"  -> (AnalyticQueries.eventsRolling _),
+    "q_histogram_eqd"   -> (AnalyticQueries.histogramEqd _),
+    "q_winsorize"       -> (AnalyticQueries.winsorize _),
     "q_table_profile"   -> (AnalyticQueries.tableProfile _),
     "q_graph_pagerank"  -> (AnalyticQueries.graphPagerank _),
     "q_events_anomaly"  -> (AnalyticQueries.eventsAnomaly _),
@@ -610,6 +612,38 @@ object SparkEntry {
               CAST(MAX($c) AS VARCHAR) AS max_s FROM lineitem""")
       .mkString("", " UNION ALL ", " ORDER BY col_name"),
     "q_graph_pagerank" -> AnalyticQueries.graphPagerankOracle,
+    "q_histogram_eqd" ->
+      """WITH c AS (SELECT l_quantity AS v, count(*) AS cnt
+                    FROM lineitem GROUP BY 1),
+         cc AS (SELECT v, cnt,
+                  CAST(sum(cnt) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+                  CAST(sum(cnt) OVER () AS BIGINT) AS n
+                FROM c)
+         SELECT ((cum - cnt) * 5) // n AS bucket,
+                min(v) AS lo, max(v) AS hi,
+                CAST(sum(cnt) AS BIGINT) AS n_rows
+         FROM cc GROUP BY 1 ORDER BY 1""",
+    "q_winsorize" ->
+      """WITH q AS (SELECT l_returnflag,
+                      quantile_cont(l_quantity, 0.25) AS q25,
+                      quantile_cont(l_quantity, 0.75) AS q75
+                    FROM lineitem GROUP BY 1),
+         b AS (SELECT l_returnflag,
+                 q25 - (q75 - q25) * 1.5 AS lo,
+                 q75 + (q75 - q25) * 1.5 AS hi
+               FROM q)
+         SELECT l.l_returnflag,
+                CAST(sum(CASE WHEN l_quantity < lo THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_lo_clipped,
+                CAST(sum(CASE WHEN l_quantity > hi THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hi_clipped,
+                round(sum(greatest(lo, least(hi, l_quantity))), 2)
+                  AS sum_winsorized,
+                count(*) AS n_rows
+         FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+         GROUP BY 1 ORDER BY 1""",
     "q_events_rolling" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day
                     FROM events WHERE user_id < 100),

@@ -643,6 +643,66 @@ object AnalyticQueries {
       .select(col(keyCol), col(dayCol), col("n"), col("med"), col("mad"))
   }
 
+  // ---- bounded-domain distribution operators ------------------------------
+
+  /** Equi-DEPTH histogram (X72 is equi-width): 5 buckets of ~equal row
+    * count over l_quantity, built from the count-by-value relation —
+    * the binning rule is `bucket(v) = (rows-before-v × B) div n`, pure
+    * integer arithmetic on exact cumulative counts, so bucket edges are
+    * engine-identical with no percentile interpolation at all. Same
+    * O(domain) scale stance as [[percentilesBounded]]: per-value counts
+    * are map-side combinable; every later pass runs over the tiny
+    * (domain-sized) relation. */
+  def histogramEqd(s: SparkSession, d: String): DataFrame =
+    equiDepthOf(Tables.lineitem(s, d), "l_quantity", buckets = 5)
+
+  /** The general equi-depth operator behind [[histogramEqd]]. */
+  def equiDepthOf(df: DataFrame, valCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 1)
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = df.groupBy(col(valCol).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy()))
+    cum
+      // integer floor-division, NOT double `/`+cast: a correctly-rounded
+      // double quotient can land exactly ON an integer the true ratio
+      // sits just below, flipping a bucket edge vs the oracle's `//`
+      .withColumn("bucket",
+        expr(s"((cum - cnt) * $buckets) div n"))
+      .groupBy(col("bucket"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        sum(col("cnt")).as("n_rows"))
+  }
+
+  /** IQR winsorization summary: per return flag, clip l_quantity to
+    * [q25 − 1.5·IQR, q75 + 1.5·IQR] and report how many rows clipped
+    * at each end plus the winsorized sum — the outlier-capping step of
+    * numeric feature prep. Quartiles on integer counts are
+    * quarter-exact binary fractions ([[boundedPercentiles]] machinery),
+    * 1.5·IQR is exact, and the winsorized sum adds only exact binary
+    * values well under 2^52 — order-independent, no float hash risk. */
+  def winsorize(s: SparkSession, d: String): DataFrame = {
+    val qs = boundedPercentiles(Tables.lineitem(s, d), "l_returnflag",
+      "l_quantity", Seq(0.25 -> "q25", 0.75 -> "q75"))
+      .select(col("l_returnflag"),
+        (col("q25") - (col("q75") - col("q25")) * 1.5).as("lo"),
+        (col("q75") + (col("q75") - col("q25")) * 1.5).as("hi"))
+    Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity"))
+      .join(broadcast(qs), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("l_quantity") < col("lo"), 1L).otherwise(0L))
+          .as("n_lo_clipped"),
+        sum(when(col("l_quantity") > col("hi"), 1L).otherwise(0L))
+          .as("n_hi_clipped"),
+        round(sum(greatest(col("lo"),
+          least(col("hi"), col("l_quantity")))), 2).as("sum_winsorized"),
+        count(lit(1)).as("n_rows"))
+  }
+
   // ---- iterative graph analytics: PageRank --------------------------------
 
   /** Fixed-point PageRank constants, shared by the Spark operator and the

@@ -233,6 +233,25 @@ class AnalyticQueriesSpec extends SparkSpec {
     r
   }
 
+  test("equiDepthOf splits a known distribution at exact count edges") {
+    // values 1..10, value v appearing v times (55 rows); B=5 -> ~11/bucket
+    val df = (1 to 10).flatMap(v => Seq.fill(v)(v)).toDF("x")
+    val out = AnalyticQueries.equiDepthOf(df, "x", buckets = 5)
+      .select("bucket", "lo", "hi", "n_rows")
+      .as[(Long, Int, Int, Long)].collect().sortBy(_._1).toSeq
+    // rows-before(v)*5 div 55: v=1..5 -> 0 (before: 0,1,3,6,10 -> *5 div 55 = 0)
+    // v=6: before 15 -> 75 div 55 = 1 ... verified by hand:
+    assert(out.map(_._4).sum === 55L)
+    assert(out === Seq(
+      (0L, 1, 5, 15L),   // before: 0..10 -> bucket 0
+      (1L, 6, 7, 13L),   // before 15 (75/55=1), 21 (105/55=1)
+      (2L, 8, 8, 8L),    // before 28 (140/55=2)
+      (3L, 9, 9, 9L),    // before 36 (180/55=3)
+      (4L, 10, 10, 10L)))// before 45 (225/55=4)
+    // buckets are contiguous, ordered, non-overlapping
+    out.sliding(2).foreach { case Seq(a, b) => assert(a._3 < b._2) }
+  }
+
   test("saltedJoin equals the plain join on a skewed key distribution") {
     val left = (Seq.fill(500)(("hot", 1)) ++
       (1 to 50).map(i => (s"k$i", i))).toDF("k", "lv")
