@@ -142,6 +142,9 @@ object SparkEntry {
     // one composed CTE oracle (DocPipeline.assembledPacksOracle).
     "q_corpus_pack"     -> ((s: SparkSession, d: String) =>
       ext.DocPipeline.assembledPacks(s, d)),
+    // Full curation: clean -> eval-holdout + decontamination -> pack.
+    "q_corpus_curate"   -> ((s: SparkSession, d: String) =>
+      ext.DocPipeline.curatedPacks(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -754,6 +757,7 @@ object SparkEntry {
     "q_embed_ivfpq"   -> SimilarityQueries.embedIvfPqOracle,
     "q_doc_pipeline"  -> ext.DocPipeline.pipelineOracle(),
     "q_corpus_pack"   -> ext.DocPipeline.assembledPacksOracle(),
+    "q_corpus_curate" -> ext.DocPipeline.curatedPacksOracle(),
     "q_text_pii"      -> TextQueries.textPiiOracle,
     "q_text_colloc"   -> TextQueries.textCollocOracle,
     "q_doc_mix"       -> TextQueries.docMixOracle,

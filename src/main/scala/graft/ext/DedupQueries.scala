@@ -219,7 +219,14 @@ object DedupQueries {
   /** (doc_id, fp) for every fixed 10-token chunk — the narrow chunk
     * relation shared by [[chunkDedup]] and [[decontaminate]]. */
   private def chunked(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    chunkedOf(documents(s, d))
+
+  /** [[chunked]] over an arbitrary (doc_id, text) frame — so the chunk
+    * machinery composes into pipelines whose corpus is not the raw
+    * fixture (e.g. [[DocPipeline.curatedPacks]] decontaminating the
+    * CLEANED corpus). */
+  private[ext] def chunkedOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, cast(ceil(size(toks) / 10.0) as int) - 1),
@@ -227,6 +234,30 @@ object DedupQueries {
         .as("chunk"))
       .withColumn("fp", md5(col("chunk")))
       .select("doc_id", "fp")
+
+  /** The deterministic 5 % eval-holdout rule (doc_id-hash; the
+    * [[TextQueries.docSample]] discipline) — one SQL expression shared
+    * by [[decontaminate]] and [[evalExcluded]]. */
+  private[ext] val IsEvalSql =
+    """cast(conv(substring(md5(concat(cast(doc_id as string), ':eval')),
+       1, 8), 16, 10) as bigint) % 100 < 5"""
+
+  /** Everything a TRAINING corpus must exclude under the eval-holdout
+    * discipline: the eval documents themselves PLUS every train
+    * document sharing a 10-token chunk fingerprint with any eval
+    * document ([[decontaminate]]'s flag, reduced to ids). One chunk
+    * relation feeds both sides (eager-cached), the hit test is one
+    * fp semi-join. Returns distinct `doc_id`s. */
+  def evalExcluded(docs: DataFrame): DataFrame = {
+    val ch = eager(chunkedOf(docs.select(col("doc_id"), col("text")))
+      .withColumn("is_eval", expr(IsEvalSql)))
+    val evalFps = ch.filter(col("is_eval")).select(col("fp")).distinct()
+    val contaminated = ch.filter(!col("is_eval"))
+      .join(evalFps, Seq("fp"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.filter(expr(IsEvalSql)).select(col("doc_id"))
+      .unionByName(contaminated).distinct()
+  }
 
   /** Tier 7 — train/eval DECONTAMINATION (the n-gram-overlap check run
     * before any benchmark number is trusted): a deterministic 5 %
@@ -244,9 +275,7 @@ object DedupQueries {
     // eager-cache the narrow chunk relation: it feeds BOTH join sides
     // (eval fingerprints + train chunks), and without the cache Spark
     // recomputes the full text scan + chunk explosion + md5 per subtree
-    val ch = eager(chunked(s, d).withColumn("is_eval", expr(
-      """cast(conv(substring(md5(concat(cast(doc_id as string), ':eval')),
-         1, 8), 16, 10) as bigint) % 100 < 5""")))
+    val ch = eager(chunked(s, d).withColumn("is_eval", expr(IsEvalSql)))
     val evalFps = ch.filter(col("is_eval"))
       .select(col("fp")).distinct().withColumn("hit", lit(1L))
     ch.filter(!col("is_eval"))

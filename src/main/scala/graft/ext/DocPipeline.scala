@@ -146,6 +146,76 @@ object DocPipeline {
         .select(col("source"), col("doc_id"),
           expr("size(split(text, ' '))").as("n_tokens")))
 
+  /** The FULL curation line: clean (X17) → eval-holdout exclusion +
+    * decontamination over the CLEANED corpus (X55's machinery via
+    * [[DedupQueries.evalExcluded]]) → sequence packing (X82). What X92
+    * packs is "everything that survived cleaning"; what a TRAINING run
+    * actually packs is that minus the eval holdout and minus every doc
+    * contaminated by it — this operator is that corpus, as ONE lazy
+    * composed plan (the chunk relation is built from cleaned docs only,
+    * so decontamination work tracks post-attrition size). */
+  def curatedPacks(s: SparkSession, sfDir: String,
+      maxRepRatio: Double = 0.2): DataFrame = {
+    val cleaned = cleanedCorpus(s, sfDir, maxRepRatio)
+    val excluded = DedupQueries.evalExcluded(cleaned)
+    TextQueries.packOf(
+      cleaned.join(excluded, Seq("doc_id"), "left_anti")
+        .select(col("source"), col("doc_id"),
+          expr("size(split(text, ' '))").as("n_tokens")))
+  }
+
+  /** DuckDB oracle for [[curatedPacks]] — pipeline CTEs + the chunk/
+    * holdout CTEs rewritten over the cleaned corpus + the shared pack
+    * rule. */
+  def curatedPacksOracle(maxRepRatio: Double = 0.2): String = {
+    val budget = TextQueries.PackBudget
+    val shards = TextQueries.PackShards
+    s"""${pipelineCtes(maxRepRatio)},
+        cl0 AS (
+          SELECT d.doc_id, d.source, d.text
+          FROM documents d
+          WHERE d.doc_id IN (SELECT doc_id FROM kept2)
+            AND d.doc_id NOT IN (SELECT doc_id FROM losers)),
+        tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM cl0),
+        ck AS (SELECT doc_id,
+                 unnest(list_transform(
+                   range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+                   i -> md5(array_to_string(
+                          toks[(i * 10 + 1):(i * 10 + 10)], ' ')))) AS fp
+               FROM tk),
+        ev AS (SELECT doc_id,
+                 ('0x' || substr(md5(doc_id || ':eval'), 1, 8))::BIGINT
+                   % 100 < 5 AS is_eval
+               FROM cl0),
+        cke AS (SELECT ck.doc_id, fp, is_eval
+                FROM ck JOIN ev ON ck.doc_id = ev.doc_id),
+        efp AS (SELECT DISTINCT fp FROM cke WHERE is_eval),
+        excl AS (SELECT doc_id FROM ev WHERE is_eval
+                 UNION
+                 SELECT DISTINCT doc_id FROM cke
+                 WHERE NOT is_eval AND fp IN (SELECT fp FROM efp)),
+        cleaned AS (
+          SELECT c.source, c.doc_id,
+                 len(string_split(c.text, ' ')) AS n_tokens,
+                 c.doc_id % $shards AS pshard
+          FROM cl0 c
+          WHERE c.doc_id NOT IN (SELECT doc_id FROM excl)),
+        cum AS (
+          SELECT source, pshard, doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source, pshard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prev_cum
+          FROM cleaned)
+        SELECT source, pshard,
+               CAST(FLOOR(prev_cum / $budget.0) AS BIGINT) AS pack_id,
+               count(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM cum GROUP BY source, pshard, pack_id
+        ORDER BY source, pshard, pack_id"""
+  }
+
   /** DuckDB oracle for [[assembledPacks]] — the pipeline CTE chain plus
     * the SAME shard/window/floor pack rule as `q_doc_pack`, generated
     * from the shared constants. */

@@ -77,4 +77,23 @@ class DocPipelineSpec extends SparkSpec {
       "doc 11's partner is gone, so it is the last copy and must stay")
     assert(cleaned.select("doc_id").as[Long].collect().toSeq === Seq(11L))
   }
+
+  test("curatedPacks packs exactly the cleaned-minus-excluded token mass") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val cleaned = DocPipeline.cleanedCorpus(spark, sf)
+    val excluded = DedupQueries.evalExcluded(cleaned)
+    val expectedTokens = cleaned
+      .join(excluded, Seq("doc_id"), "left_anti")
+      .select(expr("size(split(text, ' '))").as("n")).agg(sum("n"))
+      .as[Long].collect().head
+    val curated = DocPipeline.curatedPacks(spark, sf)
+    val packed = curated.agg(sum("pack_tokens")).as[Long].collect().head
+    assert(packed === expectedTokens, "no token lost or invented")
+    assert(excluded.count() > 0, "fixture must actually exclude docs")
+    // strictly less than the un-curated assembly (the holdout is real)
+    val assembled = DocPipeline.assembledPacks(spark, sf)
+      .agg(sum("pack_tokens")).as[Long].collect().head
+    assert(packed < assembled)
+  }
 }
