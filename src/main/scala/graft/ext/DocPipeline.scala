@@ -156,7 +156,10 @@ object DocPipeline {
     * so decontamination work tracks post-attrition size). */
   def curatedPacks(s: SparkSession, sfDir: String,
       maxRepRatio: Double = 0.2): DataFrame = {
-    val cleaned = cleanedCorpus(s, sfDir, maxRepRatio)
+    // cleaned feeds BOTH the exclusion side and the anti-join left side
+    // — eager-cache it or the whole attrition pipeline (LSH included)
+    // runs twice (measured ~2× the query)
+    val cleaned = DedupQueries.eager(cleanedCorpus(s, sfDir, maxRepRatio))
     val excluded = DedupQueries.evalExcluded(cleaned)
     TextQueries.packOf(
       cleaned.join(excluded, Seq("doc_id"), "left_anti")
