@@ -788,6 +788,35 @@ final class MergeTable private (
             col("e.ct").as("_change_type"): _*)
   }
 
+  /** Delta's shallow CLONE: a new table at `dest` whose first commit
+    * REFERENCES this table's live files (relative paths through the
+    * common filesystem — zero data copied, metadata-only, O(files)
+    * time at any table size). The clone then diverges copy-on-write:
+    * its merges/deletes rewrite only touched files INTO ITS OWN root,
+    * never the source's; untouched entries keep pointing at source
+    * files. Same caveat as Delta: [[vacuum]] on the SOURCE removes
+    * files a clone may still reference — vacuum sources only when no
+    * clone needs them (or re-materialize the clone via
+    * [[snapshotDir]]). */
+  def cloneTo(dest: String): MergeTable = {
+    val destPath = Paths.get(dest)
+    require(!Files.exists(destPath) ||
+      !Files.isDirectory(destPath) ||
+      !Files.list(destPath).findFirst().isPresent,
+      s"clone destination $dest is not empty")
+    val (_, live) = latest()
+    val clone = new MergeTable(spark, destPath, partitionCol, statsCol)
+    Files.createDirectories(destPath)
+    val rebased = live.map { e =>
+      e.copy(relPath = destPath.toAbsolutePath.normalize
+        .relativize(root.toAbsolutePath.normalize.resolve(e.relPath)
+          .normalize).toString)
+    }
+    val v = clone.tryCommit(CommitDelta(rebased, Nil), 0L)
+    require(v.contains(1L), s"clone commit lost a race at fresh $dest")
+    clone
+  }
+
   /** DESCRIBE HISTORY parity: one row per commit — version, publish
     * time (the same manifest mtime clock [[readAsOf]] trusts), files
     * added/removed, and whether a checkpoint exists at that version.
@@ -834,7 +863,7 @@ final class MergeTable private (
   def snapshotDir(): Path = {
     def liveDirs(): Seq[String] = {
       val (_, live) = latest()
-      live.map(_.relPath.split('/').head).distinct
+      live.map(e => commitDirOf(e.relPath)).distinct
     }
     val dirs = liveDirs()
     val dir =
@@ -846,8 +875,11 @@ final class MergeTable private (
   private def readEntries(entries: Seq[FileEntry]): DataFrame = {
     if (entries.isEmpty) return emptyLike()
     // Group by commit dir: each dir is one hive-partitioned write whose
-    // basePath restores the partition column.
-    val byDir = entries.groupBy(_.relPath.split('/').head)
+    // basePath restores the partition column. commitDirOf (not the
+    // first path component) so a clone's rebased "../source/commit-x"
+    // entries group per SOURCE commit dir, preserving the per-dir
+    // schema-resolution path.
+    val byDir = entries.groupBy(e => commitDirOf(e.relPath))
     // Many dirs of small files still cost scan TASKS (not plan nodes);
     // compaction remains the small-file remedy.
     if (byDir.size >= CompactionAdviceDirs)
@@ -990,6 +1022,15 @@ object MergeTable {
     * disambiguate within a commit; across commits the job UUID does. */
   private def fileKey(path: String): String =
     path.split('/').takeRight(2).mkString("/")
+
+  /** The path prefix through the `commit-*` component — a file's commit
+    * dir even when a clone's rebased relPath climbs through `..` first. */
+  private def commitDirOf(relPath: String): String = {
+    val parts = relPath.split('/')
+    val i = parts.indexWhere(_.startsWith("commit-"))
+    require(i >= 0, s"no commit dir in manifest path $relPath")
+    parts.take(i + 1).mkString("/")
+  }
 
   /** Spark escapes special chars in partition dir names (URL-style). */
   private def unescapePathValue(s: String): String =

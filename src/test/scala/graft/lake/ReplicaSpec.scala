@@ -169,6 +169,50 @@ class ReplicaSpec extends SparkSpec {
     assert(Replica.syncedVersion(rep) === src.latestVersion())
   }
 
+  test("shallow clone copies no data and diverges copy-on-write") {
+    import scala.jdk.CollectionConverters._
+    def parquetsUnder(p: java.nio.file.Path): Seq[String] = {
+      val s = Files.walk(p)
+      try s.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toList
+      finally s.close()
+    }
+    val src = MergeTable(spark, tmpDir("clsrc").toString, Some("date"))
+    src.overwrite(orders(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
+    val cloneRoot = tmpDir("clone")
+    val clone = src.cloneTo(cloneRoot.toString)
+
+    // metadata-only: identical content, zero parquet under the clone
+    assert(contents(clone.read()) === contents(src.read()))
+    assert(parquetsUnder(cloneRoot).isEmpty, "shallow = no data copied")
+
+    // divergence: a merge on the clone touches only o1's partition —
+    // the new file lands in the CLONE root, the source is unchanged,
+    // and o2's entry still points at the source file
+    clone.merge(orders(("o1", "2024-01-01", 99.0)), "order_id")
+    assert(contents(clone.read()) ===
+      Set(("o1", "2024-01-01", 99.0), ("o2", "2024-01-02", 20.0)))
+    assert(contents(src.read()) ===
+      Set(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)),
+      "source must never see clone writes")
+    assert(parquetsUnder(cloneRoot).nonEmpty, "rewritten file is local")
+    assert(clone.liveEntries().exists(_.relPath.contains("..")),
+      "untouched partition still references the source")
+
+    // the clone has its own history: v1 = clone point, v2 = the merge
+    assert(clone.latestVersion() === 2L)
+    assert(contents(clone.readVersion(1L)) ===
+      Set(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
+  }
+
+  test("cloneTo refuses a non-empty destination") {
+    val src = MergeTable(spark, tmpDir("clsrc").toString, Some("date"))
+    src.overwrite(orders(("o1", "2024-01-01", 10.0)))
+    val dest = tmpDir("notempty")
+    Files.writeString(dest.resolve("junk.txt"), "x")
+    intercept[IllegalArgumentException] { src.cloneTo(dest.toString) }
+  }
+
   test("history lists every commit newest-first with add/remove counts") {
     val t = MergeTable(spark, tmpDir("hist").toString, Some("date"))
     t.overwrite(orders(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
