@@ -788,6 +788,32 @@ final class MergeTable private (
             col("e.ct").as("_change_type"): _*)
   }
 
+  /** Delta's RESTORE TABLE: roll the table back to historical
+    * `version` — as a NEW commit (the rollback itself is auditable and
+    * revertable; history is never rewritten). Metadata-only: the
+    * restored snapshot's files are re-referenced, nothing is copied or
+    * rewritten — O(files) regardless of table size. Requires the
+    * target snapshot to still be reconstructible (vacuum prunes
+    * pre-vacuum history). Restoring the current version is a no-op
+    * commit-free. */
+  def restore(version: Long): Long = {
+    val head = latestVersion()
+    require(version >= 1 && version <= head,
+      s"cannot restore to $version: table is at $head")
+    if (version == head) return head // already there — commit nothing
+    retryingCommit { () =>
+      val (cur, live) = latest()
+      val target = snapshotAt(version)
+      val targetPaths = target.map(_.relPath).toSet
+      val removed = live.filterNot(e => targetPaths(e.relPath))
+      val added = {
+        val livePaths = live.map(_.relPath).toSet
+        target.filterNot(e => livePaths(e.relPath))
+      }
+      (CommitDelta(added, removed.map(_.relPath)), cur)
+    }
+  }
+
   /** Delta's shallow CLONE: a new table at `dest` whose first commit
     * REFERENCES this table's live files (relative paths through the
     * common filesystem — zero data copied, metadata-only, O(files)

@@ -169,6 +169,36 @@ class ReplicaSpec extends SparkSpec {
     assert(Replica.syncedVersion(rep) === src.latestVersion())
   }
 
+  test("restore rolls back to an old snapshot as a new auditable commit") {
+    val t = MergeTable(spark, tmpDir("restore").toString, Some("date"))
+    t.overwrite(orders(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
+    val v1 = t.latestVersion()
+    t.merge(orders(("o1", "2024-01-01", 99.0), ("o3", "2024-01-03", 30.0)),
+      "order_id")
+    t.delete(col("order_id") === "o2")
+    val restoredTo = t.restore(v1)
+    assert(restoredTo === t.latestVersion() && restoredTo === 4L,
+      "rollback is a NEW commit, history intact")
+    assert(contents(t.read()) ===
+      Set(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
+    // the pre-restore state is still reachable (auditable + revertable)
+    assert(contents(t.readVersion(3L)) ===
+      Set(("o1", "2024-01-01", 99.0), ("o3", "2024-01-03", 30.0)))
+    // the restore commit carries only the file DELTA (metadata-only)
+    val h = t.history().select("version", "n_added", "n_removed")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(h(4L)._1 > 0 && h(4L)._2 > 0)
+    // restoring the current version commits nothing
+    val v = t.latestVersion()
+    t.restore(v)
+    assert(t.latestVersion() === v)
+    // the change feed across the restore shows the rollback
+    val feed = t.changes(3L, 4L, "order_id")
+      .select("order_id", MergeTable.ChangeType)
+      .as[(String, String)].collect().toSet
+    assert(feed === Set(("o1", "update"), ("o2", "insert"), ("o3", "delete")))
+  }
+
   test("shallow clone copies no data and diverges copy-on-write") {
     import scala.jdk.CollectionConverters._
     def parquetsUnder(p: java.nio.file.Path): Seq[String] = {
