@@ -386,7 +386,10 @@ object Multimodal {
     val win = new Array[Double](64)
     var w = 0
     while (w < 64) {
-      val (i0, i1) = (w * n / 64, math.max((w + 1) * n / 64, w * n / 64 + 1))
+      // Long window bounds: w*n overflows Int past ~34M frames (a
+      // 13-minute 44.1 kHz WAV is within readAudio's inputs).
+      val i0 = (w.toLong * n / 64).toInt
+      val i1 = math.max(((w + 1).toLong * n / 64).toInt, i0 + 1)
       var sum = 0.0
       var i = i0
       while (i < math.min(i1, n)) { sum += xs(i) * xs(i); i += 1 }

@@ -368,7 +368,8 @@ final class MergeTable private (
     * files are rewritten, and the sequence collapse is one pk-shuffle
     * aggregate. Applying a feed of absent-key deletes rewrites nothing. */
   def mergeCdc(feed: DataFrame, pk: String,
-      sequenceBy: Option[String] = None): Long = {
+      sequenceBy: Option[String] = None,
+      keepSequence: Boolean = false): Long = {
     require(feed.columns.contains(ChangeType),
       s"mergeCdc feed needs a $ChangeType column " +
         "(insert/update/update_postimage/update_preimage/delete)")
@@ -388,8 +389,15 @@ final class MergeTable private (
         require(dup.isEmpty,
           s"mergeCdc: duplicate $seq for key ${dup.headOption.map(_.get(0))}" +
             " — SEQUENCE BY must be unique per key")
-        // the sequence is feed metadata, not table data
-        ranked.filter(col(SeqRank) === 1).drop(SeqRank, SeqPeer, seq)
+        val winners = ranked.filter(col(SeqRank) === 1).drop(SeqRank, SeqPeer)
+        // The sequence is feed metadata UNLESS the caller keeps it, or
+        // the target already stores it as a regular column (Delta's
+        // SEQUENCE BY stores it too) — that's what lets a sequenced
+        // apply compose with a stored-sequence late-event guard like
+        // [[graft.streaming.StreamIngest.runCdcAvailableNow]]'s.
+        if (keepSequence ||
+            (latestVersion() > 0L && read().columns.contains(seq))) winners
+        else winners.drop(seq)
       case None => events
     }
     val src = collapsed.cache()
@@ -641,7 +649,7 @@ final class MergeTable private (
     Using.resource(Files.list(root)) { stream =>
       stream.iterator().asScala
         .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("commit-") &&
+          CommitDirName.matches(p.getFileName.toString) &&
           !liveDirs.contains(p.getFileName.toString))
         .toSeq
     }.foreach(deleteRecursively)
@@ -826,10 +834,13 @@ final class MergeTable private (
     * [[snapshotDir]]). */
   def cloneTo(dest: String): MergeTable = {
     val destPath = Paths.get(dest)
+    // An existing regular file must fail THIS require (not surface later
+    // as createDirectories' FileAlreadyExistsException), and the listing
+    // stream must close.
     require(!Files.exists(destPath) ||
-      !Files.isDirectory(destPath) ||
-      !Files.list(destPath).findFirst().isPresent,
-      s"clone destination $dest is not empty")
+      (Files.isDirectory(destPath) &&
+        !Using.resource(Files.list(destPath))(_.findFirst().isPresent)),
+      s"clone destination $dest is not an empty directory")
     val (_, live) = latest()
     val clone = new MergeTable(spark, destPath, partitionCol, statsCol)
     Files.createDirectories(destPath)
@@ -1049,11 +1060,18 @@ object MergeTable {
   private def fileKey(path: String): String =
     path.split('/').takeRight(2).mkString("/")
 
+  /** The exact dir-name shape [[writeData]] produces: `commit-` + the
+    * first 12 chars of a random UUID string (8 hex, '-', 3 hex). An
+    * exact match — not a `startsWith` — so a clone's rebased relPath
+    * climbing through an ancestor that merely BEGINS with "commit-"
+    * (e.g. `../commit-logs/...`) can't be mistaken for the commit dir. */
+  private val CommitDirName = "commit-[0-9a-f]{8}-[0-9a-f]{3}".r
+
   /** The path prefix through the `commit-*` component — a file's commit
     * dir even when a clone's rebased relPath climbs through `..` first. */
   private def commitDirOf(relPath: String): String = {
     val parts = relPath.split('/')
-    val i = parts.indexWhere(_.startsWith("commit-"))
+    val i = parts.indexWhere(p => CommitDirName.matches(p))
     require(i >= 0, s"no commit dir in manifest path $relPath")
     parts.take(i + 1).mkString("/")
   }

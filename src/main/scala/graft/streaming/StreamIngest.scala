@@ -155,8 +155,7 @@ object StreamIngest {
       seqCol: String,
       checkpoint: String,
       transform: DataFrame => DataFrame = identity): Long = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.functions.col
     require(schema.fieldNames.contains(MergeTable.ChangeType),
       s"CDC stream schema needs a ${MergeTable.ChangeType} column")
     require(schema.fieldNames.contains(seqCol),
@@ -171,14 +170,20 @@ object StreamIngest {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val w = Window.partitionBy(col(pk)).orderBy(col(seqCol).desc)
-          val collapsed = batch
-            .withColumn("__graft_rn", row_number().over(w))
-            .filter(col("__graft_rn") === 1).drop("__graft_rn")
+        // Preimages out FIRST: a full-image feed (the exact shape
+        // MergeTable.changes(updateImages=true) emits) carries pre/post
+        // rows sharing the event's sequence — ranking before filtering
+        // could let the preimage win and silently drop the update. The
+        // per-key newest-by-sequence collapse (and its duplicate-
+        // sequence fail-fast) is mergeCdc's SEQUENCE BY, not ours;
+        // keepSequence stores the sequence as a regular column so the
+        // cross-batch guard below can read it back.
+        val events =
+          batch.filter(col(MergeTable.ChangeType) =!= "update_preimage")
+        if (!events.isEmpty) {
           val guarded =
-            if (table.latestVersion() == 0L) collapsed
-            else collapsed.join(
+            if (table.latestVersion() == 0L) events
+            else events.join(
               table.read().select(col(pk).as("__graft_pk"),
                 col(seqCol).as("__graft_cur_seq")),
               col(pk) <=> col("__graft_pk"), "left")
@@ -186,7 +191,8 @@ object StreamIngest {
                 col(seqCol) > col("__graft_cur_seq"))
               .drop("__graft_pk", "__graft_cur_seq")
           if (!guarded.isEmpty) {
-            table.mergeCdc(guarded, pk)
+            table.mergeCdc(guarded, pk,
+              sequenceBy = Some(seqCol), keepSequence = true)
             applied += 1
           }
         }

@@ -223,4 +223,16 @@ class MultimodalSpec extends SparkSpec {
       new AudioFormat(8000f, 16, 2, true, true), be).get
     assert(ys.toSeq === xs.toSeq, "endianness must not change the signal")
   }
+
+  test("energyHash window bounds survive >34M-frame signals") {
+    // w*n in Int overflows past n ≈ 34.1M (w up to 64): a ~13-minute
+    // 44.1 kHz WAV is a legitimate readAudio input. Energy only in the
+    // second half → exactly the high 32 envelope bits set.
+    val n = 35_000_000
+    val xs = new Array[Double](n)
+    var i = n / 2
+    while (i < n) { xs(i) = 1.0; i += 1 }
+    val h = Multimodal.energyHash(xs)
+    assert(h === (-1L << 32), "high 32 windows loud, low 32 quiet")
+  }
 }

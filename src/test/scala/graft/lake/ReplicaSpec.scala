@@ -243,6 +243,32 @@ class ReplicaSpec extends SparkSpec {
     intercept[IllegalArgumentException] { src.cloneTo(dest.toString) }
   }
 
+  test("cloneTo refuses a regular-file destination with the intended error") {
+    val src = MergeTable(spark, tmpDir("clsrc").toString, Some("date"))
+    src.overwrite(orders(("o1", "2024-01-01", 10.0)))
+    val file = tmpDir("asfile").resolve("plain.txt")
+    Files.writeString(file, "x")
+    // must fail the require (clear message), not surface later as a
+    // FileAlreadyExistsException from createDirectories
+    val e = intercept[IllegalArgumentException] { src.cloneTo(file.toString) }
+    assert(e.getMessage.contains("not an empty directory"))
+  }
+
+  test("clone reads correctly when the source path has a commit-* ancestor") {
+    // The rebased relPath climbs through "../commit-data/..." — an
+    // ancestor that merely STARTS with "commit-" must not be mistaken
+    // for the commit dir (that would corrupt basePath partition-column
+    // restoration in hiveRead).
+    val parent = tmpDir("anc").resolve("commit-data")
+    Files.createDirectories(parent)
+    val src = MergeTable(spark, parent.resolve("src").toString, Some("date"))
+    src.overwrite(orders(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
+    val clone = src.cloneTo(tmpDir("clone2").toString)
+    assert(contents(clone.read()) === contents(src.read()))
+    assert(clone.read().columns.contains("date"),
+      "partition column restored through the rebased path")
+  }
+
   test("history lists every commit newest-first with add/remove counts") {
     val t = MergeTable(spark, tmpDir("hist").toString, Some("date"))
     t.overwrite(orders(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))

@@ -207,4 +207,38 @@ class StreamIngestSpec extends SparkSpec {
     assert(t.latestVersion() === vBefore)
     assert(state() === Set(("o1", "50.0", 5L), ("o3", "33.0", 2L)))
   }
+
+  test("streaming CDC apply: full-image feeds never let the preimage win") {
+    import org.apache.spark.sql.types.LongType
+    val cdcSchema = StructType(Seq(
+      StructField("order_id", StringType),
+      StructField("amount", StringType),
+      StructField(MergeTable.ChangeType, StringType),
+      StructField("seq", LongType)))
+    val raw = tmpDir("raw")
+    val ckpt = tmpDir("ckpt").toString
+    val t = MergeTable(spark, tmpDir("tbl").toString)
+    def writeCdc(name: String, rows: String*): Unit =
+      Files.writeString(raw.resolve(name),
+        (s"order_id,amount,${MergeTable.ChangeType},seq" +: rows)
+          .mkString("\n"))
+
+    writeCdc("c1.csv", "o1,10.0,insert,1")
+    StreamIngest.runCdcAvailableNow(spark, raw.toString, cdcSchema,
+      t, "order_id", "seq", ckpt)
+    // A full-image feed — the exact shape MergeTable.changes(
+    // updateImages=true) emits — carries pre AND post rows sharing the
+    // event's sequence. If the batch ranked before filtering preimages,
+    // the preimage could win rank-1 and the update would be silently
+    // lost (and the shared sequence would trip the duplicate-sequence
+    // fail-fast). The postimage must land.
+    writeCdc("c2.csv",
+      "o1,10.0,update_preimage,2",
+      "o1,77.0,update_postimage,2")
+    StreamIngest.runCdcAvailableNow(spark, raw.toString, cdcSchema,
+      t, "order_id", "seq", ckpt)
+    val st = t.read().select("order_id", "amount", "seq")
+      .as[(String, String, Long)].collect().toSet
+    assert(st === Set(("o1", "77.0", 2L)))
+  }
 }
