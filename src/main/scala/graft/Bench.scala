@@ -44,8 +44,20 @@ object Bench {
     }
 
     val Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // GC + settle BETWEEN queries: a heap-heavy query (pagerank's pair
+    // graph) otherwise leaves collection debt that the next query pays —
+    // round-6 measured q_grouping_sets at 9× its true cost purely from
+    // running right after q_graph_pagerank in alphabetical order. Two
+    // gc() calls with a pause let a concurrent collector actually finish
+    // before the next timing starts.
+    def gcSettle(): Unit = {
+      spark.catalog.clearCache()
+      System.gc(); Thread.sleep(200)
+      System.gc(); Thread.sleep(100)
+    }
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
+      gcSettle()
       val times = (1 to Runs).flatMap { _ =>
         // Queries may cache intermediates (LSH signatures, IVF cells);
         // drop them between runs so timings are independent and the
@@ -78,12 +90,14 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    // `cpus` records the actual measurement regime: sub-second query
-    // medians swing 3-4× between local[4] and local[32] from per-task
-    // overhead alone (round-5 "events-family shift" root cause, SURVEY
-    // §6.3) — a bench line without the core count is not comparable
-    // across rounds.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"cpus":$cpus,"queries":$qs,"queries_min":$qsMin,"errors":$errJson,"sf":"$sfDir"}""")
+    // `cpus` and `heap_mb` record the actual measurement regime:
+    // sub-second query medians swing 3-4× between local[4] and local[32]
+    // from per-task overhead alone (round-5 "events-family shift" root
+    // cause, SURVEY §6.3), and the round-6 driver file showed a 400×
+    // "regression" that was entirely a heap/GC-regime shift (SURVEY §6.4)
+    // — a bench line without both is not comparable across rounds.
+    val heapMb = Runtime.getRuntime.maxMemory / (1024L * 1024L)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"cpus":$cpus,"heap_mb":$heapMb,"queries":$qs,"queries_min":$qsMin,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
