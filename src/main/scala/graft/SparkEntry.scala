@@ -125,6 +125,11 @@ object SparkEntry {
     "q_embed_pq"        -> (SimilarityQueries.embedPq _),
     "q_embed_pq_search" -> (SimilarityQueries.embedPqSearch _),
     "q_embed_ivfpq"     -> (SimilarityQueries.embedIvfPq _),
+    // X113 — the same searches served from the PERSISTED VectorIndex
+    // (build-once artifacts; these entries measure the search-only
+    // lifecycle the inline-training forms deliberately can't)
+    "q_embed_ivf_idx"   -> (SimilarityQueries.embedIvfIdx _),
+    "q_embed_ivfpq_idx" -> (SimilarityQueries.embedIvfPqIdx _),
     "q_events_funnel"   -> (AnalyticQueries.eventsFunnel _),
     "q_histogram"       -> (AnalyticQueries.histogram _),
     // §7.5 — multimodal binary columns (stub decode, real plumbing)
@@ -521,6 +526,9 @@ object SparkEntry {
          FROM c GROUP BY doc_id ORDER BY doc_id""",
     "q_embed_topk"    -> SimilarityQueries.topkOracle,
     "q_embed_ivf"     -> SimilarityQueries.ivfOracle,
+    // the persisted-index forms return bit-identical rows, so they
+    // share the train-inline oracles
+    "q_embed_ivf_idx" -> SimilarityQueries.ivfOracle,
     "q_embed_lsh"     -> SimilarityQueries.lshOracle,
     "q_embed_mplsh"   -> SimilarityQueries.mplshOracle,
     "q_embed_neardup" -> SimilarityQueries.neardupOracle,
@@ -755,6 +763,7 @@ object SparkEntry {
     "q_embed_pq"      -> SimilarityQueries.embedPqOracle,
     "q_embed_pq_search" -> SimilarityQueries.embedPqSearchOracle,
     "q_embed_ivfpq"   -> SimilarityQueries.embedIvfPqOracle,
+    "q_embed_ivfpq_idx" -> SimilarityQueries.embedIvfPqOracle,
     "q_doc_pipeline"  -> ext.DocPipeline.pipelineOracle(),
     "q_corpus_pack"   -> ext.DocPipeline.assembledPacksOracle(),
     "q_corpus_curate" -> ext.DocPipeline.curatedPacksOracle(),

@@ -30,14 +30,18 @@ object SimilarityQueries {
     * native codegen'd [[graft.functions.DotProductF]] expression
     * (bit-identical to the `aggregate(zip_with(...))` fold it replaced,
     * without per-element interpreted-lambda overhead). */
-  private def dot(a: String, b: String): String = s"dot_f($a, $b)"
+  private[ext] def dot(a: String, b: String): String = s"dot_f($a, $b)"
+
+  /** `frame` (any (… , embedding) relation) with precomputed L2 norms
+    * attached (one narrow pass). */
+  private[ext] def normedOf(s: SparkSession, frame: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    frame.withColumn("nrm", expr(s"sqrt(${dot("embedding", "embedding")})"))
+  }
 
   /** Corpus with precomputed L2 norms (one narrow pass). */
-  private def normed(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
-    embeddings(s, d)
-      .withColumn("nrm", expr(s"sqrt(${dot("embedding", "embedding")})"))
-  }
+  private def normed(s: SparkSession, d: String): DataFrame =
+    normedOf(s, embeddings(s, d))
 
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
   def embedTopk(s: SparkSession, d: String): DataFrame =
@@ -287,7 +291,7 @@ object SimilarityQueries {
     * winner is exactly the window's (csim DESC, cent_id ASC) head.
     * embedding/nrm are constant per vec_id, so `first` is
     * deterministic. */
-  private def assignTo(e: DataFrame, cent: DataFrame): DataFrame =
+  private[ext] def assignTo(e: DataFrame, cent: DataFrame): DataFrame =
     e.crossJoin(broadcast(cent))
       .withColumn("csim",
         expr(s"round(${dot("embedding", "cvec")} / (nrm * cnrm), 6)"))
@@ -341,15 +345,76 @@ object SimilarityQueries {
     // every ANN system maintains, same stance as the cells cache).
     val e =
       if (rounds == 0) normed(s, d) else DedupQueries.eager(normed(s, d))
-    val c = ivfCells(embeddings(s, d).count())
+    assignTo(e, trainedCentroids(e, embeddings(s, d).count(), rounds))
+  }
+
+  /** The trained IVF centroid table (cent_id, cvec, cnrm) for a normed
+    * corpus `e` of `n` vectors: first-[[ivfCells]] seeds refined by
+    * `rounds` deterministic Lloyd steps. Exposed for
+    * [[VectorIndex.build]], which persists this table instead of
+    * retraining it per query. */
+  private[ext] def trainedCentroids(e: DataFrame, n: Long,
+      rounds: Int): DataFrame = {
+    val c = ivfCells(n)
     val seed = e.filter(col("vec_id") < c)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
         col("nrm").as("cnrm"))
-    val cent = (1 to rounds).foldLeft(seed) { (cn, _) =>
+    (1 to rounds).foldLeft(seed) { (cn, _) =>
       DedupQueries.eager(lloydStep(assignTo(e, cn)))
     }
-    assignTo(e, cent)
   }
+
+  // ---- persisted-index query forms (X113) ----------------------------------
+
+  /** Per-process cache of opened/built indexes, keyed by corpus dir —
+    * the driver's Verify/Bench mains call each query several times and
+    * must not re-open (let alone retrain) per call. */
+  private val indexCache =
+    scala.collection.concurrent.TrieMap.empty[String, VectorIndex]
+
+  /** The persisted [[VectorIndex]] for corpus dir `d` — opened if the
+    * on-disk artifacts exist AND match the corpus row count (defense
+    * against a stale index from an older fixture generation), built
+    * otherwise. The build cost is paid once per corpus per machine;
+    * every subsequent query run is search-only — the lifecycle split
+    * the inline-training oracle queries deliberately don't have. */
+  private[ext] def persistedIndex(s: SparkSession, d: String): VectorIndex =
+    indexCache.getOrElseUpdate(d, {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_vindex_v1_$tag"
+      val n = embeddings(s, d).count()
+      val opened =
+        try {
+          val idx = VectorIndex.open(s, root)
+          if (idx.cells.read().count() == n) Some(idx) else None
+        } catch { case _: IllegalArgumentException => None }
+      opened.getOrElse {
+        val p = java.nio.file.Paths.get(root)
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          scala.util.Using.resource(java.nio.file.Files.walk(p))(
+            _.iterator().asScala.toSeq).reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+        VectorIndex.build(s, embeddings(s, d), root)
+      }
+    })
+
+  /** The oracle query window as a (query_id, embedding) relation. */
+  private def cornerQueries(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).filter(col("vec_id") >= 8 && col("vec_id") < 28)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+
+  /** [[embedIvf]] served from the PERSISTED index — same 20 queries,
+    * bit-identical rows (same `ivfOracle`), but training cost zero at
+    * query time. */
+  def embedIvfIdx(s: SparkSession, d: String): DataFrame =
+    persistedIndex(s, d).searchIvf(cornerQueries(s, d), 3)
+
+  /** [[embedIvfPq]] served from the PERSISTED index — same oracle. */
+  def embedIvfPqIdx(s: SparkSession, d: String): DataFrame =
+    persistedIndex(s, d).searchIvfPq(cornerQueries(s, d), 3)
 
   // ---- oracle SQL ----
 
@@ -611,7 +676,7 @@ object SimilarityQueries {
   /** Subspace relation: one row per (vec_id, sub) with the double-cast
     * sub-vector — eager-cached because training + assignment make
     * rounds+1 passes over it. */
-  private def pqSubRel(e: DataFrame, subs: Int): DataFrame = {
+  private[ext] def pqSubRel(e: DataFrame, subs: Int): DataFrame = {
     val dim = e.select(size(col("embedding"))).head().getInt(0)
     require(dim % subs == 0, s"dim $dim not divisible into $subs subspaces")
     val subLen = dim / subs
@@ -623,7 +688,7 @@ object SimilarityQueries {
 
   /** First-K seeds refined by `rounds` fixed-point Lloyd steps; each
     * refined table is materialized so rounds never nest plans. */
-  private def pqTrain(sub: DataFrame, k: Int, rounds: Int): DataFrame = {
+  private[ext] def pqTrain(sub: DataFrame, k: Int, rounds: Int): DataFrame = {
     val seed = sub.filter(col("vec_id") < k)
       .select(col("sub"), col("vec_id").as("cent_id"), col("svec").as("cvec"))
     (1 to rounds).foldLeft(seed) { (cn, _) =>
@@ -633,7 +698,7 @@ object SimilarityQueries {
 
   /** Nearest-centroid assignment within each subspace: round-6 squared
     * L2, argmin via `min(struct(dist, cent_id))` (no N×K sort window). */
-  private def pqAssign(sub: DataFrame, cent: DataFrame): DataFrame =
+  private[ext] def pqAssign(sub: DataFrame, cent: DataFrame): DataFrame =
     sub.join(broadcast(cent), Seq("sub"))
       .withColumn("dist", expr(
         "round(aggregate(zip_with(svec, cvec, (x, c) -> (x - c) * (x - c)), " +

@@ -1,0 +1,237 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.lake.MergeTable
+
+/** Persisted ANN index artifacts — the production lifecycle for the
+  * IVF / PQ search tiers ([[SimilarityQueries.embedIvf]] /
+  * [[SimilarityQueries.embedIvfPq]] retrain BOTH indexes inside every
+  * query run, which is the right shape for a self-contained oracle
+  * query but a non-starter at 100 TB: the Lloyd training cost must be
+  * paid once at build time, then amortized over every search).
+  *
+  * Four [[MergeTable]] tables under one root:
+  *
+  *   - `centroids` — the Lloyd-refined IVF centroid table
+  *     (cent_id, cvec, cnrm): C ≈ √(N/8) rows, broadcast at search.
+  *   - `cells` — the corpus cell assignment
+  *     (vec_id, embedding, nrm, cell), HIVE-PARTITIONED BY CELL so a
+  *     search touches only its query cells' files (partition pruning is
+  *     the on-disk analog of IVF's candidate pruning).
+  *   - `pq_centroids` — the per-subspace PQ codebooks
+  *     (sub, cent_id, cvec): M×K rows, broadcast at search.
+  *   - `codes` — the PQ codes, one row per vector
+  *     (vec_id, codes ARRAY — position = subspace), the only relation an
+  *     ADC search scans.
+  *
+  * Search results are BIT-IDENTICAL to the inline-training queries:
+  * training is deterministic (fixed seeds + fixed-point Lloyd means),
+  * float/double values round-trip parquet exactly, and the search plans
+  * below are the same joins/aggregates as the inline forms — proven by
+  * VectorIndexSpec.
+  *
+  * Lifecycle: [[VectorIndex.build]] (re)trains everything;
+  * [[VectorIndex#refresh]] applies a source change feed
+  * ([[MergeTable.changes]], X60) incrementally — changed keys are
+  * re-assigned and re-encoded against the FROZEN centroids/codebooks and
+  * merged in ([[MergeTable.mergeCdc]] rewrites only touched partitions),
+  * so an upsert wave costs O(changed vectors), never a retrain. Retrain
+  * (a new [[VectorIndex.build]]) remains a deliberate, rare event — the
+  * standard serving-index split between catch-up and rebuild.
+  */
+final class VectorIndex private[ext] (s: SparkSession, root: String) {
+  import SimilarityQueries._
+
+  val centroids: MergeTable = MergeTable(s, s"$root/centroids")
+  val cells: MergeTable = MergeTable(s, s"$root/cells", Some("cell"))
+  val pqCentroids: MergeTable = MergeTable(s, s"$root/pq_centroids")
+  val codes: MergeTable = MergeTable(s, s"$root/codes")
+
+  private def ct = MergeTable.ChangeType
+
+  /** Queries (query_id, embedding) assigned to their IVF cell by the
+    * persisted centroids — the broadcast-argmax assignment of
+    * [[SimilarityQueries.assignTo]]. */
+  private def assignedQueries(queries: DataFrame): DataFrame =
+    assignTo(
+      normedOf(s, queries.select(col("query_id").as("vec_id"),
+        col("embedding"))),
+      centroids.read())
+
+  /** The cell relation restricted to `wanted` cells via PARTITION
+    * pruning — only those cells' files are read. The wanted set is at
+    * most C cell ids (centroid-table scale — the same driver-metadata
+    * budget the broadcast assignment already spends). */
+  private def cellsIn(wanted: Set[String]): DataFrame =
+    cells.read(Some(wanted.contains))
+      .withColumn("cell", col("cell").cast("bigint"))
+
+  private def queryCellIds(q: DataFrame): Set[String] =
+    q.select(col("cell").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+
+  /** Exact-cosine in-cell top-`k` from the persisted index — the
+    * [[SimilarityQueries.embedIvf]] search stage with training replaced
+    * by one broadcast centroid read. Output (query_id, cell,
+    * neighbor_id, sim, rank); corpus queries never match themselves. */
+  def searchIvf(queries: DataFrame, k: Int = 3): DataFrame = {
+    val q = assignedQueries(queries)
+      .select(col("vec_id").as("query_id"), col("cell"),
+        col("embedding").as("qvec"), col("nrm").as("qnrm"))
+    val qc = DedupQueries.eager(q)
+    val corpus = cellsIn(queryCellIds(qc))
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("embedding").as("cvec"), col("nrm").as("cnrm"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    corpus.join(qc, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        expr(s"round(${dot("qvec", "cvec")} / (qnrm * cnrm), 6)"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cell"), col("neighbor_id"),
+        col("sim"), col("rank"))
+  }
+
+  /** Cell-pruned ADC top-`k` from the persisted index — the
+    * [[SimilarityQueries.embedIvfPq]] search stage: IVF cells prune
+    * candidates (partition-pruned file reads here), the broadcast
+    * distance table scores PQ CODES — corpus vectors are never touched.
+    * Output (query_id, neighbor_id, adist_fp, rank). */
+  def searchIvfPq(queries: DataFrame, k: Int = 3): DataFrame = {
+    val qCells = DedupQueries.eager(assignedQueries(queries)
+      .select(col("vec_id").as("query_id"), col("cell")))
+    val cand = cellsIn(queryCellIds(qCells))
+      .select(col("vec_id"), col("cell"))
+      .join(qCells, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val cent = pqCentroids.read()
+    val dt = pqSubRel(queries.select(col("query_id").as("vec_id"),
+        col("embedding")), PqSubs)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cent), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cent_id"),
+        expr("CAST(floor(aggregate(zip_with(svec, cvec, " +
+          "(x, c) -> (x - c) * (x - c)), 0D, (acc, v) -> acc + v) " +
+          "* 1000000.0) AS BIGINT)").as("dfp"))
+    val codeRel = codes.read()
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+    val scored = cand.join(codeRel, Seq("vec_id"))
+      .join(broadcast(dt), Seq("query_id", "sub"))
+      .filter(col("code") === col("cent_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dfp")).as("adist_fp"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_fp"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adist_fp"), col("rank"))
+  }
+
+  /** Incremental index catch-up from a source change feed
+    * ([[MergeTable.changes]] rows: vec_id, embedding, `_change_type`,
+    * net one event per key). Upserted vectors are re-assigned and
+    * re-encoded against the FROZEN persisted centroids/codebooks;
+    * deletes drop the key from both relations. Each relation updates in
+    * one atomic [[MergeTable.mergeCdc]] commit that rewrites only the
+    * touched cell partitions — O(changed vectors), never a retrain or a
+    * corpus rescan. */
+  def refresh(feed: DataFrame): Unit = {
+    val ups = feed.filter(col(ct).isin("insert", "update", "update_postimage"))
+      .select(col("vec_id"), col("embedding"))
+    val dels = feed.filter(col(ct) === "delete").select(col("vec_id"))
+    val hasUps = !ups.isEmpty
+    val hasDels = !dels.isEmpty
+    if (!hasUps && !hasDels) return
+
+    val cellsFeed = {
+      val up =
+        if (hasUps)
+          assignTo(normedOf(s, ups), centroids.read())
+            .withColumn(ct, lit("update"))
+        else null
+      val del =
+        if (hasDels)
+          dels.withColumn("cell", lit(null).cast("bigint"))
+            .withColumn("embedding", lit(null).cast("array<float>"))
+            .withColumn("nrm", lit(null).cast("double"))
+            .withColumn(ct, lit("delete"))
+        else null
+      if (up == null) del
+      else if (del == null) up
+      else up.unionByName(del.select(up.columns.map(col).toSeq: _*))
+    }
+    cells.mergeCdc(cellsFeed, "vec_id")
+
+    val codesFeed = {
+      val up =
+        if (hasUps)
+          wideCodes(pqAssign(pqSubRel(ups, PqSubs), pqCentroids.read()))
+            .withColumn(ct, lit("update"))
+        else null
+      val del =
+        if (hasDels)
+          dels.withColumn("codes", lit(null).cast("array<bigint>"))
+            .withColumn(ct, lit("delete"))
+        else null
+      if (up == null) del
+      else if (del == null) up
+      else up.unionByName(del.select(up.columns.map(col).toSeq: _*))
+    }
+    codes.mergeCdc(codesFeed, "vec_id")
+  }
+
+  /** (vec_id, sub, code) → one row per vector with the code ARRAY in
+    * subspace order — the storage layout of the `codes` table. */
+  private[ext] def wideCodes(narrow: DataFrame): DataFrame =
+    narrow.groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("codes"))
+}
+
+object VectorIndex {
+
+  /** (Re)train and persist every artifact from an embeddings relation
+    * (vec_id, embedding). The training rules are EXACTLY the inline
+    * queries' ([[SimilarityQueries.trainedCentroids]] /
+    * [[SimilarityQueries.pqTrain]] — deterministic seeds, fixed-point
+    * Lloyd means), so a search from the result is bit-identical to the
+    * train-inline oracle forms. */
+  def build(s: SparkSession, emb: DataFrame, root: String): VectorIndex = {
+    import SimilarityQueries._
+    val idx = new VectorIndex(s, root)
+    val e = DedupQueries.eager(normedOf(s, emb))
+    idx.centroids.overwrite(
+      trainedCentroids(e, emb.count(), LloydRounds))
+    // assignment runs against the PERSISTED centroid values (parquet
+    // round-trip is exact for float/double, so this equals assigning
+    // against the in-memory table — but reading back makes the
+    // persisted artifact the single source of truth)
+    idx.cells.overwrite(assignTo(e, idx.centroids.read()))
+    val sub = pqSubRel(emb, PqSubs)
+    idx.pqCentroids.overwrite(pqTrain(sub, PqK, PqRounds))
+    idx.codes.overwrite(idx.wideCodes(
+      pqAssign(sub, idx.pqCentroids.read())
+        .select(col("vec_id"), col("sub"), col("code"))))
+    idx
+  }
+
+  /** Open an existing index; fails fast if any artifact is missing. */
+  def open(s: SparkSession, root: String): VectorIndex = {
+    val idx = new VectorIndex(s, root)
+    val missing = Seq(
+      "centroids" -> idx.centroids, "cells" -> idx.cells,
+      "pq_centroids" -> idx.pqCentroids, "codes" -> idx.codes)
+      .collect { case (n, t) if t.latestVersion() == 0L => n }
+    require(missing.isEmpty,
+      s"no vector index at $root: missing ${missing.mkString(", ")}")
+    idx
+  }
+}
