@@ -132,6 +132,11 @@ object SparkEntry {
     "q_embed_ivfpq_idx" -> (SimilarityQueries.embedIvfPqIdx _),
     "q_events_funnel"   -> (AnalyticQueries.eventsFunnel _),
     "q_histogram"       -> (AnalyticQueries.histogram _),
+    // X94/X88 — the lakehouse WRITE surface under the oracle hash gate:
+    // a deterministic scratch table is built at query time, the lake op
+    // applied, the final state returned (lake/LakeQueries.scala)
+    "q_cdc_apply"       -> (graft.lake.LakeQueries.cdcApply _),
+    "q_scd2_pit"        -> (graft.lake.LakeQueries.scd2Pit _),
     // §7.5 — multimodal binary columns (stub decode, real plumbing)
     "q_media_features"  -> ((s: SparkSession, d: String) =>
       ext.Multimodal.decoded(s, ext.Multimodal.mediaTable(Tables.documents(s, d)))),
@@ -764,6 +769,8 @@ object SparkEntry {
     "q_embed_pq_search" -> SimilarityQueries.embedPqSearchOracle,
     "q_embed_ivfpq"   -> SimilarityQueries.embedIvfPqOracle,
     "q_embed_ivfpq_idx" -> SimilarityQueries.embedIvfPqOracle,
+    "q_cdc_apply"     -> graft.lake.LakeQueries.cdcApplyOracle,
+    "q_scd2_pit"      -> graft.lake.LakeQueries.scd2PitOracle,
     "q_doc_pipeline"  -> ext.DocPipeline.pipelineOracle(),
     "q_corpus_pack"   -> ext.DocPipeline.assembledPacksOracle(),
     "q_corpus_curate" -> ext.DocPipeline.curatedPacksOracle(),

@@ -1,0 +1,161 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Oracle-checked query forms for the lakehouse write surface — the
+  * reference's whole reason to exist is its MERGE path
+  * (ref: glue_jobs/product_etl.py:72-81, orders_etl.py:82-91), and
+  * unit tests alone don't put it under the driver's hash gate. Each
+  * query here BUILDS a deterministic table from the fixture corpus at
+  * query time (a fresh temp dir per run — the table is scratch, the
+  * RESULT is the contract), applies the lake operation, and returns the
+  * final state; the paired DuckDB oracle replays the same feed with
+  * plain SQL CTEs. Everything derives arithmetically from fixture rows,
+  * so both engines see identical inputs at every scale factor.
+  */
+object LakeQueries {
+
+  private def scratch(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** CDC APPLY under the oracle gate: a tagged change feed derived from
+    * `orders` — deletes (key%10=0), two sequenced updates per key
+    * (key%10∈{1,2}; seq 2 must win), inserts (key%10=3 re-keyed high) —
+    * applied in ONE [[MergeTable.mergeCdc]] commit with SEQUENCE BY,
+    * then the final table state read back. The oracle collapses the
+    * same feed with a row_number window and applies it as
+    * anti-join ∪ upserts. */
+  def cdcApply(s: SparkSession, d: String): DataFrame = {
+    val ct = MergeTable.ChangeType
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"))
+    val t = MergeTable(s, scratch("graft_q_cdc"))
+    t.overwrite(base)
+    val dels = base.filter(col("o_orderkey") % 10 === 0)
+      .withColumn(ct, lit("delete")).withColumn("seq", lit(1L))
+    val upd1 = base.filter((col("o_orderkey") % 10).isin(1, 2))
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .withColumn(ct, lit("update")).withColumn("seq", lit(1L))
+    val upd2 = base.filter((col("o_orderkey") % 10).isin(1, 2))
+      .withColumn("o_totalprice", col("o_totalprice") + 2.0)
+      .withColumn(ct, lit("update")).withColumn("seq", lit(2L))
+    val ins = base.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      .withColumn(ct, lit("insert")).withColumn("seq", lit(1L))
+    t.mergeCdc(dels.unionByName(upd1).unionByName(upd2).unionByName(ins),
+      "o_orderkey", sequenceBy = Some("seq"))
+    t.read().select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice"), 2).as("price"), col("o_orderdate"))
+  }
+
+  val cdcApplyOracle: String =
+    """WITH base AS (
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate
+         FROM orders),
+       feed AS (
+         SELECT *, 'delete' AS ct, 1 AS seq FROM base
+         WHERE o_orderkey % 10 = 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1.0,
+                o_orderdate, 'update', 1
+         FROM base WHERE o_orderkey % 10 IN (1, 2)
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 2.0,
+                o_orderdate, 'update', 2
+         FROM base WHERE o_orderkey % 10 IN (1, 2)
+         UNION ALL
+         SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+                o_totalprice, o_orderdate, 'insert', 1
+         FROM base WHERE o_orderkey % 10 = 3),
+       coll AS (
+         SELECT * FROM (
+           SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                       ORDER BY seq DESC) AS rn
+           FROM feed) t
+         WHERE rn = 1)
+       SELECT o_orderkey, o_custkey, o_orderstatus,
+              round(o_totalprice, 2) AS price, o_orderdate
+       FROM (
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate
+         FROM base
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM coll)
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate
+         FROM coll WHERE ct <> 'delete') f
+       ORDER BY o_orderkey"""
+
+  /** SCD2 point-in-time join under the oracle gate: a 3-wave customer
+    * history (everyone at 2024-01-01; key%5=0 rebalanced +100 at
+    * 2024-02-01; key%3=0 rebalanced +200 at 2024-03-01 — %15=0 keys get
+    * THREE versions) maintained via [[Scd2.merge]], then every order
+    * (labeled mid-Jan/Feb/Mar by key%3) joined to the dimension version
+    * in effect AT ITS OWN LABEL via [[Scd2.pointInTimeJoin]]. The
+    * oracle rebuilds the history as CTEs, closes rows with
+    * lead(eff_from), and interval-joins. */
+  def scd2Pit(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal").as("bal"))
+    val t = MergeTable(s, scratch("graft_q_scd2"), Some(Scd2.Slice))
+    Scd2.merge(t, cust, "c_custkey", "2024-01-01")
+    Scd2.merge(t,
+      cust.filter(col("c_custkey") % 5 === 0)
+        .withColumn("bal", col("bal") + 100.0),
+      "c_custkey", "2024-02-01")
+    Scd2.merge(t,
+      cust.filter(col("c_custkey") % 3 === 0)
+        .withColumn("bal", col("bal") + 200.0),
+      "c_custkey", "2024-03-01")
+    val facts = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey").as("c_custkey"))
+      .withColumn("label", expr(
+        """CASE CAST(o_orderkey % 3 AS INT)
+             WHEN 0 THEN '2024-01-15'
+             WHEN 1 THEN '2024-02-15'
+             ELSE '2024-03-15' END"""))
+    Scd2.pointInTimeJoin(facts, t, "c_custkey", "label")
+      .select(col("o_orderkey"), col("c_custkey"), col("label"),
+        round(col("bal"), 2).as("bal"),
+        col(Scd2.EffFrom).as("eff_from"))
+  }
+
+  val scd2PitOracle: String =
+    """WITH hist AS (
+         SELECT c_custkey, c_acctbal AS bal, '2024-01-01' AS eff_from
+         FROM customer
+         UNION ALL
+         SELECT c_custkey, c_acctbal + 100.0, '2024-02-01'
+         FROM customer WHERE c_custkey % 5 = 0
+         UNION ALL
+         SELECT c_custkey, c_acctbal + 200.0, '2024-03-01'
+         FROM customer WHERE c_custkey % 3 = 0),
+       h2 AS (
+         SELECT c_custkey, bal, eff_from,
+                lead(eff_from) OVER (PARTITION BY c_custkey
+                  ORDER BY eff_from) AS eff_to
+         FROM hist),
+       facts AS (
+         SELECT o_orderkey, o_custkey AS c_custkey,
+                CASE CAST(o_orderkey % 3 AS INT)
+                  WHEN 0 THEN '2024-01-15'
+                  WHEN 1 THEN '2024-02-15'
+                  ELSE '2024-03-15' END AS label
+         FROM orders)
+       SELECT f.o_orderkey, f.c_custkey, f.label,
+              round(h.bal, 2) AS bal, h.eff_from
+       FROM facts f
+       LEFT JOIN h2 h
+         ON f.c_custkey = h.c_custkey
+        AND h.eff_from <= f.label
+        AND (h.eff_to IS NULL OR h.eff_to > f.label)
+       ORDER BY f.o_orderkey"""
+}
