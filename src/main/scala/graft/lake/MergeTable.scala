@@ -70,9 +70,14 @@ final class MergeTable private (
     val spark: SparkSession,
     val root: Path,
     val partitionCol: Option[String],
-    val statsCol: Option[String]) {
+    val statsCols: Seq[String]) {
 
   import MergeTable._
+
+  /** The primary (first) stats column — the one the 2-arg [[readRange]]
+    * prunes on, and the one legacy single-stat manifests attribute
+    * their recorded pair to. */
+  def statsCol: Option[String] = statsCols.headOption
 
   @transient private lazy val logger =
     org.slf4j.LoggerFactory.getLogger(classOf[MergeTable])
@@ -118,9 +123,18 @@ final class MergeTable private (
         case "R" => Remove(parts(1))
         case "A" =>
           val pv = if (parts(2) == NoPartition) None else Some(parts(2))
-          val stats =
-            if (parts.length >= 5) Some((parts(3).toLong, parts(4).toLong))
-            else None
+          // Stats tokens are `col:min:max` (multi-column, any order);
+          // a legacy manifest holds one bare `min\tmax` pair, which
+          // belongs to the table's primary stats column by contract.
+          val stats: Map[String, (Long, Long)] =
+            if (parts.length >= 4 && parts(3).contains(':'))
+              parts.drop(3).map { tok =>
+                val Array(c, mn, mx) = tok.split(':')
+                c -> (mn.toLong, mx.toLong)
+              }.toMap
+            else if (parts.length >= 5)
+              statsCol.map(_ -> (parts(3).toLong, parts(4).toLong)).toMap
+            else Map.empty
           Add(FileEntry(parts(1), pv, stats))
         case other => throw new IllegalStateException(
           s"MergeTable at $root: unknown log action '$other' in $p")
@@ -153,7 +167,9 @@ final class MergeTable private (
     (delta.removes.map(f => s"R\t$f") ++
       delta.adds.map { e =>
         val base = s"A\t${e.relPath}\t${e.partitionValue.getOrElse(NoPartition)}"
-        e.stats.fold(base) { case (mn, mx) => s"$base\t$mn\t$mx" }
+        if (e.stats.isEmpty) base
+        else base + e.stats.toSeq.sortBy(_._1)
+          .map { case (c, (mn, mx)) => s"\t$c:$mn:$mx" }.mkString
       }).mkString("\n")
 
   /** Try to publish `delta` as version `expected + 1`. Returns the
@@ -245,25 +261,34 @@ final class MergeTable private (
     (commitDir, withStats(target, entries))
   }
 
-  /** Attach per-file min/max of `statsCol` (one metadata-scale pass over
-    * the freshly written commit dir — numFiles rows to the driver, same
-    * contract as Delta's stats collection at write time). */
+  /** Attach per-file min/max of every column in `statsCols` (Delta's
+    * configurable stats-column contract) in ONE metadata-scale pass over
+    * the freshly written commit dir — numFiles rows to the driver
+    * regardless of how many columns are stats'd. */
   private def withStats(target: Path,
       entries: Seq[FileEntry]): Seq[FileEntry] =
-    statsCol.fold(entries) { sc =>
+    if (statsCols.isEmpty) entries
+    else {
+      val aggs = statsCols.flatMap(c => Seq(
+        min(col(c).cast("long")).as(s"mn_$c"),
+        max(col(c).cast("long")).as(s"mx_$c")))
       val byKey = spark.read
         .option("basePath", target.toString)
         .parquet(target.toString)
         .groupBy(input_file_name().as("f"))
-        .agg(min(col(sc).cast("long")).as("mn"),
-          max(col(sc).cast("long")).as("mx"))
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
-        .flatMap { r =>
-          if (r.isNullAt(1) || r.isNullAt(2)) None
-          else Some((fileKey(r.getString(0)), (r.getLong(1), r.getLong(2))))
+        .map { r =>
+          val m = statsCols.zipWithIndex.flatMap { case (c, i) =>
+            val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
+            if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+            else Some(c -> (r.getLong(mnI), r.getLong(mxI)))
+          }.toMap
+          fileKey(r.getString(0)) -> m
         }
         .toMap
-      entries.map(e => e.copy(stats = byKey.get(fileKey(e.relPath))))
+      entries.map(e => e.copy(
+        stats = byKey.getOrElse(fileKey(e.relPath), Map.empty)))
     }
 
   /** S5 — full overwrite (the reference's first-load path,
@@ -681,26 +706,41 @@ final class MergeTable private (
     readEntries(pruned)
   }
 
-  /** Stats-based data skipping (Delta-style file pruning): the rows with
-    * `statsCol` in [lo, hi], scanning ONLY live files whose recorded
-    * min/max range intersects the bound. Files without stats are scanned
-    * (safe fallback — e.g. pre-stats history). */
+  /** Stats-based data skipping (Delta-style file pruning) on the PRIMARY
+    * stats column: the rows with it in [lo, hi], scanning ONLY live
+    * files whose recorded min/max range intersects the bound. */
   def readRange(lo: Long, hi: Long): DataFrame = {
     val sc = statsCol.getOrElse(throw new IllegalStateException(
-      s"MergeTable at $root was opened without a statsCol"))
-    readEntries(rangeEntries(lo, hi))
-      .filter(col(sc).cast("long").between(lo, hi))
+      s"MergeTable at $root was opened without stats columns"))
+    readRange(sc, lo, hi)
+  }
+
+  /** Stats-based data skipping on ANY stats'd column — files without a
+    * recorded range for `c` are scanned (safe fallback: pre-stats
+    * history, all-null files, columns added by schema evolution). */
+  def readRange(c: String, lo: Long, hi: Long): DataFrame = {
+    require(statsCols.contains(c),
+      s"MergeTable at $root records stats for ${statsCols.mkString(", ")} " +
+        s"— not $c; reopen with it in statsCols")
+    readEntries(rangeEntries(c, lo, hi))
+      .filter(col(c).cast("long").between(lo, hi))
   }
 
   /** Latest live file entries (exposed for tests to assert which files a
     * write rewrote vs carried over). */
   private[lake] def liveEntries(): Seq[FileEntry] = latest()._2
 
-  /** Live entries surviving the [lo, hi] stats prune (exposed for tests
-    * to assert files are actually skipped). */
-  private[lake] def rangeEntries(lo: Long, hi: Long): Seq[FileEntry] = {
+  /** Live entries surviving the [lo, hi] stats prune on the primary
+    * stats column (exposed for tests). */
+  private[lake] def rangeEntries(lo: Long, hi: Long): Seq[FileEntry] =
+    rangeEntries(statsCol.getOrElse(""), lo, hi)
+
+  /** Live entries surviving the [lo, hi] stats prune on column `c`. */
+  private[lake] def rangeEntries(c: String, lo: Long,
+      hi: Long): Seq[FileEntry] = {
     val (_, live) = latest()
-    live.filter(_.stats.forall { case (mn, mx) => mx >= lo && mn <= hi })
+    live.filter(_.stats.get(c).forall { case (mn, mx) =>
+      mx >= lo && mn <= hi })
   }
 
   /** Time travel — snapshot of historical `version`. */
@@ -842,7 +882,7 @@ final class MergeTable private (
         !Using.resource(Files.list(destPath))(_.findFirst().isPresent)),
       s"clone destination $dest is not an empty directory")
     val (_, live) = latest()
-    val clone = new MergeTable(spark, destPath, partitionCol, statsCol)
+    val clone = new MergeTable(spark, destPath, partitionCol, statsCols)
     Files.createDirectories(destPath)
     val rebased = live.map { e =>
       e.copy(relPath = destPath.toAbsolutePath.normalize
@@ -1030,7 +1070,7 @@ object MergeTable {
 
   private[lake] final case class FileEntry(relPath: String,
       partitionValue: Option[String],
-      stats: Option[(Long, Long)] = None)
+      stats: Map[String, (Long, Long)] = Map.empty)
 
   /** One commit's log content: files it adds, relPaths it removes. */
   private[lake] final case class CommitDelta(adds: Seq[FileEntry],
@@ -1047,7 +1087,17 @@ object MergeTable {
   def apply(spark: SparkSession, root: String,
       partitionCol: Option[String] = None,
       statsCol: Option[String] = None): MergeTable =
-    new MergeTable(spark, Paths.get(root), partitionCol, statsCol)
+    new MergeTable(spark, Paths.get(root), partitionCol, statsCol.toSeq)
+
+  /** As above with MULTIPLE stats columns (Delta's first-N-columns
+    * stats contract, made explicit): every listed long-castable column
+    * gets per-file min/max in the manifest, and [[MergeTable.readRange]]
+    * can prune on any of them — including zorder's trailing clustering
+    * columns. */
+  def apply(spark: SparkSession, root: String,
+      partitionCol: Option[String],
+      statsCols: Seq[String]): MergeTable =
+    new MergeTable(spark, Paths.get(root), partitionCol, statsCols)
 
   /** The last two path components — "<partition-or-commit-dir>/<part-file>"
     * — the file identity every path↔manifest correlation keys on.

@@ -240,7 +240,7 @@ class MergeTableSpec extends SparkSpec {
     assert(total >= 4, s"expected >=4 stats-bearing files, got $total")
     val pruned = t.rangeEntries(10, 20)
     assert(pruned.size < total, "disjoint-range files must be skipped")
-    assert(pruned.forall(_.stats.isDefined))
+    assert(pruned.forall(_.stats.nonEmpty))
     val rows = t.readRange(10, 20).select("k").as[Long].collect().toSet
     assert(rows === (10L to 20L).toSet)
     // stats survive a merge: carried-over entries keep theirs, new files
@@ -248,7 +248,54 @@ class MergeTableSpec extends SparkSpec {
     t.merge(Seq((500L, 1000L)).toDF("k", "payload"), "k")
     assert(t.readRange(400, 600).select("k").as[Long].collect().toSeq ===
       Seq(500L))
-    assert(t.rangeEntries(400, 600).forall(_.stats.isDefined))
+    assert(t.rangeEntries(400, 600).forall(_.stats.nonEmpty))
+  }
+
+  test("multi-column stats skip files on any stats'd column") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, None, statsCols = Seq("k", "v"))
+    // k ascends 0..99 while v descends 99..0 — range-partitioning on k
+    // gives each file a DISJOINT range in BOTH columns, but in opposite
+    // orders, so pruning on v proves the second column's stats are real
+    // (k's ranges alone would prune the wrong files).
+    val df = spark.range(0, 100).toDF("k")
+      .withColumn("v", lit(99) - col("k"))
+      .repartitionByRange(4, col("k"))
+    t.overwrite(df)
+    val total = t.rangeEntries("v", Long.MinValue, Long.MaxValue).size
+    assert(total >= 4)
+    val prunedV = t.rangeEntries("v", 10, 20)
+    assert(prunedV.size < total, "files disjoint in v must be skipped")
+    assert(t.readRange("v", 10, 20).select("v").as[Long].collect().toSet ===
+      (10L to 20L).toSet)
+    // the same table still prunes on the primary column
+    assert(t.rangeEntries("k", 10, 20).size < total)
+    // an un-stats'd column fails fast with the recorded list
+    val e = intercept[IllegalArgumentException] {
+      t.readRange("payload", 0, 1)
+    }
+    assert(e.getMessage.contains("k, v"))
+  }
+
+  test("zorder trailing-column skipping is exploitable through readRange") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, None, statsCols = Seq("a", "b"))
+    // a 16x16 grid: linear clustering on `a` would leave every file
+    // covering the full `b` range; zorder interleaves, so files cover
+    // sub-squares and a tight `b` bound skips files too
+    val grid = spark.range(0, 256).toDF("i")
+      .withColumn("a", col("i") % 16)
+      .withColumn("b", (col("i") / 16).cast("long"))
+      .drop("i")
+    t.overwrite(grid)
+    t.zorder(Seq("a", "b"), filesPerPartition = 4)
+    val total = t.rangeEntries("b", Long.MinValue, Long.MaxValue).size
+    assert(total >= 4)
+    val prunedB = t.rangeEntries("b", 0, 3)
+    assert(prunedB.size < total,
+      s"zorder must confine b-ranges per file (kept ${prunedB.size} of $total)")
+    assert(t.readRange("b", 0, 3).select("b").as[Long].collect().toSet ===
+      (0L to 3L).toSet)
   }
 
   test("merge handles NULL partition values (hive default dir)") {
