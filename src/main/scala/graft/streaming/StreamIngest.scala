@@ -139,10 +139,24 @@ object StreamIngest {
     * Exactly-once: the checkpoint dedups input files; a crash between
     * checkpoint and commit replays the batch, whose events are then all
     * at-or-below the stored sequences — the guard turns the replay into
-    * an empty apply. A DELETE drops the key's guard row with it (no
-    * tombstone retention): a stale pre-delete event arriving after the
-    * delete re-inserts. Retain tombstones upstream if the stream can be
-    * that late.
+    * an empty apply.
+    *
+    * A DELETE drops the key's guard row with it, so the stored (pk, seq)
+    * alone can't reject a stale PRE-delete event arriving in a later
+    * batch — it would silently resurrect the key. Deletes therefore
+    * also record (pk, deleted-at seq) in a `_tombstones` sidecar
+    * MergeTable under the target's root (safe there: the parent's
+    * vacuum only touches commit-* dirs, and its reads are
+    * manifest-driven), and every batch is additionally guarded against
+    * it: an event at or below its key's tombstone sequence is rejected.
+    * A legitimate re-insert (sequence ABOVE the tombstone) passes and
+    * resurrects the key; its stale tombstone stays behind harmlessly —
+    * the live (pk, seq) guard owns ordering from there. Tombstones are
+    * written AFTER the data commit, so a crash between the two replays
+    * into a no-op delete plus the tombstone write. This is Delta Live
+    * Tables' `__apply_changes` tombstone retention, with the retention
+    * window currently unbounded (a VACUUM-style age-out composes
+    * naturally via delete() on the sidecar).
     *
     * Returns the number of micro-batches that applied at least one
     * event. */
@@ -155,11 +169,13 @@ object StreamIngest {
       seqCol: String,
       checkpoint: String,
       transform: DataFrame => DataFrame = identity): Long = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, max}
     require(schema.fieldNames.contains(MergeTable.ChangeType),
       s"CDC stream schema needs a ${MergeTable.ChangeType} column")
     require(schema.fieldNames.contains(seqCol),
       s"CDC stream schema needs the sequence column $seqCol")
+    val tombstones = MergeTable(spark,
+      table.root.resolve("_tombstones").toString)
     val stream = spark.readStream
       .format("csv")
       .option("header", "true")
@@ -181,20 +197,46 @@ object StreamIngest {
         val events =
           batch.filter(col(MergeTable.ChangeType) =!= "update_preimage")
         if (!events.isEmpty) {
-          val guarded =
-            if (table.latestVersion() == 0L) events
+          // Guard 1 — tombstones: an event at or below its key's
+          // deleted-at sequence is a pre-delete straggler; dropping it
+          // here is what keeps a late update from resurrecting a
+          // deleted key (the live guard below can't — the delete
+          // removed its (pk, seq) row).
+          val pastDeletes =
+            if (tombstones.latestVersion() == 0L) events
             else events.join(
+              tombstones.read().select(col(pk).as("__graft_tomb_pk"),
+                col(seqCol).as("__graft_tomb_seq")),
+              col(pk) <=> col("__graft_tomb_pk"), "left")
+              .filter(col("__graft_tomb_seq").isNull ||
+                col(seqCol) > col("__graft_tomb_seq"))
+              .drop("__graft_tomb_pk", "__graft_tomb_seq")
+          // Guard 2 — the target's stored (pk, seq): late events for
+          // LIVE keys.
+          val guarded =
+            if (table.latestVersion() == 0L) pastDeletes
+            else pastDeletes.join(
               table.read().select(col(pk).as("__graft_pk"),
                 col(seqCol).as("__graft_cur_seq")),
               col(pk) <=> col("__graft_pk"), "left")
               .filter(col("__graft_cur_seq").isNull ||
                 col(seqCol) > col("__graft_cur_seq"))
               .drop("__graft_pk", "__graft_cur_seq")
+              .cache()
           if (!guarded.isEmpty) {
             table.mergeCdc(guarded, pk,
               sequenceBy = Some(seqCol), keepSequence = true)
+            // Record this batch's deletes AFTER the data commit (a
+            // crash between the two replays into a no-op delete plus
+            // this write). One row per key: the newest delete sequence.
+            val deletes = guarded
+              .filter(col(MergeTable.ChangeType) === "delete")
+              .groupBy(col(pk)).agg(max(col(seqCol)).as(seqCol))
+            if (!deletes.isEmpty) tombstones.merge(deletes, pk)
             applied += 1
           }
+          guarded.unpersist()
+          ()
         }
       }
       .start()

@@ -208,6 +208,61 @@ class StreamIngestSpec extends SparkSpec {
     assert(state() === Set(("o1", "50.0", 5L), ("o3", "33.0", 2L)))
   }
 
+  test("streaming CDC apply: tombstones reject post-delete stragglers") {
+    import org.apache.spark.sql.types.LongType
+    val cdcSchema = StructType(Seq(
+      StructField("order_id", StringType),
+      StructField("amount", StringType),
+      StructField(MergeTable.ChangeType, StringType),
+      StructField("seq", LongType)))
+    val raw = tmpDir("raw")
+    val ckpt = tmpDir("ckpt").toString
+    val t = MergeTable(spark, tmpDir("tbl").toString)
+    def writeCdc(name: String, rows: String*): Unit =
+      Files.writeString(raw.resolve(name),
+        (s"order_id,amount,${MergeTable.ChangeType},seq" +: rows)
+          .mkString("\n"))
+    def state(): Set[(String, String, Long)] =
+      t.read().select("order_id", "amount", "seq")
+        .as[(String, String, Long)].collect().toSet
+
+    writeCdc("c1.csv", "o1,10.0,insert,1", "o2,20.0,insert,1")
+    StreamIngest.runCdcAvailableNow(spark, raw.toString, cdcSchema,
+      t, "order_id", "seq", ckpt)
+    writeCdc("c2.csv", "o1,10.0,delete,3")
+    StreamIngest.runCdcAvailableNow(spark, raw.toString, cdcSchema,
+      t, "order_id", "seq", ckpt)
+    assert(state() === Set(("o2", "20.0", 1L)))
+
+    // the straggler: an update sequenced BEFORE the delete arrives in a
+    // LATER drain. The live (pk, seq) guard lost its row with the
+    // delete — only the tombstone can reject this. The key must stay
+    // deleted (and the in-order o2 event must still land).
+    writeCdc("c3.csv", "o1,99.0,update,2", "o2,22.0,update,2")
+    StreamIngest.runCdcAvailableNow(spark, raw.toString, cdcSchema,
+      t, "order_id", "seq", ckpt)
+    assert(state() === Set(("o2", "22.0", 2L)))
+
+    // a delete straggler below the tombstone (o1 deleted at 3; this one
+    // sequenced 1, key still absent so only the tombstone can see it)
+    // is rejected too — an all-stale drain commits no new target version
+    val vBefore = t.latestVersion()
+    writeCdc("c4.csv", "o1,0.0,delete,1")
+    assert(StreamIngest.runCdcAvailableNow(spark, raw.toString, cdcSchema,
+      t, "order_id", "seq", ckpt) === 0)
+    assert(t.latestVersion() === vBefore)
+
+    // a legitimate re-insert sequenced AFTER the delete resurrects the
+    // key; its stale tombstone must not block subsequent updates
+    writeCdc("c5.csv", "o1,50.0,insert,4")
+    StreamIngest.runCdcAvailableNow(spark, raw.toString, cdcSchema,
+      t, "order_id", "seq", ckpt)
+    writeCdc("c6.csv", "o1,60.0,update,5")
+    StreamIngest.runCdcAvailableNow(spark, raw.toString, cdcSchema,
+      t, "order_id", "seq", ckpt)
+    assert(state() === Set(("o1", "60.0", 5L), ("o2", "22.0", 2L)))
+  }
+
   test("streaming CDC apply: full-image feeds never let the preimage win") {
     import org.apache.spark.sql.types.LongType
     val cdcSchema = StructType(Seq(
