@@ -732,13 +732,16 @@ object AnalyticQueries {
     // explode — not a lineitem self-join (two exchanges + a sort; ~2×
     // slower measured). Per-order state is the order's item list —
     // bounded by order size (≤7 in TPC-H shapes), safe at any corpus
-    // scale. a < b halves the pairs; cross-order duplicates fall to the
-    // downstream distinct inside pageRankOf's src-hash dedup.
+    // scale. The inner filter emits ONLY a < b pairs, so the per-order
+    // allocation is k(k-1)/2 structs, not k² then filtered — half the
+    // young-gen churn of the generate stage. Cross-order duplicates
+    // fall to pageRankOf's pair dedup.
     val pairs = li.groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("ps"))
       .select(explode(expr(
-        """filter(flatten(transform(ps, x -> transform(ps, y ->
-           struct(x AS a, y AS b)))), p -> p.a < p.b)""")).as("p"))
+        """flatten(transform(ps, x ->
+           transform(filter(ps, y -> y > x), y -> struct(x AS a, y AS b))))"""
+        )).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
     pageRankOf(pairs, "a", "b", PrIters)
       .orderBy(col("rank_fp").desc, col("node"))
@@ -755,46 +758,61 @@ object AnalyticQueries {
     * [[PrScale]]) so results are bit-reproducible across engines and
     * partitionings.
     *
-    * Scale shape: the edge list and degree relation are materialized
-    * once (localCheckpoint — the CC-loop discipline, so k rounds nest
-    * k× neither the plan nor the upstream edge build); each round is
-    * ONE shuffle join edges⋈ranks + an integer-sum aggregate, all
-    * map-side combinable; the driver never sees row data. Output is
+    * Scale shape: the HALF-size (a < b) pair relation is deduped and
+    * materialized once (localCheckpoint — the CC-loop discipline, so k
+    * rounds nest k× neither the plan nor the upstream pair build); the
+    * symmetric edge view is a narrow union over it, never stored. The
+    * degree relation is a map-side-combinable aggregate (one node-count
+    * shuffle — NOT a window over the 2|E| edge list, whose per-partition
+    * sort was the old hot spot), materialized small. Each round first
+    * computes the per-source contribution r/deg as a NODE-sized join,
+    * then does exactly one edge-side join and one integer-sum
+    * aggregate: the contribution and degree relations are
+    * node-cardinality, so AQE broadcasts them while they fit (zero edge
+    * shuffles per round at fixture scale — and the degree broadcast is
+    * one ReusedExchange across all rounds, since every round references
+    * the same checkpointed relation) and falls back to hash-partitioned
+    * joins when the node set outgrows a broadcast — the 100 TB path
+    * needs no code change. The driver never sees row data. Output is
     * materialized before the pinned inputs are released. */
   def pageRankOf(pairs: DataFrame, aCol: String, bCol: String,
       iters: Int): DataFrame = {
     require(iters >= 1, s"pageRankOf needs at least one iteration: $iters")
-    val p0 = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-    val sym = p0.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(p0.select(col("b").as("src"), col("a").as("dst")))
-    // ONE src-hash shuffle builds the whole edge relation: hash(src)
-    // satisfies the clustered distribution of the (src, dst) dedup AND
-    // of the degree WINDOW (count over partition src — no join, so the
-    // upstream pair build runs once). The materialized edge list is 3
-    // narrow longs per edge; rounds re-exchange it under AQE (the
-    // checkpoint scan drops outputPartitioning), which is the smaller
-    // cost — the expensive part, building it, happens exactly once.
-    val edges = sym.repartition(col("src"))
-      .dropDuplicates(Seq("src", "dst"))
-      .withColumn("d", count(lit(1)).over(Window.partitionBy(col("src"))))
+    // Pair dedup on the half-size relation: an aggregate, so map-side
+    // partial dedup shrinks the shuffle below |pairs| when cross-order
+    // duplicates exist (the window-based shape shuffled 2|E| rows and
+    // sorted them; this moves ≤|E|/2 and sorts nothing).
+    val ded = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .dropDuplicates(Seq("a", "b"))
       .localCheckpoint(true)
-    var r = edges.select(col("src").as("id")).distinct()
-      .withColumn("r", lit(PrScale))
+    val sym = ded.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(ded.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    // `r` and the join keys below all derive from `deg`/`sym`, so every
+    // join re-aliases its keys to fresh attributes (withColumnRenamed)
+    // and joins by name — dataset-qualified refs would trip Spark's
+    // ambiguous-self-join detection.
+    val degK = deg.withColumnRenamed("src", "csrc")
+    var r = deg.select(col("src").as("id")).withColumn("r", lit(PrScale))
     (1 to iters).foreach { _ =>
-      r = edges.join(r, edges("src") === r("id"))
-        .select(col("dst"), expr("r div d").as("c"))
+      // Per-source contribution r/deg is a NODE-sized join computed
+      // before the edge list is touched, so each round does exactly one
+      // edge-side join and one integer-sum aggregate.
+      val contrib = r.join(degK, col("id") === col("csrc"))
+        .select(col("csrc"), expr("r div d").as("c"))
+      r = sym.join(contrib, col("src") === col("csrc"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
         .select(col("dst").as("id"),
           (lit(PrTeleport) + expr(s"($PrDampNum * s) div 100")).as("r"))
     }
-    val out = r.join(
-        edges.groupBy(col("src")).agg(first(col("d")).as("d")),
-        r("id") === col("src"))
+    val out = r.join(degK, col("id") === col("csrc"))
       .select(col("id").as("node"), col("d").as("degree"),
         col("r").as("rank_fp"))
       .localCheckpoint(true)
-    graft.ext.DedupQueries.releaseCheckpointed(edges)
+    graft.ext.DedupQueries.releaseCheckpointed(ded)
+    graft.ext.DedupQueries.releaseCheckpointed(deg)
     out
   }
 
