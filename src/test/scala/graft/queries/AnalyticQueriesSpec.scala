@@ -212,6 +212,29 @@ class AnalyticQueriesSpec extends SparkSpec {
     assert(p("s") === (("s", 4L, 1L, 2L, "a", "b")))
   }
 
+  test("profileOnePassOf matches profileOf from exactly one table scan") {
+    val d = tmpDir("prof")
+    Seq(
+      (Some(1.5), Some("a"), 10L), (Some(2.5), None, 20L),
+      (None, Some("a"), 20L), (Some(2.5), Some("b"), 30L))
+      .toDF("x", "s", "k")
+      .write.parquet(s"$d/t.parquet")
+    val df = spark.read.parquet(s"$d/t.parquet")
+    val cols = Seq("x", "s", "k")
+    val one = AnalyticQueries.profileOnePassOf(df, cols)
+    // bit-identical to the per-column form
+    val expected = AnalyticQueries.profileOf(df, cols)
+      .as[(String, Long, Long, Long, String, String)].collect().toSet
+    assert(one.as[(String, Long, Long, Long, String, String)]
+      .collect().toSet === expected)
+    // ... and from ONE scan: the per-column form plans k of them
+    def nScans(frame: org.apache.spark.sql.DataFrame): Int =
+      "FileScan|Scan parquet".r
+        .findAllIn(frame.queryExecution.executedPlan.toString).length
+    assert(nScans(one) === 1, "one-pass profile must scan the table once")
+    assert(nScans(AnalyticQueries.profileOf(df, cols)) === cols.size)
+  }
+
   /** Independent driver-side PageRank with the same integer fixed-point
     * recurrence — adjacency maps, no Spark. */
   private def refPageRank(pairs: Seq[(Long, Long)],
