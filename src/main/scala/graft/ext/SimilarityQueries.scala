@@ -216,30 +216,48 @@ object SimilarityQueries {
 
   private def lshSearch(s: SparkSession, d: String,
       multiProbe: Boolean): DataFrame = {
-    val b = DedupQueries.eager(bucketed(s, d))
-    val probeList = "bucket" +: (if (multiProbe)
-      Planes.indices.map(j => s"bucket ^ ${1 << j}") else Seq.empty[String])
-    val q = b.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"),
-        explode(expr(s"array(${probeList.mkString(", ")})")).as("bucket"),
-        col("embedding").as("qvec"), col("nrm").as("qnrm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    b.select(col("vec_id").as("neighbor_id"), col("bucket"),
-        col("embedding").as("cvec"), col("nrm").as("cnrm"))
-      .join(q, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim",
-        expr(s"round(${dot("qvec", "cvec")} / (qnrm * cnrm), 6)"))
+    lshCandidatesFor(s, d, multiProbe, Planes.size, loId = 0L, hiId = 10L)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("bucket"), col("neighbor_id"), col("sim"),
         col("rank"))
   }
 
-  /** Corpus with the 8-bit hyperplane-sign bucket attached (narrow). */
-  private def bucketed(s: SparkSession, d: String): DataFrame = {
-    val bits = Planes.zipWithIndex.map { case (p, j) =>
+  /** The LSH candidate relation behind [[embedLsh]]/[[embedMplsh]],
+    * parameterized on plane count, probe mode and query-id window — the
+    * recall-diagnostic knobs for [[graft.tools.LshRecall]] (the oracle
+    * queries fix 8 planes and window 0..10; recall needs a wider
+    * sample). One row per (query, candidate) scored pair — counting
+    * them measures the tier's work; top-k ranking sits on top. */
+  private[graft] def lshCandidatesFor(s: SparkSession, d: String,
+      multiProbe: Boolean, nPlanes: Int, loId: Long,
+      hiId: Long): DataFrame = {
+    val b = DedupQueries.eager(bucketedWith(s, d, nPlanes))
+    val probeList = "bucket" +: (if (multiProbe)
+      (0 until nPlanes).map(j => s"bucket ^ ${1 << j}") else Seq.empty[String])
+    val q = b.filter(col("vec_id") >= loId && col("vec_id") < hiId)
+      .select(col("vec_id").as("query_id"),
+        explode(expr(s"array(${probeList.mkString(", ")})")).as("bucket"),
+        col("embedding").as("qvec"), col("nrm").as("qnrm"))
+    b.select(col("vec_id").as("neighbor_id"), col("bucket"),
+        col("embedding").as("cvec"), col("nrm").as("cnrm"))
+      .join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        expr(s"round(${dot("qvec", "cvec")} / (qnrm * cnrm), 6)"))
+      .select(col("query_id"), col("bucket"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Corpus with the `nPlanes`-bit hyperplane-sign bucket attached
+    * (narrow; planes are the prefix of [[planeFamily]], so 8 planes
+    * reproduces the oracle's bucketing exactly). */
+  private def bucketedWith(s: SparkSession, d: String,
+      nPlanes: Int): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= planeFamily.size,
+      s"nPlanes must be in [1, ${planeFamily.size}]: $nPlanes")
+    val bits = planeFamily.take(nPlanes).zipWithIndex.map { case (p, j) =>
       val arr = s"CAST(array(${p.mkString(", ")}) AS ARRAY<FLOAT>)"
       s"IF(${dot("embedding", arr)} >= 0, ${1 << j}, 0)"
     }
