@@ -137,6 +137,8 @@ object SparkEntry {
     // applied, the final state returned (lake/LakeQueries.scala)
     "q_cdc_apply"       -> (graft.lake.LakeQueries.cdcApply _),
     "q_scd2_pit"        -> (graft.lake.LakeQueries.scd2Pit _),
+    "q_time_travel"     -> (graft.lake.LakeQueries.timeTravel _),
+    "q_incremental_mv"  -> (graft.lake.LakeQueries.incrementalMv _),
     // §7.5 — multimodal binary columns (stub decode, real plumbing)
     "q_media_features"  -> ((s: SparkSession, d: String) =>
       ext.Multimodal.decoded(s, ext.Multimodal.mediaTable(Tables.documents(s, d)))),
@@ -771,6 +773,8 @@ object SparkEntry {
     "q_embed_ivfpq_idx" -> SimilarityQueries.embedIvfPqOracle,
     "q_cdc_apply"     -> graft.lake.LakeQueries.cdcApplyOracle,
     "q_scd2_pit"      -> graft.lake.LakeQueries.scd2PitOracle,
+    "q_time_travel"   -> graft.lake.LakeQueries.timeTravelOracle,
+    "q_incremental_mv" -> graft.lake.LakeQueries.incrementalMvOracle,
     "q_doc_pipeline"  -> ext.DocPipeline.pipelineOracle(),
     "q_corpus_pack"   -> ext.DocPipeline.assembledPacksOracle(),
     "q_corpus_curate" -> ext.DocPipeline.curatedPacksOracle(),

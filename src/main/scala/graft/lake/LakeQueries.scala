@@ -128,6 +128,93 @@ object LakeQueries {
         col(Scd2.EffFrom).as("eff_from"))
   }
 
+  /** Time travel under the oracle gate: overwrite (v1) → MERGE price
+    * bump for key%7=0 (v2) → DELETE key%11=0 (v3), then read VERSION 2.
+    * The hash proves two things at once: snapshot reconstruction
+    * resolves exactly the post-merge state, and the later delete's file
+    * rewrite did NOT contaminate the historical snapshot (commits never
+    * rewrite files in place). The oracle replays waves 1-2 and ignores
+    * the delete entirely. */
+  def timeTravel(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val t = MergeTable(s, scratch("graft_q_tt"))
+    t.overwrite(base)
+    val v2 = t.merge(
+      base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 5.0),
+      "o_orderkey")
+    t.delete(col("o_orderkey") % 11 === 0)
+    t.readVersion(v2).select(
+      col("o_orderkey"), col("o_custkey"),
+      round(col("o_totalprice"), 2).as("price"))
+  }
+
+  val timeTravelOracle: String =
+    """SELECT o_orderkey, o_custkey,
+              round(CASE WHEN o_orderkey % 7 = 0
+                         THEN o_totalprice + 5.0
+                         ELSE o_totalprice END, 2) AS price
+       FROM orders
+       ORDER BY o_orderkey"""
+
+  /** Incremental MV maintenance under the oracle gate (X74 end-to-end):
+    * a per-customer SUM/COUNT aggregate is materialized ONCE at v1 and
+    * then maintained purely from the change feed across two commits —
+    * a MERGE carrying updates (key%4=0: v+1000) and re-keyed inserts
+    * (key%6=3), then a DELETE (key%9=0) — never rescanning the base.
+    * The measure is `o_orderkey % 997` (integer, computed on the
+    * ORIGINAL key so inserts replay trivially): long sums are exact, so
+    * the incrementally-maintained totals hash-match the oracle's direct
+    * aggregate over the replayed final state bit-for-bit — the
+    * self-maintainability proof, under the gate, at every scale
+    * factor. */
+  def incrementalMv(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      (col("o_orderkey") % 997).as("v"))
+    val t = MergeTable(s, scratch("graft_q_mv"))
+    val v1 = t.overwrite(base)
+    var mv = IncrementalAgg.fullAggregate(t.readVersion(v1),
+      "o_custkey", "v")
+    val upd = base.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("v", col("v") + 1000L)
+    val ins = base.filter(col("o_orderkey") % 6 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      .withColumn("v", col("v") + 7L)
+    val v2 = t.merge(upd.unionByName(ins), "o_orderkey")
+    mv = IncrementalAgg.applyDelta(mv,
+      IncrementalAgg.sumCountDelta(
+        t.changes(v1, v2, "o_orderkey", updateImages = true),
+        "o_custkey", "v"),
+      "o_custkey")
+    val v3 = t.delete(col("o_orderkey") % 9 === 0)
+    mv = IncrementalAgg.applyDelta(mv,
+      IncrementalAgg.sumCountDelta(
+        t.changes(v2, v3, "o_orderkey", updateImages = true),
+        "o_custkey", "v"),
+      "o_custkey")
+    mv.select(col("o_custkey"),
+      col("total_sum").cast("long").as("total_sum"), col("n_rows"))
+  }
+
+  val incrementalMvOracle: String =
+    """WITH base AS (
+         SELECT o_orderkey, o_custkey, o_orderkey % 997 AS v FROM orders),
+       upd AS (
+         SELECT o_orderkey, o_custkey,
+                CASE WHEN o_orderkey % 4 = 0 THEN v + 1000 ELSE v END AS v
+         FROM base),
+       ins AS (
+         SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, v + 7 AS v
+         FROM base WHERE o_orderkey % 6 = 3),
+       fin AS (
+         SELECT * FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins) u
+         WHERE o_orderkey % 9 <> 0)
+       SELECT o_custkey, CAST(sum(v) AS BIGINT) AS total_sum,
+              CAST(count(*) AS BIGINT) AS n_rows
+       FROM fin GROUP BY o_custkey ORDER BY o_custkey"""
+
   val scd2PitOracle: String =
     """WITH hist AS (
          SELECT c_custkey, c_acctbal AS bal, '2024-01-01' AS eff_from

@@ -13,6 +13,9 @@ class PlanGuardSpec extends SparkSpec {
     * vectors, 8 centroids) and the condition is non-equi by design. */
   private val intendedBroadcastNL = Set(
     "q_scalar_subquery", "q_embed_topk", "q_embed_ivf", "q_embed_ivfpq",
+    // the persisted-index twins search with the same tiny query-side
+    // crosses as their train-inline forms
+    "q_embed_ivf_idx", "q_embed_ivfpq_idx",
     "q_text_colloc",
     // 1-row scalar broadcast (corpus size) against a streaming fact side
     "q_text_tfidf", "q_text_rarity",
