@@ -243,4 +243,28 @@ object StreamIngest {
     query.awaitTermination()
     applied
   }
+
+  /** Tombstone retention window for [[runCdcAvailableNow]]'s sidecar:
+    * drop tombstones whose deleted-at sequence is below `below`. Sound
+    * ONLY under a bounded-lateness contract with the source — if no
+    * event can arrive sequenced below `below` (Delta's
+    * `pipelines.cdc.tombstoneGCThresholdInSeconds` makes the same
+    * assumption), a tombstone there can never reject anything again. An
+    * event later violating the contract is admitted as if the delete
+    * never happened — age-out trades storage for that risk, which is
+    * why the window is the caller's explicit choice and not automatic.
+    * Returns the number of tombstones dropped (0 if no sidecar
+    * exists). */
+  def expireTombstones(spark: SparkSession, table: MergeTable,
+      seqCol: String, below: Long): Long = {
+    import org.apache.spark.sql.functions.col
+    val tombstones = MergeTable(spark,
+      table.root.resolve("_tombstones").toString)
+    if (tombstones.latestVersion() == 0L) 0L
+    else {
+      val expired = tombstones.read().filter(col(seqCol) < below).count()
+      if (expired > 0L) tombstones.delete(col(seqCol) < below)
+      expired
+    }
+  }
 }

@@ -261,6 +261,11 @@ class StreamIngestSpec extends SparkSpec {
     StreamIngest.runCdcAvailableNow(spark, raw.toString, cdcSchema,
       t, "order_id", "seq", ckpt)
     assert(state() === Set(("o1", "60.0", 5L), ("o2", "22.0", 2L)))
+
+    // retention window: o1's tombstone (deleted-at 3) ages out below 4;
+    // expiry is idempotent and leaves nothing else behind
+    assert(StreamIngest.expireTombstones(spark, t, "seq", below = 4L) === 1L)
+    assert(StreamIngest.expireTombstones(spark, t, "seq", below = 4L) === 0L)
   }
 
   test("streaming CDC apply: full-image feeds never let the preimage win") {
