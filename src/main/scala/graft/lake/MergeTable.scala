@@ -136,6 +136,12 @@ final class MergeTable private (
               statsCol.map(_ -> (parts(3).toLong, parts(4).toLong)).toMap
             else Map.empty
           Add(FileEntry(parts(1), pv, stats))
+        // Constraint metadata rides the same log: "C name b64(predicate)"
+        // adds, "D name" drops. The predicate is base64-coded — free-form
+        // SQL can contain the log's tab separator.
+        case "C" => AddConstraint(parts(1), new String(
+          java.util.Base64.getDecoder.decode(parts(2)), "UTF-8"))
+        case "D" => DropConstraint(parts(1))
         case other => throw new IllegalStateException(
           s"MergeTable at $root: unknown log action '$other' in $p")
       }
@@ -158,9 +164,35 @@ final class MergeTable private (
       readLogFile(p).foreach {
         case Add(e)    => base.update(e.relPath, e)
         case Remove(f) => base.remove(f)
+        case _         => () // constraint metadata — folded separately
       }
     }
     base.values.toSeq
+  }
+
+  /** CHECK constraints in effect at version `v` — the same
+    * checkpoint-then-deltas fold as [[snapshotAt]], over the C/D
+    * actions. */
+  private def constraintsAt(v: Long): Map[String, String] = {
+    val ckpt = checkpointAtOrBelow(v)
+    val acc = mutable.LinkedHashMap.empty[String, String]
+    def fold(p: Path): Unit = readLogFile(p).foreach {
+      case AddConstraint(n, pr) => acc.update(n, pr)
+      case DropConstraint(n)    => acc.remove(n)
+      case _                    => ()
+    }
+    if (ckpt != 0L) fold(logDir.resolve(f"$ckpt%020d$CkptSuffix"))
+    ((ckpt + 1) to v).foreach { w =>
+      val p = logDir.resolve(f"$w%020d.txt")
+      if (Files.exists(p)) fold(p)
+    }
+    acc.toMap
+  }
+
+  /** The table's current CHECK constraints (name → SQL predicate). */
+  def constraints: Map[String, String] = {
+    val v = latestVersion()
+    if (v == 0L) Map.empty else constraintsAt(v)
   }
 
   private def deltaBody(delta: CommitDelta): String =
@@ -170,6 +202,11 @@ final class MergeTable private (
         if (e.stats.isEmpty) base
         else base + e.stats.toSeq.sortBy(_._1)
           .map { case (c, (mn, mx)) => s"\t$c:$mn:$mx" }.mkString
+      } ++
+      delta.cDrops.map(n => s"D\t$n") ++
+      delta.cAdds.map { case (n, pr) =>
+        s"C\t$n\t" + java.util.Base64.getEncoder
+          .encodeToString(pr.getBytes("UTF-8"))
       }).mkString("\n")
 
   /** Try to publish `delta` as version `expected + 1`. Returns the
@@ -200,7 +237,10 @@ final class MergeTable private (
   private def writeCheckpoint(v: Long): Unit = {
     val target = logDir.resolve(f"$v%020d$CkptSuffix")
     if (Files.exists(target)) return
-    val body = deltaBody(CommitDelta(snapshotAt(v), Nil))
+    // a checkpoint replaces the deltas below it for readers, so it must
+    // carry the constraint state too (or vacuum would silently drop it)
+    val body = deltaBody(CommitDelta(snapshotAt(v), Nil,
+      cAdds = constraintsAt(v).toSeq))
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, body)
     try Files.createLink(target, tmp)
@@ -296,6 +336,7 @@ final class MergeTable private (
     * a commit collision the same entries re-publish at the fresh version
     * (last-full-writer-wins is the overwrite contract). */
   def overwrite(df: DataFrame): Long = {
+    enforceConstraints(df, "overwrite")
     val (_, entries) = writeData(df)
     retryingCommit { () =>
       val (version, live) = latest()
@@ -319,6 +360,7 @@ final class MergeTable private (
     * Without it, schema drift fails fast (enforcement — the reference's
     * actual behavior). */
   def merge(source: DataFrame, pk: String, evolveSchema: Boolean): Long = {
+    enforceConstraints(source, "MERGE source")
     val src = source.cache()
     try {
       retryingCommit { () =>
@@ -425,6 +467,9 @@ final class MergeTable private (
         else winners.drop(seq)
       case None => events
     }
+    enforceConstraints(
+      collapsed.filter(col(ChangeType) =!= "delete").drop(ChangeType),
+      "CDC-apply upserts")
     val src = collapsed.cache()
     try {
       retryingCommit { () =>
@@ -642,12 +687,76 @@ final class MergeTable private (
           val updated = staged.select(base.columns.map(c =>
             if (set.contains(c)) col(s"__graft_set_$c").as(c)
             else col(c)): _*)
+          enforceConstraints(updated, "UPDATE")
           val (_, newEntries) = writeData(updated)
           (CommitDelta(newEntries, touched.map(_.relPath)), version)
         }
       }
     }
   }
+
+  // ---- CHECK constraints --------------------------------------------------
+
+  /** ADD CONSTRAINT (Delta's `ALTER TABLE ... ADD CONSTRAINT ... CHECK`):
+    * register a named SQL predicate every future write's NEW rows must
+    * satisfy (SQL CHECK semantics — a NULL predicate result passes).
+    * Existing data is validated FIRST and the add fails fast if any live
+    * row violates, so a registered constraint is always a table-wide
+    * invariant. The registration is an atomic log commit: it serializes
+    * with concurrent writers through the same optimistic-retry protocol
+    * as data commits, and [[vacuum]]'s checkpoints carry it. */
+  def addConstraint(name: String, predicate: String): Long = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"constraint name must be [A-Za-z0-9_]+: $name")
+    retryingCommit { () =>
+      val (version, live) = latest()
+      require(!constraintsAt(version).contains(name),
+        s"MergeTable at $root already has constraint $name")
+      if (live.nonEmpty) {
+        val bad = readEntries(live)
+          .filter(not(coalesce(expr(predicate), lit(true))))
+          .limit(1).collect()
+        require(bad.isEmpty,
+          s"cannot add constraint $name: existing row violates " +
+            s"($predicate): ${bad.headOption.getOrElse("")}")
+      }
+      (CommitDelta(Nil, Nil, cAdds = Seq(name -> predicate)), version)
+    }
+  }
+
+  /** DROP CONSTRAINT; fails fast on an unknown name. */
+  def dropConstraint(name: String): Long =
+    retryingCommit { () =>
+      val (version, _) = latest()
+      require(constraintsAt(version).contains(name),
+        s"MergeTable at $root has no constraint $name " +
+          s"(has: ${constraintsAt(version).keys.mkString(", ")})")
+      (CommitDelta(Nil, Nil, cDrops = Seq(name)), version)
+    }
+
+  /** Enforce every registered constraint on `df` (the NEW rows a write
+    * is about to commit). Each check is a `limit(1)` probe — it
+    * short-circuits on the first violation, so the pass is cheap on
+    * clean data and fails fast on dirty. A constraint referencing a
+    * column `df` lacks fails the write explicitly (conservative: Delta
+    * would write NULLs for evolved-away source columns; failing beats
+    * silently skipping the check). */
+  private def enforceConstraints(df: DataFrame, what: String): Unit =
+    constraints.foreach { case (name, predicate) =>
+      val bad =
+        try df.filter(not(coalesce(expr(predicate), lit(true))))
+          .limit(1).collect()
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"MergeTable at $root: $what cannot evaluate constraint " +
+                s"$name ($predicate) against the incoming schema — add " +
+                "the referenced column or drop the constraint", e)
+        }
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"MergeTable at $root: $what violates constraint $name " +
+          s"($predicate): ${bad.head}")
+    }
 
   /** [[fileKey]]s of live files holding at least one `predicate` match.
     * `input_file_name()` is evaluated in the scan stage, before any
@@ -881,7 +990,7 @@ final class MergeTable private (
       (Files.isDirectory(destPath) &&
         !Using.resource(Files.list(destPath))(_.findFirst().isPresent)),
       s"clone destination $dest is not an empty directory")
-    val (_, live) = latest()
+    val (srcV, live) = latest()
     val clone = new MergeTable(spark, destPath, partitionCol, statsCols)
     Files.createDirectories(destPath)
     val rebased = live.map { e =>
@@ -889,7 +998,10 @@ final class MergeTable private (
         .relativize(root.toAbsolutePath.normalize.resolve(e.relPath)
           .normalize).toString)
     }
-    val v = clone.tryCommit(CommitDelta(rebased, Nil), 0L)
+    // the clone inherits the source's CHECK constraints in the same
+    // first commit (Delta clones carry table properties/constraints)
+    val v = clone.tryCommit(CommitDelta(rebased, Nil,
+      cAdds = (if (srcV == 0L) Nil else constraintsAt(srcV).toSeq)), 0L)
     require(v.contains(1L), s"clone commit lost a race at fresh $dest")
     clone
   }
@@ -1072,13 +1184,20 @@ object MergeTable {
       partitionValue: Option[String],
       stats: Map[String, (Long, Long)] = Map.empty)
 
-  /** One commit's log content: files it adds, relPaths it removes. */
+  /** One commit's log content: files it adds, relPaths it removes, plus
+    * any CHECK-constraint metadata changes riding the same atomic
+    * commit. */
   private[lake] final case class CommitDelta(adds: Seq[FileEntry],
-      removes: Seq[String])
+      removes: Seq[String],
+      cAdds: Seq[(String, String)] = Nil,
+      cDrops: Seq[String] = Nil)
 
   private sealed trait LogAction
   private final case class Add(entry: FileEntry) extends LogAction
   private final case class Remove(relPath: String) extends LogAction
+  private final case class AddConstraint(name: String,
+      predicate: String) extends LogAction
+  private final case class DropConstraint(name: String) extends LogAction
 
   /** Open (or lazily create on first write) a table at `root`.
     * `statsCol` names a long-castable column whose per-file min/max is

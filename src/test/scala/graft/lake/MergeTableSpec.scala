@@ -298,6 +298,78 @@ class MergeTableSpec extends SparkSpec {
       (0L to 3L).toSet)
   }
 
+  test("CHECK constraints gate every write path, with SQL NULL-passes") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, Some("date"))
+    t.overwrite(orders(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
+    t.addConstraint("amount_pos", "amount > 0")
+    assert(t.constraints === Map("amount_pos" -> "amount > 0"))
+    // adding a constraint the EXISTING data violates fails fast
+    intercept[IllegalArgumentException] {
+      t.addConstraint("amount_big", "amount > 15")
+    }
+    assert(t.constraints.keySet === Set("amount_pos"))
+    // every write path rejects violating NEW rows and commits nothing
+    val vBefore = t.latestVersion()
+    intercept[IllegalArgumentException] {
+      t.merge(orders(("o3", "2024-01-03", -1.0)), "order_id")
+    }
+    intercept[IllegalArgumentException] {
+      t.overwrite(orders(("o9", "2024-01-09", 0.0)))
+    }
+    intercept[IllegalArgumentException] {
+      t.update(col("order_id") === "o1", Map("amount" -> lit(-5.0)))
+    }
+    intercept[IllegalArgumentException] {
+      t.mergeCdc(orders(("o1", "2024-01-01", -3.0))
+        .withColumn(MergeTable.ChangeType, lit("update")), "order_id")
+    }
+    assert(t.latestVersion() === vBefore)
+    assert(contents(t.read()) ===
+      Set(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
+    // NULL predicate result PASSES (SQL CHECK semantics), and a
+    // CDC delete needs no constraint evaluation at all
+    t.merge(Seq(("o4", "2024-01-04", None: Option[Double]))
+      .toDF("order_id", "date", "amount"), "order_id")
+    t.mergeCdc(orders(("o4", "2024-01-04", 0.0))
+      .withColumn(MergeTable.ChangeType, lit("delete")), "order_id")
+    assert(contents(t.read()) ===
+      Set(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
+    // dropping re-admits; unknown drop fails fast
+    t.dropConstraint("amount_pos")
+    intercept[IllegalArgumentException] { t.dropConstraint("nope") }
+    t.merge(orders(("o5", "2024-01-05", -1.0)), "order_id")
+    assert(t.constraints.isEmpty)
+  }
+
+  test("constraints survive vacuum and are inherited by clones") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, Some("date"))
+    t.overwrite(orders(("o1", "2024-01-01", 10.0)))
+    t.addConstraint("amount_pos", "amount > 0")
+    t.merge(orders(("o2", "2024-01-02", 20.0)), "order_id")
+    // vacuum prunes pre-latest deltas; the checkpoint must carry the
+    // constraint or enforcement would silently vanish
+    t.vacuum()
+    assert(t.constraints === Map("amount_pos" -> "amount > 0"))
+    intercept[IllegalArgumentException] {
+      t.merge(orders(("o3", "2024-01-03", -1.0)), "order_id")
+    }
+    // a shallow clone starts life with the source's constraints
+    val c = t.cloneTo(tmpDir("mtclone").toString)
+    assert(c.constraints === Map("amount_pos" -> "amount > 0"))
+    intercept[IllegalArgumentException] {
+      c.merge(orders(("o9", "2024-01-09", -2.0)), "order_id")
+    }
+    // a constraint referencing a column the write lacks fails explicitly
+    // (conservative stand-in for Delta's evolved-null behavior)
+    val e = intercept[IllegalArgumentException] {
+      t.merge(Seq(("o6", "2024-01-06")).toDF("order_id", "date"),
+        "order_id")
+    }
+    assert(e.getMessage.contains("cannot evaluate constraint"))
+  }
+
   test("merge handles NULL partition values (hive default dir)") {
     val root = tmpDir("mt").toString
     val t = MergeTable(spark, root, Some("date"))
