@@ -60,9 +60,13 @@ object Replica {
     catch { case _: java.nio.file.FileAlreadyExistsException => () }
   }
 
-  /** Catch `replica` up to `source`'s head. Returns the source version
-    * the replica now reflects. No-op (no new commit, no new watermark)
-    * when the replica is already current. */
+  /** Catch `replica` up to `source`'s head — data via the change feed,
+    * then CHECK-constraint metadata reconciled to match the source (a
+    * replica that doesn't enforce the source's invariants would accept
+    * local writes the source rejects). Constraint-only source commits
+    * produce an empty feed — the watermark still advances, without an
+    * empty data commit. Returns the source version the replica now
+    * reflects. No-op when the replica is already current. */
   def sync(source: MergeTable, replica: MergeTable, pk: String): Long = {
     val from = syncedVersion(replica)
     val to = source.latestVersion()
@@ -71,7 +75,20 @@ object Replica {
         s"source head $to) — is it tracking a different table?")
     if (to > from) {
       val feed = source.changes(from, to, pk)
-      replica.mergeCdc(feed, pk)
+      if (!feed.isEmpty) replica.mergeCdc(feed, pk)
+      // Reconcile AFTER the data lands: a constraint the source added is
+      // satisfied by the source's data, hence by the freshly-synced
+      // replica data — addConstraint's existing-row validation passes.
+      val want = source.constraints
+      val have = replica.constraints
+      have.keysIterator.filterNot(want.contains)
+        .foreach(replica.dropConstraint)
+      want.foreach { case (n, p) =>
+        if (!have.get(n).contains(p)) {
+          if (have.contains(n)) replica.dropConstraint(n)
+          replica.addConstraint(n, p)
+        }
+      }
       publishWatermark(replica, to)
     }
     to

@@ -303,4 +303,26 @@ class ReplicaSpec extends SparkSpec {
     assert(repFeed === Set(
       ("o1", "update"), ("o2", "delete"), ("o3", "insert")))
   }
+
+  test("Replica.sync reconciles CHECK constraints with the source") {
+    val src = MergeTable(spark, tmpDir("src").toString, Some("date"))
+    val rep = MergeTable(spark, tmpDir("rep").toString, Some("date"))
+    src.overwrite(orders(("o1", "2024-01-01", 10.0)))
+    src.addConstraint("amount_pos", "amount > 0")
+    Replica.sync(src, rep, "order_id")
+    // the replica enforces the source's invariant on LOCAL writes
+    assert(rep.constraints === Map("amount_pos" -> "amount > 0"))
+    intercept[IllegalArgumentException] {
+      rep.merge(orders(("bad", "2024-01-09", -1.0)), "order_id")
+    }
+    // a constraint-only source commit advances the watermark without an
+    // empty data commit on the replica
+    src.dropConstraint("amount_pos")
+    val repDataV = rep.latestVersion()
+    Replica.sync(src, rep, "order_id")
+    assert(Replica.syncedVersion(rep) === src.latestVersion())
+    assert(rep.constraints.isEmpty)
+    rep.merge(orders(("ok", "2024-01-10", -1.0)), "order_id")
+    assert(rep.latestVersion() === repDataV + 2) // drop-commit + merge only
+  }
 }
