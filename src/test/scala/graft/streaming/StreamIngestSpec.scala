@@ -268,6 +268,69 @@ class StreamIngestSpec extends SparkSpec {
     assert(StreamIngest.expireTombstones(spark, t, "seq", below = 4L) === 0L)
   }
 
+  test("streaming CDC apply matches a reference applier on random feeds") {
+    // Adversarial evidence for the guard semantics: random multi-drain
+    // event sequences (out-of-order, interleaved deletes/re-inserts,
+    // cross-drain stragglers) vs a driver-side reference state machine
+    // implementing the DOCUMENTED rules — per drain, an event is
+    // admitted iff its sequence exceeds BOTH its key's tombstone and the
+    // live row's stored sequence; admitted events collapse to each key's
+    // newest; a delete removes the row and records the tombstone.
+    import org.apache.spark.sql.types.LongType
+    val cdcSchema = StructType(Seq(
+      StructField("order_id", StringType),
+      StructField("amount", StringType),
+      StructField(MergeTable.ChangeType, StringType),
+      StructField("seq", LongType)))
+    val rnd = new scala.util.Random(20260813L) // deterministic
+    for (trial <- 1 to 3) {
+      val raw = tmpDir(s"raw$trial")
+      val ckpt = tmpDir(s"ckpt$trial").toString
+      val t = MergeTable(spark, tmpDir(s"tbl$trial").toString)
+      // one event per (key, seq); amount derives from both so any
+      // mis-admitted event shows up in the value, not just the keyset
+      val keys = Seq("k1", "k2", "k3", "k4")
+      val events = rnd.shuffle(for {
+        k <- keys; seq <- 1L to 6L
+      } yield {
+        val kind = rnd.nextInt(10) match {
+          case 0 | 1 => "delete"
+          case 2     => "insert"
+          case _     => "update"
+        }
+        (k, s"$k-$seq", kind, seq)
+      })
+      val drains = events.grouped((events.size + 3) / 4).toSeq
+      var live = Map.empty[String, (String, Long)] // key -> (amount, seq)
+      var tomb = Map.empty[String, Long]
+      drains.zipWithIndex.foreach { case (batch, i) =>
+        Files.writeString(raw.resolve(s"c$i.csv"),
+          (s"order_id,amount,${MergeTable.ChangeType},seq" +:
+            batch.map { case (k, a, c, q) => s"$k,$a,$c,$q" }).mkString("\n"))
+        StreamIngest.runCdcAvailableNow(spark, raw.toString, cdcSchema,
+          t, "order_id", "seq", ckpt)
+        // reference applier, documented semantics
+        batch.groupBy(_._1).foreach { case (k, evs) =>
+          val admitted = evs.filter { case (_, _, _, q) =>
+            q > tomb.getOrElse(k, Long.MinValue) &&
+              q > live.get(k).map(_._2).getOrElse(Long.MinValue)
+          }
+          if (admitted.nonEmpty) {
+            val (_, a, c, q) = admitted.maxBy(_._4)
+            if (c == "delete") { live -= k; tomb += (k -> q) }
+            else live += (k -> (a, q))
+          }
+        }
+        val got = t.read().select("order_id", "amount", "seq")
+          .as[(String, String, Long)].collect()
+          .map { case (k, a, q) => k -> (a, q) }.toMap
+        assert(got === live,
+          s"trial $trial drain $i diverged from the reference applier " +
+            s"(events: ${batch.mkString(", ")})")
+      }
+    }
+  }
+
   test("streaming CDC apply: full-image feeds never let the preimage win") {
     import org.apache.spark.sql.types.LongType
     val cdcSchema = StructType(Seq(
