@@ -123,17 +123,28 @@ final class MergeTable private (
         case "R" => Remove(parts(1))
         case "A" =>
           val pv = if (parts(2) == NoPartition) None else Some(parts(2))
-          // Stats tokens are `col:min:max` (multi-column, any order);
-          // a legacy manifest holds one bare `min\tmax` pair, which
-          // belongs to the table's primary stats column by contract.
-          val stats: Map[String, (Long, Long)] =
+          // Stats tokens are `col:min:max` (range only) or
+          // `col:min:max:nulls:rows` (min/max EMPTY for an all-null
+          // file), multi-column, any order; a legacy manifest holds one
+          // bare `min\tmax` pair, which belongs to the table's primary
+          // stats column by contract.
+          val stats: Map[String, ColStat] =
             if (parts.length >= 4 && parts(3).contains(':'))
               parts.drop(3).map { tok =>
-                val Array(c, mn, mx) = tok.split(':')
-                c -> (mn.toLong, mx.toLong)
+                tok.split(":", -1) match {
+                  case Array(c, mn, mx) =>
+                    c -> ColStat(Some((mn.toLong, mx.toLong)))
+                  case Array(c, mn, mx, nn, rw) =>
+                    val range =
+                      if (mn.isEmpty) None else Some((mn.toLong, mx.toLong))
+                    c -> ColStat(range, Some((nn.toLong, rw.toLong)))
+                  case _ => throw new IllegalStateException(
+                    s"MergeTable at $root: bad stats token '$tok' in $p")
+                }
               }.toMap
             else if (parts.length >= 5)
-              statsCol.map(_ -> (parts(3).toLong, parts(4).toLong)).toMap
+              statsCol.map(_ ->
+                ColStat(Some((parts(3).toLong, parts(4).toLong)))).toMap
             else Map.empty
           Add(FileEntry(parts(1), pv, stats))
         // Constraint metadata rides the same log: "C name b64(predicate)"
@@ -200,8 +211,13 @@ final class MergeTable private (
       delta.adds.map { e =>
         val base = s"A\t${e.relPath}\t${e.partitionValue.getOrElse(NoPartition)}"
         if (e.stats.isEmpty) base
-        else base + e.stats.toSeq.sortBy(_._1)
-          .map { case (c, (mn, mx)) => s"\t$c:$mn:$mx" }.mkString
+        else base + e.stats.toSeq.sortBy(_._1).map { case (c, cs) =>
+          val r = cs.range.fold(":")(p => s"${p._1}:${p._2}")
+          cs.nullsRows match {
+            case Some((nn, rw)) => s"\t$c:$r:$nn:$rw"
+            case None           => s"\t$c:$r"
+          }
+        }.mkString
       } ++
       delta.cDrops.map(n => s"D\t$n") ++
       delta.cAdds.map { case (n, pr) =>
@@ -301,17 +317,19 @@ final class MergeTable private (
     (commitDir, withStats(target, entries))
   }
 
-  /** Attach per-file min/max of every column in `statsCols` (Delta's
-    * configurable stats-column contract) in ONE metadata-scale pass over
-    * the freshly written commit dir — numFiles rows to the driver
-    * regardless of how many columns are stats'd. */
+  /** Attach per-file min/max + null/row counts of every column in
+    * `statsCols` (Delta's configurable stats-column contract, incl. its
+    * nullCount) in ONE metadata-scale pass over the freshly written
+    * commit dir — numFiles rows to the driver regardless of how many
+    * columns are stats'd. */
   private def withStats(target: Path,
       entries: Seq[FileEntry]): Seq[FileEntry] =
     if (statsCols.isEmpty) entries
     else {
-      val aggs = statsCols.flatMap(c => Seq(
+      val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
         min(col(c).cast("long")).as(s"mn_$c"),
-        max(col(c).cast("long")).as(s"mx_$c")))
+        max(col(c).cast("long")).as(s"mx_$c"),
+        count(col(c)).as(s"nn_$c")))
       val byKey = spark.read
         .option("basePath", target.toString)
         .parquet(target.toString)
@@ -319,10 +337,13 @@ final class MergeTable private (
         .agg(aggs.head, aggs.tail: _*)
         .collect()
         .map { r =>
-          val m = statsCols.zipWithIndex.flatMap { case (c, i) =>
-            val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
-            if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
-            else Some(c -> (r.getLong(mnI), r.getLong(mxI)))
+          val rows = r.getLong(1)
+          val m = statsCols.zipWithIndex.map { case (c, i) =>
+            val (mnI, mxI, nnI) = (2 + 3 * i, 3 + 3 * i, 4 + 3 * i)
+            val range =
+              if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+              else Some((r.getLong(mnI), r.getLong(mxI)))
+            c -> ColStat(range, Some((rows - r.getLong(nnI), rows)))
           }.toMap
           fileKey(r.getString(0)) -> m
         }
@@ -824,9 +845,12 @@ final class MergeTable private (
     readRange(sc, lo, hi)
   }
 
-  /** Stats-based data skipping on ANY stats'd column — files without a
-    * recorded range for `c` are scanned (safe fallback: pre-stats
-    * history, all-null files, columns added by schema evolution). */
+  /** Stats-based data skipping on ANY stats'd column — files without
+    * recorded stats for `c` are scanned (safe fallback: pre-stats
+    * history, columns added by schema evolution), while files the stats
+    * PROVE irrelevant are skipped: a recorded range disjoint from
+    * [lo, hi], or a recorded nullCount saying the file is all-null in
+    * `c` (BETWEEN is never true of NULL — Delta's nullCount skipping). */
   def readRange(c: String, lo: Long, hi: Long): DataFrame = {
     require(statsCols.contains(c),
       s"MergeTable at $root records stats for ${statsCols.mkString(", ")} " +
@@ -848,8 +872,30 @@ final class MergeTable private (
   private[lake] def rangeEntries(c: String, lo: Long,
       hi: Long): Seq[FileEntry] = {
     val (_, live) = latest()
-    live.filter(_.stats.get(c).forall { case (mn, mx) =>
-      mx >= lo && mn <= hi })
+    live.filter { e =>
+      e.stats.get(c).forall { cs =>
+        !cs.allNull && cs.range.forall { case (mn, mx) =>
+          mx >= lo && mn <= hi
+        }
+      }
+    }
+  }
+
+  /** IS NOT NULL data skipping: the non-null rows of `c`, scanning only
+    * live files whose recorded nullCount doesn't prove them all-null
+    * (Delta's nullCount-based skipping; files without recorded counts
+    * are scanned — safe fallback). */
+  def readNotNull(c: String): DataFrame = {
+    require(statsCols.contains(c),
+      s"MergeTable at $root records stats for ${statsCols.mkString(", ")} " +
+        s"— not $c; reopen with it in statsCols")
+    readEntries(notNullEntries(c)).filter(col(c).isNotNull)
+  }
+
+  /** Live entries surviving the all-null prune on column `c`. */
+  private[lake] def notNullEntries(c: String): Seq[FileEntry] = {
+    val (_, live) = latest()
+    live.filterNot(_.stats.get(c).exists(_.allNull))
   }
 
   /** Time travel — snapshot of historical `version`. */
@@ -1180,9 +1226,18 @@ object MergeTable {
     * instead of OOMing the driver. */
   private val MaxPartitionsPerMerge = 100000
 
+  /** Per-file, per-column statistics: value range (absent when the
+    * column is all-null in the file, or in legacy manifests that never
+    * recorded it) and null/row counts (absent in legacy manifests). */
+  private[lake] final case class ColStat(
+      range: Option[(Long, Long)],
+      nullsRows: Option[(Long, Long)] = None) {
+    def allNull: Boolean = nullsRows.exists { case (n, r) => n == r }
+  }
+
   private[lake] final case class FileEntry(relPath: String,
       partitionValue: Option[String],
-      stats: Map[String, (Long, Long)] = Map.empty)
+      stats: Map[String, ColStat] = Map.empty)
 
   /** One commit's log content: files it adds, relPaths it removes, plus
     * any CHECK-constraint metadata changes riding the same atomic

@@ -298,6 +298,33 @@ class MergeTableSpec extends SparkSpec {
       (0L to 3L).toSet)
   }
 
+  test("nullCount stats skip all-null files for range and NOT NULL reads") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, Some("p"), statsCols = Seq("k"))
+    // one file all-null in k, one file with values — the all-null file
+    // has NO min/max to prune on, so only the nullCount can skip it.
+    // Distinct partition values force distinct files even when AQE
+    // coalesces the union down to a single write task.
+    val withK = spark.range(0, 50).toDF("k")
+      .withColumn("payload", col("k") * 2).withColumn("p", lit("vals"))
+    val nullK = spark.range(0, 50).toDF("i")
+      .select(lit(null).cast("long").as("k"),
+        (col("i") + 1000L).as("payload"), lit("nulls").as("p"))
+    t.overwrite(withK.unionByName(nullK))
+    val total = t.liveEntries().size
+    assert(total >= 2)
+    // BETWEEN is never true of NULL: the all-null file is skippable
+    assert(t.rangeEntries("k", 0, 100).size < total,
+      "all-null file must be pruned from a range read")
+    assert(t.readRange("k", 10, 12).select("k").as[Long].collect().toSet ===
+      Set(10L, 11L, 12L))
+    // IS NOT NULL skipping reads only the value-bearing file
+    assert(t.notNullEntries("k").size < total)
+    assert(t.readNotNull("k").count() === 50L)
+    // and the skipped rows are still THERE for a plain read
+    assert(t.read().count() === 100L)
+  }
+
   test("CHECK constraints gate every write path, with SQL NULL-passes") {
     val root = tmpDir("mt").toString
     val t = MergeTable(spark, root, Some("date"))
