@@ -70,7 +70,8 @@ final class MergeTable private (
     val spark: SparkSession,
     val root: Path,
     val partitionCol: Option[String],
-    val statsCols: Seq[String]) {
+    val statsCols: Seq[String],
+    val deletionVectors: Boolean = false) {
 
   import MergeTable._
 
@@ -123,14 +124,23 @@ final class MergeTable private (
         case "R" => Remove(parts(1))
         case "A" =>
           val pv = if (parts(2) == NoPartition) None else Some(parts(2))
-          // Stats tokens are `col:min:max` (range only) or
-          // `col:min:max:nulls:rows` (min/max EMPTY for an all-null
-          // file), multi-column, any order; a legacy manifest holds one
-          // bare `min\tmax` pair, which belongs to the table's primary
-          // stats column by contract.
+          // Optional tokens after the partition: at most one deletion-
+          // vector ref (`dv=<relDir>,<card>`), then stats. Stats tokens
+          // are `col:min:max` (range only) or `col:min:max:nulls:rows`
+          // (min/max EMPTY for an all-null file), multi-column, any
+          // order; a legacy manifest holds one bare `min\tmax` pair,
+          // which belongs to the table's primary stats column by
+          // contract.
+          val (dvToks, rest) = parts.drop(3).partition(_.startsWith(DvTok))
+          val dv = dvToks.headOption.map { tok =>
+            val body = tok.stripPrefix(DvTok)
+            val cut = body.lastIndexOf(',')
+            require(cut > 0, s"bad deletion-vector token '$tok' in $p")
+            DvRef(body.substring(0, cut), body.substring(cut + 1).toLong)
+          }
           val stats: Map[String, ColStat] =
-            if (parts.length >= 4 && parts(3).contains(':'))
-              parts.drop(3).map { tok =>
+            if (rest.nonEmpty && rest.head.contains(':'))
+              rest.map { tok =>
                 tok.split(":", -1) match {
                   case Array(c, mn, mx) =>
                     c -> ColStat(Some((mn.toLong, mx.toLong)))
@@ -142,11 +152,11 @@ final class MergeTable private (
                     s"MergeTable at $root: bad stats token '$tok' in $p")
                 }
               }.toMap
-            else if (parts.length >= 5)
+            else if (rest.length >= 2)
               statsCol.map(_ ->
-                ColStat(Some((parts(3).toLong, parts(4).toLong)))).toMap
+                ColStat(Some((rest(0).toLong, rest(1).toLong)))).toMap
             else Map.empty
-          Add(FileEntry(parts(1), pv, stats))
+          Add(FileEntry(parts(1), pv, stats, dv))
         // Constraint metadata rides the same log: "C name b64(predicate)"
         // adds, "D name" drops. The predicate is base64-coded — free-form
         // SQL can contain the log's tab separator.
@@ -209,7 +219,8 @@ final class MergeTable private (
   private def deltaBody(delta: CommitDelta): String =
     (delta.removes.map(f => s"R\t$f") ++
       delta.adds.map { e =>
-        val base = s"A\t${e.relPath}\t${e.partitionValue.getOrElse(NoPartition)}"
+        val base = s"A\t${e.relPath}\t${e.partitionValue.getOrElse(NoPartition)}" +
+          e.dv.fold("")(d => s"\t$DvTok${d.relDir},${d.card}")
         if (e.stats.isEmpty) base
         else base + e.stats.toSeq.sortBy(_._1).map { case (c, cs) =>
           val r = cs.range.fold(":")(p => s"${p._1}:${p._2}")
@@ -599,8 +610,7 @@ final class MergeTable private (
         import spark.implicits._
         val binDf = broadcast(
           binOf.result().toSeq.toDF(FileTag, BinCol))
-        val packed = readEntries(touched)
-          .withColumn(FileTag, substring_index(input_file_name(), "/", -2))
+        val packed = readEntriesTagged(touched, keep = Seq(FileTag))
           .join(binDf, Seq(FileTag))
           .repartition(nBins, col(BinCol))
           .drop(BinCol, FileTag)
@@ -656,15 +666,30 @@ final class MergeTable private (
   }
 
   /** Delta-parity DELETE: drop rows where `predicate` is TRUE (null-
-    * predicate rows survive, as in SQL DELETE). Only files that CONTAIN
-    * a matching row are rewritten; everything else is carried over
-    * untouched — the touched-file set is discovered with one
-    * `input_file_name()` scan whose result is numFiles-scale driver
-    * metadata, the same contract as the MERGE partition discovery. */
+    * predicate rows survive, as in SQL DELETE).
+    *
+    * Copy-on-write (default): only files that CONTAIN a matching row are
+    * rewritten; everything else is carried over untouched — the
+    * touched-file set is discovered with one scan whose result is
+    * numFiles-scale driver metadata, the same contract as the MERGE
+    * partition discovery.
+    *
+    * Merge-on-read ([[deletionVectors]] enabled): no data file is
+    * rewritten at all — the matched ROW POSITIONS are recorded in a
+    * deletion vector and the touched entries re-commit pointing at it,
+    * O(matched rows) instead of O(touched-file bytes). A file whose
+    * vector grows to cover every physical row is dropped from the
+    * manifest outright. */
   def delete(predicate: Column): Long = retryingCommit { () =>
     val (version, live) = latest()
     if (live.isEmpty) (CommitDelta(Nil, Nil), version)
-    else {
+    else if (deletionVectors) {
+      vectorize(live, predicate) match {
+        case None => (CommitDelta(Nil, Nil), version)
+        case Some((_, adds, gone)) =>
+          (CommitDelta(adds, gone.map(_.relPath)), version)
+      }
+    } else {
       val hit = touchedFileNames(live, predicate)
       if (hit.isEmpty) (CommitDelta(Nil, Nil), version)
       else {
@@ -677,11 +702,100 @@ final class MergeTable private (
     }
   }
 
+  /** Record the `predicate`-matched LIVE rows of `live` in a fresh
+    * cumulative deletion vector (one parquet dir; each touched file's
+    * complete position set — its old vector unioned with the new hits —
+    * so every manifest entry references exactly one vector). Returns
+    * None when nothing matches; otherwise (touched entries, entries to
+    * re-add pointing at the new vector, fully-erased entries to
+    * remove). Runs inside the optimistic-commit loop — a lost race
+    * leaves an orphan vector dir for [[vacuum]], same as [[writeData]]'s
+    * orphan commit dirs. */
+  private def vectorize(live: Seq[FileEntry], predicate: Column)
+      : Option[(Seq[FileEntry], Seq[FileEntry], Seq[FileEntry])] = {
+    val pos = readEntriesTagged(live, keep = Seq(FileTag, PosCol))
+      .filter(coalesce(predicate, lit(false)))
+      .select(col(FileTag).as(DvFile), col(PosCol).as(DvPos))
+      .persist()
+    try {
+      val hit = pos.select(DvFile).distinct()
+        .collect().map(_.getString(0)).toSet
+      if (hit.isEmpty) None
+      else {
+        val touched = live.filter(e => hit(fileKey(e.relPath)))
+        val olds = touched.filter(_.dv.isDefined)
+        // New positions come from a vector-applied read, so they are
+        // disjoint from the old vectors — a plain union is exact.
+        val full =
+          if (olds.isEmpty) pos
+          else pos.unionByName(
+            olds.groupBy(_.dv.get.relDir).toSeq.sortBy(_._1)
+              .map { case (dir, es) =>
+                spark.read.parquet(root.resolve(dir).toString)
+                  .filter(col(DvFile).isin(
+                    es.map(e => fileKey(e.relPath)): _*))
+              }.reduce(_ unionByName _))
+        val dvDir = s"$DvDirName/dv-${UUID.randomUUID().toString.take(12)}"
+        full.write.parquet(root.resolve(dvDir).toString)
+        val cards = spark.read.parquet(root.resolve(dvDir).toString)
+          .groupBy(col(DvFile)).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val totals = fileRowCounts(touched)
+        val (gone, kept) = touched.partition { e =>
+          totals.get(fileKey(e.relPath)).contains(cards(fileKey(e.relPath)))
+        }
+        val adds = kept.map(e =>
+          e.copy(dv = Some(DvRef(dvDir, cards(fileKey(e.relPath))))))
+        Some((touched, adds, gone))
+      }
+    } finally pos.unpersist()
+  }
+
+  /** Total PHYSICAL rows per file (pre-vector, the coordinate space
+    * deletion vectors count in) — from manifest stats when recorded
+    * (any stats'd column's row count), else one count-only scan of the
+    * stat-less files (reads footers, no data columns). */
+  private def fileRowCounts(entries: Seq[FileEntry]): Map[String, Long] = {
+    val fromStats = entries.flatMap { e =>
+      e.stats.values.flatMap(_.nullsRows).map(_._2).headOption
+        .map(r => fileKey(e.relPath) -> r)
+    }.toMap
+    val missing =
+      entries.filterNot(e => fromStats.contains(fileKey(e.relPath)))
+    if (missing.isEmpty) fromStats
+    else fromStats ++ spark.read
+      .parquet(missing.map(e => root.resolve(e.relPath).toString): _*)
+      .groupBy(substring_index(col("_metadata.file_path"), "/", -2))
+      .count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** Delta's `REORG TABLE ... APPLY (PURGE)`: rewrite ONLY the files
+    * carrying deletion vectors into clean files (vectors folded in),
+    * leaving every vector-free file untouched — the maintenance step
+    * that caps read-side anti-join debt without [[compact]]'s full-table
+    * rewrite. [[vacuum]] then reaps the orphaned vector dirs. */
+  def purgeVectors(): Long = retryingCommit { () =>
+    val (version, live) = latest()
+    val vectored = live.filter(_.dv.isDefined)
+    if (vectored.isEmpty) (CommitDelta(Nil, Nil), version)
+    else {
+      val (_, entries) = writeData(readEntries(vectored))
+      (CommitDelta(entries, vectored.map(_.relPath)), version)
+    }
+  }
+
   /** Delta-parity UPDATE: for rows where `predicate` is TRUE, replace
     * each column in `set` with its expression (null-predicate rows stay
     * unchanged). File-level rewrite discipline identical to [[delete]].
     * The partition column cannot be updated (a partition-moving update
-    * is a delete + insert — run those instead). */
+    * is a delete + insert — run those instead).
+    *
+    * Merge-on-read ([[deletionVectors]] enabled): the matched rows'
+    * positions go into a deletion vector and ONLY the matched rows are
+    * rewritten (with SET applied) into new files — O(matched rows) of
+    * write IO, where copy-on-write pays O(touched-file bytes) to carry
+    * every unmatched row alongside. Delta's DV-based UPDATE shape. */
   def update(predicate: Column, set: Map[String, Column]): Long = {
     require(set.nonEmpty, "update needs at least one SET column")
     require(!partitionCol.exists(set.contains),
@@ -689,7 +803,29 @@ final class MergeTable private (
     retryingCommit { () =>
       val (version, live) = latest()
       if (live.isEmpty) (CommitDelta(Nil, Nil), version)
-      else {
+      else if (deletionVectors) {
+        vectorize(live, predicate) match {
+          case None => (CommitDelta(Nil, Nil), version)
+          case Some((touched, adds, gone)) =>
+            // The new vector isn't committed yet, so this read still
+            // sees the matched rows; rewrite exactly them. Staging under
+            // temp names keeps SQL UPDATE's old-row semantics (`SET
+            // a = b, b = a` swaps) — no SET leaks into another's input.
+            val base = readEntries(touched)
+            set.keys.foreach(c => require(base.columns.contains(c),
+              s"SET column $c does not exist in the table"))
+            val matched = base.filter(coalesce(predicate, lit(false)))
+            val staged = set.foldLeft(matched) { case (df, (c, v)) =>
+              df.withColumn(s"__graft_set_$c", v)
+            }
+            val updated = staged.select(base.columns.map(c =>
+              if (set.contains(c)) col(s"__graft_set_$c").as(c)
+              else col(c)): _*)
+            enforceConstraints(updated, "UPDATE")
+            val (_, newEntries) = writeData(updated)
+            (CommitDelta(adds ++ newEntries, gone.map(_.relPath)), version)
+        }
+      } else {
         val hit = touchedFileNames(live, predicate)
         if (hit.isEmpty) (CommitDelta(Nil, Nil), version)
         else {
@@ -780,12 +916,12 @@ final class MergeTable private (
     }
 
   /** [[fileKey]]s of live files holding at least one `predicate` match.
-    * `input_file_name()` is evaluated in the scan stage, before any
-    * exchange, so the tag is exact. */
+    * The tag is captured at the scan stage by [[readEntriesTagged]]
+    * (exact even when the deletion-vector anti-join adds an exchange —
+    * `input_file_name()` after a shuffle reads empty). */
   private def touchedFileNames(live: Seq[FileEntry],
       predicate: Column): Set[String] =
-    readEntries(live)
-      .withColumn(FileTag, substring_index(input_file_name(), "/", -2))
+    readEntriesTagged(live, keep = Seq(FileTag))
       .filter(predicate)
       .select(col(FileTag)).distinct()
       .collect().map(_.getString(0)).toSet
@@ -808,6 +944,22 @@ final class MergeTable private (
           !liveDirs.contains(p.getFileName.toString))
         .toSeq
     }.foreach(deleteRecursively)
+    // Deletion-vector dirs not referenced by the latest snapshot
+    // (superseded cumulative vectors, purged/compacted-away vectors,
+    // lost-race orphans) are reaped the same way. A clone's references
+    // to THIS table's vectors live outside this root's _graft_dv and
+    // share the documented source-vacuum caveat with its data files.
+    val liveDvDirs = live.flatMap(_.dv).map(_.relDir.split('/').last).toSet
+    val dvRoot = root.resolve(DvDirName)
+    if (Files.isDirectory(dvRoot)) {
+      Using.resource(Files.list(dvRoot)) { stream =>
+        stream.iterator().asScala
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("dv-") &&
+            !liveDvDirs.contains(p.getFileName.toString))
+          .toSeq
+      }.foreach(deleteRecursively)
+    }
     if (Files.isDirectory(logDir)) {
       Using.resource(Files.list(logDir)) { stream =>
         stream.iterator().asScala
@@ -927,9 +1079,14 @@ final class MergeTable private (
       updateImages: Boolean): DataFrame = {
     val ea = snapshotAt(fromV)
     val eb = snapshotAt(toV)
-    def byPart(es: Seq[FileEntry]): Map[Option[String], Set[String]] =
+    // The file-set signature includes each file's deletion-vector ref:
+    // a vectorizing DELETE changes rows while leaving every relPath in
+    // place, so a path-only signature would read the partition as
+    // unchanged and the feed would miss the deletes.
+    def byPart(es: Seq[FileEntry])
+        : Map[Option[String], Set[(String, Option[DvRef])]] =
       es.groupBy(_.partitionValue).map { case (p, fs) =>
-        p -> fs.map(_.relPath).toSet
+        p -> fs.map(e => (e.relPath, e.dv)).toSet
       }
     val (pa, pb) = (byPart(ea), byPart(eb))
     val changedParts = (pa.keySet ++ pb.keySet)
@@ -1009,9 +1166,13 @@ final class MergeTable private (
       val target = snapshotAt(version)
       val targetPaths = target.map(_.relPath).toSet
       val removed = live.filterNot(e => targetPaths(e.relPath))
+      // Whole-ENTRY comparison, not path comparison: a file present in
+      // both snapshots but with a different deletion vector (or stats)
+      // must re-commit with the target's state — re-Adding the same
+      // relPath replaces the live entry in the fold.
       val added = {
-        val livePaths = live.map(_.relPath).toSet
-        target.filterNot(e => livePaths(e.relPath))
+        val liveByPath = live.map(e => e.relPath -> e).toMap
+        target.filterNot(e => liveByPath.get(e.relPath).contains(e))
       }
       (CommitDelta(added, removed.map(_.relPath)), cur)
     }
@@ -1037,12 +1198,17 @@ final class MergeTable private (
         !Using.resource(Files.list(destPath))(_.findFirst().isPresent)),
       s"clone destination $dest is not an empty directory")
     val (srcV, live) = latest()
-    val clone = new MergeTable(spark, destPath, partitionCol, statsCols)
+    val clone = new MergeTable(spark, destPath, partitionCol, statsCols,
+      deletionVectors)
     Files.createDirectories(destPath)
+    // Deletion-vector refs are root-relative paths exactly like data
+    // relPaths — rebase both through the common filesystem.
+    def rebase(p: String): String = destPath.toAbsolutePath.normalize
+      .relativize(root.toAbsolutePath.normalize.resolve(p).normalize)
+      .toString
     val rebased = live.map { e =>
-      e.copy(relPath = destPath.toAbsolutePath.normalize
-        .relativize(root.toAbsolutePath.normalize.resolve(e.relPath)
-          .normalize).toString)
+      e.copy(relPath = rebase(e.relPath),
+        dv = e.dv.map(d => d.copy(relDir = rebase(d.relDir))))
     }
     // the clone inherits the source's CHECK constraints in the same
     // first commit (Delta clones carry table properties/constraints)
@@ -1096,19 +1262,42 @@ final class MergeTable private (
     * PARQUET LOCATION`) can read without understanding the manifest.
     * Compacts first iff the live files span multiple commit dirs. */
   def snapshotDir(): Path = {
-    def liveDirs(): Seq[String] = {
+    def state(): (Seq[String], Boolean) = {
       val (_, live) = latest()
-      live.map(e => commitDirOf(e.relPath)).distinct
+      (live.map(e => commitDirOf(e.relPath)).distinct,
+        live.exists(_.dv.isDefined))
     }
-    val dirs = liveDirs()
+    val (dirs, vectored) = state()
+    // The raw dir is the snapshot ONLY if nothing in it needs manifest
+    // interpretation: deletion vectors must be MATERIALIZED (an external
+    // engine knows nothing of the anti-join and would resurrect deleted
+    // rows), and every physical parquet file in the dir must still be
+    // LIVE (a fully-vectored or removed file stays on disk for time
+    // travel until vacuum — the export must not include it).
+    def physMatchesLive(dir: String): Boolean = {
+      val (_, live) = latest()
+      val phys = Using.resource(Files.walk(root.resolve(dir))) { s =>
+        s.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(p => root.relativize(p).toString).toSet
+      }
+      phys == live.map(_.relPath).toSet
+    }
     val dir =
-      if (dirs.size == 1) dirs.head
-      else { compact(); liveDirs().head }
+      if (dirs.size == 1 && !vectored && physMatchesLive(dirs.head))
+        dirs.head
+      else { compact(); state()._1.head }
     root.resolve(dir)
   }
 
   private def readEntries(entries: Seq[FileEntry]): DataFrame = {
     if (entries.isEmpty) return emptyLike()
+    // Vectored entries divert to the tagged read (which anti-joins the
+    // deletion vectors); the clean path below stays byte-identical to
+    // the vector-free plan.
+    if (entries.exists(_.dv.isDefined))
+      return readEntriesTagged(entries, keep = Nil)
     // Group by commit dir: each dir is one hive-partitioned write whose
     // basePath restores the partition column. commitDirOf (not the
     // first path component) so a clone's rebased "../source/commit-x"
@@ -1173,6 +1362,96 @@ final class MergeTable private (
     }
   }
 
+  /** Read `entries` with the file identity ([[FileTag]] = [[fileKey]])
+    * and in-file row position ([[PosCol]] = `_metadata.row_index`)
+    * captured AT THE SCAN — as real columns, before any join or
+    * exchange, so they stay exact downstream (an `input_file_name()`
+    * evaluated after a shuffle reads empty). Deletion vectors are
+    * anti-joined out here, which is why every caller that needs file
+    * identity (DELETE/UPDATE discovery, [[compactSmall]]'s bin packing)
+    * must come through this read, not bolt `input_file_name()` onto
+    * [[readEntries]]' output. `keep` names the internal columns
+    * ([[FileTag]], [[PosCol]]) to retain in the result; all other
+    * columns and their order match [[readEntries]]. Callers pass
+    * non-empty `entries`. */
+  private def readEntriesTagged(entries: Seq[FileEntry],
+      keep: Seq[String]): DataFrame = {
+    def tagged(scan: DataFrame): DataFrame = scan
+      .withColumn(FileTag,
+        substring_index(col("_metadata.file_path"), "/", -2))
+      .withColumn(PosCol, col("_metadata.row_index"))
+    val byDir = entries.groupBy(e => commitDirOf(e.relPath))
+    // Base scan + partition restore: the same two shapes as readEntries
+    // (single-dir hive read / multi-dir union-schema read with the
+    // partition value re-attached from manifest metadata), with the tag
+    // columns added directly on the scan node in both.
+    val (restored, dataCols): (DataFrame, Seq[String]) =
+      if (byDir.size == 1) {
+        val df = tagged(hiveRead(byDir.head._1, byDir.head._2))
+        (df, df.columns.filterNot(Set(FileTag, PosCol)).toSeq)
+      } else {
+        val dirSchemas = byDir.toSeq.sortBy(_._1)
+          .map { case (dir, es) => hiveRead(dir, es).schema }
+        val partField = partitionCol.flatMap { pc =>
+          val fs = dirSchemas.flatMap(_.fields.find(_.name == pc))
+          fs.find(_.dataType != org.apache.spark.sql.types.NullType)
+            .orElse(fs.headOption)
+        }
+        val dataFields = dirSchemas.flatMap(_.fields)
+          .filterNot(f => partitionCol.contains(f.name))
+          .foldLeft(Vector.empty[org.apache.spark.sql.types.StructField]) {
+            (acc, f) => if (acc.exists(_.name == f.name)) acc else acc :+ f
+          }
+        val base = tagged(spark.read
+          .schema(org.apache.spark.sql.types.StructType(dataFields))
+          .parquet(entries.map(e => root.resolve(e.relPath).toString): _*))
+        (partitionCol, partField) match {
+          case (Some(pc), Some(pf)) =>
+            import spark.implicits._
+            val fpMap = entries
+              .map(e => (fileKey(e.relPath), e.partitionValue.orNull))
+              .toDF(FileTag, "__graft_pv")
+            val pv =
+              if (pf.dataType == org.apache.spark.sql.types.NullType)
+                lit(null)
+              else col("__graft_pv").cast(pf.dataType)
+            (base.join(broadcast(fpMap), Seq(FileTag), "left")
+              .withColumn(pc, pv).drop("__graft_pv"),
+              dataFields.map(_.name) :+ pc)
+          case _ => (base, dataFields.map(_.name).toSeq)
+        }
+      }
+    val masked = applyVectors(restored, entries)
+    masked.select((dataCols ++ keep).map(col): _*)
+  }
+
+  /** Anti-join `df` (carrying scan-level [[FileTag]]/[[PosCol]]) against
+    * the deletion vectors of `entries`. Each vectored entry references
+    * exactly ONE vector dir holding its complete position set; a dir is
+    * loaded once, filtered to the files that reference IT (an entry
+    * re-vectored by a later commit points elsewhere — its rows in an
+    * older shared dir must not be trusted for OTHER snapshots' reads,
+    * e.g. after [[restore]]). Broadcast while the manifest-recorded
+    * cardinality stays small. */
+  private def applyVectors(df: DataFrame,
+      entries: Seq[FileEntry]): DataFrame = {
+    val vectored = entries.filter(_.dv.isDefined)
+    if (vectored.isEmpty) return df
+    val perDir = vectored.groupBy(_.dv.get.relDir).toSeq.sortBy(_._1)
+      .map { case (dir, es) =>
+        val keys = es.map(e => fileKey(e.relPath))
+        spark.read.parquet(root.resolve(dir).toString)
+          .filter(col(DvFile).isin(keys: _*))
+      }
+    val dv = perDir.reduce(_ unionByName _)
+    val hinted =
+      if (vectored.map(_.dv.get.card).sum <= DvBroadcastMax) broadcast(dv)
+      else dv
+    df.join(hinted,
+      df(FileTag) === hinted(DvFile) && df(PosCol) === hinted(DvPos),
+      "left_anti")
+  }
+
   /** Hive-layout read of the files of ONE commit dir; basePath restores
     * the partition column with inferred type. */
   private def hiveRead(dir: String, es: Seq[FileEntry]): DataFrame =
@@ -1210,6 +1489,27 @@ object MergeTable {
   private val SeqRank = "__graft_seq_rank"
   private val SeqPeer = "__graft_seq_peer"
   private val FileTag = "__graft_file_tag"
+  /** Scan-level row position within the physical file
+    * (`_metadata.row_index`) — the coordinate deletion vectors are
+    * expressed in. Stable because committed files are immutable. */
+  private val PosCol = "__graft_pos"
+  /** Directory (under the table root) holding deletion-vector parquet
+    * dirs, one per vectorizing commit. */
+  private val DvDirName = "_graft_dv"
+  /** Column names inside a deletion-vector parquet: the [[fileKey]] of
+    * the data file and the deleted row position. Distinct from
+    * [[FileTag]]/[[PosCol]] so the read-side anti-join needs no
+    * renames. */
+  private val DvFile = "__graft_dv_file"
+  private val DvPos = "__graft_dv_pos"
+  /** Manifest token prefix for a file's deletion-vector ref:
+    * `dv=<relDir>,<cardinality>`. */
+  private val DvTok = "dv="
+  /** Broadcast the deletion-vector anti-join while the snapshot's total
+    * vectored cardinality stays under this many positions (~60 MB of
+    * (fileKey, long) rows); beyond it the anti-join shuffles, which is
+    * the right plan once vectors are that large. */
+  private val DvBroadcastMax = 1L << 20
   private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
   private val MaxCommitRetries = 5
   /** Unpartitioned merges rewrite every live file; warn once the table is
@@ -1235,9 +1535,20 @@ object MergeTable {
     def allNull: Boolean = nullsRows.exists { case (n, r) => n == r }
   }
 
+  /** A file's deletion vector: the root-relative parquet dir holding its
+    * deleted row positions (as `(file, pos)` rows — [[DvFile]]/[[DvPos]]),
+    * plus the CUMULATIVE deleted-row count, recorded in the manifest so
+    * readers can size the anti-join (broadcast vs shuffle) without
+    * touching the vector itself. The position set a ref points to is
+    * complete — each new DELETE writes the union of the old vector and
+    * the new hits, never an increment — so a reader consults exactly ONE
+    * vector per file. */
+  private[lake] final case class DvRef(relDir: String, card: Long)
+
   private[lake] final case class FileEntry(relPath: String,
       partitionValue: Option[String],
-      stats: Map[String, ColStat] = Map.empty)
+      stats: Map[String, ColStat] = Map.empty,
+      dv: Option[DvRef] = None)
 
   /** One commit's log content: files it adds, relPaths it removes, plus
     * any CHECK-constraint metadata changes riding the same atomic
@@ -1272,6 +1583,29 @@ object MergeTable {
       partitionCol: Option[String],
       statsCols: Seq[String]): MergeTable =
     new MergeTable(spark, Paths.get(root), partitionCol, statsCols)
+
+  /** As above with DELETION VECTORS enabled (Delta's
+    * `delta.enableDeletionVectors` table feature): [[MergeTable.delete]]
+    * and [[MergeTable.update]] become merge-on-read — instead of
+    * rewriting every file that holds a matched row, they record the
+    * matched ROW POSITIONS in a per-file deletion vector and leave the
+    * data files untouched. A 1-row DELETE against a 1 GB file costs one
+    * tiny position write instead of a 1 GB rewrite — the difference
+    * between O(matched rows) and O(touched-file bytes), which at 100 TB
+    * is the difference between a metadata operation and a compaction
+    * job. Reads anti-join the vectors back out (broadcast while small);
+    * [[MergeTable.purgeVectors]] / [[MergeTable.compact]] fold them into
+    * clean files. The flag gates only the WRITE path — any handle reads
+    * vectored tables correctly, flag or not. */
+  def apply(spark: SparkSession, root: String,
+      partitionCol: Option[String],
+      statsCols: Seq[String],
+      deletionVectors: Boolean): MergeTable = {
+    require(!statsCols.exists(_.startsWith(DvTok)),
+      s"stats column names may not start with '$DvTok' (manifest token prefix)")
+    new MergeTable(spark, Paths.get(root), partitionCol, statsCols,
+      deletionVectors)
+  }
 
   /** The last two path components — "<partition-or-commit-dir>/<part-file>"
     * — the file identity every path↔manifest correlation keys on.
