@@ -215,6 +215,41 @@ object LakeQueries {
               CAST(count(*) AS BIGINT) AS n_rows
        FROM fin GROUP BY o_custkey ORDER BY o_custkey"""
 
+  /** Deletion vectors under the oracle gate (X120 end-to-end): a
+    * partitioned, DV-enabled table takes a merge-on-read DELETE
+    * (key%10=0 — positions vectorized, zero files rewritten), then a
+    * merge-on-read UPDATE (key%7=0: price+3 — matched rows vectorized
+    * out of their old files and rewritten into NEW files), then a
+    * second DELETE (cust%13=0) that must hit BOTH generations — old
+    * files via cumulative-vector union and the update's fresh files
+    * via new vectors. The final read anti-joins every vector and
+    * restores the partition column through the tagged multi-dir scan;
+    * the oracle is the plain-SQL replay of the three mutations. */
+  def dvState(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    val t = MergeTable(s, scratch("graft_q_dv"), Some("o_orderstatus"),
+      Nil, deletionVectors = true)
+    t.overwrite(base)
+    t.delete(col("o_orderkey") % 10 === 0)
+    t.update(col("o_orderkey") % 7 === 0,
+      Map("o_totalprice" -> (col("o_totalprice") + 3.0)))
+    t.delete(col("o_custkey") % 13 === 0)
+    t.read().select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice"), 2).as("price"))
+  }
+
+  val dvStateOracle: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+              round(CASE WHEN o_orderkey % 7 = 0
+                         THEN o_totalprice + 3.0
+                         ELSE o_totalprice END, 2) AS price
+       FROM orders
+       WHERE o_orderkey % 10 <> 0 AND o_custkey % 13 <> 0
+       ORDER BY o_orderkey"""
+
   val scd2PitOracle: String =
     """WITH hist AS (
          SELECT c_custkey, c_acctbal AS bal, '2024-01-01' AS eff_from
