@@ -139,6 +139,72 @@ object SimilarityQueries {
     DedupQueries.connectedComponents(
       embedNeardup(s, d), "vec_a", "vec_b", "vec_id")
 
+  /** Cosine threshold above which two same-cell vectors are SEMANTIC
+    * duplicates for [[embedSemdedup]]. The same 0.4 the banded
+    * near-dup tier cuts at ([[embedNeardup]]) — the fixture corpus'
+    * near-dup planting threshold. Shared verbatim with the oracle SQL;
+    * comparisons happen on round-6 cosines, so the cut is
+    * engine-independent. */
+  private[ext] val SemTau = 0.4
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication via k-means cells — the embedding-space analogue of
+    * the corpus-curation attrition steps, and the third dedup DECISION
+    * procedure next to pair-graph CC ([[embedClusters]]) and
+    * first-wins key dedup. The corpus is clustered with the SAME
+    * deterministic Lloyd-refined centroids the IVF tier trains
+    * ([[trainedCentroids]] — one training, two consumers), then within
+    * each cell every over-threshold pair (round-6 cosine ≥ [[SemTau]])
+    * marks the LATER vector in (csim-to-own-centroid ASC, vec_id ASC)
+    * order as a duplicate; survivors are the order-minimal
+    * representatives. Keeping the LOW-centroid-similarity member of
+    * each duplicate chain is the paper's diversity rule: the kept
+    * example is the one farthest from the cluster's center of mass.
+    *
+    * Scale shape: pair work is within-cell only — with the IVF cell
+    * rule (C = √(n/8)) mean cell size grows as √n, so at true 100 TB
+    * scale the cell count knob moves to C ∝ n (the paper's constant
+    * cluster size, ~0.1% of corpus per cell); the decision rule and
+    * plan shape are unchanged, only the centroid table grows — still
+    * broadcastable at millions of cells, and the quadratic term stays
+    * bounded per cell. The anti-join is on vec_id alone (dropped-id
+    * set), so the survivors' projection never re-shuffles the
+    * embedding payload. */
+  def embedSemdedup(s: SparkSession, d: String): DataFrame = {
+    val e = DedupQueries.eager(normed(s, d))
+    val cent = trainedCentroids(e, embeddings(s, d).count(), LloydRounds)
+    val asg = DedupQueries.eager(assignWithSim(e, cent))
+    val dropped = asg.as("a")
+      .join(asg.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id") &&
+          (col("b.csim") < col("a.csim") ||
+            (col("b.csim") === col("a.csim") &&
+              col("b.vec_id") < col("a.vec_id"))))
+      .withColumn("cos",
+        expr(s"round(${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6)"))
+      .filter(col("cos") >= SemTau)
+      .select(col("a.vec_id")).distinct()
+    asg.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"), col("csim").as("c2c"))
+  }
+
+  /** [[assignTo]] that ALSO carries the winning cosine-to-centroid
+    * (`csim`) — [[embedSemdedup]]'s survivor order key. Kept separate so
+    * the persisted-index schema ([[assignTo]] consumers) is untouched. */
+  private def assignWithSim(e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cent))
+      .withColumn("csim",
+        expr(s"round(${dot("embedding", "cvec")} / (nrm * cnrm), 6)"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(struct(col("csim"), (-col("cent_id")).as("neg_cent")))
+          .as("best"),
+        first(col("embedding")).as("embedding"),
+        first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), (-col("best.neg_cent")).as("cell"),
+        col("best.csim").as("csim"), col("embedding"), col("nrm"))
+
   /** Candidate pairs of [[embedNeardup]] with their exact cosine, BEFORE
     * the ≥ 0.4 verify cut (band-duplicated pairs included) — the
     * operator's cost diagnostic: the row count here is the verify work,
@@ -527,6 +593,32 @@ object SimilarityQueries {
                       ORDER BY sim DESC, neighbor_id) AS rank
           FROM s) t
         WHERE rank <= 3 ORDER BY query_id, rank"""
+
+  /** Replays [[embedSemdedup]]: the shared cell-training chain, each
+    * vector's winning csim recovered from the final assignment CTE, the
+    * same (csim, vec_id)-ordered within-cell duplicate marking, the same
+    * anti-join. */
+  def semdedupOracle: String =
+    s"""$cellsCte,
+        c2c AS (SELECT vec_id, cent_id AS cell, csim FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cent_id) AS rn
+                  FROM asg) t
+                WHERE rn = 1),
+        o AS (SELECT c2c.vec_id, c2c.cell, c2c.csim, embedding, nrm
+              FROM c2c JOIN n ON c2c.vec_id = n.vec_id),
+        dropped AS (SELECT DISTINCT a.vec_id
+              FROM o a JOIN o b
+                ON a.cell = b.cell AND a.vec_id <> b.vec_id
+               AND (b.csim < a.csim
+                    OR (b.csim = a.csim AND b.vec_id < a.vec_id))
+              WHERE round(list_sum(list_transform(
+                        range(1, len(a.embedding) + 1),
+                        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                      / (a.nrm * b.nrm), 6) >= $SemTau)
+        SELECT vec_id, cell, csim AS c2c FROM o
+        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        ORDER BY vec_id"""
 
   def lshOracle: String = lshOracleImpl(multiProbe = false)
   def mplshOracle: String = lshOracleImpl(multiProbe = true)
