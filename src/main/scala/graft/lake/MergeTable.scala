@@ -71,7 +71,8 @@ final class MergeTable private (
     val root: Path,
     val partitionCol: Option[String],
     val statsCols: Seq[String],
-    val deletionVectors: Boolean = false) {
+    val deletionVectors: Boolean = false,
+    val bloomCols: Seq[String] = Nil) {
 
   import MergeTable._
 
@@ -125,18 +126,31 @@ final class MergeTable private (
         case "A" =>
           val pv = if (parts(2) == NoPartition) None else Some(parts(2))
           // Optional tokens after the partition: at most one deletion-
-          // vector ref (`dv=<relDir>,<card>`), then stats. Stats tokens
-          // are `col:min:max` (range only) or `col:min:max:nulls:rows`
-          // (min/max EMPTY for an all-null file), multi-column, any
-          // order; a legacy manifest holds one bare `min\tmax` pair,
-          // which belongs to the table's primary stats column by
-          // contract.
-          val (dvToks, rest) = parts.drop(3).partition(_.startsWith(DvTok))
+          // vector ref (`dv=<relDir>,<card>`), at most one bloom-index
+          // ref (`bf=<relDir>,<m>,<colA+colB>`), then stats. Stats
+          // tokens are `col:min:max` (range only) or
+          // `col:min:max:nulls:rows` (min/max EMPTY for an all-null
+          // file), multi-column, any order; a legacy manifest holds one
+          // bare `min\tmax` pair, which belongs to the table's primary
+          // stats column by contract.
+          val (dvToks, rest0) = parts.drop(3).partition(_.startsWith(DvTok))
+          val (bfToks, rest) = rest0.partition(_.startsWith(BfTok))
           val dv = dvToks.headOption.map { tok =>
             val body = tok.stripPrefix(DvTok)
             val cut = body.lastIndexOf(',')
             require(cut > 0, s"bad deletion-vector token '$tok' in $p")
             DvRef(body.substring(0, cut), body.substring(cut + 1).toLong)
+          }
+          val bf = bfToks.headOption.map { tok =>
+            // parse from the RIGHT — the relDir (a clone's rebased path)
+            // is the only field that could ever contain a separator
+            val body = tok.stripPrefix(BfTok)
+            val i2 = body.lastIndexOf(',')
+            val i1 = if (i2 > 0) body.lastIndexOf(',', i2 - 1) else -1
+            require(i1 > 0, s"bad bloom-index token '$tok' in $p")
+            BloomRef(body.substring(0, i1),
+              body.substring(i1 + 1, i2).toInt,
+              body.substring(i2 + 1).split('+').toSeq)
           }
           val stats: Map[String, ColStat] =
             if (rest.nonEmpty && rest.head.contains(':'))
@@ -156,7 +170,7 @@ final class MergeTable private (
               statsCol.map(_ ->
                 ColStat(Some((rest(0).toLong, rest(1).toLong)))).toMap
             else Map.empty
-          Add(FileEntry(parts(1), pv, stats, dv))
+          Add(FileEntry(parts(1), pv, stats, dv, bf))
         // Constraint metadata rides the same log: "C name b64(predicate)"
         // adds, "D name" drops. The predicate is base64-coded — free-form
         // SQL can contain the log's tab separator.
@@ -220,7 +234,9 @@ final class MergeTable private (
     (delta.removes.map(f => s"R\t$f") ++
       delta.adds.map { e =>
         val base = s"A\t${e.relPath}\t${e.partitionValue.getOrElse(NoPartition)}" +
-          e.dv.fold("")(d => s"\t$DvTok${d.relDir},${d.card}")
+          e.dv.fold("")(d => s"\t$DvTok${d.relDir},${d.card}") +
+          e.bloom.fold("")(b =>
+            s"\t$BfTok${b.relDir},${b.m},${b.cols.mkString("+")}")
         if (e.stats.isEmpty) base
         else base + e.stats.toSeq.sortBy(_._1).map { case (c, cs) =>
           val r = cs.range.fold(":")(p => s"${p._1}:${p._2}")
@@ -325,7 +341,64 @@ final class MergeTable private (
           FileEntry(rel, pv)
         }.toSeq
     }
-    (commitDir, withStats(target, entries))
+    (commitDir, withBlooms(withStats(target, entries)))
+  }
+
+  /** Attach a bloom-index ref to every fresh entry, writing one sparse
+    * bloom sidecar dir for the commit (Delta's per-file bloom-filter
+    * index, `delta.bloomFilter.*`). The filter content is built fully
+    * DISTRIBUTED: each bloom'd column's non-null values hash to
+    * [[BloomK]] bit positions (double hashing over codegen'd
+    * murmur3 + xxhash64 — both engine-native, no UDF), positions fold
+    * into 64-bit words with a `bit_or` map-side-combinable aggregate,
+    * and only NON-ZERO words are written — the sidecar is O(set bits),
+    * the driver sees nothing but the wordcount-bounded parquet write.
+    * `m` is a power of two sized from the commit's largest file
+    * ([[BloomBitsPerRow]] bits/row ⇒ ~0.5% false-positive rate), and is
+    * recorded in the manifest token so probes against mixed-m history
+    * hash per-commit correctly. */
+  private def withBlooms(entries: Seq[FileEntry]): Seq[FileEntry] =
+    if (bloomCols.isEmpty || entries.isEmpty) entries
+    else {
+      val maxRows = fileRowCounts(entries).values.foldLeft(1L)(math.max)
+      val m = bloomBits(maxRows)
+      val scan = spark.read
+        .parquet(entries.map(e => root.resolve(e.relPath).toString): _*)
+        .withColumn(BfFile,
+          substring_index(col("_metadata.file_path"), "/", -2))
+      val hashed = bloomCols.map { c =>
+        val v = col(c).cast("long")
+        scan.filter(v.isNotNull).select(
+          col(BfFile), lit(c).as(BfCol),
+          pmod(hash(v).cast("long"), lit(m.toLong)).as("h1"),
+          pmod(xxhash64(v), lit(m.toLong)).bitwiseOR(lit(1L)).as("h2"))
+      }.reduce(_ unionByName _)
+      val words = hashed
+        .select(col(BfFile), col(BfCol),
+          explode(array((0 until BloomK).map(i =>
+            pmod(col("h1") + lit(i.toLong) * col("h2"), lit(m.toLong))): _*))
+            .as("pos"))
+        .groupBy(col(BfFile), col(BfCol),
+          expr("pos DIV 64").as(BfWord))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(pos % 64 AS INT)))").as(BfBits))
+      val dir = s"$BloomDirName/bf-${UUID.randomUUID().toString.take(12)}"
+      words.write.parquet(root.resolve(dir).toString)
+      val ref = BloomRef(dir, m, bloomCols)
+      entries.map(_.copy(bloom = Some(ref)))
+    }
+
+  /** Bloom bit count for a file of `rows` rows: nextPow2(16 × rows),
+    * clamped to [[[BloomMinBits]], [[BloomMaxBits]]]. Power of two so
+    * the odd xxhash64 stride of the double hashing cycles the full
+    * position space. */
+  private def bloomBits(rows: Long): Int = {
+    val want = math.min(BloomMaxBits.toLong,
+      math.max(BloomMinBits.toLong, BloomBitsPerRow * rows))
+    java.lang.Long.highestOneBit(want - 1) match {
+      case h if h * 2 <= BloomMaxBits => (h * 2).toInt
+      case _                          => BloomMaxBits
+    }
   }
 
   /** Attach per-file min/max + null/row counts of every column in
@@ -960,6 +1033,20 @@ final class MergeTable private (
           .toSeq
       }.foreach(deleteRecursively)
     }
+    // bloom sidecar dirs not referenced by the latest snapshot are
+    // reaped identically (compacted-away files orphan their filters)
+    val liveBfDirs =
+      live.flatMap(_.bloom).map(_.relDir.split('/').last).toSet
+    val bfRoot = root.resolve(BloomDirName)
+    if (Files.isDirectory(bfRoot)) {
+      Using.resource(Files.list(bfRoot)) { stream =>
+        stream.iterator().asScala
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("bf-") &&
+            !liveBfDirs.contains(p.getFileName.toString))
+          .toSeq
+      }.foreach(deleteRecursively)
+    }
     if (Files.isDirectory(logDir)) {
       Using.resource(Files.list(logDir)) { stream =>
         stream.iterator().asScala
@@ -1048,6 +1135,70 @@ final class MergeTable private (
   private[lake] def notNullEntries(c: String): Seq[FileEntry] = {
     val (_, live) = latest()
     live.filterNot(_.stats.get(c).exists(_.allNull))
+  }
+
+  /** Bloom-index point lookup: rows where `c` (under the same long-cast
+    * contract as the stats columns) equals `value`, scanning only live
+    * files whose bloom filter admits the value. Files with no bloom ref
+    * for `c` (pre-bloom history, a writer with different bloomCols) are
+    * scanned — the same safe fallback as [[readRange]]'s stats'less
+    * files. The probe is metadata-scale end to end: it reads the K
+    * probe WORDS of each sidecar (parquet pushdown on the word column —
+    * never the whole filter), and the candidate test collects
+    * O(liveFiles × K) small rows. Composes with stats: callers wanting
+    * both prunes can intersect [[pointEntries]] with [[rangeEntries]].
+    * A NULL probe is not expressible (bloom filters index values; use
+    * [[readNotNull]]'s complement for IS NULL). */
+  def readPoint(c: String, value: Long): DataFrame =
+    readEntries(pointEntries(c, value))
+      .filter(col(c).cast("long") === lit(value))
+
+  /** Live entries surviving the bloom prune of `c = value` (exposed for
+    * tests; see [[readPoint]]). */
+  private[lake] def pointEntries(c: String, value: Long): Seq[FileEntry] = {
+    val (_, live) = latest()
+    val (bloomed, unbloomed) =
+      live.partition(_.bloom.exists(_.cols.contains(c)))
+    val pass = bloomed.groupBy(e => (e.bloom.get.relDir, e.bloom.get.m))
+      .toSeq.sortBy(_._1._1)
+      .flatMap { case ((dir, m), es) =>
+        // per-word masks this probe needs set (K positions, ≤ K words)
+        val need = probePositions(value, m).groupBy(_ / 64)
+          .map { case (w, ps) =>
+            w -> ps.map(p => 1L << (p % 64).toInt).reduce(_ | _)
+          }
+        val keys = es.map(e => fileKey(e.relPath)).toSet
+        val got = spark.read.parquet(root.resolve(dir).toString)
+          .filter(col(BfCol) === c &&
+            col(BfWord).isin(need.keys.toSeq: _*))
+          .select(col(BfFile), col(BfWord), col(BfBits))
+          .collect()
+          .filter(r => keys(r.getString(0)))
+          .groupBy(_.getString(0))
+          .map { case (f, rs) =>
+            f -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
+          }
+        es.filter { e =>
+          val words = got.getOrElse(fileKey(e.relPath), Map.empty)
+          need.forall { case (w, mask) =>
+            (words.getOrElse(w, 0L) & mask) == mask
+          }
+        }
+      }
+    unbloomed ++ pass
+  }
+
+  /** The [[BloomK]] bit positions `value` hashes to in an m-bit filter —
+    * computed with the SAME Catalyst expressions the write side used
+    * (murmur3 + xxhash64 over the long-cast value), via a 1-row plan,
+    * so probe and filter can never drift. */
+  private def probePositions(value: Long, m: Int): Seq[Long] = {
+    val r = spark.range(1).select(
+      pmod(hash(lit(value)).cast("long"), lit(m.toLong)).as("h1"),
+      pmod(xxhash64(lit(value)), lit(m.toLong)).bitwiseOR(lit(1L)).as("h2"))
+      .head()
+    val (h1, h2) = (r.getLong(0), r.getLong(1))
+    (0 until BloomK).map(i => (h1 + i.toLong * h2) % m)
   }
 
   /** Time travel — snapshot of historical `version`. */
@@ -1199,7 +1350,7 @@ final class MergeTable private (
       s"clone destination $dest is not an empty directory")
     val (srcV, live) = latest()
     val clone = new MergeTable(spark, destPath, partitionCol, statsCols,
-      deletionVectors)
+      deletionVectors, bloomCols)
     Files.createDirectories(destPath)
     // Deletion-vector refs are root-relative paths exactly like data
     // relPaths — rebase both through the common filesystem.
@@ -1208,7 +1359,8 @@ final class MergeTable private (
       .toString
     val rebased = live.map { e =>
       e.copy(relPath = rebase(e.relPath),
-        dv = e.dv.map(d => d.copy(relDir = rebase(d.relDir))))
+        dv = e.dv.map(d => d.copy(relDir = rebase(d.relDir))),
+        bloom = e.bloom.map(b => b.copy(relDir = rebase(b.relDir))))
     }
     // the clone inherits the source's CHECK constraints in the same
     // first commit (Delta clones carry table properties/constraints)
@@ -1510,6 +1662,29 @@ object MergeTable {
     * (fileKey, long) rows); beyond it the anti-join shuffles, which is
     * the right plan once vectors are that large. */
   private val DvBroadcastMax = 1L << 20
+  /** Directory (under the table root) holding bloom-index parquet dirs,
+    * one per bloom-writing commit. */
+  private val BloomDirName = "_graft_bloom"
+  /** Manifest token prefix for a file's bloom-index ref:
+    * `bf=<relDir>,<m>,<colA+colB>`. */
+  private val BfTok = "bf="
+  /** Columns of a bloom-index parquet: the [[fileKey]] of the data
+    * file, the indexed column name, the 64-bit word index, and the
+    * word's bits. Sparse — only non-zero words are stored, and a probe
+    * reads only its K words (parquet predicate pushdown on `word`). */
+  private val BfFile = "__graft_bf_file"
+  private val BfCol = "__graft_bf_col"
+  private val BfWord = "__graft_bf_word"
+  private val BfBits = "__graft_bf_bits"
+  /** Hash functions per bloom filter (double hashing: murmur3 base +
+    * i × (xxhash64|1) stride, both engines-native and codegen'd). */
+  private val BloomK = 3
+  /** Target bits per row: m = nextPow2(16 × maxFileRows) ⇒ fill ≈ 3/16
+    * per K=3 inserts/row ⇒ false-positive rate ≈ (1−e^(−3/16))³ ≈ 0.5%
+    * — one in ~200 irrelevant files survives the prune. */
+  private val BloomBitsPerRow = 16
+  private val BloomMinBits = 1 << 12
+  private val BloomMaxBits = 1 << 26
   private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
   private val MaxCommitRetries = 5
   /** Unpartitioned merges rewrite every live file; warn once the table is
@@ -1548,7 +1723,18 @@ object MergeTable {
   private[lake] final case class FileEntry(relPath: String,
       partitionValue: Option[String],
       stats: Map[String, ColStat] = Map.empty,
-      dv: Option[DvRef] = None)
+      dv: Option[DvRef] = None,
+      bloom: Option[BloomRef] = None)
+
+  /** A file's bloom-filter index ref: the root-relative parquet dir
+    * holding its sparse bloom words (`(file, col, word, bits)` rows —
+    * one dir per commit), the filter's bit count `m` (a power of two,
+    * sized from the commit's largest file), and the exact column list
+    * the filter was built over — recorded per file so a probe on a
+    * column that was NOT bloom'd when this file was written falls back
+    * to scanning it instead of wrongly pruning. */
+  private[lake] final case class BloomRef(relDir: String, m: Int,
+      cols: Seq[String])
 
   /** One commit's log content: files it adds, relPaths it removes, plus
     * any CHECK-constraint metadata changes riding the same atomic
@@ -1600,11 +1786,30 @@ object MergeTable {
   def apply(spark: SparkSession, root: String,
       partitionCol: Option[String],
       statsCols: Seq[String],
-      deletionVectors: Boolean): MergeTable = {
+      deletionVectors: Boolean): MergeTable =
+    apply(spark, root, partitionCol, statsCols, deletionVectors, Nil)
+
+  /** As above with a per-file BLOOM-FILTER INDEX over `bloomCols`
+    * (Delta's `delta.bloomFilter` column index): every commit writes a
+    * sparse bloom sidecar for its new files, and [[MergeTable.readPoint]]
+    * answers `c = value` lookups scanning only the files whose filter
+    * admits the value. The stats columns' min/max prune RANGES on
+    * roughly-clustered columns; the bloom index prunes POINT lookups on
+    * columns with no ordering at all (the high-cardinality key case
+    * zorder can't reach) — at 100 TB, ~0.5% of irrelevant files survive
+    * the prune instead of 100%. */
+  def apply(spark: SparkSession, root: String,
+      partitionCol: Option[String],
+      statsCols: Seq[String],
+      deletionVectors: Boolean,
+      bloomCols: Seq[String]): MergeTable = {
     require(!statsCols.exists(_.startsWith(DvTok)),
       s"stats column names may not start with '$DvTok' (manifest token prefix)")
+    require(!bloomCols.exists(c => c.exists(",+\t:".contains(_))),
+      "bloom column names may not contain ',', '+', ':' or tab " +
+        "(manifest token separators)")
     new MergeTable(spark, Paths.get(root), partitionCol, statsCols,
-      deletionVectors)
+      deletionVectors, bloomCols)
   }
 
   /** The last two path components — "<partition-or-commit-dir>/<part-file>"
