@@ -19,18 +19,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects; read nanos as long and convert to
-    * a proper TimestampType (µs) column. The division MUST stay integral
-    * (`div`): `/` promotes to double, and epoch-nanos (~1.7e18) exceed
-    * double's 2^53 exact range, shifting ~1.6% of values by ±1µs vs the
-    * oracle's exact truncation. */
+  /** Schema-adaptive events loader. Fixture generations have stored `ts`
+    * either as parquet TIMESTAMP(MICROS) (read natively as TimestampType)
+    * or TIMESTAMP(NANOS) (which Spark's vectorized reader rejects; with
+    * `nanosAsLong` it surfaces as epoch-nanos LongType). Normalize both to
+    * a TimestampType(µs) column so every downstream query sees one shape.
+    * For the nanos case the division MUST stay integral (`div`): `/`
+    * promotes to double, and epoch-nanos (~1.7e18) exceed double's 2^53
+    * exact range, shifting ~1.6% of values by ±1µs vs the oracle's exact
+    * truncation. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) surfaces as
+        // TIMESTAMP_NTZ; downstream ops (unix_micros, window) expect the
+        // session-zoned TimestampType. The session runs UTC, so the cast
+        // is value-preserving and matches the oracle's naive timestamps.
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
