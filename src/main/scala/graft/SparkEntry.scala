@@ -115,6 +115,7 @@ object SparkEntry {
     "q_winsorize"       -> (AnalyticQueries.winsorize _),
     "q_table_profile"   -> (AnalyticQueries.tableProfile _),
     "q_graph_pagerank"  -> (AnalyticQueries.graphPagerank _),
+    "q_graph_triangles" -> (AnalyticQueries.graphTriangles _),
     "q_events_anomaly"  -> (AnalyticQueries.eventsAnomaly _),
     "q_events_markov"   -> (AnalyticQueries.eventsMarkov _),
     "q_skew_profile"    -> (AnalyticQueries.skewProfile _),
@@ -633,6 +634,7 @@ object SparkEntry {
               CAST(MAX($c) AS VARCHAR) AS max_s FROM lineitem""")
       .mkString("", " UNION ALL ", " ORDER BY col_name"),
     "q_graph_pagerank" -> AnalyticQueries.graphPagerankOracle,
+    "q_graph_triangles" -> AnalyticQueries.graphTrianglesOracle,
     "q_histogram_eqd" ->
       """WITH c AS (SELECT l_quantity AS v, count(*) AS cnt
                     FROM lineitem GROUP BY 1),

@@ -880,4 +880,125 @@ object AnalyticQueries {
         FROM r$PrIters r JOIN deg d ON r.id = d.src
         ORDER BY rank_fp DESC, part_id LIMIT $PrTopK"""
   }
+
+  // ---- iterative graph analytics: triangle counting -----------------------
+
+  val TriTopK = 20
+
+  /** Per-node triangle counts over the co-purchase graph (parts linked
+    * when they share an order) — the local clustering signal: a part in
+    * many triangles sits in a densely cross-purchased cluster, vs
+    * [[graphPagerank]]'s global centrality. Top-[[TriTopK]] nodes by
+    * triangle participation, with degree. */
+  def graphTriangles(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, x ->
+           transform(filter(ps, y -> y > x), y -> struct(x AS a, y AS b))))"""
+        )).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    trianglesOf(pairs, "a", "b")
+      .orderBy(col("n_triangles").desc, col("node"))
+      .limit(TriTopK)
+      .select(col("node").as("part_id"), col("degree"), col("n_triangles"))
+  }
+
+  /** Degree-ordered triangle counting (the node-iterator-minus kernel) —
+    * library API: undirected edge list in (`aCol`, `bCol`), one row per
+    * triangle-participating node out: `node`, `degree`, `n_triangles`.
+    *
+    * Scale shape: every undirected edge is ORIENTED from its
+    * lexicographically-smaller (degree, node) endpoint to the larger, so
+    * each node's out-neighborhood is O(√E) on ANY graph (arboricity
+    * bound) — wedge generation is per-node quadratic only in OUT-degree,
+    * never in raw degree: the celebrity node that breaks naive
+    * node-iterator counting (k² wedges for a k-degree hub) fans its
+    * edges OUT to higher-degree-ordered endpoints and generates almost
+    * no wedges itself. Total wedge volume is O(E^1.5) worst-case — the
+    * best known for exact counting — and each triangle materializes
+    * exactly once (at its minimum-order apex). The close step is ONE
+    * equi-join of wedges against the oriented half-size edge list on the
+    * composite (v, w) key; per-node counts are one output-sized
+    * aggregate. The dedup/orientation relations are checkpointed once
+    * (the CC-loop discipline) and released after the output
+    * materializes; the driver never sees row data. */
+  def trianglesOf(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // Canonicalize to one row per undirected edge: order endpoints by id
+    // (so (x,y) and (y,x) collapse), drop self-loops, dedup.
+    val ded = pairs.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .dropDuplicates(Seq("a", "b"))
+      .localCheckpoint(true)
+    val sym = ded.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(ded.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    // Orient each edge by the total (degree, node) order. Degrees are
+    // node-sized relations — AQE broadcasts them against the edge list
+    // while they fit and falls back to hash joins beyond that.
+    val dA = deg.select(col("src").as("a"), col("d").as("da"))
+    val dB = deg.select(col("src").as("b"), col("d").as("db"))
+    val oriented = ded.join(dA, "a").join(dB, "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("v"),
+                 col("db").as("dv")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"),
+                 col("da").as("dv"))).as("e"))
+      .select(col("e.u"), col("e.v"), col("e.dv"))
+      .localCheckpoint(true)
+    // Wedges: ordered out-neighbor pairs per apex. The out-list is
+    // sorted by the SAME (degree, node) order, so each emitted (v, w)
+    // candidate is itself correctly oriented for the close join.
+    val wedges = oriented
+      .groupBy(col("u"))
+      .agg(array_sort(collect_list(struct(col("dv"), col("v")))).as("ns"))
+      .filter(size(col("ns")) >= 2)
+      .select(col("u"), explode(expr(
+        """flatten(transform(ns, (x, i) ->
+             transform(slice(ns, i + 2, size(ns)),
+                       y -> struct(x.v AS v, y.v AS w))))""")).as("p"))
+      .select(col("u"), col("p.v"), col("p.w"))
+    val tris = wedges
+      .join(oriented.select(col("u").as("v"), col("v").as("w")),
+        Seq("v", "w"))
+    val counts = tris.select(explode(array(col("u"), col("v"), col("w")))
+        .as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    val out = counts
+      .join(deg.select(col("src").as("node"), col("d").as("degree")), "node")
+      .select(col("node"), col("degree"), col("n_triangles"))
+      .localCheckpoint(true)
+    graft.ext.DedupQueries.releaseCheckpointed(ded)
+    graft.ext.DedupQueries.releaseCheckpointed(deg)
+    graft.ext.DedupQueries.releaseCheckpointed(oriented)
+    out
+  }
+
+  /** DuckDB oracle for [[graphTriangles]] — id-ordered brute-force
+    * three-way join over the a<b pair relation (orientation changes the
+    * enumeration order, never the triangle SET, so the id-ordered replay
+    * and the degree-ordered kernel agree exactly). */
+  def graphTrianglesOracle: String =
+    s"""WITH pairs AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+           AND x.l_partkey < y.l_partkey),
+        tri AS (SELECT p1.a AS x, p1.b AS y, p2.b AS z
+                FROM pairs p1 JOIN pairs p2 ON p1.b = p2.a
+                JOIN pairs p3 ON p3.a = p1.a AND p3.b = p2.b),
+        nodes AS (SELECT x AS node FROM tri
+                  UNION ALL SELECT y FROM tri
+                  UNION ALL SELECT z FROM tri),
+        cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+                FROM nodes GROUP BY node),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree
+                FROM (SELECT a AS src FROM pairs
+                      UNION ALL SELECT b FROM pairs) GROUP BY src)
+        SELECT c.node AS part_id, d.degree, c.n_triangles
+        FROM cnt c JOIN deg d ON c.node = d.src
+        ORDER BY n_triangles DESC, part_id LIMIT $TriTopK"""
 }

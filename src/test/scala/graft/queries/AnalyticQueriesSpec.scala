@@ -374,4 +374,55 @@ class AnalyticQueriesSpec extends SparkSpec {
       .select("node", "rank_fp").as[(Long, Long)].collect().toSet
     assert(one === many)
   }
+
+  /** Independent brute-force triangle reference: enumerate all id-ordered
+    * node triples over the undirected edge set. */
+  private def refTriangles(pairs: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }.toSet
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val nodes = adj.keys.toSeq.sorted
+    val triCount = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      x <- nodes; y <- adj(x).toSeq.sorted if y > x
+      z <- adj(y).toSeq.sorted if z > y && adj(x).contains(z)
+    } Seq(x, y, z).foreach(n => triCount(n) += 1)
+    triCount.map { case (n, c) => n -> (adj(n).size.toLong, c) }.toMap
+  }
+
+  test("trianglesOf matches a brute-force triple enumeration") {
+    // K4 on {1..4} (4 triangles, 3 per node), a pendant (5), a separate
+    // triangle {6,7,8}, and a path 8-9 (no triangle).
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (6L, 7L), (7L, 8L), (6L, 8L), (8L, 9L))
+    val got = AnalyticQueries.trianglesOf(pairs.toDF("a", "b"), "a", "b")
+      .select("node", "degree", "n_triangles")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val want = refTriangles(pairs).filter(_._2._2 > 0)
+    assert(got === want)
+    assert(got(1L) === (3L, 3L) && got(4L) === (4L, 3L) && got(8L) === (3L, 1L))
+  }
+
+  test("trianglesOf: hub wedges don't explode; duplicate/reversed edges collapse") {
+    // A 30-leaf star has NO triangles regardless of hub degree (the
+    // degree-ordered kernel orients every edge leaf->hub, so the hub
+    // generates zero wedges); adding one leaf-leaf edge makes exactly one.
+    val star = (1L to 30L).map(i => (100L, i))
+    val noisy = (star ++ star.map(_.swap) ++ Seq((1L, 2L), (2L, 1L))).toDF("a", "b")
+    val got = AnalyticQueries.trianglesOf(noisy, "a", "b")
+      .select("node", "n_triangles").as[(Long, Long)].collect().toMap
+    assert(got === Map(100L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("trianglesOf is partitioning-invariant") {
+    val pairs = (1L to 60L).map(i => (i % 9, i % 13 + 20L)) ++
+      Seq((0L, 21L), (1L, 22L), (2L, 23L))
+    val one = AnalyticQueries
+      .trianglesOf(pairs.toDF("a", "b").coalesce(1), "a", "b")
+      .select("node", "n_triangles").as[(Long, Long)].collect().toSet
+    val many = AnalyticQueries
+      .trianglesOf(pairs.toDF("a", "b").repartition(13), "a", "b")
+      .select("node", "n_triangles").as[(Long, Long)].collect().toSet
+    assert(one === many)
+  }
 }
