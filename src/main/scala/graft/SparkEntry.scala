@@ -84,6 +84,7 @@ object SparkEntry {
     "q_doc_simhash"     -> (DedupQueries.docSimhash _),
     "q_ngram_jaccard"   -> (DedupQueries.ngramJaccard _),
     "q_chunk_dedup"     -> (DedupQueries.chunkDedup _),
+    "q_doc_simjoin"     -> (DedupQueries.docSimjoin _),
     "q_text_repetition" -> (TextQueries.textRepetition _),
     "q_doc_sample"      -> (TextQueries.docSample _),
     // §7.5(b) — LLM-pipeline similarity search over embeddings
@@ -510,6 +511,7 @@ object SparkEntry {
     "q_doc_neardup"   -> DedupQueries.neardupOracle,
     "q_doc_simhash"   -> DedupQueries.simhashOracle,
     "q_ngram_jaccard" -> DedupQueries.ngramJaccardOracle,
+    "q_doc_simjoin" -> DedupQueries.docSimjoinOracle,
     "q_chunk_dedup"   -> DedupQueries.chunkDedupOracle,
     "q_doc_sample" ->
       """SELECT doc_id, lang,

@@ -586,4 +586,121 @@ object DedupQueries {
         FROM pairs
         WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.8
         ORDER BY doc_a, doc_b"""
+
+  // ---- tier 9: EXACT similarity join via prefix filtering -----------------
+
+  /** Jaccard threshold for [[docSimjoin]], as an exact rational so every
+    * filter below is integer arithmetic (shared with the oracle). 4/5
+    * matches [[ngramJaccard]]'s 0.8 cut, so the exact join doubles as a
+    * recall audit of the LSH tier: any pair here but not there is an
+    * LSH miss. */
+  private[ext] val SimTauNum = 4L
+  private[ext] val SimTauDen = 5L
+
+  /** Tier 9 — EXACT set-similarity join (the prefix-filtering / PPJoin
+    * family) over each document's distinct 3-word shingle set: ALL pairs
+    * with shingle-set Jaccard ≥ [[SimTauNum]]/[[SimTauDen]], with a
+    * zero-miss guarantee — the complement to the LSH tiers (3/5), which
+    * trade recall for speed. Corpus-dedup pipelines run LSH for the bulk
+    * tier and an exact join like this one where a miss is unacceptable
+    * (license/compliance dedup, eval-set leakage audits); at the shared
+    * 0.8 threshold, `q_doc_simjoin − q_ngram_jaccard` measures the LSH
+    * tier's true misses.
+    *
+    * The all-pairs trap is avoided by the PREFIX FILTER theorem: order
+    * every token by global rarity (doc-frequency, then token — a total
+    * order shared with the oracle); if |A∩B| ≥ α then the first
+    * |A|−α+1 tokens of A and of B (in that order) must share a token.
+    * With α = ceil(τ·|s|) (valid since J ≥ τ ⇒ |A∩B| ≥ τ·max sizes),
+    * each doc only emits its floor(|s|/2)+1 RAREST tokens as join keys
+    * — candidate generation is an equi-join on rare tokens, whose
+    * buckets are small BY CONSTRUCTION (a stopword lands in a prefix
+    * only for docs of near-stopword-only content). Candidates are then
+    * verified with exact integer counting: J ≥ num/den ⟺
+    * den·inter ≥ num·(na+nb−inter) — no float compare anywhere.
+    *
+    * Scale shape: one explode (token relation), one vocab-scale
+    * doc-frequency aggregate, one per-doc window (doc-sized
+    * partitions), one prefix-token equi-join + length filter, then the
+    * [[ngramJaccard]]-style semi-join-pruned verify. Every key is
+    * doc_id or a rare token; the verify volume tracks the TRUE match
+    * rate. At 100 TB the df relation is a persisted table and hot
+    * residual tokens are AQE-skew territory. */
+  def docSimjoin(s: SparkSession, d: String): DataFrame =
+    setSimJoinOf(
+      shingled(s, d).select(col("doc_id"), col("shingles").as("toks")),
+      SimTauNum, SimTauDen)
+
+  /** The general exact similarity join behind [[docSimjoin]] — library
+    * API: frame of (`doc_id`, `toks` array) in, all pairs with
+    * Jaccard(toks_a, toks_b) ≥ tauNum/tauDen out as (doc_a, doc_b,
+    * n_inter, n_union, jaccard), doc_a < doc_b. Guaranteed lossless:
+    * the prefix filter only PRUNES pairs that provably cannot reach
+    * the threshold. */
+  def setSimJoinOf(sets: DataFrame, tauNum: Long, tauDen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = sets.select(col("doc_id"), col("toks"),
+      size(col("toks")).cast("long").as("n"))
+    val tok = base.select(col("doc_id"), col("n"),
+      explode(col("toks")).as("token"))
+    val dfRel = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // Prefix length L = n − ceil(τ·n) + 1, all integer. The rank window
+    // partitions by doc_id (doc-sized partitions, never a global sort).
+    val prefix = tok.join(dfRel, Seq("token"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token"))))
+      .filter(col("rk") <=
+        col("n") - expr(s"(n * $tauNum + $tauDen - 1) div $tauDen") + 1)
+      .select(col("token"), col("doc_id"), col("n"))
+    // Candidates: prefix-token equi-join + the size filter (J ≥ τ forces
+    // min·den ≥ max·num); distinct since two prefixes can share tokens.
+    val cand = eager(prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.token") === col("y.token") &&
+        col("x.doc_id") < col("y.doc_id") &&
+        least(col("x.n"), col("y.n")) * tauDen >=
+          greatest(col("x.n"), col("y.n")) * tauNum)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct())
+    // Verify stage — the ngramJaccard discipline: shrink the heavy array
+    // relation to candidate docs only, then join both sides and count.
+    val inCand = eager(base.join(
+      cand.select(col("doc_a").as("doc_id"))
+        .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct(),
+      Seq("doc_id"), "left_semi"))
+    cand
+      .join(inCand.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(inCand.as("b"), col("doc_b") === col("b.doc_id"))
+      .withColumn("n_inter",
+        expr("cast(size(array_intersect(a.toks, b.toks)) as bigint)"))
+      .withColumn("n_union", col("a.n") + col("b.n") - col("n_inter"))
+      .filter(col("n_inter") * tauDen >= col("n_union") * tauNum)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        round(col("n_inter").cast("double") / col("n_union"), 4)
+          .as("jaccard"))
+  }
+
+  /** DuckDB oracle for [[docSimjoin]] — brute-force shingle self-join
+    * over ALL pairs (no prefix filter: the filter is provably lossless,
+    * so the exhaustive replay and the pruned plan agree exactly — that
+    * equality IS what this oracle checks). Reuses [[shingledCte]]'s `sh`
+    * so shingle construction can never drift between engines. */
+  def docSimjoinOracle: String =
+    s"""$shingledCte,
+        n AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh),
+        tok AS (SELECT doc_id, unnest(shingles) AS token FROM sh),
+        i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(*) AS BIGINT) AS n_inter
+              FROM tok a JOIN tok b
+                ON a.token = b.token AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+        j AS (SELECT doc_a, doc_b, n_inter,
+                     na.n + nb.n - n_inter AS n_union
+              FROM i JOIN n na ON doc_a = na.doc_id
+                     JOIN n nb ON doc_b = nb.doc_id)
+        SELECT doc_a, doc_b, n_inter, CAST(n_union AS BIGINT) AS n_union,
+               round(CAST(n_inter AS DOUBLE) / n_union, 4) AS jaccard
+        FROM j
+        WHERE n_inter * $SimTauDen >= n_union * $SimTauNum
+        ORDER BY doc_a, doc_b"""
 }

@@ -357,4 +357,62 @@ class ExtQueriesSpec extends SparkSpec {
     assert(!byId(4L)._2, "3-token doc must fail the n_tokens >= 20 gate")
     assert(byId(0L)._2, "long low-stopword doc must pass")
   }
+
+  /** Brute-force exact-Jaccard reference over token sets. */
+  private def refSimPairs(docs: Seq[(Long, Seq[String])], tauNum: Long,
+      tauDen: Long): Set[(Long, Long, Long, Long)] = {
+    val sets = docs.map { case (id, t) => id -> t.toSet }
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size.toLong
+      union = (sa | sb).size.toLong
+      if inter * tauDen >= union * tauNum
+    } yield (ia, ib, inter, union)).toSet
+  }
+
+  test("setSimJoinOf equals brute force — the prefix filter is lossless") {
+    // Overlapping vocab, skewed token frequencies (w0 is a stopword in
+    // every doc, so it must never generate the candidate on its own),
+    // one exact dup pair, one barely-over pair, one barely-under pair.
+    val docs: Seq[(Long, Seq[String])] = Seq(
+      1L -> Seq("w0", "a", "b", "c"),
+      2L -> Seq("w0", "a", "b", "c"),          // dup of 1: J = 1
+      3L -> Seq("w0", "a", "b", "d"),          // vs 1: 3/5 ≥ 1/2
+      4L -> Seq("w0", "x", "y", "z"),          // vs 1: 1/7 < 1/2
+      5L -> Seq("w0", "a", "b", "c", "d", "e"),// vs 1: 4/6 ≥ 1/2
+      6L -> Seq("q", "r"),                     // disjoint but for sizes
+      7L -> Seq("q", "r", "s", "t", "u", "v")) // vs 6: 2/6 < 1/2
+    val df = docs.toDF("doc_id", "toks")
+    val got = DedupQueries.setSimJoinOf(df, 1L, 2L)
+      .select("doc_a", "doc_b", "n_inter", "n_union")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === refSimPairs(docs, 1L, 2L))
+    assert(got.contains((1L, 2L, 4L, 4L)) && got.contains((1L, 3L, 3L, 5L)))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("setSimJoinOf matches brute force on randomized corpora") {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 30).map(i => s"t$i")
+    for (trial <- 1 to 3) {
+      val docs: Seq[(Long, Seq[String])] = (1L to 40L).map { id =>
+        val k = 2 + rnd.nextInt(8)
+        id -> rnd.shuffle(vocab).take(k)
+      } ++ Seq(100L -> Seq("t0", "t1", "t2"), 101L -> Seq("t0", "t1", "t2"))
+      val got = DedupQueries.setSimJoinOf(docs.toDF("doc_id", "toks"), 1L, 2L)
+        .select("doc_a", "doc_b", "n_inter", "n_union")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === refSimPairs(docs, 1L, 2L), s"trial $trial diverged")
+    }
+  }
+
+  test("setSimJoinOf at a stricter threshold (2/3) stays exact") {
+    val docs: Seq[(Long, Seq[String])] = Seq(
+      1L -> Seq("a", "b", "c"),
+      2L -> Seq("a", "b", "c", "d"), // 3/4 ≥ 2/3
+      3L -> Seq("a", "b", "d", "e")) // vs 1: 2/5; vs 2: 3/5 — both under
+    val got = DedupQueries.setSimJoinOf(docs.toDF("doc_id", "toks"), 2L, 3L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
 }
