@@ -142,6 +142,7 @@ object SparkEntry {
     "q_scd2_pit"        -> (graft.lake.LakeQueries.scd2Pit _),
     "q_time_travel"     -> (graft.lake.LakeQueries.timeTravel _),
     "q_incremental_mv"  -> (graft.lake.LakeQueries.incrementalMv _),
+    "q_join_mv"         -> (graft.lake.LakeQueries.joinMv _),
     "q_dv_state"        -> (graft.lake.LakeQueries.dvState _),
     // §7.5 — multimodal binary columns (stub decode, real plumbing)
     "q_media_features"  -> ((s: SparkSession, d: String) =>
@@ -782,6 +783,7 @@ object SparkEntry {
     "q_scd2_pit"      -> graft.lake.LakeQueries.scd2PitOracle,
     "q_time_travel"   -> graft.lake.LakeQueries.timeTravelOracle,
     "q_incremental_mv" -> graft.lake.LakeQueries.incrementalMvOracle,
+    "q_join_mv" -> graft.lake.LakeQueries.joinMvOracle,
     "q_dv_state"      -> graft.lake.LakeQueries.dvStateOracle,
     "q_doc_pipeline"  -> ext.DocPipeline.pipelineOracle(),
     "q_corpus_pack"   -> ext.DocPipeline.assembledPacksOracle(),

@@ -1,0 +1,79 @@
+package graft.lake
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of an equi-JOIN materialized view from the
+  * change feeds of both base tables — the join companion to
+  * [[IncrementalAgg]] (which maintains aggregates): the view is
+  * `facts INNER JOIN dims ON jk` keyed by the fact table's primary key,
+  * with `jk` unique in `dims` (the FK-join shape — an enriched fact
+  * table, the single most common materialized view in a warehouse).
+  *
+  * Delta algebra, by change side:
+  *   - CHANGED FACT rows re-join the CURRENT dim table: O(Δfacts) work.
+  *     A changed fact whose join key now dangles (no dim row) LEAVES the
+  *     inner-join view; fact deletes leave it too.
+  *   - CHANGED DIM keys invalidate every fact row carrying them: those
+  *     facts are re-read via a jk-SEMI-JOIN-pruned probe of the fact
+  *     table and re-joined. The probe is the one step that touches base
+  *     data beyond the feeds, and it is key-pruned — with jk among the
+  *     fact table's statsCols/bloomCols ([[MergeTable]] X115/bloom
+  *     index) the probe reads only files that can hold affected keys.
+  *     It also covers dim INSERTS (facts that were unmatched join in)
+  *     — which no view-local strategy can, since dropped rows are not
+  *     in the view to find.
+  *
+  * Both sides fold into ONE [[MergeTable.mergeCdc]] feed (upserts +
+  * deletes), so a refresh is a single atomic commit and re-running the
+  * same version window is idempotent (same candidates → same merge).
+  * The base fact table is never fully rescanned; dim reads are
+  * dim-sized.
+  */
+object IncrementalJoin {
+
+  /** The view's defining query — the initial materialization and the
+    * recompute oracle the spec compares against. */
+  def fullJoin(facts: DataFrame, dims: DataFrame, jk: String): DataFrame =
+    facts.join(dims, Seq(jk), "inner")
+
+  /** Fold both tables' `(fromV, toV]` change feeds into `view`.
+    * Returns the view's new version (or the current one when the window
+    * is empty on both sides). */
+  def refresh(view: MergeTable, facts: MergeTable, dims: MergeTable,
+      pk: String, jk: String,
+      factFromV: Long, factToV: Long,
+      dimFromV: Long, dimToV: Long): Long = {
+    val ct = MergeTable.ChangeType
+    val dFact = facts.changes(factFromV, factToV, pk)
+    val dDim = dims.changes(dimFromV, dimToV, jk)
+    val dims1 = dims.read()
+
+    // Fact-side: post-image rows recompute their own view rows.
+    val changedFactRows = dFact.filter(col(ct) =!= "delete").drop(ct)
+    val factDeletePks = dFact.filter(col(ct) === "delete").select(col(pk))
+
+    // Dim-side: key-pruned probe of facts carrying a changed jk. Fact
+    // rows already in the fact delta are excluded (their post-image
+    // above is newer than any stored row the probe would read).
+    val dimKeys = dDim.select(col(jk)).distinct()
+    val probed = facts.read()
+      .join(dimKeys, Seq(jk), "left_semi")
+      .join(dFact.select(col(pk)).distinct(), Seq(pk), "left_anti")
+
+    val candidates = changedFactRows.unionByName(probed)
+    val joined = candidates.join(dims1, Seq(jk), "inner")
+      .withColumn(ct, lit("update_postimage"))
+    // Inner-join semantics: a candidate with no current dim row must
+    // not be in the view — covers dim deletes AND fact updates that
+    // moved jk to a dangling key.
+    val dangling = candidates.join(dims1, Seq(jk), "left_anti")
+      .select(col(pk)).withColumn(ct, lit("delete"))
+    val deletes = factDeletePks.withColumn(ct, lit("delete"))
+      .unionByName(dangling)
+
+    val feed = joined.unionByName(deletes, allowMissingColumns = true)
+    if (feed.isEmpty) view.latestVersion()
+    else view.mergeCdc(feed, pk)
+  }
+}

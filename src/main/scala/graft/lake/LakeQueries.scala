@@ -250,6 +250,96 @@ object LakeQueries {
        WHERE o_orderkey % 10 <> 0 AND o_custkey % 13 <> 0
        ORDER BY o_orderkey"""
 
+  /** Incremental JOIN-view maintenance under the oracle gate (the
+    * [[IncrementalJoin]] end-to-end): an orders⋈customer enriched-fact
+    * view is materialized ONCE, then maintained purely from both
+    * tables' change feeds across a fact wave (MERGE updates %4=0 +
+    * re-keyed inserts %6=3, DELETE %9=0) and a dim wave (MERGE bal+100
+    * for %5=0, inserts matching the deliberately-dangling %3=1 fact
+    * keys, DELETE %13=0) — two refreshes, each ONE atomic mergeCdc
+    * commit; the base fact table is only touched by the dim-side
+    * key-pruned probe. The oracle replays both final states and joins
+    * them directly — equality proves the delta algebra (including the
+    * dim-insert path that resurrects formerly-unmatched facts, and
+    * inner-join drops for deleted dim keys) at every scale factor. */
+  def joinMv(s: SparkSession, d: String): DataFrame = {
+    val fbase = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      when(col("o_custkey") % 3 === 1, col("o_custkey") + 10000000L)
+        .otherwise(col("o_custkey")).as("c_custkey"),
+      col("o_totalprice").as("price0"))
+    val dbase = Tables.customer(s, d).select(
+      col("c_custkey"), col("c_acctbal").as("bal"))
+    val tf = MergeTable(s, scratch("graft_q_ijf"))
+    val td = MergeTable(s, scratch("graft_q_ijd"))
+    val tv = MergeTable(s, scratch("graft_q_ijv"))
+    val vf0 = tf.overwrite(fbase)
+    val vd0 = td.overwrite(dbase)
+    tv.overwrite(IncrementalJoin.fullJoin(tf.read(), td.read(),
+      "c_custkey"))
+    // fact wave
+    val fupd = fbase.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("price0", col("price0") + 10.0)
+    val fins = fbase.filter(col("o_orderkey") % 6 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      .withColumn("price0", col("price0") + 7.0)
+    tf.merge(fupd.unionByName(fins), "o_orderkey")
+    val vf2 = tf.delete(col("o_orderkey") % 9 === 0)
+    IncrementalJoin.refresh(tv, tf, td, "o_orderkey", "c_custkey",
+      vf0, vf2, vd0, vd0)
+    // dim wave
+    val dupd = dbase.filter(col("c_custkey") % 5 === 0)
+      .withColumn("bal", col("bal") + 100.0)
+    val dins = Tables.customer(s, d)
+      .filter(col("c_custkey") % 2 === 0)
+      .select((col("c_custkey") + 10000000L).as("c_custkey"),
+        ((col("c_custkey") % 1000).cast("double") + 0.25).as("bal"))
+    td.merge(dupd.unionByName(dins), "c_custkey")
+    val vd2 = td.delete(col("c_custkey") % 13 === 0)
+    IncrementalJoin.refresh(tv, tf, td, "o_orderkey", "c_custkey",
+      vf2, vf2, vd0, vd2)
+    tv.read().select(
+      col("o_orderkey"), col("c_custkey"),
+      round(col("price0"), 2).as("price"), round(col("bal"), 2).as("bal"))
+  }
+
+  val joinMvOracle: String =
+    """WITH fbase AS (
+         SELECT o_orderkey,
+                CASE WHEN o_custkey % 3 = 1 THEN o_custkey + 10000000
+                     ELSE o_custkey END AS c_custkey,
+                o_totalprice AS price0
+         FROM orders),
+       fupd AS (
+         SELECT o_orderkey, c_custkey,
+                CASE WHEN o_orderkey % 4 = 0 THEN price0 + 10.0
+                     ELSE price0 END AS price0
+         FROM fbase),
+       fins AS (
+         SELECT o_orderkey + 100000000 AS o_orderkey, c_custkey,
+                price0 + 7.0 AS price0
+         FROM fbase WHERE o_orderkey % 6 = 3),
+       ffin AS (
+         SELECT * FROM (SELECT * FROM fupd UNION ALL SELECT * FROM fins) u
+         WHERE o_orderkey % 9 <> 0),
+       dbase AS (SELECT c_custkey, c_acctbal AS bal FROM customer),
+       dupd AS (
+         SELECT c_custkey,
+                CASE WHEN c_custkey % 5 = 0 THEN bal + 100.0 ELSE bal END
+                  AS bal
+         FROM dbase),
+       dins AS (
+         SELECT c_custkey + 10000000 AS c_custkey,
+                CAST(c_custkey % 1000 AS DOUBLE) + 0.25 AS bal
+         FROM customer WHERE c_custkey % 2 = 0),
+       dfin AS (
+         SELECT * FROM (SELECT * FROM dupd UNION ALL SELECT * FROM dins) u
+         WHERE c_custkey % 13 <> 0)
+       SELECT f.o_orderkey, f.c_custkey,
+              round(f.price0, 2) AS price, round(d.bal, 2) AS bal
+       FROM ffin f JOIN dfin d ON f.c_custkey = d.c_custkey
+       ORDER BY f.o_orderkey"""
+
   val scd2PitOracle: String =
     """WITH hist AS (
          SELECT c_custkey, c_acctbal AS bal, '2024-01-01' AS eff_from
