@@ -107,6 +107,7 @@ object SparkEntry {
     "q_sketch_cms"      -> (SketchQueries.sketchCms _),
     "q_sketch_bloom"    -> (SketchQueries.sketchBloom _),
     "q_text_tfidf"      -> (TextQueries.textTfidf _),
+    "q_text_bm25"       -> (TextQueries.textBm25 _),
     "q_doc_stratified"  -> (TextQueries.docStratified _),
     "q_window_lag"      -> (AnalyticQueries.windowLag _),
     "q_events_gapfill"  -> (AnalyticQueries.eventsGapfill _),
@@ -553,6 +554,7 @@ object SparkEntry {
     "q_sketch_cms"    -> SketchQueries.sketchCmsOracle,
     "q_sketch_bloom"  -> SketchQueries.sketchBloomOracle,
     "q_text_tfidf"    -> TextQueries.textTfidfOracle,
+    "q_text_bm25"     -> TextQueries.textBm25Oracle,
     "q_doc_stratified" -> TextQueries.docStratifiedOracle,
     "q_window_lag" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,

@@ -589,4 +589,99 @@ object TextQueries {
                      toks[chunk_start + 1 : chunk_start + $ChunkWindow], ' '))
                  AS chunk_fp
         FROM e ORDER BY doc_id, chunk_idx"""
+
+  // ---- BM25 keyword retrieval ---------------------------------------------
+
+  /** The fixed retrieval query for [[textBm25]] (literals shared with
+    * the oracle) and its result depth. */
+  private[ext] val Bm25Terms = Seq("spark", "merge", "vector")
+  private val Bm25TopK = 20
+
+  /** BM25 keyword retrieval over `documents` — the sparse-retrieval
+    * scorer (the tf-idf ranking function search engines and RAG hybrid
+    * retrievers actually use, vs [[textTfidf]]'s raw term weights):
+    * top-[[Bm25TopK]] documents for the fixed [[Bm25Terms]] query.
+    *
+    * Uses the LOG-FREE Robertson idf variant
+    * `(N − df + ½)/(df + ½)` (documented deviation: the classic form
+    * takes its log, which compresses but never reorders single-term
+    * contributions — and `ln` is not bit-reproducible across engines,
+    * while this rational form is one IEEE division). k1 = 1.2 and
+    * b = 0.75 are the standard constants, written as exact binary
+    * literals (2.2, 1.2, 0.25, 0.75) so every operation is
+    * order-identical IEEE arithmetic in both engines; per-term
+    * contributions combine in FIXED textual order (never a float
+    * `sum()` whose partial-aggregation order could differ).
+    *
+    * Scale shape: the term filter runs BEFORE any shuffle (the tf
+    * relation is (matching docs × |Q|)-sized, not corpus-token-sized);
+    * df and the length/total aggregates are 1-row or |Q|-row
+    * broadcasts; the final rank window runs over the matching-doc
+    * relation. */
+  def textBm25(s: SparkSession, d: String): DataFrame = {
+    val docs = withToks(documents(s, d))
+    val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val tot = dl.agg(sum(col("dl")).as("t_toks"),
+      count(lit(1)).as("n_docs"))
+    val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val sc = tf.join(dfreq, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(tot))
+      .withColumn("s", expr(
+        """((n_docs - df + 0.5) / (df + 0.5)) *
+           (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 *
+             (CAST(dl * n_docs AS DOUBLE) / t_toks))))"""))
+    val perTerm = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("s"))).as(s"s_$i")
+    }
+    val scored = sc.groupBy(col("doc_id"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .withColumn("score", Bm25Terms.indices
+        .map(i => coalesce(col(s"s_$i"), lit(0.0)))
+        .reduceLeft(_ + _))
+    scored
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rnk") <= Bm25TopK)
+      .select(col("doc_id"), round(col("score"), 4).as("score"), col("rnk"))
+  }
+
+  /** DuckDB oracle for [[textBm25]] — the identical rational BM25
+    * arithmetic, per-term contributions combined in the same fixed
+    * textual order. */
+  def textBm25Oracle: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val cases = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0)"
+    }.mkString("\n                + ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t_toks,
+                       CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+        u AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM u WHERE term IN ($termList) GROUP BY 1, 2),
+        df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+               FROM tf GROUP BY 1),
+        sc AS (SELECT tf.doc_id, tf.term,
+                 ((n_docs - df + 0.5) / (df + 0.5)) *
+                 (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 *
+                   (CAST(dl.dl * n_docs AS DOUBLE) / t_toks)))) AS s
+               FROM tf JOIN df ON tf.term = df.term
+               JOIN dl ON tf.doc_id = dl.doc_id
+               CROSS JOIN tot),
+        agg AS (SELECT doc_id,
+                $cases AS score
+                FROM sc GROUP BY doc_id)
+        SELECT doc_id, round(score, 4) AS score, rnk FROM (
+          SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+          FROM agg) z
+        WHERE rnk <= $Bm25TopK ORDER BY rnk"""
+  }
 }

@@ -177,6 +177,10 @@ final class MergeTable private (
         case "C" => AddConstraint(parts(1), new String(
           java.util.Base64.getDecoder.decode(parts(2)), "UTF-8"))
         case "D" => DropConstraint(parts(1))
+        // Column-mapping metadata: "E phys logical" renames, "X phys"
+        // drops — metadata-only; data files keep their physical names.
+        case "E" => RenameCol(parts(1), parts(2))
+        case "X" => DropCol(parts(1))
         case other => throw new IllegalStateException(
           s"MergeTable at $root: unknown log action '$other' in $p")
       }
@@ -230,6 +234,133 @@ final class MergeTable private (
     if (v == 0L) Map.empty else constraintsAt(v)
   }
 
+  /** Column-mapping state at version `v`: (physical → logical renames,
+    * dropped physical names) — the same checkpoint-then-deltas fold as
+    * [[snapshotAt]], over the E/X actions. */
+  private def mappingAt(v: Long): (Map[String, String], Set[String]) = {
+    val ckpt = checkpointAtOrBelow(v)
+    val ren = mutable.LinkedHashMap.empty[String, String]
+    val drops = mutable.LinkedHashSet.empty[String]
+    def fold(p: Path): Unit = readLogFile(p).foreach {
+      case RenameCol(ph, lg) => ren.update(ph, lg)
+      case DropCol(ph)       => ren.remove(ph); drops.add(ph)
+      case _                 => ()
+    }
+    if (ckpt != 0L) fold(logDir.resolve(f"$ckpt%020d$CkptSuffix"))
+    ((ckpt + 1) to v).foreach { w =>
+      val p = logDir.resolve(f"$w%020d.txt")
+      if (Files.exists(p)) fold(p)
+    }
+    (ren.toMap, drops.toSet)
+  }
+
+  private def currentMapping(): (Map[String, String], Set[String]) = {
+    val v = latestVersion()
+    if (v == 0L) (Map.empty, Set.empty) else mappingAt(v)
+  }
+
+  /** Current renames as physical → logical (empty when no column was
+    * ever renamed). */
+  def columnMapping: Map[String, String] = currentMapping()._1
+
+  /** Physical names of metadata-dropped columns (their data survives in
+    * files; readers exclude them). */
+  def droppedColumns: Set[String] = currentMapping()._2
+
+  /** Physical → logical presentation applied to every read: dropped
+    * physicals vanish, renamed physicals surface under their current
+    * logical name, order preserved. Defensive against double
+    * application (a renamed physical is simply absent the second
+    * time). */
+  private def presentLogical(df: DataFrame): DataFrame = {
+    val (ren, drops) = currentMapping()
+    if (ren.isEmpty && drops.isEmpty) df
+    else df.select(df.columns.toSeq.flatMap {
+      case c if drops.contains(c) => None
+      case c if ren.contains(c)   => Some(col(c).as(ren(c)))
+      case c                      => Some(col(c))
+    }: _*)
+  }
+
+  /** Logical → physical translation applied to every write, so data
+    * files stay physically-named forever (Delta's column-mapping
+    * discipline — a rename never rewrites data). Fails fast on a
+    * column that collides with a dropped or renamed-away physical name
+    * (silently accepting either would resurrect old file data under
+    * the new column). */
+  private def toPhysical(df: DataFrame): DataFrame = {
+    val (ren, drops) = currentMapping()
+    if (ren.isEmpty && drops.isEmpty) return df
+    val inv = ren.map(_.swap) // logical -> physical
+    df.columns.foreach { c =>
+      require(!drops.contains(c),
+        s"MergeTable at $root: column '$c' was dropped; re-adding a " +
+          "dropped column name is not supported (old file data would " +
+          "resurrect under it)")
+      require(!ren.contains(c) || inv.contains(c),
+        s"MergeTable at $root: '$c' is the physical name of a renamed " +
+          s"column (now '${ren(c)}') — write under the current logical " +
+          "name")
+    }
+    df.select(df.columns.toSeq.map(c =>
+      inv.get(c).map(p => col(c).as(p)).getOrElse(col(c))): _*)
+  }
+
+  /** Resolve a current logical column name to its physical name. */
+  private def physicalOf(logical: String): String =
+    currentMapping()._1.collectFirst {
+      case (ph, lg) if lg == logical => ph
+    }.getOrElse(logical)
+
+  private def guardMappable(name: String, op: String): Unit = {
+    require(!partitionCol.contains(name),
+      s"$op: '$name' is the partition column")
+    require(!statsCols.contains(physicalOf(name)),
+      s"$op: '$name' carries manifest file statistics")
+    require(!bloomCols.contains(physicalOf(name)),
+      s"$op: '$name' carries a bloom index")
+    val pat = ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+    constraints.foreach { case (cn, pred) =>
+      require(pat.findFirstIn(pred).isEmpty,
+        s"$op: '$name' is referenced by CHECK constraint '$cn' — drop " +
+          "the constraint first")
+    }
+  }
+
+  /** ALTER TABLE ... RENAME COLUMN — metadata-only (Delta column
+    * mapping): the rename is one log action; no data file is touched.
+    * Reads at ANY version present the CURRENT logical schema (stable
+    * physical identities underneath, exactly Delta's column-mapping
+    * semantics), so time travel and CDF keep working across renames. */
+  def renameColumn(oldName: String, newName: String): Long = {
+    val cols = read().columns.toSet
+    require(cols.contains(oldName),
+      s"renameColumn: no column '$oldName' (have ${cols.mkString(", ")})")
+    require(!cols.contains(newName),
+      s"renameColumn: '$newName' already exists")
+    guardMappable(oldName, "renameColumn")
+    retryingCommit { () =>
+      (CommitDelta(Nil, Nil,
+        mRenames = Seq(physicalOf(oldName) -> newName)), latestVersion())
+    }
+  }
+
+  /** ALTER TABLE ... DROP COLUMN — metadata-only: the column's data
+    * survives in files (and remains visible to pre-drop time travel of
+    * OTHER columns via the physical layer) but every read excludes it.
+    * The name is retired: re-adding it would resurrect old file data,
+    * so writes carrying it fail fast. */
+  def dropColumn(name: String): Long = {
+    val cols = read().columns.toSet
+    require(cols.contains(name),
+      s"dropColumn: no column '$name' (have ${cols.mkString(", ")})")
+    guardMappable(name, "dropColumn")
+    retryingCommit { () =>
+      (CommitDelta(Nil, Nil, mDrops = Seq(physicalOf(name))),
+        latestVersion())
+    }
+  }
+
   private def deltaBody(delta: CommitDelta): String =
     (delta.removes.map(f => s"R\t$f") ++
       delta.adds.map { e =>
@@ -250,7 +381,9 @@ final class MergeTable private (
       delta.cAdds.map { case (n, pr) =>
         s"C\t$n\t" + java.util.Base64.getEncoder
           .encodeToString(pr.getBytes("UTF-8"))
-      }).mkString("\n")
+      } ++
+      delta.mRenames.map { case (p, l) => s"E\t$p\t$l" } ++
+      delta.mDrops.map(p => s"X\t$p")).mkString("\n")
 
   /** Try to publish `delta` as version `expected + 1`. Returns the
     * committed version, or None if a concurrent writer took it first.
@@ -281,9 +414,12 @@ final class MergeTable private (
     val target = logDir.resolve(f"$v%020d$CkptSuffix")
     if (Files.exists(target)) return
     // a checkpoint replaces the deltas below it for readers, so it must
-    // carry the constraint state too (or vacuum would silently drop it)
+    // carry the constraint AND column-mapping state too (or vacuum
+    // would silently drop them)
+    val (ren, drops) = mappingAt(v)
     val body = deltaBody(CommitDelta(snapshotAt(v), Nil,
-      cAdds = constraintsAt(v).toSeq))
+      cAdds = constraintsAt(v).toSeq,
+      mRenames = ren.toSeq, mDrops = drops.toSeq))
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, body)
     try Files.createLink(target, tmp)
@@ -312,8 +448,11 @@ final class MergeTable private (
 
   // ---- write paths --------------------------------------------------------
 
-  /** Write `df` into a fresh commit dir; return its new file entries. */
-  private def writeData(df: DataFrame): (String, Seq[FileEntry]) = {
+  /** Write `df` into a fresh commit dir; return its new file entries.
+    * The frame arrives LOGICAL (all internal flows are logical);
+    * files are written PHYSICAL so a rename never rewrites data. */
+  private def writeData(dfIn: DataFrame): (String, Seq[FileEntry]) = {
+    val df = toPhysical(dfIn)
     val commitDir = s"commit-${UUID.randomUUID().toString.take(12)}"
     val target = root.resolve(commitDir)
     partitionCol match {
@@ -715,21 +854,59 @@ final class MergeTable private (
     retryingCommit { () =>
       val (version, live) = latest()
       val df0 = readEntries(live)
-      val mm = df0
-        .select(cols.flatMap(c => Seq(
-          min(col(c).cast("double")), max(col(c).cast("double")))): _*)
-        .head()
-      val scaled = cols.indices.map { i =>
-        val (mn, mx) =
-          if (mm.isNullAt(2 * i) || mm.isNullAt(2 * i + 1)) (0.0, 1.0)
-          else (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
-        val span = if (mx > mn) mx - mn else 1.0
-        s"CAST(((CAST(${cols(i)} AS DOUBLE) - $mn) / $span) * 65535 AS BIGINT)"
-      }
+      val scaled = scaled16(df0, cols)
       val z = (0 until 16).flatMap(j => scaled.indices.map(k =>
         s"(((${scaled(k)} >> $j) & 1) << ${j * cols.size + k})"))
         .mkString(" + ")
       val df = df0.withColumn(ZCol, expr(z))
+        .repartitionByRange(filesPerPartition, col(ZCol))
+        .sortWithinPartitions(col(ZCol))
+        .drop(ZCol)
+      val (_, entries) = writeData(df)
+      (CommitDelta(entries, live.map(_.relPath)), version)
+    }
+  }
+
+  /** Min-max scale `cols` to 16-bit integers as SQL fragments (shared
+    * by [[zorder]] and [[clusterHilbert]]); one 1-row min/max
+    * aggregate. */
+  private def scaled16(df0: DataFrame, cols: Seq[String]): Seq[String] = {
+    val mm = df0
+      .select(cols.flatMap(c => Seq(
+        min(col(c).cast("double")), max(col(c).cast("double")))): _*)
+      .head()
+    cols.indices.map { i =>
+      val (mn, mx) =
+        if (mm.isNullAt(2 * i) || mm.isNullAt(2 * i + 1)) (0.0, 1.0)
+        else (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+      val span = if (mx > mn) mx - mn else 1.0
+      s"CAST(((CAST(${cols(i)} AS DOUBLE) - $mn) / $span) * 65535 AS BIGINT)"
+    }
+  }
+
+  /** OPTIMIZE ... by HILBERT curve — [[zorder]]'s better-locality
+    * sibling for exactly two columns: the Hilbert curve never takes the
+    * long diagonal jumps Z-order's bit interleaving does (a Z crosses
+    * the full key space once per quadrant seam), so consecutive index
+    * ranges map to more compact rectangles and per-file min/max ranges
+    * on BOTH columns come out tighter — strictly better file skipping
+    * at equal file count (asserted vs zorder in HilbertSpec, same
+    * 16×16-grid methodology as X66).
+    *
+    * The classic xy2d bit-level loop is stateful (per-level rotation +
+    * reflection), which no closed-form bit shuffle expresses — it runs
+    * here as a codegen'd `aggregate` HOF fold over the 16 bit levels
+    * (highest first) carrying a (d, x, y) accumulator struct: pure
+    * integer arithmetic, deterministic everywhere, no UDF. */
+  def clusterHilbert(cols: Seq[String], filesPerPartition: Int = 1): Long = {
+    require(cols.size == 2,
+      s"clusterHilbert takes exactly 2 columns (16-bit Hilbert), got $cols")
+    retryingCommit { () =>
+      val (version, live) = latest()
+      val df0 = readEntries(live)
+      val scaled = scaled16(df0, cols)
+      val df = df0.withColumn(ZCol,
+          expr(MergeTable.hilbertSql(scaled(0), scaled(1))))
         .repartitionByRange(filesPerPartition, col(ZCol))
         .sortWithinPartitions(col(ZCol))
         .drop(ZCol)
@@ -1362,10 +1539,16 @@ final class MergeTable private (
         dv = e.dv.map(d => d.copy(relDir = rebase(d.relDir))),
         bloom = e.bloom.map(b => b.copy(relDir = rebase(b.relDir))))
     }
-    // the clone inherits the source's CHECK constraints in the same
-    // first commit (Delta clones carry table properties/constraints)
+    // the clone inherits the source's CHECK constraints AND column
+    // mapping in the same first commit (Delta clones carry table
+    // properties/constraints; without the mapping a clone would read
+    // the physical schema)
+    val (srcRen, srcDrops) =
+      if (srcV == 0L) (Map.empty[String, String], Set.empty[String])
+      else mappingAt(srcV)
     val v = clone.tryCommit(CommitDelta(rebased, Nil,
-      cAdds = (if (srcV == 0L) Nil else constraintsAt(srcV).toSeq)), 0L)
+      cAdds = (if (srcV == 0L) Nil else constraintsAt(srcV).toSeq),
+      mRenames = srcRen.toSeq, mDrops = srcDrops.toSeq), 0L)
     require(v.contains(1L), s"clone commit lost a race at fresh $dest")
     clone
   }
@@ -1443,7 +1626,10 @@ final class MergeTable private (
     root.resolve(dir)
   }
 
-  private def readEntries(entries: Seq[FileEntry]): DataFrame = {
+  private def readEntries(entries: Seq[FileEntry]): DataFrame =
+    presentLogical(readEntriesPhys(entries))
+
+  private def readEntriesPhys(entries: Seq[FileEntry]): DataFrame = {
     if (entries.isEmpty) return emptyLike()
     // Vectored entries divert to the tagged read (which anti-joins the
     // deletion vectors); the clean path below stays byte-identical to
@@ -1574,7 +1760,7 @@ final class MergeTable private (
         }
       }
     val masked = applyVectors(restored, entries)
-    masked.select((dataCols ++ keep).map(col): _*)
+    presentLogical(masked.select((dataCols ++ keep).map(col): _*))
   }
 
   /** Anti-join `df` (carrying scan-level [[FileTag]]/[[PosCol]]) against
@@ -1742,7 +1928,34 @@ object MergeTable {
   private[lake] final case class CommitDelta(adds: Seq[FileEntry],
       removes: Seq[String],
       cAdds: Seq[(String, String)] = Nil,
-      cDrops: Seq[String] = Nil)
+      cDrops: Seq[String] = Nil,
+      mRenames: Seq[(String, String)] = Nil,
+      mDrops: Seq[String] = Nil)
+
+  /** The Hilbert xy2d fold as one SQL expression over 16-bit inputs
+    * `xSql`/`ySql`: a codegen'd `aggregate` HOF over the bit levels
+    * (highest first) carrying the classic algorithm's (d, x, y) state —
+    * the per-level quadrant digit is `(3·rx) XOR ry`, and the rotation/
+    * reflection uses two's-complement `&`, exactly like the reference
+    * C loop (intermediate x/y may go negative; the masked bit stays
+    * correct). Exposed for the spec's exhaustive check against an
+    * independent JVM implementation. */
+  private[lake] def hilbertSql(xSql: String, ySql: String): String =
+    s"""aggregate(
+          transform(sequence(15, 0, -1),
+                    i -> shiftleft(CAST(1 AS BIGINT), i)),
+          named_struct('d', CAST(0 AS BIGINT), 'x', $xSql, 'y', $ySql),
+          (a, s) -> named_struct(
+            'd', a.d + s * s *
+              (IF((a.x & s) > 0, CAST(3 AS BIGINT), CAST(0 AS BIGINT)) ^
+               IF((a.y & s) > 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT))),
+            'x', CASE WHEN (a.y & s) = 0 THEN
+                   CASE WHEN (a.x & s) > 0 THEN s - 1 - a.y ELSE a.y END
+                 ELSE a.x END,
+            'y', CASE WHEN (a.y & s) = 0 THEN
+                   CASE WHEN (a.x & s) > 0 THEN s - 1 - a.x ELSE a.x END
+                 ELSE a.y END),
+          a -> a.d)"""
 
   private sealed trait LogAction
   private final case class Add(entry: FileEntry) extends LogAction
@@ -1750,6 +1963,9 @@ object MergeTable {
   private final case class AddConstraint(name: String,
       predicate: String) extends LogAction
   private final case class DropConstraint(name: String) extends LogAction
+  private final case class RenameCol(physical: String,
+      logical: String) extends LogAction
+  private final case class DropCol(physical: String) extends LogAction
 
   /** Open (or lazily create on first write) a table at `root`.
     * `statsCol` names a long-castable column whose per-file min/max is

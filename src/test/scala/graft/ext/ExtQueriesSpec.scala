@@ -358,6 +358,21 @@ class ExtQueriesSpec extends SparkSpec {
     assert(byId(0L)._2, "long low-stopword doc must pass")
   }
 
+  test("textBm25: docs containing query terms outrank docs without them") {
+    // fixture docs 0-2 contain "spark"; 3 and 4 contain no query term
+    val got = TextQueries.textBm25(spark, dir)
+      .select("doc_id", "score", "rnk")
+      .as[(Long, Double, Int)].collect().sortBy(_._3)
+    assert(got.map(_._1).toSet === Set(0L, 1L, 2L),
+      "only term-matching docs are retrieved")
+    assert(got.forall(_._2 > 0.0))
+    // 0 and 1 are exact duplicates — identical scores, id tiebreak
+    val byId = got.map(r => r._1 -> r._2).toMap
+    assert(byId(0L) === byId(1L))
+    assert(got.map(_._3).toSeq === got.indices.map(_ + 1).toSeq,
+      "ranks are contiguous from 1")
+  }
+
   /** Brute-force exact-Jaccard reference over token sets. */
   private def refSimPairs(docs: Seq[(Long, Seq[String])], tauNum: Long,
       tauDen: Long): Set[(Long, Long, Long, Long)] = {
