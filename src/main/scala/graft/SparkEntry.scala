@@ -95,6 +95,7 @@ object SparkEntry {
     "q_embed_neardup"   -> (SimilarityQueries.embedNeardup _),
     "q_embed_cc"        -> (SimilarityQueries.embedClusters _),
     "q_embed_semdedup"  -> (SimilarityQueries.embedSemdedup _),
+    "q_embed_kmeans"    -> (SimilarityQueries.embedKmeans _),
     "q_text_bpe"        -> (TextQueries.textBpe _),
     "q_text_pii"        -> (TextQueries.textPii _),
     "q_text_colloc"     -> (TextQueries.textColloc _),
@@ -548,6 +549,7 @@ object SparkEntry {
     "q_embed_neardup" -> SimilarityQueries.neardupOracle,
     "q_embed_cc"      -> SimilarityQueries.embedClustersOracle,
     "q_embed_semdedup" -> SimilarityQueries.semdedupOracle,
+    "q_embed_kmeans" -> SimilarityQueries.kmeansOracle,
     "q_sketch_distinct" -> SketchQueries.sketchDistinctOracle,
     "q_sketch_kmv"    -> SketchQueries.sketchKmvOracle,
     "q_sketch_hll"    -> SketchQueries.sketchHllOracle,

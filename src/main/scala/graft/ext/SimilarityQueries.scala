@@ -598,6 +598,51 @@ object SimilarityQueries {
     * vector's winning csim recovered from the final assignment CTE, the
     * same (csim, vec_id)-ordered within-cell duplicate marking, the same
     * anti-join. */
+  /** K-means cluster profile (`q_embed_kmeans`): the [[trainedCentroids]]
+    * Lloyd machinery exposed as a clustering RESULT rather than an ANN
+    * index — one row per realized cluster with size, centroid norm, and
+    * mean member-to-centroid cosine (the per-cluster inertia analog,
+    * the number a curation pipeline watches to pick k / spot degenerate
+    * clusters). The mean is an exact-integer fold: each member's winning
+    * csim (already 6dp-rounded, so ×1e6 is whole) is fixed-pointed to a
+    * BIGINT, integer-summed (order-independent — no float-sum hash
+    * risk), and divided ONCE. Scale shape: centroids broadcast, corpus
+    * streams through one assignment pass, profile is k rows. */
+  def embedKmeans(s: SparkSession, d: String): DataFrame = {
+    val e = DedupQueries.eager(normed(s, d))
+    val cent = trainedCentroids(e, embeddings(s, d).count(), LloydRounds)
+    assignWithSim(e, cent)
+      .withColumn("fp",
+        expr("CAST(floor(csim * 1000000.0 + 0.5) AS BIGINT)"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("fp")).as("sfp"))
+      .join(cent.select(col("cent_id").as("cell"),
+        round(col("cnrm"), 6).as("centroid_norm")), Seq("cell"))
+      .select(col("cell"), col("n_vectors"), col("centroid_norm"),
+        round(col("sfp").cast("double") / col("n_vectors") / lit(1e6), 6)
+          .as("avg_sim"))
+  }
+
+  /** DuckDB oracle for [[embedKmeans]] — the shared cell-training chain,
+    * winning csim recovered from the final assignment, the same
+    * fixed-point mean fold. */
+  def kmeansOracle: String =
+    s"""$cellsCte,
+        c2c AS (SELECT vec_id, cent_id AS cell, csim FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cent_id) AS rn
+                  FROM asg) t
+                WHERE rn = 1),
+        prof AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+                   CAST(sum(CAST(floor(csim * 1000000.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sfp
+                 FROM c2c GROUP BY cell)
+        SELECT p.cell, p.n_vectors, round(cnrm, 6) AS centroid_norm,
+               round(CAST(p.sfp AS DOUBLE) / p.n_vectors / 1000000.0, 6)
+                 AS avg_sim
+        FROM prof p JOIN cent$LloydRounds c ON p.cell = c.cent_id
+        ORDER BY p.cell"""
+
   def semdedupOracle: String =
     s"""$cellsCte,
         c2c AS (SELECT vec_id, cent_id AS cell, csim FROM (
