@@ -17,8 +17,12 @@ class PlanGuardSpec extends SparkSpec {
     // crosses as their train-inline forms
     "q_embed_ivf_idx", "q_embed_ivfpq_idx",
     "q_text_colloc",
+    // k-row trained-centroid broadcast against the streaming corpus —
+    // the same intended assignment cross as q_embed_ivf (semdedup was
+    // registered after the last round-7 PlanGuard run; latent until r8)
+    "q_embed_kmeans", "q_embed_semdedup",
     // 1-row scalar broadcast (corpus size) against a streaming fact side
-    "q_text_tfidf", "q_text_rarity",
+    "q_text_tfidf", "q_text_rarity", "q_text_bm25",
     // 1-row total broadcast against the 20-row top-k relation
     "q_skew_profile")
 
