@@ -97,6 +97,44 @@ class StreamIngestSpec extends SparkSpec {
       ("2024-01-03", 30.0, 1L)))
   }
 
+  test("a JOIN view follows streaming ingest + dim changes via both feeds") {
+    // the X125 composition: streamed facts ⋈ mutating dims, the view
+    // caught up per drain from the two change feeds alone
+    val raw = tmpDir("raw")
+    val ckpt = tmpDir("ckpt").toString
+    val f = MergeTable(spark, tmpDir("jf").toString, Some("date"))
+    val d = MergeTable(spark, tmpDir("jd").toString, None)
+    val v = MergeTable(spark, tmpDir("jv").toString, None)
+    val typed: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      _.withColumn("amount", col("amount").cast("double"))
+    d.overwrite(Seq(("2024-01-01", "mon"), ("2024-01-02", "tue"))
+      .toDF("date", "dow"))
+    writeCsv(raw, "f1.csv", "o1,2024-01-01,10.0", "o2,2024-01-02,20.0")
+    StreamIngest.runAvailableNow(spark, raw.toString, schema, f,
+      "order_id", ckpt, transform = typed)
+    val (vf1, vd1) = (f.latestVersion(), d.latestVersion())
+    v.overwrite(graft.lake.IncrementalJoin.fullJoin(f.read(), d.read(), "date"))
+    // wave 2: streamed upsert+insert AND a dim update+insert land
+    writeCsv(raw, "f2.csv", "o2,2024-01-02,99.0", "o3,2024-01-03,30.0")
+    StreamIngest.runAvailableNow(spark, raw.toString, schema, f,
+      "order_id", ckpt, transform = typed)
+    d.merge(Seq(("2024-01-02", "TUE"), ("2024-01-03", "wed"))
+      .toDF("date", "dow"), "date")
+    graft.lake.IncrementalJoin.refresh(v, f, d, "order_id", "date",
+      vf1, f.latestVersion(), vd1, d.latestVersion())
+    val view = v.read().select("order_id", "date", "amount", "dow")
+      .as[(String, String, Double, String)].collect().toSet
+    val recomputed = graft.lake.IncrementalJoin
+      .fullJoin(f.read(), d.read(), "date")
+      .select("order_id", "date", "amount", "dow")
+      .as[(String, String, Double, String)].collect().toSet
+    assert(view === recomputed)
+    assert(view === Set(
+      ("o1", "2024-01-01", 10.0, "mon"),
+      ("o2", "2024-01-02", 99.0, "TUE"),
+      ("o3", "2024-01-03", 30.0, "wed")))
+  }
+
   test("streaming SCD2 maintains dimension history across drains") {
     import graft.lake.Scd2
     val dimSchema = StructType(Seq(
