@@ -111,6 +111,7 @@ object SparkEntry {
     "q_text_bm25"       -> (TextQueries.textBm25 _),
     "q_doc_stratified"  -> (TextQueries.docStratified _),
     "q_window_lag"      -> (AnalyticQueries.windowLag _),
+    "q_global_index"    -> (AnalyticQueries.globalIndex _),
     "q_events_gapfill"  -> (AnalyticQueries.eventsGapfill _),
     "q_events_retention" -> (AnalyticQueries.eventsRetention _),
     "q_events_rolling"  -> (AnalyticQueries.eventsRolling _),
@@ -642,6 +643,7 @@ object SparkEntry {
       .mkString("", " UNION ALL ", " ORDER BY col_name"),
     "q_graph_pagerank" -> AnalyticQueries.graphPagerankOracle,
     "q_graph_triangles" -> AnalyticQueries.graphTrianglesOracle,
+    "q_global_index" -> AnalyticQueries.globalIndexOracle,
     "q_histogram_eqd" ->
       """WITH c AS (SELECT l_quantity AS v, count(*) AS cnt
                     FROM lineitem GROUP BY 1),

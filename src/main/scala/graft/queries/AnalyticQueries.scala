@@ -741,6 +741,64 @@ object AnalyticQueries {
         count(lit(1)).as("n_rows"))
   }
 
+  // ---- global row indexing ------------------------------------------------
+
+  /** Deterministic 0-based global row index in the total order of
+    * `orderCols` — WITHOUT the single-partition funnel of the naive
+    * `row_number().over(Window.orderBy(...))` (which moves the whole
+    * corpus through ONE task — the classic scale-killer for "add an id
+    * column"). `orderCols` must be a TOTAL order (unique key) or the
+    * index assignment within ties is partitioning-dependent.
+    *
+    * Shape: range-repartition on the order key (a distributed sort —
+    * equal keys land in one partition, so ranks never straddle a
+    * boundary), localCheckpoint so both passes see identical partitions,
+    * then (1) per-partition counts — partition-count-sized driver
+    * metadata — fold into start offsets, and (2) a per-PARTITION rank
+    * window (no global ordering) plus the broadcast offset. Two narrow
+    * passes, one range shuffle, no task ever sees more than its
+    * partition. */
+  def globalIndexOf(df: DataFrame, orderCols: Seq[String]): DataFrame = {
+    val oc = orderCols.map(col)
+    val sorted = df.repartitionByRange(oc: _*)
+      .sortWithinPartitions(oc: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = sorted.groupBy(col("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
+      (pid, acc + n)
+    }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offDf = sorted.sparkSession
+      .createDataFrame(offsets.toSeq).toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(oc: _*)
+    val out = sorted
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn("idx", col("__off") + row_number().over(w) - 1)
+      .drop("__pid", "__off")
+      .localCheckpoint(true)
+    graft.ext.DedupQueries.releaseCheckpointed(sorted)
+    out
+  }
+
+  /** `q_global_index`: [[globalIndexOf]] over lineitem's (orderkey,
+    * linenumber) unique key — oracle = the very single-partition
+    * row_number the operator exists to avoid (fine in DuckDB, fatal at
+    * 100 TB in Spark). */
+  def globalIndex(s: SparkSession, d: String): DataFrame =
+    globalIndexOf(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+      Seq("l_orderkey", "l_linenumber"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("idx"))
+
+  val globalIndexOracle: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+              CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1
+                   AS BIGINT) AS idx
+       FROM lineitem ORDER BY idx"""
+
   // ---- iterative graph analytics: PageRank --------------------------------
 
   /** Fixed-point PageRank constants, shared by the Spark operator and the

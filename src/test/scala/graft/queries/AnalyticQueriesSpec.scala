@@ -375,6 +375,34 @@ class AnalyticQueriesSpec extends SparkSpec {
     assert(one === many)
   }
 
+  test("globalIndexOf equals the single-partition row_number, without one") {
+    val df = (1L to 5000L).map(i => (i * 7919 % 5000, i))
+      .toDF("k", "payload").repartition(17)
+    val got = AnalyticQueries.globalIndexOf(df, Seq("k", "payload"))
+    // no global-ordering funnel in the plan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition") &&
+      !plan.contains("rangepartitioning(k"),
+      s"globalIndexOf must not globally sort through one task:\n$plan")
+    val rows = got.select("k", "payload", "idx")
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    // index is 0..n-1 dense and follows the (k, payload) total order
+    assert(rows.map(_._3).toSeq === (0L until 5000L))
+    assert(rows.map(r => (r._1, r._2)).toSeq ===
+      rows.map(r => (r._1, r._2)).sortBy(identity).toSeq)
+  }
+
+  test("globalIndexOf is partitioning-invariant") {
+    val data = (1L to 999L).map(i => (i % 31, i))
+    val a = AnalyticQueries
+      .globalIndexOf(data.toDF("k", "v").coalesce(1), Seq("k", "v"))
+      .select("k", "v", "idx").as[(Long, Long, Long)].collect().toSet
+    val b = AnalyticQueries
+      .globalIndexOf(data.toDF("k", "v").repartition(13), Seq("k", "v"))
+      .select("k", "v", "idx").as[(Long, Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
   /** Independent brute-force triangle reference: enumerate all id-ordered
     * node triples over the undirected edge set. */
   private def refTriangles(pairs: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
