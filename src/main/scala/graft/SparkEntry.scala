@@ -136,6 +136,7 @@ object SparkEntry {
     // lifecycle the inline-training forms deliberately can't)
     "q_embed_ivf_idx"   -> (SimilarityQueries.embedIvfIdx _),
     "q_embed_ivfpq_idx" -> (SimilarityQueries.embedIvfPqIdx _),
+    "q_embed_ivf_refresh" -> (SimilarityQueries.embedIvfRefresh _),
     "q_events_funnel"   -> (AnalyticQueries.eventsFunnel _),
     "q_histogram"       -> (AnalyticQueries.histogram _),
     // X94/X88 — the lakehouse WRITE surface under the oracle hash gate:
@@ -785,6 +786,7 @@ object SparkEntry {
     "q_embed_pq_search" -> SimilarityQueries.embedPqSearchOracle,
     "q_embed_ivfpq"   -> SimilarityQueries.embedIvfPqOracle,
     "q_embed_ivfpq_idx" -> SimilarityQueries.embedIvfPqOracle,
+    "q_embed_ivf_refresh" -> SimilarityQueries.ivfRefreshOracle,
     "q_cdc_apply"     -> graft.lake.LakeQueries.cdcApplyOracle,
     "q_scd2_pit"      -> graft.lake.LakeQueries.scd2PitOracle,
     "q_time_travel"   -> graft.lake.LakeQueries.timeTravelOracle,

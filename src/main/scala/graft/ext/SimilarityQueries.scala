@@ -496,6 +496,38 @@ object SimilarityQueries {
   def embedIvfIdx(s: SparkSession, d: String): DataFrame =
     persistedIndex(s, d).searchIvf(cornerQueries(s, d), 3)
 
+  /** The X113 REFRESH lifecycle under the oracle gate: a scratch source
+    * table is indexed ([[VectorIndex.build]] — centroids frozen from
+    * the ORIGINAL corpus), then a deterministic change wave lands
+    * (updates %7=0: dimension-rotated — norm-preserving; inserts %6=1:
+    * re-keyed + reversed; DELETE %10=3) and the index catches up purely
+    * from the source's change feed ([[VectorIndex#refresh]] — changed
+    * keys re-assigned against the FROZEN centroids, touched cell
+    * partitions rewritten, never a retrain). The search result over the
+    * refreshed index hash-matches a DuckDB replay that trains on the
+    * original corpus (the shared `cellsCte`) and assigns the REPLAYED
+    * final corpus to those frozen centroids — which is exactly the
+    * catch-up-vs-rebuild contract: refresh must equal
+    * assign-everything-to-old-centroids, NOT a fresh build. */
+  def embedIvfRefresh(s: SparkSession, d: String): DataFrame = {
+    def scratch(p: String): String =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val src = graft.lake.MergeTable(s, scratch("graft_q_vr_src"))
+    val v1 = src.overwrite(emb)
+    val idx = VectorIndex.build(s, src.read(), scratch("graft_q_vr_idx"))
+    val upd = emb.filter(col("vec_id") % 7 === 0)
+      .withColumn("embedding", expr(
+        "concat(slice(embedding, 2, size(embedding) - 1), slice(embedding, 1, 1))"))
+    val ins = emb.filter(col("vec_id") % 6 === 1)
+      .withColumn("vec_id", col("vec_id") + 10000000L)
+      .withColumn("embedding", expr("reverse(embedding)"))
+    src.merge(upd.unionByName(ins), "vec_id")
+    val v3 = src.delete(col("vec_id") % 10 === 3)
+    idx.refresh(src.changes(v1, v3, "vec_id"))
+    idx.searchIvf(cornerQueries(s, d), 3)
+  }
+
   /** [[embedIvfPq]] served from the PERSISTED index — same oracle. */
   def embedIvfPqIdx(s: SparkSession, d: String): DataFrame =
     persistedIndex(s, d).searchIvfPq(cornerQueries(s, d), 3)
@@ -598,6 +630,56 @@ object SimilarityQueries {
     * vector's winning csim recovered from the final assignment CTE, the
     * same (csim, vec_id)-ordered within-cell duplicate marking, the same
     * anti-join. */
+  /** DuckDB oracle for [[embedIvfRefresh]] — the shared original-corpus
+    * training chain (frozen centroids), the replayed final corpus
+    * assigned to them, and the same in-cell search. Corner queries come
+    * from the ORIGINAL assignment CTE (`nc`), exactly as `searchIvf`
+    * assigns external query vectors against the persisted centroids. */
+  def ivfRefreshOracle: String =
+    s"""$cellsCte,
+        fup AS (SELECT vec_id,
+                  CASE WHEN vec_id % 7 = 0
+                       THEN list_concat(embedding[2:len(embedding)],
+                                        embedding[1:1])
+                       ELSE embedding END AS embedding
+                FROM embeddings),
+        fins AS (SELECT vec_id + 10000000 AS vec_id,
+                   list_reverse(embedding) AS embedding
+                 FROM embeddings WHERE vec_id % 6 = 1),
+        fcorpus AS (SELECT * FROM
+                      (SELECT * FROM fup UNION ALL SELECT * FROM fins) u
+                    WHERE vec_id % 10 <> 3),
+        fn AS (SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                   i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))
+                   AS nrm
+               FROM fcorpus),
+        fasg AS (SELECT fn.vec_id, cent_id,
+                   round(list_sum(list_transform(range(1, len(embedding) + 1),
+                           i -> embedding[i]::DOUBLE * cvec[i]::DOUBLE))
+                         / (nrm * cnrm), 6) AS csim
+                 FROM fn CROSS JOIN cent$LloydRounds),
+        fcells AS (SELECT vec_id, cent_id AS cell FROM (
+                     SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY csim DESC, cent_id) AS rn
+                     FROM fasg) t WHERE rn = 1),
+        fnc AS (SELECT fn.vec_id, cell, embedding, nrm
+                FROM fn JOIN fcells ON fn.vec_id = fcells.vec_id),
+        q AS (SELECT vec_id AS query_id, cell, embedding AS qvec,
+                nrm AS qnrm
+              FROM nc WHERE vec_id >= 8 AND vec_id < 28),
+        sr AS (SELECT query_id, q.cell AS cell, fnc.vec_id AS neighbor_id,
+                 round(list_sum(list_transform(range(1, len(qvec) + 1),
+                         i -> qvec[i]::DOUBLE * embedding[i]::DOUBLE))
+                       / (qnrm * nrm), 6) AS sim
+               FROM fnc JOIN q ON fnc.cell = q.cell
+               WHERE fnc.vec_id <> query_id)
+        SELECT query_id, cell, neighbor_id, sim, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id) AS rank
+          FROM sr) t
+        WHERE rank <= 3 ORDER BY query_id, rank"""
+
   /** K-means cluster profile (`q_embed_kmeans`): the [[trainedCentroids]]
     * Lloyd machinery exposed as a clustering RESULT rather than an ANN
     * index — one row per realized cluster with size, centroid norm, and

@@ -15,7 +15,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_scalar_subquery", "q_embed_topk", "q_embed_ivf", "q_embed_ivfpq",
     // the persisted-index twins search with the same tiny query-side
     // crosses as their train-inline forms
-    "q_embed_ivf_idx", "q_embed_ivfpq_idx",
+    "q_embed_ivf_idx", "q_embed_ivfpq_idx", "q_embed_ivf_refresh",
     "q_text_colloc",
     // k-row trained-centroid broadcast against the streaming corpus —
     // the same intended assignment cross as q_embed_ivf (semdedup was
