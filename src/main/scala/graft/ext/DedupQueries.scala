@@ -641,19 +641,25 @@ object DedupQueries {
     import org.apache.spark.sql.expressions.Window
     val base = sets.select(col("doc_id"), col("toks"),
       size(col("toks")).cast("long").as("n"))
-    // df comes from a COUNT WINDOW over the exploded token relation —
-    // one shuffle, no token-keyed self-join back (a groupBy+join form
-    // would reference — and recompute — the explode chain twice).
-    val tok = base.select(col("doc_id"), col("n"),
-      explode(col("toks")).as("token"))
+    // df = per-token document frequency as a map-side-combinable
+    // groupBy(token).count() joined back on token. NOT a count window
+    // partitioned by token: token frequency is Zipfian, and at corpus
+    // scale the "the" partition is near-corpus-sized — WindowExec holds
+    // a hot partition on ONE reducer and AQE cannot skew-split a
+    // window. Partial aggregation absorbs that skew before the shuffle,
+    // and the join back IS AQE-skew-splittable. The exploded token
+    // relation is eager'd once so the df aggregate and the join probe
+    // share one materialization of the explode chain.
+    val tok = eager(base.select(col("doc_id"), col("n"),
+      explode(col("toks")).as("token")))
+    val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
     // Prefix length L = n − ceil(τ·n) + 1, all integer. The rank window
     // partitions by doc_id (doc-sized partitions, never a global sort).
     // The prefix relation is NARROW (token, doc_id, n — ~L rows/doc) and
     // feeds BOTH sides of the candidate self-join — cached so neither
     // side recomputes the chain.
     val prefix = eager(tok
-      .withColumn("df", count(lit(1)).over(
-        Window.partitionBy(col("token"))))
+      .join(dfreq, Seq("token"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token"))))
       .filter(col("rk") <=

@@ -616,8 +616,12 @@ object TextQueries {
     * Scale shape: the term filter runs BEFORE any shuffle (the tf
     * relation is (matching docs × |Q|)-sized, not corpus-token-sized);
     * df and the length/total aggregates are 1-row or |Q|-row
-    * broadcasts; the final rank window runs over the matching-doc
-    * relation. */
+    * broadcasts; top-k is `orderBy(...).limit(k)` — Spark plans a
+    * TakeOrderedAndProject (per-partition heaps of size k, then a
+    * k·P-row driver merge), so the matching-doc relation NEVER funnels
+    * through a single-partition rank window (for common query terms
+    * that relation is a large fraction of the corpus). The rank column
+    * is re-derived on the k-row result, which is output-sized. */
   def textBm25(s: SparkSession, d: String): DataFrame = {
     val docs = withToks(documents(s, d))
     val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
@@ -644,10 +648,11 @@ object TextQueries {
         .map(i => coalesce(col(s"s_$i"), lit(0.0)))
         .reduceLeft(_ + _))
     scored
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("score").desc, col("doc_id"))))
-      .filter(col("rnk") <= Bm25TopK)
       .select(col("doc_id"), round(col("score"), 4).as("score"), col("rnk"))
   }
 

@@ -330,14 +330,31 @@ final class MergeTable private (
   /** ALTER TABLE ... RENAME COLUMN — metadata-only (Delta column
     * mapping): the rename is one log action; no data file is touched.
     * Reads at ANY version present the CURRENT logical schema (stable
-    * physical identities underneath, exactly Delta's column-mapping
-    * semantics), so time travel and CDF keep working across renames. */
+    * physical identities underneath; documented deviation from Delta,
+    * whose time travel presents the schema AS OF the queried version —
+    * here historical reads adopt the current logical names, which keeps
+    * CDF column sets aligned across rename boundaries; pinned by
+    * ColumnMappingSpec).
+    *
+    * `newName` must be fresh in BOTH namespaces: not a current logical
+    * column, and not a retired PHYSICAL name (a dropped column's, or a
+    * renamed-away original's). Accepting a retired physical name would
+    * either resurrect old file data under it or create a mapping whose
+    * physical key shadows a live logical name — after which
+    * [[toPhysical]]'s guards reject every subsequent write. */
   def renameColumn(oldName: String, newName: String): Long = {
     val cols = read().columns.toSet
     require(cols.contains(oldName),
       s"renameColumn: no column '$oldName' (have ${cols.mkString(", ")})")
     require(!cols.contains(newName),
       s"renameColumn: '$newName' already exists")
+    require(!droppedColumns.contains(newName),
+      s"renameColumn: '$newName' is a dropped column's retired physical " +
+        "name — reusing it would resurrect old file data")
+    require(!columnMapping.contains(newName),
+      s"renameColumn: '$newName' is the retired physical name of a " +
+        s"renamed column (now '${columnMapping.getOrElse(newName, "")}') " +
+        "— reusing it would shadow that column's file data")
     guardMappable(oldName, "renameColumn")
     retryingCommit { () =>
       (CommitDelta(Nil, Nil,
@@ -1635,7 +1652,7 @@ final class MergeTable private (
     // deletion vectors); the clean path below stays byte-identical to
     // the vector-free plan.
     if (entries.exists(_.dv.isDefined))
-      return readEntriesTagged(entries, keep = Nil)
+      return readEntriesTaggedPhys(entries, keep = Nil)
     // Group by commit dir: each dir is one hive-partitioned write whose
     // basePath restores the partition column. commitDirOf (not the
     // first path component) so a clone's rebased "../source/commit-x"
@@ -1713,6 +1730,18 @@ final class MergeTable private (
     * columns and their order match [[readEntries]]. Callers pass
     * non-empty `entries`. */
   private def readEntriesTagged(entries: Seq[FileEntry],
+      keep: Seq[String]): DataFrame =
+    presentLogical(readEntriesTaggedPhys(entries, keep))
+
+  /** [[readEntriesTagged]] WITHOUT the logical presentation — the
+    * deletion-vector divert inside [[readEntriesPhys]] comes through
+    * here so presentation happens exactly once per read, at
+    * [[readEntries]]. (Presenting in both places was idempotent for
+    * simple mappings but remaps AGAIN when a logical name equals a
+    * physical mapping key — the rename-reuse case [[renameColumn]]'s
+    * namespace guard now rejects; this keeps the read path correct by
+    * construction rather than by guard.) */
+  private def readEntriesTaggedPhys(entries: Seq[FileEntry],
       keep: Seq[String]): DataFrame = {
     def tagged(scan: DataFrame): DataFrame = scan
       .withColumn(FileTag,
@@ -1760,7 +1789,7 @@ final class MergeTable private (
         }
       }
     val masked = applyVectors(restored, entries)
-    presentLogical(masked.select((dataCols ++ keep).map(col): _*))
+    masked.select((dataCols ++ keep).map(col): _*)
   }
 
   /** Anti-join `df` (carrying scan-level [[FileTag]]/[[PosCol]]) against

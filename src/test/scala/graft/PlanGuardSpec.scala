@@ -39,6 +39,38 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  /** Queries whose plan legitimately contains a partitionless Window:
+    * in every case the window input is OUTPUT-sized or domain-bounded,
+    * never corpus-sized — a top-k re-rank after TakeOrderedAndProject
+    * (20 rows), a share-of-total over histogram bins (≤20 rows), or a
+    * cumulative pass over a bounded value domain (≤|domain| rows, 50
+    * for l_quantity). Anything NOT on this list that plans a global
+    * window is funneling an unbounded relation through one task. */
+  private val intendedGlobalWindow = Set(
+    "q_text_bm25",      // rank re-derived over the 20-row top-k result
+    "q_skew_profile",   // cumulative share over the 20-row top-k result
+    "q_histogram",      // share-of-total over 20 bins
+    "q_histogram_eqd")  // cumulative counts over the ≤50-value domain
+
+  test("no partitionless windows outside the output-sized allowlist") {
+    val d = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      spark.catalog.clearCache()
+      val glob = fn(spark, d).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      if (intendedGlobalWindow(name))
+        assert(glob.nonEmpty,
+          s"$name is allowlisted for a global window but plans none — " +
+            "remove it from the allowlist")
+      else
+        assert(glob.isEmpty,
+          s"$name plans a partitionless Window (single-task funnel at " +
+            s"scale):\n${glob.headOption.getOrElse("")}")
+    }
+  }
+
   test("q_histogram's returned plan scans the input exactly once") {
     // The [min, max] stats pass is collected eagerly at build time, so
     // counting the eager scan the whole query reads the input exactly
