@@ -92,9 +92,22 @@ object SimilarityQueries {
     * [[graft.tools.IvfRecall]] (the oracle query fixes 8..28; recall is
     * measured over a wider window for statistical weight). */
   private[graft] def embedIvfRounds(s: SparkSession, d: String,
-      rounds: Int, qLo: Long = 8, qHi: Long = 28): DataFrame = {
-    val cells = DedupQueries.eager(assignedCells(s, d, rounds))
-    val q = cells.filter(col("vec_id") >= qLo && col("vec_id") < qHi)
+      rounds: Int, qLo: Long = 8, qHi: Long = 28,
+      nprobe: Int = 1): DataFrame = {
+    val e =
+      if (rounds == 0) normed(s, d) else DedupQueries.eager(normed(s, d))
+    val cent = trainedCentroids(e, embeddings(s, d).count(), rounds)
+    val cells = DedupQueries.eager(assignTo(e, cent))
+    // nprobe=1: the query's own corpus cell (assignTo's argmax) — the
+    // oracle form. nprobe>1: the query side expands to its top-nprobe
+    // centroid cells (assignTopN), the standard IVF recall knob.
+    val qAsg =
+      if (nprobe <= 1)
+        cells.filter(col("vec_id") >= qLo && col("vec_id") < qHi)
+      else
+        assignTopN(e.filter(col("vec_id") >= qLo && col("vec_id") < qHi),
+          cent, nprobe)
+    val q = qAsg
       .select(col("vec_id").as("query_id"), col("cell"),
         col("embedding").as("qvec"), col("nrm").as("qnrm"))
     val wRank = Window.partitionBy(col("query_id"))
@@ -366,6 +379,10 @@ object SimilarityQueries {
     * a constant so the oracle replays the exact same chain as CTEs. */
   private[ext] val LloydRounds = 2
 
+  /** [[LloydRounds]] exposed for the recall tools (tools live outside
+    * the ext package). */
+  private[graft] def productionLloydRounds: Int = LloydRounds
+
   /** One argmax cell assignment of the normed corpus against `cent`
     * (broadcast C rows; corpus streams — never shuffles on this join).
     * The argmax is a map-side-combinable `max(struct(csim, −cent_id))`
@@ -375,6 +392,31 @@ object SimilarityQueries {
     * winner is exactly the window's (csim DESC, cent_id ASC) head.
     * embedding/nrm are constant per vec_id, so `first` is
     * deterministic. */
+  /** QUERY-side multi-probe assignment: the `nprobe` nearest centroids
+    * per vector (csim DESC, cent_id ASC — the same order whose head is
+    * [[assignTo]]'s argmax), one output row per (vec_id, cell). The
+    * production IVF recall lever: probing n cells multiplies candidate
+    * volume ~n× and recovers neighbors that straddle a cell boundary
+    * (measured recall/candidate table in SURVEY §6.2b). QUERY-side
+    * only — the window partitions by vec_id over a queries×C relation
+    * (queries are search-request-scale; the CORPUS assignment stays the
+    * windowless map-side-combinable argmax of [[assignTo]]). nprobe=1
+    * reduces to [[assignTo]] exactly. */
+  private[ext] def assignTopN(e: DataFrame, cent: DataFrame,
+      nprobe: Int): DataFrame =
+    if (nprobe <= 1) assignTo(e, cent)
+    else {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cent_id"))
+      e.crossJoin(broadcast(cent))
+        .withColumn("csim",
+          expr(s"round(${dot("embedding", "cvec")} / (nrm * cnrm), 6)"))
+        .withColumn("prb", row_number().over(w))
+        .filter(col("prb") <= nprobe)
+        .select(col("vec_id"), col("cent_id").as("cell"),
+          col("embedding"), col("nrm"))
+    }
+
   private[ext] def assignTo(e: DataFrame, cent: DataFrame): DataFrame =
     e.crossJoin(broadcast(cent))
       .withColumn("csim",
@@ -422,6 +464,25 @@ object SimilarityQueries {
     * centroid table is C rows, eager-materialized so the corpus is
     * scanned once per assignment pass (LloydRounds + 1 total), never
     * re-derived through a nested plan. */
+  /** Mean probed-cell candidate mass per query at a given `nprobe` —
+    * the candidate-volume column of SURVEY §6.2b's recall table (the
+    * analogue of §6.2a's LSH candidate counts): how much in-cell scoring
+    * work one query buys at each probe width. */
+  private[graft] def ivfCandidateMass(s: SparkSession, d: String,
+      rounds: Int, qLo: Long, qHi: Long, nprobe: Int): Double = {
+    val e = DedupQueries.eager(normed(s, d))
+    val cent = trainedCentroids(e, embeddings(s, d).count(), rounds)
+    val sizes = assignTo(e, cent).groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+    val q = assignTopN(
+      e.filter(col("vec_id") >= qLo && col("vec_id") < qHi), cent, nprobe)
+    val r = q.join(sizes, Seq("cell"))
+      .agg(sum(col("n")).cast("double").as("mass"),
+        countDistinct(col("vec_id")).as("nq"))
+      .head()
+    if (r.getLong(1) == 0L) 0.0 else r.getDouble(0) / r.getLong(1)
+  }
+
   private def assignedCells(s: SparkSession, d: String,
       rounds: Int = LloydRounds): DataFrame = {
     // The normed corpus feeds rounds+1 assignment passes — cache it once

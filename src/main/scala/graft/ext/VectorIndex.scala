@@ -52,14 +52,18 @@ final class VectorIndex private[ext] (s: SparkSession, root: String) {
 
   private def ct = MergeTable.ChangeType
 
-  /** Queries (query_id, embedding) assigned to their IVF cell by the
-    * persisted centroids — the broadcast-argmax assignment of
-    * [[SimilarityQueries.assignTo]]. */
-  private def assignedQueries(queries: DataFrame): DataFrame =
-    assignTo(
+  /** Queries (query_id, embedding) assigned to their `nprobe` nearest
+    * IVF cells by the persisted centroids — the broadcast assignment of
+    * [[SimilarityQueries.assignTo]] (nprobe=1, the argmax) /
+    * [[SimilarityQueries.assignTopN]] (nprobe>1, one row per probed
+    * cell — the production recall knob every IVF index exposes;
+    * candidate volume grows ~nprobe×, measured in SURVEY §6.2b). */
+  private def assignedQueries(queries: DataFrame,
+      nprobe: Int = 1): DataFrame =
+    SimilarityQueries.assignTopN(
       normedOf(s, queries.select(col("query_id").as("vec_id"),
         col("embedding"))),
-      centroids.read())
+      centroids.read(), nprobe)
 
   /** The cell relation restricted to `wanted` cells via PARTITION
     * pruning — only those cells' files are read. The wanted set is at
@@ -76,9 +80,14 @@ final class VectorIndex private[ext] (s: SparkSession, root: String) {
   /** Exact-cosine in-cell top-`k` from the persisted index — the
     * [[SimilarityQueries.embedIvf]] search stage with training replaced
     * by one broadcast centroid read. Output (query_id, cell,
-    * neighbor_id, sim, rank); corpus queries never match themselves. */
-  def searchIvf(queries: DataFrame, k: Int = 3): DataFrame = {
-    val q = assignedQueries(queries)
+    * neighbor_id, sim, rank); corpus queries never match themselves.
+    * `nprobe` widens the search to the n nearest cells per query
+    * (partition pruning still reads ONLY probed cells' files; a corpus
+    * vector lives in exactly one cell, so probed cells never produce
+    * duplicate candidate pairs); nprobe=1 is the oracle form. */
+  def searchIvf(queries: DataFrame, k: Int = 3,
+      nprobe: Int = 1): DataFrame = {
+    val q = assignedQueries(queries, nprobe)
       .select(col("vec_id").as("query_id"), col("cell"),
         col("embedding").as("qvec"), col("nrm").as("qnrm"))
     val qc = DedupQueries.eager(q)
@@ -102,8 +111,9 @@ final class VectorIndex private[ext] (s: SparkSession, root: String) {
     * candidates (partition-pruned file reads here), the broadcast
     * distance table scores PQ CODES — corpus vectors are never touched.
     * Output (query_id, neighbor_id, adist_fp, rank). */
-  def searchIvfPq(queries: DataFrame, k: Int = 3): DataFrame = {
-    val qCells = DedupQueries.eager(assignedQueries(queries)
+  def searchIvfPq(queries: DataFrame, k: Int = 3,
+      nprobe: Int = 1): DataFrame = {
+    val qCells = DedupQueries.eager(assignedQueries(queries, nprobe)
       .select(col("vec_id").as("query_id"), col("cell")))
     val cand = cellsIn(queryCellIds(qCells))
       .select(col("vec_id"), col("cell"))

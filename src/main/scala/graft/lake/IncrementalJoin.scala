@@ -15,11 +15,14 @@ import org.apache.spark.sql.functions._
   *     A changed fact whose join key now dangles (no dim row) LEAVES the
   *     inner-join view; fact deletes leave it too.
   *   - CHANGED DIM keys invalidate every fact row carrying them: those
-  *     facts are re-read via a jk-SEMI-JOIN-pruned probe of the fact
-  *     table and re-joined. The probe is the one step that touches base
-  *     data beyond the feeds, and it is key-pruned — with jk among the
-  *     fact table's statsCols/bloomCols ([[MergeTable]] X115/bloom
-  *     index) the probe reads only files that can hold affected keys.
+  *     facts are re-read via a key-pruned probe of the fact table and
+  *     re-joined. The probe is the one step that touches base data
+  *     beyond the feeds, and it goes through the unified
+  *     [[MergeTable.scanVersion]] planner — with jk among the fact
+  *     table's statsCols/bloomCols ([[MergeTable]] X115/bloom index)
+  *     the probe reads ONLY files whose recorded stats range or bloom
+  *     sidecar can hold an affected key (a pathologically wide dim
+  *     delta falls back to a full-scan semi-join).
   *     It also covers dim INSERTS (facts that were unmatched join in)
   *     — which no view-local strategy can, since dropped rows are not
   *     in the view to find.
@@ -37,9 +40,20 @@ object IncrementalJoin {
   def fullJoin(facts: DataFrame, dims: DataFrame, jk: String): DataFrame =
     facts.join(dims, Seq(jk), "inner")
 
+  /** Changed-key counts up to this bound collect to the driver and
+    * drive a file-skipping [[MergeTable.scanVersion]] probe (an IN-list
+    * over per-file stats ranges + bloom sidecars — metadata-scale);
+    * wider dim deltas fall back to the full-scan semi-join. 100k longs
+    * is ~1 MB of driver heap — far below any manifest the driver
+    * already folds. */
+  private val MaxProbeKeys = 100000
+
   /** Fold both tables' `(fromV, toV]` change feeds into `view`.
     * Returns the view's new version (or the current one when the window
-    * is empty on both sides). */
+    * is empty on both sides). Reads are WINDOW-CONSISTENT: the re-join
+    * and dangling probe use the dim snapshot at `dimToV` and the fact
+    * probe reads the snapshot at `factToV`, so a refresh replayed after
+    * later commits still reproduces the window's view state. */
   def refresh(view: MergeTable, facts: MergeTable, dims: MergeTable,
       pk: String, jk: String,
       factFromV: Long, factToV: Long,
@@ -47,18 +61,28 @@ object IncrementalJoin {
     val ct = MergeTable.ChangeType
     val dFact = facts.changes(factFromV, factToV, pk)
     val dDim = dims.changes(dimFromV, dimToV, jk)
-    val dims1 = dims.read()
+    val dims1 = dims.readVersion(dimToV)
 
     // Fact-side: post-image rows recompute their own view rows.
     val changedFactRows = dFact.filter(col(ct) =!= "delete").drop(ct)
     val factDeletePks = dFact.filter(col(ct) === "delete").select(col(pk))
 
-    // Dim-side: key-pruned probe of facts carrying a changed jk. Fact
-    // rows already in the fact delta are excluded (their post-image
-    // above is newer than any stored row the probe would read).
+    // Dim-side: key-pruned probe of facts carrying a changed jk. The
+    // changed keys are Δdim-scale, so they collect and push through the
+    // unified scan planner — only fact files whose stats range or bloom
+    // filter can hold an affected key are read, making the refresh
+    // O(Δ) in base-table IO instead of a full fact scan. Fact rows
+    // already in the fact delta are excluded (their post-image above is
+    // newer than any stored row the probe would read).
     val dimKeys = dDim.select(col(jk)).distinct()
-    val probed = facts.read()
-      .join(dimKeys, Seq(jk), "left_semi")
+    val keyVals = dimKeys.limit(MaxProbeKeys + 1).collect()
+      .map(_.get(0)).filter(_ != null).toSeq
+    val probedBase =
+      if (keyVals.isEmpty) facts.readVersion(factToV).limit(0)
+      else if (keyVals.size <= MaxProbeKeys)
+        facts.scanVersion(factToV, col(jk).isin(keyVals: _*))
+      else facts.readVersion(factToV).join(dimKeys, Seq(jk), "left_semi")
+    val probed = probedBase
       .join(dFact.select(col(pk)).distinct(), Seq(pk), "left_anti")
 
     val candidates = changedFactRows.unionByName(probed)

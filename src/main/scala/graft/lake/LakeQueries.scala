@@ -270,7 +270,12 @@ object LakeQueries {
       col("o_totalprice").as("price0"))
     val dbase = Tables.customer(s, d).select(
       col("c_custkey"), col("c_acctbal").as("bal"))
-    val tf = MergeTable(s, scratch("graft_q_ijf"))
+    // jk stats + bloom on the fact table feed the refresh's key-pruned
+    // probe (the [[MergeTable.scanVersion]] planner skips fact files
+    // whose range/bloom can't hold a changed dim key).
+    val tf = MergeTable(s, scratch("graft_q_ijf"), None,
+      Seq("c_custkey"), deletionVectors = false,
+      bloomCols = Seq("c_custkey"))
     val td = MergeTable(s, scratch("graft_q_ijd"))
     val tv = MergeTable(s, scratch("graft_q_ijv"))
     val vf0 = tf.overwrite(fbase)

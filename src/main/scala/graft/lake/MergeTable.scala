@@ -8,6 +8,7 @@ import scala.jdk.CollectionConverters._
 import scala.util.Using
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.{expressions => cxp}
 import org.apache.spark.sql.functions._
 
 /** Lakehouse-lite: a partitioned parquet table with ACID-ish versioned
@@ -1393,6 +1394,320 @@ final class MergeTable private (
       .head()
     val (h1, h2) = (r.getLong(0), r.getLong(1))
     (0 until BloomK).map(i => (h1 + i.toLong * h2) % m)
+  }
+
+  // ---- unified predicate-driven scan planner ------------------------------
+
+  /** Unified predicate-driven scan (the Delta-style scan planner): ONE
+    * `Column` predicate routes through EVERY file-skipping surface this
+    * table records at once — log-level partition pruning
+    * ([[read(partitionFilter)*]]), per-file min/max range + nullCount
+    * stats on any stats'd column ([[readRange]]/[[readNotNull]]'s
+    * machinery), and bloom-index point lookups ([[readPoint]]'s, batched
+    * across IN-list values) — then applies the FULL predicate as the
+    * residual filter, so the result ALWAYS equals
+    * `read().filter(predicate)` and pruning is purely a file-skipping
+    * optimization the caller no longer has to pick by hand.
+    *
+    * Prunable shapes, walked recursively under `AND`/`OR`/`NOT`:
+    * `=`, `<=>`, `IN`, `<`, `<=`, `>`, `>=` (and `BETWEEN`, which the
+    * Column API plans as two comparisons), `IS NULL`, `IS NOT NULL`.
+    * Any unrecognized sub-predicate prunes nothing — conservative by
+    * construction. Stats and bloom comparisons happen under the same
+    * `cast("long")` contract the write side records: only INTEGRAL
+    * literals participate, and strict bounds relax to inclusive, so the
+    * toward-zero truncation of the cast (which is monotone) can never
+    * skip a file holding a matching fractional value. Partition pruning
+    * compares the literal's string rendering (string literals) or its
+    * numeric value against parseable partition strings, and skips files
+    * in the hive null partition only for `IS NOT NULL`/comparison
+    * predicates on the partition column.
+    *
+    * Scale note: the prune is metadata-only — a driver fold over the
+    * manifest plus, when a bloom'd column is probed, ONE batched sidecar
+    * read per bloom dir regardless of IN-list width (never a Spark job
+    * per value). */
+  def scan(predicate: Column): DataFrame =
+    readEntries(scanEntriesOf(latest()._2, predicate)).filter(predicate)
+
+  /** [[scan]] against the historical snapshot at `version` — the same
+    * pruning surfaces (stats/bloom refs live in the manifest entries, so
+    * time travel skips files too). */
+  def scanVersion(version: Long, predicate: Column): DataFrame =
+    readEntries(scanEntriesOf(snapshotAt(version), predicate))
+      .filter(predicate)
+
+  /** Live entries surviving the [[scan]] prune (exposed for tests and
+    * metadata-only consumers auditing what a scan would read). */
+  private[lake] def scanEntries(predicate: Column): Seq[FileEntry] =
+    scanEntriesOf(latest()._2, predicate)
+
+  /** Entries of the snapshot at `version` (test hook for
+    * [[scanVersion]] parity assertions). */
+  private[lake] def versionEntries(version: Long): Seq[FileEntry] =
+    snapshotAt(version)
+
+  private[lake] def scanEntriesOf(live: Seq[FileEntry],
+      predicate: Column): Seq[FileEntry] =
+    if (live.isEmpty) live
+    else conditionOf(live, predicate) match {
+      case Some(cond) => live.filter(compilePrune(cond, live))
+      case None       => live
+    }
+
+  /** The ANALYZED Catalyst condition of `predicate` against this
+    * table's schema — resolved through a throwaway `filter` plan (no
+    * job runs; analysis is driver-only), which also buys the analyzer's
+    * type coercion: an `IN`-list over a BIGINT column arrives as casts
+    * the planner unwraps, and a date-partition compare against a string
+    * literal keeps the string rendering partition pruning matches on.
+    * Analysis failure (or an exotic plan shape) disables pruning, never
+    * the scan. */
+  private def conditionOf(live: Seq[FileEntry],
+      predicate: Column): Option[cxp.Expression] =
+    try {
+      readEntries(live).filter(predicate)
+        .queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Keep-everything: the compilation of any predicate shape the
+    * planner can't reason about. */
+  private val NoPrune: FileEntry => Boolean = _ => true
+
+  /** Compile a Catalyst predicate into a per-file may-match test over
+    * manifest metadata. Compilation happens ONCE per scan (literal
+    * extraction, IN-list sorting, lazy batched bloom probes are shared
+    * across all files); the returned closure is a pure driver-side
+    * check. Unknown shapes compile to keep-everything. */
+  private def compilePrune(e: cxp.Expression,
+      live: Seq[FileEntry]): FileEntry => Boolean = e match {
+    case cxp.And(l, r) =>
+      val (cl, cr) = (compilePrune(l, live), compilePrune(r, live))
+      fe => cl(fe) && cr(fe)
+    case cxp.Or(l, r) =>
+      val (cl, cr) = (compilePrune(l, live), compilePrune(r, live))
+      fe => cl(fe) || cr(fe)
+    case cxp.Not(inner) => inner match {
+      case cxp.IsNull(a)    => compilePrune(cxp.IsNotNull(a), live)
+      case cxp.IsNotNull(a) => compilePrune(cxp.IsNull(a), live)
+      case _                => NoPrune
+    }
+    case cxp.EqualTo(a, b) => compileEqLike(a, b, live)
+    case cxp.EqualNullSafe(a, b) => (unwrapLit(a), unwrapLit(b)) match {
+      case (Some(cxp.Literal(null, _)), _) => compilePrune(cxp.IsNull(b), live)
+      case (_, Some(cxp.Literal(null, _))) => compilePrune(cxp.IsNull(a), live)
+      case _                               => compileEqLike(a, b, live)
+    }
+    case cxp.In(a, list) => attrOf(a) match {
+      case Some(c) if list.forall(unwrapLit(_).isDefined) =>
+        compileIn(c, list.flatMap(unwrapLit), live)
+      case _ => NoPrune
+    }
+    // Strict bounds relax to inclusive — see the truncation note above.
+    case cxp.GreaterThan(a, b)        => compileCmpGe(a, b)
+    case cxp.GreaterThanOrEqual(a, b) => compileCmpGe(a, b)
+    case cxp.LessThan(a, b)           => compileCmpGe(b, a)
+    case cxp.LessThanOrEqual(a, b)    => compileCmpGe(b, a)
+    case cxp.IsNotNull(a) => attrOf(a) match {
+      case Some(c) => fe =>
+        notNullEntryMay(c, fe) &&
+          (!partitionCol.contains(c) || fe.partitionValue.isDefined)
+      case None => NoPrune
+    }
+    case cxp.IsNull(a) => attrOf(a) match {
+      case Some(c) => fe =>
+        fe.stats.get(c).forall(cs => cs.nullsRows.forall(_._1 > 0)) &&
+          (!partitionCol.contains(c) || fe.partitionValue.isEmpty)
+      case None => NoPrune
+    }
+    case _ => NoPrune
+  }
+
+  /** `a cmp b` normalized so the MATCHING rows have `a >= b`: prunes when
+    * one side is an attribute and the other an integral literal. */
+  private def compileCmpGe(a: cxp.Expression,
+      b: cxp.Expression): FileEntry => Boolean =
+    (attrOf(a), litLong(b), attrOf(b), litLong(a)) match {
+      case (Some(c), Some(v), _, _) => compileRange(c, v, Long.MaxValue)
+      case (_, _, Some(c), Some(v)) => compileRange(c, Long.MinValue, v)
+      case _                        => NoPrune
+    }
+
+  private def compileEqLike(a: cxp.Expression, b: cxp.Expression,
+      live: Seq[FileEntry]): FileEntry => Boolean =
+    (attrOf(a), unwrapLit(b), attrOf(b), unwrapLit(a)) match {
+      case (Some(c), Some(l), _, _) => compileIn(c, Seq(l), live)
+      case (_, _, Some(c), Some(l)) => compileIn(c, Seq(l), live)
+      case _                        => NoPrune
+    }
+
+  /** Membership prune: file may match `c IN (lits)` iff some literal
+    * survives the partition check AND the stats range admits some
+    * literal AND (for bloom'd files) the batched sidecar probe admits
+    * some literal. Each surface only engages when EVERY non-null
+    * literal is expressible in its comparison domain — a partially
+    * convertible IN-list (e.g. `IN (5, 5.5)`) must not prune on the
+    * convertible subset alone. */
+  private def compileIn(c: String, lits: Seq[cxp.Literal],
+      live: Seq[FileEntry]): FileEntry => Boolean = {
+    val nonNull = lits.filter(_.value != null) // NULL in an IN-list matches nothing
+    val longs = nonNull.flatMap(litLongOf).distinct.sorted.toArray
+    val strs = nonNull.flatMap(litPartStr).toSet
+    val allLong = nonNull.forall(l => litLongOf(l).isDefined)
+    val allPart = nonNull.forall(l => litPartStr(l).isDefined)
+    // ONE batched probe for all values, deferred until a bloom'd file
+    // actually reaches the check.
+    lazy val bloomPass: Set[String] =
+      bloomAdmittedFiles(c, longs.toSeq, live)
+    fe => {
+      val partOk = !partitionCol.contains(c) || !allPart ||
+        nonNull.isEmpty || fe.partitionValue.forall { pv =>
+          strs.contains(pv) ||
+            (allLong && scala.util.Try(pv.trim.toLong).toOption
+              .exists(p => java.util.Arrays.binarySearch(longs, p) >= 0))
+        }
+      val statsOk = !allLong || longs.isEmpty ||
+        fe.stats.get(c).forall { cs =>
+          !cs.allNull && cs.range.forall { case (mn, mx) =>
+            val i = lowerBound(longs, mn)
+            i < longs.length && longs(i) <= mx
+          }
+        }
+      val bloomOk = !allLong || longs.isEmpty ||
+        !fe.bloom.exists(_.cols.contains(c)) || bloomPass(fe.relPath)
+      partOk && statsOk && bloomOk
+    }
+  }
+
+  /** Range prune on `c`'s long-cast stats (plus numeric partition
+    * strings), the [[rangeEntries]] test as a closure. */
+  private def compileRange(c: String, lo: Long,
+      hi: Long): FileEntry => Boolean = fe => {
+    val partOk = !partitionCol.contains(c) ||
+      fe.partitionValue.forall(pv =>
+        scala.util.Try(pv.trim.toLong).toOption
+          .forall(p => p >= lo && p <= hi))
+    partOk && fe.stats.get(c).forall { cs =>
+      !cs.allNull && cs.range.forall { case (mn, mx) =>
+        mx >= lo && mn <= hi
+      }
+    }
+  }
+
+  /** First index in sorted `xs` with value >= `target` (xs.length when
+    * none). */
+  private def lowerBound(xs: Array[Long], target: Long): Int = {
+    val i = java.util.Arrays.binarySearch(xs, target)
+    if (i >= 0) i else -(i + 1)
+  }
+
+  private def notNullEntryMay(c: String, fe: FileEntry): Boolean =
+    !fe.stats.get(c).exists(_.allNull)
+
+  /** The attribute name a prunable comparison side resolves to, mapped
+    * to its PHYSICAL name (identity today — stats/bloom/partition
+    * columns can't be renamed, [[guardMappable]] — but future-proof).
+    * Casts unwrap: the stats contract is itself a long cast. */
+  private def attrOf(e: cxp.Expression): Option[String] = e match {
+    case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+      Some(physicalOf(a.name))
+    case a: cxp.AttributeReference => Some(physicalOf(a.name))
+    case c: cxp.Cast               => attrOf(c.child)
+    case _                         => None
+  }
+
+  private def unwrapLit(e: cxp.Expression): Option[cxp.Literal] = e match {
+    case l: cxp.Literal => Some(l)
+    case c: cxp.Cast    => unwrapLit(c.child)
+    case _              => None
+  }
+
+  private def litLong(e: cxp.Expression): Option[Long] =
+    unwrapLit(e).flatMap(litLongOf)
+
+  /** The literal's long value, ONLY for integral types — fractional and
+    * other literals are not comparable against truncated long-cast
+    * stats and must disable the stats/bloom surfaces. */
+  private def litLongOf(l: cxp.Literal): Option[Long] = l match {
+    case cxp.Literal(null, _) => None
+    case cxp.Literal(v, t) => t match {
+      case org.apache.spark.sql.types.ByteType =>
+        Some(v.asInstanceOf[Byte].toLong)
+      case org.apache.spark.sql.types.ShortType =>
+        Some(v.asInstanceOf[Short].toLong)
+      case org.apache.spark.sql.types.IntegerType =>
+        Some(v.asInstanceOf[Int].toLong)
+      case org.apache.spark.sql.types.LongType =>
+        Some(v.asInstanceOf[Long])
+      case _ => None
+    }
+  }
+
+  /** The literal's partition-string rendering: string literals verbatim,
+    * integral literals via their decimal form (hive renders them the
+    * same way). Everything else — fractional, date, boolean — yields
+    * None and disables partition pruning for the predicate. */
+  private def litPartStr(l: cxp.Literal): Option[String] = l match {
+    case cxp.Literal(null, _) => None
+    case cxp.Literal(v, org.apache.spark.sql.types.StringType) =>
+      Some(v.toString)
+    case _ => litLongOf(l).map(_.toString)
+  }
+
+  /** RelPaths among `live`'s BLOOMED files whose sidecars admit AT LEAST
+    * ONE of `values` for column `c` — the batched generalization of
+    * [[pointEntries]]'s probe: ONE hash plan (probe/filter parity with
+    * the write side's codegen'd murmur3+xxhash64) and ONE sidecar read
+    * per bloom dir regardless of value count. Files without a bloom ref
+    * for `c` never appear here; the caller keeps them (safe fallback). */
+  private def bloomAdmittedFiles(c: String, values: Seq[Long],
+      live: Seq[FileEntry]): Set[String] = {
+    val bloomed = live.filter(_.bloom.exists(_.cols.contains(c)))
+    if (bloomed.isEmpty || values.isEmpty) return Set.empty
+    bloomed.groupBy(e => (e.bloom.get.relDir, e.bloom.get.m))
+      .toSeq.sortBy(_._1._1)
+      .flatMap { case ((dir, m), es) =>
+        val pos: Map[Long, Seq[Long]] = spark
+          .createDataset(values)(org.apache.spark.sql.Encoders.scalaLong)
+          .toDF("v")
+          .select(col("v"),
+            pmod(hash(col("v")).cast("long"), lit(m.toLong)).as("h1"),
+            pmod(xxhash64(col("v")), lit(m.toLong)).bitwiseOR(lit(1L))
+              .as("h2"))
+          .collect()
+          .map { r =>
+            val (h1, h2) = (r.getLong(1), r.getLong(2))
+            r.getLong(0) -> (0 until BloomK).map(i => (h1 + i.toLong * h2) % m)
+          }.toMap
+        val needWords = pos.values.flatten.map(_ / 64).toSet
+        val keys = es.map(e => fileKey(e.relPath)).toSet
+        val rd = spark.read.parquet(root.resolve(dir).toString)
+          .filter(col(BfCol) === c)
+        // Narrow probes push the word set into the sidecar read; wide
+        // IN-lists just take the (word-bounded) column slice whole.
+        val sliced =
+          if (needWords.size <= 256)
+            rd.filter(col(BfWord).isin(needWords.toSeq: _*))
+          else rd
+        val got = sliced
+          .select(col(BfFile), col(BfWord), col(BfBits))
+          .collect()
+          .filter(r => keys(r.getString(0)))
+          .groupBy(_.getString(0))
+          .map { case (f, rs) =>
+            f -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
+          }
+        es.filter { e =>
+          val words = got.getOrElse(fileKey(e.relPath), Map.empty[Long, Long])
+          values.exists { v =>
+            pos(v).forall(p =>
+              (words.getOrElse(p / 64, 0L) & (1L << (p % 64).toInt)) != 0L)
+          }
+        }.map(_.relPath)
+      }.toSet
   }
 
   /** Time travel — snapshot of historical `version`. */

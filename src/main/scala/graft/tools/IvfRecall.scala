@@ -42,6 +42,24 @@ object IvfRecall {
         f"cells=${sizes.length} max_cell=$mx mean_cell=$mean%.1f " +
         f"imbalance=${mx / mean}%.2f")
     }
+    // nprobe sweep at the production round count (SURVEY §6.2b): the
+    // multi-cell probe's recall/candidate trade, mirroring §6.2a's LSH
+    // multi-probe table.
+    val lloyd = graft.ext.SimilarityQueries.productionLloydRounds
+    for (np <- Seq(1, 2, 4)) {
+      spark.catalog.clearCache()
+      val got = graft.ext.SimilarityQueries
+        .embedIvfRounds(spark, sfDir, lloyd, qLo, qHi, nprobe = np)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      val recall = got.intersect(truth).size.toDouble / truth.size
+      spark.catalog.clearCache()
+      val mass = graft.ext.SimilarityQueries
+        .ivfCandidateMass(spark, sfDir, lloyd, qLo, qHi, np)
+      println(f"NPROBE nprobe=$np recall@3=$recall%.3f " +
+        f"hits=${got.intersect(truth).size}/${truth.size} " +
+        f"cand_per_query=$mass%.1f")
+    }
     spark.stop()
   }
 }

@@ -114,4 +114,34 @@ class VectorIndexSpec extends SparkSpec {
       "deleted vector left the index")
     assert(idx.codes.read().filter(col("vec_id") === 7L).isEmpty)
   }
+
+  test("nprobe widens the probe monotonically; probing all cells is exact") {
+    // brute-force ground truth over the query window (same rounding and
+    // tie order as the index search)
+    val truth = SimilarityQueries
+      .bruteTopkFor(spark, dir, loId = 8, hiId = 28, k = 3)
+    val truthSet = rows(truth.select("query_id", "neighbor_id"))
+
+    def recallAt(np: Int): Double = {
+      val got = rows(built.searchIvf(queries(), 3, nprobe = np)
+        .select("query_id", "neighbor_id"))
+      got.intersect(truthSet).size.toDouble / truthSet.size
+    }
+    val r1 = recallAt(1)
+    val r2 = recallAt(2)
+    val rAll = recallAt(64) // ≥ cell count → probes every cell
+    assert(r1 <= r2 && r2 <= rAll,
+      s"recall must not decrease with nprobe: $r1, $r2, $rAll")
+    assert(rAll === 1.0, "probing every cell must recover brute force")
+
+    // full-probe search IS brute force, row for row
+    val full = built.searchIvf(queries(), 3, nprobe = 64)
+      .select("query_id", "neighbor_id", "sim", "rank")
+    assert(rows(full) ===
+      rows(truth.select("query_id", "neighbor_id", "sim", "rank")))
+
+    // nprobe=1 stays the oracle form
+    assert(rows(built.searchIvf(queries(), 3, nprobe = 1)) ===
+      rows(SimilarityQueries.embedIvf(spark, dir)))
+  }
 }

@@ -2,7 +2,7 @@ package graft.lake
 
 import org.apache.spark.sql.DataFrame
 
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 
 import graft.SparkSpec
 
@@ -106,5 +106,62 @@ class IncrementalJoinSpec extends SparkSpec {
       f.latestVersion(), f.latestVersion(),
       d.latestVersion(), d.latestVersion())
     assert(v.latestVersion() === vv)
+  }
+
+  test("dim-side probe is key-pruned: a 1-key change reads only " +
+      "admitting fact files") {
+    // Long join keys + jk stats/bloom on the fact table, three
+    // single-file commits with DISJOINT key ranges — the probe's
+    // scan predicate must skip the two files that cannot hold the
+    // changed key.
+    def lfacts(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.map(i => (s"f$i", i, i * 1.0)).toDF("fact_id", "cust", "amount")
+        .coalesce(1)
+    def ldims(ks: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ks.map(k => (k, s"seg$k")).toDF("cust", "segment").coalesce(1)
+    val f = MergeTable(spark, tmpDir("ij-prune-f").toString, None,
+      Seq("cust"), deletionVectors = false, bloomCols = Seq("cust"))
+    val d = MergeTable(spark, tmpDir("ij-prune-d").toString, None)
+    val v = MergeTable(spark, tmpDir("ij-prune-v").toString, None)
+    f.overwrite(lfacts(0L until 100L))
+    f.merge(lfacts(100L until 200L), "fact_id")
+    f.merge(lfacts(200L until 300L), "fact_id")
+    d.overwrite(ldims(0L until 300L))
+    v.overwrite(IncrementalJoin.fullJoin(f.read(), d.read(), "cust"))
+    val (fv, dv0) = (f.latestVersion(), d.latestVersion())
+
+    d.merge(ldims(Seq(150L)).withColumn("segment",
+      org.apache.spark.sql.functions.lit("changed")), "cust")
+
+    // the probe's exact predicate prunes to ONE fact file
+    assert(f.liveEntries().size === 3)
+    assert(f.scanEntries(col("cust").isin(150L)).size === 1,
+      "stats+bloom must admit only the file holding cust=150")
+
+    IncrementalJoin.refresh(v, f, d, "fact_id", "cust",
+      fv, fv, dv0, d.latestVersion())
+    def lcontents(df: org.apache.spark.sql.DataFrame) =
+      df.select("fact_id", "cust", "amount", "segment")
+        .as[(String, Long, Double, String)].collect().toSet
+    assert(lcontents(v.read()) ===
+      lcontents(IncrementalJoin.fullJoin(f.read(), d.read(), "cust")))
+    assert(lcontents(v.read()).count(_._4 == "changed") === 1)
+  }
+
+  test("refresh is window-consistent: dim reads the snapshot at dimToV") {
+    val (f, d, v) = setup("7")
+    val (fv0, dv0) = (f.latestVersion(), d.latestVersion())
+    d.merge(dims(("c1", "platinum")), "cust")
+    val dv1 = d.latestVersion()
+    // a LATER dim commit lands before the refresh runs
+    d.merge(dims(("c1", "diamond"), ("c2", "steel")), "cust")
+    // refreshing the (dv0, dv1] window must materialize dv1's state —
+    // "platinum" — not the head's "diamond"
+    IncrementalJoin.refresh(v, f, d, "fact_id", "cust",
+      fv0, fv0, dv0, dv1)
+    assert(contents(v.read()).filter(_._2 == "c1")
+      .forall(_._4 == "platinum"))
+    assert(contents(v.read()).filter(_._2 == "c2")
+      .forall(_._4 == "silver"), "c2 untouched inside the window")
   }
 }
