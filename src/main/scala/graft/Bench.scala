@@ -97,7 +97,19 @@ object Bench {
     // "regression" that was entirely a heap/GC-regime shift (SURVEY §6.4)
     // — a bench line without both is not comparable across rounds.
     val heapMb = Runtime.getRuntime.maxMemory / (1024L * 1024L)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"cpus":$cpus,"heap_mb":$heapMb,"queries":$qs,"queries_min":$qsMin,"errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"cpus":$cpus,"heap_mb":$heapMb,"queries":$qs,"queries_min":$qsMin,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // The stdout line alone is lossy in practice: the harness's capture
+    // keeps only the TAIL of the line, and at 100+ queries that drops
+    // the front timings (round-8 kept 65 of 113). Persist the complete
+    // JSON to a file too, so cross-round per-query comparisons never
+    // depend on anyone's capture window. Best-effort: a read-only CWD
+    // must not fail the bench itself.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"bench_full write to $outPath failed: $e") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

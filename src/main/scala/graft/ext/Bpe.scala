@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.Checkpoints.Truncate
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -93,7 +94,7 @@ object Bpe {
     * adjacent pair is left. */
   def train(docs: DataFrame, textCol: String, merges: Int): Seq[(String, String)] = {
     require(merges >= 1, "need at least one merge round")
-    var words = initialSymbols(docs, textCol).localCheckpoint(true)
+    var words = initialSymbols(docs, textCol).truncated
     val learned = Seq.newBuilder[(String, String)]
     var round = 0
     var exhausted = false
@@ -107,7 +108,7 @@ object Bpe {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         learned += ((a, b))
         val next = words.select(mergePair("syms", a, b).as("syms"))
-          .localCheckpoint(true)
+          .truncated
         words.unpersist()
         words = next
       }

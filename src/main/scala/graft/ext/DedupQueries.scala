@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.Checkpoints.Truncate
 import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -330,7 +331,7 @@ object DedupQueries {
     // plan (measured ~1 s of pure Catalyst work per round); the
     // iterative-algorithm idiom MLlib and GraphFrames use.
     val pairs0 = pairsIn.select(col(aCol).as("doc_a"), col(bCol).as("doc_b"))
-      .localCheckpoint(true)
+      .truncated
     // Adaptive loop parallelism: the checkpoint above already counted the
     // pair graph, so size the iterative joins to IT, not to the corpus —
     // one partition per ~50k edges, floored at 1 (tiny graphs skip
@@ -372,7 +373,7 @@ object DedupQueries {
           .unionByName(labels.select(col("doc_id"), col("cluster_id")))
           .groupBy(col("doc_id"))
           .agg(min(col("cluster_id")).as("cluster_id"))
-          .localCheckpoint(true)
+          .truncated
       val s = labelSum(prop)
       changed = s.compareTo(prevSum) != 0
       prevSum = s
@@ -396,28 +397,18 @@ object DedupQueries {
       .select(col("doc_id").as(nodeCol), col("cluster_id"),
         col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
-      .localCheckpoint(true)
+      .truncated
     labels.unpersist()
     releaseCheckpointed(labels)
     releaseCheckpointed(pairs0)
     out
   }
 
-  /** Drop the block-manager state behind a localCheckpointed frame.
-    * `Dataset.unpersist()` only clears cache-manager entries; checkpoint
-    * blocks belong to the wrapped `LogicalRDD`'s RDD and must be released
-    * there. Matches ONLY a top-level checkpoint root (a frame returned by
-    * `localCheckpoint` directly) — a deep collect would also release
-    * checkpoints this frame merely READS (e.g. a labels plan built over
-    * the still-live pair graph), yanking blocks out from under later
-    * rounds. No-op for non-checkpoint frames. Safe only once nothing
-    * will read the frame again. */
+  /** Back-compat alias for [[graft.Checkpoints.release]] (the release
+    * discipline moved there with the [[graft.Checkpoints.truncate]]
+    * durability knob). */
   private[graft] def releaseCheckpointed(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(false)
-      case _ => ()
-    }
+    graft.Checkpoints.release(df)
 
   // ---- oracle SQL (generated from the same constants) ----
 

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Checkpoints.Truncate
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -763,7 +764,7 @@ object AnalyticQueries {
     val sorted = df.repartitionByRange(oc: _*)
       .sortWithinPartitions(oc: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .truncated
     val counts = sorted.groupBy(col("__pid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
@@ -776,8 +777,8 @@ object AnalyticQueries {
       .join(broadcast(offDf), Seq("__pid"))
       .withColumn("idx", col("__off") + row_number().over(w) - 1)
       .drop("__pid", "__off")
-      .localCheckpoint(true)
-    graft.ext.DedupQueries.releaseCheckpointed(sorted)
+      .truncated
+    graft.Checkpoints.release(sorted)
     out
   }
 
@@ -880,11 +881,11 @@ object AnalyticQueries {
     // sorted them; this moves ≤|E|/2 and sorts nothing).
     val ded = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .dropDuplicates(Seq("a", "b"))
-      .localCheckpoint(true)
+      .truncated
     val sym = ded.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(ded.select(col("b").as("src"), col("a").as("dst")))
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+      .truncated
     // `r` and the join keys below all derive from `deg`/`sym`, so every
     // join re-aliases its keys to fresh attributes (withColumnRenamed)
     // and joins by name — dataset-qualified refs would trip Spark's
@@ -906,9 +907,9 @@ object AnalyticQueries {
     val out = r.join(degK, col("id") === col("csrc"))
       .select(col("id").as("node"), col("d").as("degree"),
         col("r").as("rank_fp"))
-      .localCheckpoint(true)
-    graft.ext.DedupQueries.releaseCheckpointed(ded)
-    graft.ext.DedupQueries.releaseCheckpointed(deg)
+      .truncated
+    graft.Checkpoints.release(ded)
+    graft.Checkpoints.release(deg)
     out
   }
 
@@ -990,11 +991,11 @@ object AnalyticQueries {
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .dropDuplicates(Seq("a", "b"))
-      .localCheckpoint(true)
+      .truncated
     val sym = ded.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(ded.select(col("b").as("src"), col("a").as("dst")))
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+      .truncated
     // Orient each edge by the total (degree, node) order. Degrees are
     // node-sized relations — AQE broadcasts them against the edge list
     // while they fit and falls back to hash joins beyond that.
@@ -1008,7 +1009,7 @@ object AnalyticQueries {
           .otherwise(struct(col("b").as("u"), col("a").as("v"),
                  col("da").as("dv"))).as("e"))
       .select(col("e.u"), col("e.v"), col("e.dv"))
-      .localCheckpoint(true)
+      .truncated
     // Wedges: ordered out-neighbor pairs per apex. The out-list is
     // sorted by the SAME (degree, node) order, so each emitted (v, w)
     // candidate is itself correctly oriented for the close join.
@@ -1039,10 +1040,10 @@ object AnalyticQueries {
     val out = counts
       .join(deg.select(col("src").as("node"), col("d").as("degree")), "node")
       .select(col("node"), col("degree"), col("n_triangles"))
-      .localCheckpoint(true)
-    graft.ext.DedupQueries.releaseCheckpointed(ded)
-    graft.ext.DedupQueries.releaseCheckpointed(deg)
-    graft.ext.DedupQueries.releaseCheckpointed(oriented)
+      .truncated
+    graft.Checkpoints.release(ded)
+    graft.Checkpoints.release(deg)
+    graft.Checkpoints.release(oriented)
     out
   }
 
