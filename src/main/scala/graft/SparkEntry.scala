@@ -148,6 +148,12 @@ object SparkEntry {
     "q_incremental_mv"  -> (graft.lake.LakeQueries.incrementalMv _),
     "q_join_mv"         -> (graft.lake.LakeQueries.joinMv _),
     "q_dv_state"        -> (graft.lake.LakeQueries.dvState _),
+    // X13/X94 end-to-end — the STREAMING surface under the oracle hash
+    // gate: CSV waves drained by AvailableNow runs sharing a checkpoint,
+    // per-batch lake writes, final state returned
+    // (streaming/StreamQueries.scala)
+    "q_stream_mv"       -> (graft.streaming.StreamQueries.streamMv _),
+    "q_stream_cdc"      -> (graft.streaming.StreamQueries.streamCdc _),
     // §7.5 — multimodal binary columns (stub decode, real plumbing)
     "q_media_features"  -> ((s: SparkSession, d: String) =>
       ext.Multimodal.decoded(s, ext.Multimodal.mediaTable(Tables.documents(s, d)))),
@@ -793,6 +799,8 @@ object SparkEntry {
     "q_incremental_mv" -> graft.lake.LakeQueries.incrementalMvOracle,
     "q_join_mv" -> graft.lake.LakeQueries.joinMvOracle,
     "q_dv_state"      -> graft.lake.LakeQueries.dvStateOracle,
+    "q_stream_mv"     -> graft.streaming.StreamQueries.streamMvOracle,
+    "q_stream_cdc"    -> graft.streaming.StreamQueries.streamCdcOracle,
     "q_doc_pipeline"  -> ext.DocPipeline.pipelineOracle(),
     "q_corpus_pack"   -> ext.DocPipeline.assembledPacksOracle(),
     "q_corpus_curate" -> ext.DocPipeline.curatedPacksOracle(),

@@ -1,0 +1,185 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
+
+import graft.Tables
+import graft.lake.{IncrementalAgg, MergeTable}
+
+/** Oracle-checked query forms for the STREAMING surface — the
+  * `streaming/` operators otherwise rest on unit tests alone, and the
+  * harness's strongest signal is a DuckDB hash match. An
+  * `AvailableNow` drain is deterministic (the file-source checkpoint
+  * fixes which files each drain consumes; every per-batch write is a
+  * deterministic MERGE), so a streaming pipeline CAN live under the
+  * hash gate: each query here materializes a raw zone of CSV waves
+  * from the fixture corpus at query time, drains it through the real
+  * Structured Streaming path (file source → checkpoint → foreachBatch
+  * lake write) wave by wave, and returns the final state; the paired
+  * oracle replays the same arithmetic in plain SQL.
+  *
+  * The wave-per-drain shape is the point, not a convenience: drain 2
+  * starting from drain 1's checkpoint proves the file-source position
+  * tracking (only NEW files are read — the reference's marker-file
+  * idempotency, ref: lambda/lakehouse_check_processed_marker/
+  * lambda_function.py:17-28, subsumed by the checkpoint), and the CDC
+  * query's wave 3 proves the cross-batch late-event guards that no
+  * single-batch unit can exercise end-to-end.
+  */
+object StreamQueries {
+
+  private def scratch(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Append one wave of CSV files to the raw zone. Column order is the
+    * contract (the stream reads with an explicit schema; Spark's CSV
+    * reader applies it positionally under enforceSchema). */
+  private def writeWave(df: DataFrame, rawDir: String): Unit =
+    df.write.mode("append").option("header", "true").csv(rawDir)
+
+  /** Streaming ingest → CDF → incremental MV, under the oracle gate
+    * (X13 + X60 + X74 end-to-end): two CSV waves — the base corpus,
+    * then updates (key%4=0: v+1000) plus re-keyed inserts (key%6=3) —
+    * are drained by TWO AvailableNow runs sharing one checkpoint, each
+    * micro-batch MERGE-upserted into a lake table. A per-customer
+    * SUM/COUNT aggregate is materialized after drain 1 and then
+    * maintained purely from the change feed between the two drains'
+    * versions — the base table is never rescanned. The measure
+    * `o_orderkey % 997` keeps sums integral, so the maintained totals
+    * hash-match the oracle's direct aggregate over the replayed final
+    * state bit-for-bit.
+    *
+    * Drain 2 reads ONLY wave-2 files (same checkpoint): if the
+    * file-source position tracking re-consumed wave 1, the re-merge
+    * would be idempotent on the pk — but the CDF between v1 and v2
+    * would then carry spurious update images for every base row and
+    * the maintained MV would drift from the oracle. The hash equality
+    * is therefore also a checkpoint-correctness proof. */
+  def streamMv(s: SparkSession, d: String): DataFrame = {
+    val schema = new StructType()
+      .add("o_orderkey", LongType).add("o_custkey", LongType)
+      .add("v", LongType)
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      (col("o_orderkey") % 997).as("v"))
+    val rawDir = scratch("graft_q_smv_raw")
+    val ckpt = scratch("graft_q_smv_ckpt")
+    val t = MergeTable(s, scratch("graft_q_smv_tbl"))
+
+    writeWave(base, rawDir)
+    StreamIngest.runAvailableNow(s, rawDir, schema, t, "o_orderkey", ckpt)
+    val v1 = t.latestVersion()
+    var mv = IncrementalAgg.fullAggregate(t.read(), "o_custkey", "v")
+
+    val upd = base.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("v", col("v") + 1000L)
+    val ins = base.filter(col("o_orderkey") % 6 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      .withColumn("v", col("v") + 7L)
+    writeWave(upd.unionByName(ins), rawDir)
+    StreamIngest.runAvailableNow(s, rawDir, schema, t, "o_orderkey", ckpt)
+    val v2 = t.latestVersion()
+
+    mv = IncrementalAgg.applyDelta(mv,
+      IncrementalAgg.sumCountDelta(
+        t.changes(v1, v2, "o_orderkey", updateImages = true),
+        "o_custkey", "v"),
+      "o_custkey")
+    mv.select(col("o_custkey"),
+      col("total_sum").cast("long").as("total_sum"), col("n_rows"))
+  }
+
+  val streamMvOracle: String =
+    """WITH base AS (
+         SELECT o_orderkey, o_custkey, o_orderkey % 997 AS v FROM orders),
+       upd AS (
+         SELECT o_orderkey, o_custkey,
+                CASE WHEN o_orderkey % 4 = 0 THEN v + 1000 ELSE v END AS v
+         FROM base),
+       ins AS (
+         SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, v + 7 AS v
+         FROM base WHERE o_orderkey % 6 = 3),
+       fin AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+       SELECT o_custkey, CAST(sum(v) AS BIGINT) AS total_sum,
+              CAST(count(*) AS BIGINT) AS n_rows
+       FROM fin GROUP BY o_custkey ORDER BY o_custkey"""
+
+  /** Streaming CDC `APPLY CHANGES INTO` under the oracle gate (X94
+    * end-to-end): three CSV waves of tagged change events drained by
+    * three AvailableNow runs sharing one checkpoint through
+    * [[StreamIngest.runCdcAvailableNow]] —
+    *
+    *   1. inserts of the base corpus (seq 1);
+    *   2. updates (key%4=0: price+10, seq 3) and deletes (key%9=0,
+    *      seq 4 — for keys hit by both, SEQUENCE BY collapses the
+    *      batch to the delete);
+    *   3. the straggler wave: a LATE update for every key%4=0 (price
+    *      +999, seq 2 — must be rejected: by the live (pk, seq) guard
+    *      where the key survived wave 2 with seq 3, and by the
+    *      tombstone guard where it was deleted), plus a re-insert for
+    *      key%18=0 (seq 5, a fresh deterministic price — ABOVE the
+    *      tombstone, must resurrect the key).
+    *
+    * The final state (price and stored sequence per key) hash-matches
+    * the closed-form oracle only if every guard fired exactly right —
+    * a late event leaking in, a tombstone miss resurrecting a deleted
+    * key, or a replayed file would each shift prices or sequences. */
+  def streamCdc(s: SparkSession, d: String): DataFrame = {
+    val ct = MergeTable.ChangeType
+    val schema = new StructType()
+      .add("o_orderkey", LongType).add("o_custkey", LongType)
+      .add("price", DoubleType).add(ct, StringType).add("seq", LongType)
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").as("price"))
+    val rawDir = scratch("graft_q_scdc_raw")
+    val ckpt = scratch("graft_q_scdc_ckpt")
+    val t = MergeTable(s, scratch("graft_q_scdc_tbl"))
+    def drain(): Unit = {
+      StreamIngest.runCdcAvailableNow(s, rawDir, schema, t,
+        "o_orderkey", "seq", ckpt)
+      ()
+    }
+
+    writeWave(base.withColumn(ct, lit("insert")).withColumn("seq", lit(1L)),
+      rawDir)
+    drain()
+
+    val upd = base.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("price", col("price") + 10.0)
+      .withColumn(ct, lit("update")).withColumn("seq", lit(3L))
+    val del = base.filter(col("o_orderkey") % 9 === 0)
+      .withColumn(ct, lit("delete")).withColumn("seq", lit(4L))
+    writeWave(upd.unionByName(del), rawDir)
+    drain()
+
+    val late = base.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("price", col("price") + 999.0)
+      .withColumn(ct, lit("update")).withColumn("seq", lit(2L))
+    val res = base.filter(col("o_orderkey") % 18 === 0)
+      .withColumn("price",
+        (col("o_orderkey") % 500).cast("double") + 0.25)
+      .withColumn(ct, lit("insert")).withColumn("seq", lit(5L))
+    writeWave(late.unionByName(res), rawDir)
+    drain()
+
+    t.read().select(col("o_orderkey"), col("o_custkey"),
+      round(col("price"), 2).as("price"), col("seq"))
+  }
+
+  val streamCdcOracle: String =
+    """SELECT o_orderkey, o_custkey,
+              round(CASE WHEN o_orderkey % 18 = 0
+                         THEN CAST(o_orderkey % 500 AS DOUBLE) + 0.25
+                         WHEN o_orderkey % 4 = 0 THEN o_totalprice + 10.0
+                         ELSE o_totalprice END, 2) AS price,
+              CAST(CASE WHEN o_orderkey % 18 = 0 THEN 5
+                        WHEN o_orderkey % 4 = 0 THEN 3
+                        ELSE 1 END AS BIGINT) AS seq
+       FROM orders
+       WHERE o_orderkey % 9 <> 0 OR o_orderkey % 18 = 0
+       ORDER BY o_orderkey"""
+}
