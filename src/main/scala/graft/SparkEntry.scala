@@ -135,6 +135,8 @@ object SparkEntry {
     // (build-once artifacts; these entries measure the search-only
     // lifecycle the inline-training forms deliberately can't)
     "q_embed_ivf_idx"   -> (SimilarityQueries.embedIvfIdx _),
+    "q_embed_ivf_nprobe" -> (SimilarityQueries.embedIvfNprobe _),
+    "q_embed_ivf_nprobe_idx" -> (SimilarityQueries.embedIvfNprobeIdx _),
     "q_embed_ivfpq_idx" -> (SimilarityQueries.embedIvfPqIdx _),
     "q_embed_ivf_refresh" -> (SimilarityQueries.embedIvfRefresh _),
     "q_events_funnel"   -> (AnalyticQueries.eventsFunnel _),
@@ -154,6 +156,7 @@ object SparkEntry {
     // (streaming/StreamQueries.scala)
     "q_stream_mv"       -> (graft.streaming.StreamQueries.streamMv _),
     "q_stream_cdc"      -> (graft.streaming.StreamQueries.streamCdc _),
+    "q_stream_scd2"     -> (graft.streaming.StreamQueries.streamScd2 _),
     // §7.5 — multimodal binary columns (stub decode, real plumbing)
     "q_media_features"  -> ((s: SparkSession, d: String) =>
       ext.Multimodal.decoded(s, ext.Multimodal.mediaTable(Tables.documents(s, d)))),
@@ -552,6 +555,8 @@ object SparkEntry {
     // the persisted-index forms return bit-identical rows, so they
     // share the train-inline oracles
     "q_embed_ivf_idx" -> SimilarityQueries.ivfOracle,
+    "q_embed_ivf_nprobe" -> SimilarityQueries.ivfNprobeOracle,
+    "q_embed_ivf_nprobe_idx" -> SimilarityQueries.ivfNprobeOracle,
     "q_embed_lsh"     -> SimilarityQueries.lshOracle,
     "q_embed_mplsh"   -> SimilarityQueries.mplshOracle,
     "q_embed_neardup" -> SimilarityQueries.neardupOracle,
@@ -801,6 +806,7 @@ object SparkEntry {
     "q_dv_state"      -> graft.lake.LakeQueries.dvStateOracle,
     "q_stream_mv"     -> graft.streaming.StreamQueries.streamMvOracle,
     "q_stream_cdc"    -> graft.streaming.StreamQueries.streamCdcOracle,
+    "q_stream_scd2"   -> graft.streaming.StreamQueries.streamScd2Oracle,
     "q_doc_pipeline"  -> ext.DocPipeline.pipelineOracle(),
     "q_corpus_pack"   -> ext.DocPipeline.assembledPacksOracle(),
     "q_corpus_curate" -> ext.DocPipeline.curatedPacksOracle(),

@@ -593,6 +593,23 @@ object SimilarityQueries {
   def embedIvfPqIdx(s: SparkSession, d: String): DataFrame =
     persistedIndex(s, d).searchIvfPq(cornerQueries(s, d), 3)
 
+  /** The IVF MULTI-PROBE recall knob under the oracle gate: the same
+    * search as `q_embed_ivf` but each query probes its TWO nearest
+    * cells ([[assignTopN]] — measured in SURVEY §6.2b: nprobe 1→2 buys
+    * recall@3 0.33→0.52 at sf0.01 / 0.21→0.35 at sf0.1 for exactly 2×
+    * the candidates). The hash proves the probe-expansion algebra —
+    * per-query centroid ranking, disjoint-cell candidate union, global
+    * re-rank across both probed cells — not just the recall trend. */
+  def embedIvfNprobe(s: SparkSession, d: String): DataFrame =
+    embedIvfRounds(s, d, LloydRounds, 8, 28, nprobe = 2)
+
+  /** [[VectorIndex.searchIvf]] at nprobe=2 from the PERSISTED index —
+    * bit-identical to the train-inline [[embedIvfNprobe]] (same
+    * oracle), with cell-partition pruning still bounding the files
+    * read to the probed cells. */
+  def embedIvfNprobeIdx(s: SparkSession, d: String): DataFrame =
+    persistedIndex(s, d).searchIvf(cornerQueries(s, d), 3, nprobe = 2)
+
   // ---- oracle SQL ----
 
   private val normCte =
@@ -675,6 +692,33 @@ object SimilarityQueries {
         q AS (SELECT vec_id AS query_id, cell, embedding AS qvec,
                 nrm AS qnrm
               FROM nc WHERE vec_id >= 8 AND vec_id < 28),
+        s AS (SELECT query_id, q.cell AS cell, nc.vec_id AS neighbor_id,
+                round(list_sum(list_transform(range(1, len(qvec) + 1),
+                        i -> qvec[i]::DOUBLE * embedding[i]::DOUBLE))
+                      / (qnrm * nrm), 6) AS sim
+              FROM nc JOIN q ON nc.cell = q.cell
+              WHERE nc.vec_id <> query_id)
+        SELECT query_id, cell, neighbor_id, sim, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id) AS rank
+          FROM s) t
+        WHERE rank <= 3 ORDER BY query_id, rank"""
+
+  /** DuckDB oracle for [[embedIvfNprobe]] / [[embedIvfNprobeIdx]] —
+    * the shared training chain, then the window queries' TOP-2 centroid
+    * cells from the full-score CTE (`asg` — rn ≤ 2 under the same
+    * (csim DESC, cent_id ASC) order whose head is the argmax), the
+    * candidate union over both probed cells (disjoint — a corpus vector
+    * lives in exactly one cell), and one global re-rank per query. */
+  def ivfNprobeOracle: String =
+    s"""$cellsCte,
+        qc AS (SELECT vec_id AS query_id, cent_id AS cell FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                             ORDER BY csim DESC, cent_id) AS rn
+                 FROM asg WHERE vec_id >= 8 AND vec_id < 28) t
+               WHERE rn <= 2),
+        q AS (SELECT query_id, cell, embedding AS qvec, nrm AS qnrm
+              FROM qc JOIN n ON qc.query_id = n.vec_id),
         s AS (SELECT query_id, q.cell AS cell, nc.vec_id AS neighbor_id,
                 round(list_sum(list_transform(range(1, len(qvec) + 1),
                         i -> qvec[i]::DOUBLE * embedding[i]::DOUBLE))

@@ -170,6 +170,66 @@ object StreamQueries {
       round(col("price"), 2).as("price"), col("seq"))
   }
 
+  /** Streaming SCD2 under the oracle gate (X89 end-to-end): customer
+    * history maintained by [[StreamIngest.runScd2AvailableNow]] across
+    * two drains sharing one checkpoint — the base dimension at
+    * 2024-01-01, then ONE batch spanning TWO labels (key%5=0 rebalanced
+    * +100 at 2024-02-01 and key%3=0 rebalanced +200 at 2024-03-01; the
+    * drain must apply them in label order or %15=0 keys' middle version
+    * never opens/closes correctly). The full history — every version
+    * with its open/close labels — hash-matches the oracle's
+    * lead()-closed replay. */
+  def streamScd2(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.Scd2
+    val schema = new StructType()
+      .add("c_custkey", LongType).add("bal", DoubleType)
+      .add("eff", StringType)
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal").as("bal"))
+    val rawDir = scratch("graft_q_sscd_raw")
+    val ckpt = scratch("graft_q_sscd_ckpt")
+    val t = MergeTable(s, scratch("graft_q_sscd_tbl"), Some(Scd2.Slice))
+
+    writeWave(cust.withColumn("eff", lit("2024-01-01")), rawDir)
+    StreamIngest.runScd2AvailableNow(s, rawDir, schema, t,
+      "c_custkey", "eff", ckpt)
+
+    val w2 = cust.filter(col("c_custkey") % 5 === 0)
+      .withColumn("bal", col("bal") + 100.0)
+      .withColumn("eff", lit("2024-02-01"))
+    val w3 = cust.filter(col("c_custkey") % 3 === 0)
+      .withColumn("bal", col("bal") + 200.0)
+      .withColumn("eff", lit("2024-03-01"))
+    writeWave(w2.unionByName(w3), rawDir)
+    StreamIngest.runScd2AvailableNow(s, rawDir, schema, t,
+      "c_custkey", "eff", ckpt)
+
+    t.read().select(col("c_custkey"), round(col("bal"), 2).as("bal"),
+      col(Scd2.EffFrom).as("eff_from"),
+      coalesce(col(Scd2.EffTo), lit("open")).as("eff_to"),
+      col(Scd2.Current).as("cur"))
+  }
+
+  val streamScd2Oracle: String =
+    """WITH hist AS (
+         SELECT c_custkey, c_acctbal AS bal, '2024-01-01' AS eff_from
+         FROM customer
+         UNION ALL
+         SELECT c_custkey, c_acctbal + 100.0, '2024-02-01'
+         FROM customer WHERE c_custkey % 5 = 0
+         UNION ALL
+         SELECT c_custkey, c_acctbal + 200.0, '2024-03-01'
+         FROM customer WHERE c_custkey % 3 = 0),
+       h2 AS (
+         SELECT c_custkey, bal, eff_from,
+                lead(eff_from) OVER (PARTITION BY c_custkey
+                  ORDER BY eff_from) AS eff_to
+         FROM hist)
+       SELECT c_custkey, round(bal, 2) AS bal, eff_from,
+              coalesce(eff_to, 'open') AS eff_to,
+              eff_to IS NULL AS cur
+       FROM h2 ORDER BY c_custkey, eff_from"""
+
   val streamCdcOracle: String =
     """SELECT o_orderkey, o_custkey,
               round(CASE WHEN o_orderkey % 18 = 0
