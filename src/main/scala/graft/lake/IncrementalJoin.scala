@@ -68,10 +68,16 @@ object IncrementalJoin {
     val factDeletePks = dFact.filter(col(ct) === "delete").select(col(pk))
 
     // Dim-side: key-pruned probe of facts carrying a changed jk. The
-    // changed keys are Δdim-scale, so they collect and push through the
-    // unified scan planner — only fact files whose stats range or bloom
-    // filter can hold an affected key are read, making the refresh
-    // O(Δ) in base-table IO instead of a full fact scan. Fact rows
+    // changed keys are Δdim-scale, so they collect and feed the
+    // manifest-level key probe ([[MergeTable.probeKeysVersion]]) — only
+    // fact files whose stats range or bloom filter can hold an affected
+    // key are read, making the refresh O(Δ) in base-table IO instead of
+    // a full fact scan. The prune stays driver-side METADATA: the row-
+    // level residual is the semi-join below (AQE broadcasts the Δ-scale
+    // key relation), never an N-literal IN in the executed plan — a
+    // wide literal list re-costs every downstream action's re-analysis
+    // (measured: a 12k-literal probe predicate at sf0.1 added ~4 s to
+    // the whole refresh pipeline vs the semi-join residual). Fact rows
     // already in the fact delta are excluded (their post-image above is
     // newer than any stored row the probe would read).
     val dimKeys = dDim.select(col(jk)).distinct()
@@ -80,7 +86,8 @@ object IncrementalJoin {
     val probedBase =
       if (keyVals.isEmpty) facts.readVersion(factToV).limit(0)
       else if (keyVals.size <= MaxProbeKeys)
-        facts.scanVersion(factToV, col(jk).isin(keyVals: _*))
+        facts.probeKeysVersion(factToV, jk, keyVals)
+          .join(dimKeys, Seq(jk), "left_semi")
       else facts.readVersion(factToV).join(dimKeys, Seq(jk), "left_semi")
     val probed = probedBase
       .join(dFact.select(col(pk)).distinct(), Seq(pk), "left_anti")

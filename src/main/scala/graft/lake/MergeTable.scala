@@ -1442,6 +1442,24 @@ final class MergeTable private (
   private[lake] def scanEntries(predicate: Column): Seq[FileEntry] =
     scanEntriesOf(latest()._2, predicate)
 
+  /** Key-set file probe at `version` — the dynamic-file-pruning analog
+    * for "which files may hold any of these join keys": the same
+    * partition/stats/bloom membership prune as a [[scanVersion]] with
+    * an IN-list, but compiled DIRECTLY from the value array. No
+    * N-literal expression ever enters a plan: a wide executed-plan `IN`
+    * (tens of thousands of literals) costs more in per-action
+    * re-analysis/re-optimization of every downstream plan than the
+    * file-skipping saves — a key list is driver METADATA, and this
+    * keeps it there. Rows of admitted files are returned UNFILTERED;
+    * the caller owns the row-level residual (typically a semi-join
+    * against the key relation, which AQE broadcasts at Δ-scale). */
+  private[lake] def probeKeysVersion(version: Long, c: String,
+      values: Seq[Any]): DataFrame = {
+    val live = snapshotAt(version)
+    val lits = values.map(v => cxp.Literal(v))
+    readEntries(live.filter(compileIn(physicalOf(c), lits, live)))
+  }
+
   /** Entries of the snapshot at `version` (test hook for
     * [[scanVersion]] parity assertions). */
   private[lake] def versionEntries(version: Long): Seq[FileEntry] =
@@ -1667,6 +1685,13 @@ final class MergeTable private (
       live: Seq[FileEntry]): Set[String] = {
     val bloomed = live.filter(_.bloom.exists(_.cols.contains(c)))
     if (bloomed.isEmpty || values.isEmpty) return Set.empty
+    // The per-file admit test is O(values × K) — fine for point/short
+    // IN probes, quadratic-ish when a wide key list meets a wide
+    // manifest. Past this product the bloom surface bows out (admit
+    // every bloomed file = prune nothing); the stats range prune,
+    // whose per-file test is O(log values), still applies.
+    if (values.size.toLong * bloomed.size > 50000000L)
+      return bloomed.map(_.relPath).toSet
     bloomed.groupBy(e => (e.bloom.get.relDir, e.bloom.get.m))
       .toSeq.sortBy(_._1._1)
       .flatMap { case ((dir, m), es) =>
