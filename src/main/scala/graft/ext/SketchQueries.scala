@@ -412,4 +412,115 @@ object SketchQueries {
                 FROM probe JOIN cells USING (j, cell) GROUP BY term)
         SELECT term, est_cnt, true_cnt, est_cnt - true_cnt AS overcount
         FROM est ORDER BY est_cnt DESC, term LIMIT 20"""
+
+  // ---- X137: mergeable relative-error quantile sketch -------------------
+
+  /** Sub-bucket bits per octave: 2^7 = 128 linear sub-buckets, so the
+    * bucket width at value v is ≤ v·2⁻⁷ and any quantile estimate is
+    * within 0.79% of the true value (≤ 2⁻⁷, midpoint halves it). */
+  private[ext] val QSubBits = 7
+  private[ext] val QExact: Long = 1L << QSubBits
+
+  /** Bucket id of positive long `vCol` in a log₂-octave histogram with
+    * [[QSubBits]] linear sub-buckets per octave — the DDSketch /
+    * log-histogram shape in PURE INTEGER arithmetic (octave = binary
+    * bit-length via `bin()`, sub-bucket = an integer shift-divide), so
+    * Spark and the DuckDB oracle agree bit-for-bit (a float `log()`
+    * bucketing flips ids at representation boundaries). Values below
+    * 2^[[QSubBits]] are their own bucket (the exact region); ids are
+    * monotone in v, so per-bucket counts ordered by id ARE the
+    * distribution. */
+  private[ext] def quantileBucket(vCol: String): String =
+    s"""CASE WHEN $vCol < $QExact THEN $vCol
+        ELSE (length(bin($vCol)) - $QSubBits) * $QExact
+             + ($vCol - cast(pow(2, length(bin($vCol)) - 1) as bigint))
+               div cast(pow(2, length(bin($vCol)) - 1 - $QSubBits) as bigint)
+        END"""
+
+  /** Midpoint representative value of bucket `b` — the estimate a
+    * quantile lookup returns. Inverts [[quantileBucket]]: octave
+    * o = b div 2^k carries width 2^(o-1), lower bound 2^(o+k-1) +
+    * (b mod 2^k)·2^(o-1). */
+  private[ext] def quantileEstimate(b: String): String =
+    s"""CASE WHEN $b < $QExact THEN $b
+        ELSE cast(pow(2, ($b div $QExact) + $QSubBits - 1) as bigint)
+             + ($b % $QExact) * cast(pow(2, ($b div $QExact) - 1) as bigint)
+             + (cast(pow(2, ($b div $QExact) - 1) as bigint) - 1) div 2
+        END"""
+
+  /** Per-group quantile SKETCH over a positive long metric: one
+    * groupBy(group, bucket) count — the sketch IS that tiny relation
+    * (≤ 128·octaves rows per group, here ~2.5k for a 24-octave cents
+    * domain vs millions of rows), and MERGING sketches is bucket-wise
+    * count addition (associative, partial-aggregation-friendly), which
+    * is what exact percentiles can never offer at 100 TB: they need the
+    * values. Quantile lookup walks the cumulative counts (a window over
+    * the BUCKET-domain relation, partitioned by group — never
+    * row-scale) and returns the target bucket's midpoint. */
+  private[ext] def quantileSketchOf(rows: DataFrame, grpCol: String,
+      vCol: String): DataFrame =
+    rows.withColumn("bid", expr(quantileBucket(vCol)))
+      .groupBy(col(grpCol), col("bid"))
+      .agg(count(lit(1)).as("c"))
+
+  /** `q_sketch_quantile`: p50/p90/p99 of l_extendedprice (as exact
+    * cents) per returnflag from the mergeable sketch. Bounded relative
+    * error (≤2⁻⁷), bit-exact against the oracle's integer replay —
+    * [[SketchQuantileSpec]] proves the error bound vs true percentiles
+    * and merge associativity. */
+  def sketchQuantile(s: SparkSession, d: String): DataFrame = {
+    val base = lineitem(s, d).select(col("l_returnflag").as("grp"),
+      expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("v"))
+    val sk = eagerCache(quantileSketchOf(base, "grp", "v"))
+    val cum = sk.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col("grp")).orderBy(col("bid"))))
+    val n = sk.groupBy(col("grp"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_buckets"))
+    cum.join(n, Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(
+        first(col("n")).as("n"),
+        first(col("n_buckets")).as("n_buckets"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("bid"))).as("b50"),
+        min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("bid"))).as("b90"),
+        min(when(col("cum") >= expr("(99 * n + 99) div 100"), col("bid"))).as("b99"))
+      .select(col("grp"), col("n"), col("n_buckets"),
+        expr(quantileEstimate("b50")).as("p50"),
+        expr(quantileEstimate("b90")).as("p90"),
+        expr(quantileEstimate("b99")).as("p99"))
+  }
+
+  private def eagerCache(df: DataFrame): DataFrame = DedupQueries.eager(df)
+
+  def sketchQuantileOracle: String = {
+    def bid(v: String) = quantileBucket(v).replace(" div ", " // ")
+    def est(b: String) = quantileEstimate(b).replace(" div ", " // ")
+    s"""WITH base AS (
+          SELECT l_returnflag AS grp,
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+          FROM lineitem),
+        bkt AS (SELECT grp, ${bid("v")} AS bid FROM base),
+        sk AS (SELECT grp, bid, CAST(count(*) AS BIGINT) AS c
+               FROM bkt GROUP BY grp, bid),
+        cum AS (SELECT grp, bid, c,
+                  CAST(sum(c) OVER (PARTITION BY grp ORDER BY bid)
+                       AS BIGINT) AS cum
+                FROM sk),
+        nn AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS n_buckets
+               FROM sk GROUP BY grp),
+        sel AS (SELECT cum.grp,
+                  min(CASE WHEN cum.cum >= (nn.n + 1) // 2
+                           THEN cum.bid END) AS b50,
+                  min(CASE WHEN cum.cum >= (9 * nn.n + 9) // 10
+                           THEN cum.bid END) AS b90,
+                  min(CASE WHEN cum.cum >= (99 * nn.n + 99) // 100
+                           THEN cum.bid END) AS b99
+                FROM cum JOIN nn ON cum.grp = nn.grp GROUP BY cum.grp)
+        SELECT nn.grp, nn.n, nn.n_buckets,
+               ${est("b50")} AS p50, ${est("b90")} AS p90,
+               ${est("b99")} AS p99
+        FROM sel JOIN nn ON sel.grp = nn.grp
+        ORDER BY nn.grp"""
+  }
 }
