@@ -108,6 +108,7 @@ object SparkEntry {
     "q_sketch_cms"      -> (SketchQueries.sketchCms _),
     "q_sketch_bloom"    -> (SketchQueries.sketchBloom _),
     "q_sketch_quantile" -> (SketchQueries.sketchQuantile _),
+    "q_sketch_quantile_mv" -> (SketchQueries.sketchQuantileMv _),
     "q_text_tfidf"      -> (TextQueries.textTfidf _),
     "q_text_bm25"       -> (TextQueries.textBm25 _),
     "q_doc_stratified"  -> (TextQueries.docStratified _),
@@ -572,6 +573,7 @@ object SparkEntry {
     "q_sketch_cms"    -> SketchQueries.sketchCmsOracle,
     "q_sketch_bloom"  -> SketchQueries.sketchBloomOracle,
     "q_sketch_quantile" -> SketchQueries.sketchQuantileOracle,
+    "q_sketch_quantile_mv" -> SketchQueries.sketchQuantileMvOracle,
     "q_text_tfidf"    -> TextQueries.textTfidfOracle,
     "q_text_bm25"     -> TextQueries.textBm25Oracle,
     "q_doc_stratified" -> TextQueries.docStratifiedOracle,

@@ -471,7 +471,14 @@ object SketchQueries {
   def sketchQuantile(s: SparkSession, d: String): DataFrame = {
     val base = lineitem(s, d).select(col("l_returnflag").as("grp"),
       expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("v"))
-    val sk = eagerCache(quantileSketchOf(base, "grp", "v"))
+    quantilesOf(eagerCache(quantileSketchOf(base, "grp", "v")))
+  }
+
+  /** p50/p90/p99 read off a `(grp, bid, c)` sketch relation: one
+    * cumulative window over the BUCKET-domain rows (per group — never
+    * row-scale) and a conditional-min per target rank (ceil(q·n),
+    * integer arithmetic). Output (grp, n, n_buckets, p50, p90, p99). */
+  private[ext] def quantilesOf(sk: DataFrame): DataFrame = {
     val cum = sk.withColumn("cum",
       sum(col("c")).over(Window.partitionBy(col("grp")).orderBy(col("bid"))))
     val n = sk.groupBy(col("grp"))
@@ -488,6 +495,106 @@ object SketchQueries {
         expr(quantileEstimate("b50")).as("p50"),
         expr(quantileEstimate("b90")).as("p90"),
         expr(quantileEstimate("b99")).as("p99"))
+  }
+
+  /** Signed per-(group, bucket) count delta from a
+    * `changes(..., updateImages = true)` slice — the sketch is
+    * SELF-MAINTAINABLE under insert/update/delete with only the feed
+    * (bucket counts are signed sums), which exact percentiles never
+    * are: a deleted value forces them back to the base table, a deleted
+    * bucket increment is just −1 here. */
+  private[ext] def quantileSketchDelta(cdf: DataFrame, grpCol: String,
+      vCol: String): DataFrame =
+    cdf
+      .withColumn("_sign",
+        when(col("_change_type").isin("insert", "update_postimage"), 1L)
+          .otherwise(-1L))
+      .withColumn("bid", expr(quantileBucket(vCol)))
+      .groupBy(col(grpCol).as("grp"), col("bid"))
+      .agg(sum(col("_sign")).as("dc"))
+
+  /** Fold a signed delta into a `(grp, bid, c)` sketch; emptied buckets
+    * drop out, new buckets appear. */
+  private[ext] def applySketchDelta(sk: DataFrame,
+      delta: DataFrame): DataFrame =
+    sk.join(delta, Seq("grp", "bid"), "full_outer")
+      .select(col("grp"), col("bid"),
+        (coalesce(col("c"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("c"))
+      .filter(col("c") > 0)
+
+  /** `q_sketch_quantile_mv` — X137 composed with the CDF machinery
+    * (X60/X74): a per-status quantile sketch over order-price cents is
+    * materialized ONCE, then maintained purely from the change feed
+    * across a MERGE wave (updates %4: +1000 cents, re-keyed inserts
+    * %6=3: +777) and a DELETE (%9) — the base table is never
+    * rescanned. The returned quantiles come from the MAINTAINED sketch;
+    * the oracle computes them from a direct sketch of the replayed
+    * final state — hash equality IS the self-maintainability proof,
+    * and it is exactly the monitoring loop a 100 TB pipeline runs
+    * (latency/price/size percentiles per partition, refreshed from
+    * deltas, never recomputed). */
+  def sketchQuantileMv(s: SparkSession, d: String): DataFrame = {
+    val base = graft.Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_orderstatus").as("grp"),
+      expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("v"))
+    val t = graft.lake.MergeTable(s,
+      java.nio.file.Files.createTempDirectory("graft_q_qmv").toString)
+    val v1 = t.overwrite(base)
+    var sk = quantileSketchOf(t.read(), "grp", "v")
+    val upd = base.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("v", col("v") + 1000L)
+    val ins = base.filter(col("o_orderkey") % 6 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      .withColumn("v", col("v") + 777L)
+    val v2 = t.merge(upd.unionByName(ins), "o_orderkey")
+    sk = applySketchDelta(sk, quantileSketchDelta(
+      t.changes(v1, v2, "o_orderkey", updateImages = true), "grp", "v"))
+    val v3 = t.delete(col("o_orderkey") % 9 === 0)
+    sk = applySketchDelta(sk, quantileSketchDelta(
+      t.changes(v2, v3, "o_orderkey", updateImages = true), "grp", "v"))
+    quantilesOf(eagerCache(sk))
+  }
+
+  def sketchQuantileMvOracle: String = {
+    def bid(v: String) = quantileBucket(v).replace(" div ", " // ")
+    def est(b: String) = quantileEstimate(b).replace(" div ", " // ")
+    s"""WITH base AS (
+          SELECT o_orderkey, o_orderstatus AS grp,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+          FROM orders),
+        upd AS (
+          SELECT o_orderkey, grp,
+                 CASE WHEN o_orderkey % 4 = 0 THEN v + 1000 ELSE v END AS v
+          FROM base),
+        ins AS (
+          SELECT o_orderkey + 100000000 AS o_orderkey, grp, v + 777 AS v
+          FROM base WHERE o_orderkey % 6 = 3),
+        fin AS (
+          SELECT * FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins) u
+          WHERE o_orderkey % 9 <> 0),
+        bkt AS (SELECT grp, ${bid("v")} AS bid FROM fin),
+        sk AS (SELECT grp, bid, CAST(count(*) AS BIGINT) AS c
+               FROM bkt GROUP BY grp, bid),
+        cum AS (SELECT grp, bid, c,
+                  CAST(sum(c) OVER (PARTITION BY grp ORDER BY bid)
+                       AS BIGINT) AS cum
+                FROM sk),
+        nn AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS n_buckets
+               FROM sk GROUP BY grp),
+        sel AS (SELECT cum.grp,
+                  min(CASE WHEN cum.cum >= (nn.n + 1) // 2
+                           THEN cum.bid END) AS b50,
+                  min(CASE WHEN cum.cum >= (9 * nn.n + 9) // 10
+                           THEN cum.bid END) AS b90,
+                  min(CASE WHEN cum.cum >= (99 * nn.n + 99) // 100
+                           THEN cum.bid END) AS b99
+                FROM cum JOIN nn ON cum.grp = nn.grp GROUP BY cum.grp)
+        SELECT nn.grp, nn.n, nn.n_buckets,
+               ${est("b50")} AS p50, ${est("b90")} AS p90,
+               ${est("b99")} AS p99
+        FROM sel JOIN nn ON sel.grp = nn.grp
+        ORDER BY nn.grp"""
   }
 
   private def eagerCache(df: DataFrame): DataFrame = DedupQueries.eager(df)

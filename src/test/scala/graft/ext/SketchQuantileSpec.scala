@@ -60,6 +60,25 @@ class SketchQuantileSpec extends SparkSpec {
     assert(merged === whole)
   }
 
+  test("signed deltas maintain the sketch; emptied buckets drop out") {
+    val base = Seq(("a", 10L), ("a", 10L), ("a", 5000L), ("b", 77L))
+      .toDF("grp", "v")
+    val sk0 = SketchQueries.quantileSketchOf(base, "grp", "v")
+    // feed: delete one (a,10), delete THE ONLY (a,5000) — its bucket
+    // must vanish — update (b,77) -> (b,100000), insert (b,12)
+    val feed = Seq(
+      ("a", 10L, "delete"), ("a", 5000L, "delete"),
+      ("b", 77L, "update_preimage"), ("b", 100000L, "update_postimage"),
+      ("b", 12L, "insert")).toDF("grp", "v", "_change_type")
+    val got = SketchQueries.applySketchDelta(sk0,
+      SketchQueries.quantileSketchDelta(feed, "grp", "v"))
+      .orderBy("grp", "bid").collect().toSeq
+    val want = SketchQueries.quantileSketchOf(
+      Seq(("a", 10L), ("b", 100000L), ("b", 12L)).toDF("grp", "v"),
+      "grp", "v").orderBy("grp", "bid").collect().toSeq
+    assert(got === want)
+  }
+
   test("sketch quantiles track exact percentiles within the bound") {
     val got = SketchQueries.sketchQuantile(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) ->
