@@ -1460,6 +1460,17 @@ final class MergeTable private (
     readEntries(live.filter(compileIn(physicalOf(c), lits, live)))
   }
 
+  /** [[probeKeysVersion]] against the current head — the public
+    * key-probe surface for Δ-keyed consumers (CDC guards, join-view
+    * refreshes): rows of every live file that MAY contain `c` ∈
+    * `values`, a SUPERSET of the matching rows — the caller MUST apply
+    * its own row-level residual (a join/semi-join on the key relation;
+    * that keeps the value list out of the executed plan — see
+    * [[probeKeysVersion]]). Tables without stats/bloom/partitioning on
+    * `c` degrade to the full read, never to a miss. */
+  def probeKeys(c: String, values: Seq[Any]): DataFrame =
+    probeKeysVersion(latestVersion(), c, values)
+
   /** Entries of the snapshot at `version` (test hook for
     * [[scanVersion]] parity assertions). */
   private[lake] def versionEntries(version: Long): Seq[FileEntry] =

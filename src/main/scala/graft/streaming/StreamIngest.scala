@@ -29,6 +29,12 @@ import graft.lake.MergeTable
   */
 object StreamIngest {
 
+  /** Batch key-count bound for the CDC guards' file-skipping probe —
+    * up to this many distinct batch pks collect (driver metadata) and
+    * prune the guard-side table reads; wider batches read the guard
+    * tables whole. */
+  private val GuardProbeMaxKeys = 100000
+
   /** Drain all currently-available files under `rawDir` into `table`.
     * Returns the number of micro-batches that carried rows. */
   def runAvailableNow(
@@ -197,6 +203,23 @@ object StreamIngest {
         val events =
           batch.filter(col(MergeTable.ChangeType) =!= "update_preimage")
         if (!events.isEmpty) {
+          // Both guards below only need the stored rows whose pk
+          // appears IN THIS BATCH — at scale that is the difference
+          // between a per-batch full-table read and O(files containing
+          // batch keys). The batch's distinct keys are batch-scale
+          // driver metadata; they feed [[MergeTable.probeKeys]] (file
+          // skipping via pk stats/bloom when the table records them —
+          // tables without degrade to the full read, never to a miss),
+          // and the guards' pk joins ARE the row-level residual the
+          // probe contract requires. A null batch pk or an over-wide
+          // batch falls back to the full read.
+          val batchKeys = events.select(col(pk)).distinct()
+            .limit(GuardProbeMaxKeys + 1).collect().map(_.get(0)).toSeq
+          def guardSide(t: MergeTable): org.apache.spark.sql.DataFrame =
+            if (batchKeys.nonEmpty && batchKeys.size <= GuardProbeMaxKeys
+                && !batchKeys.contains(null))
+              t.probeKeys(pk, batchKeys)
+            else t.read()
           // Guard 1 — tombstones: an event at or below its key's
           // deleted-at sequence is a pre-delete straggler; dropping it
           // here is what keeps a late update from resurrecting a
@@ -205,7 +228,7 @@ object StreamIngest {
           val pastDeletes =
             if (tombstones.latestVersion() == 0L) events
             else events.join(
-              tombstones.read().select(col(pk).as("__graft_tomb_pk"),
+              guardSide(tombstones).select(col(pk).as("__graft_tomb_pk"),
                 col(seqCol).as("__graft_tomb_seq")),
               col(pk) <=> col("__graft_tomb_pk"), "left")
               .filter(col("__graft_tomb_seq").isNull ||
@@ -216,7 +239,7 @@ object StreamIngest {
           val guarded =
             if (table.latestVersion() == 0L) pastDeletes
             else pastDeletes.join(
-              table.read().select(col(pk).as("__graft_pk"),
+              guardSide(table).select(col(pk).as("__graft_pk"),
                 col(seqCol).as("__graft_cur_seq")),
               col(pk) <=> col("__graft_pk"), "left")
               .filter(col("__graft_cur_seq").isNull ||

@@ -137,7 +137,11 @@ object StreamQueries {
       col("o_totalprice").as("price"))
     val rawDir = scratch("graft_q_scdc_raw")
     val ckpt = scratch("graft_q_scdc_ckpt")
-    val t = MergeTable(s, scratch("graft_q_scdc_tbl"))
+    // pk stats + bloom feed the per-batch guard probe (the guards read
+    // only files that may hold the batch's keys, not the whole table)
+    val t = MergeTable(s, scratch("graft_q_scdc_tbl"), None,
+      Seq("o_orderkey"), deletionVectors = false,
+      bloomCols = Seq("o_orderkey"))
     def drain(): Unit = {
       StreamIngest.runCdcAvailableNow(s, rawDir, schema, t,
         "o_orderkey", "seq", ckpt)

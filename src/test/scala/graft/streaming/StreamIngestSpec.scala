@@ -369,6 +369,63 @@ class StreamIngestSpec extends SparkSpec {
     }
   }
 
+  test("CDC guards stay correct when the probe path actually prunes " +
+      "(long pks + stats/bloom target)") {
+    // Same reference state machine as the random-feed test, but the
+    // target records pk stats + bloom sidecars, so the per-batch guard
+    // reads go through MergeTable.probeKeys (file skipping) instead of
+    // the full-read fallback — any file the probe wrongly skips would
+    // lose a stored (pk, seq) guard row and admit a late event.
+    import org.apache.spark.sql.types.LongType
+    val cdcSchema = StructType(Seq(
+      StructField("order_id", LongType),
+      StructField("amount", StringType),
+      StructField(MergeTable.ChangeType, StringType),
+      StructField("seq", LongType)))
+    val rnd = new scala.util.Random(20260814L)
+    val raw = tmpDir("rawprobe")
+    val ckpt = tmpDir("ckptprobe").toString
+    val t = MergeTable(spark, tmpDir("tblprobe").toString, None,
+      Seq("order_id"), deletionVectors = false,
+      bloomCols = Seq("order_id"))
+    val keys = Seq(100L, 5000L, 123456L, 9999999L)
+    val events = rnd.shuffle(for {
+      k <- keys; seq <- 1L to 6L
+    } yield {
+      val kind = rnd.nextInt(10) match {
+        case 0 | 1 => "delete"
+        case 2     => "insert"
+        case _     => "update"
+      }
+      (k, s"$k-$seq", kind, seq)
+    })
+    val drains = events.grouped((events.size + 3) / 4).toSeq
+    var live = Map.empty[Long, (String, Long)]
+    var tomb = Map.empty[Long, Long]
+    drains.zipWithIndex.foreach { case (batch, i) =>
+      Files.writeString(raw.resolve(s"c$i.csv"),
+        (s"order_id,amount,${MergeTable.ChangeType},seq" +:
+          batch.map { case (k, a, c, q) => s"$k,$a,$c,$q" }).mkString("\n"))
+      StreamIngest.runCdcAvailableNow(spark, raw.toString, cdcSchema,
+        t, "order_id", "seq", ckpt)
+      batch.groupBy(_._1).foreach { case (k, evs) =>
+        val admitted = evs.filter { case (_, _, _, q) =>
+          q > tomb.getOrElse(k, Long.MinValue) &&
+            q > live.get(k).map(_._2).getOrElse(Long.MinValue)
+        }
+        if (admitted.nonEmpty) {
+          val (_, a, c, q) = admitted.maxBy(_._4)
+          if (c == "delete") { live -= k; tomb += (k -> q) }
+          else live += (k -> (a, q))
+        }
+      }
+      val got = t.read().select("order_id", "amount", "seq")
+        .as[(Long, String, Long)].collect()
+        .map { case (k, a, q) => k -> (a, q) }.toMap
+      assert(got === live, s"drain $i diverged with the probe path on")
+    }
+  }
+
   test("streaming CDC apply: full-image feeds never let the preimage win") {
     import org.apache.spark.sql.types.LongType
     val cdcSchema = StructType(Seq(
