@@ -431,22 +431,35 @@ object SketchQueries {
     * monotone in v, so per-bucket counts ordered by id ARE the
     * distribution. */
   private[ext] def quantileBucket(vCol: String): String =
-    s"""CASE WHEN $vCol < $QExact THEN $vCol
-        ELSE (length(bin($vCol)) - $QSubBits) * $QExact
+    quantileBucket(vCol, QSubBits)
+
+  /** [[quantileBucket]] at an explicit sub-bit width `k` — the
+    * error/size knob ([[graft.tools.QuantileErr]] measures the trade;
+    * the oracle queries pin k = [[QSubBits]]). */
+  private[graft] def quantileBucket(vCol: String, k: Int): String = {
+    val ex = 1L << k
+    s"""CASE WHEN $vCol < $ex THEN $vCol
+        ELSE (length(bin($vCol)) - $k) * $ex
              + ($vCol - cast(pow(2, length(bin($vCol)) - 1) as bigint))
-               div cast(pow(2, length(bin($vCol)) - 1 - $QSubBits) as bigint)
+               div cast(pow(2, length(bin($vCol)) - 1 - $k) as bigint)
         END"""
+  }
 
   /** Midpoint representative value of bucket `b` — the estimate a
     * quantile lookup returns. Inverts [[quantileBucket]]: octave
     * o = b div 2^k carries width 2^(o-1), lower bound 2^(o+k-1) +
     * (b mod 2^k)·2^(o-1). */
   private[ext] def quantileEstimate(b: String): String =
-    s"""CASE WHEN $b < $QExact THEN $b
-        ELSE cast(pow(2, ($b div $QExact) + $QSubBits - 1) as bigint)
-             + ($b % $QExact) * cast(pow(2, ($b div $QExact) - 1) as bigint)
-             + (cast(pow(2, ($b div $QExact) - 1) as bigint) - 1) div 2
+    quantileEstimate(b, QSubBits)
+
+  private[graft] def quantileEstimate(b: String, k: Int): String = {
+    val ex = 1L << k
+    s"""CASE WHEN $b < $ex THEN $b
+        ELSE cast(pow(2, ($b div $ex) + $k - 1) as bigint)
+             + ($b % $ex) * cast(pow(2, ($b div $ex) - 1) as bigint)
+             + (cast(pow(2, ($b div $ex) - 1) as bigint) - 1) div 2
         END"""
+  }
 
   /** Per-group quantile SKETCH over a positive long metric: one
     * groupBy(group, bucket) count — the sketch IS that tiny relation

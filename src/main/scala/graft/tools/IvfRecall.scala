@@ -60,6 +60,29 @@ object IvfRecall {
         f"hits=${got.intersect(truth).size}/${truth.size} " +
         f"cand_per_query=$mass%.1f")
     }
+    // ADC-tier nprobe sweep (SURVEY §6.2b second table): the same
+    // recall methodology against the PERSISTED index's searchIvfPq —
+    // candidates from the probed cells, scored on PQ codes only, so
+    // this measures probe-expansion + quantization loss together.
+    val idxRoot = java.nio.file.Files
+      .createTempDirectory("graft_ivfrecall_idx").toString
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val idx = graft.ext.VectorIndex.build(spark, emb, idxRoot)
+    val queries = emb
+      .filter(org.apache.spark.sql.functions.col("vec_id") >= qLo &&
+        org.apache.spark.sql.functions.col("vec_id") < qHi)
+      .withColumnRenamed("vec_id", "query_id")
+    for (np <- Seq(1, 2, 4)) {
+      spark.catalog.clearCache()
+      val got = idx.searchIvfPq(queries, 3, nprobe = np)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      val recall = got.intersect(truth).size.toDouble / truth.size
+      println(f"ADC nprobe=$np recall@3=$recall%.3f " +
+        f"hits=${got.intersect(truth).size}/${truth.size}")
+    }
     spark.stop()
   }
 }
