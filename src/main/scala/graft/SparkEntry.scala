@@ -140,6 +140,7 @@ object SparkEntry {
     "q_embed_ivf_nprobe" -> (SimilarityQueries.embedIvfNprobe _),
     "q_embed_ivf_nprobe_idx" -> (SimilarityQueries.embedIvfNprobeIdx _),
     "q_embed_ivfpq_nprobe" -> (SimilarityQueries.embedIvfPqNprobe _),
+    "q_embed_ivfpq_rerank" -> (SimilarityQueries.embedIvfPqRerank _),
     "q_embed_ivfpq_idx" -> (SimilarityQueries.embedIvfPqIdx _),
     "q_embed_ivf_refresh" -> (SimilarityQueries.embedIvfRefresh _),
     "q_events_funnel"   -> (AnalyticQueries.eventsFunnel _),
@@ -561,6 +562,7 @@ object SparkEntry {
     "q_embed_ivf_nprobe" -> SimilarityQueries.ivfNprobeOracle,
     "q_embed_ivf_nprobe_idx" -> SimilarityQueries.ivfNprobeOracle,
     "q_embed_ivfpq_nprobe" -> SimilarityQueries.ivfPqNprobeOracle,
+    "q_embed_ivfpq_rerank" -> SimilarityQueries.ivfPqRerankOracle,
     "q_embed_lsh"     -> SimilarityQueries.lshOracle,
     "q_embed_mplsh"   -> SimilarityQueries.mplshOracle,
     "q_embed_neardup" -> SimilarityQueries.neardupOracle,

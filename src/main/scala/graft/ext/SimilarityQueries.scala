@@ -602,6 +602,14 @@ object SimilarityQueries {
   def embedIvfPqNprobe(s: SparkSession, d: String): DataFrame =
     persistedIndex(s, d).searchIvfPq(cornerQueries(s, d), 3, nprobe = 2)
 
+  /** [[VectorIndex.searchIvfPqRerank]] under the oracle gate: ADC
+    * top-16 shortlist at nprobe=2, exact-cosine re-rank to top-3 —
+    * the two-stage search that breaks the measured ADC recall ceiling
+    * (§6.2b) while touching only `shortlist` full vectors per query. */
+  def embedIvfPqRerank(s: SparkSession, d: String): DataFrame =
+    persistedIndex(s, d).searchIvfPqRerank(cornerQueries(s, d), 3,
+      shortlist = 16, nprobe = 2)
+
   /** The IVF MULTI-PROBE recall knob under the oracle gate: the same
     * search as `q_embed_ivf` but each query probes its TWO nearest
     * cells ([[assignTopN]] — measured in SURVEY §6.2b: nprobe 1→2 buys
@@ -771,6 +779,52 @@ object SimilarityQueries {
           SELECT *, row_number() OVER (PARTITION BY query_id
                       ORDER BY adist_fp, neighbor_id) AS rank
           FROM sc2) t
+        WHERE rank <= 3 ORDER BY query_id, rank"""
+
+  /** DuckDB oracle for [[embedIvfPqRerank]] — [[ivfPqNprobeOracle]]'s
+    * ADC chain, ranked to the 16-row shortlist, then the exact-cosine
+    * re-rank over the fetched corpus vectors. */
+  def ivfPqRerankOracle: String =
+    s"""$cellsCte,
+        ${pqCteBody("pq")},
+        q2 AS (SELECT query_id, cell FROM (
+                 SELECT vec_id AS query_id, cent_id AS cell,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY csim DESC, cent_id) AS rn
+                 FROM asg WHERE vec_id >= 8 AND vec_id < 28) t
+               WHERE rn <= 2),
+        cand2 AS (SELECT q2.query_id, nc.vec_id AS neighbor_id
+                  FROM nc JOIN q2 ON nc.cell = q2.cell
+                  WHERE nc.vec_id <> q2.query_id),
+        dt2 AS (SELECT s.vec_id AS query_id, s.sub, c.cent_id,
+              CAST(floor(list_sum(list_transform(range(1, len(s.svec) + 1),
+                i -> (s.svec[i] - c.cvec[i]) * (s.svec[i] - c.cvec[i])))
+                * 1000000.0) AS BIGINT) AS dfp
+            FROM pqsub s JOIN pqcent$PqRounds c ON s.sub = c.sub
+            WHERE s.vec_id >= 8 AND s.vec_id < 28),
+        sc2 AS (SELECT cand2.query_id, cand2.neighbor_id,
+              CAST(SUM(dfp) AS BIGINT) AS adist_fp
+            FROM cand2
+            JOIN pqcode_f cd ON cd.vec_id = cand2.neighbor_id
+            JOIN dt2 ON dt2.query_id = cand2.query_id
+              AND dt2.sub = cd.sub AND dt2.cent_id = cd.cent_id
+            GROUP BY cand2.query_id, cand2.neighbor_id),
+        sl AS (SELECT query_id, neighbor_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                             ORDER BY adist_fp, neighbor_id) AS rr
+                 FROM sc2) t WHERE rr <= 16),
+        qv AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qnrm
+               FROM n WHERE vec_id >= 8 AND vec_id < 28),
+        ex AS (SELECT sl.query_id, sl.neighbor_id,
+                 round(list_sum(list_transform(range(1, len(qvec) + 1),
+                         i -> qvec[i]::DOUBLE * embedding[i]::DOUBLE))
+                       / (qnrm * nrm), 6) AS sim
+               FROM sl JOIN n ON n.vec_id = sl.neighbor_id
+               JOIN qv ON qv.query_id = sl.query_id)
+        SELECT query_id, neighbor_id, sim, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id) AS rank
+          FROM ex) t
         WHERE rank <= 3 ORDER BY query_id, rank"""
 
   /** Replays [[embedSemdedup]]: the shared cell-training chain, each

@@ -144,6 +144,40 @@ final class VectorIndex private[ext] (s: SparkSession, root: String) {
         col("adist_fp"), col("rank"))
   }
 
+  /** Two-stage ADC search with EXACT RE-RANK — the production answer
+    * to the measured ADC recall ceiling (SURVEY §6.2b: PQ-code scoring
+    * is the recall bottleneck on hard corpora, and probing more cells
+    * buys nothing): stage 1 takes the top-`shortlist` per query by ADC
+    * distance (codes only — the cheap wide scan), stage 2 fetches ONLY
+    * those shortlist vectors (probed-cell partition-pruned files, a
+    * queries×shortlist point-lookup batch) and re-ranks them by exact
+    * cosine. Per-query full-vector work drops from |probed cells| to
+    * `shortlist`, which is what lets the wide stage stay quantized at
+    * 100 TB. Output shape = [[searchIvf]] minus the cell column:
+    * (query_id, neighbor_id, sim, rank). */
+  def searchIvfPqRerank(queries: DataFrame, k: Int = 3,
+      shortlist: Int = 16, nprobe: Int = 1): DataFrame = {
+    val short = searchIvfPq(queries, shortlist, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val qCells = DedupQueries.eager(assignedQueries(queries, nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"),
+        col("embedding").as("qvec"), col("nrm").as("qnrm")))
+    val qVecs = qCells.dropDuplicates(Seq("query_id"))
+      .select(col("query_id"), col("qvec"), col("qnrm"))
+    val fetch = cellsIn(queryCellIds(qCells))
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cvec"), col("nrm").as("cnrm"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    short.join(fetch, Seq("neighbor_id"))
+      .join(qVecs, Seq("query_id"))
+      .withColumn("sim",
+        expr(s"round(${dot("qvec", "cvec")} / (qnrm * cnrm), 6)"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /** Incremental index catch-up from a source change feed
     * ([[MergeTable.changes]] rows: vec_id, embedding, `_change_type`,
     * net one event per key). Upserted vectors are re-assigned and

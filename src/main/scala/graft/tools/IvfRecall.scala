@@ -82,6 +82,14 @@ object IvfRecall {
       val recall = got.intersect(truth).size.toDouble / truth.size
       println(f"ADC nprobe=$np recall@3=$recall%.3f " +
         f"hits=${got.intersect(truth).size}/${truth.size}")
+      spark.catalog.clearCache()
+      val rr = idx.searchIvfPqRerank(queries, 3, shortlist = 16,
+          nprobe = np)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      val rrRecall = rr.intersect(truth).size.toDouble / truth.size
+      println(f"ADC+RERANK nprobe=$np shortlist=16 recall@3=$rrRecall%.3f " +
+        f"hits=${rr.intersect(truth).size}/${truth.size}")
     }
     spark.stop()
   }

@@ -18,6 +18,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_embed_ivf_idx", "q_embed_ivfpq_idx", "q_embed_ivf_refresh",
     // multi-probe variants: same tiny query-side crosses, nprobe=2
     "q_embed_ivf_nprobe", "q_embed_ivf_nprobe_idx", "q_embed_ivfpq_nprobe",
+    "q_embed_ivfpq_rerank",
     "q_text_colloc",
     // k-row trained-centroid broadcast against the streaming corpus —
     // the same intended assignment cross as q_embed_ivf (semdedup was

@@ -144,4 +144,20 @@ class VectorIndexSpec extends SparkSpec {
     assert(rows(built.searchIvf(queries(), 3, nprobe = 1)) ===
       rows(SimilarityQueries.embedIvf(spark, dir)))
   }
+
+  test("rerank with an unbounded shortlist equals the exact in-cell search") {
+    // With shortlist ≥ any probed-cell population, the ADC stage keeps
+    // every candidate and the exact re-rank IS searchIvf's in-cell
+    // exact-cosine search — quantization can reorder the shortlist but
+    // not its membership. Holding at both probe widths pins the
+    // two-stage algebra (shortlist → vector fetch → re-rank) end to end.
+    for (np <- Seq(1, 2)) {
+      val exact = rows(built.searchIvf(queries(), 3, nprobe = np)
+        .select("query_id", "neighbor_id", "sim", "rank"))
+      val rr = rows(built.searchIvfPqRerank(queries(), 3,
+          shortlist = 100000, nprobe = np)
+        .select("query_id", "neighbor_id", "sim", "rank"))
+      assert(rr === exact, s"nprobe=$np")
+    }
+  }
 }
