@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
 
 import graft.Tables
@@ -233,6 +234,81 @@ object StreamQueries {
               coalesce(eff_to, 'open') AS eff_to,
               eff_to IS NULL AS cur
        FROM h2 ORDER BY c_custkey, eff_from"""
+
+  /** Watermarked event-time windowing under the oracle gate (X26
+    * end-to-end): the full events corpus drains through a REAL
+    * append-mode streaming aggregation — file source → 1-day tumbling
+    * windows on event time → 1-hour watermark → `foreachBatch` append
+    * sink — and the emitted (finalized) windows hash-match a plain
+    * GROUP BY replay.
+    *
+    * Append mode only emits a window once the watermark passes its
+    * end, and whether a drain's FINAL watermark flushes trailing state
+    * is an engine detail (no-data micro-batches) no oracle should
+    * depend on. Two sentinel waves make emission deterministic without
+    * touching that detail: sentinel 1 (max+2d) is drained AFTER the
+    * corpus, so the corpus drain's committed watermark closes nothing
+    * late; sentinel 2 (max+4d) drains with sentinel 1's watermark
+    * (max+2d−1h) already committed — past every real window's end —
+    * so drain 3 provably emits every remaining real window in its
+    * data batch. Sentinel rows are tagged and filtered from the
+    * result; whether their own windows ever flush is irrelevant. The
+    * corpus wave is ONE file (one micro-batch), so no intra-drain
+    * batch ordering can drop late rows nondeterministically. */
+  def streamWindow(s: SparkSession, d: String): DataFrame = {
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val schema = new StructType()
+      .add("event_id", LongType).add("ts_s", StringType)
+      .add("event_type", StringType)
+    val ev = Tables.events(s, d).select(col("event_id"),
+      date_format(col("ts"), fmt).as("ts_s"), col("event_type"))
+    val rawDir = scratch("graft_q_swin_raw")
+    val ckpt = scratch("graft_q_swin_ckpt")
+    val outDir = scratch("graft_q_swin_out") + "/emitted"
+    def drain(): Unit = {
+      val q = s.readStream.format("csv").option("header", "true")
+        .schema(schema).load(rawDir)
+        .withColumn("ts", to_timestamp(col("ts_s"), fmt))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id") % 1000).as("v_sum"))
+        .select(col("window.start").as("day"), col("event_type"),
+          col("n_events"), col("v_sum"))
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) b.write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    writeWave(ev.coalesce(1), rawDir)
+    drain()
+    val maxS = Tables.events(s, d)
+      .agg(date_format(max(col("ts")), fmt)).head().getString(0)
+    def sentinel(days: Int): DataFrame = {
+      import s.implicits._
+      Seq((0L, "__s")).toDF("event_id", "event_type")
+        .withColumn("ts_s", date_format(
+          to_timestamp(lit(maxS), fmt) + expr(s"INTERVAL $days DAYS"), fmt))
+        .select(col("event_id"), col("ts_s"), col("event_type"))
+    }
+    writeWave(sentinel(2), rawDir)
+    drain()
+    writeWave(sentinel(4), rawDir)
+    drain()
+    s.read.parquet(outDir).filter(col("event_type") =!= "__s")
+      .select(col("day").cast("date").as("day"), col("event_type"),
+        col("n_events"), col("v_sum"))
+  }
+
+  val streamWindowOracle: String =
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(event_id % 1000) AS BIGINT) AS v_sum
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
   val streamCdcOracle: String =
     """SELECT o_orderkey, o_custkey,
