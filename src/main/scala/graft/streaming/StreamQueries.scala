@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
 
@@ -303,6 +304,90 @@ object StreamQueries {
       .select(col("day").cast("date").as("day"), col("event_type"),
         col("n_events"), col("v_sum"))
   }
+
+  /** Watermarked GAP-SESSION windowing under the oracle gate (X62's
+    * declarative tier end-to-end): user-keyed 30-minute-gap sessions
+    * through a real append-mode `session_window` stream — the same
+    * sentinel-wave determinism design as [[streamWindow]] (sentinels
+    * carry user_id −1, so they can never extend a real session, and
+    * every real session's end ≤ max+30min is provably behind drain 3's
+    * committed watermark). Emitted sessions are re-ranked per user
+    * into ordinal session ids (emitted-session-sized window) and
+    * hash-match the oracle's lag/cumulative-flag sessionization. */
+  def streamSessions(s: SparkSession, d: String): DataFrame = {
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val schema = new StructType()
+      .add("event_id", LongType).add("ts_s", StringType)
+      .add("user_id", LongType)
+    val ev = Tables.events(s, d).select(col("event_id"),
+      date_format(col("ts"), fmt).as("ts_s"), col("user_id"))
+    val rawDir = scratch("graft_q_sses_raw")
+    val ckpt = scratch("graft_q_sses_ckpt")
+    val outDir = scratch("graft_q_sses_out") + "/emitted"
+    def drain(): Unit = {
+      val q = s.readStream.format("csv").option("header", "true")
+        .schema(schema).load(rawDir)
+        .withColumn("ts", to_timestamp(col("ts_s"), fmt))
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id") % 1000).as("v_sum"))
+        .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
+          col("n_events"), col("v_sum"))
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) b.write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    writeWave(ev.coalesce(1), rawDir)
+    drain()
+    val maxS = Tables.events(s, d)
+      .agg(date_format(max(col("ts")), fmt)).head().getString(0)
+    def sentinel(days: Int): DataFrame = {
+      import s.implicits._
+      Seq((0L, -1L)).toDF("event_id", "user_id")
+        .withColumn("ts_s", date_format(
+          to_timestamp(lit(maxS), fmt) + expr(s"INTERVAL $days DAYS"), fmt))
+        .select(col("event_id"), col("ts_s"), col("user_id"))
+    }
+    writeWave(sentinel(2), rawDir)
+    drain()
+    writeWave(sentinel(4), rawDir)
+    drain()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+    s.read.parquet(outDir).filter(col("user_id") >= 0)
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_id"), col("start_us"),
+        col("n_events"), col("v_sum"))
+  }
+
+  val streamSessionsOracle: String =
+    """WITH g AS (
+         SELECT user_id, event_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          >= 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (
+         SELECT user_id, event_id, ts,
+                CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+         FROM g)
+       SELECT user_id, session_id,
+              CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(event_id % 1000) AS BIGINT) AS v_sum
+       FROM s GROUP BY user_id, session_id
+       ORDER BY user_id, session_id"""
 
   val streamWindowOracle: String =
     """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
