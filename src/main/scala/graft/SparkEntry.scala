@@ -163,6 +163,7 @@ object SparkEntry {
     "q_stream_scd2"     -> (graft.streaming.StreamQueries.streamScd2 _),
     "q_stream_window"   -> (graft.streaming.StreamQueries.streamWindow _),
     "q_stream_sessions" -> (graft.streaming.StreamQueries.streamSessions _),
+    "q_stream_ijoin"    -> (graft.streaming.StreamQueries.streamIntervalJoin _),
     // §7.5 — multimodal binary columns (stub decode, real plumbing)
     "q_media_features"  -> ((s: SparkSession, d: String) =>
       ext.Multimodal.decoded(s, ext.Multimodal.mediaTable(Tables.documents(s, d)))),
@@ -819,6 +820,7 @@ object SparkEntry {
     "q_stream_scd2"   -> graft.streaming.StreamQueries.streamScd2Oracle,
     "q_stream_window" -> graft.streaming.StreamQueries.streamWindowOracle,
     "q_stream_sessions" -> graft.streaming.StreamQueries.streamSessionsOracle,
+    "q_stream_ijoin"  -> graft.streaming.StreamQueries.streamIntervalJoinOracle,
     "q_doc_pipeline"  -> ext.DocPipeline.pipelineOracle(),
     "q_corpus_pack"   -> ext.DocPipeline.assembledPacksOracle(),
     "q_corpus_curate" -> ext.DocPipeline.curatedPacksOracle(),

@@ -366,6 +366,67 @@ object StreamQueries {
         col("n_events"), col("v_sum"))
   }
 
+  /** Stream-stream INTERVAL JOIN under the oracle gate (X40
+    * end-to-end, through the [[EventStreams.clickAttribution]] library
+    * operator): clicks and impressions drain as two file-source
+    * streams into one append-mode join — each click attributed to the
+    * same user's impressions within the preceding 30 minutes.
+    *
+    * Determinism needs no sentinels here: an INNER stream-stream join
+    * emits a match as soon as both rows have been processed
+    * (watermarks only bound state retention), and each side's corpus
+    * is ONE file, so the single AvailableNow batch holds both sides in
+    * full — every match provably emits, none can be dropped by state
+    * eviction mid-drain. The hash therefore pins the interval-join
+    * semantics themselves (bounds, user equi-key, duplicate matches)
+    * against a plain SQL self-join replay. */
+  def streamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val schema = new StructType()
+      .add("ts_s", StringType).add("user_id", LongType)
+      .add("value", DoubleType)
+    val ev = Tables.events(s, d)
+    def side(tpe: String, dir: String): DataFrame = {
+      writeWave(ev.filter(col("event_type") === tpe)
+        .select(date_format(col("ts"), fmt).as("ts_s"),
+          col("user_id"), col("value")).coalesce(1), dir)
+      s.readStream.format("csv").option("header", "true")
+        .schema(schema).load(dir)
+        .withColumn("ts", to_timestamp(col("ts_s"), fmt))
+        .select(col("user_id"), col("ts"), col("value"))
+    }
+    val impDir = scratch("graft_q_sij_imp")
+    val clkDir = scratch("graft_q_sij_clk")
+    val ckpt = scratch("graft_q_sij_ckpt")
+    val outDir = scratch("graft_q_sij_out") + "/emitted"
+    val joined = EventStreams.clickAttribution(
+      side("view", impDir), side("click", clkDir), windowMinutes = 30)
+    val q = joined.writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) b.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir).select(col("user_id"),
+      unix_micros(col("imp_ts")).as("imp_us"),
+      unix_micros(col("click_ts")).as("click_us"),
+      round(col("imp_value"), 2).as("imp_value"),
+      round(col("click_value"), 2).as("click_value"))
+  }
+
+  val streamIntervalJoinOracle: String =
+    """SELECT c.user_id,
+              CAST(epoch_us(i.ts) AS BIGINT) AS imp_us,
+              CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+              round(i.value, 2) AS imp_value,
+              round(c.value, 2) AS click_value
+       FROM events c JOIN events i ON c.user_id = i.user_id
+        AND c.event_type = 'click' AND i.event_type = 'view'
+        AND i.ts <= c.ts AND i.ts >= c.ts - INTERVAL 30 MINUTE
+       ORDER BY c.user_id, imp_us, click_us"""
+
   val streamSessionsOracle: String =
     """WITH g AS (
          SELECT user_id, event_id, ts,

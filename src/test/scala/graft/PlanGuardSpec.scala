@@ -29,16 +29,34 @@ class PlanGuardSpec extends SparkSpec {
     // 1-row total broadcast against the 20-row top-k relation
     "q_skew_profile")
 
-  test("no cartesian products; nested-loop joins only where intended") {
+  test("no cartesian products; nested-loop joins only where intended; " +
+      "no partitionless windows outside the allowlist") {
+    // ONE invocation per query for every plan property: several queries
+    // are full lifecycles (streaming drains, scratch-table writes), so
+    // building each plan once instead of once per property keeps the
+    // sweep's cost from doubling as the surface grows.
     val d = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
       spark.catalog.clearCache()
-      val plan = fn(spark, d).queryExecution.executedPlan.toString
+      val qe = fn(spark, d).queryExecution
+      val plan = qe.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a cartesian product:\n$plan")
       if (!intendedBroadcastNL(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans an unintended nested-loop join:\n$plan")
+      val glob = qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      if (intendedGlobalWindow(name))
+        assert(glob.nonEmpty,
+          s"$name is allowlisted for a global window but plans none — " +
+            "remove it from the allowlist")
+      else
+        assert(glob.isEmpty,
+          s"$name plans a partitionless Window (single-task funnel at " +
+            s"scale):\n${glob.headOption.getOrElse("")}")
     }
   }
 
@@ -54,25 +72,6 @@ class PlanGuardSpec extends SparkSpec {
     "q_skew_profile",   // cumulative share over the 20-row top-k result
     "q_histogram",      // share-of-total over 20 bins
     "q_histogram_eqd")  // cumulative counts over the ≤50-value domain
-
-  test("no partitionless windows outside the output-sized allowlist") {
-    val d = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (name, fn) =>
-      spark.catalog.clearCache()
-      val glob = fn(spark, d).queryExecution.optimizedPlan.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window
-            if w.partitionSpec.isEmpty => w
-      }
-      if (intendedGlobalWindow(name))
-        assert(glob.nonEmpty,
-          s"$name is allowlisted for a global window but plans none — " +
-            "remove it from the allowlist")
-      else
-        assert(glob.isEmpty,
-          s"$name plans a partitionless Window (single-task funnel at " +
-            s"scale):\n${glob.headOption.getOrElse("")}")
-    }
-  }
 
   test("q_histogram's returned plan scans the input exactly once") {
     // The [min, max] stats pass is collected eagerly at build time, so
