@@ -164,6 +164,7 @@ object SparkEntry {
     "q_stream_window"   -> (graft.streaming.StreamQueries.streamWindow _),
     "q_stream_sessions" -> (graft.streaming.StreamQueries.streamSessions _),
     "q_stream_ijoin"    -> (graft.streaming.StreamQueries.streamIntervalJoin _),
+    "q_stream_sessions_cs" -> (graft.streaming.StreamQueries.streamSessionsCustom _),
     // §7.5 — multimodal binary columns (stub decode, real plumbing)
     "q_media_features"  -> ((s: SparkSession, d: String) =>
       ext.Multimodal.decoded(s, ext.Multimodal.mediaTable(Tables.documents(s, d)))),
@@ -821,6 +822,7 @@ object SparkEntry {
     "q_stream_window" -> graft.streaming.StreamQueries.streamWindowOracle,
     "q_stream_sessions" -> graft.streaming.StreamQueries.streamSessionsOracle,
     "q_stream_ijoin"  -> graft.streaming.StreamQueries.streamIntervalJoinOracle,
+    "q_stream_sessions_cs" -> graft.streaming.StreamQueries.streamSessionsCustomOracle,
     "q_doc_pipeline"  -> ext.DocPipeline.pipelineOracle(),
     "q_corpus_pack"   -> ext.DocPipeline.assembledPacksOracle(),
     "q_corpus_curate" -> ext.DocPipeline.curatedPacksOracle(),

@@ -416,6 +416,98 @@ object StreamQueries {
       round(col("click_value"), 2).as("click_value"))
   }
 
+  /** CUSTOM-STATE sessionization under the oracle gate (X62's
+    * `flatMapGroupsWithState` tier end-to-end): the same user-keyed
+    * 30-minute-gap sessions as [[streamSessions]], but through the
+    * hand-written keyed-state operator ([[EventStreams.sessionize]] —
+    * event-time timeouts close parked sessions when the watermark
+    * passes their gap horizon; in-batch gaps close eagerly). The
+    * sentinel-wave design makes every real session's emission a DATA
+    * batch certainty: drain 2's batch fires timers up to wave 1's
+    * committed watermark, drain 3's fires everything left (its
+    * watermark sits 2 days past the last real event).
+    *
+    * One deliberate difference from the declarative form: the state
+    * fold tracks MILLISECOND event times (`Timestamp.getTime`), so the
+    * oracle's gap arithmetic and session bounds use `epoch_ms` — the
+    * hash match pins that precision contract too. */
+  def streamSessionsCustom(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val schema = new StructType()
+      .add("ts_s", StringType).add("user_id", LongType)
+      .add("value", DoubleType)
+    val ev = Tables.events(s, d).select(
+      date_format(col("ts"), fmt).as("ts_s"), col("user_id"),
+      col("value"))
+    val rawDir = scratch("graft_q_scs_raw")
+    val ckpt = scratch("graft_q_scs_ckpt")
+    val outDir = scratch("graft_q_scs_out") + "/emitted"
+    def drain(): Unit = {
+      val src = s.readStream.format("csv").option("header", "true")
+        .schema(schema).load(rawDir)
+        .withColumn("ts", to_timestamp(col("ts_s"), fmt))
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[EventStreams.Ev]
+      val q = EventStreams.sessionize(src)
+        .toDF()
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) b.write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    writeWave(ev.coalesce(1), rawDir)
+    drain()
+    val maxS = Tables.events(s, d)
+      .agg(date_format(max(col("ts")), fmt)).head().getString(0)
+    def sentinel(days: Int): DataFrame = {
+      Seq((-1L, 0.0)).toDF("user_id", "value")
+        .withColumn("ts_s", date_format(
+          to_timestamp(lit(maxS), fmt) + expr(s"INTERVAL $days DAYS"), fmt))
+        .select(col("ts_s"), col("user_id"), col("value"))
+    }
+    writeWave(sentinel(2), rawDir)
+    drain()
+    writeWave(sentinel(4), rawDir)
+    drain()
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("session_start"))
+    s.read.parquet(outDir).filter(col("user_id") >= 0)
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_id"),
+        unix_millis(col("session_start")).as("start_ms"),
+        unix_millis(col("session_end")).as("end_ms"),
+        col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+  }
+
+  val streamSessionsCustomOracle: String =
+    """WITH g AS (
+         SELECT user_id, event_id, value, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w)
+                          >= 1800000
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (
+         SELECT user_id, value, ts,
+                CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+         FROM g)
+       SELECT user_id, session_id,
+              CAST(epoch_ms(min(ts)) AS BIGINT) AS start_ms,
+              CAST(epoch_ms(max(ts)) AS BIGINT) AS end_ms,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 2) AS sum_value
+       FROM s GROUP BY user_id, session_id
+       ORDER BY user_id, session_id"""
+
   val streamIntervalJoinOracle: String =
     """SELECT c.user_id,
               CAST(epoch_us(i.ts) AS BIGINT) AS imp_us,
