@@ -200,14 +200,20 @@ object DedupQueries {
   /** Tier 6 — passage-level dedup (the C4/RefinedWeb shape): split each
     * document into fixed 10-token chunks, fingerprint each chunk, and
     * charge every chunk whose fingerprint is owned by an earlier doc as a
-    * foreign duplicate. Ownership is a whole-partition window min over
-    * fp — ONE shuffle by fp, no join — then the per-doc rollup reuses
-    * nothing and shuffles once more by doc_id. The chunk relation is
-    * narrow (doc_id, fp) throughout. */
+    * foreign duplicate. Ownership is `groupBy(fp).agg(min(doc_id))` joined
+    * back on fp — NOT a fp-partitioned window: chunk fingerprints are the
+    * textbook hot key at web-corpus scale (boilerplate 10-token chunks —
+    * cookie banners, license headers — recur millions of times), and a
+    * WindowExec partitioned by fp would funnel each hot fp through one
+    * reducer with no AQE skew split. The groupBy form is map-side
+    * combinable (the hot fp collapses in partial aggregation) and the
+    * join-back is AQE-skew-splittable; both relations stay narrow
+    * (doc_id, fp) / (fp, owner) throughout. */
   def chunkDedup(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    chunked(s, d)
-      .withColumn("owner", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+    val ch = chunked(s, d)
+    val owners = ch.groupBy(col("fp")).agg(min(col("doc_id")).as("owner"))
+    ch
+      .join(owners, Seq("fp"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_chunks"),

@@ -57,6 +57,13 @@ class PlanGuardSpec extends SparkSpec {
         assert(glob.isEmpty,
           s"$name plans a partitionless Window (single-task funnel at " +
             s"scale):\n${glob.headOption.getOrElse("")}")
+      val hot = PlanGuardSpec.hotKeyWindows(qe.optimizedPlan)
+      assert(hot.isEmpty,
+        s"$name plans a Window partitioned solely by unbounded-cardinality " +
+          s"content column(s) ${hot.mkString(", ")} — a hot content key " +
+          "(boilerplate chunk/token) funnels through ONE reducer and " +
+          "WindowExec cannot be AQE-skew-split; use " +
+          "groupBy(key).agg(...) + join-back instead")
     }
   }
 
@@ -73,6 +80,28 @@ class PlanGuardSpec extends SparkSpec {
     "q_histogram",      // share-of-total over 20 bins
     "q_histogram_eqd")  // cumulative counts over the ≤50-value domain
 
+  test("hot-key window canary: a deliberately fp-partitioned window is " +
+      "caught by the guard") {
+    // Reconstructs the exact round-9 q_chunk_dedup shape — ownership as
+    // a window min partitioned by a chunk fingerprint — and asserts the
+    // detector flags it. If the detector's column heuristics drift, this
+    // canary fails before a real hot-key window can slip back in.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = spark.range(100).toDF("doc_id")
+      .withColumn("fp", md5(expr("cast(doc_id % 7 as string)")))
+      .withColumn("owner",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+    val hot = PlanGuardSpec.hotKeyWindows(df.queryExecution.optimizedPlan)
+    assert(hot.nonEmpty, "the fp-partitioned canary window was not flagged")
+    // ...and the safe shape (id-keyed window) is NOT flagged.
+    val safe = spark.range(100).toDF("doc_id")
+      .withColumn("fp", md5(expr("cast(doc_id % 7 as string)")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    assert(PlanGuardSpec.hotKeyWindows(safe.queryExecution.optimizedPlan).isEmpty,
+      "an id-keyed window was wrongly flagged as a hot content key")
+  }
+
   test("q_histogram's returned plan scans the input exactly once") {
     // The [min, max] stats pass is collected eagerly at build time, so
     // counting the eager scan the whole query reads the input exactly
@@ -83,4 +112,40 @@ class PlanGuardSpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(plan).length
     assert(scans === 1, s"expected exactly 1 input scan, saw $scans:\n$plan")
   }
+}
+
+object PlanGuardSpec {
+  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
+
+  /** Column names that are content-derived and therefore unbounded-
+    * cardinality AND skew-prone: chunk/shingle fingerprints, tokens,
+    * terms, n-grams, raw hashes. A window partitioned SOLELY by such
+    * columns funnels each hot content key (cookie banners, license
+    * headers) through one reducer, and WindowExec — unlike a shuffle
+    * join — cannot be AQE-skew-split. */
+  private val ContentKey =
+    "(?i)^(fp|fingerprint|token|term|chunk|shingle|[a-z0-9_]*gram|word|hash|md5|sig|simhash|minhash|text)$".r
+
+  /** Join-key-shaped / bounded partition columns: per-key row counts are
+    * bounded by entity fan-out (a user's events, a query's candidates),
+    * not by content popularity. A partition spec containing AT LEAST ONE
+    * such column is considered safe. */
+  private def isIdShaped(name: String): Boolean =
+    name.toLowerCase.stripPrefix("__") match {
+      case n if n.endsWith("_id") || n.endsWith("id") || n.endsWith("key") ||
+        n.endsWith("_us") => true
+      case "pk" | "source" | "grp" | "pshard" | "pid" | "band" | "bucket" => true
+      case _ => false
+    }
+
+  /** Every Window in `plan` whose partition spec references ONLY
+    * content-shaped columns; returns their offending column lists. */
+  def hotKeyWindows(plan: LogicalPlan): Seq[String] =
+    plan.collect {
+      case w: LWindow if w.partitionSpec.nonEmpty =>
+        val names = w.partitionSpec.flatMap(_.references.map(_.name)).distinct
+        val allContent = names.nonEmpty && names.forall(n =>
+          ContentKey.pattern.matcher(n).matches && !isIdShaped(n))
+        if (allContent) Some(names.mkString("[", ",", "]")) else None
+    }.flatten
 }
