@@ -35,8 +35,29 @@ object StreamIngest {
     * tables whole. */
   private val GuardProbeMaxKeys = 100000
 
+  /** The shared raw-zone file source. `maxFilesPerTrigger` caps each
+    * micro-batch's file count; `Trigger.AvailableNow` honors it, so a
+    * backfill drain becomes N bounded commits. */
+  private def sourceStream(spark: SparkSession, rawDir: String,
+      schema: StructType, maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val base = spark.readStream
+      .format("csv")
+      .option("header", "true")
+      .schema(schema)
+    maxFilesPerTrigger
+      .fold(base)(n => base.option("maxFilesPerTrigger", n.toString))
+      .load(rawDir)
+  }
+
   /** Drain all currently-available files under `rawDir` into `table`.
-    * Returns the number of micro-batches that carried rows. */
+    * Returns the number of micro-batches that carried rows.
+    *
+    * `maxFilesPerTrigger` bounds each micro-batch to that many input
+    * files — `Trigger.AvailableNow` respects it, so a large backfill
+    * drains as N bounded MERGE commits instead of ONE giant one (peak
+    * shuffle ∝ cap, not ∝ backlog). Unset = whole backlog in one batch,
+    * fine for steady-state event cadence; SET IT for backfills at
+    * scale. */
   def runAvailableNow(
       spark: SparkSession,
       rawDir: String,
@@ -44,12 +65,9 @@ object StreamIngest {
       table: MergeTable,
       pk: String,
       checkpoint: String,
-      transform: DataFrame => DataFrame = identity): Long = {
-    val stream = spark.readStream
-      .format("csv")
-      .option("header", "true")
-      .schema(schema)
-      .load(rawDir)
+      transform: DataFrame => DataFrame = identity,
+      maxFilesPerTrigger: Option[Int] = None): Long = {
+    val stream = sourceStream(spark, rawDir, schema, maxFilesPerTrigger)
     @volatile var batchesWithRows = 0L
     val query = transform(stream).writeStream
       .trigger(Trigger.AvailableNow())
@@ -92,12 +110,9 @@ object StreamIngest {
       pk: String,
       labelCol: String,
       checkpoint: String,
-      transform: DataFrame => DataFrame = identity): Long = {
-    val stream = spark.readStream
-      .format("csv")
-      .option("header", "true")
-      .schema(schema)
-      .load(rawDir)
+      transform: DataFrame => DataFrame = identity,
+      maxFilesPerTrigger: Option[Int] = None): Long = {
+    val stream = sourceStream(spark, rawDir, schema, maxFilesPerTrigger)
     @volatile var waves = 0L
     val query = transform(stream).writeStream
       .trigger(Trigger.AvailableNow())
@@ -160,9 +175,11 @@ object StreamIngest {
     * the live (pk, seq) guard owns ordering from there. Tombstones are
     * written AFTER the data commit, so a crash between the two replays
     * into a no-op delete plus the tombstone write. This is Delta Live
-    * Tables' `__apply_changes` tombstone retention, with the retention
-    * window currently unbounded (a VACUUM-style age-out composes
-    * naturally via delete() on the sidecar).
+    * Tables' `__apply_changes` tombstone retention; `tombstoneLateness`
+    * wires the retention window to the drain's sequence high-water mark
+    * (see [[expireTombstones]] for the bounded-lateness contract) so
+    * the sidecar stays bounded at CDC cadence — unset keeps tombstones
+    * forever (maximum safety, unbounded sidecar).
     *
     * Returns the number of micro-batches that applied at least one
     * event. */
@@ -174,7 +191,9 @@ object StreamIngest {
       pk: String,
       seqCol: String,
       checkpoint: String,
-      transform: DataFrame => DataFrame = identity): Long = {
+      transform: DataFrame => DataFrame = identity,
+      maxFilesPerTrigger: Option[Int] = None,
+      tombstoneLateness: Option[Long] = None): Long = {
     import org.apache.spark.sql.functions.{col, max}
     require(schema.fieldNames.contains(MergeTable.ChangeType),
       s"CDC stream schema needs a ${MergeTable.ChangeType} column")
@@ -182,12 +201,12 @@ object StreamIngest {
       s"CDC stream schema needs the sequence column $seqCol")
     val tombstones = MergeTable(spark,
       table.root.resolve("_tombstones").toString)
-    val stream = spark.readStream
-      .format("csv")
-      .option("header", "true")
-      .schema(schema)
-      .load(rawDir)
+    val stream = sourceStream(spark, rawDir, schema, maxFilesPerTrigger)
     @volatile var applied = 0L
+    // High-water sequence across the drain (1-row agg per batch, only
+    // computed when a lateness bound asks for expiry) — anchors the
+    // post-drain tombstone age-out below.
+    @volatile var maxSeqSeen: Option[Long] = None
     val query = transform(stream).writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
@@ -203,6 +222,13 @@ object StreamIngest {
         val events =
           batch.filter(col(MergeTable.ChangeType) =!= "update_preimage")
         if (!events.isEmpty) {
+          if (tombstoneLateness.nonEmpty) {
+            val row = events.agg(max(col(seqCol).cast("long"))).head()
+            if (!row.isNullAt(0)) {
+              val mx = row.getLong(0)
+              maxSeqSeen = Some(maxSeqSeen.fold(mx)(math.max(_, mx)))
+            }
+          }
           // Both guards below only need the stored rows whose pk
           // appears IN THIS BATCH — at scale that is the difference
           // between a per-batch full-table read and O(files containing
@@ -264,6 +290,14 @@ object StreamIngest {
       }
       .start()
     query.awaitTermination()
+    // Watermark-wired tombstone retention: under the bounded-lateness
+    // contract (no event ever arrives sequenced below highWater −
+    // lateness), a tombstone strictly below that bound can never reject
+    // anything again — each drain ages out exactly those, so the
+    // sidecar stays bounded at CDC cadence instead of growing forever.
+    // Rejection INSIDE the bound is untouched.
+    for (lat <- tombstoneLateness; mx <- maxSeqSeen)
+      expireTombstones(spark, table, seqCol, mx - lat)
     applied
   }
 

@@ -59,7 +59,16 @@ object StreamQueries {
     * would be idempotent on the pk — but the CDF between v1 and v2
     * would then carry spurious update images for every base row and
     * the maintained MV would drift from the oracle. The hash equality
-    * is therefore also a checkpoint-correctness proof. */
+    * is therefore also a checkpoint-correctness proof.
+    *
+    * Both drains run with `maxFilesPerTrigger = 1` over 2-file waves,
+    * so each wave lands as TWO bounded micro-batch MERGEs (the backfill
+    * discipline at scale: peak shuffle ∝ cap, not ∝ backlog) — and the
+    * hash equality then also proves multi-batch drain stability: the MV
+    * is maintained over a multi-commit change-feed range, and any
+    * file→batch assignment nondeterminism would have to cancel out to
+    * the same final state (each key changes exactly once per wave, so
+    * it does — by design). */
   def streamMv(s: SparkSession, d: String): DataFrame = {
     val schema = new StructType()
       .add("o_orderkey", LongType).add("o_custkey", LongType)
@@ -70,9 +79,14 @@ object StreamQueries {
     val rawDir = scratch("graft_q_smv_raw")
     val ckpt = scratch("graft_q_smv_ckpt")
     val t = MergeTable(s, scratch("graft_q_smv_tbl"))
+    def drain(): Unit = {
+      StreamIngest.runAvailableNow(s, rawDir, schema, t, "o_orderkey",
+        ckpt, maxFilesPerTrigger = Some(1))
+      ()
+    }
 
-    writeWave(base, rawDir)
-    StreamIngest.runAvailableNow(s, rawDir, schema, t, "o_orderkey", ckpt)
+    writeWave(base.repartition(2), rawDir)
+    drain()
     val v1 = t.latestVersion()
     var mv = IncrementalAgg.fullAggregate(t.read(), "o_custkey", "v")
 
@@ -81,8 +95,8 @@ object StreamQueries {
     val ins = base.filter(col("o_orderkey") % 6 === 3)
       .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
       .withColumn("v", col("v") + 7L)
-    writeWave(upd.unionByName(ins), rawDir)
-    StreamIngest.runAvailableNow(s, rawDir, schema, t, "o_orderkey", ckpt)
+    writeWave(upd.unionByName(ins).repartition(2), rawDir)
+    drain()
     val v2 = t.latestVersion()
 
     mv = IncrementalAgg.applyDelta(mv,

@@ -426,6 +426,143 @@ class StreamIngestSpec extends SparkSpec {
     }
   }
 
+  test("maxFilesPerTrigger drains a backfill as bounded micro-batches " +
+      "with identical final state") {
+    // A 4-file backlog with cap=1 must arrive as 4 micro-batch MERGEs
+    // (peak shuffle ∝ cap, not ∝ backlog) — and converge to exactly the
+    // state an uncapped one-giant-batch drain produces.
+    val rows = Seq(
+      Seq("o1,2024-01-01,10.0", "o2,2024-01-02,20.0"),
+      Seq("o2,2024-01-02,99.0", "o3,2024-01-03,30.0"),
+      Seq("o4,2024-01-04,40.0"),
+      Seq("o1,2024-01-01,11.0", "o5,2024-01-05,50.0"))
+    val (rawA, rawB) = (tmpDir("rawcapA"), tmpDir("rawcapB"))
+    // The file source orders a backlog by modification time; same-ms
+    // writes tie and the tie-break is unspecified. A real backfill's
+    // files carry their arrival mtimes — model that explicitly so the
+    // capped drain's file order (and thus the upsert outcome) is
+    // deterministic.
+    val t0 = System.currentTimeMillis() - 60000
+    rows.zipWithIndex.foreach { case (r, i) =>
+      writeCsv(rawA, s"f$i.csv", r: _*)
+      Files.setLastModifiedTime(rawA.resolve(s"f$i.csv"),
+        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 1000))
+    }
+    val capped = MergeTable(spark, tmpDir("tblcapA").toString, Some("date"))
+    val seq = MergeTable(spark, tmpDir("tblcapB").toString, Some("date"))
+    val vBase = capped.latestVersion()
+    val batches = StreamIngest.runAvailableNow(spark, rawA.toString, schema,
+      capped, "order_id", tmpDir("ckptcapA").toString,
+      maxFilesPerTrigger = Some(1))
+    assert(batches === 4L, "cap=1 over 4 files must yield 4 micro-batches")
+    assert(capped.latestVersion() === vBase + 4,
+      "each bounded micro-batch must land as its own MERGE commit")
+    // Ground truth: the same files ARRIVING one uncapped drain at a
+    // time (the steady-state cadence the capped backfill must
+    // reproduce — file-order last-writer-wins on the upserted keys).
+    // NOTE one giant uncapped batch over the full backlog is NOT that
+    // ground truth: it would carry duplicate pks (o1, o2 recur across
+    // files) into a single MERGE, which has no ordering column to
+    // arbitrate them — exactly why a backfill drain over a keyed
+    // upsert feed should be capped in the first place.
+    val ckptB = tmpDir("ckptcapB").toString
+    rows.zipWithIndex.foreach { case (r, i) =>
+      writeCsv(rawB, s"f$i.csv", r: _*)
+      StreamIngest.runAvailableNow(spark, rawB.toString, schema,
+        seq, "order_id", ckptB)
+    }
+    def st(t: MergeTable): Set[(String, String)] =
+      t.read().select("order_id", "amount").as[(String, String)]
+        .collect().toSet
+    assert(st(capped) === st(seq))
+    assert(st(capped) === Set(("o1", "11.0"), ("o2", "99.0"),
+      ("o3", "30.0"), ("o4", "40.0"), ("o5", "50.0")))
+  }
+
+  test("CDC guards hold per-batch under a capped multi-batch drain") {
+    // cap=1 turns ONE drain call into per-file micro-batches, so the
+    // cross-batch guards (live (pk,seq) + tombstones) are exercised at
+    // realistic cadence WITHIN a single drain: a late event in a later
+    // file must be rejected against state committed by an earlier file
+    // of the same drain.
+    import org.apache.spark.sql.types.LongType
+    val cdcSchema = StructType(Seq(
+      StructField("order_id", StringType),
+      StructField("amount", StringType),
+      StructField(MergeTable.ChangeType, StringType),
+      StructField("seq", LongType)))
+    val raw = tmpDir("rawcapcdc")
+    val t = MergeTable(spark, tmpDir("tblcapcdc").toString)
+    def writeCdc(name: String, rows: String*): Unit =
+      Files.writeString(raw.resolve(name),
+        (s"order_id,amount,${MergeTable.ChangeType},seq" +: rows)
+          .mkString("\n"))
+    writeCdc("c1.csv", "o1,10.0,insert,5", "o2,20.0,insert,1")
+    writeCdc("c2.csv", "o1,99.0,update,3") // late vs c1's seq 5
+    writeCdc("c3.csv", "o2,20.0,delete,2")
+    writeCdc("c4.csv", "o2,77.0,update,1") // post-delete straggler
+    // deterministic arrival order (see the backfill test above)
+    val t0 = System.currentTimeMillis() - 60000
+    (1 to 4).foreach { i =>
+      Files.setLastModifiedTime(raw.resolve(s"c$i.csv"),
+        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 1000))
+    }
+    val applied = StreamIngest.runCdcAvailableNow(spark, raw.toString,
+      cdcSchema, t, "order_id", "seq", tmpDir("ckptcapcdc").toString,
+      maxFilesPerTrigger = Some(1))
+    assert(applied === 2L,
+      "only the two in-order batches may commit; the late batches must " +
+        "be emptied by the per-batch guards")
+    val st = t.read().select("order_id", "amount", "seq")
+      .as[(String, String, Long)].collect().toSet
+    assert(st === Set(("o1", "10.0", 5L)))
+  }
+
+  test("tombstoneLateness keeps the sidecar bounded while in-bound " +
+      "rejection still holds") {
+    import org.apache.spark.sql.types.LongType
+    val cdcSchema = StructType(Seq(
+      StructField("order_id", StringType),
+      StructField("amount", StringType),
+      StructField(MergeTable.ChangeType, StringType),
+      StructField("seq", LongType)))
+    val raw = tmpDir("rawtl")
+    val ckpt = tmpDir("ckpttl").toString
+    val t = MergeTable(spark, tmpDir("tbltl").toString)
+    val sidecar = MergeTable(spark, t.root.resolve("_tombstones").toString)
+    def writeCdc(name: String, rows: String*): Unit =
+      Files.writeString(raw.resolve(name),
+        (s"order_id,amount,${MergeTable.ChangeType},seq" +: rows)
+          .mkString("\n"))
+    def drain(): Long = StreamIngest.runCdcAvailableNow(spark,
+      raw.toString, cdcSchema, t, "order_id", "seq", ckpt,
+      tombstoneLateness = Some(2L))
+    def tombs(): Set[(String, Long)] =
+      sidecar.read().select("order_id", "seq").as[(String, Long)]
+        .collect().toSet
+
+    writeCdc("c1.csv", "o1,10.0,insert,1", "o2,20.0,insert,2",
+      "o3,30.0,insert,3")
+    drain()
+    writeCdc("c2.csv", "o1,10.0,delete,4")
+    drain()
+    // high-water 4, lateness 2 → expiry below 2; o1's tombstone (4) stays
+    assert(tombs() === Set(("o1", 4L)))
+    writeCdc("c3.csv", "o2,20.0,delete,8")
+    drain()
+    // high-water 8 → expiry below 6 ages out o1's tombstone; the
+    // sidecar stays bounded instead of accumulating every delete ever
+    assert(tombs() === Set(("o2", 8L)))
+    // in-bound rejection is untouched: a straggler at seq 7 (inside the
+    // lateness window, below o2's tombstone 8) must still be rejected…
+    writeCdc("c4.csv", "o2,99.0,update,7", "o3,33.0,update,9")
+    drain()
+    val st = t.read().select("order_id", "amount", "seq")
+      .as[(String, String, Long)].collect().toSet
+    // …while the in-order o3 event lands
+    assert(st === Set(("o3", "33.0", 9L)))
+  }
+
   test("streaming CDC apply: full-image feeds never let the preimage win") {
     import org.apache.spark.sql.types.LongType
     val cdcSchema = StructType(Seq(
