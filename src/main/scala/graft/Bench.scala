@@ -78,18 +78,26 @@ object Bench {
           else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
         }
       val best = if (times.isEmpty) -1.0 else times.min
-      (name, med, best)
+      (name, med, best, times)
     }
-    def json(f: ((String, Double, Double)) => Double): String =
+    def json(f: ((String, Double, Double, Seq[Double])) => Double): String =
       results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val qs = json(_._2)
     val qsMin = json(_._3)
+    // Per-run breakdown IN RUN ORDER: the round-9 driver bench showed
+    // 2.5× median-vs-min spread on two queries that the judge had to
+    // re-time in isolation to adjudicate as load noise — with the raw
+    // runs recorded, noise (one outlier run) separates from regression
+    // (all runs slow) without anyone re-timing.
+    val qsRuns = results
+      .map(r => s"\"" + r._1 + "\":" + r._4.mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
     // a query failing several runs pushes one entry per run — keep one
     // per query or the emitted JSON object has duplicate keys
     val errJson = errors.reverse.distinctBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     // `cpus` and `heap_mb` record the actual measurement regime:
     // sub-second query medians swing 3-4× between local[4] and local[32]
     // from per-task overhead alone (round-5 "events-family shift" root
@@ -97,7 +105,7 @@ object Bench {
     // "regression" that was entirely a heap/GC-regime shift (SURVEY §6.4)
     // — a bench line without both is not comparable across rounds.
     val heapMb = Runtime.getRuntime.maxMemory / (1024L * 1024L)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"cpus":$cpus,"heap_mb":$heapMb,"queries":$qs,"queries_min":$qsMin,"errors":$errJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"cpus":$cpus,"heap_mb":$heapMb,"queries":$qs,"queries_min":$qsMin,"queries_runs":$qsRuns,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // The stdout line alone is lossy in practice: the harness's capture
     // keeps only the TAIL of the line, and at 100+ queries that drops
@@ -108,7 +116,7 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench_full write to $outPath failed: $e") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

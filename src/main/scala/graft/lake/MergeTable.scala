@@ -273,8 +273,16 @@ final class MergeTable private (
     * logical name, order preserved. Defensive against double
     * application (a renamed physical is simply absent the second
     * time). */
-  private def presentLogical(df: DataFrame): DataFrame = {
-    val (ren, drops) = currentMapping()
+  private def presentLogical(df: DataFrame): DataFrame =
+    presentLogicalAs(df, currentMapping())
+
+  /** [[presentLogical]] under an explicit mapping state — time travel
+    * passes the mapping AS OF the queried version (Delta parity: a
+    * reader replaying v3 of a since-renamed table sees v3's names, and
+    * a since-dropped column is still visible at pre-drop versions). */
+  private def presentLogicalAs(df: DataFrame,
+      mapping: (Map[String, String], Set[String])): DataFrame = {
+    val (ren, drops) = mapping
     if (ren.isEmpty && drops.isEmpty) df
     else df.select(df.columns.toSeq.flatMap {
       case c if drops.contains(c) => None
@@ -330,12 +338,11 @@ final class MergeTable private (
 
   /** ALTER TABLE ... RENAME COLUMN — metadata-only (Delta column
     * mapping): the rename is one log action; no data file is touched.
-    * Reads at ANY version present the CURRENT logical schema (stable
-    * physical identities underneath; documented deviation from Delta,
-    * whose time travel presents the schema AS OF the queried version —
-    * here historical reads adopt the current logical names, which keeps
-    * CDF column sets aligned across rename boundaries; pinned by
-    * ColumnMappingSpec).
+    * Current reads and the change feed present the CURRENT logical
+    * schema (CDF column sets stay aligned across rename boundaries for
+    * incremental consumers); [[readVersion]] time travel presents the
+    * schema AS OF the queried version (Delta parity). Both pinned by
+    * ColumnMappingSpec.
     *
     * `newName` must be fresh in BOTH namespaces: not a current logical
     * column, and not a retired PHYSICAL name (a dropped column's, or a
@@ -364,10 +371,10 @@ final class MergeTable private (
   }
 
   /** ALTER TABLE ... DROP COLUMN — metadata-only: the column's data
-    * survives in files (and remains visible to pre-drop time travel of
-    * OTHER columns via the physical layer) but every read excludes it.
-    * The name is retired: re-adding it would resurrect old file data,
-    * so writes carrying it fail fast. */
+    * survives in files (and stays fully visible to pre-drop
+    * [[readVersion]] time travel — schema-as-of) but every current
+    * read excludes it. The name is retired: re-adding it would
+    * resurrect old file data, so writes carrying it fail fast. */
   def dropColumn(name: String): Long = {
     val cols = read().columns.toSet
     require(cols.contains(name),
@@ -1746,8 +1753,17 @@ final class MergeTable private (
       }.toSet
   }
 
-  /** Time travel — snapshot of historical `version`. */
-  def readVersion(version: Long): DataFrame = readEntries(snapshotAt(version))
+  /** Time travel — snapshot of historical `version`, presented under
+    * the LOGICAL SCHEMA AS OF that version (Delta parity): a rename or
+    * drop committed after `version` does not retitle history — the
+    * replayed snapshot shows the names a reader at that version saw,
+    * and a since-dropped column is still present at pre-drop versions.
+    * (Current reads and the change feed keep the CURRENT presentation:
+    * CDF column sets must stay aligned across rename boundaries for
+    * incremental consumers — pinned by ColumnMappingSpec.) */
+  def readVersion(version: Long): DataFrame =
+    presentLogicalAs(readEntriesPhys(snapshotAt(version)),
+      if (version == 0L) (Map.empty, Set.empty) else mappingAt(version))
 
   /** Change data feed between two committed versions (the Delta CDF
     * shape): every row inserted, updated, or deleted from `fromV` to
@@ -1950,14 +1966,15 @@ final class MergeTable private (
     * DOC-ONLY time-travel claim, README.md:118): the snapshot at the
     * highest version whose manifest was published at or before `ts`.
     * Commit times come from manifest file mtimes — the same clock Delta's
-    * timestamp travel trusts. */
+    * timestamp travel trusts. Presents the schema as of the resolved
+    * version, like [[readVersion]]. */
   def readAsOf(ts: java.time.Instant): DataFrame = {
     val vs = (1L to latestVersion())
       .filter(v => Files.exists(logDir.resolve(f"$v%020d.txt")))
       .filter(v => !Files.getLastModifiedTime(logDir.resolve(f"$v%020d.txt"))
         .toInstant.isAfter(ts))
     require(vs.nonEmpty, s"MergeTable at $root: no commit at or before $ts")
-    readEntries(snapshotAt(vs.max))
+    readVersion(vs.max)
   }
 
   /** A single directory holding EXACTLY the live snapshot in plain hive

@@ -33,15 +33,22 @@ class CheckpointStrategySpec extends SparkSpec {
     30L -> 31L))
 
   test("reliable mode without a checkpoint dir fails fast") {
-    // must run BEFORE any withReliable test: setCheckpointDir is sticky
-    // on the shared context, so the unset-dir error path only exists
-    // while the context is pristine
-    if (spark.sparkContext.getCheckpointDir.isEmpty) {
-      spark.conf.set(Checkpoints.ReliableKey, "true")
-      try intercept[IllegalArgumentException] {
-        Checkpoints.truncate(edges)
-      } finally spark.conf.unset(Checkpoints.ReliableKey)
-    }
+    // Runs BEFORE any withReliable test (ScalaTest executes a suite's
+    // tests in declaration order): setCheckpointDir is sticky on the
+    // shared context, so the unset-dir error path only exists while the
+    // context is pristine. Assert that precondition LOUDLY — if some
+    // future suite sets a checkpoint dir first, this test must fail
+    // (demanding a reorder or a dedicated-JVM split), not silently
+    // become a no-op that loses the require() coverage.
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      "precondition lost: another test already called setCheckpointDir " +
+        "on the shared context — the unset-dir fail-fast path is no " +
+        "longer reachable in this JVM; reorder the suites or isolate " +
+        "this test")
+    spark.conf.set(Checkpoints.ReliableKey, "true")
+    try intercept[IllegalArgumentException] {
+      Checkpoints.truncate(edges)
+    } finally spark.conf.unset(Checkpoints.ReliableKey)
   }
 
   test("connected components: reliable checkpointing is bit-identical") {

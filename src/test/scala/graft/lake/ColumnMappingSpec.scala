@@ -7,8 +7,9 @@ import graft.SparkSpec
 
 /** Column mapping (metadata-only RENAME/DROP COLUMN — Delta's column
   * mapping discipline): renames and drops are single log actions; data
-  * files keep their physical names forever, and every read presents
-  * the CURRENT logical schema. */
+  * files keep their physical names forever. Current reads and the
+  * change feed present the CURRENT logical schema; time travel
+  * presents the schema AS OF the queried version (Delta parity). */
 class ColumnMappingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -77,8 +78,11 @@ class ColumnMappingSpec extends SparkSpec {
     t.dropColumn("amount")
     assert(t.read().columns.toSeq === Seq("order_id", "date"))
     assert(t.droppedColumns === Set("amount"))
-    // time travel excludes it too (current logical schema at any version)
-    assert(!t.readVersion(1L).columns.contains("amount"))
+    // schema-as-of: PRE-drop time travel still shows the column (the
+    // data never left the files; Delta parity)
+    assert(t.readVersion(1L).columns.contains("amount"))
+    assert(t.readVersion(1L).select("amount").as[Double].collect().toSeq
+      === Seq(10.0))
     // re-adding the retired name fails fast instead of resurrecting
     // data — via schema alignment on strict merges, via the
     // physical-translation guard on evolveSchema merges
@@ -112,6 +116,36 @@ class ColumnMappingSpec extends SparkSpec {
     t2.dropConstraint("pos_amount")
     t2.renameColumn("amount", "amt") // allowed once the constraint is gone
     assert(t2.read().columns.contains("amt"))
+  }
+
+  test("time travel presents the schema AS OF the queried version; the " +
+      "change feed stays on the current names") {
+    val t = MergeTable(spark, tmpDir("cm8").toString, None)
+    t.overwrite(orders(("o1", "2024-01-01", 10.0)))
+    val preRename = t.latestVersion()
+    t.renameColumn("amount", "total")
+    t.merge(Seq(("o2", "2024-01-02", 22.0))
+      .toDF("order_id", "date", "total"), "order_id")
+    val postRename = t.latestVersion()
+    // Delta parity: replaying the pre-rename version shows the OLD name
+    // (a reader auditing v1 sees what a reader at v1 saw)…
+    assert(t.readVersion(preRename).columns.toSeq ===
+      Seq("order_id", "date", "amount"))
+    assert(t.readVersion(preRename).select("amount").as[Double]
+      .collect().toSeq === Seq(10.0))
+    // …post-rename versions show the new name…
+    assert(t.readVersion(postRename).columns.toSeq ===
+      Seq("order_id", "date", "total"))
+    // …and the CURRENT read is unchanged by any of this.
+    assert(t.read().columns.toSeq === Seq("order_id", "date", "total"))
+    // CDF pinning: a change-feed window SPANNING the rename presents
+    // the CURRENT logical names on every row — incremental consumers
+    // need one column set across rename boundaries, which is exactly
+    // why the feed does NOT adopt schema-as-of.
+    val feed = t.changes(preRename, postRename, "order_id")
+    assert(feed.columns.contains("total") && !feed.columns.contains("amount"))
+    assert(feed.filter(col("order_id") === "o2").select("total")
+      .as[Double].collect().toSeq === Seq(22.0))
   }
 
   test("a rename-only commit produces an EMPTY change feed") {
