@@ -42,9 +42,10 @@ import org.apache.spark.sql.functions._
   * O(F + interval) log lines, never the whole history.
   *
   * Commit = write data files to a fresh commit dir, then publish a temp
-  * delta file as `<nextVersion>.txt` via `Files.createLink`, which atomically
-  * FAILS if that version already exists (`rename(2)` would silently replace
-  * it — the round-1 lost-update bug). On collision the whole operation
+  * delta file as `<nextVersion>.txt` through the [[LogStore]] seam's
+  * atomic create-if-absent (POSIX hard-link by default — `rename(2)`
+  * would silently replace, the round-1 lost-update bug; see [[LogStore]]
+  * for the S3 / object-store contract). On collision the whole operation
   * recomputes against the fresh snapshot — never re-publishing a delta
   * derived from a stale one. Checkpoints are derived data published the
   * same way (create-if-absent) AFTER the commit wins, so a crash between
@@ -73,7 +74,8 @@ final class MergeTable private (
     val partitionCol: Option[String],
     val statsCols: Seq[String],
     val deletionVectors: Boolean = false,
-    val bloomCols: Seq[String] = Nil) {
+    val bloomCols: Seq[String] = Nil,
+    val logStore: LogStore = LogStore.Posix) {
 
   import MergeTable._
 
@@ -86,6 +88,14 @@ final class MergeTable private (
     org.slf4j.LoggerFactory.getLogger(classOf[MergeTable])
 
   private def logDir: Path = root.resolve(LogDir)
+
+  /** The same table handle publishing commits through `ls` instead of
+    * the default POSIX hard-link store — the object-store deployment
+    * hook (see [[LogStore]]). Reads are unaffected; only the atomic
+    * create-if-absent publish goes through the seam. */
+  def withLogStore(ls: LogStore): MergeTable =
+    new MergeTable(spark, root, partitionCol, statsCols,
+      deletionVectors, bloomCols, ls)
 
   // ---- log ----------------------------------------------------------------
 
@@ -412,24 +422,18 @@ final class MergeTable private (
 
   /** Try to publish `delta` as version `expected + 1`. Returns the
     * committed version, or None if a concurrent writer took it first.
-    * `Files.createLink` (unlike `Files.move`, whose Linux rename(2)
-    * silently REPLACES) atomically fails with FileAlreadyExistsException
-    * when the target exists — the existence check and the publish are one
-    * syscall, so two writers can never both win a version. Callers MUST
-    * recompute from the fresh snapshot on None, not re-publish a delta
-    * derived from a stale one (that would drop the other writer's changes
-    * — lost update). */
+    * The atomic create-if-absent publish is the [[LogStore]] seam —
+    * POSIX hard-link by default; see [[LogStore]]'s scaladoc for the
+    * S3 / object-store deployment contract. Callers MUST recompute
+    * from the fresh snapshot on None, not re-publish a delta derived
+    * from a stale one (that would drop the other writer's changes —
+    * lost update). */
   private[lake] def tryCommit(delta: CommitDelta, expected: Long): Option[Long] = {
     Files.createDirectories(logDir)
     val v = expected + 1
-    val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.writeString(tmp, deltaBody(delta))
-    try {
-      Files.createLink(logDir.resolve(f"$v%020d.txt"), tmp)
-      Some(v)
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => None
-    } finally Files.deleteIfExists(tmp)
+    if (logStore.putIfAbsent(logDir.resolve(f"$v%020d.txt"),
+        deltaBody(delta))) Some(v)
+    else None
   }
 
   /** Publish a full checkpoint at `v` (create-if-absent; a checkpoint is
@@ -445,11 +449,8 @@ final class MergeTable private (
     val body = deltaBody(CommitDelta(snapshotAt(v), Nil,
       cAdds = constraintsAt(v).toSeq,
       mRenames = ren.toSeq, mDrops = drops.toSeq))
-    val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.writeString(tmp, body)
-    try Files.createLink(target, tmp)
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    finally Files.deleteIfExists(tmp)
+    logStore.putIfAbsent(target, body)
+    ()
   }
 
   /** Run an optimistic write: `attempt` computes (delta, expectedVersion)
@@ -1911,7 +1912,7 @@ final class MergeTable private (
       s"clone destination $dest is not an empty directory")
     val (srcV, live) = latest()
     val clone = new MergeTable(spark, destPath, partitionCol, statsCols,
-      deletionVectors, bloomCols)
+      deletionVectors, bloomCols, logStore)
     Files.createDirectories(destPath)
     // Deletion-vector refs are root-relative paths exactly like data
     // relPaths — rebase both through the common filesystem.

@@ -427,7 +427,25 @@ class MergeTableSpec extends SparkSpec {
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val root = tmpDir("mt").toString
-    val t = MergeTable(spark, root, None)
+    // Run the race THROUGH the LogStore seam: an instrumented store
+    // (delegating to the POSIX impl) proves every publish — winner and
+    // loser alike — flows through the interface, so an object-store
+    // implementation plugged in here inherits the full optimistic
+    // protocol. The counters also pin the protocol's shape: at least 3
+    // attempted publishes (two winners + ≥1 collision loser) but
+    // exactly 3 SUCCESSFUL ones (overwrite + two merges).
+    val attempts = new java.util.concurrent.atomic.AtomicInteger
+    val wins = new java.util.concurrent.atomic.AtomicInteger
+    val counting = new LogStore {
+      override def putIfAbsent(target: java.nio.file.Path,
+          body: String): Boolean = {
+        attempts.incrementAndGet()
+        val won = LogStore.Posix.putIfAbsent(target, body)
+        if (won) wins.incrementAndGet()
+        won
+      }
+    }
+    val t = MergeTable(spark, root, None).withLogStore(counting)
     t.overwrite(orders(("o1", "d", 1.0)))
     // Two uncoordinated writers race for the next version; the loser must
     // recompute against the winner's snapshot, so BOTH rows survive.
@@ -438,6 +456,54 @@ class MergeTableSpec extends SparkSpec {
     assert(contents(t.read()) ===
       Set(("o1", "d", 1.0), ("o2", "d", 2.0), ("o3", "d", 3.0)))
     assert(t.latestVersion() === 3L, "exactly two post-overwrite commits")
+    assert(wins.get() === 3,
+      "every committed version must have flowed through the seam")
+    assert(attempts.get() >= wins.get(),
+      "collision losers must also have attempted through the seam")
+  }
+
+  test("a LogStore that breaks create-if-absent atomicity loses a commit " +
+      "(why plain S3 PutObject must not back the seam)") {
+    // The contract's negative space: a last-writer-wins store (plain
+    // object PUT) silently replaces the target, so both racers "win"
+    // the same version and one delta vanishes. Demonstrated
+    // deterministically: two deltas published at the SAME version
+    // through a broken store → the log holds one commit, the other's
+    // rows are gone. This is the documented reason LogStore.putIfAbsent
+    // demands atomic create-if-absent.
+    val broken = new LogStore {
+      override def putIfAbsent(target: java.nio.file.Path,
+          body: String): Boolean = {
+        // last-writer-wins: REPLACE is allowed (rename(2) semantics)
+        val tmp = target.resolveSibling(
+          s".tmp-${java.util.UUID.randomUUID()}")
+        java.nio.file.Files.writeString(tmp, body)
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true // both writers believe they won
+      }
+    }
+    val root = tmpDir("mtbroken").toString
+    val good = MergeTable(spark, root, None)
+    good.overwrite(orders(("o1", "d", 1.0)))
+    val taken = good.latestVersion()
+    // A racer publishing at the ALREADY-TAKEN version through the
+    // broken store "succeeds" — with the atomic POSIX store the same
+    // publish reports the collision, which is what drives the
+    // optimistic retry. Last-writer-wins replaced v1's delta in place:
+    // o1 is silently gone from the snapshot (the lost update).
+    val target = java.nio.file.Paths
+      .get(root, "_graft_log", f"$taken%020d.txt")
+    assert(broken.putIfAbsent(target, "") === true,
+      "last-writer-wins store must (wrongly) report success")
+    assert(good.latestVersion() === taken,
+      "no new version exists — the clobber replaced history in place")
+    assert(java.nio.file.Files.readString(target) === "",
+      "v1's delta was silently overwritten — its rows are lost")
+    // …whereas the atomic store refuses the same publish:
+    assert(LogStore.Posix.putIfAbsent(target, "x") === false,
+      "the POSIX impl must report the collision")
   }
 
   test("a 50-commit history reads through ONE scan node, no compact()") {
