@@ -84,11 +84,15 @@ object VectorFunctions {
 /** SparkSessionExtensions hook: `--conf
   * spark.sql.extensions=graft.functions.GraftExtensions` injects ALL of
   * this library's native functions (`dot_f`, `simhash16`, and
-  * `minhash_sig` bound to the canonical [[HashFamily]]) into ANY session
-  * at build time — the registration path for sessions this library does
-  * not construct (spark-submit jobs, notebooks, Spark Connect servers). */
+  * `minhash_sig` bound to the canonical [[HashFamily]]) AND the lake
+  * DML parser ([[graft.sql.GraftSqlParser]]: MERGE INTO / UPDATE /
+  * DELETE / OPTIMIZE / RESTORE / VACUUM against
+  * [[graft.sql.GraftSql.register]]ed tables) into ANY session at build
+  * time — the registration path for sessions this library does not
+  * construct (spark-submit jobs, notebooks, Spark Connect servers). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
     ext.injectFunction((
       FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),

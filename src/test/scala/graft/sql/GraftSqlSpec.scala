@@ -1,0 +1,129 @@
+package graft.sql
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.lake.MergeTable
+
+/** The SQL front-end: every statement drives the SAME MergeTable call
+  * its Scala API form does, so each test runs both forms on twin
+  * tables and asserts identical final state. The parser is injected
+  * via `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (TestSpark builds the shared session that way — the externally-
+  * built-session path, not a private hook). */
+class GraftSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def orders(rows: (String, String, Double)*): DataFrame =
+    rows.toDF("order_id", "date", "amount")
+
+  private def contents(df: DataFrame): Set[(String, String, Double)] =
+    df.select("order_id", "date", "amount")
+      .as[(String, String, Double)].collect().toSet
+
+  private def freshPair(tag: String): (MergeTable, MergeTable) = {
+    val viaSql = MergeTable(spark, tmpDir(s"sql_$tag").toString, Some("date"))
+    val viaApi = MergeTable(spark, tmpDir(s"api_$tag").toString, Some("date"))
+    Seq(viaSql, viaApi).foreach(
+      _.overwrite(orders(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0))))
+    GraftSql.register(s"t_$tag", viaSql)
+    (viaSql, viaApi)
+  }
+
+  test("MERGE INTO via SQL == merge() via API (view and subquery sources)") {
+    val (viaSql, viaApi) = freshPair("merge")
+    orders(("o2", "2024-01-02", 99.0), ("o3", "2024-01-03", 30.0))
+      .createOrReplaceTempView("merge_src")
+    val r = spark.sql("MERGE INTO t_merge USING merge_src ON order_id")
+    viaApi.merge(spark.table("merge_src"), "order_id")
+    assert(contents(viaSql.read()) === contents(viaApi.read()))
+    assert(r.columns.toSeq === Seq("version"))
+    assert(r.as[Long].head() === viaSql.latestVersion(),
+      "the statement returns the committed version")
+    // subquery source, second wave
+    spark.sql(
+      "MERGE INTO t_merge USING (SELECT 'o4' AS order_id, " +
+        "'2024-01-04' AS date, 40.0 AS amount) ON order_id")
+    viaApi.merge(Seq(("o4", "2024-01-04", 40.0))
+      .toDF("order_id", "date", "amount"), "order_id")
+    assert(contents(viaSql.read()) === contents(viaApi.read()))
+    assert(contents(viaSql.read()).map(_._1) === Set("o1", "o2", "o3", "o4"))
+  }
+
+  test("UPDATE / DELETE via SQL == update() / delete() via API") {
+    val (viaSql, viaApi) = freshPair("ud")
+    // SET with a function call carrying a top-level-looking comma, plus
+    // a WHERE touching a second column
+    spark.sql(
+      "UPDATE t_ud SET amount = round(amount * 1.1, 2) " +
+        "WHERE order_id = 'o1'")
+    viaApi.update(col("order_id") === "o1",
+      Map("amount" -> round(col("amount") * 1.1, 2)))
+    assert(contents(viaSql.read()) === contents(viaApi.read()))
+    spark.sql("DELETE FROM t_ud WHERE amount > 15.0")
+    viaApi.delete(col("amount") > 15.0)
+    assert(contents(viaSql.read()) === contents(viaApi.read()))
+    assert(contents(viaSql.read()).map(_._1) === Set("o1"))
+  }
+
+  test("OPTIMIZE, RESTORE, VACUUM via SQL == compact/restore/vacuum via API") {
+    val (viaSql, viaApi) = freshPair("orv")
+    Seq(viaSql, viaApi).foreach(
+      _.merge(orders(("o3", "2024-01-01", 30.0)), "order_id"))
+    val vPre = viaSql.latestVersion()
+    spark.sql("OPTIMIZE t_orv")
+    viaApi.compact()
+    assert(contents(viaSql.read()) === contents(viaApi.read()))
+    // RESTORE back past the compact+merge, then VACUUM
+    spark.sql(s"RESTORE t_orv TO VERSION AS OF 1")
+    viaApi.restore(1L)
+    assert(contents(viaSql.read()) === contents(viaApi.read()))
+    assert(contents(viaSql.read()).map(_._1) === Set("o1", "o2"))
+    spark.sql("VACUUM t_orv")
+    viaApi.vacuum()
+    assert(contents(viaSql.read()) === contents(viaApi.read()))
+    assert(vPre > 1L) // the restore actually rewound something
+  }
+
+  test("OPTIMIZE ... ZORDER BY routes to zorder()") {
+    val t = MergeTable(spark, tmpDir("sql_z").toString, None,
+      Seq("a", "b"))
+    t.overwrite((1 to 64).map(i => (i.toLong % 8, i.toLong / 8, s"r$i"))
+      .toDF("a", "b", "payload"))
+    GraftSql.register("t_z", t)
+    spark.sql("OPTIMIZE t_z ZORDER BY (a, b)")
+    // zorder committed a new version and the data survived intact
+    assert(t.read().count() === 64)
+    assert(t.latestVersion() >= 2L)
+  }
+
+  test("unregistered names and ordinary SQL delegate to Spark untouched") {
+    // ordinary SQL still parses and runs through the injected parser
+    assert(spark.sql("SELECT 1 + 1 AS x").as[Int].head() === 2)
+    // graft-SHAPED DML against an unregistered name falls through to
+    // Spark's parser — whose own analysis then rejects the unknown
+    // table, proving we did not swallow the statement
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM not_registered WHERE x = 1").collect()
+    }
+    assert(!e.isInstanceOf[scala.MatchError])
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION routes evolveSchema=true") {
+    val t = MergeTable(spark, tmpDir("sql_ev").toString, None)
+    t.overwrite(orders(("o1", "2024-01-01", 10.0)))
+    GraftSql.register("t_ev", t)
+    spark.sql(
+      "MERGE INTO t_ev USING (SELECT 'o2' AS order_id, '2024-01-02' AS " +
+        "date, 20.0 AS amount, 'web' AS channel) ON order_id " +
+        "WITH SCHEMA EVOLUTION")
+    assert(t.read().columns.contains("channel"))
+    // without the clause the same widening merge fails fast
+    intercept[Exception] {
+      spark.sql(
+        "MERGE INTO t_ev USING (SELECT 'o3' AS order_id, '2024-01-03' AS " +
+          "date, 30.0 AS amount, 1 AS extra_two) ON order_id")
+    }
+  }
+}
