@@ -86,13 +86,19 @@ object VectorFunctions {
   * this library's native functions (`dot_f`, `simhash16`, and
   * `minhash_sig` bound to the canonical [[HashFamily]]) AND the lake
   * DML parser ([[graft.sql.GraftSqlParser]]: MERGE INTO / UPDATE /
-  * DELETE / OPTIMIZE / RESTORE / VACUUM against
-  * [[graft.sql.GraftSql.register]]ed tables) into ANY session at build
+  * DELETE / OPTIMIZE / RESTORE / VACUUM / DESCRIBE HISTORY against
+  * [[graft.sql.GraftSql.register]]ed tables) AND the
+  * `graft_table(name[, version|timestamp])` table-valued function
+  * (SQL-side snapshot + time-travel reads) into ANY session at build
   * time — the registration path for sessions this library does not
   * construct (spark-submit jobs, notebooks, Spark Connect servers). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_table"),
+      new ExpressionInfo(graft.sql.GraftSql.getClass.getName, "graft_table"),
+      graft.sql.GraftSql.tableFunction))
     ext.injectFunction((
       FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),

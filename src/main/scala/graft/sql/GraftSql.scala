@@ -71,6 +71,8 @@ object GraftSql {
     """(?is)^\s*RESTORE\s+([A-Za-z_][\w]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+  private val HistoryRe =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
 
   /** Split `s` on commas at paren/quote depth zero — SET clauses carry
     * commas inside function calls (`SET a = round(x, 2), b = y`). */
@@ -151,8 +153,61 @@ object GraftSql {
       table(name).map { t =>
         GraftDmlCommand(s"VACUUM $name", _ => { t.vacuum(); t.latestVersion() })
       }
+    case HistoryRe(name) =>
+      table(name).map(t => GraftHistoryCommand(name, t))
     case _ => None
   }
+
+  /** The `graft_table(name[, version|timestamp])` table-valued
+    * function's plan builder — SQL-side time travel:
+    * `SELECT ... FROM graft_table('t')` reads the live snapshot,
+    * `graft_table('t', 3)` reads version 3, and
+    * `graft_table('t', TIMESTAMP '...')` (or an ISO-8601 string)
+    * resolves Delta's `timestampAsOf`. Arguments must be literals —
+    * the relation is resolved at analysis time, exactly like a view
+    * expansion. The returned plan is the SAME logical plan the Scala
+    * API builds, so predicate pushdown / partition pruning / the scan
+    * planner all apply untouched. */
+  def tableFunction(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty && args.size <= 2,
+      "graft_table(name[, version|timestamp]) takes 1 or 2 arguments")
+    def lit(e: Expression): Any = {
+      require(e.foldable, s"graft_table arguments must be literals, got $e")
+      e.eval()
+    }
+    val name = String.valueOf(lit(args.head))
+    val t = table(name).getOrElse(throw new IllegalArgumentException(
+      s"graft_table: no table registered as '$name' — call " +
+        "GraftSql.register first"))
+    val df = args.lift(1).map(a => (lit(a), a.dataType)) match {
+      case None => t.read()
+      case Some((v, org.apache.spark.sql.types.TimestampType)) =>
+        // a timestamp literal evals to epoch MICROS
+        t.readAsOf(java.time.Instant.EPOCH.plusNanos(
+          v.asInstanceOf[Long] * 1000L))
+      case Some((v, _: org.apache.spark.sql.types.StringType)) =>
+        t.readAsOf(java.time.Instant.parse(String.valueOf(v)))
+      case Some((v, _)) =>
+        t.readVersion(v.asInstanceOf[Number].longValue())
+    }
+    df.queryExecution.logical
+  }
+}
+
+/** `DESCRIBE HISTORY <name>` — the commit log as a result set
+  * (version, committed_at, files added/removed, checkpoint marker).
+  * Metadata-scale by construction: [[MergeTable.history]] reads only
+  * the log directory, never data files, so collecting it to the
+  * driver is a few rows per commit. */
+case class GraftHistoryCommand(name: String, t: MergeTable)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils
+      .toAttributes(t.history().schema)
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    t.history().collect().toSeq
+  override def simpleString(maxFields: Int): String =
+    s"GraftDml(DESCRIBE HISTORY $name)"
 }
 
 /** An eagerly-executed lake DML statement: `spark.sql(...)` runs

@@ -110,6 +110,49 @@ class GraftSqlSpec extends SparkSpec {
     assert(!e.isInstanceOf[scala.MatchError])
   }
 
+  test("graft_table TVF: SQL snapshot and time-travel reads == API reads") {
+    val t = MergeTable(spark, tmpDir("sql_tvf").toString, Some("date"))
+    t.overwrite(orders(("o1", "2024-01-01", 10.0)))
+    val v1 = t.latestVersion()
+    t.merge(orders(("o2", "2024-01-02", 20.0)), "order_id")
+    GraftSql.register("t_tvf", t)
+    // live snapshot — through a full SELECT with a predicate (the TVF
+    // expands to the same logical plan as the API, so pushdown applies)
+    assert(spark.sql(
+      "SELECT order_id FROM graft_table('t_tvf') WHERE amount > 15 " +
+        "ORDER BY order_id").as[String].collect().toSeq === Seq("o2"))
+    // version travel
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_table('t_tvf', $v1)")
+      .as[Long].head() === 1L)
+    assert(contents(spark.sql(s"SELECT * FROM graft_table('t_tvf', $v1)"))
+      === contents(t.readVersion(v1)))
+    // joins against ordinary relations compose
+    Seq(("o1", "alpha"), ("o2", "beta")).toDF("order_id", "label")
+      .createOrReplaceTempView("labels")
+    assert(spark.sql(
+      "SELECT l.label FROM graft_table('t_tvf') g JOIN labels l " +
+        "USING (order_id) ORDER BY l.label").as[String].collect().toSeq
+      === Seq("alpha", "beta"))
+    // unregistered name fails with OUR message, at analysis time
+    val e = intercept[Exception](spark.sql("SELECT * FROM graft_table('nope')"))
+    assert(e.getMessage.contains("no table registered"))
+  }
+
+  test("DESCRIBE HISTORY via SQL == history() via API") {
+    val t = MergeTable(spark, tmpDir("sql_hist").toString, None)
+    t.overwrite(orders(("o1", "2024-01-01", 10.0)))
+    t.merge(orders(("o2", "2024-01-02", 20.0)), "order_id")
+    GraftSql.register("t_hist", t)
+    val viaSql = spark.sql("DESCRIBE HISTORY t_hist")
+    assert(viaSql.columns.toSeq ===
+      Seq("version", "committed_at", "n_added", "n_removed", "has_checkpoint"))
+    assert(viaSql.select("version", "n_added")
+      .as[(Long, Long)].collect().toSeq ===
+      t.history().select("version", "n_added")
+        .as[(Long, Long)].collect().toSeq)
+    assert(viaSql.count() === 2L)
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION routes evolveSchema=true") {
     val t = MergeTable(spark, tmpDir("sql_ev").toString, None)
     t.overwrite(orders(("o1", "2024-01-01", 10.0)))
