@@ -99,6 +99,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_table"),
       new ExpressionInfo(graft.sql.GraftSql.getClass.getName, "graft_table"),
       graft.sql.GraftSql.tableFunction))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_changes"),
+      new ExpressionInfo(graft.sql.GraftSql.getClass.getName, "graft_changes"),
+      graft.sql.GraftSql.changesFunction))
     ext.injectFunction((
       FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),

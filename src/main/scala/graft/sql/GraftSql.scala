@@ -192,6 +192,29 @@ object GraftSql {
     }
     df.queryExecution.logical
   }
+
+  /** The `graft_changes(name, pk, fromVersion, toVersion)` table-valued
+    * function — the change data feed as SQL (Databricks'
+    * `table_changes` parity): every insert/update/delete between the
+    * two versions, tagged `_change_type`, log-pruned to partitions
+    * whose file sets differ. `pk` is the key column the feed diffs on
+    * (a string literal), same contract as [[MergeTable.changes]]. */
+  def changesFunction(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 4,
+      "graft_changes(name, pk, fromVersion, toVersion) takes 4 arguments")
+    def lit(e: Expression): Any = {
+      require(e.foldable, s"graft_changes arguments must be literals, got $e")
+      e.eval()
+    }
+    val name = String.valueOf(lit(args(0)))
+    val t = table(name).getOrElse(throw new IllegalArgumentException(
+      s"graft_changes: no table registered as '$name' — call " +
+        "GraftSql.register first"))
+    val pk = String.valueOf(lit(args(1)))
+    val fromV = lit(args(2)).asInstanceOf[Number].longValue()
+    val toV = lit(args(3)).asInstanceOf[Number].longValue()
+    t.changes(fromV, toV, pk).queryExecution.logical
+  }
 }
 
 /** `DESCRIBE HISTORY <name>` — the commit log as a result set

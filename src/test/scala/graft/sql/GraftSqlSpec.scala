@@ -138,6 +138,33 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("no table registered"))
   }
 
+  test("graft_changes TVF: SQL change feed == changes() via API") {
+    val t = MergeTable(spark, tmpDir("sql_cdf").toString, None)
+    t.overwrite(orders(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
+    val v1 = t.latestVersion()
+    t.merge(orders(("o2", "2024-01-02", 99.0), ("o3", "2024-01-03", 30.0)),
+      "order_id")
+    t.delete(col("order_id") === "o1")
+    val v3 = t.latestVersion()
+    GraftSql.register("t_cdf", t)
+    val viaSql = spark.sql(
+      s"SELECT order_id, _change_type FROM " +
+        s"graft_changes('t_cdf', 'order_id', $v1, $v3) " +
+        "ORDER BY order_id, _change_type")
+      .as[(String, String)].collect().toSeq
+    val viaApi = t.changes(v1, v3, "order_id")
+      .select(col("order_id"), col("_change_type"))
+      .orderBy("order_id", "_change_type")
+      .as[(String, String)].collect().toSeq
+    assert(viaSql === viaApi)
+    assert(viaSql === Seq(("o1", "delete"), ("o2", "update"),
+      ("o3", "insert")))
+    // aggregations over the feed compose like any relation
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_changes('t_cdf', 'order_id', $v1, $v3) " +
+        "WHERE _change_type = 'insert'").as[Long].head() === 1L)
+  }
+
   test("DESCRIBE HISTORY via SQL == history() via API") {
     val t = MergeTable(spark, tmpDir("sql_hist").toString, None)
     t.overwrite(orders(("o1", "2024-01-01", 10.0)))

@@ -518,6 +518,43 @@ class StreamIngestSpec extends SparkSpec {
     assert(st === Set(("o1", "10.0", 5L)))
   }
 
+  test("SCD2 under a capped drain applies label order across micro-batches") {
+    // cap=1 splits one drain into per-file batches; the 2024-02 and
+    // 2024-03 waves land in SEPARATE micro-batches and history must
+    // still open/close monotonically (the per-batch label ordering
+    // discipline, now exercised ACROSS batch boundaries too).
+    import org.apache.spark.sql.types.StructType
+    val dimSchema = StructType(Seq(
+      StructField("cust_id", StringType),
+      StructField("bal", StringType),
+      StructField("eff", StringType)))
+    val raw = tmpDir("rawcapscd")
+    val t = MergeTable(spark, tmpDir("tblcapscd").toString,
+      Some(graft.lake.Scd2.Slice))
+    def writeDim(name: String, rows: String*): Unit =
+      Files.writeString(raw.resolve(name), ("cust_id,bal,eff" +: rows)
+        .mkString("\n"))
+    writeDim("d1.csv", "c1,100,2024-01-01")
+    writeDim("d2.csv", "c1,200,2024-02-01")
+    writeDim("d3.csv", "c1,300,2024-03-01")
+    val t0 = System.currentTimeMillis() - 60000
+    (1 to 3).foreach { i =>
+      Files.setLastModifiedTime(raw.resolve(s"d$i.csv"),
+        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 1000))
+    }
+    val waves = StreamIngest.runScd2AvailableNow(spark, raw.toString,
+      dimSchema, t, "cust_id", "eff", tmpDir("ckptcapscd").toString,
+      maxFilesPerTrigger = Some(1))
+    assert(waves === 3L)
+    val hist = t.read().select(col("bal"),
+      col(graft.lake.Scd2.EffFrom), col(graft.lake.Scd2.EffTo))
+      .as[(String, String, Option[String])].collect().toSet
+    assert(hist === Set(
+      ("100", "2024-01-01", Some("2024-02-01")),
+      ("200", "2024-02-01", Some("2024-03-01")),
+      ("300", "2024-03-01", None)))
+  }
+
   test("tombstoneLateness keeps the sidecar bounded while in-bound " +
       "rejection still holds") {
     import org.apache.spark.sql.types.LongType
