@@ -95,6 +95,7 @@ object VectorFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+    ext.injectOptimizerRule(s => new graft.lake.GraftScanPruning(s))
     ext.injectTableFunction((
       FunctionIdentifier("graft_table"),
       new ExpressionInfo(graft.sql.GraftSql.getClass.getName, "graft_table"),

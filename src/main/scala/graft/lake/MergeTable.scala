@@ -573,7 +573,10 @@ final class MergeTable private (
     * columns are stats'd. */
   private def withStats(target: Path,
       entries: Seq[FileEntry]): Seq[FileEntry] =
-    if (statsCols.isEmpty) entries
+    // entries.isEmpty: a rewrite that keeps nothing (e.g. a DELETE
+    // matching every row of every touched file) writes a part-less
+    // commit dir — inferring parquet schema over it would throw
+    if (statsCols.isEmpty || entries.isEmpty) entries
     else {
       val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
         min(col(c).cast("long")).as(s"mn_$c"),
@@ -1492,6 +1495,17 @@ final class MergeTable private (
       case None       => live
     }
 
+  /** [[scanEntriesOf]] from an ALREADY-ANALYZED Catalyst condition —
+    * the [[GraftScanPruning]] optimizer rule's entry: the rule holds
+    * the optimizer's own (coerced, pushed-down) filter condition, so
+    * re-analyzing through a throwaway plan like [[conditionOf]] would
+    * be redundant work. Attribute names at the relation level are
+    * PHYSICAL names, which is exactly what the manifest stats/bloom
+    * keys record. */
+  private[lake] def scanEntriesByCondition(live: Seq[FileEntry],
+      cond: cxp.Expression): Seq[FileEntry] =
+    if (live.isEmpty) live else live.filter(compilePrune(cond, live))
+
   /** The ANALYZED Catalyst condition of `predicate` against this
     * table's schema — resolved through a throwaway `filter` plan (no
     * job runs; analysis is driver-only), which also buys the analyzer's
@@ -2015,7 +2029,7 @@ final class MergeTable private (
   private def readEntries(entries: Seq[FileEntry]): DataFrame =
     presentLogical(readEntriesPhys(entries))
 
-  private def readEntriesPhys(entries: Seq[FileEntry]): DataFrame = {
+  private[lake] def readEntriesPhys(entries: Seq[FileEntry]): DataFrame = {
     if (entries.isEmpty) return emptyLike()
     // Vectored entries divert to the tagged read (which anti-joins the
     // deletion vectors); the clean path below stays byte-identical to

@@ -57,6 +57,11 @@ object GraftSql {
 
   def table(name: String): Option[MergeTable] = tables.get(name.toLowerCase)
 
+  /** Snapshot of the registry — the [[graft.lake.GraftScanPruning]]
+    * optimizer rule sweeps it to recognize which relations are lake
+    * tables it may file-prune. */
+  def registered: Seq[(String, MergeTable)] = tables.toSeq
+
   // ---- the statement grammar ----------------------------------------------
 
   private val MergeRe =

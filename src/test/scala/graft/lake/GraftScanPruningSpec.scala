@@ -1,0 +1,117 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sql.GraftSql
+
+/** The [[GraftScanPruning]] optimizer rule: a Filter pushed onto a
+  * registered lake table's relation gets MANIFEST-level file skipping
+  * automatically — same admitted-file sets as the explicit
+  * `scan(predicate)` planner, same results as the unpruned filter, and
+  * the safety gates (version reads untouched, unknown predicate shapes
+  * keep everything) hold. */
+class GraftScanPruningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(ids: Seq[Long], p: String): DataFrame =
+    ids.map(i => (i, s"v$i", p)).toDF("id", "payload", "p").coalesce(1)
+
+  private def table(tag: String): MergeTable = {
+    val t = MergeTable(spark, tmpDir(s"prune$tag").toString, Some("p"),
+      Seq("id"), deletionVectors = false, bloomCols = Seq("id"))
+    t.overwrite(rows(0L until 100L, "a"))
+    t.merge(rows(100L until 200L, "b"), "id")
+    t.merge(rows(200L until 300L, "c"), "id")
+    t
+  }
+
+  /** Files the OPTIMIZED plan's parquet relation will read. */
+  private def plannedFiles(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(h: HadoopFsRelation, _, _, _, _) =>
+        h.location.rootPaths.map(_.toUri.getPath).toSet
+    }.flatten.toSet
+
+  test("a pushed Filter over a registered table reads only admitted files") {
+    val t = table("sql")
+    GraftSql.register("prune_sql", t)
+    val all = plannedFiles(t.read())
+    assert(all.size === 3)
+    val q = spark.sql(
+      "SELECT id, payload FROM graft_table('prune_sql') WHERE id = 150")
+    assert(plannedFiles(q).size === 1,
+      s"stats+bloom must admit ONE file:\n${q.queryExecution.optimizedPlan.treeString}")
+    assert(q.as[(Long, String)].collect().toSeq === Seq((150L, "v150")))
+    // range predicate through plain Scala-API read().filter too
+    val r = t.read().filter(col("id") >= 200L)
+    assert(plannedFiles(r).size === 1)
+    assert(r.count() === 100L)
+    // A PARTITION predicate on the multi-commit-dir layout lives on
+    // the partition-value re-attach join's other side — rows prune,
+    // files don't (scan() is the explicit all-predicate surface):
+    val p = t.read().filter(col("p") === "b")
+    assert(p.count() === 100L)
+    assert(t.scanEntries(col("p") === "b").size === 1,
+      "scan() file-prunes the partition predicate")
+    // …but a COMPACTED single-dir layout carries the partition column
+    // natively, and the partition predicate file-prunes through the
+    // rule too
+    t.compact()
+    GraftSql.register("prune_sql", t) // re-register post-compact
+    val pc = t.read().filter(col("p") === "b")
+    assert(pc.count() === 100L)
+    val filesAfter = plannedFiles(t.read())
+    assert(filesAfter.size === 3, "compact keeps one file per partition")
+    assert(plannedFiles(pc).size === 1,
+      "hive-layout partition predicate must file-prune")
+  }
+
+  test("rule results == unpruned results == scan() on mixed predicates") {
+    val t = table("par")
+    GraftSql.register("prune_par", t)
+    val preds = Seq(
+      col("id").between(120L, 180L),
+      col("id") === 42L || col("id") === 242L,
+      col("p") === "a" && col("id") < 50L,
+      col("payload") === "v7", // unprunable column: keep-everything
+      !col("id").isNull)
+    preds.foreach { pred =>
+      val viaRule = t.read().filter(pred).collect().toSet
+      val viaScan = t.scan(pred).collect().toSet
+      assert(viaRule === viaScan, s"rule and scan() disagree on $pred")
+    }
+    // the unprunable-shape case must NOT have dropped files
+    assert(plannedFiles(t.read().filter(col("payload") === "v7")).size === 3)
+  }
+
+  test("an all-files-pruned predicate becomes an empty relation, not a scan") {
+    val t = table("empty")
+    GraftSql.register("prune_empty", t)
+    val q = t.read().filter(col("id") === 5000L)
+    assert(plannedFiles(q).isEmpty, "no parquet relation should survive")
+    assert(q.count() === 0L)
+  }
+
+  test("version reads are never pruned against the live manifest") {
+    val t = table("ver")
+    GraftSql.register("prune_ver", t)
+    val v1 = 1L // the overwrite: ids 0..99 only
+    // DELETE changes the live set; the version read's file set differs
+    // from live, so the rule must leave it alone and the historical
+    // answer must stay correct
+    t.delete(col("id") < 100L)
+    val hist = t.readVersion(v1).filter(col("id") === 50L)
+    assert(hist.count() === 1L, "historical row must survive")
+    assert(t.read().filter(col("id") === 50L).count() === 0L)
+  }
+
+  test("unregistered tables are untouched by the rule") {
+    val t = table("noreg") // never registered
+    val q = t.read().filter(col("id") === 150L)
+    assert(plannedFiles(q).size === 3, "no registry entry → no pruning")
+    assert(q.count() === 1L)
+  }
+}
