@@ -1,8 +1,9 @@
 package graft.lake
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, InputFileName}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -26,12 +27,13 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * Consumers get it for free: the `graft_table` TVF expansion,
   * `spark.sql` over it, or a Scala-API `t.read().filter(...)` — any
   * relation whose file set IS a registered table's live snapshot —
-  * without calling `scan()` explicitly. (A predicate on the PARTITION
-  * column of a multi-commit-dir table lives on the other side of the
-  * partition-value re-attach join, so it prunes ROWS but not files
-  * through this rule — `scan(predicate)` remains the explicit surface
-  * that file-prunes every predicate class, and compacted single-dir
-  * layouts regain native partition file pruning anyway.)
+  * without calling `scan()` explicitly. A predicate on the PARTITION
+  * column of a multi-commit-dir layout takes a second pattern: the
+  * optimizer folds it into the broadcast (file → partition value)
+  * map's LocalRelation and tightens the attach join to Inner, and the
+  * rule then prunes the scan to the map's surviving file keys — a
+  * REGISTRY-FREE rewrite (the map is that read's own file-set source
+  * of truth, so it is sound for version reads too).
   *
   * Safety gates, in match order:
   *   - every attribute the condition references must be an output of
@@ -52,11 +54,113 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *     per relation per query.
   */
 class GraftScanPruning(spark: SparkSession) extends Rule[LogicalPlan] {
-  import GraftScanPruning.Examined
+  import GraftScanPruning.{Examined, ExaminedMap, FileKeyCol}
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case f @ Filter(cond, child) =>
       rewrite(cond, child).map(Filter(cond, _)).getOrElse(f)
+    // Partition-predicate file skipping on the multi-commit-dir layout:
+    // a predicate on the partition column folds into the broadcast
+    // (file → partition value) map's LocalRelation, and the outer join
+    // tightens to Inner — from then on, any scanned file whose key is
+    // ABSENT from the map only produces rows the join drops. Prune the
+    // scan to the map's surviving file keys. Registry-free and sound
+    // for ANY of our reads (version reads carry their own map): the
+    // map itself is the relation's file-set source of truth.
+    // The map side is matched in BOTH folded and pre-folded states: at
+    // operator-batch time the partition predicate is usually still a
+    // Filter over the map's LocalRelation (ConvertToLocalRelation folds
+    // it in a LATER batch this rule is not part of), so the rule
+    // evaluates the predicate over the map rows itself.
+    case j @ Join(left, MapSide(fileMap, admitted), Inner, _, _)
+        if isFileAttach(left) =>
+      pruneByFileMap(left, fileMap, admitted).map(nl => j.copy(left = nl))
+        .getOrElse(j)
+  }
+
+  /** Extracts the (file → pv) map LocalRelation and its ADMITTED file
+    * keys from the join's right side — the bare map (all keys), or the
+    * map under a deterministic Filter (the partition predicate before
+    * ConvertToLocalRelation folds it), whose condition is evaluated
+    * driver-side over the map rows. */
+  private object MapSide {
+    def unapply(plan: LogicalPlan): Option[(LocalRelation, Set[String])] =
+      plan match {
+        case fm: LocalRelation if fm.output.exists(_.name == FileKeyCol) =>
+          Some((fm, keysOf(fm, fm.data)))
+        case Filter(fcond, fm: LocalRelation)
+            if fm.output.exists(_.name == FileKeyCol) &&
+              fcond.deterministic =>
+          try {
+            val pred = org.apache.spark.sql.catalyst.expressions.Predicate
+              .createInterpreted(org.apache.spark.sql.catalyst.expressions
+                .BindReferences.bindReference(fcond, fm.output))
+            Some((fm, keysOf(fm, fm.data.filter(pred.eval))))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        case _ => None
+      }
+
+    private def keysOf(fm: LocalRelation,
+        rows: Seq[org.apache.spark.sql.catalyst.InternalRow]): Set[String] = {
+      val keyIdx = fm.output.indexWhere(_.name == FileKeyCol)
+      rows.flatMap { row =>
+        Option(row.getUTF8String(keyIdx)).map(_.toString)
+      }.toSet
+    }
+  }
+
+  /** Structural signature of [[MergeTable.readEntriesPhys]]'s
+    * partition-value attach: a Project aliasing [[FileKeyCol]] from
+    * `input_file_name()` directly over a parquet relation. A user join
+    * that merely reuses the column name can't match this shape. */
+  private def isFileAttach(plan: LogicalPlan): Boolean = plan match {
+    case Project(projList, _: LogicalRelation) =>
+      projList.exists {
+        case a: Alias if a.name == FileKeyCol =>
+          a.child.exists(_.isInstanceOf[InputFileName])
+        case _ => false
+      }
+    case Project(_, inner) => isFileAttach(inner)
+    case _ => false
+  }
+
+  /** Prune the attach-side scan to the file keys surviving in the
+    * map. */
+  private def pruneByFileMap(left: LogicalPlan,
+      fileMap: LocalRelation, admitted: Set[String]): Option[LogicalPlan] = {
+    def fileKeyOf(path: String): String =
+      path.split('/').takeRight(2).mkString("/")
+    def swap(plan: LogicalPlan): Option[LogicalPlan] = plan match {
+      // No tag on the bail paths: the map may not have FOLDED yet when
+      // the pattern first matches (the partition filter collapses into
+      // the LocalRelation in a separate batch), and a no-change
+      // examination is a cheap set comparison — tagging only the
+      // swapped relation keeps the fixed point terminating while
+      // leaving later, tighter maps able to prune.
+      case rel: LogicalRelation if rel.getTagValue(ExaminedMap).isEmpty =>
+        val fsRel = rel.relation match {
+          case h: HadoopFsRelation => h
+          case _                   => return None
+        }
+        val all = fsRel.location.rootPaths
+        val pruned = all.filter(p => admitted(fileKeyOf(p.toUri.getPath)))
+        if (pruned.size == all.size) None
+        else if (pruned.isEmpty) Some(LocalRelation(rel.output))
+        else {
+          val idx = new org.apache.spark.sql.execution.datasources
+            .InMemoryFileIndex(spark, pruned, fsRel.options,
+              if (fsRel.partitionSchema.nonEmpty)
+                Some(fsRel.partitionSchema)
+              else None)
+          val out = rel.copy(relation = fsRel.copy(location = idx)(spark))
+          out.setTagValue(ExaminedMap, true)
+          Some(out)
+        }
+      case p @ Project(_, inner) =>
+        swap(inner).map(nc => p.copy(child = nc))
+      case _ => None
+    }
+    swap(left)
   }
 
   /** Walk the Project chain under a Filter down to the relation; if it
@@ -133,4 +237,13 @@ object GraftScanPruning {
   /** Examined-marker: the fixed-point optimizer re-runs its batches;
     * the manifest probe happens at most once per relation per query. */
   private[lake] val Examined = TreeNodeTag[Boolean]("graft.scan.examined")
+
+  /** Separate marker for the file-map (pattern-B) probe so manifest
+    * pruning and map pruning examine a relation independently. */
+  private[lake] val ExaminedMap =
+    TreeNodeTag[Boolean]("graft.scan.examined.map")
+
+  /** The partition-value attach join's file-key column name (must stay
+    * in sync with [[MergeTable.readEntriesPhys]]'s fpMap). */
+  private[lake] val FileKeyCol = "__graft_file"
 }

@@ -49,13 +49,18 @@ class GraftScanPruningSpec extends SparkSpec {
     val r = t.read().filter(col("id") >= 200L)
     assert(plannedFiles(r).size === 1)
     assert(r.count() === 100L)
-    // A PARTITION predicate on the multi-commit-dir layout lives on
-    // the partition-value re-attach join's other side — rows prune,
-    // files don't (scan() is the explicit all-predicate surface):
+    // A PARTITION predicate on the multi-commit-dir layout folds into
+    // the partition-value re-attach join's file map; the second rule
+    // pattern prunes the scan to the map's surviving keys — and this
+    // path needs NO registration (the map is that read's own file-set
+    // source of truth)
     val p = t.read().filter(col("p") === "b")
+    assert(plannedFiles(p).size === 1,
+      s"map-side partition predicate must file-prune:\n" +
+        p.queryExecution.optimizedPlan.treeString)
     assert(p.count() === 100L)
     assert(t.scanEntries(col("p") === "b").size === 1,
-      "scan() file-prunes the partition predicate")
+      "scan() file-prunes the partition predicate too")
     // …but a COMPACTED single-dir layout carries the partition column
     // natively, and the partition predicate file-prunes through the
     // rule too
@@ -108,10 +113,16 @@ class GraftScanPruningSpec extends SparkSpec {
     assert(t.read().filter(col("id") === 50L).count() === 0L)
   }
 
-  test("unregistered tables are untouched by the rule") {
+  test("unregistered tables: manifest pruning off, map pruning still on") {
     val t = table("noreg") // never registered
+    // data-column predicates need the registry (the manifest probe)
     val q = t.read().filter(col("id") === 150L)
-    assert(plannedFiles(q).size === 3, "no registry entry → no pruning")
+    assert(plannedFiles(q).size === 3, "no registry entry → no stats pruning")
     assert(q.count() === 1L)
+    // …but the partition-map pattern is registry-free: the read's own
+    // file map admits the files, no manifest lookup involved
+    val p = t.read().filter(col("p") === "c")
+    assert(plannedFiles(p).size === 1)
+    assert(p.count() === 100L)
   }
 }
