@@ -78,6 +78,14 @@ object GraftSql {
     """(?is)^\s*VACUUM\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+  private val RegisterRe =
+    """(?is)^\s*REGISTER\s+GRAFT\s+TABLE\s+([A-Za-z_][\w]*)\s+AT\s+'([^']+)'(.*?)\s*;?\s*$""".r
+  private val UnregisterRe =
+    """(?is)^\s*UNREGISTER\s+GRAFT\s+TABLE\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+  private val PartByRe = """(?is)PARTITIONED\s+BY\s*\(([^)]*)\)""".r
+  private val StatsRe = """(?is)STATS\s*\(([^)]*)\)""".r
+  private val BloomRe = """(?is)BLOOM\s*\(([^)]*)\)""".r
+  private val DvRe = """(?is)WITH\s+DELETION\s+VECTORS""".r
 
   /** Split `s` on commas at paren/quote depth zero — SET clauses carry
     * commas inside function calls (`SET a = round(x, 2), b = y`). */
@@ -160,6 +168,34 @@ object GraftSql {
       }
     case HistoryRe(name) =>
       table(name).map(t => GraftHistoryCommand(name, t))
+    // SQL-only registration path, so a consumer needs zero Scala:
+    //   REGISTER GRAFT TABLE t AT '/path' [PARTITIONED BY (c)]
+    //     [STATS (c1, c2)] [BLOOM (c1)] [WITH DELETION VECTORS]
+    // The clauses ARE the handle's layout contract (partition column,
+    // stats/bloom sidecars, deletion vectors) — the same reason DML
+    // statements resolve registered handles instead of bare paths.
+    case RegisterRe(name, path, tail) =>
+      def cols(m: Option[scala.util.matching.Regex.Match]): Seq[String] =
+        m.map(_.group(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
+      val partCols = cols(PartByRe.findFirstMatchIn(tail))
+      require(partCols.size <= 1,
+        s"REGISTER GRAFT TABLE $name: PARTITIONED BY takes exactly one " +
+          "column")
+      Some(GraftDmlCommand(s"REGISTER GRAFT TABLE $name", s => {
+        val t = MergeTable(s, path, partCols.headOption,
+          cols(StatsRe.findFirstMatchIn(tail)),
+          DvRe.findFirstIn(tail).isDefined,
+          cols(BloomRe.findFirstMatchIn(tail)))
+        register(name, t)
+        t.latestVersion()
+      }))
+    case UnregisterRe(name) =>
+      Some(GraftDmlCommand(s"UNREGISTER GRAFT TABLE $name", _ => {
+        val had = table(name).isDefined
+        unregister(name)
+        if (had) 1L else 0L
+      }))
     case _ => None
   }
 

@@ -180,6 +180,28 @@ class GraftSqlSpec extends SparkSpec {
     assert(viaSql.count() === 2L)
   }
 
+  test("REGISTER/UNREGISTER GRAFT TABLE: a zero-Scala SQL-only path") {
+    val dir = tmpDir("sql_reg").toString
+    MergeTable(spark, dir, Some("date"))
+      .overwrite(orders(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
+    spark.sql(
+      s"REGISTER GRAFT TABLE t_reg AT '$dir' PARTITIONED BY (date) " +
+        "STATS (amount)")
+    // the registered handle carries the layout contract
+    assert(GraftSql.table("t_reg").exists(_.partitionCol === Some("date")))
+    assert(GraftSql.table("t_reg").exists(_.statsCols === Seq("amount")))
+    // DML + TVF work purely via SQL from here
+    spark.sql("DELETE FROM t_reg WHERE order_id = 'o1'")
+    assert(spark.sql("SELECT order_id FROM graft_table('t_reg')")
+      .as[String].collect().toSeq === Seq("o2"))
+    spark.sql("UNREGISTER GRAFT TABLE t_reg")
+    assert(GraftSql.table("t_reg").isEmpty)
+    // after unregistration the TVF fails and DML delegates to Spark
+    intercept[Exception](spark.sql("SELECT * FROM graft_table('t_reg')"))
+    intercept[Exception](
+      spark.sql("DELETE FROM t_reg WHERE order_id = 'o2'").collect())
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION routes evolveSchema=true") {
     val t = MergeTable(spark, tmpDir("sql_ev").toString, None)
     t.overwrite(orders(("o1", "2024-01-01", 10.0)))
