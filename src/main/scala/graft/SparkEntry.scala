@@ -74,6 +74,7 @@ object SparkEntry {
     "q_events_sessionw" -> (RefQueries.eventsSessionWindow _),
     // §7.5(c) — LLM-pipeline text analysis over documents
     "q_text_tokens"     -> (TextQueries.textTokens _),
+    "q_text_linprobe"   -> (TextQueries.textLinprobe _),
     "q_text_quality"    -> (TextQueries.textQuality _),
     "q_text_langid"     -> (TextQueries.textLangid _),
     "q_doc_fingerprint" -> (TextQueries.docFingerprint _),
@@ -462,6 +463,7 @@ object SparkEntry {
                 count(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
          FROM s GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+    "q_text_linprobe" -> TextQueries.textLinprobeOracle,
     "q_text_tokens" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                     FROM documents)

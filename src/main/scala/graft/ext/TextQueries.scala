@@ -689,4 +689,83 @@ object TextQueries {
           FROM agg) z
         WHERE rnk <= $Bm25TopK ORDER BY rnk"""
   }
+
+  /** Closed-form linear probe over the corpus — the quality-regression
+    * / calibration primitive a training-data pipeline runs at corpus
+    * scale (fastText-style weak classifiers reduce to exactly this
+    * shape): fit `char_count ~ b0 + b1·n_tokens + b2·n_unique` by
+    * least squares in ONE pass.
+    *
+    * The 100 TB design is the point: the fit is nine map-side-
+    * combinable INTEGER sufficient statistics (counts, sums, sums of
+    * products — exact and ADDITION-ORDER-INDEPENDENT, unlike double
+    * sums, so the result is bit-stable under any partitioning), then a
+    * closed-form 2×2 normal-equation solve expressed declaratively
+    * over the 1-row aggregate. No iteration, no driver-side matrix
+    * code, no collect beyond one row. The oracle replays the identical
+    * IEEE expression tree from the same exact integers, so the
+    * coefficients hash-match to 4dp. */
+  def textLinprobe(s: SparkSession, d: String): DataFrame = {
+    val f = withToks(documents(s, d)).select(
+      expr("cast(size(toks) as long)").as("x1"),
+      expr("cast(size(array_distinct(toks)) as long)").as("x2"),
+      expr("cast(length(text) as long)").as("y"))
+    val st = f.agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+      sum(col("y")).as("sy"),
+      sum(col("x1") * col("x1")).as("sx11"),
+      sum(col("x2") * col("x2")).as("sx22"),
+      sum(col("x1") * col("x2")).as("sx12"),
+      sum(col("x1") * col("y")).as("sx1y"),
+      sum(col("x2") * col("y")).as("sx2y"))
+    val c = st.select(col("n"), col("sx1"), col("sx2"), col("sy"),
+      expr("cast(n as double)*sx11 - cast(sx1 as double)*sx1").as("cxx1"),
+      expr("cast(n as double)*sx22 - cast(sx2 as double)*sx2").as("cxx2"),
+      expr("cast(n as double)*sx12 - cast(sx1 as double)*sx2").as("cx12"),
+      expr("cast(n as double)*sx1y - cast(sx1 as double)*sy").as("cx1y"),
+      expr("cast(n as double)*sx2y - cast(sx2 as double)*sy").as("cx2y"))
+    val b = c.select(col("n"), col("sx1"), col("sx2"), col("sy"),
+      expr("(cx1y*cxx2 - cx2y*cx12)/(cxx1*cxx2 - cx12*cx12)").as("b1"),
+      expr("(cx2y*cxx1 - cx1y*cx12)/(cxx1*cxx2 - cx12*cx12)").as("b2"))
+    b.select(col("n"),
+      round(col("b1"), 4).as("b1"),
+      round(col("b2"), 4).as("b2"),
+      round(expr("(cast(sy as double) - b1*sx1 - b2*sx2)/n"), 4).as("b0"))
+  }
+
+  /** DuckDB oracle for [[textLinprobe]] — the same integer sufficient
+    * statistics and the same IEEE expression tree. */
+  val textLinprobeOracle: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS toks,
+                         length(text) AS chars
+                  FROM documents),
+       f AS (SELECT CAST(len(toks) AS BIGINT) AS x1,
+                    CAST(len(list_distinct(toks)) AS BIGINT) AS x2,
+                    CAST(chars AS BIGINT) AS y
+             FROM t),
+       s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(x1) AS BIGINT) AS sx1,
+                    CAST(sum(x2) AS BIGINT) AS sx2,
+                    CAST(sum(y) AS BIGINT) AS sy,
+                    CAST(sum(x1*x1) AS BIGINT) AS sx11,
+                    CAST(sum(x2*x2) AS BIGINT) AS sx22,
+                    CAST(sum(x1*x2) AS BIGINT) AS sx12,
+                    CAST(sum(x1*y) AS BIGINT) AS sx1y,
+                    CAST(sum(x2*y) AS BIGINT) AS sx2y
+             FROM f),
+       c AS (SELECT n, sx1, sx2, sy,
+               CAST(n AS DOUBLE)*sx11 - CAST(sx1 AS DOUBLE)*sx1 AS cxx1,
+               CAST(n AS DOUBLE)*sx22 - CAST(sx2 AS DOUBLE)*sx2 AS cxx2,
+               CAST(n AS DOUBLE)*sx12 - CAST(sx1 AS DOUBLE)*sx2 AS cx12,
+               CAST(n AS DOUBLE)*sx1y - CAST(sx1 AS DOUBLE)*sy AS cx1y,
+               CAST(n AS DOUBLE)*sx2y - CAST(sx2 AS DOUBLE)*sy AS cx2y
+             FROM s),
+       b AS (SELECT n, sx1, sx2, sy,
+               (cx1y*cxx2 - cx2y*cx12)/(cxx1*cxx2 - cx12*cx12) AS b1,
+               (cx2y*cxx1 - cx1y*cx12)/(cxx1*cxx2 - cx12*cx12) AS b2
+             FROM c)
+       SELECT n, round(b1, 4) AS b1, round(b2, 4) AS b2,
+              round((CAST(sy AS DOUBLE) - b1*sx1 - b2*sx2)/n, 4) AS b0
+       FROM b"""
 }
