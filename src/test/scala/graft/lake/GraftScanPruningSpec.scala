@@ -113,6 +113,23 @@ class GraftScanPruningSpec extends SparkSpec {
     assert(t.read().filter(col("id") === 50L).count() === 0L)
   }
 
+  test("deletion-vector tables stay exact under the rule") {
+    // DV reads divert to the tagged anti-join path; whatever the rule
+    // does (or declines to do) there, a predicate read must still
+    // exclude DV-deleted rows and include everything else.
+    val t = MergeTable(spark, tmpDir("prunedv").toString, None,
+      Seq("id"), deletionVectors = true, bloomCols = Seq("id"))
+    t.overwrite(rows(0L until 100L, "a"))
+    t.merge(rows(100L until 200L, "b"), "id")
+    GraftSql.register("prune_dv", t)
+    t.delete(col("id") === 150L) // merge-on-read: records a DV
+    assert(t.read().filter(col("id") === 150L).count() === 0L,
+      "DV-deleted row must stay deleted under the rule")
+    assert(t.read().filter(col("id").between(140L, 160L)).count() === 20L)
+    assert(t.read().filter(col("id") === 151L).count() === 1L)
+    assert(t.read().count() === 199L)
+  }
+
   test("unregistered tables: manifest pruning off, map pruning still on") {
     val t = table("noreg") // never registered
     // data-column predicates need the registry (the manifest probe)
