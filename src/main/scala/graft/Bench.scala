@@ -40,7 +40,10 @@ object Bench {
     // query of each shape doesn't absorb its codegen/JIT cost.
     for (w <- Seq("q_top_products", "q_window_rank", "q_doc_neardup",
         "q_embed_topk")) {
-      try materialize(w) catch { case _: Throwable => () }
+      // NonFatal only: an OOM/VM error during warm-up must crash the
+      // bench, not let it go on to print a plausible-looking line from
+      // a degraded JVM (r10 verdict nit).
+      try materialize(w) catch { case scala.util.control.NonFatal(_) => () }
       spark.catalog.clearCache()
     }
 
@@ -66,7 +69,7 @@ object Bench {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { materialize(name); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           errors ::= (name -> e.toString.replaceAll("[\"\\\\\\n\\r]", " ").take(200))
           None
         }

@@ -72,10 +72,42 @@ class GraftScanPruning(spark: SparkSession) extends Rule[LogicalPlan] {
     // Filter over the map's LocalRelation (ConvertToLocalRelation folds
     // it in a LATER batch this rule is not part of), so the rule
     // evaluates the predicate over the map rows itself.
-    case j @ Join(left, MapSide(fileMap, admitted), Inner, _, _)
-        if isFileAttach(left) =>
+    case j @ Join(left, MapSide(fileMap, admitted), Inner, cond, _)
+        if isFileAttach(left) && isFileKeyEquiJoin(cond, fileMap) =>
       pruneByFileMap(left, fileMap, admitted).map(nl => j.copy(left = nl))
         .getOrElse(j)
+  }
+
+  /** Soundness of pattern B rests on "a scanned file whose key is
+    * absent from the map only produces rows the join DROPS" — which is
+    * only true when the join condition is an equality on the
+    * `__graft_file` key itself. `readEntriesPhys` builds exactly that
+    * (a USING-join on the key), but a future plan variant reusing the
+    * same structural shape under a different condition must not be
+    * mis-pruned: require at least one EqualTo/EqualNullSafe conjunct
+    * whose one side is the map's `__graft_file` attribute and whose
+    * other side is a `__graft_file` attribute NOT from the map (the
+    * scan's). (r10 ADVICE finding.) */
+  private def isFileKeyEquiJoin(cond: Option[Expression],
+      fileMap: LocalRelation): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo}
+    val mapKeys = fileMap.output
+      .filter(_.name == FileKeyCol).map(_.exprId).toSet
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other     => Seq(other)
+    }
+    def keyEq(a: Expression, b: Expression): Boolean = (a, b) match {
+      case (x: AttributeReference, y: AttributeReference) =>
+        x.name == FileKeyCol && y.name == FileKeyCol &&
+          (mapKeys.contains(x.exprId) ^ mapKeys.contains(y.exprId))
+      case _ => false
+    }
+    cond.exists(split(_).exists {
+      case EqualTo(a, b)       => keyEq(a, b)
+      case EqualNullSafe(a, b) => keyEq(a, b)
+      case _                   => false
+    })
   }
 
   /** Extracts the (file → pv) map LocalRelation and its ADMITTED file

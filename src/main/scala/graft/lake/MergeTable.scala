@@ -2030,7 +2030,7 @@ final class MergeTable private (
     presentLogical(readEntriesPhys(entries))
 
   private[lake] def readEntriesPhys(entries: Seq[FileEntry]): DataFrame = {
-    if (entries.isEmpty) return emptyLike()
+    if (entries.isEmpty) return emptyLikePhys()
     // Vectored entries divert to the tagged read (which anti-joins the
     // deletion vectors); the clean path below stays byte-identical to
     // the vector-free plan.
@@ -2209,14 +2209,22 @@ final class MergeTable private (
       .option("basePath", root.resolve(dir).toString)
       .parquet(es.map(e => root.resolve(e.relPath).toString): _*)
 
-  private def emptyLike(): DataFrame = {
+  /** Empty frame with the table's PHYSICAL schema. Stays physical on
+    * purpose: [[readEntriesPhys]] returns it for an empty snapshot, and
+    * each caller then applies its OWN presentation exactly once —
+    * [[readEntries]] the current mapping, [[readVersion]] the as-of
+    * mapping. (Presenting here with the current mapping made time
+    * travel to an empty version of a since-renamed table show current
+    * names — the as-of re-mapping keyed on physical names no-opped
+    * over already-renamed columns; r10 ADVICE finding.) */
+  private def emptyLikePhys(): DataFrame = {
     // No live files: derive schema from any historical snapshot that is
     // still reconstructible (vacuum prunes pre-latest history), else fail.
     val vs = (1L to latestVersion()).reverse
     vs.iterator
       .flatMap(v => scala.util.Try(snapshotAt(v)).toOption)
       .find(_.nonEmpty) match {
-      case Some(entries) => readEntries(entries).limit(0)
+      case Some(entries) => readEntriesPhys(entries).limit(0)
       case None => throw new IllegalStateException(
         s"MergeTable at $root has no data and no history")
     }

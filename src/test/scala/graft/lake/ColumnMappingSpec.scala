@@ -148,6 +148,26 @@ class ColumnMappingSpec extends SparkSpec {
       .as[Double].collect().toSeq === Seq(22.0))
   }
 
+  test("time travel to an EMPTY version of a since-renamed table shows " +
+      "the as-of names") {
+    val t = MergeTable(spark, tmpDir("cm9").toString, None)
+    t.overwrite(orders(("o1", "2024-01-01", 10.0)))
+    t.delete(lit(true))
+    val emptyV = t.latestVersion()
+    t.renameColumn("amount", "total")
+    t.merge(Seq(("o2", "2024-01-02", 22.0))
+      .toDF("order_id", "date", "total"), "order_id")
+    val at = t.readVersion(emptyV)
+    assert(at.count() === 0L)
+    // The rename happened AFTER emptyV, so the as-of schema carries the
+    // ORIGINAL name (before the r11 fix, the empty-snapshot path applied
+    // the current mapping and the as-of re-map silently no-opped,
+    // showing 'total').
+    assert(at.columns.toSeq === Seq("order_id", "date", "amount"))
+    // and the current read still shows the current name
+    assert(t.read().columns.toSeq === Seq("order_id", "date", "total"))
+  }
+
   test("a rename-only commit produces an EMPTY change feed") {
     val t = MergeTable(spark, tmpDir("cm6").toString, None)
     t.overwrite(orders(("o1", "2024-01-01", 10.0)))
