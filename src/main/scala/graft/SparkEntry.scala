@@ -158,6 +158,9 @@ object SparkEntry {
     // X148/X149 — the SQL front-end under the gate: the same lifecycle
     // driven purely by SQL strings through the injected parser + TVF
     "q_lake_sql"        -> (graft.sql.SqlQueries.lakeSql _),
+    // r11 — composite-key + conditional-clause MERGE via SQL, read back
+    // through a bare-name FROM (sql/SqlQueries.scala, GraftRelationResolution)
+    "q_merge_cond"      -> (graft.sql.SqlQueries.mergeCond _),
     // X13/X94 end-to-end — the STREAMING surface under the oracle hash
     // gate: CSV waves drained by AvailableNow runs sharing a checkpoint,
     // per-batch lake writes, final state returned
@@ -817,6 +820,7 @@ object SparkEntry {
     "q_embed_ivf_refresh" -> SimilarityQueries.ivfRefreshOracle,
     "q_cdc_apply"     -> graft.lake.LakeQueries.cdcApplyOracle,
     "q_lake_sql"      -> graft.sql.SqlQueries.lakeSqlOracle,
+    "q_merge_cond"    -> graft.sql.SqlQueries.mergeCondOracle,
     "q_scd2_pit"      -> graft.lake.LakeQueries.scd2PitOracle,
     "q_time_travel"   -> graft.lake.LakeQueries.timeTravelOracle,
     "q_incremental_mv" -> graft.lake.LakeQueries.incrementalMvOracle,

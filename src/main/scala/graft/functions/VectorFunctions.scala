@@ -96,6 +96,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
     ext.injectOptimizerRule(s => new graft.lake.GraftScanPruning(s))
+    ext.injectResolutionRule(s => new graft.sql.GraftRelationResolution(s))
     ext.injectTableFunction((
       FunctionIdentifier("graft_table"),
       new ExpressionInfo(graft.sql.GraftSql.getClass.getName, "graft_table"),

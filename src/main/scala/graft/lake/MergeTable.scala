@@ -97,6 +97,17 @@ final class MergeTable private (
     new MergeTable(spark, root, partitionCol, statsCols,
       deletionVectors, bloomCols, ls)
 
+  /** The same table handle bound to a DIFFERENT SparkSession — the
+    * multi-session hook ([[graft.sql.GraftSql]] rebinds a registered
+    * handle to the session actually executing a statement, which
+    * matters in multi-session JVMs like a Spark Connect server). The
+    * layout contract and log store carry over; only the session the
+    * reads/writes run on changes. */
+  def withSession(s: SparkSession): MergeTable =
+    if (s eq spark) this
+    else new MergeTable(s, root, partitionCol, statsCols,
+      deletionVectors, bloomCols, logStore)
+
   // ---- log ----------------------------------------------------------------
 
   /** Live (version, entries) of the latest committed snapshot. */
@@ -684,6 +695,144 @@ final class MergeTable private (
     } finally src.unpersist()
   }
 
+  /** MERGE with COMPOSITE keys and CONDITIONAL clauses (Delta's full
+    * `whenMatched` clause surface; the single-pk
+    * update-all/insert-all overloads above stay the untouched
+    * degenerate path the reference needs, product_etl.py:72-81):
+    *
+    *   - `keys` — the match condition is equality on EVERY listed
+    *     column (`ON t.a = s.a AND t.b = s.b`);
+    *   - `whenMatched` — evaluated FIRST-MATCH-WINS per matched row:
+    *     an [[MatchClause.update]] replaces the target row with the
+    *     source row, a [[MatchClause.delete]] drops it, and a matched
+    *     row satisfying NO clause is kept unchanged. Conditions may
+    *     reference both sides through the `t` (target) and `s`
+    *     (source) aliases — `col("s.qty") > col("t.qty")`;
+    *   - `insertUnmatched` — unmatched source rows insert (`WHEN NOT
+    *     MATCHED THEN INSERT *`); off for delete-only merges.
+    *
+    * Like Delta, a merge with clauses requires the source UNIQUE on
+    * `keys` (two source rows matching one target row would make the
+    * outcome order-dependent) — fails fast, same as `mergeCdc`'s
+    * sequence-tie guard. Scale shape is identical to [[merge]]: touched
+    * partitions are discovered with a semi-join on the keys, only
+    * touched files rewrite, and the clause evaluation is one
+    * equi-join — no extra shuffle over the 2-column case. */
+  def merge(source: DataFrame, keys: Seq[String],
+      whenMatched: Seq[MatchClause],
+      insertUnmatched: Boolean = true,
+      evolveSchema: Boolean = false): Long = {
+    require(keys.nonEmpty, "merge: at least one key column")
+    // exact degenerate delegation: the single-pk path stays bit-identical
+    if (keys.size == 1 && insertUnmatched &&
+        whenMatched == Seq(MatchClause(None, isUpdate = true)))
+      return merge(source, keys.head, evolveSchema)
+    val writesRows = insertUnmatched || whenMatched.exists(_.isUpdate)
+    if (writesRows) enforceConstraints(source, "MERGE source")
+    val src = source.cache()
+    try {
+      retryingCommit { () =>
+        val (version, live) = latest()
+        // Delta's multi-match guard: clause outcomes must not depend on
+        // which of several matching source rows is seen first.
+        val dup = src.groupBy(keys.map(col): _*).count()
+          .filter(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"merge: multiple source rows share key ${dup.headOption
+            .map(r => keys.zipWithIndex.map { case (k, i) => s"$k=${r.get(i)}" }
+              .mkString(", "))} — clause merges require a key-unique source")
+        if (live.isEmpty) {
+          if (!insertUnmatched) (CommitDelta(Nil, Nil), version)
+          else {
+            val (_, entries) = writeData(src)
+            (CommitDelta(entries, Nil), version)
+          }
+        } else {
+          val srcKeys = src.select(keys.map(col): _*).distinct()
+          val touchedFiles = partitionCol match {
+            case Some(pc) =>
+              // updates/inserts can land rows in the SOURCE rows'
+              // partitions (an update may move a row across partitions);
+              // matched keys pin the target partitions that rewrite.
+              val srcParts: Set[Option[String]] =
+                if (!writesRows) Set.empty
+                else {
+                  val ps = src.select(col(pc).cast("string")).distinct()
+                    .collect().map(r => Option(r.getString(0))).toSet
+                  require(ps.size <= MaxPartitionsPerMerge,
+                    s"merge touches ${ps.size} partitions (> " +
+                      s"$MaxPartitionsPerMerge); repartition the source or " +
+                      "raise the guard — partition values are driver metadata")
+                  ps.map(x => x: Option[String])
+                }
+              val matchedParts = readEntries(live)
+                .join(srcKeys, keys, "left_semi")
+                .select(col(pc).cast("string")).distinct()
+                .collect().map(r => Option(r.getString(0))).toSet
+              val touched = srcParts ++ matchedParts
+              live.filter(e => touched.contains(e.partitionValue))
+            case None =>
+              if (live.size >= FullRewriteWarnFiles)
+                logger.warn(
+                  s"MergeTable at $root: unpartitioned MERGE rewrites all " +
+                    s"${live.size} live files; declare a partition column " +
+                    "to get partition-level file skipping")
+              live
+          }
+          val tgt = readEntries(touchedFiles)
+          val tCols = tgt.columns.toSeq
+          val sCols = src.columns.toSeq
+          require(evolveSchema || sCols.toSet == tCols.toSet,
+            s"merge: source schema {${sCols.mkString(",")}} != table schema " +
+              s"{${tCols.mkString(",")}} — pass evolveSchema to evolve")
+          // LEFT join from the target: unmatched target rows ride along
+          // with a null source side and are kept by construction.
+          val marked = src.withColumn(MergeMatchCol, lit(true)).alias("s")
+          val t = tgt.alias("t")
+          val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k"))
+            .reduce(_ && _)
+          val joined = t.join(marked, keyCond, "left")
+          // first-match-wins action per row: fold the clauses RIGHT so
+          // the first clause is the outermost when()
+          val clauseAction = whenMatched.foldRight(lit(MergeKeep)) {
+            (c, els) =>
+              when(c.condition.getOrElse(lit(true)),
+                lit(if (c.isUpdate) MergeUpdate else MergeDelete))
+                .otherwise(els)
+          }
+          val act = when(col(s"s.$MergeMatchCol").isNotNull, clauseAction)
+            .otherwise(lit(MergeKeep))
+          // UPDATE takes the source's value for columns the source has;
+          // target-only columns keep their value (Delta's UPDATE SET *);
+          // with evolveSchema, source-only columns surface (NULL on
+          // kept rows).
+          val outCols =
+            tCols.map { c =>
+              if (sCols.contains(c))
+                when(act === MergeUpdate, col(s"s.$c"))
+                  .otherwise(col(s"t.$c")).as(c)
+              else col(s"t.$c").as(c)
+            } ++ (if (evolveSchema) sCols.filterNot(tCols.contains).map(c =>
+              when(act === MergeUpdate, col(s"s.$c"))
+                .otherwise(lit(null)).as(c))
+            else Nil)
+          val merged = joined.filter(act =!= MergeDelete).select(outCols: _*)
+          // matched keys necessarily live in touched partitions, so the
+          // anti-join against the TOUCHED files' keys finds exactly the
+          // table-wide unmatched source rows
+          val out =
+            if (!insertUnmatched) merged
+            else merged.unionByName(
+              src.join(tgt.select(keys.map(col): _*).distinct(),
+                keys, "left_anti"),
+              allowMissingColumns = evolveSchema)
+          val (_, newEntries) = writeData(out)
+          (CommitDelta(newEntries, touchedFiles.map(_.relPath)), version)
+        }
+      }
+    } finally src.unpersist()
+  }
+
   /** APPLY CHANGES INTO (the Delta Live Tables CDC-apply shape): apply a
     * change feed — rows tagged `_change_type` ∈ insert / update /
     * update_postimage / update_preimage / delete, the exact schema
@@ -1205,17 +1354,61 @@ final class MergeTable private (
       .select(col(FileTag)).distinct()
       .collect().map(_.getString(0)).toSet
 
-  /** VACUUM-lite: drop data dirs NOT referenced by the LATEST snapshot,
-    * and prune all pre-latest log files (commit deltas AND checkpoints) —
-    * after vacuum, time travel before the vacuum point is intentionally
-    * gone ([[readVersion]] fails fast instead of resolving a snapshot
-    * whose data files were deleted). A checkpoint is published at the
-    * latest version FIRST, so the surviving snapshot reconstructs from it
-    * alone with no dependence on the pruned deltas. */
-  def vacuum(): Unit = {
+  /** VACUUM with Delta's default 7-day retention window
+    * ([[MergeTable.DefaultVacuumRetainMs]]): snapshots committed within
+    * the window stay fully readable (time travel, in-flight readers,
+    * young shallow clones); everything older is reaped. `vacuum(0L)`
+    * reaps all non-live history immediately — the pre-r11 behavior,
+    * still what short-lived scratch tables want. */
+  def vacuum(): Unit = vacuum(DefaultVacuumRetainMs)
+
+  /** VACUUM with an explicit retention window: drop data dirs referenced
+    * by NEITHER the latest snapshot NOR any snapshot committed within
+    * the last `retainMs` milliseconds, and prune the log files older
+    * versions need — after vacuum, time travel BEFORE the window is
+    * intentionally gone ([[readVersion]] fails fast instead of
+    * resolving a snapshot whose data files were deleted), while
+    * every version INSIDE the window still reconstructs. A commit's
+    * age is its delta file's publish mtime — the same clock
+    * [[readAsOf]] trusts (Delta keys retention on the remove action's
+    * `deletionTimestamp`; our removing commit's publish time is that
+    * timestamp). A checkpoint is published at the latest version FIRST,
+    * so the surviving snapshot reconstructs from it alone even when
+    * every older delta is pruned. */
+  def vacuum(retainMs: Long): Unit = {
+    require(retainMs >= 0L, s"vacuum: negative retention $retainMs")
     val (latestV, live) = latest()
     if (latestV > 0L) writeCheckpoint(latestV)
-    val liveDirs = live.map(_.relPath.split('/').head).toSet
+    val cutoff = System.currentTimeMillis() - retainMs
+    // Versions still inside the window. Their snapshots' files (data,
+    // deletion vectors, bloom sidecars) are all protected — a reader
+    // (or a clone taken within the window) resolving any of these
+    // versions must still find every file. retainMs=0 short-circuits:
+    // nothing is recent, only the latest snapshot survives.
+    val recentVs: Seq[Long] =
+      if (retainMs == 0L || !Files.isDirectory(logDir)) Nil
+      else (1L until latestV).filter { v =>
+        val p = logDir.resolve(f"$v%020d.txt")
+        Files.exists(p) &&
+          Files.getLastModifiedTime(p).toMillis >= cutoff
+      }
+    // Log anchor: the oldest retained version reconstructs from the
+    // checkpoint at-or-below it (0 → no anchoring checkpoint → the
+    // whole log survives; retention only ever keeps MORE).
+    val keepFromV =
+      if (recentVs.isEmpty) latestV else checkpointAtOrBelow(recentVs.min)
+    // Protect every version whose log survives — not just the in-window
+    // ones — so "the delta file exists" always implies "the snapshot is
+    // readable" (a version between the anchoring checkpoint and the
+    // window start keeps its log for the fold; reaping its data would
+    // leave a resolvable-but-unreadable version).
+    val protectedVs: Seq[Long] =
+      if (recentVs.isEmpty) Nil
+      else (math.max(keepFromV, 1L) until latestV).filter(v =>
+        Files.exists(logDir.resolve(f"$v%020d.txt")))
+    val protectedEntries: Seq[FileEntry] = live ++ protectedVs.flatMap(v =>
+      scala.util.Try(snapshotAt(v)).getOrElse(Nil))
+    val liveDirs = protectedEntries.map(_.relPath.split('/').head).toSet
     Using.resource(Files.list(root)) { stream =>
       stream.iterator().asScala
         .filter(p => Files.isDirectory(p) &&
@@ -1223,12 +1416,13 @@ final class MergeTable private (
           !liveDirs.contains(p.getFileName.toString))
         .toSeq
     }.foreach(deleteRecursively)
-    // Deletion-vector dirs not referenced by the latest snapshot
+    // Deletion-vector dirs not referenced by any protected snapshot
     // (superseded cumulative vectors, purged/compacted-away vectors,
     // lost-race orphans) are reaped the same way. A clone's references
     // to THIS table's vectors live outside this root's _graft_dv and
     // share the documented source-vacuum caveat with its data files.
-    val liveDvDirs = live.flatMap(_.dv).map(_.relDir.split('/').last).toSet
+    val liveDvDirs =
+      protectedEntries.flatMap(_.dv).map(_.relDir.split('/').last).toSet
     val dvRoot = root.resolve(DvDirName)
     if (Files.isDirectory(dvRoot)) {
       Using.resource(Files.list(dvRoot)) { stream =>
@@ -1242,7 +1436,7 @@ final class MergeTable private (
     // bloom sidecar dirs not referenced by the latest snapshot are
     // reaped identically (compacted-away files orphan their filters)
     val liveBfDirs =
-      live.flatMap(_.bloom).map(_.relDir.split('/').last).toSet
+      protectedEntries.flatMap(_.bloom).map(_.relDir.split('/').last).toSet
     val bfRoot = root.resolve(BloomDirName)
     if (Files.isDirectory(bfRoot)) {
       Using.resource(Files.list(bfRoot)) { stream =>
@@ -1253,14 +1447,16 @@ final class MergeTable private (
           .toSeq
       }.foreach(deleteRecursively)
     }
+    // Log pruning: keep everything at or above the anchor computed
+    // above, so every retained version still reconstructs.
     if (Files.isDirectory(logDir)) {
       Using.resource(Files.list(logDir)) { stream =>
         stream.iterator().asScala
           .filter { p =>
             val n = p.getFileName.toString
-            (n.endsWith(".txt") && n.stripSuffix(".txt").toLong < latestV) ||
+            (n.endsWith(".txt") && n.stripSuffix(".txt").toLong < keepFromV) ||
               (n.endsWith(CkptSuffix) &&
-                n.stripSuffix(CkptSuffix).toLong < latestV)
+                n.stripSuffix(CkptSuffix).toLong < keepFromV)
           }
           .toSeq
       }.foreach(Files.deleteIfExists(_))
@@ -2244,6 +2440,18 @@ object MergeTable {
   /** The change-feed tag column, shared by [[MergeTable.changes]]
     * (producer) and [[MergeTable.mergeCdc]] (consumer). */
   val ChangeType = "_change_type"
+
+  /** Clause-merge internals: the source-side match marker and the
+    * per-row action values of the first-match-wins clause fold. */
+  private val MergeMatchCol = "__graft_matched"
+  private val MergeKeep = "keep"
+  private val MergeUpdate = "update"
+  private val MergeDelete = "delete"
+
+  /** Default [[MergeTable.vacuum]] retention — Delta's 7-day
+    * `deletedFileRetentionDuration` default, protecting in-flight
+    * readers, recent time travel, and young shallow clones. */
+  val DefaultVacuumRetainMs: Long = 7L * 24 * 3600 * 1000
   private val SeqRank = "__graft_seq_rank"
   private val SeqPeer = "__graft_seq_peer"
   private val FileTag = "__graft_file_tag"
@@ -2484,4 +2692,28 @@ object MergeTable {
     Using.resource(Files.walk(p))(_.iterator().asScala.toSeq).reverse
       .foreach(Files.deleteIfExists(_))
   }
+}
+
+/** One `WHEN MATCHED [AND <condition>] THEN UPDATE|DELETE` clause of a
+  * conditional [[MergeTable.merge]]. Conditions are evaluated over the
+  * matched pair with the target aliased `t` and the source aliased `s`
+  * (`col("s.qty") > col("t.qty")` / SQL `s.qty > t.qty`); a clause with
+  * no condition always fires. Clauses apply first-match-wins; a matched
+  * row satisfying none is kept unchanged. */
+final case class MatchClause(condition: Option[Column], isUpdate: Boolean)
+
+object MatchClause {
+  /** `WHEN MATCHED THEN UPDATE` — unconditional update-all. */
+  def update(): MatchClause = MatchClause(None, isUpdate = true)
+
+  /** `WHEN MATCHED AND <cond> THEN UPDATE`. */
+  def update(cond: Column): MatchClause =
+    MatchClause(Some(cond), isUpdate = true)
+
+  /** `WHEN MATCHED THEN DELETE`. */
+  def delete(): MatchClause = MatchClause(None, isUpdate = false)
+
+  /** `WHEN MATCHED AND <cond> THEN DELETE`. */
+  def delete(cond: Column): MatchClause =
+    MatchClause(Some(cond), isUpdate = false)
 }

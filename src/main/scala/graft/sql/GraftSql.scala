@@ -11,7 +11,7 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types.{DataType, LongType, StructType}
 
-import graft.lake.MergeTable
+import graft.lake.{MatchClause, MergeTable}
 
 /** SQL front-end for the lake DML surface (the reference's consumers
   * speak SQL — Athena over the Glue catalog, README.md:98 — while the
@@ -22,13 +22,15 @@ import graft.lake.MergeTable
   * other statement — including MERGE/UPDATE/DELETE on non-graft
   * tables — delegates untouched to Spark's parser:
   *
-  *   MERGE INTO <name> USING <view|(subquery)> ON <pk>
+  *   MERGE INTO <name> USING <view|(subquery)>
+  *     ON <pk> | ON (a, b[, ...])
+  *     [WHEN MATCHED [AND p] THEN UPDATE|DELETE]*
   *     [WITH SCHEMA EVOLUTION]                  → [[MergeTable.merge]]
   *   UPDATE <name> SET c = e[, ...] [WHERE p]   → [[MergeTable.update]]
   *   DELETE FROM <name> [WHERE p]               → [[MergeTable.delete]]
   *   OPTIMIZE <name> [ZORDER BY (c[, ...])]     → compact / zorder
   *   RESTORE <name> TO VERSION AS OF <v>        → [[MergeTable.restore]]
-  *   VACUUM <name>                              → [[MergeTable.vacuum]]
+  *   VACUUM <name> [RETAIN n HOURS]             → [[MergeTable.vacuum]]
   *
   * Tables are REGISTERED handles, not paths: a MergeTable's layout
   * contract (partition column, stats/bloom sidecar columns, deletion
@@ -64,18 +66,26 @@ object GraftSql {
 
   // ---- the statement grammar ----------------------------------------------
 
-  private val MergeRe =
-    """(?is)^\s*MERGE\s+INTO\s+([A-Za-z_][\w]*)\s+USING\s+(.+)\s+ON\s+([A-Za-z_][\w]*)\s*(WITH\s+SCHEMA\s+EVOLUTION)?\s*;?\s*$""".r
-  private val UpdateRe =
-    """(?is)^\s*UPDATE\s+([A-Za-z_][\w]*)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
-  private val DeleteRe =
-    """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][\w]*)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+  // Statement HEADS are matched by regex; clause BOUNDARIES inside a
+  // statement (SET/WHERE, USING/ON, WHEN/THEN) are located with the
+  // quote- and paren-aware [[indexOfTop]] scan — a bare-keyword regex
+  // split mis-splits on a string literal containing ' WHERE ' (r10
+  // ADVICE finding).
+  private val MergeHeadRe =
+    """(?is)^\s*MERGE\s+INTO\s+([A-Za-z_][\w]*)\s+USING\s+(.+)$""".r
+  private val UpdateHeadRe =
+    """(?is)^\s*UPDATE\s+([A-Za-z_][\w]*)\s+SET\s+(.+)$""".r
+  private val DeleteHeadRe =
+    """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][\w]*)\s*(.*)$""".r
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+([A-Za-z_][\w]*)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+([A-Za-z_][\w]*)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$""".r
   private val RestoreRe =
-    """(?is)^\s*RESTORE\s+([A-Za-z_][\w]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+    """(?is)^\s*RESTORE\s+([A-Za-z_][\w]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$""".r
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+    """(?is)^\s*VACUUM\s+([A-Za-z_][\w]*)(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*$""".r
+  private val IdentRe = """(?s)^\s*([A-Za-z_][\w]*)\s*(.*)$""".r
+  private val MatchedHeadRe = """(?is)^\s*MATCHED\b(.*)$""".r
+  private val EvolveRe = """(?is)^\s*WITH\s+SCHEMA\s+EVOLUTION\s*$""".r
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val RegisterRe =
@@ -108,6 +118,45 @@ object GraftSql {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Index of the first occurrence of keyword `kw` in `s` at paren
+    * depth zero, outside string literals, as a WHOLE word
+    * (case-insensitive; bounded by non-identifier chars on both sides).
+    * -1 when absent. The same quote/paren discipline as [[splitTop]],
+    * applied to keyword boundaries: `UPDATE t SET note = 'a WHERE b'
+    * WHERE pk = 1` locates the SECOND `WHERE`. */
+  private[sql] def indexOfTop(s: String, kw: String, from: Int = 0): Int = {
+    val n = s.length
+    val kl = kw.length
+    def identChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '('              => depth += 1
+        case ')'              => depth -= 1
+        case _ =>
+          if (i >= from && depth == 0 &&
+              s.regionMatches(true, i, kw, 0, kl) &&
+              (i == 0 || !identChar(s.charAt(i - 1))) &&
+              (i + kl >= n || !identChar(s.charAt(i + kl))))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Strip one trailing top-level `;`. A trailing semicolon of a valid
+    * (quote-balanced) statement is top-level by construction; a
+    * semicolon INSIDE a literal is followed by the closing quote, so
+    * the regex can't touch it. */
+  private def stripSemi(s: String): String =
+    s.replaceAll("""(?s)\s*;\s*$""", "")
+
   /** One `name = expression` SET assignment: split on the FIRST
     * top-level '=' (the expression side may itself contain '='). */
   private def assignment(s: String): (String, String) = {
@@ -130,41 +179,57 @@ object GraftSql {
     * command returning the committed version. A statement that LOOKS
     * like graft DML but names an unregistered table also delegates —
     * Spark's own MERGE/UPDATE/DELETE handle catalog tables. */
-  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
-    case MergeRe(name, src, pk, evolve) =>
-      table(name).map { t =>
-        GraftDmlCommand(s"MERGE INTO $name", s =>
-          t.merge(sourceDf(s, src), pk, evolveSchema = evolve != null))
-      }
-    case UpdateRe(name, set, where) =>
-      table(name).map { t =>
-        val sets = splitTop(set).map(assignment)
+  def parse(sqlText: String): Option[LogicalPlan] = stripSemi(sqlText) match {
+    case MergeHeadRe(name, rest) =>
+      table(name).flatMap(t => parseMerge(name, t, rest))
+    case UpdateHeadRe(name, body) =>
+      table(name).map { t0 =>
+        val wIdx = indexOfTop(body, "WHERE")
+        val (setPart, wherePart) =
+          if (wIdx < 0) (body, None)
+          else (body.substring(0, wIdx), Some(body.substring(wIdx + 5)))
+        val sets = splitTop(setPart).map(assignment)
           .map { case (c, e) => c -> expr(e) }.toMap
-        GraftDmlCommand(s"UPDATE $name", _ =>
-          t.update(Option(where).map(expr)
+        GraftDmlCommand(s"UPDATE $name", s =>
+          t0.withSession(s).update(wherePart.map(expr)
             .getOrElse(org.apache.spark.sql.functions.lit(true)), sets))
       }
-    case DeleteRe(name, where) =>
-      table(name).map { t =>
-        GraftDmlCommand(s"DELETE FROM $name", _ =>
-          t.delete(Option(where).map(expr)
-            .getOrElse(org.apache.spark.sql.functions.lit(true))))
+    case DeleteHeadRe(name, rest) =>
+      table(name).flatMap { t0 =>
+        val r = rest.trim
+        // empty → delete-all; `WHERE <p>` → predicate; anything else is
+        // not our DELETE shape — delegate untouched
+        val where: Option[Option[String]] =
+          if (r.isEmpty) Some(None)
+          else if (indexOfTop(r, "WHERE") == 0) Some(Some(r.substring(5)))
+          else None
+        where.map(w =>
+          GraftDmlCommand(s"DELETE FROM $name", s =>
+            t0.withSession(s).delete(w.map(expr)
+              .getOrElse(org.apache.spark.sql.functions.lit(true)))))
       }
     case OptimizeRe(name, zorderCols) =>
-      table(name).map { t =>
-        GraftDmlCommand(s"OPTIMIZE $name", _ =>
+      table(name).map { t0 =>
+        GraftDmlCommand(s"OPTIMIZE $name", s =>
           Option(zorderCols) match {
-            case Some(cols) => t.zorder(splitTop(cols))
-            case None       => t.compact()
+            case Some(cols) => t0.withSession(s).zorder(splitTop(cols))
+            case None       => t0.withSession(s).compact()
           })
       }
     case RestoreRe(name, v) =>
-      table(name).map { t =>
-        GraftDmlCommand(s"RESTORE $name", _ => t.restore(v.toLong))
+      table(name).map { t0 =>
+        GraftDmlCommand(s"RESTORE $name", s =>
+          t0.withSession(s).restore(v.toLong))
       }
-    case VacuumRe(name) =>
-      table(name).map { t =>
-        GraftDmlCommand(s"VACUUM $name", _ => { t.vacuum(); t.latestVersion() })
+    case VacuumRe(name, hours) =>
+      table(name).map { t0 =>
+        val retainMs = Option(hours).map(_.toLong * 3600000L)
+          .getOrElse(MergeTable.DefaultVacuumRetainMs)
+        GraftDmlCommand(s"VACUUM $name", s => {
+          val t = t0.withSession(s)
+          t.vacuum(retainMs)
+          t.latestVersion()
+        })
       }
     case HistoryRe(name) =>
       table(name).map(t => GraftHistoryCommand(name, t))
@@ -197,6 +262,102 @@ object GraftSql {
         if (had) 1L else 0L
       }))
     case _ => None
+  }
+
+  private val KeyListRe = """(?s)^\s*\(([^)]*)\)\s*(.*)$""".r
+  private val AndCondRe = """(?is)^AND\s+(.+)$""".r
+
+  /** The MERGE tail after `MERGE INTO <name> USING `: locate the
+    * top-level ON (a subquery source's own JOIN ... ON sits inside
+    * parens; literals are quote-guarded), then parse
+    *
+    *   ON <pk> | ON (a, b[, ...])
+    *   [WHEN MATCHED [AND <cond>] THEN UPDATE|DELETE]*
+    *   [WITH SCHEMA EVOLUTION]
+    *
+    * No WHEN clause and a single key routes through the ORIGINAL
+    * single-pk `merge` (the reference's degenerate
+    * update-all/insert-all path stays bit-identical); anything else
+    * takes the [[MatchClause]] API. Clause conditions reference the
+    * two sides as `t` (target) and `s` (source). */
+  private def parseMerge(name: String, t0: MergeTable,
+      rest: String): Option[LogicalPlan] = {
+    val onIdx = indexOfTop(rest, "ON")
+    if (onIdx < 0) return None // not our shape — delegate untouched
+    val src = rest.substring(0, onIdx).trim
+    if (src.isEmpty) return None
+    val tail = rest.substring(onIdx + 2)
+    val (keys, afterKeys) = tail match {
+      case KeyListRe(cols, after) =>
+        (splitTop(cols).map(_.trim).filter(_.nonEmpty), after)
+      case IdentRe(k, after) => (Seq(k), after)
+      case _                 => return None
+    }
+    require(keys.nonEmpty, s"MERGE INTO $name: empty key list")
+    // optional trailing WITH SCHEMA EVOLUTION
+    val wIdx = indexOfTop(afterKeys, "WITH")
+    val (clausePart, evolve) =
+      if (wIdx < 0) (afterKeys, false)
+      else {
+        require(EvolveRe.matches(afterKeys.substring(wIdx)),
+          s"MERGE INTO $name: expected WITH SCHEMA EVOLUTION at " +
+            s"'${afterKeys.substring(wIdx).trim.take(40)}'")
+        (afterKeys.substring(0, wIdx), true)
+      }
+    // WHEN clauses, in statement order (first-match-wins downstream)
+    var whenIdxs = List.empty[Int]
+    var i = indexOfTop(clausePart, "WHEN")
+    while (i >= 0) {
+      whenIdxs ::= i
+      i = indexOfTop(clausePart, "WHEN", i + 4)
+    }
+    val ps = whenIdxs.reverse
+    require(ps.headOption.forall(h => clausePart.substring(0, h).trim.isEmpty)
+        && (ps.nonEmpty || clausePart.trim.isEmpty),
+      s"MERGE INTO $name: unexpected text " +
+        s"'${clausePart.trim.take(40)}' after the ON keys")
+    val clauses = ps.zip(ps.drop(1) :+ clausePart.length).map {
+      case (a, b) =>
+        val seg = clausePart.substring(a + 4, b)
+        val body = seg match {
+          case MatchedHeadRe(r) => r
+          case _ => throw new IllegalArgumentException(
+            s"MERGE INTO $name: expected WHEN MATCHED at " +
+              s"'${seg.trim.take(40)}'")
+        }
+        val thenIdx = indexOfTop(body, "THEN")
+        require(thenIdx >= 0,
+          s"MERGE INTO $name: WHEN MATCHED clause missing THEN")
+        val condPart = body.substring(0, thenIdx).trim
+        val cond = condPart match {
+          case ""            => None
+          case AndCondRe(c)  => Some(c)
+          case other => throw new IllegalArgumentException(
+            s"MERGE INTO $name: expected AND <condition> before THEN, " +
+              s"got '${other.take(40)}'")
+        }
+        val action = body.substring(thenIdx + 4).trim
+        require(action.equalsIgnoreCase("UPDATE") ||
+            action.equalsIgnoreCase("DELETE"),
+          s"MERGE INTO $name: WHEN MATCHED THEN must be UPDATE or " +
+            s"DELETE, got '${action.take(40)}'")
+        (cond, action.equalsIgnoreCase("UPDATE"))
+    }
+    Some(GraftDmlCommand(s"MERGE INTO $name", s => {
+      val t = t0.withSession(s)
+      val srcDf = sourceDf(s, src)
+      if (clauses.isEmpty && keys.size == 1)
+        t.merge(srcDf, keys.head, evolveSchema = evolve)
+      else {
+        val cs =
+          if (clauses.isEmpty) Seq(MatchClause.update())
+          else clauses.map { case (c, isUpd) =>
+            MatchClause(c.map(expr), isUpdate = isUpd)
+          }
+        t.merge(srcDf, keys, cs, insertUnmatched = true,
+          evolveSchema = evolve)
+      }
+    }))
   }
 
   /** The `graft_table(name[, version|timestamp])` table-valued
@@ -265,13 +426,27 @@ object GraftSql {
   * driver is a few rows per commit. */
 case class GraftHistoryCommand(name: String, t: MergeTable)
     extends LeafRunnableCommand {
+  // the history schema is FIXED — deriving it from t.history() made
+  // merely parsing (or EXPLAINing) the statement read the whole log on
+  // the driver, twice per execution (r10 ADVICE finding)
   override val output: Seq[Attribute] =
     org.apache.spark.sql.catalyst.types.DataTypeUtils
-      .toAttributes(t.history().schema)
+      .toAttributes(GraftHistoryCommand.Schema)
   override def run(sparkSession: SparkSession): Seq[Row] =
-    t.history().collect().toSeq
+    t.withSession(sparkSession).history().collect().toSeq
   override def simpleString(maxFields: Int): String =
     s"GraftDml(DESCRIBE HISTORY $name)"
+}
+
+object GraftHistoryCommand {
+  import org.apache.spark.sql.types.{BooleanType, StructField, TimestampType}
+  /** Must stay in sync with [[MergeTable.history]]'s `toDF` columns. */
+  private[sql] val Schema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = true),
+    StructField("n_added", LongType, nullable = false),
+    StructField("n_removed", LongType, nullable = false),
+    StructField("has_checkpoint", BooleanType, nullable = false)))
 }
 
 /** An eagerly-executed lake DML statement: `spark.sql(...)` runs

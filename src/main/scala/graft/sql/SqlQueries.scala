@@ -47,6 +47,73 @@ object SqlQueries {
       "ORDER BY o_orderkey")
   }
 
+  /** The r11 clause-MERGE surface under the oracle gate: ONE SQL MERGE
+    * with a COMPOSITE key `(o_custkey, o_orderkey)` (unique — the
+    * fixture's lineitem carries duplicate line numbers, so orders is
+    * the key-clean base) and two conditional WHEN MATCHED clauses — a
+    * zero-price tombstone wave deletes, a repricing wave updates ONLY
+    * when the source price beats the target's (`s.`/`t.` aliases both
+    * exercised; the priced-DOWN half of the wave is kept untouched),
+    * and a re-keyed wave inserts. The final state is read back through
+    * a BARE-NAME `FROM q_mcond_t` (the [[GraftRelationResolution]]
+    * rule), so the hash gates the clause semantics AND the name
+    * resolution path at once. Arithmetic stays binary-exact (±10.0,
+    * +7.0 on 2-decimal money). */
+  def mergeCond(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val t = MergeTable(s, scratch("graft_q_mcond"), None)
+    t.overwrite(base)
+    GraftSql.register("q_mcond_t", t)
+    base.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", lit(0.0))
+      .unionByName(base.filter(col("o_orderkey") % 5 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") +
+          when(col("o_orderkey") % 2 === 0, 10.0).otherwise(-10.0)))
+      .unionByName(base.filter(col("o_orderkey") % 7 === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("o_totalprice", col("o_totalprice") + 7.0))
+      .createOrReplaceTempView("q_mcond_src")
+    s.sql(
+      "MERGE INTO q_mcond_t USING q_mcond_src ON (o_custkey, o_orderkey) " +
+        "WHEN MATCHED AND s.o_totalprice = 0 THEN DELETE " +
+        "WHEN MATCHED AND s.o_totalprice > t.o_totalprice THEN UPDATE")
+    s.sql(
+      "SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price " +
+        "FROM q_mcond_t ORDER BY o_custkey, o_orderkey")
+  }
+
+  val mergeCondOracle: String =
+    """WITH base AS (
+         SELECT o_custkey, o_orderkey, o_totalprice FROM orders),
+       src AS (
+         SELECT o_custkey, o_orderkey, 0.0 AS sp
+         FROM base WHERE o_orderkey % 5 = 0
+         UNION ALL
+         SELECT o_custkey, o_orderkey,
+                o_totalprice + CASE WHEN o_orderkey % 2 = 0
+                                    THEN 10.0 ELSE -10.0 END
+         FROM base WHERE o_orderkey % 5 = 1
+         UNION ALL
+         SELECT o_custkey, o_orderkey + 100000000, o_totalprice + 7.0
+         FROM base WHERE o_orderkey % 7 = 3),
+       kept AS (
+         SELECT b.o_custkey, b.o_orderkey,
+                CASE WHEN s.o_orderkey IS NOT NULL AND s.sp <> 0
+                          AND s.sp > b.o_totalprice
+                     THEN s.sp ELSE b.o_totalprice END AS p
+         FROM base b
+         LEFT JOIN src s USING (o_custkey, o_orderkey)
+         WHERE s.o_orderkey IS NULL OR s.sp <> 0),
+       ins AS (
+         SELECT s.o_custkey, s.o_orderkey, s.sp AS p
+         FROM src s
+         LEFT JOIN base b USING (o_custkey, o_orderkey)
+         WHERE b.o_orderkey IS NULL)
+       SELECT o_custkey, o_orderkey, round(p, 2) AS price
+       FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins) f
+       ORDER BY o_custkey, o_orderkey"""
+
   val lakeSqlOracle: String =
     """WITH base AS (
          SELECT o_orderkey, o_custkey, o_totalprice FROM orders),

@@ -18,6 +18,9 @@ object VerifyOne {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the SQL-driven gate queries (q_lake_sql, q_merge_cond) need the
+      // injected parser/TVFs/rules, same as the full Verify main
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -137,7 +137,7 @@ class BloomIndexSpec extends SparkSpec {
     assert(newDirs.nonEmpty && newDirs.intersect(oldDirs).isEmpty,
       "compacted files must carry fresh filters")
     assert(t.readPoint("id", 41L).count() === 1L)
-    t.vacuum()
+    t.vacuum(0L)
     for (d <- oldDirs)
       assert(!Files.exists(Paths.get(root).resolve(d)),
         s"orphaned sidecar $d must be reaped")

@@ -186,7 +186,7 @@ class ColumnMappingSpec extends SparkSpec {
       t.merge(Seq((s"x$i", "2024-02-01", i.toDouble))
         .toDF("order_id", "date", "total"), "order_id")
     }
-    t.vacuum()
+    t.vacuum(0L)
     assert(t.read().columns.contains("total"),
       "mapping must survive via the checkpoint after vacuum")
     val c = t.cloneTo(tmpDir("cm7c").toString)

@@ -191,7 +191,7 @@ class DeletionVectorSpec extends SparkSpec {
         _.iterator().asScala.map(_.getFileName.toString).toSet)
     }
     assert(dvDirs().size === 2)
-    t.vacuum()
+    t.vacuum(0L)
     val live = t.liveEntries().flatMap(_.dv).map(_.relDir.split('/').last)
     assert(dvDirs() === live.toSet, "only the referenced vector survives")
     assert(contents(t.read()) === Set(("o5", "2024-01-01", 50.0),

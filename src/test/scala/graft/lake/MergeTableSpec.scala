@@ -118,7 +118,7 @@ class MergeTableSpec extends SparkSpec {
     val before = contents(t.read())
     t.compact(filesPerPartition = 1, clusterBy = Seq(col("order_id")))
     assert(contents(t.read()) === before)
-    t.vacuum()
+    t.vacuum(0L)
     assert(contents(t.read()) === before) // live data untouched by vacuum
   }
 
@@ -377,7 +377,7 @@ class MergeTableSpec extends SparkSpec {
     t.merge(orders(("o2", "2024-01-02", 20.0)), "order_id")
     // vacuum prunes pre-latest deltas; the checkpoint must carry the
     // constraint or enforcement would silently vanish
-    t.vacuum()
+    t.vacuum(0L)
     assert(t.constraints === Map("amount_pos" -> "amount > 0"))
     intercept[IllegalArgumentException] {
       t.merge(orders(("o3", "2024-01-03", -1.0)), "order_id")
@@ -417,9 +417,32 @@ class MergeTableSpec extends SparkSpec {
     val t = MergeTable(spark, root.toString, Some("date"))
     val v1 = t.overwrite(orders(("o1", "2024-01-01", 1.0)))
     t.merge(orders(("o1", "2024-01-01", 2.0)), "order_id")
-    t.vacuum()
+    t.vacuum(0L)
     assert(contents(t.read()) === Set(("o1", "2024-01-01", 2.0)))
     intercept[Exception](t.readVersion(v1).collect())
+  }
+
+  test("vacuum retention: in-window time travel survives; clones are " +
+      "not stranded; retain-0 reaps now") {
+    val root = tmpDir("mt")
+    val t = MergeTable(spark, root.toString, Some("date"))
+    val v1 = t.overwrite(orders(("o1", "2024-01-01", 1.0)))
+    t.merge(orders(("o1", "2024-01-01", 2.0)), "order_id")
+    // a shallow clone taken NOW references the source's current files
+    val clone = t.cloneTo(tmpDir("mtc").toString)
+    t.merge(orders(("o1", "2024-01-01", 3.0)), "order_id")
+    // default vacuum = 7-day retention: every commit here is seconds
+    // old, so ALL history survives — time travel to v1 still works and
+    // the clone still reads the files the source has since superseded
+    t.vacuum()
+    assert(contents(t.readVersion(v1)) === Set(("o1", "2024-01-01", 1.0)))
+    assert(contents(clone.read()) === Set(("o1", "2024-01-01", 2.0)))
+    assert(contents(t.read()) === Set(("o1", "2024-01-01", 3.0)))
+    // retain-0 is the explicit opt-in to today-reaping: history gone,
+    // latest intact (the clone-stranding caveat X111 documents)
+    t.vacuum(0L)
+    intercept[Exception](t.readVersion(v1).collect())
+    assert(contents(t.read()) === Set(("o1", "2024-01-01", 3.0)))
   }
 
   test("concurrent merges from two threads both land (optimistic retry)") {
@@ -829,7 +852,7 @@ class MergeTableSpec extends SparkSpec {
     assert(ch === Set("o9", "o10", "o11"))
     // vacuum: latest snapshot survives on its own checkpoint; history gone
     val before = contents(t.read())
-    t.vacuum()
+    t.vacuum(0L)
     assert(contents(t.read()) === before)
     assert(Files.exists(log.resolve(f"${12L}%020d.ckpt")))
     intercept[IllegalStateException](t.readVersion(9).collect())

@@ -202,6 +202,111 @@ class GraftSqlSpec extends SparkSpec {
       spark.sql("DELETE FROM t_reg WHERE order_id = 'o2'").collect())
   }
 
+  test("string literals containing keywords parse (quote-aware grammar)") {
+    val (viaSql, viaApi) = freshPair("quo")
+    // ' WHERE ' inside the SET literal must not split the statement
+    spark.sql(
+      "UPDATE t_quo SET order_id = 'a WHERE b' WHERE order_id = 'o1'")
+    viaApi.update(col("order_id") === "o1",
+      Map("order_id" -> lit("a WHERE b")))
+    assert(contents(viaSql.read()) === contents(viaApi.read()))
+    assert(contents(viaSql.read()).map(_._1) === Set("a WHERE b", "o2"))
+    // ' WHERE '/' ON ' inside a DELETE predicate literal
+    spark.sql("DELETE FROM t_quo WHERE order_id = 'a WHERE b'")
+    viaApi.delete(col("order_id") === "a WHERE b")
+    assert(contents(viaSql.read()) === contents(viaApi.read()))
+    // a MERGE source subquery carrying ' ON ' in a literal: the
+    // top-level ON after the parens is the real key clause
+    spark.sql(
+      "MERGE INTO t_quo USING (SELECT 'x ON y' AS order_id, " +
+        "'2024-01-05' AS date, 5.0 AS amount) ON order_id")
+    viaApi.merge(Seq(("x ON y", "2024-01-05", 5.0))
+      .toDF("order_id", "date", "amount"), "order_id")
+    assert(contents(viaSql.read()) === contents(viaApi.read()))
+    assert(contents(viaSql.read()).map(_._1) === Set("o2", "x ON y"))
+  }
+
+  test("MERGE with composite keys and conditional clauses via SQL == API") {
+    import graft.lake.MatchClause
+    val mk = (dir: String) => {
+      val t = MergeTable(spark, tmpDir(dir).toString, Some("date"))
+      t.overwrite(Seq(
+        ("o1", "2024-01-01", 1L, 10.0), ("o1", "2024-01-02", 1L, 20.0),
+        ("o2", "2024-01-01", 1L, 30.0))
+        .toDF("order_id", "date", "seq", "amount"))
+      t
+    }
+    val viaSql = mk("sql_mc"); val viaApi = mk("api_mc")
+    GraftSql.register("t_mc", viaSql)
+    Seq(("o1", "2024-01-01", 2L, 0.0),   // matched, amount 0 → DELETE
+      ("o1", "2024-01-02", 2L, 25.0),    // matched → UPDATE
+      ("o3", "2024-01-03", 1L, 40.0))    // unmatched → INSERT
+      .toDF("order_id", "date", "seq", "amount")
+      .createOrReplaceTempView("mc_src")
+    spark.sql(
+      "MERGE INTO t_mc USING mc_src ON (order_id, date) " +
+        "WHEN MATCHED AND s.amount = 0 THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE")
+    viaApi.merge(spark.table("mc_src"), Seq("order_id", "date"),
+      Seq(MatchClause.delete(col("s.amount") === 0),
+        MatchClause.update()))
+    def st(t: MergeTable) = t.read()
+      .select("order_id", "date", "seq", "amount")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(st(viaSql) === st(viaApi))
+    assert(st(viaSql) === Set(
+      ("o1", "2024-01-02", 2L, 25.0),
+      ("o2", "2024-01-01", 1L, 30.0),
+      ("o3", "2024-01-03", 1L, 40.0)))
+  }
+
+  test("VACUUM RETAIN n HOURS routes the retention window") {
+    val (viaSql, viaApi) = freshPair("ret")
+    val v1 = 1L
+    Seq(viaSql, viaApi).foreach(
+      _.merge(orders(("o1", "2024-01-01", 99.0)), "order_id"))
+    // RETAIN 24 HOURS: seconds-old history survives on both sides
+    spark.sql("VACUUM t_ret RETAIN 24 HOURS")
+    viaApi.vacuum(24L * 3600000L)
+    assert(contents(viaSql.readVersion(v1)) === contents(viaApi.readVersion(v1)))
+    // RETAIN 0 HOURS: explicit immediate reap, history gone
+    spark.sql("VACUUM t_ret RETAIN 0 HOURS")
+    viaApi.vacuum(0L)
+    intercept[Exception](viaSql.readVersion(v1).collect())
+    intercept[Exception](viaApi.readVersion(v1).collect())
+    assert(contents(viaSql.read()) === contents(viaApi.read()))
+  }
+
+  test("bare-name SELECT resolves registered tables; the catalog wins " +
+      "on collision") {
+    val t = MergeTable(spark, tmpDir("sql_bare").toString, Some("date"))
+    t.overwrite(orders(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
+    GraftSql.register("t_bare", t)
+    // plain FROM t == the TVF == the API
+    assert(contents(spark.sql("SELECT * FROM t_bare"))
+      === contents(spark.sql("SELECT * FROM graft_table('t_bare')")))
+    assert(contents(spark.sql("SELECT * FROM t_bare")) === contents(t.read()))
+    // qualified references and joins compose
+    assert(spark.sql(
+      "SELECT t_bare.order_id FROM t_bare WHERE t_bare.amount > 15")
+      .as[String].collect().toSeq === Seq("o2"))
+    Seq(("o1", "alpha")).toDF("order_id", "label")
+      .createOrReplaceTempView("bare_labels")
+    assert(spark.sql(
+      "SELECT l.label FROM t_bare b JOIN bare_labels l USING (order_id)")
+      .as[String].collect().toSeq === Seq("alpha"))
+    // a temp view with the same name SHADOWS the graft table (catalog
+    // precedence — ResolveRelations runs before our resolution rule)
+    Seq(("shadow", "x", 0.0)).toDF("order_id", "date", "amount")
+      .createOrReplaceTempView("t_bare")
+    assert(contents(spark.sql("SELECT * FROM t_bare"))
+      === Set(("shadow", "x", 0.0)))
+    spark.catalog.dropTempView("t_bare")
+    assert(contents(spark.sql("SELECT * FROM t_bare")) === contents(t.read()))
+    GraftSql.unregister("t_bare")
+    intercept[Exception](spark.sql("SELECT * FROM t_bare").collect())
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION routes evolveSchema=true") {
     val t = MergeTable(spark, tmpDir("sql_ev").toString, None)
     t.overwrite(orders(("o1", "2024-01-01", 10.0)))
