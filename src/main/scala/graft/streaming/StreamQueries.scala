@@ -42,14 +42,15 @@ object StreamQueries {
   private def writeWave(df: DataFrame, rawDir: String): Unit =
     df.write.mode("append").option("header", "true").csv(rawDir)
 
-  /** Streaming ingest → CDF → incremental MV, under the oracle gate
-    * (X13 + X60 + X74 end-to-end): two CSV waves — the base corpus,
-    * then updates (key%4=0: v+1000) plus re-keyed inserts (key%6=3) —
-    * are drained by TWO AvailableNow runs sharing one checkpoint, each
-    * micro-batch MERGE-upserted into a lake table. A per-customer
-    * SUM/COUNT aggregate is materialized after drain 1 and then
-    * maintained purely from the change feed between the two drains'
-    * versions — the base table is never rescanned. The measure
+  /** Streaming ingest → CDF SUBSCRIPTION → incremental MV, under the
+    * oracle gate (X13 + X60 + X74 + X153 end-to-end): two CSV waves —
+    * the base corpus, then updates (key%4=0: v+1000) plus re-keyed
+    * inserts (key%6=3) — are drained by TWO AvailableNow runs sharing
+    * one checkpoint, each micro-batch MERGE-upserted into a lake
+    * table. A per-customer SUM/COUNT aggregate SUBSCRIBES to the table
+    * through `readStream.format("graft-cdf")` (its own checkpoint;
+    * version = offset) and folds each emitted change batch — initial
+    * snapshot included — the base table is never rescanned. The measure
     * `o_orderkey % 997` keeps sums integral, so the maintained totals
     * hash-match the oracle's direct aggregate over the replayed final
     * state bit-for-bit.
@@ -85,10 +86,40 @@ object StreamQueries {
       ()
     }
 
+    // r11: the MV SUBSCRIBES to the table through the `graft-cdf`
+    // streaming source (X153) instead of pulling changes() batch-wise —
+    // version-offset checkpointing replaces the hand-held (v1, v2)
+    // bookkeeping, and the INITIAL batch is the initial snapshot as
+    // inserts (startingVersion = 0), so the whole MV lifecycle —
+    // first materialization included — is one feed fold. Each
+    // refresh is an AvailableNow drain of the SAME subscription
+    // checkpoint; state lives distributed (localCheckpoint), the
+    // driver never holds row data.
+    graft.sql.GraftSql.register("q_smv_t", t)
+    val cdfCkpt = scratch("graft_q_smv_cdfckpt")
+    var mv: DataFrame = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      new StructType().add("o_custkey", LongType)
+        .add("total_sum", org.apache.spark.sql.types.DoubleType)
+        .add("n_rows", LongType))
+    def refreshMv(): Unit = {
+      val q = s.readStream.format("graft-cdf")
+        .option("table", "q_smv_t").option("pk", "o_orderkey").load()
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", cdfCkpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          mv = IncrementalAgg.applyDelta(mv,
+            IncrementalAgg.sumCountDelta(b, "o_custkey", "v"),
+            "o_custkey").localCheckpoint()
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+
     writeWave(base.repartition(2), rawDir)
     drain()
-    val v1 = t.latestVersion()
-    var mv = IncrementalAgg.fullAggregate(t.read(), "o_custkey", "v")
+    refreshMv()
 
     val upd = base.filter(col("o_orderkey") % 4 === 0)
       .withColumn("v", col("v") + 1000L)
@@ -97,13 +128,8 @@ object StreamQueries {
       .withColumn("v", col("v") + 7L)
     writeWave(upd.unionByName(ins).repartition(2), rawDir)
     drain()
-    val v2 = t.latestVersion()
+    refreshMv()
 
-    mv = IncrementalAgg.applyDelta(mv,
-      IncrementalAgg.sumCountDelta(
-        t.changes(v1, v2, "o_orderkey", updateImages = true),
-        "o_custkey", "v"),
-      "o_custkey")
     mv.select(col("o_custkey"),
       col("total_sum").cast("long").as("total_sum"), col("n_rows"))
   }

@@ -1,0 +1,39 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
+import org.apache.spark.sql.types.StructType
+
+/** The ONE `private[sql]` bridge the graft streaming source needs —
+  * isolated in its own `org.apache.spark.sql` subpackage (the same
+  * technique Delta's `org.apache.spark.sql.delta` uses; everything
+  * else in this library sticks to public API).
+  *
+  * A V1 `Source.getBatch` must return a DataFrame whose logical plan
+  * is tagged `isStreaming = true` (`MicroBatchExecution` asserts it:
+  * "DataFrame returned by getBatch ... did not have isStreaming=true").
+  * The only way to wrap an arbitrary batch-computed plan that way is
+  * `SparkSession.internalCreateDataFrame(rdd, schema, isStreaming)`,
+  * which is `private[sql]` — exactly how `FileStreamSource` and
+  * Delta's `DeltaSource` build their per-batch frames. The RDD stays
+  * lazy and fully distributed; nothing is materialized on the driver.
+  */
+object GraftStreamShim {
+
+  /** `df`'s rows as a streaming-tagged DataFrame with `df`'s schema. */
+  def asStreamingBatch(spark: SparkSession, df: DataFrame): DataFrame = {
+    val qe = df.queryExecution
+    spark.asInstanceOf[ClassicSession]
+      .internalCreateDataFrame(qe.toRdd, df.schema, isStreaming = true)
+  }
+
+  /** An EMPTY streaming-tagged DataFrame with `schema`. */
+  def emptyStreamingBatch(spark: SparkSession,
+      schema: StructType): DataFrame = {
+    val cs = spark.asInstanceOf[ClassicSession]
+    cs.internalCreateDataFrame(
+      cs.sparkContext.emptyRDD[InternalRow], schema, isStreaming = true)
+  }
+}
