@@ -695,6 +695,34 @@ final class MergeTable private (
     } finally src.unpersist()
   }
 
+  /** APPEND — a commit that only ADDS files (Delta's
+    * `.write.mode("append")`; SQL `INSERT INTO`): no reads, no
+    * removes — O(written data) regardless of table size, the
+    * blind-write fast path MERGE cannot be (it must read matched
+    * partitions). The schema must match the live column set exactly
+    * (an appended frame with drifted columns fails fast); key
+    * uniqueness is the CALLER's contract, exactly as in Delta — an
+    * append never deduplicates. */
+  def append(df: DataFrame): Long = {
+    enforceConstraints(df, "append")
+    val (v0, live) = latest()
+    if (v0 > 0L && live.nonEmpty) {
+      val tableSchema = readEntries(live).schema
+      require(df.columns.toSet == tableSchema.fieldNames.toSet,
+        s"append: source schema {${df.columns.mkString(",")}} != table " +
+          s"schema {${tableSchema.fieldNames.mkString(",")}}")
+      // types too — a blind write never gets the chance to coerce, so
+      // a drifted type would land mixed-type parquet and break reads
+      tableSchema.fields.foreach { f =>
+        val got = df.schema(f.name).dataType
+        require(got == f.dataType,
+          s"append: column '${f.name}' is $got, table has ${f.dataType}")
+      }
+    }
+    val (_, entries) = writeData(df)
+    retryingCommit { () => (CommitDelta(entries, Nil), latest()._1) }
+  }
+
   /** MERGE with COMPOSITE keys and CONDITIONAL clauses (Delta's full
     * `whenMatched` clause surface; the single-pk
     * update-all/insert-all overloads above stay the untouched
@@ -710,6 +738,16 @@ final class MergeTable private (
     *     (source) aliases — `col("s.qty") > col("t.qty")`;
     *   - `insertUnmatched` — unmatched source rows insert (`WHEN NOT
     *     MATCHED THEN INSERT *`); off for delete-only merges.
+    *     `insertCondition` makes the insert conditional (`WHEN NOT
+    *     MATCHED AND <p> THEN INSERT` — `p` over the source row);
+    *   - `notMatchedBySourceDelete` — Delta's `WHEN NOT MATCHED BY
+    *     SOURCE [AND <p>] THEN DELETE` (`p` over the TARGET row;
+    *     `lit(true)` = unconditional): target rows with no source key
+    *     match satisfying `p` are deleted — the full-sync shape
+    *     ("make the table exactly the source"). This clause must
+    *     examine EVERY live row, so the merge rewrites all partitions
+    *     (same cost in Delta) — without it, untouched partitions'
+    *     files carry over as usual.
     *
     * Like Delta, a merge with clauses requires the source UNIQUE on
     * `keys` (two source rows matching one target row would make the
@@ -721,11 +759,14 @@ final class MergeTable private (
   def merge(source: DataFrame, keys: Seq[String],
       whenMatched: Seq[MatchClause],
       insertUnmatched: Boolean = true,
-      evolveSchema: Boolean = false): Long = {
+      evolveSchema: Boolean = false,
+      insertCondition: Option[Column] = None,
+      notMatchedBySourceDelete: Option[Column] = None): Long = {
     require(keys.nonEmpty, "merge: at least one key column")
     // exact degenerate delegation: the single-pk path stays bit-identical
     if (keys.size == 1 && insertUnmatched &&
-        whenMatched == Seq(MatchClause(None, isUpdate = true)))
+        whenMatched == Seq(MatchClause(None, isUpdate = true)) &&
+        insertCondition.isEmpty && notMatchedBySourceDelete.isEmpty)
       return merge(source, keys.head, evolveSchema)
     val writesRows = insertUnmatched || whenMatched.exists(_.isUpdate)
     if (writesRows) enforceConstraints(source, "MERGE source")
@@ -744,12 +785,17 @@ final class MergeTable private (
         if (live.isEmpty) {
           if (!insertUnmatched) (CommitDelta(Nil, Nil), version)
           else {
-            val (_, entries) = writeData(src)
+            val ins = insertCondition
+              .map(c => src.alias("s").filter(c)).getOrElse(src)
+            val (_, entries) = writeData(ins)
             (CommitDelta(entries, Nil), version)
           }
         } else {
           val srcKeys = src.select(keys.map(col): _*).distinct()
           val touchedFiles = partitionCol match {
+            // WHEN NOT MATCHED BY SOURCE must examine every live row —
+            // any partition may hold an unmatched target row
+            case _ if notMatchedBySourceDelete.isDefined => live
             case Some(pc) =>
               // updates/inserts can land rows in the SOURCE rows'
               // partitions (an update may move a row across partitions);
@@ -800,8 +846,15 @@ final class MergeTable private (
                 lit(if (c.isUpdate) MergeUpdate else MergeDelete))
                 .otherwise(els)
           }
+          // unmatched target rows: kept, unless the NOT MATCHED BY
+          // SOURCE delete clause (condition over the `t` alias) fires
+          val unmatchedAction = notMatchedBySourceDelete match {
+            case Some(cond) =>
+              when(cond, lit(MergeDelete)).otherwise(lit(MergeKeep))
+            case None => lit(MergeKeep)
+          }
           val act = when(col(s"s.$MergeMatchCol").isNotNull, clauseAction)
-            .otherwise(lit(MergeKeep))
+            .otherwise(unmatchedAction)
           // UPDATE takes the source's value for columns the source has;
           // target-only columns keep their value (Delta's UPDATE SET *);
           // with evolveSchema, source-only columns surface (NULL on
@@ -822,10 +875,13 @@ final class MergeTable private (
           // table-wide unmatched source rows
           val out =
             if (!insertUnmatched) merged
-            else merged.unionByName(
-              src.join(tgt.select(keys.map(col): _*).distinct(),
-                keys, "left_anti"),
-              allowMissingColumns = evolveSchema)
+            else {
+              val ins0 = src.alias("s")
+                .join(tgt.select(keys.map(col): _*).distinct(),
+                  keys, "left_anti")
+              val ins = insertCondition.map(ins0.filter).getOrElse(ins0)
+              merged.unionByName(ins, allowMissingColumns = evolveSchema)
+            }
           val (_, newEntries) = writeData(out)
           (CommitDelta(newEntries, touchedFiles.map(_.relPath)), version)
         }

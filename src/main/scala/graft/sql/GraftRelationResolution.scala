@@ -1,10 +1,11 @@
 package graft.sql
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{StringType, TimestampType}
 
 /** BARE-NAME reads of registered graft tables: `SELECT ... FROM t`
   * resolves like `FROM graft_table('t')` — the shape an analyst coming
@@ -29,11 +30,46 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *     alone — the registry is a flat namespace.
   */
 class GraftRelationResolution(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def registeredName(plan: LogicalPlan): Option[String] = plan match {
+    case u: UnresolvedRelation
+        if !u.isStreaming && u.multipartIdentifier.size == 1 &&
+          GraftSql.table(u.multipartIdentifier.head).isDefined =>
+      Some(u.multipartIdentifier.head)
+    case _ => None
+  }
+
+  // TOP-DOWN: RelationTimeTravel must match BEFORE its child
+  // UnresolvedRelation is rewritten to the live read (bottom-up would
+  // strip the version clause's anchor first)
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.resolveOperatorsUp {
-      case u: UnresolvedRelation
-          if !u.isStreaming && u.multipartIdentifier.size == 1 &&
-            GraftSql.table(u.multipartIdentifier.head).isDefined =>
+    plan.resolveOperatorsDown {
+      // SQL time travel on a bare name (Delta's `VERSION AS OF` /
+      // `TIMESTAMP AS OF` clause syntax, which Spark's parser wraps in
+      // RelationTimeTravel): route to readVersion / readAsOf — the
+      // same snapshot reads the Scala API and the 2-arg TVF build.
+      case RelationTimeTravel(rel, ts, ver)
+          if registeredName(rel).isDefined =>
+        val name = registeredName(rel).get
+        val t = GraftSql.table(name).get.withSession(spark)
+        val df = (ver, ts) match {
+          case (Some(v), _) => t.readVersion(v.toLong)
+          case (_, Some(e)) if e.foldable =>
+            (e.eval(), e.dataType) match {
+              case (micros: java.lang.Long, TimestampType) =>
+                t.readAsOf(java.time.Instant.EPOCH
+                  .plusNanos(micros * 1000L))
+              case (s, StringType) =>
+                t.readAsOf(java.sql.Timestamp
+                  .valueOf(String.valueOf(s).replace("T", " ")).toInstant)
+              case (v, dt) => throw new IllegalArgumentException(
+                s"graft time travel: unsupported TIMESTAMP AS OF " +
+                  s"literal $v of type $dt")
+            }
+          case _ => t.read()
+        }
+        SubqueryAlias(name, df.queryExecution.logical)
+      case u: UnresolvedRelation if registeredName(u).isDefined =>
         val name = u.multipartIdentifier.head
         SubqueryAlias(name,
           GraftSql.tableFunction(Seq(Literal(name))))

@@ -77,6 +77,8 @@ object GraftSql {
     """(?is)^\s*UPDATE\s+([A-Za-z_][\w]*)\s+SET\s+(.+)$""".r
   private val DeleteHeadRe =
     """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][\w]*)\s*(.*)$""".r
+  private val InsertHeadRe =
+    """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][\w]*)\s+(.+)$""".r
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+([A-Za-z_][\w]*)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$""".r
   private val RestoreRe =
@@ -208,6 +210,28 @@ object GraftSql {
             t0.withSession(s).delete(w.map(expr)
               .getOrElse(org.apache.spark.sql.functions.lit(true)))))
       }
+    // INSERT INTO <name> <query> — appends the query's rows as a new
+    // commit ([[MergeTable.append]]); columns map BY POSITION to the
+    // table schema (Spark/Delta INSERT semantics), so `VALUES (...)`
+    // tuples and SELECTs both work without column-name gymnastics.
+    case InsertHeadRe(name, rest) =>
+      table(name).map { t0 =>
+        GraftDmlCommand(s"INSERT INTO $name", s => {
+          val t = t0.withSession(s)
+          val df = s.sql(rest)
+          val schema = t.read().schema
+          require(df.columns.length == schema.length,
+            s"INSERT INTO $name: query produces ${df.columns.length} " +
+              s"columns, table has ${schema.length}")
+          // store-assignment casts, Spark INSERT semantics: a VALUES
+          // literal arrives as DECIMAL and must coerce to the table's
+          // type; under ANSI, an uncastable value fails the statement
+          val aligned = df.toDF(schema.fieldNames.toSeq: _*)
+            .select(schema.fields.toSeq.map(f =>
+              expr(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+          t.append(aligned)
+        })
+      }
     case OptimizeRe(name, zorderCols) =>
       table(name).map { t0 =>
         GraftDmlCommand(s"OPTIMIZE $name", s =>
@@ -266,6 +290,9 @@ object GraftSql {
 
   private val KeyListRe = """(?s)^\s*\(([^)]*)\)\s*(.*)$""".r
   private val AndCondRe = """(?is)^AND\s+(.+)$""".r
+  private val NotMatchedBySourceRe =
+    """(?is)^\s*NOT\s+MATCHED\s+BY\s+SOURCE\b(.*)$""".r
+  private val NotMatchedRe = """(?is)^\s*NOT\s+MATCHED\b(.*)$""".r
 
   /** The MERGE tail after `MERGE INTO <name> USING `: locate the
     * top-level ON (a subquery source's own JOIN ... ON sits inside
@@ -273,13 +300,17 @@ object GraftSql {
     *
     *   ON <pk> | ON (a, b[, ...])
     *   [WHEN MATCHED [AND <cond>] THEN UPDATE|DELETE]*
+    *   [WHEN NOT MATCHED [AND <cond>] THEN INSERT]
+    *   [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE]
     *   [WITH SCHEMA EVOLUTION]
     *
-    * No WHEN clause and a single key routes through the ORIGINAL
-    * single-pk `merge` (the reference's degenerate
+    * No WHEN clause at all and a single key routes through the
+    * ORIGINAL single-pk `merge` (the reference's degenerate
     * update-all/insert-all path stays bit-identical); anything else
-    * takes the [[MatchClause]] API. Clause conditions reference the
-    * two sides as `t` (target) and `s` (source). */
+    * takes the [[MatchClause]] API — and then Delta's insert rule
+    * applies: unmatched source rows insert ONLY when a `WHEN NOT
+    * MATCHED THEN INSERT` clause is present. Clause conditions
+    * reference the two sides as `t` (target) and `s` (source). */
   private def parseMerge(name: String, t0: MergeTable,
       rest: String): Option[LogicalPlan] = {
     val onIdx = indexOfTop(rest, "ON")
@@ -316,47 +347,77 @@ object GraftSql {
         && (ps.nonEmpty || clausePart.trim.isEmpty),
       s"MERGE INTO $name: unexpected text " +
         s"'${clausePart.trim.take(40)}' after the ON keys")
-    val clauses = ps.zip(ps.drop(1) :+ clausePart.length).map {
-      case (a, b) =>
-        val seg = clausePart.substring(a + 4, b)
-        val body = seg match {
-          case MatchedHeadRe(r) => r
-          case _ => throw new IllegalArgumentException(
-            s"MERGE INTO $name: expected WHEN MATCHED at " +
-              s"'${seg.trim.take(40)}'")
-        }
-        val thenIdx = indexOfTop(body, "THEN")
-        require(thenIdx >= 0,
-          s"MERGE INTO $name: WHEN MATCHED clause missing THEN")
-        val condPart = body.substring(0, thenIdx).trim
-        val cond = condPart match {
-          case ""            => None
-          case AndCondRe(c)  => Some(c)
-          case other => throw new IllegalArgumentException(
-            s"MERGE INTO $name: expected AND <condition> before THEN, " +
-              s"got '${other.take(40)}'")
-        }
-        val action = body.substring(thenIdx + 4).trim
-        require(action.equalsIgnoreCase("UPDATE") ||
-            action.equalsIgnoreCase("DELETE"),
-          s"MERGE INTO $name: WHEN MATCHED THEN must be UPDATE or " +
-            s"DELETE, got '${action.take(40)}'")
-        (cond, action.equalsIgnoreCase("UPDATE"))
+    var matched = Vector.empty[(Option[String], Boolean)]
+    var insertClause: Option[Option[String]] = None
+    var nmbsClause: Option[Option[String]] = None
+    ps.zip(ps.drop(1) :+ clausePart.length).foreach { case (a, b) =>
+      val seg = clausePart.substring(a + 4, b)
+      // (kind, clause body after the head keyword[s])
+      val (kind, body) = seg match {
+        case NotMatchedBySourceRe(r) => ("nmbs", r)
+        case NotMatchedRe(r)         => ("ins", r)
+        case MatchedHeadRe(r)        => ("matched", r)
+        case _ => throw new IllegalArgumentException(
+          s"MERGE INTO $name: expected WHEN [NOT] MATCHED at " +
+            s"'${seg.trim.take(40)}'")
+      }
+      val thenIdx = indexOfTop(body, "THEN")
+      require(thenIdx >= 0, s"MERGE INTO $name: WHEN clause missing THEN")
+      val condPart = body.substring(0, thenIdx).trim
+      val cond = condPart match {
+        case ""           => None
+        case AndCondRe(c) => Some(c)
+        case other => throw new IllegalArgumentException(
+          s"MERGE INTO $name: expected AND <condition> before THEN, " +
+            s"got '${other.take(40)}'")
+      }
+      val action = body.substring(thenIdx + 4).trim
+      kind match {
+        case "matched" =>
+          require(action.equalsIgnoreCase("UPDATE") ||
+              action.equalsIgnoreCase("DELETE"),
+            s"MERGE INTO $name: WHEN MATCHED THEN must be UPDATE or " +
+              s"DELETE, got '${action.take(40)}'")
+          matched :+= ((cond, action.equalsIgnoreCase("UPDATE")))
+        case "ins" =>
+          require(action.equalsIgnoreCase("INSERT"),
+            s"MERGE INTO $name: WHEN NOT MATCHED THEN must be INSERT, " +
+              s"got '${action.take(40)}'")
+          require(insertClause.isEmpty,
+            s"MERGE INTO $name: duplicate WHEN NOT MATCHED clause")
+          insertClause = Some(cond)
+        case "nmbs" =>
+          require(action.equalsIgnoreCase("DELETE"),
+            s"MERGE INTO $name: WHEN NOT MATCHED BY SOURCE THEN must " +
+              s"be DELETE, got '${action.take(40)}'")
+          require(nmbsClause.isEmpty,
+            s"MERGE INTO $name: duplicate WHEN NOT MATCHED BY SOURCE " +
+              "clause")
+          nmbsClause = Some(cond)
+      }
     }
+    val anyClause = ps.nonEmpty
     Some(GraftDmlCommand(s"MERGE INTO $name", s => {
       val t = t0.withSession(s)
       val srcDf = sourceDf(s, src)
-      if (clauses.isEmpty && keys.size == 1)
+      if (!anyClause && keys.size == 1)
         t.merge(srcDf, keys.head, evolveSchema = evolve)
-      else {
-        val cs =
-          if (clauses.isEmpty) Seq(MatchClause.update())
-          else clauses.map { case (c, isUpd) =>
+      else if (!anyClause)
+        t.merge(srcDf, keys, Seq(MatchClause.update()),
+          insertUnmatched = true, evolveSchema = evolve)
+      else
+        // Delta's rule: with explicit clauses, inserts happen only
+        // under a WHEN NOT MATCHED THEN INSERT clause
+        t.merge(srcDf, keys,
+          matched.map { case (c, isUpd) =>
             MatchClause(c.map(expr), isUpdate = isUpd)
-          }
-        t.merge(srcDf, keys, cs, insertUnmatched = true,
-          evolveSchema = evolve)
-      }
+          },
+          insertUnmatched = insertClause.isDefined,
+          evolveSchema = evolve,
+          insertCondition = insertClause.flatMap(_.map(expr)),
+          notMatchedBySourceDelete = nmbsClause.map(
+            _.map(expr).getOrElse(
+              org.apache.spark.sql.functions.lit(true))))
     }))
   }
 

@@ -21,15 +21,17 @@ object SqlQueries {
     java.nio.file.Files.createTempDirectory(prefix).toString
 
   /** MERGE (update + re-keyed insert wave) → UPDATE (predicate +
-    * SET with a function call) → DELETE → OPTIMIZE → SELECT via TVF,
-    * all as SQL strings. Arithmetic stays binary-exact (+10.0, ×2 on
-    * 2-decimal money values) so the oracle matches bit-for-bit. */
+    * SET with a function call) → DELETE → INSERT INTO (positional
+    * append, r11) → OPTIMIZE → SELECT via TVF, all as SQL strings.
+    * Arithmetic stays binary-exact (+10.0, ×2 on 2-decimal money
+    * values) so the oracle matches bit-for-bit. */
   def lakeSql(s: SparkSession, d: String): DataFrame = {
     val base = Tables.orders(s, d).select(
       col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     val t = MergeTable(s, scratch("graft_q_lsql"), None)
     t.overwrite(base)
     GraftSql.register("q_lsql_t", t)
+    base.createOrReplaceTempView("q_lsql_base")
     // the MERGE wave: key%4=0 repriced +10, key%6=3 re-keyed inserts
     base.filter(col("o_orderkey") % 4 === 0)
       .withColumn("o_totalprice", col("o_totalprice") + 10.0)
@@ -41,6 +43,11 @@ object SqlQueries {
     s.sql("UPDATE q_lsql_t SET o_totalprice = o_totalprice * 2 " +
       "WHERE o_custkey % 10 = 0")
     s.sql("DELETE FROM q_lsql_t WHERE o_orderkey % 9 = 0")
+    // blind append AFTER the delete: these rows see neither the ×2
+    // update nor the %9 delete
+    s.sql("INSERT INTO q_lsql_t " +
+      "SELECT o_orderkey + 200000000, o_custkey, o_totalprice + 3.0 " +
+      "FROM q_lsql_base WHERE o_orderkey % 13 = 1")
     s.sql("OPTIMIZE q_lsql_t")
     s.sql("SELECT o_orderkey, o_custkey, " +
       "round(o_totalprice, 2) AS price FROM graft_table('q_lsql_t') " +
@@ -77,7 +84,10 @@ object SqlQueries {
     s.sql(
       "MERGE INTO q_mcond_t USING q_mcond_src ON (o_custkey, o_orderkey) " +
         "WHEN MATCHED AND s.o_totalprice = 0 THEN DELETE " +
-        "WHEN MATCHED AND s.o_totalprice > t.o_totalprice THEN UPDATE")
+        "WHEN MATCHED AND s.o_totalprice > t.o_totalprice THEN UPDATE " +
+        // Delta's rule: with explicit clauses, inserts need their own
+        // WHEN NOT MATCHED clause
+        "WHEN NOT MATCHED THEN INSERT")
     s.sql(
       "SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price " +
         "FROM q_mcond_t ORDER BY o_custkey, o_orderkey")
@@ -129,7 +139,11 @@ object SqlQueries {
          SELECT o_orderkey, o_custkey,
                 CASE WHEN o_custkey % 10 = 0 THEN p * 2 ELSE p END AS p
          FROM merged)
-       SELECT o_orderkey, o_custkey, round(p, 2) AS price
-       FROM updated WHERE o_orderkey % 9 <> 0
+       SELECT o_orderkey, o_custkey, round(p, 2) AS price FROM (
+         SELECT o_orderkey, o_custkey, p
+         FROM updated WHERE o_orderkey % 9 <> 0
+         UNION ALL
+         SELECT o_orderkey + 200000000, o_custkey, o_totalprice + 3.0
+         FROM base WHERE o_orderkey % 13 = 1) f
        ORDER BY o_orderkey"""
 }

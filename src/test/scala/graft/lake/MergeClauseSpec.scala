@@ -127,6 +127,56 @@ class MergeClauseSpec extends SparkSpec {
     assert(r.filter(col("channel").isNull).count() === 3L)
   }
 
+  test("WHEN NOT MATCHED BY SOURCE THEN DELETE: unconditional = full sync") {
+    val t = fresh("nmbs")
+    val src = inv(("s1", "a", 9L, 9.0), ("s3", "z", 1L, 1.0))
+    t.merge(src, Seq("store", "sku"), Seq(MatchClause.update()),
+      insertUnmatched = true, evolveSchema = false,
+      notMatchedBySourceDelete = Some(lit(true)))
+    // the table IS the source now: matched updated, unmatched target
+    // deleted, unmatched source inserted
+    assert(state(t) === Set(("s1", "a", 9L, 9.0), ("s3", "z", 1L, 1.0)))
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE AND <cond>: only matching rows delete") {
+    val t = fresh("nmbsc")
+    // delete unmatched-by-source rows only where qty < 2 (t alias)
+    t.merge(inv(("s1", "a", 50L, 1.5)), Seq("store", "sku"),
+      Seq(MatchClause.update()),
+      notMatchedBySourceDelete = Some(col("t.qty") < 2))
+    assert(state(t) === Set(
+      ("s1", "a", 50L, 1.5),           // matched → updated
+      ("s1", "b", 2L, 2.0),            // unmatched, qty 2 → kept
+      ("s2", "a", 7L, 3.0)))           // unmatched, qty 1 ("s2","c") deleted
+  }
+
+  test("conditional insert: WHEN NOT MATCHED AND <cond> THEN INSERT") {
+    val t = fresh("condins")
+    t.merge(inv(("s3", "d", 3L, 3.0), ("s4", "e", 0L, 4.0)),
+      Seq("store", "sku"), Seq(MatchClause.update()),
+      insertUnmatched = true, evolveSchema = false,
+      insertCondition = Some(col("s.qty") > 0))
+    val st = state(t)
+    assert(st.contains(("s3", "d", 3L, 3.0)), "qty>0 row must insert")
+    assert(!st.exists(_._1 == "s4"), "qty=0 row must be filtered out")
+    assert(st.size === 5)
+  }
+
+  test("append adds a commit without touching existing files; schema " +
+      "drift fails fast") {
+    val t = fresh("app")
+    val before = t.liveEntries().map(_.relPath).toSet
+    val v = t.append(inv(("s9", "x", 1L, 1.0), ("s9", "y", 2L, 2.0)))
+    assert(v === t.latestVersion())
+    assert(before.subsetOf(t.liveEntries().map(_.relPath).toSet),
+      "append must not remove or rewrite any existing file")
+    assert(state(t).size === 6)
+    assert(state(t).contains(("s9", "x", 1L, 1.0)))
+    intercept[IllegalArgumentException] {
+      t.append(Seq(("s9", "z", 1L)).toDF("store", "sku", "qty"))
+    }
+  }
+
   test("only touched partitions rewrite (file-level delta check)") {
     val t = fresh("files")
     val untouched = t.liveEntries()

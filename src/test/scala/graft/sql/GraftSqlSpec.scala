@@ -246,7 +246,8 @@ class GraftSqlSpec extends SparkSpec {
     spark.sql(
       "MERGE INTO t_mc USING mc_src ON (order_id, date) " +
         "WHEN MATCHED AND s.amount = 0 THEN DELETE " +
-        "WHEN MATCHED THEN UPDATE")
+        "WHEN MATCHED THEN UPDATE " +
+        "WHEN NOT MATCHED THEN INSERT")
     viaApi.merge(spark.table("mc_src"), Seq("order_id", "date"),
       Seq(MatchClause.delete(col("s.amount") === 0),
         MatchClause.update()))
@@ -305,6 +306,78 @@ class GraftSqlSpec extends SparkSpec {
     assert(contents(spark.sql("SELECT * FROM t_bare")) === contents(t.read()))
     GraftSql.unregister("t_bare")
     intercept[Exception](spark.sql("SELECT * FROM t_bare").collect())
+  }
+
+  test("INSERT INTO via SQL == append() via API (SELECT and VALUES, " +
+      "positional)") {
+    val (viaSql, viaApi) = freshPair("ins")
+    // positional contract = the table's READ-schema order, which puts
+    // the partition column last: (order_id, amount, date)
+    assert(viaSql.read().columns.toSeq === Seq("order_id", "amount", "date"))
+    // the hive-inferred partition column reads back as DATE, and append
+    // requires exact types — the API caller casts; the SQL path's
+    // store-assignment cast does it automatically
+    def wave(id: String, d: String, amt: Double) =
+      orders((id, d, amt)).withColumn("date", col("date").cast("date"))
+    spark.sql("INSERT INTO t_ins SELECT 'o7', 70.0, '2024-01-07'")
+    viaApi.append(wave("o7", "2024-01-07", 70.0))
+    assert(contents(viaSql.read()) === contents(viaApi.read()))
+    spark.sql("INSERT INTO t_ins VALUES ('o8', 80.0, '2024-01-08')")
+    viaApi.append(wave("o8", "2024-01-08", 80.0))
+    assert(contents(viaSql.read()) === contents(viaApi.read()))
+    // arity mismatch fails fast
+    intercept[Exception] {
+      spark.sql("INSERT INTO t_ins VALUES ('o9', 90.0)")
+    }
+    // type drift fails fast instead of writing mixed-type files
+    intercept[Exception] {
+      spark.sql("INSERT INTO t_ins VALUES ('o9', 'not-a-price', '2024-01-09')")
+    }
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE THEN DELETE via SQL: full sync; " +
+      "clause merges without an INSERT clause do not insert") {
+    import graft.lake.MatchClause
+    val (viaSql, viaApi) = freshPair("sync")
+    orders(("o2", "2024-01-02", 99.0), ("o5", "2024-01-05", 50.0))
+      .createOrReplaceTempView("sync_src")
+    spark.sql(
+      "MERGE INTO t_sync USING sync_src ON (order_id) " +
+        "WHEN MATCHED THEN UPDATE " +
+        "WHEN NOT MATCHED THEN INSERT " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    viaApi.merge(spark.table("sync_src"), Seq("order_id"),
+      Seq(MatchClause.update()), insertUnmatched = true,
+      evolveSchema = false,
+      notMatchedBySourceDelete = Some(lit(true)))
+    assert(contents(viaSql.read()) === contents(viaApi.read()))
+    assert(contents(viaSql.read()) ===
+      Set(("o2", "2024-01-02", 99.0), ("o5", "2024-01-05", 50.0)))
+    // Delta's insert rule: clauses present but NO not-matched clause →
+    // the unmatched source row is NOT inserted
+    orders(("o2", "2024-01-02", 11.0), ("o9", "2024-01-09", 90.0))
+      .createOrReplaceTempView("sync_src2")
+    spark.sql(
+      "MERGE INTO t_sync USING sync_src2 ON (order_id) " +
+        "WHEN MATCHED THEN UPDATE")
+    assert(contents(viaSql.read()).map(_._1) === Set("o2", "o5"),
+      "no WHEN NOT MATCHED clause → no inserts")
+    assert(contents(viaSql.read()).contains(("o2", "2024-01-02", 11.0)))
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF on a bare name == readVersion") {
+    val t = MergeTable(spark, tmpDir("sql_tt").toString, Some("date"))
+    t.overwrite(orders(("o1", "2024-01-01", 10.0)))
+    val v1 = t.latestVersion()
+    t.merge(orders(("o2", "2024-01-02", 20.0)), "order_id")
+    GraftSql.register("t_tt", t)
+    assert(contents(spark.sql(s"SELECT * FROM t_tt VERSION AS OF $v1"))
+      === contents(t.readVersion(v1)))
+    assert(contents(spark.sql("SELECT * FROM t_tt"))
+      === contents(t.read()))
+    // a version beyond history fails loudly, not silently-latest
+    intercept[Exception](
+      spark.sql("SELECT * FROM t_tt VERSION AS OF 99").collect())
   }
 
   test("MERGE WITH SCHEMA EVOLUTION routes evolveSchema=true") {
