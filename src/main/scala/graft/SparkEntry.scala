@@ -172,6 +172,8 @@ object SparkEntry {
     "q_stream_sessions" -> (graft.streaming.StreamQueries.streamSessions _),
     "q_stream_ijoin"    -> (graft.streaming.StreamQueries.streamIntervalJoin _),
     "q_stream_sessions_cs" -> (graft.streaming.StreamQueries.streamSessionsCustom _),
+    // r11 — continuous replication through the graft-cdf subscription
+    "q_stream_replica"  -> (graft.streaming.StreamQueries.streamReplica _),
     // §7.5 — multimodal binary columns (stub decode, real plumbing)
     "q_media_features"  -> ((s: SparkSession, d: String) =>
       ext.Multimodal.decoded(s, ext.Multimodal.mediaTable(Tables.documents(s, d)))),
@@ -827,6 +829,7 @@ object SparkEntry {
     "q_join_mv" -> graft.lake.LakeQueries.joinMvOracle,
     "q_dv_state"      -> graft.lake.LakeQueries.dvStateOracle,
     "q_stream_mv"     -> graft.streaming.StreamQueries.streamMvOracle,
+    "q_stream_replica" -> graft.streaming.StreamQueries.streamReplicaOracle,
     "q_stream_cdc"    -> graft.streaming.StreamQueries.streamCdcOracle,
     "q_stream_scd2"   -> graft.streaming.StreamQueries.streamScd2Oracle,
     "q_stream_window" -> graft.streaming.StreamQueries.streamWindowOracle,

@@ -88,7 +88,7 @@ class GraftScanPruning(spark: SparkSession) extends Rule[LogicalPlan] {
     * whose one side is the map's `__graft_file` attribute and whose
     * other side is a `__graft_file` attribute NOT from the map (the
     * scan's). (r10 ADVICE finding.) */
-  private def isFileKeyEquiJoin(cond: Option[Expression],
+  private[lake] def isFileKeyEquiJoin(cond: Option[Expression],
       fileMap: LocalRelation): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo}
     val mapKeys = fileMap.output

@@ -94,6 +94,40 @@ object Replica {
     to
   }
 
+  /** CONTINUOUS replication — the [[sync]] loop as a SUBSCRIPTION
+    * through the X153 `graft-cdf` streaming source: the replica
+    * follows a REGISTERED source table's change feed, each emitted
+    * batch applied as one atomic [[MergeTable.mergeCdc]] commit. The
+    * engine's offset checkpoint replaces the watermark files —
+    * version-as-offset IS the watermark, with the engine owning
+    * restart semantics: a drain after a crash or restart resumes from
+    * the last committed source version and re-applies at most the
+    * in-flight window, which is a logical no-op on the replica
+    * (upserts re-assert rows it already has, deletes hit absent keys —
+    * the same idempotence argument [[sync]] makes for its
+    * crash-between-commit-and-watermark window).
+    *
+    * `AvailableNow` drains to the source head and returns — the cron /
+    * event-driven shape (the reference's per-upload trigger cadence);
+    * a `Trigger.ProcessingTime` variant of the same plan would tail
+    * continuously. Bootstrap needs no special path: the source's
+    * initial batch is its snapshot as inserts. */
+  def subscribeAvailableNow(spark: org.apache.spark.sql.SparkSession,
+      sourceName: String, replica: MergeTable, pk: String,
+      checkpointDir: String): Unit = {
+    val q = spark.readStream.format("graft-cdf")
+      .option("table", sourceName).option("pk", pk).load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) replica.mergeCdc(b, pk)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drop all but the newest watermark file (housekeeping; old
     * watermarks are never read). */
   def prune(replica: MergeTable): Unit = {

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.col
@@ -26,7 +27,12 @@ import graft.sql.GraftSql
   * }}}
   *
   * THE COMMIT LOG IS THE WAL — version = offset:
-  *  - `getOffset` is one driver-side `latestVersion()` log listing;
+  *  - `latestOffset` is one driver-side `latestVersion()` log listing
+  *    (admission-controlled: `maxVersionsPerTrigger` caps each batch,
+  *    and `Trigger.AvailableNow` pins the drain head at query start —
+  *    first-class via [[SupportsTriggerAvailableNow]], so a capped
+  *    drain runs SEVERAL batches to exactly that head and stops, with
+  *    no single-batch fallback);
   *  - batch (vA, vB] is `changes(vA, vB, pk, updateImages = true)` —
   *    log-pruned to partitions whose file sets differ, computed lazily
   *    and fully distributed (the driver never holds row data);
@@ -55,16 +61,50 @@ class GraftChangeFeedSource(
     t: MergeTable,
     pk: String,
     startVersion: Long,
-    declared: StructType) extends Source {
+    declared: StructType,
+    maxVersionsPerTrigger: Option[Long] = None) extends Source
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   override def schema: StructType = declared
 
-  override def getOffset: Option[V1Offset] = {
-    val v = t.latestVersion()
-    if (v <= startVersion) None else Some(LongOffset(v))
+  /** Pinned at query start by [[prepareForTriggerAvailableNow]]: an
+    * AvailableNow run drains to exactly THIS head — possibly across
+    * several rate-limited batches — then stops, even if the source
+    * table keeps committing underneath (the AvailableNow contract;
+    * same design as `FileStreamSource.allFilesForTriggerAvailableNow`).
+    * One source instance serves one query run, so plain `var`s under
+    * the engine's single-threaded offset protocol. */
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(t.latestVersion())
+
+  /** `maxVersionsPerTrigger` rides the engine's admission-control
+    * channel as a [[ReadMaxRows]] — "rows" at this layer are whatever
+    * unit the source admits by (cf. FileStreamSource's maxFiles); only
+    * this source ever interprets its own limit, in [[latestOffset]]. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
+    val from = Option(start).map(version).getOrElse(startVersion)
+    val head = availableNowCap.getOrElse(t.latestVersion())
+    val to = limit match {
+      case r: ReadMaxRows => math.min(from + r.maxRows(), head)
+      case _              => head
+    }
+    if (to <= from) null else LongOffset(to)
   }
 
-  private def version(o: V1Offset): Long = o match {
+  override def reportLatestOffset(): V2Offset = LongOffset(t.latestVersion())
+
+  /** The engine routes admission-control sources through
+    * [[latestOffset]]; the legacy entry point must not be reachable. */
+  override def getOffset: Option[V1Offset] =
+    throw new UnsupportedOperationException(
+      "graft-cdf implements SupportsAdmissionControl — latestOffset is the entry point")
+
+  private def version(o: V2Offset): Long = o match {
     case l: LongOffset       => l.offset
     case s: SerializedOffset => LongOffset(s).offset
     // restart path variants deserialize to a JSON-carrying offset —
@@ -93,7 +133,11 @@ class GraftChangeFeedSource(
   * `table` (registered name, required), `pk` (the key column the feed
   * diffs on, required — same contract as [[MergeTable.changes]]),
   * `startingVersion` (emit changes AFTER this version; default 0 =
-  * initial snapshot as inserts). */
+  * initial snapshot as inserts), `maxVersionsPerTrigger` (bound each
+  * micro-batch to at most this many source versions — the X144
+  * bounded-backfill discipline for subscriptions: a long-idle consumer
+  * catches up in capped, individually-committed windows instead of one
+  * giant batch; default unbounded). */
 class GraftChangeFeedProvider extends StreamSourceProvider
     with DataSourceRegister {
 
@@ -110,6 +154,13 @@ class GraftChangeFeedProvider extends StreamSourceProvider
         "(or REGISTER GRAFT TABLE) first"))
     (t.withSession(spark), pk, parameters.get("startingVersion")
       .map(_.toLong).getOrElse(0L))
+  }
+
+  private def maxVersions(parameters: Map[String, String]): Option[Long] = {
+    val v = parameters.get("maxVersionsPerTrigger").map(_.toLong)
+    v.foreach(n => require(n > 0,
+      s"graft-cdf: maxVersionsPerTrigger must be positive, got $n"))
+    v
   }
 
   /** The feed schema: pk first, then the table's remaining columns in
@@ -139,6 +190,6 @@ class GraftChangeFeedProvider extends StreamSourceProvider
     val spark = sqlContext.sparkSession
     val (t, pk, startV) = resolve(parameters, spark)
     new GraftChangeFeedSource(spark, t, pk, startV,
-      schema.getOrElse(feedSchema(t, pk)))
+      schema.getOrElse(feedSchema(t, pk)), maxVersions(parameters))
   }
 }

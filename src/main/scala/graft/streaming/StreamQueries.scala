@@ -134,6 +134,58 @@ object StreamQueries {
       col("total_sum").cast("long").as("total_sum"), col("n_rows"))
   }
 
+  /** CONTINUOUS REPLICATION under the oracle gate (X147's batch sync
+    * re-expressed as an X153 SUBSCRIPTION, r11): a source lake table
+    * advances through merge (reprice + re-keyed inserts) and delete
+    * commits while a replica follows it through
+    * [[graft.lake.Replica.subscribeAvailableNow]] — two AvailableNow
+    * drains of ONE `graft-cdf` subscription checkpoint, the second a
+    * genuine RESTART (new stream instance, same offsets). The replica's
+    * final contents hash-match the closed-form oracle only if the
+    * bootstrap batch carried the exact initial snapshot, the restart
+    * resumed at the committed version (a replayed bootstrap would
+    * resurrect the deleted keys' pre-update prices), and each batch
+    * applied atomically. */
+  def streamReplica(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val src = MergeTable(s, scratch("graft_q_srep_src"))
+    src.overwrite(base)
+    graft.sql.GraftSql.register("q_srep_src", src)
+    val rep = MergeTable(s, scratch("graft_q_srep_rep"))
+    val ckpt = scratch("graft_q_srep_ckpt")
+    def drain(): Unit = graft.lake.Replica.subscribeAvailableNow(
+      s, "q_srep_src", rep, "o_orderkey", ckpt)
+
+    drain() // bootstrap: initial snapshot as inserts
+    src.merge(
+      base.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+        .unionByName(base.filter(col("o_orderkey") % 6 === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+          .withColumn("o_totalprice", col("o_totalprice") + 7.0)),
+      "o_orderkey")
+    src.delete(col("o_orderkey") % 9 === 0)
+    drain() // restarted subscription: ONE net window
+    rep.read().select(col("o_orderkey"), col("o_custkey"),
+      round(col("o_totalprice"), 2).as("price"))
+  }
+
+  val streamReplicaOracle: String =
+    """WITH base AS (
+         SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+       merged AS (
+         SELECT o_orderkey, o_custkey,
+                CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 10.0
+                     ELSE o_totalprice END AS p
+         FROM base
+         UNION ALL
+         SELECT o_orderkey + 100000000, o_custkey, o_totalprice + 7.0
+         FROM base WHERE o_orderkey % 6 = 3)
+       SELECT o_orderkey, o_custkey, round(p, 2) AS price
+       FROM merged WHERE o_orderkey % 9 <> 0
+       ORDER BY o_orderkey"""
+
   val streamMvOracle: String =
     """WITH base AS (
          SELECT o_orderkey, o_custkey, o_orderkey % 997 AS v FROM orders),

@@ -142,4 +142,31 @@ class GraftScanPruningSpec extends SparkSpec {
     assert(plannedFiles(p).size === 1)
     assert(p.count() === 100L)
   }
+
+  test("pattern-B soundness guard: pruning requires a __graft_file " +
+      "equi-join condition (r10 ADVICE canary)") {
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, GreaterThan}
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.types.StringType
+    val mapAttr = AttributeReference("__graft_file", StringType)()
+    val scanAttr = AttributeReference("__graft_file", StringType)()
+    val other = AttributeReference("other", StringType)()
+    val fm = LocalRelation(Seq(mapAttr))
+    val rule = new GraftScanPruning(spark)
+    // the shape readEntriesPhys builds: EqualTo across the two sides
+    assert(rule.isFileKeyEquiJoin(Some(EqualTo(scanAttr, mapAttr)), fm))
+    assert(rule.isFileKeyEquiJoin(Some(EqualNullSafe(mapAttr, scanAttr)), fm))
+    // buried in a conjunction still qualifies
+    assert(rule.isFileKeyEquiJoin(
+      Some(And(GreaterThan(other, mapAttr), EqualTo(scanAttr, mapAttr))), fm))
+    // REJECTED: no condition at all (a cross-ish Inner join)
+    assert(!rule.isFileKeyEquiJoin(None, fm))
+    // REJECTED: non-equality on the key — rows absent from the map
+    // could still JOIN, so pruning them would drop results
+    assert(!rule.isFileKeyEquiJoin(Some(GreaterThan(scanAttr, mapAttr)), fm))
+    // REJECTED: equality between two MAP-side keys (XOR guard)
+    assert(!rule.isFileKeyEquiJoin(Some(EqualTo(mapAttr, mapAttr)), fm))
+    // REJECTED: equality on a non-key column
+    assert(!rule.isFileKeyEquiJoin(Some(EqualTo(other, mapAttr)), fm))
+  }
 }

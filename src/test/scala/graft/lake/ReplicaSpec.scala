@@ -148,6 +148,33 @@ class ReplicaSpec extends SparkSpec {
     assert(Replica.syncedVersion(rep) === head)
   }
 
+  test("subscribeAvailableNow: the replica follows the source via the " +
+      "graft-cdf stream, restart applies only the new window") {
+    val src = MergeTable(spark, tmpDir("srep_src").toString, Some("date"))
+    src.overwrite(orders(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
+    graft.sql.GraftSql.register("srep_src", src)
+    val rep = MergeTable(spark, tmpDir("srep_rep").toString, Some("date"))
+    val ckpt = tmpDir("srep_ck").toString
+    // drain 1: bootstrap — the initial snapshot arrives as inserts
+    Replica.subscribeAvailableNow(spark, "srep_src", rep, "order_id", ckpt)
+    assert(contents(rep.read()) === contents(src.read()))
+    val repCommitsAfterBootstrap = rep.latestVersion()
+    // source moves on: update + delete + insert
+    src.merge(orders(("o1", "2024-01-01", 11.0), ("o3", "2024-01-03", 30.0)),
+      "order_id")
+    src.delete(col("order_id") === "o2")
+    // drain 2 = a RESTARTED subscription on the same checkpoint
+    Replica.subscribeAvailableNow(spark, "srep_src", rep, "order_id", ckpt)
+    assert(contents(rep.read()) ===
+      Set(("o1", "2024-01-01", 11.0), ("o3", "2024-01-03", 30.0)))
+    assert(contents(rep.read()) === contents(src.read()))
+    // the restart applied ONE net window, not a replayed bootstrap
+    assert(rep.latestVersion() === repCommitsAfterBootstrap + 1)
+    // nothing new → no batch, no commit
+    Replica.subscribeAvailableNow(spark, "srep_src", rep, "order_id", ckpt)
+    assert(rep.latestVersion() === repCommitsAfterBootstrap + 1)
+  }
+
   test("Replica.prune keeps only the newest watermark") {
     val src = MergeTable(spark, tmpDir("src").toString, Some("date"))
     val rep = MergeTable(spark, tmpDir("rep").toString, Some("date"))

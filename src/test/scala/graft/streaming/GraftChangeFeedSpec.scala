@@ -128,6 +128,40 @@ class GraftChangeFeedSpec extends SparkSpec {
     assert(feed(out) === Set((2L, 20L, 200L, "insert")))
   }
 
+  test("maxVersionsPerTrigger: one AvailableNow drain runs ONE BATCH PER " +
+      "VERSION to the head pinned at query start (no single-batch fallback)") {
+    val t = MergeTable(spark, tmpDir("cdf5").toString, None)
+    GraftSql.register("cdf_sub5", t)
+    t.overwrite(rows((1L, 10L, 100L), (2L, 10L, 200L)))
+    val v1 = t.latestVersion()
+    t.merge(rows((2L, 10L, 222L)), "k")
+    t.delete(col("k") === 1L)
+    assert(t.latestVersion() === v1 + 2)
+
+    val batches = scala.collection.mutable.ArrayBuffer
+      .empty[Set[(Long, Long, Long, String)]]
+    val q = spark.readStream.format("graft-cdf")
+      .option("table", "cdf_sub5").option("pk", "k")
+      .option("maxVersionsPerTrigger", 1L).load()
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("cdf5_ck").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        batches += b.select("k", "g", "v", "_change_type")
+          .as[(Long, Long, Long, String)].collect().toSet
+        ()
+      }
+      .start()
+    q.awaitTermination()
+
+    // one batch per version window — INTERMEDIATE images surface (the
+    // capped windows are NOT net-collapsed across each other), and the
+    // drain stops exactly at the pinned head
+    assert(batches.toSeq === Seq(
+      Set((1L, 10L, 100L, "insert"), (2L, 10L, 200L, "insert")),
+      Set((2L, 10L, 200L, "update_preimage"), (2L, 10L, 222L, "update_postimage")),
+      Set((1L, 10L, 100L, "delete"))))
+  }
+
   test("unregistered table and missing options fail fast at stream start") {
     intercept[Exception] {
       spark.readStream.format("graft-cdf")
