@@ -155,6 +155,8 @@ object SparkEntry {
     "q_incremental_mv"  -> (graft.lake.LakeQueries.incrementalMv _),
     "q_join_mv"         -> (graft.lake.LakeQueries.joinMv _),
     "q_dv_state"        -> (graft.lake.LakeQueries.dvState _),
+    // r11 — generated partition column: population + derived pruning
+    "q_gen_prune"       -> (graft.lake.LakeQueries.genPrune _),
     // X148/X149 — the SQL front-end under the gate: the same lifecycle
     // driven purely by SQL strings through the injected parser + TVF
     "q_lake_sql"        -> (graft.sql.SqlQueries.lakeSql _),
@@ -828,6 +830,7 @@ object SparkEntry {
     "q_incremental_mv" -> graft.lake.LakeQueries.incrementalMvOracle,
     "q_join_mv" -> graft.lake.LakeQueries.joinMvOracle,
     "q_dv_state"      -> graft.lake.LakeQueries.dvStateOracle,
+    "q_gen_prune"     -> graft.lake.LakeQueries.genPruneOracle,
     "q_stream_mv"     -> graft.streaming.StreamQueries.streamMvOracle,
     "q_stream_replica" -> graft.streaming.StreamQueries.streamReplicaOracle,
     "q_stream_cdc"    -> graft.streaming.StreamQueries.streamCdcOracle,

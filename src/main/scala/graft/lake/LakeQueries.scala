@@ -375,4 +375,33 @@ object LakeQueries {
         AND h.eff_from <= f.label
         AND (h.eff_to IS NULL OR h.eff_to > f.label)
        ORDER BY f.o_orderkey"""
+
+  /** GENERATED-COLUMN partition pruning under the oracle gate (X163,
+    * r11): a lake table partitioned by `event_date GENERATED ALWAYS AS
+    * (to_date(ts))` — the write POPULATES the partition column (the
+    * source frame never carries it), and the scan predicate mentions
+    * only the SOURCE column `ts`, so the returned rows are correct only
+    * if population computed every date right; the derived prune
+    * (ts-range → date-range partition skip) is plan-side and
+    * correctness-invisible here — GeneratedColumnSpec pins the actual
+    * file-skip counts. */
+  def genPrune(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val t = MergeTable(s, scratch("graft_q_genp"), Some("event_date"))
+    t.addGeneratedColumn("event_date", "to_date(ts)")
+    t.overwrite(ev) // event_date derived by the engine
+    t.scan(col("ts") >= to_timestamp(lit("2024-01-10 12:00:00")) &&
+        col("ts") < to_timestamp(lit("2024-01-13 00:00:00")))
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  val genPruneOracle: String =
+    """SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-10 12:00:00'
+         AND ts < TIMESTAMP '2024-01-13 00:00:00'
+       ORDER BY event_id"""
 }

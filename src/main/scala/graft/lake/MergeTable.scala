@@ -75,7 +75,8 @@ final class MergeTable private (
     val statsCols: Seq[String],
     val deletionVectors: Boolean = false,
     val bloomCols: Seq[String] = Nil,
-    val logStore: LogStore = LogStore.Posix) {
+    val logStore: LogStore = LogStore.Posix,
+    val optimizeWrite: Boolean = false) {
 
   import MergeTable._
 
@@ -95,7 +96,20 @@ final class MergeTable private (
     * create-if-absent publish goes through the seam. */
   def withLogStore(ls: LogStore): MergeTable =
     new MergeTable(spark, root, partitionCol, statsCols,
-      deletionVectors, bloomCols, ls)
+      deletionVectors, bloomCols, ls, optimizeWrite)
+
+  /** The same handle with OPTIMIZED WRITES on (Delta's
+    * `delta.autoOptimize.optimizeWrite`): every [[writeData]] of a
+    * PARTITIONED table first shuffles rows to co-locate each partition
+    * in one task, so a commit writes ~ONE file per touched partition
+    * instead of (tasks × partitions) small files. The trade is one
+    * extra hash exchange per write — the right default for streaming /
+    * frequent-merge ingest where the small-files debt otherwise grows
+    * per commit and must be paid back by compact(). Unpartitioned
+    * tables are unchanged ([[compactSmall]] is their remedy). */
+  def withOptimizeWrite: MergeTable =
+    new MergeTable(spark, root, partitionCol, statsCols,
+      deletionVectors, bloomCols, logStore, optimizeWrite = true)
 
   /** The same table handle bound to a DIFFERENT SparkSession — the
     * multi-session hook ([[graft.sql.GraftSql]] rebinds a registered
@@ -106,7 +120,7 @@ final class MergeTable private (
   def withSession(s: SparkSession): MergeTable =
     if (s eq spark) this
     else new MergeTable(s, root, partitionCol, statsCols,
-      deletionVectors, bloomCols, logStore)
+      deletionVectors, bloomCols, logStore, optimizeWrite)
 
   // ---- log ----------------------------------------------------------------
 
@@ -203,6 +217,11 @@ final class MergeTable private (
         // drops — metadata-only; data files keep their physical names.
         case "E" => RenameCol(parts(1), parts(2))
         case "X" => DropCol(parts(1))
+        // Streaming-sink transaction watermark: "T b64(appId) version".
+        // appId is base64-coded like constraint predicates (free-form).
+        case "T" => SetTxn(new String(
+          java.util.Base64.getDecoder.decode(parts(1)), "UTF-8"),
+          parts(2).toLong)
         case other => throw new IllegalStateException(
           s"MergeTable at $root: unknown log action '$other' in $p")
       }
@@ -259,6 +278,32 @@ final class MergeTable private (
   /** Column-mapping state at version `v`: (physical → logical renames,
     * dropped physical names) — the same checkpoint-then-deltas fold as
     * [[snapshotAt]], over the E/X actions. */
+  /** Per-appId high-water transaction versions at table version `v` —
+    * the streaming sink's exactly-once ledger (Delta's `txn` action).
+    * MAX-folded: replayed or out-of-order writers can only observe a
+    * watermark at least as high as any committed one. */
+  private def txnsAt(v: Long): Map[String, Long] = {
+    val ckpt = checkpointAtOrBelow(v)
+    val m = mutable.LinkedHashMap.empty[String, Long]
+    def fold(p: Path): Unit = readLogFile(p).foreach {
+      case SetTxn(app, bv) =>
+        m.update(app, math.max(bv, m.getOrElse(app, Long.MinValue)))
+      case _ => ()
+    }
+    if (ckpt != 0L) fold(logDir.resolve(f"$ckpt%020d$CkptSuffix"))
+    ((ckpt + 1) to v).foreach { w =>
+      val p = logDir.resolve(f"$w%020d.txt")
+      if (Files.exists(p)) fold(p)
+    }
+    m.toMap
+  }
+
+  /** The highest transaction version committed for `appId`, if any —
+    * a writer that tracks its own monotonic version (a streaming
+    * query's batchId) skips work at or below it. */
+  def txnVersion(appId: String): Option[Long] =
+    txnsAt(latestVersion()).get(appId)
+
   private def mappingAt(v: Long): (Map[String, String], Set[String]) = {
     val ckpt = checkpointAtOrBelow(v)
     val ren = mutable.LinkedHashMap.empty[String, String]
@@ -429,7 +474,11 @@ final class MergeTable private (
           .encodeToString(pr.getBytes("UTF-8"))
       } ++
       delta.mRenames.map { case (p, l) => s"E\t$p\t$l" } ++
-      delta.mDrops.map(p => s"X\t$p")).mkString("\n")
+      delta.mDrops.map(p => s"X\t$p") ++
+      delta.txns.map { case (app, bv) =>
+        "T\t" + java.util.Base64.getEncoder
+          .encodeToString(app.getBytes("UTF-8")) + s"\t$bv"
+      }).mkString("\n")
 
   /** Try to publish `delta` as version `expected + 1`. Returns the
     * committed version, or None if a concurrent writer took it first.
@@ -459,7 +508,8 @@ final class MergeTable private (
     val (ren, drops) = mappingAt(v)
     val body = deltaBody(CommitDelta(snapshotAt(v), Nil,
       cAdds = constraintsAt(v).toSeq,
-      mRenames = ren.toSeq, mDrops = drops.toSeq))
+      mRenames = ren.toSeq, mDrops = drops.toSeq,
+      txns = txnsAt(v).toSeq))
     logStore.putIfAbsent(target, body)
     ()
   }
@@ -494,7 +544,10 @@ final class MergeTable private (
     val target = root.resolve(commitDir)
     partitionCol match {
       case Some(pc) =>
-        df.write.partitionBy(pc).mode("overwrite").parquet(target.toString)
+        // optimizeWrite: co-locate each hive partition in one task so
+        // the commit adds ~one file per partition, not tasks×partitions
+        val out = if (optimizeWrite) df.repartition(col(pc)) else df
+        out.write.partitionBy(pc).mode("overwrite").parquet(target.toString)
       case None =>
         df.write.mode("overwrite").parquet(target.toString)
     }
@@ -619,7 +672,8 @@ final class MergeTable private (
     * ref: orders_etl.py:93-96). Overwrite replaces the whole table, so on
     * a commit collision the same entries re-publish at the fresh version
     * (last-full-writer-wins is the overwrite contract). */
-  def overwrite(df: DataFrame): Long = {
+  def overwrite(df0: DataFrame): Long = {
+    val df = withGenerated(df0)
     enforceConstraints(df, "overwrite")
     val (_, entries) = writeData(df)
     retryingCommit { () =>
@@ -643,7 +697,8 @@ final class MergeTable private (
     * columns missing from the source are kept (source rows get NULL).
     * Without it, schema drift fails fast (enforcement — the reference's
     * actual behavior). */
-  def merge(source: DataFrame, pk: String, evolveSchema: Boolean): Long = {
+  def merge(source0: DataFrame, pk: String, evolveSchema: Boolean): Long = {
+    val source = withGenerated(source0)
     enforceConstraints(source, "MERGE source")
     val src = source.cache()
     try {
@@ -703,7 +758,30 @@ final class MergeTable private (
     * (an appended frame with drifted columns fails fast); key
     * uniqueness is the CALLER's contract, exactly as in Delta — an
     * append never deduplicates. */
-  def append(df: DataFrame): Long = {
+  def append(df0: DataFrame): Long = appendImpl(df0, None)
+
+  /** [[append]] carrying a TRANSACTION WATERMARK (Delta's `txn`
+    * action / `txnAppId`+`txnVersion` idempotent-write options): the
+    * commit atomically records `appId → txnV`, and a call whose `txnV`
+    * is at or below the recorded watermark is a NO-OP — the
+    * exactly-once primitive the [[graft.streaming.GraftSink]] builds
+    * on (batchId = txnV; a crash between the engine's offset commit
+    * and ours replays the batch, which this gate absorbs). The replay
+    * check runs BOTH before writing (cheap fast path) and inside the
+    * optimistic-commit loop against the fresh snapshot (a concurrent
+    * same-app writer that landed first turns this commit into a no-op;
+    * its orphaned data dir is vacuum-reclaimed like any lost race). */
+  def appendWithTxn(df0: DataFrame, appId: String, txnV: Long): Long = {
+    require(appId.nonEmpty, "appendWithTxn: empty appId")
+    appendImpl(df0, Some(appId -> txnV))
+  }
+
+  private def appendImpl(df0: DataFrame,
+      txn: Option[(String, Long)]): Long = {
+    txn.foreach { case (app, bv) =>
+      if (txnVersion(app).exists(_ >= bv)) return latestVersion()
+    }
+    val df = withGenerated(df0)
     enforceConstraints(df, "append")
     val (v0, live) = latest()
     if (v0 > 0L && live.nonEmpty) {
@@ -720,7 +798,14 @@ final class MergeTable private (
       }
     }
     val (_, entries) = writeData(df)
-    retryingCommit { () => (CommitDelta(entries, Nil), latest()._1) }
+    try retryingCommit { () =>
+      val (v, _) = latest()
+      txn.foreach { case (app, bv) =>
+        if (txnsAt(v).get(app).exists(_ >= bv))
+          throw new TxnAlreadyApplied
+      }
+      (CommitDelta(entries, Nil, txns = txn.toSeq), v)
+    } catch { case _: TxnAlreadyApplied => latestVersion() }
   }
 
   /** MERGE with COMPOSITE keys and CONDITIONAL clauses (Delta's full
@@ -756,7 +841,7 @@ final class MergeTable private (
     * partitions are discovered with a semi-join on the keys, only
     * touched files rewrite, and the clause evaluation is one
     * equi-join — no extra shuffle over the 2-column case. */
-  def merge(source: DataFrame, keys: Seq[String],
+  def merge(source0: DataFrame, keys: Seq[String],
       whenMatched: Seq[MatchClause],
       insertUnmatched: Boolean = true,
       evolveSchema: Boolean = false,
@@ -767,8 +852,9 @@ final class MergeTable private (
     if (keys.size == 1 && insertUnmatched &&
         whenMatched == Seq(MatchClause(None, isUpdate = true)) &&
         insertCondition.isEmpty && notMatchedBySourceDelete.isEmpty)
-      return merge(source, keys.head, evolveSchema)
+      return merge(source0, keys.head, evolveSchema)
     val writesRows = insertUnmatched || whenMatched.exists(_.isUpdate)
+    val source = if (writesRows) withGenerated(source0) else source0
     if (writesRows) enforceConstraints(source, "MERGE source")
     val src = source.cache()
     try {
@@ -918,7 +1004,8 @@ final class MergeTable private (
     require(feed.columns.contains(ChangeType),
       s"mergeCdc feed needs a $ChangeType column " +
         "(insert/update/update_postimage/update_preimage/delete)")
-    val events = feed.filter(col(ChangeType) =!= "update_preimage")
+    val events = withGenerated(feed)
+      .filter(col(ChangeType) =!= "update_preimage")
     val collapsed = sequenceBy match {
       case Some(seq) =>
         import org.apache.spark.sql.expressions.Window
@@ -1305,8 +1392,9 @@ final class MergeTable private (
             val updated = staged.select(base.columns.map(c =>
               if (set.contains(c)) col(s"__graft_set_$c").as(c)
               else col(c)): _*)
-            enforceConstraints(updated, "UPDATE")
-            val (_, newEntries) = writeData(updated)
+            val recomputed = recomputeGenerated(updated, set.keySet)
+            enforceConstraints(recomputed, "UPDATE")
+            val (_, newEntries) = writeData(recomputed)
             (CommitDelta(adds ++ newEntries, gone.map(_.relPath)), version)
         }
       } else {
@@ -1328,8 +1416,9 @@ final class MergeTable private (
           val updated = staged.select(base.columns.map(c =>
             if (set.contains(c)) col(s"__graft_set_$c").as(c)
             else col(c)): _*)
-          enforceConstraints(updated, "UPDATE")
-          val (_, newEntries) = writeData(updated)
+          val recomputed = recomputeGenerated(updated, set.keySet)
+          enforceConstraints(recomputed, "UPDATE")
+          val (_, newEntries) = writeData(recomputed)
           (CommitDelta(newEntries, touched.map(_.relPath)), version)
         }
       }
@@ -1399,6 +1488,216 @@ final class MergeTable private (
           s"($predicate): ${bad.head}")
     }
 
+  // ---- generated columns --------------------------------------------------
+
+  /** `name GENERATED ALWAYS AS (exprSql)` — Delta's generated columns,
+    * stored through the CHECK-constraint channel (see
+    * [[GeneratedColumns]] for the full design: one mechanism buys
+    * atomic metadata, write-side enforcement, and population). Writes
+    * MISSING the column get it computed; writes CARRYING it must carry
+    * exactly the generated values (the null-safe-equality check);
+    * existing live rows are validated at registration, so the rule is
+    * always a table-wide invariant. When the PARTITION column is
+    * generated by a recognized shape, predicates on the SOURCE column
+    * prune partitions (generation-expression partition pruning —
+    * `q_gen_prune` + GeneratedColumnSpec).
+    *
+    * UPDATE recomputes non-partition generated columns against the
+    * post-SET row; an UPDATE whose SET would CHANGE a generated
+    * partition column's value fails the invariant check loudly (same
+    * contract as updating the partition column directly: delete +
+    * merge instead). Renaming the source column breaks the stored
+    * expression loudly on the next write (same failure mode as a
+    * constraint referencing the renamed column). */
+  def addGeneratedColumn(name: String, exprSql: String): Long =
+    addConstraint(GeneratedColumns.Prefix + name,
+      GeneratedColumns.predicateOf(name, exprSql))
+
+  /** Drop a generated-column rule (the column itself stays, as a
+    * normal column). */
+  def dropGeneratedColumn(name: String): Long =
+    dropConstraint(GeneratedColumns.Prefix + name)
+
+  /** Current generated-column rules: name → generation expression. */
+  def generatedColumns: Map[String, String] =
+    constraints.collect {
+      case (k, p) if k.startsWith(GeneratedColumns.Prefix) =>
+        val n = k.stripPrefix(GeneratedColumns.Prefix)
+        n -> GeneratedColumns.exprOf(n, p)
+    }
+
+  /** Add every MISSING generated column to an incoming write (a frame
+    * already carrying one keeps its values — the constraint pass then
+    * verifies them). */
+  private def withGenerated(df: DataFrame): DataFrame =
+    generatedColumns.foldLeft(df) { case (d, (c, g)) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, expr(g))
+    }
+
+  /** Recompute generated columns on the POST-UPDATE row — every rule
+    * not explicitly SET and not the partition column (partition moves
+    * stay forbidden; the invariant check catches a source-changing
+    * SET loudly). Recompute is idempotent on untouched rows. */
+  private def recomputeGenerated(df: DataFrame,
+      explicitlySet: Set[String]): DataFrame =
+    generatedColumns.foldLeft(df) { case (d, (c, g)) =>
+      if (explicitlySet.contains(c) || partitionCol.contains(c)) d
+      else d.withColumn(c, expr(g))
+    }
+
+  /** Derived partition pruning for a GENERATED partition column: when
+    * `partitionCol = G(src)` for a [[GeneratedColumns.formOf recognized]]
+    * `G`, transfer predicates on `src` to partition-value tests.
+    * Equality transfers for any recognized (deterministic) shape;
+    * ranges only for monotonic ones; everything else keeps the file.
+    * AND/OR recurse; unknown shapes compile to keep-everything, so
+    * this is always a may-match SUPERSET — same contract as
+    * [[compilePrune]], with which it composes conjunctively. */
+  private def compileGenPrune(cond: cxp.Expression): FileEntry => Boolean = {
+    val rule = for {
+      pc <- partitionCol
+      g <- generatedColumns.get(pc)
+      f <- GeneratedColumns.formOf(spark, g)
+    } yield (g, f)
+    rule match {
+      case None => NoPrune
+      case Some((g, form)) => compileGenPruneWith(cond, g, form)
+    }
+  }
+
+  private def compileGenPruneWith(e: cxp.Expression, g: String,
+      form: GeneratedColumns.GenForm): FileEntry => Boolean = {
+    def rec(x: cxp.Expression) = compileGenPruneWith(x, g, form)
+    /** The resolved, foldable literal side's EXTERNAL value (analyzed
+      * conditions fold casts the analyzer inserted). Only engages when
+      * the OTHER side is the bare source attribute (comparison in the
+      * source column's own domain). */
+    def srcAndLit(a: cxp.Expression, b: cxp.Expression)
+        : Option[(Any, org.apache.spark.sql.types.DataType)] =
+      (a, b) match {
+        case (ar: cxp.AttributeReference, l)
+            if ar.name == form.src && l.references.isEmpty =>
+          try {
+            // analyzed-but-unoptimized literals may sit under
+            // RuntimeReplaceable wrappers (to_timestamp, to_date...)
+            // which report non-foldable and whose own eval throws —
+            // judge foldability and evaluate on the REPLACEMENT tree
+            val ev = l.transform {
+              case r: cxp.RuntimeReplaceable => r.replacement
+            }
+            if (!ev.foldable) None
+            else Option(ev.eval(null)).map(v =>
+              (org.apache.spark.sql.catalyst.CatalystTypeConverters
+                .convertToScala(v, ev.dataType), ar.dataType))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        case _ => None
+      }
+    def bound(a: cxp.Expression, b: cxp.Expression): Option[String] =
+      srcAndLit(a, b).flatMap { case (v, t) => evalGen(g, form.src, t, v) }
+        .flatMap(renderPartValue(_))
+    e match {
+      case cxp.And(l, r) =>
+        val (cl, cr) = (rec(l), rec(r)); fe => cl(fe) && cr(fe)
+      case cxp.Or(l, r) =>
+        val (cl, cr) = (rec(l), rec(r)); fe => cl(fe) || cr(fe)
+      case cxp.EqualTo(a, b) =>
+        genEq(Seq(bound(a, b).orElse(bound(b, a))))
+      case cxp.In(a, list) =>
+        genEq(list.map(l => bound(a, l)))
+      case cxp.InSet(a, set) =>
+        // post-optimization IN rendering: values are internal; rebuild
+        // literals of the attribute's type
+        a match {
+          case ar: cxp.AttributeReference if ar.name == form.src =>
+            genEq(set.toSeq.map(v =>
+              bound(ar, cxp.Literal.create(v, ar.dataType))))
+          case _ => NoPrune
+        }
+      // matching rows of `range(x, y)` satisfy x >= y (strict bounds
+      // relax to inclusive). Either side may be the attribute:
+      // `attr >= lit` is a lower bound, `lit >= attr` an upper one.
+      // Ranges transfer ONLY through monotonic shapes — `month(ts)`
+      // cycles, so `ts >= T` says nothing about the month partition.
+      case _ if !form.monotonic => NoPrune
+      case cxp.GreaterThan(a, b)        => genRange(bound, a, b)
+      case cxp.GreaterThanOrEqual(a, b) => genRange(bound, a, b)
+      case cxp.LessThan(a, b)           => genRange(bound, b, a)
+      case cxp.LessThanOrEqual(a, b)    => genRange(bound, b, a)
+      case _ => NoPrune
+    }
+  }
+
+  /** Equality transfer: a file may match iff its partition value equals
+    * SOME transferred bound. Engages only when EVERY disjunct
+    * transferred (a partially-transferred IN must not prune on the
+    * transferred subset alone). A null-partition file holds only
+    * rows whose source is null, which no non-null equality matches. */
+  private def genEq(bounds: Seq[Option[String]]): FileEntry => Boolean =
+    if (bounds.isEmpty || bounds.exists(_.isEmpty)) NoPrune
+    else {
+      val vals = bounds.flatten.toSet
+      fe => fe.partitionValue.exists(vals.contains)
+    }
+
+  /** Orient `x >= y` around whichever side is the source attribute:
+    * `attr >= lit` keeps partition values >= the transferred bound,
+    * `lit >= attr` the mirror; neither side matching keeps all. */
+  private def genRange(
+      bound: (cxp.Expression, cxp.Expression) => Option[String],
+      x: cxp.Expression, y: cxp.Expression): FileEntry => Boolean =
+    bound(x, y) match {
+      case Some(_) => genGe(bound(x, y), low = true)
+      case None    => genGe(bound(y, x), low = false)
+    }
+
+  /** Range transfer (monotonic shapes only): `src >= L` keeps files
+    * with partition value >= `G(L)` (`low = true`); `src <= H` the
+    * mirror. Comparison domain: numeric when both sides parse as
+    * longs, else raw string (ISO dates and prefixes order
+    * lexicographically). Null-partition files hold only null-source
+    * rows, which satisfy no range predicate. */
+  private def genGe(bound: Option[String], low: Boolean)
+      : FileEntry => Boolean = bound match {
+    case None => NoPrune
+    case Some(b) =>
+      val bNum = scala.util.Try(b.trim.toLong).toOption
+      fe => fe.partitionValue.exists { pv =>
+        (bNum, scala.util.Try(pv.trim.toLong).toOption) match {
+          case (Some(bn), Some(pn)) => if (low) pn >= bn else pn <= bn
+          case _ => if (low) pv >= b else pv <= b
+        }
+      }
+  }
+
+  /** Evaluate the generation expression on ONE value of the source
+    * column — through the same analyzer/timezone the write side uses,
+    * so the transferred bound is computed EXACTLY like the stored
+    * partition values. Driver-only (a LocalRelation project collapses
+    * without a job). */
+  private def evalGen(g: String, src: String,
+      t: org.apache.spark.sql.types.DataType, v: Any): Option[Any] =
+    try {
+      val df = spark.createDataFrame(
+        java.util.Collections.singletonList(org.apache.spark.sql.Row(v)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(src, t, nullable = true))))
+      Option(df.select(expr(g)).head().get(0))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Render a generated value in the partition-string domain, matching
+    * hive dir rendering: dates ISO, integrals decimal, strings
+    * verbatim; anything else disables the transfer. */
+  private def renderPartValue(v: Any): Option[String] = v match {
+    case d: java.sql.Date       => Some(d.toString)
+    case d: java.time.LocalDate => Some(d.toString)
+    case s: String              => Some(s)
+    case n: Byte                => Some(n.toString)
+    case n: Short               => Some(n.toString)
+    case n: Int                 => Some(n.toString)
+    case n: Long                => Some(n.toString)
+    case _                      => None
+  }
+
   /** [[fileKey]]s of live files holding at least one `predicate` match.
     * The tag is captured at the scan stage by [[readEntriesTagged]]
     * (exact even when the deletion-vector anti-join adds an exchange —
@@ -1433,8 +1732,33 @@ final class MergeTable private (
     * every older delta is pruned. */
   def vacuum(retainMs: Long): Unit = {
     require(retainMs >= 0L, s"vacuum: negative retention $retainMs")
-    val (latestV, live) = latest()
+    val (latestV, _) = latest()
     if (latestV > 0L) writeCheckpoint(latestV)
+    val plan = vacuumPlan(retainMs)
+    plan.dataDirs.foreach(deleteRecursively)
+    plan.dvDirs.foreach(deleteRecursively)
+    plan.bfDirs.foreach(deleteRecursively)
+    plan.logFiles.foreach(Files.deleteIfExists(_))
+  }
+
+  /** Delta's `VACUUM ... DRY RUN`: the root-relative paths a
+    * [[vacuum]] with this retention would delete, WITHOUT deleting
+    * anything (and without publishing the checkpoint a real vacuum
+    * writes first — so the reported LOG pruning can be conservative:
+    * a real run may prune slightly more once its fresh checkpoint
+    * anchors the fold). */
+  def vacuumDryRun(retainMs: Long = DefaultVacuumRetainMs): Seq[String] = {
+    require(retainMs >= 0L, s"vacuum: negative retention $retainMs")
+    val plan = vacuumPlan(retainMs)
+    (plan.dataDirs ++ plan.dvDirs ++ plan.bfDirs ++ plan.logFiles)
+      .map(p => root.relativize(p).toString).sorted
+  }
+
+  private case class VacuumPlan(dataDirs: Seq[Path], dvDirs: Seq[Path],
+      bfDirs: Seq[Path], logFiles: Seq[Path])
+
+  private def vacuumPlan(retainMs: Long): VacuumPlan = {
+    val (latestV, live) = latest()
     val cutoff = System.currentTimeMillis() - retainMs
     // Versions still inside the window. Their snapshots' files (data,
     // deletion vectors, bloom sidecars) are all protected — a reader
@@ -1465,13 +1789,13 @@ final class MergeTable private (
     val protectedEntries: Seq[FileEntry] = live ++ protectedVs.flatMap(v =>
       scala.util.Try(snapshotAt(v)).getOrElse(Nil))
     val liveDirs = protectedEntries.map(_.relPath.split('/').head).toSet
-    Using.resource(Files.list(root)) { stream =>
+    val dataDirs = Using.resource(Files.list(root)) { stream =>
       stream.iterator().asScala
         .filter(p => Files.isDirectory(p) &&
           CommitDirName.matches(p.getFileName.toString) &&
           !liveDirs.contains(p.getFileName.toString))
         .toSeq
-    }.foreach(deleteRecursively)
+    }
     // Deletion-vector dirs not referenced by any protected snapshot
     // (superseded cumulative vectors, purged/compacted-away vectors,
     // lost-race orphans) are reaped the same way. A clone's references
@@ -1480,43 +1804,41 @@ final class MergeTable private (
     val liveDvDirs =
       protectedEntries.flatMap(_.dv).map(_.relDir.split('/').last).toSet
     val dvRoot = root.resolve(DvDirName)
-    if (Files.isDirectory(dvRoot)) {
-      Using.resource(Files.list(dvRoot)) { stream =>
-        stream.iterator().asScala
-          .filter(p => Files.isDirectory(p) &&
-            p.getFileName.toString.startsWith("dv-") &&
-            !liveDvDirs.contains(p.getFileName.toString))
-          .toSeq
-      }.foreach(deleteRecursively)
+    val dvDirs = if (!Files.isDirectory(dvRoot)) Nil
+    else Using.resource(Files.list(dvRoot)) { stream =>
+      stream.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("dv-") &&
+          !liveDvDirs.contains(p.getFileName.toString))
+        .toSeq
     }
     // bloom sidecar dirs not referenced by the latest snapshot are
     // reaped identically (compacted-away files orphan their filters)
     val liveBfDirs =
       protectedEntries.flatMap(_.bloom).map(_.relDir.split('/').last).toSet
     val bfRoot = root.resolve(BloomDirName)
-    if (Files.isDirectory(bfRoot)) {
-      Using.resource(Files.list(bfRoot)) { stream =>
-        stream.iterator().asScala
-          .filter(p => Files.isDirectory(p) &&
-            p.getFileName.toString.startsWith("bf-") &&
-            !liveBfDirs.contains(p.getFileName.toString))
-          .toSeq
-      }.foreach(deleteRecursively)
+    val bfDirs = if (!Files.isDirectory(bfRoot)) Nil
+    else Using.resource(Files.list(bfRoot)) { stream =>
+      stream.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("bf-") &&
+          !liveBfDirs.contains(p.getFileName.toString))
+        .toSeq
     }
     // Log pruning: keep everything at or above the anchor computed
     // above, so every retained version still reconstructs.
-    if (Files.isDirectory(logDir)) {
-      Using.resource(Files.list(logDir)) { stream =>
-        stream.iterator().asScala
-          .filter { p =>
-            val n = p.getFileName.toString
-            (n.endsWith(".txt") && n.stripSuffix(".txt").toLong < keepFromV) ||
-              (n.endsWith(CkptSuffix) &&
-                n.stripSuffix(CkptSuffix).toLong < keepFromV)
-          }
-          .toSeq
-      }.foreach(Files.deleteIfExists(_))
+    val logFiles = if (!Files.isDirectory(logDir)) Nil
+    else Using.resource(Files.list(logDir)) { stream =>
+      stream.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          (n.endsWith(".txt") && n.stripSuffix(".txt").toLong < keepFromV) ||
+            (n.endsWith(CkptSuffix) &&
+              n.stripSuffix(CkptSuffix).toLong < keepFromV)
+        }
+        .toSeq
     }
+    VacuumPlan(dataDirs, dvDirs, bfDirs, logFiles)
   }
 
   // ---- read paths ---------------------------------------------------------
@@ -1743,8 +2065,10 @@ final class MergeTable private (
       predicate: Column): Seq[FileEntry] =
     if (live.isEmpty) live
     else conditionOf(live, predicate) match {
-      case Some(cond) => live.filter(compilePrune(cond, live))
-      case None       => live
+      case Some(cond) =>
+        val (p, gp) = (compilePrune(cond, live), compileGenPrune(cond))
+        live.filter(fe => p(fe) && gp(fe))
+      case None => live
     }
 
   /** [[scanEntriesOf]] from an ALREADY-ANALYZED Catalyst condition —
@@ -1756,7 +2080,11 @@ final class MergeTable private (
     * keys record. */
   private[lake] def scanEntriesByCondition(live: Seq[FileEntry],
       cond: cxp.Expression): Seq[FileEntry] =
-    if (live.isEmpty) live else live.filter(compilePrune(cond, live))
+    if (live.isEmpty) live
+    else {
+      val (p, gp) = (compilePrune(cond, live), compileGenPrune(cond))
+      live.filter(fe => p(fe) && gp(fe))
+    }
 
   /** The ANALYZED Catalyst condition of `predicate` against this
     * table's schema — resolved through a throwaway `filter` plan (no
@@ -2235,14 +2563,44 @@ final class MergeTable private (
     * Commit times come from manifest file mtimes — the same clock Delta's
     * timestamp travel trusts. Presents the schema as of the resolved
     * version, like [[readVersion]]. */
-  def readAsOf(ts: java.time.Instant): DataFrame = {
+  /** Delta's `DESCRIBE DETAIL`: ONE row of table-level metadata — all
+    * of it driver-side manifest/log state plus one `Files.size` sweep
+    * over live files (O(live files) metadata, no jobs). */
+  def detail(): DataFrame = {
+    val (v, live) = latest()
+    val bytes = live.map(e =>
+      scala.util.Try(Files.size(root.resolve(e.relPath))).getOrElse(0L)).sum
+    val gen = generatedColumns
+    val checks = constraints.keys
+      .count(!_.startsWith(GeneratedColumns.Prefix))
+    import spark.implicits._
+    Seq((
+      "graft", root.toAbsolutePath.normalize.toString,
+      partitionCol.orNull, v, live.size.toLong, bytes,
+      live.count(_.dv.isDefined).toLong, checks.toLong, gen.size.toLong
+    )).toDF("format", "location", "partition_column", "version",
+      "num_files", "size_bytes", "num_files_with_deletion_vectors",
+      "num_check_constraints", "num_generated_columns")
+  }
+
+  def readAsOf(ts: java.time.Instant): DataFrame =
+    readVersion(versionAsOf(ts))
+
+  /** The newest version committed at or before `ts` (publish mtime —
+    * the same clock [[vacuum]] retention trusts). Fails fast when the
+    * whole history is newer. */
+  def versionAsOf(ts: java.time.Instant): Long = {
     val vs = (1L to latestVersion())
       .filter(v => Files.exists(logDir.resolve(f"$v%020d.txt")))
       .filter(v => !Files.getLastModifiedTime(logDir.resolve(f"$v%020d.txt"))
         .toInstant.isAfter(ts))
     require(vs.nonEmpty, s"MergeTable at $root: no commit at or before $ts")
-    readVersion(vs.max)
+    vs.max
   }
+
+  /** [[restore]] to the snapshot as of a wall-clock instant (Delta's
+    * `RESTORE ... TO TIMESTAMP AS OF`). */
+  def restoreAsOf(ts: java.time.Instant): Long = restore(versionAsOf(ts))
 
   /** A single directory holding EXACTLY the live snapshot in plain hive
     * layout — the shape external engines (and `CREATE TABLE ... USING
@@ -2276,6 +2634,92 @@ final class MergeTable private (
         dirs.head
       else { compact(); state()._1.head }
     root.resolve(dir)
+  }
+
+  /** Delta's `GENERATE symlink_format_manifest`: write, under
+    * `_symlink_format_manifest/[<pc>=<val>/]manifest`, one text file per
+    * live partition whose lines are the ABSOLUTE URIs of that
+    * partition's live data files — the zero-copy export for external
+    * engines that read manifests instead of the commit log (Athena /
+    * Presto / Trino via a `SymlinkTextInputFormat` external table; the
+    * reference's own query layer is exactly this shape:
+    * `README.md` queries curated parquet through Athena). Where
+    * [[snapshotDir]] MATERIALIZES a snapshot (compacting if needed),
+    * the manifest POINTS at live files in place: regeneration is one
+    * driver-side metadata pass over the manifest — O(live files), no
+    * jobs, no data movement — so a post-commit cron regen stays cheap
+    * at any table size.
+    *
+    * Refusals mirror Delta's own (both are silent-wrong-results traps
+    * for a log-blind reader, so they fail fast instead):
+    *  - deletion vectors: a manifest reader knows nothing of the DV
+    *    anti-join and would resurrect deleted rows → `purgeVectors()`
+    *    (SQL `REORG ... APPLY (PURGE)`) first;
+    *  - column mapping (renames/drops): the parquet carries PHYSICAL
+    *    names the external reader would surface verbatim.
+    *
+    * Each partition's manifest is swapped in atomically (temp file +
+    * atomic move) and manifests of vanished partitions are reaped, so
+    * readers see per-partition-consistent views; cross-partition the
+    * export is eventually consistent with the log — Delta's manifest
+    * contract. Live files are never deleted by [[vacuum]], so a
+    * manifest only ever dangles if regeneration is skipped across a
+    * rewrite (compact/merge) AND the retention window passes — the
+    * documented regen-after-write discipline. Partition subdirs reuse
+    * the exact hive-escaped `<pc>=<value>` path components of the data
+    * files themselves (no re-escaping round trip). */
+  def generateSymlinkManifest(): Path = {
+    val (_, live) = latest()
+    require(live.forall(_.dv.isEmpty),
+      "generateSymlinkManifest: snapshot carries deletion vectors — an " +
+        "external manifest reader would resurrect deleted rows; run " +
+        "purgeVectors() (REORG APPLY (PURGE)) first")
+    val (renames, dropped) = currentMapping()
+    require(renames.isEmpty && dropped.isEmpty,
+      "generateSymlinkManifest: table uses column mapping (renamed or " +
+        "dropped columns) — parquet physical names would surface verbatim " +
+        "to an external reader")
+    val mroot = root.resolve(ManifestDirName)
+    // partition components = the data file's own path between its
+    // commit dir and file name (clone-rebased ../ prefixes included)
+    def subdirOf(relPath: String): Seq[String] = {
+      val parts = relPath.split('/')
+      val i = parts.indexWhere(p => CommitDirName.matches(p))
+      parts.slice(i + 1, parts.length - 1).toSeq
+    }
+    val groups: Map[Seq[String], Seq[FileEntry]] =
+      if (live.isEmpty) Map(Seq.empty[String] -> Nil)
+      else live.groupBy(e => subdirOf(e.relPath))
+    // per-partition manifests are independent files — write them in
+    // parallel (at object-store scale the cost is PUT round-trips, not
+    // bytes; Delta ships these writes to executors for the same reason)
+    groups.toSeq.asJava.parallelStream().forEach { kv =>
+      val (sub, es) = kv
+      val dir = sub.foldLeft(mroot)(_.resolve(_))
+      Files.createDirectories(dir)
+      val body = es.map(e => root.resolve(e.relPath)
+          .toAbsolutePath.normalize.toUri.toString)
+        .sorted.map(_ + "\n").mkString
+      val tmp = Files.createTempFile(dir, ".manifest-", ".tmp")
+      Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, dir.resolve(ManifestFileName),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    // reap manifests of partitions no longer live, then empty dirs
+    val keep: Set[Path] = groups.keySet
+      .map(sub => sub.foldLeft(mroot)(_.resolve(_)).resolve(ManifestFileName))
+    Using.resource(Files.walk(mroot))(_.iterator().asScala.toSeq)
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString == ManifestFileName && !keep.contains(p))
+      .foreach(Files.deleteIfExists(_))
+    Using.resource(Files.walk(mroot))(_.iterator().asScala.toSeq).reverse
+      .filter(p => Files.isDirectory(p) && p != mroot)
+      .foreach { p =>
+        val empty = Using.resource(Files.list(p))(!_.iterator().hasNext)
+        if (empty) Files.deleteIfExists(p)
+      }
+    mroot
   }
 
   private def readEntries(entries: Seq[FileEntry]): DataFrame =
@@ -2515,6 +2959,11 @@ object MergeTable {
     * (`_metadata.row_index`) — the coordinate deletion vectors are
     * expressed in. Stable because committed files are immutable. */
   private val PosCol = "__graft_pos"
+  /** Symlink-manifest export dir + per-partition file name — Delta's
+    * exact layout, which is what SymlinkTextInputFormat readers
+    * (Athena/Presto/Trino external tables) expect. */
+  private val ManifestDirName = "_symlink_format_manifest"
+  private val ManifestFileName = "manifest"
   /** Directory (under the table root) holding deletion-vector parquet
     * dirs, one per vectorizing commit. */
   private val DvDirName = "_graft_dv"
@@ -2614,7 +3063,8 @@ object MergeTable {
       cAdds: Seq[(String, String)] = Nil,
       cDrops: Seq[String] = Nil,
       mRenames: Seq[(String, String)] = Nil,
-      mDrops: Seq[String] = Nil)
+      mDrops: Seq[String] = Nil,
+      txns: Seq[(String, Long)] = Nil)
 
   /** The Hilbert xy2d fold as one SQL expression over 16-bit inputs
     * `xSql`/`ySql`: a codegen'd `aggregate` HOF over the bit levels
@@ -2641,6 +3091,10 @@ object MergeTable {
                  ELSE a.y END),
           a -> a.d)"""
 
+  /** Control-flow sentinel: a txn-gated commit found its watermark
+    * already recorded by a concurrent writer mid-loop. */
+  private final class TxnAlreadyApplied extends RuntimeException
+
   private sealed trait LogAction
   private final case class Add(entry: FileEntry) extends LogAction
   private final case class Remove(relPath: String) extends LogAction
@@ -2650,6 +3104,8 @@ object MergeTable {
   private final case class RenameCol(physical: String,
       logical: String) extends LogAction
   private final case class DropCol(physical: String) extends LogAction
+  private final case class SetTxn(appId: String, version: Long)
+      extends LogAction
 
   /** Open (or lazily create on first write) a table at `root`.
     * `statsCol` names a long-castable column whose per-file min/max is

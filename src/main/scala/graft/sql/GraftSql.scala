@@ -17,7 +17,7 @@ import graft.lake.{MatchClause, MergeTable}
   * speak SQL — Athena over the Glue catalog, README.md:98 — while the
   * MergeTable lifecycle was Scala-only until round 10). A thin parser
   * injected via [[graft.functions.GraftExtensions]] (the X27
-  * machinery) intercepts five statements against REGISTERED graft
+  * machinery) intercepts the statements below against REGISTERED graft
   * tables and routes them to the existing MergeTable calls; every
   * other statement — including MERGE/UPDATE/DELETE on non-graft
   * tables — delegates untouched to Spark's parser:
@@ -30,7 +30,13 @@ import graft.lake.{MatchClause, MergeTable}
   *   DELETE FROM <name> [WHERE p]               → [[MergeTable.delete]]
   *   OPTIMIZE <name> [ZORDER BY (c[, ...])]     → compact / zorder
   *   RESTORE <name> TO VERSION AS OF <v>        → [[MergeTable.restore]]
-  *   VACUUM <name> [RETAIN n HOURS]             → [[MergeTable.vacuum]]
+  *   VACUUM <name> [RETAIN n HOURS] [DRY RUN]   → [[MergeTable.vacuum]]
+  *   RESTORE <name> TO TIMESTAMP AS OF 'ts'     → [[MergeTable.restoreAsOf]]
+  *   GENERATE symlink_format_manifest
+  *     FOR TABLE <name>              → [[MergeTable.generateSymlinkManifest]]
+  *   REORG [TABLE] <name> APPLY (PURGE)   → [[MergeTable.purgeVectors]]
+  *   DESCRIBE DETAIL <name>               → [[MergeTable.detail]]
+  *   REGISTER ... GENERATED (c AS expr)   → [[MergeTable.addGeneratedColumn]]
   *
   * Tables are REGISTERED handles, not paths: a MergeTable's layout
   * contract (partition column, stats/bloom sidecar columns, deletion
@@ -83,13 +89,22 @@ object GraftSql {
     """(?is)^\s*OPTIMIZE\s+([A-Za-z_][\w]*)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+([A-Za-z_][\w]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$""".r
+  private val RestoreTsRe =
+    """(?is)^\s*RESTORE\s+([A-Za-z_][\w]*)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*$""".r
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+([A-Za-z_][\w]*)(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*$""".r
+    """(?is)^\s*VACUUM\s+([A-Za-z_][\w]*)(?:\s+RETAIN\s+(\d+)\s+HOURS?)?(\s+DRY\s+RUN)?\s*$""".r
+  private val GenerateRe =
+    """(?is)^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+  private val ReorgRe =
+    """(?is)^\s*REORG\s+(?:TABLE\s+)?([A-Za-z_][\w]*)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
   private val IdentRe = """(?s)^\s*([A-Za-z_][\w]*)\s*(.*)$""".r
   private val MatchedHeadRe = """(?is)^\s*MATCHED\b(.*)$""".r
   private val EvolveRe = """(?is)^\s*WITH\s+SCHEMA\s+EVOLUTION\s*$""".r
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+  private val DetailRe =
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+  private val GenItemRe = """(?is)^\s*([A-Za-z_][\w]*)\s+AS\s+(.+?)\s*$""".r
   private val RegisterRe =
     """(?is)^\s*REGISTER\s+GRAFT\s+TABLE\s+([A-Za-z_][\w]*)\s+AT\s+'([^']+)'(.*?)\s*;?\s*$""".r
   private val UnregisterRe =
@@ -98,6 +113,7 @@ object GraftSql {
   private val StatsRe = """(?is)STATS\s*\(([^)]*)\)""".r
   private val BloomRe = """(?is)BLOOM\s*\(([^)]*)\)""".r
   private val DvRe = """(?is)WITH\s+DELETION\s+VECTORS""".r
+  private val OwRe = """(?is)WITH\s+OPTIMIZED\s+WRITES""".r
 
   /** Split `s` on commas at paren/quote depth zero — SET clauses carry
     * commas inside function calls (`SET a = round(x, 2), b = y`). */
@@ -118,6 +134,50 @@ object GraftSql {
     }
     if (cur.nonEmpty) out += cur.result()
     out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** `'yyyy-MM-dd[ HH:mm:ss]'` or ISO-instant timestamp literal →
+    * Instant (session-independent: SQL timestamps here are wall-clock
+    * UTC, matching the commit-publish mtimes the as-of fold reads). */
+  private[graft] def parseTs(ts: String): java.time.Instant = {
+    val t = ts.trim
+    try java.time.Instant.parse(t)
+    catch { case _: java.time.format.DateTimeParseException =>
+      val norm = if (t.contains(" ") || t.contains("T")) t.replace(' ', 'T')
+        else t + "T00:00:00"
+      java.time.LocalDateTime.parse(norm)
+        .toInstant(java.time.ZoneOffset.UTC)
+    }
+  }
+
+  /** The balanced-paren group right after top-level keyword `kw`:
+    * `GENERATED (day AS to_date(ts))` → `day AS to_date(ts)` — the
+    * content may nest parens/quotes, which a regex group cannot
+    * express. */
+  private[sql] def groupAfter(s: String, kw: String): Option[String] = {
+    val i = indexOfTop(s, kw)
+    if (i < 0) return None
+    val open = s.indexOf('(', i + kw.length)
+    if (open < 0 ||
+        !s.substring(i + kw.length, open).forall(_.isWhitespace))
+      return None
+    var depth = 0
+    var quote: Char = 0
+    var j = open
+    while (j < s.length) {
+      val c = s.charAt(j)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return Some(s.substring(open + 1, j))
+        case _ => ()
+      }
+      j += 1
+    }
+    None
   }
 
   /** Index of the first occurrence of keyword `kw` in `s` at paren
@@ -245,18 +305,42 @@ object GraftSql {
         GraftDmlCommand(s"RESTORE $name", s =>
           t0.withSession(s).restore(v.toLong))
       }
-    case VacuumRe(name, hours) =>
+    case RestoreTsRe(name, ts) =>
+      table(name).map { t0 =>
+        GraftDmlCommand(s"RESTORE $name", s =>
+          t0.withSession(s).restoreAsOf(parseTs(ts)))
+      }
+    case VacuumRe(name, hours, dryRun) =>
       table(name).map { t0 =>
         val retainMs = Option(hours).map(_.toLong * 3600000L)
           .getOrElse(MergeTable.DefaultVacuumRetainMs)
-        GraftDmlCommand(s"VACUUM $name", s => {
+        if (dryRun != null)
+          GraftPathListCommand(s"VACUUM $name DRY RUN",
+            s => t0.withSession(s).vacuumDryRun(retainMs))
+        else GraftDmlCommand(s"VACUUM $name", s => {
           val t = t0.withSession(s)
           t.vacuum(retainMs)
           t.latestVersion()
         })
       }
+    case GenerateRe(name) =>
+      table(name).map { t0 =>
+        GraftDmlCommand(s"GENERATE symlink_format_manifest FOR TABLE $name",
+          s => {
+            val t = t0.withSession(s)
+            t.generateSymlinkManifest()
+            t.latestVersion() // the version the manifest reflects
+          })
+      }
+    case ReorgRe(name) =>
+      table(name).map { t0 =>
+        GraftDmlCommand(s"REORG TABLE $name APPLY (PURGE)", s =>
+          t0.withSession(s).purgeVectors())
+      }
     case HistoryRe(name) =>
       table(name).map(t => GraftHistoryCommand(name, t))
+    case DetailRe(name) =>
+      table(name).map(t => GraftDetailCommand(name, t))
     // SQL-only registration path, so a consumer needs zero Scala:
     //   REGISTER GRAFT TABLE t AT '/path' [PARTITIONED BY (c)]
     //     [STATS (c1, c2)] [BLOOM (c1)] [WITH DELETION VECTORS]
@@ -272,11 +356,27 @@ object GraftSql {
         s"REGISTER GRAFT TABLE $name: PARTITIONED BY takes exactly one " +
           "column")
       Some(GraftDmlCommand(s"REGISTER GRAFT TABLE $name", s => {
-        val t = MergeTable(s, path, partCols.headOption,
+        val t0 = MergeTable(s, path, partCols.headOption,
           cols(StatsRe.findFirstMatchIn(tail)),
           DvRe.findFirstIn(tail).isDefined,
           cols(BloomRe.findFirstMatchIn(tail)))
+        val t =
+          if (OwRe.findFirstIn(tail).isDefined) t0.withOptimizeWrite else t0
         register(name, t)
+        // GENERATED (c AS expr[, ...]) — idempotent on re-register:
+        // an existing identical rule is kept, a conflicting one fails
+        groupAfter(tail, "GENERATED").toSeq
+          .flatMap(g => splitTop(g)).foreach {
+            case GenItemRe(c, g) => t.generatedColumns.get(c) match {
+              case Some(existing) => require(existing == g,
+                s"REGISTER GRAFT TABLE $name: generated column $c is " +
+                  s"already ($existing), not ($g) — drop the rule first")
+              case None => t.addGeneratedColumn(c, g)
+            }
+            case item => throw new IllegalArgumentException(
+              s"REGISTER GRAFT TABLE $name: GENERATED items are " +
+                s"'<col> AS <expr>', got: $item")
+          }
         t.latestVersion()
       }))
     case UnregisterRe(name) =>
@@ -508,6 +608,47 @@ object GraftHistoryCommand {
     StructField("n_added", LongType, nullable = false),
     StructField("n_removed", LongType, nullable = false),
     StructField("has_checkpoint", BooleanType, nullable = false)))
+}
+
+/** Delta's `DESCRIBE DETAIL` — one metadata row; schema fixed
+  * statically so parsing/EXPLAIN reads no log (same discipline as
+  * [[GraftHistoryCommand]]). */
+case class GraftDetailCommand(name: String, t: MergeTable)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils
+      .toAttributes(GraftDetailCommand.Schema)
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    t.withSession(sparkSession).detail().collect().toSeq
+  override def simpleString(maxFields: Int): String =
+    s"GraftDml(DESCRIBE DETAIL $name)"
+}
+
+object GraftDetailCommand {
+  import org.apache.spark.sql.types.{StringType, StructField}
+  /** Must stay in sync with [[MergeTable.detail]]'s `toDF` columns. */
+  private[sql] val Schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("location", StringType, nullable = false),
+    StructField("partition_column", StringType, nullable = true),
+    StructField("version", LongType, nullable = false),
+    StructField("num_files", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("num_files_with_deletion_vectors", LongType, nullable = false),
+    StructField("num_check_constraints", LongType, nullable = false),
+    StructField("num_generated_columns", LongType, nullable = false)))
+}
+
+/** A statement returning a PATH LIST (VACUUM DRY RUN): one
+  * root-relative path per row, nothing mutated. */
+case class GraftPathListCommand(label: String,
+    body: SparkSession => Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("path",
+      org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    body(sparkSession).map(Row(_))
+  override def simpleString(maxFields: Int): String = s"GraftDml($label)"
 }
 
 /** An eagerly-executed lake DML statement: `spark.sql(...)` runs

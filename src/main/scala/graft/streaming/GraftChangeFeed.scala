@@ -133,7 +133,9 @@ class GraftChangeFeedSource(
   * `table` (registered name, required), `pk` (the key column the feed
   * diffs on, required — same contract as [[MergeTable.changes]]),
   * `startingVersion` (emit changes AFTER this version; default 0 =
-  * initial snapshot as inserts), `maxVersionsPerTrigger` (bound each
+  * initial snapshot as inserts), `startingTimestamp` (resolve that
+  * version from a wall-clock instant instead — mutually exclusive
+  * with `startingVersion`), `maxVersionsPerTrigger` (bound each
   * micro-batch to at most this many source versions — the X144
   * bounded-backfill discipline for subscriptions: a long-idle consumer
   * catches up in capped, individually-committed windows instead of one
@@ -152,8 +154,21 @@ class GraftChangeFeedProvider extends StreamSourceProvider
     val t = GraftSql.table(name).getOrElse(throw new IllegalArgumentException(
       s"graft-cdf: no table registered as '$name' — call GraftSql.register " +
         "(or REGISTER GRAFT TABLE) first"))
-    (t.withSession(spark), pk, parameters.get("startingVersion")
-      .map(_.toLong).getOrElse(0L))
+    val bound = t.withSession(spark)
+    val startV = (parameters.get("startingVersion"),
+        parameters.get("startingTimestamp")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "graft-cdf: startingVersion and startingTimestamp are mutually " +
+          "exclusive")
+      case (Some(v), None) => v.toLong
+      // Delta's startingTimestamp: emit changes AFTER the newest
+      // version committed at or before the instant (the snapshot a
+      // reader at that wall-clock time would have seen)
+      case (None, Some(ts)) =>
+        bound.versionAsOf(graft.sql.GraftSql.parseTs(ts))
+      case (None, None) => 0L
+    }
+    (bound, pk, startV)
   }
 
   private def maxVersions(parameters: Map[String, String]): Option[Long] = {

@@ -29,6 +29,20 @@ object GraftStreamShim {
       .internalCreateDataFrame(qe.toRdd, df.schema, isStreaming = true)
   }
 
+  /** The inverse bridge, for the graft streaming SINK: a V1
+    * `Sink.addBatch` receives a DataFrame backed by the engine's
+    * incremental execution whose plan still carries streaming sources —
+    * calling `.write` on it throws ("Queries with streaming sources
+    * must be executed with writeStream"). Re-wrapping the SAME lazy
+    * `toRdd` as a batch-tagged frame (isStreaming = false) is how
+    * Delta's `DeltaSink` hands micro-batch rows to its batch writer;
+    * nothing materializes on the driver. */
+  def asBatch(spark: SparkSession, df: DataFrame): DataFrame = {
+    val qe = df.queryExecution
+    spark.asInstanceOf[ClassicSession]
+      .internalCreateDataFrame(qe.toRdd, df.schema, isStreaming = false)
+  }
+
   /** An EMPTY streaming-tagged DataFrame with `schema`. */
   def emptyStreamingBatch(spark: SparkSession,
       schema: StructType): DataFrame = {

@@ -872,4 +872,61 @@ class MergeTableSpec extends SparkSpec {
     assert(ids === Set("o1", "o2", "o3"))
     assert(t.latestVersion() === 3L)
   }
+
+  test("withOptimizeWrite: a partitioned commit writes ONE file per " +
+      "touched partition; the flag carries across merges") {
+    val rows = (1 to 100).map(i => (s"o$i",
+      if (i % 2 == 0) "2024-01-01" else "2024-01-02", i.toDouble))
+    val wide = rows.toDF("order_id", "date", "amount").repartition(8)
+
+    val plain = MergeTable(spark, tmpDir("ow0").toString, Some("date"))
+    plain.overwrite(wide)
+    assert(plain.liveEntries().size > 2) // tasks x partitions small files
+
+    val ow = MergeTable(spark, tmpDir("ow1").toString, Some("date"))
+      .withOptimizeWrite
+    ow.overwrite(wide)
+    assert(ow.liveEntries().size === 2) // one per partition
+    assert(contents(ow.read()) === contents(plain.read()))
+
+    // a merge's rewrite goes through the same co-locating write
+    ow.merge(Seq(("o2", "2024-01-01", 999.0))
+      .toDF("order_id", "date", "amount").repartition(4), "order_id")
+    assert(ow.liveEntries().size === 2)
+    assert(ow.read().filter(col("order_id") === "o2")
+      .select("amount").as[Double].head() === 999.0)
+  }
+
+  test("vacuumDryRun lists exactly what vacuum would reap and deletes " +
+      "nothing; restoreAsOf routes through versionAsOf") {
+    val root = tmpDir("vdr").toString
+    val t = MergeTable(spark, root, Some("date"))
+    t.overwrite(orders(("o1", "2024-01-01", 10.0)))
+    val v1 = t.latestVersion()
+    t.merge(orders(("o1", "2024-01-01", 11.0)), "order_id")
+    t.merge(orders(("o1", "2024-01-01", 12.0)), "order_id")
+
+    val planned = t.vacuumDryRun(0L)
+    assert(planned.nonEmpty) // two superseded commit dirs at least
+    // nothing was deleted by the dry run
+    planned.foreach(rel => assert(
+      java.nio.file.Files.exists(java.nio.file.Paths.get(root, rel)), rel))
+    assert(contents(t.readVersion(v1)) === Set(("o1", "2024-01-01", 10.0)))
+
+    // the real vacuum deletes the planned data dirs (log pruning may
+    // exceed the plan — the fresh checkpoint anchors a higher fold)
+    t.vacuum(0L)
+    planned.filterNot(_.startsWith("_graft_log")).foreach(rel => assert(
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(root, rel)), rel))
+    assert(contents(t.read()) === Set(("o1", "2024-01-01", 12.0)))
+
+    // restoreAsOf: everything is younger than epoch+1s -> fails fast;
+    // as-of now resolves to the head -> restore is a recorded no-op
+    intercept[IllegalArgumentException](
+      t.restoreAsOf(java.time.Instant.ofEpochSecond(1L)))
+    val head = t.latestVersion()
+    assert(t.restoreAsOf(java.time.Instant.now().plusSeconds(60)) === head)
+    assert(t.latestVersion() === head)
+    assert(contents(t.read()) === Set(("o1", "2024-01-01", 12.0)))
+  }
 }

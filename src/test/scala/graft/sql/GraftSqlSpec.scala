@@ -202,6 +202,66 @@ class GraftSqlSpec extends SparkSpec {
       spark.sql("DELETE FROM t_reg WHERE order_id = 'o2'").collect())
   }
 
+  test("REGISTER ... GENERATED (c AS expr) declares the rule SQL-only; " +
+      "DESCRIBE DETAIL reports table metadata without a data scan") {
+    val dir = tmpDir("sql_gen").toString
+    spark.sql(s"REGISTER GRAFT TABLE t_genreg AT '$dir' " +
+      "PARTITIONED BY (day) GENERATED (day AS to_date(ts))")
+    val t = GraftSql.table("t_genreg").get
+    assert(t.generatedColumns === Map("day" -> "to_date(ts)"))
+    // a write missing `day` gets it populated — pure-SQL consumers
+    // never compute the partition column themselves
+    t.overwrite(Seq((1L, "2024-01-05 09:00:00"), (2L, "2024-01-06 09:00:00"))
+      .toDF("id", "ts_str")
+      .withColumn("ts", col("ts_str").cast("timestamp")).drop("ts_str"))
+    assert(t.read().select("day").as[java.sql.Date].collect().toSet ===
+      Set(java.sql.Date.valueOf("2024-01-05"),
+        java.sql.Date.valueOf("2024-01-06")))
+    // idempotent re-register keeps the identical rule...
+    spark.sql(s"REGISTER GRAFT TABLE t_genreg AT '$dir' " +
+      "PARTITIONED BY (day) GENERATED (day AS to_date(ts))")
+    assert(GraftSql.table("t_genreg").get.generatedColumns.size === 1)
+    // ...a conflicting rule fails
+    intercept[Exception](spark.sql(s"REGISTER GRAFT TABLE t_genreg AT " +
+      s"'$dir' PARTITIONED BY (day) GENERATED (day AS to_date(null))")
+      .collect())
+
+    val d = spark.sql("DESCRIBE DETAIL t_genreg").collect().head
+    assert(d.getAs[String]("format") === "graft")
+    assert(d.getAs[String]("partition_column") === "day")
+    assert(d.getAs[Long]("version") === t.latestVersion())
+    assert(d.getAs[Long]("num_files") === t.detail()
+      .select("num_files").as[Long].head())
+    assert(d.getAs[Long]("num_files") >= 2L)
+    assert(d.getAs[Long]("size_bytes") > 0L)
+    assert(d.getAs[Long]("num_generated_columns") === 1L)
+    assert(d.getAs[Long]("num_check_constraints") === 0L)
+    spark.sql("UNREGISTER GRAFT TABLE t_genreg")
+  }
+
+  test("VACUUM ... DRY RUN lists reap paths without deleting; RESTORE " +
+      "TO TIMESTAMP AS OF restores the as-of snapshot") {
+    val (viaSql, _) = freshPair("vdry")
+    viaSql.merge(orders(("o1", "2024-01-01", 99.0)), "order_id")
+    val planned = spark.sql("VACUUM t_vdry RETAIN 0 HOURS DRY RUN")
+      .as[String].collect().toSeq
+    assert(planned.nonEmpty)
+    planned.foreach(rel => assert(java.nio.file.Files.exists(
+      viaSql.root.resolve(rel)), rel))
+    // dry run committed nothing and deleted nothing
+    assert(contents(viaSql.read()) ===
+      Set(("o1", "2024-01-01", 99.0), ("o2", "2024-01-02", 20.0)))
+
+    val restored = spark.sql(
+      "RESTORE t_vdry TO TIMESTAMP AS OF '2999-01-01 00:00:00'")
+      .as[Long].head()
+    assert(restored === viaSql.latestVersion())
+    assert(contents(viaSql.read()) ===
+      Set(("o1", "2024-01-01", 99.0), ("o2", "2024-01-02", 20.0)))
+    intercept[Exception](spark.sql(
+      "RESTORE t_vdry TO TIMESTAMP AS OF '1999-01-01'").collect())
+  }
+
   test("string literals containing keywords parse (quote-aware grammar)") {
     val (viaSql, viaApi) = freshPair("quo")
     // ' WHERE ' inside the SET literal must not split the statement

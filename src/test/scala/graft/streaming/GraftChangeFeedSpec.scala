@@ -162,6 +162,37 @@ class GraftChangeFeedSpec extends SparkSpec {
       Set((1L, 10L, 100L, "delete"))))
   }
 
+  test("startingTimestamp resolves the starting version from the commit " +
+      "clock; mutually exclusive with startingVersion") {
+    val t = MergeTable(spark, tmpDir("cdf6").toString, None)
+    GraftSql.register("cdf_sub6", t)
+    t.overwrite(rows((1L, 10L, 100L)))
+    Thread.sleep(1100) // the as-of clock is mtime-second resolution
+    val mark = java.time.Instant.now()
+    t.merge(rows((2L, 20L, 200L)), "k")
+    val out = tmpDir("cdf6_out").toString + "/feed"
+    val q = spark.readStream.format("graft-cdf")
+      .option("table", "cdf_sub6").option("pk", "k")
+      .option("startingTimestamp", mark.toString).load()
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("cdf6_ck").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) b.write.mode("append").parquet(out)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    // only the post-mark merge surfaces — the snapshot a reader AT
+    // `mark` already had is not replayed
+    assert(feed(out) === Set((2L, 20L, 200L, "insert")))
+    intercept[Exception] {
+      spark.readStream.format("graft-cdf")
+        .option("table", "cdf_sub6").option("pk", "k")
+        .option("startingVersion", 1L)
+        .option("startingTimestamp", mark.toString).load()
+    }
+  }
+
   test("unregistered table and missing options fail fast at stream start") {
     intercept[Exception] {
       spark.readStream.format("graft-cdf")
