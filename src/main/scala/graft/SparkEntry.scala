@@ -176,6 +176,8 @@ object SparkEntry {
     "q_stream_sessions_cs" -> (graft.streaming.StreamQueries.streamSessionsCustom _),
     // r11 — continuous replication through the graft-cdf subscription
     "q_stream_replica"  -> (graft.streaming.StreamQueries.streamReplica _),
+    // r11 — the streaming sink's exactly-once appends under the gate
+    "q_stream_sink"     -> (graft.streaming.StreamQueries.streamSink _),
     // §7.5 — multimodal binary columns (stub decode, real plumbing)
     "q_media_features"  -> ((s: SparkSession, d: String) =>
       ext.Multimodal.decoded(s, ext.Multimodal.mediaTable(Tables.documents(s, d)))),
@@ -833,6 +835,7 @@ object SparkEntry {
     "q_gen_prune"     -> graft.lake.LakeQueries.genPruneOracle,
     "q_stream_mv"     -> graft.streaming.StreamQueries.streamMvOracle,
     "q_stream_replica" -> graft.streaming.StreamQueries.streamReplicaOracle,
+    "q_stream_sink"   -> graft.streaming.StreamQueries.streamSinkOracle,
     "q_stream_cdc"    -> graft.streaming.StreamQueries.streamCdcOracle,
     "q_stream_scd2"   -> graft.streaming.StreamQueries.streamScd2Oracle,
     "q_stream_window" -> graft.streaming.StreamQueries.streamWindowOracle,

@@ -134,6 +134,51 @@ object StreamQueries {
       col("total_sum").cast("long").as("total_sum"), col("n_rows"))
   }
 
+  /** THE STREAMING SINK under the oracle gate (X168, r11): a file
+    * stream of order waves lands in a lake table through
+    * `writeStream.format("graft")` across TWO AvailableNow drains —
+    * the second a genuine RESTART of the subscription, and
+    * `maxFilesPerTrigger = 1` forcing one txn-gated append commit per
+    * wave file. The final table hash-matches the closed-form oracle
+    * only if every batch appended exactly once: a replayed batch
+    * (which the restart invites) would double its slice's rows and
+    * break the row count, let alone the hash. */
+  def streamSink(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val waveDir = scratch("graft_q_gsink_src")
+    val t = MergeTable(s, scratch("graft_q_gsink_t"))
+    graft.sql.GraftSql.register("q_gsink_t", t)
+    val ckpt = scratch("graft_q_gsink_ckpt")
+    def drain(): Unit = {
+      val q = s.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(waveDir + "/*")
+        .writeStream.format("graft")
+        .option("table", "q_gsink_t")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    base.filter(col("o_orderkey") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(waveDir + "/w1")
+    drain()
+    // two more waves, then a RESTARTED drain applies each exactly once
+    base.filter(col("o_orderkey") % 4 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(waveDir + "/w2")
+    base.filter(col("o_orderkey") % 4 === 3).coalesce(1)
+      .write.mode("overwrite").parquet(waveDir + "/w3")
+    drain()
+    t.read().select(col("o_orderkey"), col("o_custkey"),
+      round(col("o_totalprice"), 2).as("price"))
+  }
+
+  val streamSinkOracle: String =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+       FROM orders
+       ORDER BY o_orderkey"""
+
   /** CONTINUOUS REPLICATION under the oracle gate (X147's batch sync
     * re-expressed as an X153 SUBSCRIPTION, r11): a source lake table
     * advances through merge (reprice + re-keyed inserts) and delete
