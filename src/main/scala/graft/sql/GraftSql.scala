@@ -36,6 +36,9 @@ import graft.lake.{MatchClause, MergeTable}
   *     FOR TABLE <name>              → [[MergeTable.generateSymlinkManifest]]
   *   REORG [TABLE] <name> APPLY (PURGE)   → [[MergeTable.purgeVectors]]
   *   DESCRIBE DETAIL <name>               → [[MergeTable.detail]]
+  *   ALTER TABLE <name> ADD CONSTRAINT n CHECK (p) | DROP CONSTRAINT n
+  *     | RENAME COLUMN a TO b | DROP COLUMN c
+  *     | ADD GENERATED COLUMN c AS (expr) | DROP GENERATED COLUMN c
   *   REGISTER ... GENERATED (c AS expr)   → [[MergeTable.addGeneratedColumn]]
   *
   * Tables are REGISTERED handles, not paths: a MergeTable's layout
@@ -107,6 +110,20 @@ object GraftSql {
   private val GenItemRe = """(?is)^\s*([A-Za-z_][\w]*)\s+AS\s+(.+?)\s*$""".r
   private val RegisterRe =
     """(?is)^\s*REGISTER\s+GRAFT\s+TABLE\s+([A-Za-z_][\w]*)\s+AT\s+'([^']+)'(.*?)\s*;?\s*$""".r
+  private val AlterRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+(.+?)\s*;?\s*$""".r
+  private val AlterAddConRe =
+    """(?is)^ADD\s+CONSTRAINT\s+([A-Za-z_][\w]*)\s+CHECK\s*\(.*\)$""".r
+  private val AlterDropConRe =
+    """(?is)^DROP\s+CONSTRAINT\s+([A-Za-z_][\w]*)$""".r
+  private val AlterRenameRe =
+    """(?is)^RENAME\s+COLUMN\s+([A-Za-z_][\w]*)\s+TO\s+([A-Za-z_][\w]*)$""".r
+  private val AlterDropColRe =
+    """(?is)^DROP\s+COLUMN\s+([A-Za-z_][\w]*)$""".r
+  private val AlterAddGenRe =
+    """(?is)^ADD\s+GENERATED\s+COLUMN\s+([A-Za-z_][\w]*)\s+AS\s*\(.*\)$""".r
+  private val AlterDropGenRe =
+    """(?is)^DROP\s+GENERATED\s+COLUMN\s+([A-Za-z_][\w]*)$""".r
   private val UnregisterRe =
     """(?is)^\s*UNREGISTER\s+GRAFT\s+TABLE\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val PartByRe = """(?is)PARTITIONED\s+BY\s*\(([^)]*)\)""".r
@@ -379,6 +396,38 @@ object GraftSql {
           }
         t.latestVersion()
       }))
+    // ALTER TABLE intercepts only REGISTERED graft names (the table
+    // does not exist in Spark's catalog, so delegation could only
+    // produce a misleading not-found error); an unsupported action on
+    // a registered name fails loudly with OUR message.
+    case AlterRe(name, action) if table(name).isDefined =>
+      val t0 = table(name).get
+      def cmd(label: String, body: MergeTable => Long) =
+        Some(GraftDmlCommand(s"ALTER TABLE $name $label",
+          s => body(t0.withSession(s))))
+      action match {
+        case AlterAddConRe(cn) =>
+          val pred = groupAfter(action, "CHECK").getOrElse(
+            throw new IllegalArgumentException(
+              s"ALTER TABLE $name: malformed CHECK (...) group"))
+          cmd(s"ADD CONSTRAINT $cn", _.addConstraint(cn, pred))
+        case AlterDropConRe(cn) => cmd(s"DROP CONSTRAINT $cn",
+          _.dropConstraint(cn))
+        case AlterRenameRe(a, b) => cmd(s"RENAME COLUMN $a TO $b",
+          _.renameColumn(a, b))
+        case AlterDropColRe(c) => cmd(s"DROP COLUMN $c", _.dropColumn(c))
+        case AlterAddGenRe(c) =>
+          val g = groupAfter(action, "AS").getOrElse(
+            throw new IllegalArgumentException(
+              s"ALTER TABLE $name: malformed AS (...) group"))
+          cmd(s"ADD GENERATED COLUMN $c", _.addGeneratedColumn(c, g))
+        case AlterDropGenRe(c) => cmd(s"DROP GENERATED COLUMN $c",
+          _.dropGeneratedColumn(c))
+        case other => throw new IllegalArgumentException(
+          s"ALTER TABLE $name (a registered graft table): unsupported " +
+            s"action '$other' — supported: ADD/DROP CONSTRAINT, " +
+            "RENAME/DROP COLUMN, ADD/DROP GENERATED COLUMN")
+      }
     case UnregisterRe(name) =>
       Some(GraftDmlCommand(s"UNREGISTER GRAFT TABLE $name", _ => {
         val had = table(name).isDefined

@@ -262,6 +262,47 @@ class GraftSqlSpec extends SparkSpec {
       "RESTORE t_vdry TO TIMESTAMP AS OF '1999-01-01'").collect())
   }
 
+  test("ALTER TABLE family: constraints enforce via SQL, column mapping " +
+      "renames/drops, generated-column rules add/drop; unsupported " +
+      "actions and unregistered names route correctly") {
+    val (viaSql, viaApi) = freshPair("alter")
+    spark.sql("ALTER TABLE t_alter ADD CONSTRAINT amt_pos CHECK (amount > 0)")
+    viaApi.addConstraint("amt_pos", "amount > 0")
+    assert(viaSql.constraints("amt_pos") === viaApi.constraints("amt_pos"))
+    // the SQL-registered constraint rejects a violating SQL write
+    val e1 = intercept[Exception](spark.sql(
+      "MERGE INTO t_alter USING (SELECT 'oX' AS order_id, " +
+        "'2024-01-05' AS date, -5.0 AS amount) ON order_id"))
+    assert(e1.getMessage.contains("amt_pos"))
+    spark.sql("ALTER TABLE t_alter DROP CONSTRAINT amt_pos")
+    assert(!viaSql.constraints.contains("amt_pos"))
+
+    spark.sql("ALTER TABLE t_alter RENAME COLUMN amount TO total")
+    assert(viaSql.read().columns.toSet === Set("order_id", "date", "total"))
+    spark.sql("ALTER TABLE t_alter DROP COLUMN total")
+    assert(viaSql.read().columns.toSet === Set("order_id", "date"))
+
+    // generated rules on a fresh (empty) registered table
+    spark.sql(s"REGISTER GRAFT TABLE t_altg AT " +
+      s"'${tmpDir("alter_gen")}' PARTITIONED BY (day)")
+    spark.sql("ALTER TABLE t_altg ADD GENERATED COLUMN day AS (to_date(ts))")
+    assert(GraftSql.table("t_altg").get.generatedColumns ===
+      Map("day" -> "to_date(ts)"))
+    spark.sql("ALTER TABLE t_altg DROP GENERATED COLUMN day")
+    assert(GraftSql.table("t_altg").get.generatedColumns.isEmpty)
+
+    // unsupported action on a REGISTERED name: OUR loud message
+    val e2 = intercept[Exception](spark.sql(
+      "ALTER TABLE t_altg SET TBLPROPERTIES ('a'='b')"))
+    assert(e2.getMessage.contains("unsupported action"))
+    // unregistered names delegate to Spark untouched
+    val e3 = intercept[Exception](spark.sql(
+      "ALTER TABLE not_reg_alter ADD CONSTRAINT c CHECK (x > 0)").collect())
+    assert(!e3.isInstanceOf[scala.MatchError])
+    assert(!e3.getMessage.contains("unsupported action"))
+    spark.sql("UNREGISTER GRAFT TABLE t_altg")
+  }
+
   test("string literals containing keywords parse (quote-aware grammar)") {
     val (viaSql, viaApi) = freshPair("quo")
     // ' WHERE ' inside the SET literal must not split the statement

@@ -97,6 +97,47 @@ class GraftSinkSpec extends SparkSpec {
     assert(t.read().count() === 3L)
   }
 
+  test("lake-to-lake: ONE streaming query runs the graft-cdf source " +
+      "INTO the graft sink (medallion bronze->silver), exactly-once " +
+      "across a restarted drain") {
+    val bronze = MergeTable(spark, tmpDir("med_bronze").toString, None)
+    val silver = MergeTable(spark, tmpDir("med_silver").toString, None)
+    GraftSql.register("med_bronze", bronze)
+    GraftSql.register("med_silver", silver)
+    val ckpt = tmpDir("med_ck").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-cdf")
+        .option("table", "med_bronze").option("pk", "k")
+        .option("maxVersionsPerTrigger", 1).load()
+        // bronze is append-only here, so the feed is inserts; the
+        // transform drops the feed tag and keeps high-value rows
+        .filter(col("_change_type") === "insert")
+        .filter(col("v") >= 100L)
+        .drop("_change_type")
+        .writeStream.format("graft")
+        .option("table", "med_silver")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    bronze.append(Seq((1L, 50L), (2L, 200L)).toDF("k", "v"))
+    drain()
+    assert(silver.read().select("k", "v").as[(Long, Long)].collect().toSet
+      === Set((2L, 200L)))
+    // two more bronze commits; the RESTARTED drain runs one batch per
+    // version, each landing as its own txn-gated silver append
+    bronze.append(Seq((3L, 300L)).toDF("k", "v"))
+    bronze.append(Seq((4L, 40L), (5L, 500L)).toDF("k", "v"))
+    drain()
+    assert(silver.read().select("k", "v").as[(Long, Long)].collect().toSet
+      === Set((2L, 200L), (3L, 300L), (5L, 500L)))
+    // idle drain: no batch, no silver commit
+    val v = silver.latestVersion()
+    drain()
+    assert(silver.latestVersion() === v)
+  }
+
   test("sink option validation fails fast") {
     val t = MergeTable(spark, tmpDir("gsink_val").toString, None)
     GraftSql.register("sink_val", t)
