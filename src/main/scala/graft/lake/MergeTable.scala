@@ -252,8 +252,19 @@ final class MergeTable private (
 
   /** CHECK constraints in effect at version `v` — the same
     * checkpoint-then-deltas fold as [[snapshotAt]], over the C/D
-    * actions. */
-  private def constraintsAt(v: Long): Map[String, String] = {
+    * actions. MEMOIZED by version: the fold is a pure function of the
+    * immutable committed-log prefix (vacuum preserves the folded state
+    * through its checkpoint), and every write consults it up to three
+    * times (generated-column population, enforcement, rule lookup) —
+    * r11 measured the repeated per-commit refolds as a visible bench
+    * tax on lifecycle-heavy queries. */
+  private val constraintsMemo =
+    new java.util.concurrent.ConcurrentHashMap[Long, Map[String, String]]()
+
+  private def constraintsAt(v: Long): Map[String, String] =
+    constraintsMemo.computeIfAbsent(v, constraintsAtUncached(_))
+
+  private def constraintsAtUncached(v: Long): Map[String, String] = {
     val ckpt = checkpointAtOrBelow(v)
     val acc = mutable.LinkedHashMap.empty[String, String]
     def fold(p: Path): Unit = readLogFile(p).foreach {
@@ -304,7 +315,15 @@ final class MergeTable private (
   def txnVersion(appId: String): Option[Long] =
     txnsAt(latestVersion()).get(appId)
 
-  private def mappingAt(v: Long): (Map[String, String], Set[String]) = {
+  /** Memoized like [[constraintsAt]] — [[presentLogical]] refolds the
+    * mapping on every read. */
+  private val mappingMemo = new java.util.concurrent.ConcurrentHashMap[
+    Long, (Map[String, String], Set[String])]()
+
+  private def mappingAt(v: Long): (Map[String, String], Set[String]) =
+    mappingMemo.computeIfAbsent(v, mappingAtUncached(_))
+
+  private def mappingAtUncached(v: Long): (Map[String, String], Set[String]) = {
     val ckpt = checkpointAtOrBelow(v)
     val ren = mutable.LinkedHashMap.empty[String, String]
     val drops = mutable.LinkedHashSet.empty[String]
@@ -1554,6 +1573,7 @@ final class MergeTable private (
     * this is always a may-match SUPERSET — same contract as
     * [[compilePrune]], with which it composes conjunctively. */
   private def compileGenPrune(cond: cxp.Expression): FileEntry => Boolean = {
+    if (partitionCol.isEmpty) return NoPrune // nothing to transfer onto
     val rule = for {
       pc <- partitionCol
       g <- generatedColumns.get(pc)
