@@ -2583,6 +2583,65 @@ final class MergeTable private (
     * Commit times come from manifest file mtimes — the same clock Delta's
     * timestamp travel trusts. Presents the schema as of the resolved
     * version, like [[readVersion]]. */
+  /** Delta's `COPY INTO`: load files from `src` into this table,
+    * EXACTLY ONCE PER FILE across any number of invocations — the
+    * retryable, idempotent batch-ingestion front door. Two ledgers
+    * compose to give the guarantee:
+    *
+    *  - WHICH FILES were already loaded: Spark's file-stream source
+    *    under `Trigger.AvailableNow` tracks seen files in a checkpoint
+    *    under `_graft_copy/<source-hash>` inside the table root — a
+    *    re-invocation (or a retried failed one) picks up exactly the
+    *    not-yet-committed files, at any backlog size
+    *    (`maxFilesPerTrigger`-bounded batches);
+    *  - WHICH BATCHES were already committed: each micro-batch lands
+    *    through [[appendWithTxn]] under a per-source appId, so the
+    *    crash-replay window between the engine's offset commit and
+    *    the table commit is absorbed (X168's argument).
+    *
+    * Schema: the TABLE's schema once it has data (arriving files must
+    * conform — [[append]]'s equality check); inferred from the source
+    * files for the very first load (self-describing formats; CSV
+    * first-loads read `header`). The checkpoint dir sits beside
+    * `_graft_log` and is invisible to vacuum/manifest machinery. */
+  def copyInto(src: String, format: String = "parquet",
+      pattern: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): Long = {
+    val path = pattern.map(p => s"${src.stripSuffix("/")}/$p").getOrElse(src)
+    val sch =
+      if (latestVersion() > 0L && liveEntries().nonEmpty) read().schema
+      else {
+        val r = spark.read.format(format).option("header", "true")
+        try r.load(path).schema
+        catch { case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(
+            s"COPY INTO at $root: cannot infer a schema from '$path' for " +
+              "the FIRST load into an empty table — the source has no " +
+              "readable files", e)
+        }
+      }
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .take(16)
+    val ckpt = root.resolve("_graft_copy").resolve(key)
+    val appId = s"copy-into:$key"
+    var r = spark.readStream.schema(sch).format(format)
+      .option("header", "true")
+    maxFilesPerTrigger.foreach(n =>
+      r = r.option("maxFilesPerTrigger", n.toString))
+    val q = r.load(path)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (!b.isEmpty) appendWithTxn(b, appId, id)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    latestVersion()
+  }
+
   /** Delta's `DESCRIBE DETAIL`: ONE row of table-level metadata — all
     * of it driver-side manifest/log state plus one `Files.size` sweep
     * over live files (O(live files) metadata, no jobs). */

@@ -32,10 +32,16 @@ import graft.lake.{MatchClause, MergeTable}
   *   RESTORE <name> TO VERSION AS OF <v>        → [[MergeTable.restore]]
   *   VACUUM <name> [RETAIN n HOURS] [DRY RUN]   → [[MergeTable.vacuum]]
   *   RESTORE <name> TO TIMESTAMP AS OF 'ts'     → [[MergeTable.restoreAsOf]]
+  *   COPY INTO <name> FROM '<path>'
+  *     [FILEFORMAT = PARQUET|CSV] [PATTERN = '<glob>']
+  *                                         → [[MergeTable.copyInto]]
   *   GENERATE symlink_format_manifest
   *     FOR TABLE <name>              → [[MergeTable.generateSymlinkManifest]]
   *   REORG [TABLE] <name> APPLY (PURGE)   → [[MergeTable.purgeVectors]]
   *   DESCRIBE DETAIL <name>               → [[MergeTable.detail]]
+  *   SHOW GRAFT TABLES                    → the registry as rows
+  *   CLONE GRAFT TABLE <name> TO '<path>' [AS <new>]
+  *                                        → [[MergeTable.cloneTo]]
   *   ALTER TABLE <name> ADD CONSTRAINT n CHECK (p) | DROP CONSTRAINT n
   *     | RENAME COLUMN a TO b | DROP COLUMN c
   *     | ADD GENERATED COLUMN c AS (expr) | DROP GENERATED COLUMN c
@@ -96,6 +102,8 @@ object GraftSql {
     """(?is)^\s*RESTORE\s+([A-Za-z_][\w]*)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([A-Za-z_][\w]*)(?:\s+RETAIN\s+(\d+)\s+HOURS?)?(\s+DRY\s+RUN)?\s*$""".r
+  private val CopyIntoRe =
+    """(?is)^\s*COPY\s+INTO\s+([A-Za-z_][\w]*)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*([A-Za-z]+))?(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*$""".r
   private val GenerateRe =
     """(?is)^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val ReorgRe =
@@ -124,6 +132,10 @@ object GraftSql {
     """(?is)^ADD\s+GENERATED\s+COLUMN\s+([A-Za-z_][\w]*)\s+AS\s*\(.*\)$""".r
   private val AlterDropGenRe =
     """(?is)^DROP\s+GENERATED\s+COLUMN\s+([A-Za-z_][\w]*)$""".r
+  private val ShowTablesRe =
+    """(?is)^\s*SHOW\s+GRAFT\s+TABLES\s*;?\s*$""".r
+  private val CloneRe =
+    """(?is)^\s*CLONE\s+GRAFT\s+TABLE\s+([A-Za-z_][\w]*)\s+TO\s+'([^']+)'(?:\s+AS\s+([A-Za-z_][\w]*))?\s*;?\s*$""".r
   private val UnregisterRe =
     """(?is)^\s*UNREGISTER\s+GRAFT\s+TABLE\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val PartByRe = """(?is)PARTITIONED\s+BY\s*\(([^)]*)\)""".r
@@ -340,6 +352,13 @@ object GraftSql {
           t.latestVersion()
         })
       }
+    case CopyIntoRe(name, src, fmt, pattern) =>
+      table(name).map { t0 =>
+        GraftDmlCommand(s"COPY INTO $name", s =>
+          t0.withSession(s).copyInto(src,
+            Option(fmt).map(_.toLowerCase).getOrElse("parquet"),
+            Option(pattern)))
+      }
     case GenerateRe(name) =>
       table(name).map { t0 =>
         GraftDmlCommand(s"GENERATE symlink_format_manifest FOR TABLE $name",
@@ -427,6 +446,16 @@ object GraftSql {
           s"ALTER TABLE $name (a registered graft table): unsupported " +
             s"action '$other' — supported: ADD/DROP CONSTRAINT, " +
             "RENAME/DROP COLUMN, ADD/DROP GENERATED COLUMN")
+      }
+    case ShowTablesRe() =>
+      Some(GraftShowTablesCommand())
+    case CloneRe(name, dest, asName) =>
+      table(name).map { t0 =>
+        GraftDmlCommand(s"CLONE GRAFT TABLE $name", s => {
+          val c = t0.withSession(s).cloneTo(dest)
+          Option(asName).foreach(n => register(n, c))
+          c.latestVersion()
+        })
       }
     case UnregisterRe(name) =>
       Some(GraftDmlCommand(s"UNREGISTER GRAFT TABLE $name", _ => {
@@ -686,6 +715,31 @@ object GraftDetailCommand {
     StructField("num_files_with_deletion_vectors", LongType, nullable = false),
     StructField("num_check_constraints", LongType, nullable = false),
     StructField("num_generated_columns", LongType, nullable = false)))
+}
+
+/** `SHOW GRAFT TABLES`: the registry as rows — name, location, and
+  * the layout contract a consumer needs to know what DML will do. */
+case class GraftShowTablesCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils
+      .toAttributes(GraftShowTablesCommand.Schema)
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    GraftSql.registered.sortBy(_._1).map { case (n, t) =>
+      Row(n, t.root.toAbsolutePath.normalize.toString,
+        t.partitionCol.orNull, t.deletionVectors, t.optimizeWrite)
+    }
+  override def simpleString(maxFields: Int): String =
+    "GraftDml(SHOW GRAFT TABLES)"
+}
+
+object GraftShowTablesCommand {
+  import org.apache.spark.sql.types.{BooleanType, StringType, StructField}
+  private[sql] val Schema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("location", StringType, nullable = false),
+    StructField("partition_column", StringType, nullable = true),
+    StructField("deletion_vectors", BooleanType, nullable = false),
+    StructField("optimized_writes", BooleanType, nullable = false)))
 }
 
 /** A statement returning a PATH LIST (VACUUM DRY RUN): one

@@ -303,6 +303,26 @@ class GraftSqlSpec extends SparkSpec {
     spark.sql("UNREGISTER GRAFT TABLE t_altg")
   }
 
+  test("SHOW GRAFT TABLES lists the registry; CLONE GRAFT TABLE makes a " +
+      "zero-copy clone and optionally registers it") {
+    val (viaSql, _) = freshPair("showclone")
+    val shown = spark.sql("SHOW GRAFT TABLES").collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[String]("location")))
+    assert(shown.exists { case (n, loc) =>
+      n == "t_showclone" &&
+        loc == viaSql.root.toAbsolutePath.normalize.toString })
+
+    val dest = tmpDir("clone_dst").toString + "/c1"
+    spark.sql(s"CLONE GRAFT TABLE t_showclone TO '$dest' AS t_showclone_c")
+    val c = GraftSql.table("t_showclone_c").get
+    assert(contents(c.read()) === contents(viaSql.read()))
+    // the clone diverges copy-on-write, the source is untouched
+    spark.sql("DELETE FROM t_showclone_c WHERE order_id = 'o1'")
+    assert(contents(c.read()).map(_._1) === Set("o2"))
+    assert(contents(viaSql.read()).map(_._1) === Set("o1", "o2"))
+    spark.sql("UNREGISTER GRAFT TABLE t_showclone_c")
+  }
+
   test("string literals containing keywords parse (quote-aware grammar)") {
     val (viaSql, viaApi) = freshPair("quo")
     // ' WHERE ' inside the SET literal must not split the statement
