@@ -157,6 +157,9 @@ object SparkEntry {
     "q_dv_state"        -> (graft.lake.LakeQueries.dvState _),
     // r11 — generated partition column: population + derived pruning
     "q_gen_prune"       -> (graft.lake.LakeQueries.genPrune _),
+    // r11 — identity columns: contiguous distributed assignment across
+    // two append waves, pinned by the 1..n closed-form invariants
+    "q_identity"        -> (graft.lake.LakeQueries.identityAssign _),
     // X148/X149 — the SQL front-end under the gate: the same lifecycle
     // driven purely by SQL strings through the injected parser + TVF
     "q_lake_sql"        -> (graft.sql.SqlQueries.lakeSql _),
@@ -833,6 +836,7 @@ object SparkEntry {
     "q_join_mv" -> graft.lake.LakeQueries.joinMvOracle,
     "q_dv_state"      -> graft.lake.LakeQueries.dvStateOracle,
     "q_gen_prune"     -> graft.lake.LakeQueries.genPruneOracle,
+    "q_identity"      -> graft.lake.LakeQueries.identityAssignOracle,
     "q_stream_mv"     -> graft.streaming.StreamQueries.streamMvOracle,
     "q_stream_replica" -> graft.streaming.StreamQueries.streamReplicaOracle,
     "q_stream_sink"   -> graft.streaming.StreamQueries.streamSinkOracle,

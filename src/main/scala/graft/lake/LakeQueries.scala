@@ -404,4 +404,38 @@ object LakeQueries {
        WHERE ts >= TIMESTAMP '2024-01-10 12:00:00'
          AND ts < TIMESTAMP '2024-01-13 00:00:00'
        ORDER BY event_id"""
+
+  /** X172 — IDENTITY COLUMNS, gated end-to-end: declare
+    * `row_seq GENERATED BY DEFAULT AS IDENTITY` on a scratch table,
+    * append the orders in TWO waves (split by key parity, so the
+    * allocation watermark must carry correctly across commits), and
+    * return the invariants the assignment guarantees: n rows get
+    * EXACTLY the values 1..n — count, min, max, distinct count, and
+    * the closed-form sum n(n+1)/2 all pin it, while staying
+    * deterministic even though WHICH row gets WHICH value is not.
+    * The assignment itself is distributed (per-partition slot bases
+    * from one narrow count job — no window, no single-partition
+    * shuffle); the oracle derives every figure from count(*) alone. */
+  def identityAssign(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val t = MergeTable(s, scratch("graft_q_idn"))
+    t.addIdentityColumn("row_seq")
+    t.append(o.filter(col("o_orderkey") % 2 === 0))
+    t.append(o.filter(col("o_orderkey") % 2 =!= 0))
+    t.read().agg(
+      count(lit(1)).as("n_rows"),
+      min(col("row_seq")).as("min_id"),
+      max(col("row_seq")).as("max_id"),
+      countDistinct(col("row_seq")).as("n_distinct"),
+      sum(col("row_seq")).as("sum_id"))
+  }
+
+  val identityAssignOracle: String =
+    """SELECT count(*) AS n_rows,
+              CAST(1 AS BIGINT) AS min_id,
+              count(*) AS max_id,
+              count(*) AS n_distinct,
+              CAST((count(*) * (count(*) + 1)) / 2 AS BIGINT) AS sum_id
+       FROM orders"""
 }

@@ -76,7 +76,8 @@ final class MergeTable private (
     val deletionVectors: Boolean = false,
     val bloomCols: Seq[String] = Nil,
     val logStore: LogStore = LogStore.Posix,
-    val optimizeWrite: Boolean = false) {
+    val optimizeWrite: Boolean = false,
+    val autoCompact: Option[(Long, Int)] = None) {
 
   import MergeTable._
 
@@ -96,7 +97,7 @@ final class MergeTable private (
     * create-if-absent publish goes through the seam. */
   def withLogStore(ls: LogStore): MergeTable =
     new MergeTable(spark, root, partitionCol, statsCols,
-      deletionVectors, bloomCols, ls, optimizeWrite)
+      deletionVectors, bloomCols, ls, optimizeWrite, autoCompact)
 
   /** The same handle with OPTIMIZED WRITES on (Delta's
     * `delta.autoOptimize.optimizeWrite`): every [[writeData]] of a
@@ -109,7 +110,31 @@ final class MergeTable private (
     * tables are unchanged ([[compactSmall]] is their remedy). */
   def withOptimizeWrite: MergeTable =
     new MergeTable(spark, root, partitionCol, statsCols,
-      deletionVectors, bloomCols, logStore, optimizeWrite = true)
+      deletionVectors, bloomCols, logStore, optimizeWrite = true,
+      autoCompact)
+
+  /** The same handle with AUTO COMPACTION on (Delta's
+    * `delta.autoOptimize.autoCompact`): after any commit, if some
+    * partition has accumulated at least `minFiles` live files under
+    * `targetBytes`, a follow-on [[compactSmall]] commit bin-packs them
+    * — the small-files debt of streaming / frequent-merge ingest is
+    * paid back CONTINUOUSLY instead of waiting for an operator to
+    * schedule OPTIMIZE. The trigger check is one O(live files) driver
+    * metadata pass per commit (file sizes only, no data IO); the
+    * compaction itself pays O(small-file bytes) and rewrites nothing
+    * right-sized, and its change feed is empty (logical content
+    * unchanged), so CDF subscribers never see it. Structurally
+    * loop-free: the compaction pass leaves at most ONE under-sized
+    * file per partition, below any `minFiles >= 2`. */
+  def withAutoCompact(targetBytes: Long = 32L << 20,
+      minFiles: Int = 4): MergeTable = {
+    require(targetBytes > 0 && minFiles >= 2,
+      s"withAutoCompact: need targetBytes > 0 and minFiles >= 2, got " +
+        s"($targetBytes, $minFiles)")
+    new MergeTable(spark, root, partitionCol, statsCols,
+      deletionVectors, bloomCols, logStore, optimizeWrite,
+      Some((targetBytes, minFiles)))
+  }
 
   /** The same table handle bound to a DIFFERENT SparkSession — the
     * multi-session hook ([[graft.sql.GraftSql]] rebinds a registered
@@ -120,7 +145,7 @@ final class MergeTable private (
   def withSession(s: SparkSession): MergeTable =
     if (s eq spark) this
     else new MergeTable(s, root, partitionCol, statsCols,
-      deletionVectors, bloomCols, logStore, optimizeWrite)
+      deletionVectors, bloomCols, logStore, optimizeWrite, autoCompact)
 
   // ---- log ----------------------------------------------------------------
 
@@ -222,6 +247,14 @@ final class MergeTable private (
         case "T" => SetTxn(new String(
           java.util.Base64.getDecoder.decode(parts(1)), "UTF-8"),
           parts(2).toLong)
+        // In-commit timestamp: "S epochMillis", first line of every
+        // commit delta (Delta's inCommitTimestamp table feature).
+        case "S" => InCommitTs(parts(1).toLong)
+        // Declared schema metadata: "M b64(StructType.json)" — the
+        // engine-side half of Delta's metaData action (schema in the
+        // LOG, not the parquet footers). Last one wins.
+        case "M" => SetSchema(new String(
+          java.util.Base64.getDecoder.decode(parts(1)), "UTF-8"))
         case other => throw new IllegalStateException(
           s"MergeTable at $root: unknown log action '$other' in $p")
       }
@@ -314,6 +347,87 @@ final class MergeTable private (
     * query's batchId) skips work at or below it. */
   def txnVersion(appId: String): Option[Long] =
     txnsAt(latestVersion()).get(appId)
+
+  /** DECLARED SCHEMA at version `v` — the engine-side half of Delta's
+    * metaData action: when present, the log (not the parquet footers)
+    * is the source of truth for the table's PHYSICAL schema. Last `M`
+    * action wins; checkpoint-folded and vacuum-safe like every other
+    * metadata channel. Memoized like [[constraintsAt]]. */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    Long, Option[org.apache.spark.sql.types.StructType]]()
+
+  private def schemaAt(v: Long)
+      : Option[org.apache.spark.sql.types.StructType] =
+    if (v == 0L) None else schemaMemo.computeIfAbsent(v, schemaAtUncached(_))
+
+  private def schemaAtUncached(v: Long)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val ckpt = checkpointAtOrBelow(v)
+    var cur: Option[String] = None
+    def fold(p: Path): Unit = readLogFile(p).foreach {
+      case SetSchema(j) => cur = Some(j)
+      case _            => ()
+    }
+    if (ckpt != 0L) fold(logDir.resolve(f"$ckpt%020d$CkptSuffix"))
+    ((ckpt + 1) to v).foreach { w =>
+      val p = logDir.resolve(f"$w%020d.txt")
+      if (Files.exists(p)) fold(p)
+    }
+    cur.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** The declared (log-recorded) PHYSICAL schema, when this table was
+    * created with one ([[declareSchema]], SQL `CREATE GRAFT TABLE`) —
+    * None for footer-schema tables, whose reads keep deriving the
+    * schema from the live files exactly as before. */
+  def declaredSchema: Option[org.apache.spark.sql.types.StructType] =
+    schemaAt(latestVersion())
+
+  /** Declare (or replace) the table's schema in the LOG — what makes a
+    * never-written table readable (correct empty frame), appends
+    * conformance-checked before any data exists, and metadata-only
+    * [[addColumn]] possible. The partition column, when configured,
+    * must be part of the schema. Physical names: declare BEFORE
+    * renaming columns, or use physical names. */
+  def declareSchema(schema: org.apache.spark.sql.types.StructType): Long = {
+    require(schema.fields.nonEmpty, "declareSchema: empty schema")
+    partitionCol.foreach(pc => require(schema.fieldNames.contains(pc),
+      s"declareSchema: partition column '$pc' missing from $schema"))
+    require(schema.fieldNames.map(_.toLowerCase).distinct.length ==
+      schema.fields.length, s"declareSchema: duplicate names in $schema")
+    retryingCommit { () =>
+      val (v, _) = latest()
+      (CommitDelta(Nil, Nil, mSchema = Some(schema.json)), v)
+    }
+  }
+
+  /** Delta's `ALTER TABLE ... ADD COLUMN` — METADATA-ONLY schema
+    * evolution: one tiny log commit, zero data rewritten at any table
+    * size; existing rows read NULL in the new column, which makes it
+    * nullable by construction. On a footer-schema table the first
+    * addColumn BOOTSTRAPS the declared schema from the current live
+    * physical schema, so the feature works on existing tables too. */
+  def addColumn(name: String,
+      dataType: org.apache.spark.sql.types.DataType): Long =
+    retryingCommit { () =>
+      val (v, live) = latest()
+      val base = schemaAt(v).getOrElse {
+        require(live.nonEmpty,
+          s"MergeTable at $root: no declared schema and no data — " +
+            "declareSchema first")
+        readEntriesPhys(live).schema
+      }
+      val (ren, drops) = if (v == 0L) (Map.empty[String, String], Set.empty[String]) else mappingAt(v)
+      val taken = base.fieldNames.toSet ++ ren.values ++ drops
+      require(!taken.exists(_.equalsIgnoreCase(name)),
+        s"addColumn: '$name' collides with an existing, renamed-to, or " +
+          "dropped column name")
+      (CommitDelta(Nil, Nil, mSchema = Some(
+        org.apache.spark.sql.types.StructType(base.fields :+
+          org.apache.spark.sql.types.StructField(name, dataType,
+            nullable = true)).json)), v)
+    }
 
   /** Memoized like [[constraintsAt]] — [[presentLogical]] refolds the
     * mapping on every read. */
@@ -497,7 +611,9 @@ final class MergeTable private (
       delta.txns.map { case (app, bv) =>
         "T\t" + java.util.Base64.getEncoder
           .encodeToString(app.getBytes("UTF-8")) + s"\t$bv"
-      }).mkString("\n")
+      } ++
+      delta.mSchema.map(j => "M\t" + java.util.Base64.getEncoder
+        .encodeToString(j.getBytes("UTF-8"))).toSeq).mkString("\n")
 
   /** Try to publish `delta` as version `expected + 1`. Returns the
     * committed version, or None if a concurrent writer took it first.
@@ -510,9 +626,35 @@ final class MergeTable private (
   private[lake] def tryCommit(delta: CommitDelta, expected: Long): Option[Long] = {
     Files.createDirectories(logDir)
     val v = expected + 1
+    // IN-COMMIT TIMESTAMP (Delta's inCommitTimestamp feature): the
+    // commit's wall-clock instant is written INSIDE the delta as its
+    // first line, clamped strictly above the parent's so the history
+    // clock is monotone even under clock skew. Every time consumer
+    // ([[versionAsOf]], vacuum retention, [[history]]) prefers it over
+    // the file mtime, which makes timestamp semantics survive
+    // operations that destroy mtimes — a directory copy/rsync of the
+    // table, an object-store migration — exactly why Delta added the
+    // feature. Pre-feature commits (no S line) fall back to mtime.
+    val parentTs = if (expected == 0L) 0L else commitTsOf(expected).getOrElse(0L)
+    val stamp = math.max(System.currentTimeMillis(), parentTs + 1L)
     if (logStore.putIfAbsent(logDir.resolve(f"$v%020d.txt"),
-        deltaBody(delta))) Some(v)
+        s"S\t$stamp\n" + deltaBody(delta))) Some(v)
     else None
+  }
+
+  /** The commit time of version `v`: its in-commit stamp when present,
+    * else the delta file's mtime (legacy), None when the delta was
+    * vacuum-pruned. One buffered first-line read — O(1) per call
+    * regardless of manifest size (the stamp is always line one). */
+  private def commitTsOf(v: Long): Option[Long] = {
+    val p = logDir.resolve(f"$v%020d.txt")
+    if (!Files.exists(p)) None
+    else {
+      val first = Using.resource(Files.newBufferedReader(p))(_.readLine())
+      if (first != null && first.startsWith("S\t"))
+        Some(first.substring(2).toLong)
+      else Some(Files.getLastModifiedTime(p).toMillis)
+    }
   }
 
   /** Publish a full checkpoint at `v` (create-if-absent; a checkpoint is
@@ -528,7 +670,8 @@ final class MergeTable private (
     val body = deltaBody(CommitDelta(snapshotAt(v), Nil,
       cAdds = constraintsAt(v).toSeq,
       mRenames = ren.toSeq, mDrops = drops.toSeq,
-      txns = txnsAt(v).toSeq))
+      txns = txnsAt(v).toSeq,
+      mSchema = schemaAt(v).map(_.json)))
     logStore.putIfAbsent(target, body)
     ()
   }
@@ -544,12 +687,36 @@ final class MergeTable private (
       tryCommit(delta, expected) match {
         case Some(v) =>
           if (v % CheckpointInterval == 0) writeCheckpoint(v)
+          if (autoCompact.isDefined && !inAutoCompact.get) maybeAutoCompact()
           return v
         case None => tries += 1
       }
     }
     throw new java.util.ConcurrentModificationException(
       s"MergeTable at $root: lost the commit race $MaxCommitRetries times")
+  }
+
+  /** Reentrancy guard for [[withAutoCompact]]'s follow-on commit (the
+    * compaction pass must not re-trigger itself). */
+  private val inAutoCompact = new ThreadLocal[Boolean] {
+    override def initialValue: Boolean = false
+  }
+
+  /** [[withAutoCompact]]'s post-commit hook: ONE file-size metadata
+    * pass decides whether any partition qualifies; only then does the
+    * [[compactSmall]] commit run (the pre-check exists so a healthy
+    * table never pays an empty follow-on commit per write). */
+  private def maybeAutoCompact(): Unit = {
+    val (target, minFiles) = autoCompact.get
+    val (_, live) = latest()
+    val needy = live.groupBy(_.partitionValue).valuesIterator.exists(es =>
+      es.count(e => Files.size(root.resolve(e.relPath)) < target)
+        >= minFiles)
+    if (needy) {
+      inAutoCompact.set(true)
+      try compactSmall(target, minFiles)
+      finally inAutoCompact.set(false)
+    }
   }
 
   // ---- write paths --------------------------------------------------------
@@ -692,12 +859,26 @@ final class MergeTable private (
     * a commit collision the same entries re-publish at the fresh version
     * (last-full-writer-wins is the overwrite contract). */
   def overwrite(df0: DataFrame): Long = {
-    val df = withGenerated(df0)
+    // identity may assign OUTSIDE the loop here: a racing writer's rows
+    // are removed by the overwrite itself, so live-row uniqueness holds
+    // even if a lost race replays these entries (IdentityColumns doc)
+    val (df, idTxns) = withIdentity(withGenerated(df0), latestVersion())
     enforceConstraints(df, "overwrite")
+    // a DECLARED schema is binding: overwrite replaces rows, not the
+    // contract (Delta requires overwriteSchema to change it) — evolve
+    // through declareSchema/addColumn instead
+    declaredSchema.foreach { d =>
+      val phys = toPhysical(df).schema
+      require(phys.fields.map(f => (f.name, f.dataType)).toSet ==
+        d.fields.map(f => (f.name, f.dataType)).toSet,
+        s"overwrite: schema {${phys.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")}} " +
+          s"!= declared {${d.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")}}" +
+          " — use declareSchema/addColumn to evolve the contract")
+    }
     val (_, entries) = writeData(df)
     retryingCommit { () =>
       val (version, live) = latest()
-      (CommitDelta(entries, live.map(_.relPath)), version)
+      (CommitDelta(entries, live.map(_.relPath), txns = idTxns), version)
     }
   }
 
@@ -718,6 +899,7 @@ final class MergeTable private (
     * actual behavior). */
   def merge(source0: DataFrame, pk: String, evolveSchema: Boolean): Long = {
     val source = withGenerated(source0)
+    requireIdentityCarried(source, "MERGE")
     enforceConstraints(source, "MERGE source")
     val src = source.cache()
     try {
@@ -725,7 +907,7 @@ final class MergeTable private (
         val (version, live) = latest()
         if (live.isEmpty) {
           val (_, entries) = writeData(src)
-          (CommitDelta(entries, Nil), version)
+          (CommitDelta(entries, Nil, mSchema = evolvedSchema(src)), version)
         } else partitionCol match {
           case Some(pc) =>
             // Partitions needing rewrite = those holding a matched key, plus
@@ -751,7 +933,8 @@ final class MergeTable private (
             val (_, newEntries) = writeData(out)
             // Delta entries: only the rewritten files appear in the log —
             // untouched partitions' files are implicitly carried over.
-            (CommitDelta(newEntries, touchedFiles.map(_.relPath)), version)
+            (CommitDelta(newEntries, touchedFiles.map(_.relPath),
+              mSchema = evolvedSchema(out)), version)
           case None =>
             // Unpartitioned: inherently a full-table rewrite, as in Delta
             // without partition pruning.
@@ -762,12 +945,29 @@ final class MergeTable private (
                   "to get partition-level file skipping")
             val remaining = readEntries(live)
               .join(src.select(col(pk)).distinct(), Seq(pk), "left_anti")
-            val (_, newEntries) = writeData(remaining.unionByName(src, evolveSchema))
-            (CommitDelta(newEntries, live.map(_.relPath)), version)
+            val out = remaining.unionByName(src, evolveSchema)
+            val (_, newEntries) = writeData(out)
+            (CommitDelta(newEntries, live.map(_.relPath),
+              mSchema = evolvedSchema(out)), version)
         }
       }
     } finally src.unpersist()
   }
+
+  /** When this table has a DECLARED schema and a schema-evolving write
+    * introduced new columns, the SAME commit must update the log schema
+    * (Delta updates its metaData action on evolving commits) —
+    * otherwise the declared schema would hide the new columns from
+    * every later read. No-op (None) without a declared schema or
+    * without new columns. */
+  private def evolvedSchema(out: DataFrame): Option[String] =
+    declaredSchema.flatMap { d =>
+      val phys = toPhysical(out).schema
+      val add = phys.fields.filterNot(f => d.fieldNames.contains(f.name))
+      if (add.isEmpty) None
+      else Some(org.apache.spark.sql.types.StructType(
+        d.fields ++ add.map(_.copy(nullable = true))).json)
+    }
 
   /** APPEND — a commit that only ADDS files (Delta's
     * `.write.mode("append")`; SQL `INSERT INTO`): no reads, no
@@ -800,31 +1000,57 @@ final class MergeTable private (
     txn.foreach { case (app, bv) =>
       if (txnVersion(app).exists(_ >= bv)) return latestVersion()
     }
-    val df = withGenerated(df0)
-    enforceConstraints(df, "append")
-    val (v0, live) = latest()
-    if (v0 > 0L && live.nonEmpty) {
-      val tableSchema = readEntries(live).schema
-      require(df.columns.toSet == tableSchema.fieldNames.toSet,
-        s"append: source schema {${df.columns.mkString(",")}} != table " +
-          s"schema {${tableSchema.fieldNames.mkString(",")}}")
-      // types too — a blind write never gets the chance to coerce, so
-      // a drifted type would land mixed-type parquet and break reads
-      tableSchema.fields.foreach { f =>
-        val got = df.schema(f.name).dataType
-        require(got == f.dataType,
-          s"append: column '${f.name}' is $got, table has ${f.dataType}")
+    val df1 = withGenerated(df0)
+    // a DECLARED schema is binding even before the first data commit —
+    // readEntries(Nil) resolves it through emptyLikePhys
+    def checkSchema(df: DataFrame, live: Seq[FileEntry]): Unit =
+      if (live.nonEmpty || declaredSchema.isDefined) {
+        val tableSchema = readEntries(live).schema
+        require(df.columns.toSet == tableSchema.fieldNames.toSet,
+          s"append: source schema {${df.columns.mkString(",")}} != table " +
+            s"schema {${tableSchema.fieldNames.mkString(",")}}")
+        // types too — a blind write never gets the chance to coerce, so
+        // a drifted type would land mixed-type parquet and break reads
+        tableSchema.fields.foreach { f =>
+          val got = df.schema(f.name).dataType
+          require(got == f.dataType,
+            s"append: column '${f.name}' is $got, table has ${f.dataType}")
+        }
       }
+    val assignsIdentity =
+      identityColumns.keys.exists(c => !df1.columns.contains(c))
+    if (!assignsIdentity) {
+      enforceConstraints(df1, "append")
+      checkSchema(df1, latest()._2)
+      val (_, entries) = writeData(df1)
+      try retryingCommit { () =>
+        val (v, _) = latest()
+        txn.foreach { case (app, bv) =>
+          if (txnsAt(v).get(app).exists(_ >= bv))
+            throw new TxnAlreadyApplied
+        }
+        (CommitDelta(entries, Nil, txns = txn.toSeq), v)
+      } catch { case _: TxnAlreadyApplied => latestVersion() }
+    } else {
+      // identity-assigning append: the WHOLE write runs inside the
+      // optimistic loop — a lost race re-reads the fresh allocation
+      // watermark and re-assigns, so racing appends can never both
+      // commit overlapping ranges (the correctness half of the
+      // exactly-once identity contract; the orphaned data dir of a
+      // lost attempt is vacuum-reclaimed like any lost race)
+      try retryingCommit { () =>
+        val (v, live) = latest()
+        txn.foreach { case (app, bv) =>
+          if (txnsAt(v).get(app).exists(_ >= bv))
+            throw new TxnAlreadyApplied
+        }
+        val (df, idTxns) = withIdentity(df1, v)
+        enforceConstraints(df, "append")
+        checkSchema(df, live)
+        val (_, entries) = writeData(df)
+        (CommitDelta(entries, Nil, txns = txn.toSeq ++ idTxns), v)
+      } catch { case _: TxnAlreadyApplied => latestVersion() }
     }
-    val (_, entries) = writeData(df)
-    try retryingCommit { () =>
-      val (v, _) = latest()
-      txn.foreach { case (app, bv) =>
-        if (txnsAt(v).get(app).exists(_ >= bv))
-          throw new TxnAlreadyApplied
-      }
-      (CommitDelta(entries, Nil, txns = txn.toSeq), v)
-    } catch { case _: TxnAlreadyApplied => latestVersion() }
   }
 
   /** MERGE with COMPOSITE keys and CONDITIONAL clauses (Delta's full
@@ -874,7 +1100,10 @@ final class MergeTable private (
       return merge(source0, keys.head, evolveSchema)
     val writesRows = insertUnmatched || whenMatched.exists(_.isUpdate)
     val source = if (writesRows) withGenerated(source0) else source0
-    if (writesRows) enforceConstraints(source, "MERGE source")
+    if (writesRows) {
+      requireIdentityCarried(source, "MERGE")
+      enforceConstraints(source, "MERGE source")
+    }
     val src = source.cache()
     try {
       retryingCommit { () =>
@@ -988,7 +1217,9 @@ final class MergeTable private (
               merged.unionByName(ins, allowMissingColumns = evolveSchema)
             }
           val (_, newEntries) = writeData(out)
-          (CommitDelta(newEntries, touchedFiles.map(_.relPath)), version)
+          (CommitDelta(newEntries, touchedFiles.map(_.relPath),
+            mSchema = if (evolveSchema) evolvedSchema(out) else None),
+            version)
         }
       }
     } finally src.unpersist()
@@ -1051,6 +1282,7 @@ final class MergeTable private (
         else winners.drop(seq)
       case None => events
     }
+    requireIdentityCarried(collapsed.drop(ChangeType), "CDC apply")
     enforceConstraints(
       collapsed.filter(col(ChangeType) =!= "delete").drop(ChangeType),
       "CDC-apply upserts")
@@ -1134,15 +1366,18 @@ final class MergeTable private (
     * across a compaction commit is empty. A partition with fewer than
     * two under-sized files is left alone; if nothing qualifies, the
     * commit is an empty delta. */
-  def compactSmall(targetBytes: Long): Long = {
+  def compactSmall(targetBytes: Long,
+      minFilesPerPartition: Int = 2): Long = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    require(minFilesPerPartition >= 2,
+      s"minFilesPerPartition must be >= 2: $minFilesPerPartition")
     retryingCommit { () =>
       val (version, live) = latest()
       val small = live
         .map(e => (e, Files.size(root.resolve(e.relPath))))
         .filter(_._2 < targetBytes)
         .groupBy(_._1.partitionValue)
-        .filter(_._2.size >= 2)
+        .filter(_._2.size >= minFilesPerPartition)
       if (small.isEmpty) (CommitDelta(Nil, Nil), version)
       else {
         val binOf = Map.newBuilder[String, Int]
@@ -1193,18 +1428,99 @@ final class MergeTable private (
       s"zorder takes 1-3 columns (16 bits each, long-width Z), got $cols")
     retryingCommit { () =>
       val (version, live) = latest()
-      val df0 = readEntries(live)
-      val scaled = scaled16(df0, cols)
-      val z = (0 until 16).flatMap(j => scaled.indices.map(k =>
-        s"(((${scaled(k)} >> $j) & 1) << ${j * cols.size + k})"))
-        .mkString(" + ")
-      val df = df0.withColumn(ZCol, expr(z))
-        .repartitionByRange(filesPerPartition, col(ZCol))
-        .sortWithinPartitions(col(ZCol))
-        .drop(ZCol)
+      val df = clusterZ(readEntries(live), cols, filesPerPartition)
       val (_, entries) = writeData(df)
       (CommitDelta(entries, live.map(_.relPath)), version)
     }
+  }
+
+  /** Z-cluster `df0` on `cols` into `numParts` range partitions
+    * (shared by [[zorder]] and the scoped [[compactWhere]]): min-max
+    * scale each column to 16 bits, interleave the bits into the
+    * Z-value, range-repartition and sort by it. */
+  private def clusterZ(df0: DataFrame, cols: Seq[String],
+      numParts: Int): DataFrame = {
+    val scaled = scaled16(df0, cols)
+    val z = (0 until 16).flatMap(j => scaled.indices.map(k =>
+      s"(((${scaled(k)} >> $j) & 1) << ${j * cols.size + k})"))
+      .mkString(" + ")
+    df0.withColumn(ZCol, expr(z))
+      .repartitionByRange(numParts, col(ZCol))
+      .sortWithinPartitions(col(ZCol))
+      .drop(ZCol)
+  }
+
+  /** Delta-parity `OPTIMIZE ... WHERE`: [[compact]] (or, with
+    * `zorderCols`, [[zorder]]) scoped to the partitions a predicate on
+    * the PARTITION column selects — the maintenance shape a 100 TB
+    * table actually runs. [[compact]] rewrites the WHOLE table
+    * (O(table) IO — unrunnable as routine upkeep once the table has
+    * grown), while a streaming-ingest table only ever fragments its
+    * RECENT partitions; scoping the rewrite to `date >= '...'` pays
+    * O(selected partitions) no matter the table size, and every
+    * unselected partition's files carry over untouched (zero commit
+    * bytes under the incremental log).
+    *
+    * The predicate must reference ONLY the partition column (Delta's
+    * own `OPTIMIZE ... WHERE` rule) — it is evaluated driver-side over
+    * the DISTINCT partition values (log metadata, one tiny local job),
+    * never against row data, with the value cast to the same
+    * hive-inferred type every read attaches, so selection semantics
+    * match `read(partitionFilter)` exactly. A predicate selecting
+    * nothing (or an empty table) publishes an empty delta. */
+  def compactWhere(predicate: Column, filesPerPartition: Int = 1,
+      zorderCols: Seq[String] = Nil): Long = {
+    val pc = partitionCol.getOrElse(throw new IllegalArgumentException(
+      s"MergeTable at $root: OPTIMIZE WHERE requires a partitioned table"))
+    require(zorderCols.size <= 3,
+      s"zorder takes 1-3 columns (16 bits each, long-width Z), got " +
+        zorderCols)
+    retryingCommit { () =>
+      val (version, live) = latest()
+      if (live.isEmpty) (CommitDelta(Nil, Nil), version)
+      else {
+        val passing = selectedPartitions(live, predicate, pc)
+        val selected = live.filter(e => passing.contains(e.partitionValue))
+        if (selected.isEmpty) (CommitDelta(Nil, Nil), version)
+        else {
+          val parts = math.max(1, passing.size * filesPerPartition)
+          val df0 = readEntries(selected)
+          val df =
+            if (zorderCols.nonEmpty) clusterZ(df0, zorderCols, parts)
+            else df0.repartition(parts, col(pc))
+          val (_, entries) = writeData(df)
+          (CommitDelta(entries, selected.map(_.relPath)), version)
+        }
+      }
+    }
+  }
+
+  /** The partition values of `live` selected by `predicate` —
+    * evaluated over the distinct values (numPartitions-scale metadata)
+    * cast to the read schema's partition type, so the test agrees with
+    * what a reader of the partition column would see. NULL predicate
+    * results keep the partition UNSELECTED (SQL WHERE semantics). */
+  private def selectedPartitions(live: Seq[FileEntry], predicate: Column,
+      pc: String): Set[Option[String]] = {
+    val values = live.map(_.partitionValue).distinct
+    val pcType = readEntries(live).schema(pc).dataType
+    import spark.implicits._
+    // The evaluation frame carries the PARTITION COLUMN ONLY, so the
+    // only-partition-predicates rule enforces itself: any other column
+    // reference fails analysis (rethrown with a targeted message).
+    val passed =
+      try values.map(_.orNull).toDF("__graft_pv")
+        .withColumn(pc, col("__graft_pv").cast(pcType))
+        .filter(predicate)
+        .select("__graft_pv")
+        .collect().map(r => Option(r.getString(0)))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"OPTIMIZE WHERE predicate must reference only the " +
+              s"partition column '$pc': ${e.getMessage}")
+      }
+    passed.toSet
   }
 
   /** Min-max scale `cols` to 16-bit integers as SQL fragments (shared
@@ -1545,6 +1861,111 @@ final class MergeTable private (
         n -> GeneratedColumns.exprOf(n, p)
     }
 
+  // ---- identity columns ---------------------------------------------------
+
+  /** Declare `name GENERATED BY DEFAULT AS IDENTITY (START WITH start
+    * STEP step)` — see [[IdentityColumns]] for the two-channel design
+    * (declaration+enforcement through the CHECK-constraint channel,
+    * allocation watermark through the txn ledger; zero new log
+    * actions). Insert paths missing the column
+    * ([[append]]/[[appendWithTxn]]/[[overwrite]]/[[copyInto]]) get it
+    * assigned — unique across the table's history, contiguous on the
+    * `start + step·i` grid per commit; a frame CARRYING the column
+    * keeps its values, which the constraint pass then verifies
+    * (non-null, grid-aligned). Declare before the first data commit —
+    * on a non-empty table the constraint validation refuses a rule the
+    * existing rows can't satisfy (including a missing column), the
+    * same fail-fast as any CHECK constraint. */
+  def addIdentityColumn(name: String, start: Long = 1L,
+      step: Long = 1L): Long = {
+    require(step != 0L, s"identity column $name: step must be non-zero")
+    require(!partitionCol.contains(name),
+      s"identity column $name cannot be the partition column (every " +
+        "row would open its own partition)")
+    addConstraint(IdentityColumns.Prefix + name,
+      IdentityColumns.predicateOf(name, IdentityColumns.Rule(start, step)))
+  }
+
+  /** Drop an identity rule (the column itself stays, as a normal
+    * column; the allocation watermark is retained so re-declaring the
+    * same rule later continues without reuse). */
+  def dropIdentityColumn(name: String): Long =
+    dropConstraint(IdentityColumns.Prefix + name)
+
+  /** Current identity rules: column → (start, step). */
+  def identityColumns: Map[String, (Long, Long)] =
+    identityRules(latestVersion())
+      .map { case (c, r) => c -> (r.start, r.step) }
+
+  private def identityRules(v: Long): Map[String, IdentityColumns.Rule] =
+    (if (v == 0L) Map.empty[String, String] else constraintsAt(v)).collect {
+      case (k, p) if k.startsWith(IdentityColumns.Prefix) =>
+        val c = k.stripPrefix(IdentityColumns.Prefix)
+        c -> IdentityColumns.ruleOf(c, p)
+    }
+
+  /** Assign every DECLARED identity column MISSING from `df`,
+    * contiguous from the allocation watermark at version `v`: one
+    * narrow per-partition COUNT job over the new rows fixes each
+    * partition's slot base, then the values attach in the write pass
+    * itself — O(new data), never O(table), fully distributed (the
+    * driver sees numPartitions counts). This is the one genuinely
+    * per-partition-imperative hop in the engine (a running index
+    * inside each partition), so it is the one place an RDD earns its
+    * keep. Returns the widened frame plus the txn entries advancing
+    * each column's watermark — committed ATOMICALLY with the data. */
+  private def withIdentity(df: DataFrame, v: Long)
+      : (DataFrame, Seq[(String, Long)]) = {
+    val missing = identityRules(v)
+      .filter { case (c, _) => !df.columns.contains(c) }
+      .toSeq.sortBy(_._1)
+    if (missing.isEmpty) return (df, Nil)
+    val ledger = txnsAt(v)
+    val rulesArr = missing.map(_._2).toArray
+    val allocArr = missing.map { case (c, _) =>
+      math.max(0L, ledger.getOrElse(IdentityColumns.TxnPrefix + c, 0L))
+    }.toArray
+    val rdd0 = df.rdd
+    val counts = rdd0
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val n = offsets.lastOption.getOrElse(0L)
+    val assigned = rdd0.mapPartitionsWithIndex { (pi, it) =>
+      var slot = offsets(pi)
+      it.map { row =>
+        val vals = rulesArr.indices
+          .map(j => rulesArr(j).valueAt(allocArr(j) + slot))
+        slot += 1
+        org.apache.spark.sql.Row.fromSeq(row.toSeq ++ vals)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields ++ missing.map { case (c, _) =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.LongType, nullable = false)
+      })
+    val out = spark.createDataFrame(assigned, schema)
+    val txns =
+      if (n == 0L) Nil
+      else missing.zipWithIndex.map { case ((c, _), j) =>
+        (IdentityColumns.TxnPrefix + c) -> (allocArr(j) + n)
+      }
+    (out, txns)
+  }
+
+  /** MERGE does not assign identity values (see [[IdentityColumns]]);
+    * a source missing a declared identity column fails here with a
+    * targeted message instead of an unresolved-column error from the
+    * constraint pass. */
+  private def requireIdentityCarried(df: DataFrame, op: String): Unit = {
+    val missing = identityColumns.keys.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"MergeTable at $root: $op source must carry identity column(s) " +
+        s"${missing.mkString(", ")} explicitly — identity assignment " +
+        "happens on append/overwrite/COPY INTO")
+  }
+
   /** Add every MISSING generated column to an incoming write (a frame
     * already carrying one keeps its values — the constraint pass then
     * verifies them). */
@@ -1744,9 +2165,10 @@ final class MergeTable private (
     * intentionally gone ([[readVersion]] fails fast instead of
     * resolving a snapshot whose data files were deleted), while
     * every version INSIDE the window still reconstructs. A commit's
-    * age is its delta file's publish mtime — the same clock
+    * age is its IN-COMMIT timestamp (falling back to the delta file's
+    * publish mtime for pre-feature commits) — the same clock
     * [[readAsOf]] trusts (Delta keys retention on the remove action's
-    * `deletionTimestamp`; our removing commit's publish time is that
+    * `deletionTimestamp`; our removing commit's stamp is that
     * timestamp). A checkpoint is published at the latest version FIRST,
     * so the surviving snapshot reconstructs from it alone even when
     * every older delta is pruned. */
@@ -1787,11 +2209,7 @@ final class MergeTable private (
     // nothing is recent, only the latest snapshot survives.
     val recentVs: Seq[Long] =
       if (retainMs == 0L || !Files.isDirectory(logDir)) Nil
-      else (1L until latestV).filter { v =>
-        val p = logDir.resolve(f"$v%020d.txt")
-        Files.exists(p) &&
-          Files.getLastModifiedTime(p).toMillis >= cutoff
-      }
+      else (1L until latestV).filter(v => commitTsOf(v).exists(_ >= cutoff))
     // Log anchor: the oldest retained version reconstructs from the
     // checkpoint at-or-below it (0 → no anchoring checkpoint → the
     // whole log survives; retention only ever keeps MORE).
@@ -2377,7 +2795,9 @@ final class MergeTable private (
     * CDF column sets must stay aligned across rename boundaries for
     * incremental consumers — pinned by ColumnMappingSpec.) */
   def readVersion(version: Long): DataFrame =
-    presentLogicalAs(readEntriesPhys(snapshotAt(version)),
+    presentLogicalAs(
+      readEntriesPhysWith(snapshotAt(version),
+        if (version == 0L) None else schemaAt(version)),
       if (version == 0L) (Map.empty, Set.empty) else mappingAt(version))
 
   /** Change data feed between two committed versions (the Delta CDF
@@ -2547,13 +2967,14 @@ final class MergeTable private (
       else mappingAt(srcV)
     val v = clone.tryCommit(CommitDelta(rebased, Nil,
       cAdds = (if (srcV == 0L) Nil else constraintsAt(srcV).toSeq),
-      mRenames = srcRen.toSeq, mDrops = srcDrops.toSeq), 0L)
+      mRenames = srcRen.toSeq, mDrops = srcDrops.toSeq,
+      mSchema = (if (srcV == 0L) None else schemaAt(srcV)).map(_.json)), 0L)
     require(v.contains(1L), s"clone commit lost a race at fresh $dest")
     clone
   }
 
-  /** DESCRIBE HISTORY parity: one row per commit — version, publish
-    * time (the same manifest mtime clock [[readAsOf]] trusts), files
+  /** DESCRIBE HISTORY parity: one row per commit — version, commit
+    * time (the same in-commit-stamp clock [[readAsOf]] trusts), files
     * added/removed, and whether a checkpoint exists at that version.
     * Reads only the log directory (metadata-scale; never data files),
     * newest first. Vacuumed-away versions are listed only if their
@@ -2566,8 +2987,9 @@ final class MergeTable private (
       else {
         val actions = readLogFile(p)
         Some((v,
-          java.sql.Timestamp.from(
-            Files.getLastModifiedTime(p).toInstant),
+          java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(
+            commitTsOf(v).getOrElse(
+              Files.getLastModifiedTime(p).toMillis))),
           actions.count(_.isInstanceOf[Add]).toLong,
           actions.count(_.isInstanceOf[Remove]).toLong,
           Files.exists(logDir.resolve(f"$v%020d$CkptSuffix"))))
@@ -2580,9 +3002,10 @@ final class MergeTable private (
   /** Time travel by timestamp (Delta's `timestampAsOf`; the reference's
     * DOC-ONLY time-travel claim, README.md:118): the snapshot at the
     * highest version whose manifest was published at or before `ts`.
-    * Commit times come from manifest file mtimes — the same clock Delta's
-    * timestamp travel trusts. Presents the schema as of the resolved
-    * version, like [[readVersion]]. */
+    * Commit times come from IN-COMMIT timestamps (mtime fallback for
+    * pre-feature history) — the clock Delta's timestamp travel trusts
+    * with its inCommitTimestamp feature on. Presents the schema as of
+    * the resolved version, like [[readVersion]]. */
   /** Delta's `COPY INTO`: load files from `src` into this table,
     * EXACTLY ONCE PER FILE across any number of invocations — the
     * retryable, idempotent batch-ingestion front door. Two ledgers
@@ -2665,14 +3088,13 @@ final class MergeTable private (
   def readAsOf(ts: java.time.Instant): DataFrame =
     readVersion(versionAsOf(ts))
 
-  /** The newest version committed at or before `ts` (publish mtime —
-    * the same clock [[vacuum]] retention trusts). Fails fast when the
-    * whole history is newer. */
+  /** The newest version committed at or before `ts` (the in-commit
+    * stamp when present, else publish mtime — the same clock [[vacuum]]
+    * retention trusts). Fails fast when the whole history is newer. */
   def versionAsOf(ts: java.time.Instant): Long = {
+    val tsMs = ts.toEpochMilli
     val vs = (1L to latestVersion())
-      .filter(v => Files.exists(logDir.resolve(f"$v%020d.txt")))
-      .filter(v => !Files.getLastModifiedTime(logDir.resolve(f"$v%020d.txt"))
-        .toInstant.isAfter(ts))
+      .filter(v => commitTsOf(v).exists(_ <= tsMs))
     require(vs.nonEmpty, s"MergeTable at $root: no commit at or before $ts")
     vs.max
   }
@@ -2804,13 +3226,21 @@ final class MergeTable private (
   private def readEntries(entries: Seq[FileEntry]): DataFrame =
     presentLogical(readEntriesPhys(entries))
 
-  private[lake] def readEntriesPhys(entries: Seq[FileEntry]): DataFrame = {
-    if (entries.isEmpty) return emptyLikePhys()
+  private[lake] def readEntriesPhys(entries: Seq[FileEntry]): DataFrame =
+    readEntriesPhysWith(entries, declaredSchema)
+
+  /** [[readEntriesPhys]] with an explicit declared-schema override —
+    * what [[readVersion]] threads the AS-OF schema through, so time
+    * travel on a declared-schema table shows the schema of THAT
+    * version (a later metadata-only addColumn must not appear). */
+  private def readEntriesPhysWith(entries: Seq[FileEntry],
+      declared: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    if (entries.isEmpty) return emptyLikePhysWith(declared)
     // Vectored entries divert to the tagged read (which anti-joins the
     // deletion vectors); the clean path below stays byte-identical to
     // the vector-free plan.
     if (entries.exists(_.dv.isDefined))
-      return readEntriesTaggedPhys(entries, keep = Nil)
+      return readEntriesTaggedPhysWith(entries, keep = Nil, declared)
     // Group by commit dir: each dir is one hive-partitioned write whose
     // basePath restores the partition column. commitDirOf (not the
     // first path component) so a clone's rebased "../source/commit-x"
@@ -2823,36 +3253,45 @@ final class MergeTable private (
       logger.warn(
         s"MergeTable at $root: live files span ${byDir.size} commit dirs; " +
           "run compact() to coalesce small files")
-    if (byDir.size == 1) {
+    if (declared.isEmpty && byDir.size == 1) {
       val (dir, es) = byDir.head
       return hiveRead(dir, es)
     }
     // ONE scan node regardless of commit-dir count (a long merge history
     // previously contributed one scan node per live dir, degrading every
     // read plan linearly): scan ALL live files in a single multi-path
-    // read under the UNION of the per-dir schemas (per-file missing
-    // columns read NULL — covers evolveSchema history), and re-attach the
-    // partition column from MANIFEST metadata — the log, not the path
-    // layout, is the source of truth (as in Delta) — via a broadcast
-    // (fileName → partitionValue) map, cast to the hive-inferred type.
-    // Per-dir schema resolution is a driver footer read (metadata-scale,
-    // no jobs); part-file names embed a job UUID so they are unique
-    // across dirs (the same invariant `withStats` keys on).
-    val dirSchemas = byDir.toSeq.sortBy(_._1)
-      .map { case (dir, es) => hiveRead(dir, es).schema }
-    // A dir whose every file sits in the hive default (null) partition
-    // infers NullType for the partition column — prefer a dir with a real
-    // inferred type; all-null falls back to a typed null literal below.
-    val partField = partitionCol.flatMap { pc =>
-      val fs = dirSchemas.flatMap(_.fields.find(_.name == pc))
-      fs.find(_.dataType != org.apache.spark.sql.types.NullType)
-        .orElse(fs.headOption)
+    // read under the table schema — the DECLARED log schema when the
+    // table has one (a metadata-only addColumn'd field reads NULL from
+    // every pre-evolution file), else the UNION of the per-dir footer
+    // schemas (per-file missing columns read NULL — covers evolveSchema
+    // history) — and re-attach the partition column from MANIFEST
+    // metadata — the log, not the path layout, is the source of truth
+    // (as in Delta) — via a broadcast (fileName → partitionValue) map,
+    // cast to the schema's type. Per-dir footer resolution is a driver
+    // metadata read (no jobs); part-file names embed a job UUID so they
+    // are unique across dirs (the same invariant `withStats` keys on).
+    val (dataFields, partField) = declared match {
+      case Some(s) =>
+        (s.fields.filterNot(f => partitionCol.contains(f.name)).toVector,
+          partitionCol.flatMap(pc => s.fields.find(_.name == pc)))
+      case None =>
+        val dirSchemas = byDir.toSeq.sortBy(_._1)
+          .map { case (dir, es) => hiveRead(dir, es).schema }
+        // A dir whose every file sits in the hive default (null)
+        // partition infers NullType for the partition column — prefer a
+        // dir with a real inferred type; all-null falls back to a typed
+        // null literal below.
+        (dirSchemas.flatMap(_.fields)
+          .filterNot(f => partitionCol.contains(f.name))
+          .foldLeft(Vector.empty[org.apache.spark.sql.types.StructField]) {
+            (acc, f) => if (acc.exists(_.name == f.name)) acc else acc :+ f
+          },
+          partitionCol.flatMap { pc =>
+            val fs = dirSchemas.flatMap(_.fields.find(_.name == pc))
+            fs.find(_.dataType != org.apache.spark.sql.types.NullType)
+              .orElse(fs.headOption)
+          })
     }
-    val dataFields = dirSchemas.flatMap(_.fields)
-      .filterNot(f => partitionCol.contains(f.name))
-      .foldLeft(Vector.empty[org.apache.spark.sql.types.StructField]) {
-        (acc, f) => if (acc.exists(_.name == f.name)) acc else acc :+ f
-      }
     val base = spark.read
       .schema(org.apache.spark.sql.types.StructType(dataFields))
       .parquet(entries.map(e => root.resolve(e.relPath).toString): _*)
@@ -2900,7 +3339,12 @@ final class MergeTable private (
     * namespace guard now rejects; this keeps the read path correct by
     * construction rather than by guard.) */
   private def readEntriesTaggedPhys(entries: Seq[FileEntry],
-      keep: Seq[String]): DataFrame = {
+      keep: Seq[String]): DataFrame =
+    readEntriesTaggedPhysWith(entries, keep, declaredSchema)
+
+  private def readEntriesTaggedPhysWith(entries: Seq[FileEntry],
+      keep: Seq[String],
+      declared: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     def tagged(scan: DataFrame): DataFrame = scan
       .withColumn(FileTag,
         substring_index(col("_metadata.file_path"), "/", -2))
@@ -2911,22 +3355,29 @@ final class MergeTable private (
     // partition value re-attached from manifest metadata), with the tag
     // columns added directly on the scan node in both.
     val (restored, dataCols): (DataFrame, Seq[String]) =
-      if (byDir.size == 1) {
+      if (declared.isEmpty && byDir.size == 1) {
         val df = tagged(hiveRead(byDir.head._1, byDir.head._2))
         (df, df.columns.filterNot(Set(FileTag, PosCol)).toSeq)
       } else {
-        val dirSchemas = byDir.toSeq.sortBy(_._1)
-          .map { case (dir, es) => hiveRead(dir, es).schema }
-        val partField = partitionCol.flatMap { pc =>
-          val fs = dirSchemas.flatMap(_.fields.find(_.name == pc))
-          fs.find(_.dataType != org.apache.spark.sql.types.NullType)
-            .orElse(fs.headOption)
+        val (dataFields, partField) = declared match {
+          case Some(s) =>
+            (s.fields.filterNot(f => partitionCol.contains(f.name)).toVector,
+              partitionCol.flatMap(pc => s.fields.find(_.name == pc)))
+          case None =>
+            val dirSchemas = byDir.toSeq.sortBy(_._1)
+              .map { case (dir, es) => hiveRead(dir, es).schema }
+            (dirSchemas.flatMap(_.fields)
+              .filterNot(f => partitionCol.contains(f.name))
+              .foldLeft(
+                Vector.empty[org.apache.spark.sql.types.StructField]) {
+                (acc, f) => if (acc.exists(_.name == f.name)) acc else acc :+ f
+              },
+              partitionCol.flatMap { pc =>
+                val fs = dirSchemas.flatMap(_.fields.find(_.name == pc))
+                fs.find(_.dataType != org.apache.spark.sql.types.NullType)
+                  .orElse(fs.headOption)
+              })
         }
-        val dataFields = dirSchemas.flatMap(_.fields)
-          .filterNot(f => partitionCol.contains(f.name))
-          .foldLeft(Vector.empty[org.apache.spark.sql.types.StructField]) {
-            (acc, f) => if (acc.exists(_.name == f.name)) acc else acc :+ f
-          }
         val base = tagged(spark.read
           .schema(org.apache.spark.sql.types.StructType(dataFields))
           .parquet(entries.map(e => root.resolve(e.relPath).toString): _*))
@@ -2992,7 +3443,17 @@ final class MergeTable private (
     * travel to an empty version of a since-renamed table show current
     * names — the as-of re-mapping keyed on physical names no-opped
     * over already-renamed columns; r10 ADVICE finding.) */
-  private def emptyLikePhys(): DataFrame = {
+  private def emptyLikePhys(): DataFrame =
+    emptyLikePhysWith(declaredSchema)
+
+  private def emptyLikePhysWith(
+      declared: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    // Declared schema first: a never-written CREATE'd table reads as a
+    // correctly-typed empty frame straight from the log.
+    declared.foreach { s =>
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    }
     // No live files: derive schema from any historical snapshot that is
     // still reconstructible (vacuum prunes pre-latest history), else fail.
     val vs = (1L to latestVersion()).reverse
@@ -3143,7 +3604,8 @@ object MergeTable {
       cDrops: Seq[String] = Nil,
       mRenames: Seq[(String, String)] = Nil,
       mDrops: Seq[String] = Nil,
-      txns: Seq[(String, Long)] = Nil)
+      txns: Seq[(String, Long)] = Nil,
+      mSchema: Option[String] = None)
 
   /** The Hilbert xy2d fold as one SQL expression over 16-bit inputs
     * `xSql`/`ySql`: a codegen'd `aggregate` HOF over the bit levels
@@ -3185,6 +3647,8 @@ object MergeTable {
   private final case class DropCol(physical: String) extends LogAction
   private final case class SetTxn(appId: String, version: Long)
       extends LogAction
+  private final case class InCommitTs(millis: Long) extends LogAction
+  private final case class SetSchema(json: String) extends LogAction
 
   /** Open (or lazily create on first write) a table at `root`.
     * `statsCol` names a long-castable column whose per-file min/max is

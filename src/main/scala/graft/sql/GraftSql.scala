@@ -28,7 +28,8 @@ import graft.lake.{MatchClause, MergeTable}
   *     [WITH SCHEMA EVOLUTION]                  → [[MergeTable.merge]]
   *   UPDATE <name> SET c = e[, ...] [WHERE p]   → [[MergeTable.update]]
   *   DELETE FROM <name> [WHERE p]               → [[MergeTable.delete]]
-  *   OPTIMIZE <name> [ZORDER BY (c[, ...])]     → compact / zorder
+  *   OPTIMIZE <name> [WHERE <partition pred>]
+  *     [ZORDER BY (c[, ...])]    → compact / zorder / compactWhere
   *   RESTORE <name> TO VERSION AS OF <v>        → [[MergeTable.restore]]
   *   VACUUM <name> [RETAIN n HOURS] [DRY RUN]   → [[MergeTable.vacuum]]
   *   RESTORE <name> TO TIMESTAMP AS OF 'ts'     → [[MergeTable.restoreAsOf]]
@@ -42,9 +43,15 @@ import graft.lake.{MatchClause, MergeTable}
   *   SHOW GRAFT TABLES                    → the registry as rows
   *   CLONE GRAFT TABLE <name> TO '<path>' [AS <new>]
   *                                        → [[MergeTable.cloneTo]]
+  *   CREATE GRAFT TABLE <name> [(<col type, ...>)] AT '<path>'
+  *     [<REGISTER clauses>] [AS <query>]    → declared-schema create / CTAS
+  *   DROP GRAFT TABLE <name>                → unregister (data untouched)
   *   ALTER TABLE <name> ADD CONSTRAINT n CHECK (p) | DROP CONSTRAINT n
+  *     | ADD COLUMN c <type>  (metadata-only schema evolution)
   *     | RENAME COLUMN a TO b | DROP COLUMN c
   *     | ADD GENERATED COLUMN c AS (expr) | DROP GENERATED COLUMN c
+  *     | ADD IDENTITY COLUMN c [START WITH s] [STEP k]
+  *     | DROP IDENTITY COLUMN c
   *   REGISTER ... GENERATED (c AS expr)   → [[MergeTable.addGeneratedColumn]]
   *
   * Tables are REGISTERED handles, not paths: a MergeTable's layout
@@ -95,7 +102,8 @@ object GraftSql {
   private val InsertHeadRe =
     """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][\w]*)\s+(.+)$""".r
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+([A-Za-z_][\w]*)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+([A-Za-z_][\w]*)\s*(.*?)\s*;?\s*$""".r
+  private val ZorderTailRe = """(?is)^ZORDER\s+BY\s*\((.*)\)\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+([A-Za-z_][\w]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$""".r
   private val RestoreTsRe =
@@ -118,6 +126,12 @@ object GraftSql {
   private val GenItemRe = """(?is)^\s*([A-Za-z_][\w]*)\s+AS\s+(.+?)\s*$""".r
   private val RegisterRe =
     """(?is)^\s*REGISTER\s+GRAFT\s+TABLE\s+([A-Za-z_][\w]*)\s+AT\s+'([^']+)'(.*?)\s*;?\s*$""".r
+  private val CreateRe =
+    """(?is)^\s*CREATE\s+GRAFT\s+TABLE\s+([A-Za-z_][\w]*)\s+(.+?)\s*;?\s*$""".r
+  private val CreateTailRe =
+    """(?is)^AT\s+'([^']+)'(.*)$""".r
+  private val DropTableRe =
+    """(?is)^\s*DROP\s+GRAFT\s+TABLE\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val AlterRe =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+(.+?)\s*;?\s*$""".r
   private val AlterAddConRe =
@@ -132,6 +146,12 @@ object GraftSql {
     """(?is)^ADD\s+GENERATED\s+COLUMN\s+([A-Za-z_][\w]*)\s+AS\s*\(.*\)$""".r
   private val AlterDropGenRe =
     """(?is)^DROP\s+GENERATED\s+COLUMN\s+([A-Za-z_][\w]*)$""".r
+  private val AlterAddIdRe =
+    """(?is)^ADD\s+IDENTITY\s+COLUMN\s+([A-Za-z_][\w]*)(?:\s+START\s+WITH\s+(-?\d+))?(?:\s+STEP\s+(-?\d+))?$""".r
+  private val AlterDropIdRe =
+    """(?is)^DROP\s+IDENTITY\s+COLUMN\s+([A-Za-z_][\w]*)$""".r
+  private val AlterAddColumnRe =
+    """(?is)^ADD\s+COLUMN\s+([A-Za-z_][\w]*)\s+(.+)$""".r
   private val ShowTablesRe =
     """(?is)^\s*SHOW\s+GRAFT\s+TABLES\s*;?\s*$""".r
   private val CloneRe =
@@ -143,6 +163,8 @@ object GraftSql {
   private val BloomRe = """(?is)BLOOM\s*\(([^)]*)\)""".r
   private val DvRe = """(?is)WITH\s+DELETION\s+VECTORS""".r
   private val OwRe = """(?is)WITH\s+OPTIMIZED\s+WRITES""".r
+  private val AcRe =
+    """(?is)WITH\s+AUTO\s+COMPACT(?:\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?""".r
 
   /** Split `s` on commas at paren/quote depth zero — SET clauses carry
     * commas inside function calls (`SET a = round(x, 2), b = y`). */
@@ -183,6 +205,79 @@ object GraftSql {
     * `GENERATED (day AS to_date(ts))` → `day AS to_date(ts)` — the
     * content may nest parens/quotes, which a regex group cannot
     * express. */
+  /** Extract a LEADING paren-balanced group: "(body) rest" →
+    * ("body", "rest"). Quote-aware like [[groupAfter]]. */
+  private[sql] def groupAt(s: String): (String, String) = {
+    require(s.startsWith("("), s"expected a parenthesized group: $s")
+    var depth = 0
+    var quote: Char = 0
+    var j = 0
+    while (j < s.length) {
+      val c = s.charAt(j)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0)
+            return (s.substring(1, j), s.substring(j + 1))
+        case _ => ()
+      }
+      j += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parentheses: $s")
+  }
+
+  /** Build a MergeTable from the REGISTER/CREATE clause tail
+    * (PARTITIONED BY / STATS / BLOOM / WITH DELETION VECTORS /
+    * WITH OPTIMIZED WRITES / WITH AUTO COMPACT / GENERATED) and bind
+    * it in the registry. `requireFresh` is CREATE's contract: the
+    * location must hold no existing table history. */
+  private def buildAndRegister(name: String, path: String, tail: String,
+      s: SparkSession, verb: String = "REGISTER",
+      requireFresh: Boolean = false): MergeTable = {
+    def cols(m: Option[scala.util.matching.Regex.Match]): Seq[String] =
+      m.map(_.group(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+    val partCols = cols(PartByRe.findFirstMatchIn(tail))
+    require(partCols.size <= 1,
+      s"$verb GRAFT TABLE $name: PARTITIONED BY takes exactly one column")
+    val t0 = MergeTable(s, path, partCols.headOption,
+      cols(StatsRe.findFirstMatchIn(tail)),
+      DvRe.findFirstIn(tail).isDefined,
+      cols(BloomRe.findFirstMatchIn(tail)))
+    val t1 =
+      if (OwRe.findFirstIn(tail).isDefined) t0.withOptimizeWrite else t0
+    // WITH AUTO COMPACT [(targetBytes[, minFiles])] — defaults match
+    // the Scala API's (32 MiB target, 4-file trigger)
+    val t = AcRe.findFirstMatchIn(tail) match {
+      case Some(m) => t1.withAutoCompact(
+        Option(m.group(1)).map(_.toLong).getOrElse(32L << 20),
+        Option(m.group(2)).map(_.toInt).getOrElse(4))
+      case None => t1
+    }
+    if (requireFresh) require(t.latestVersion() == 0L,
+      s"$verb GRAFT TABLE $name: '$path' already holds table history " +
+        s"(version ${t.latestVersion()}) — use REGISTER to attach")
+    register(name, t)
+    // GENERATED (c AS expr[, ...]) — idempotent on re-register:
+    // an existing identical rule is kept, a conflicting one fails
+    groupAfter(tail, "GENERATED").toSeq
+      .flatMap(g => splitTop(g)).foreach {
+        case GenItemRe(c, g) => t.generatedColumns.get(c) match {
+          case Some(existing) => require(existing == g,
+            s"$verb GRAFT TABLE $name: generated column $c is " +
+              s"already ($existing), not ($g) — drop the rule first")
+          case None => t.addGeneratedColumn(c, g)
+        }
+        case item => throw new IllegalArgumentException(
+          s"$verb GRAFT TABLE $name: GENERATED items are " +
+            s"'<col> AS <expr>', got: $item")
+      }
+    t
+  }
+
   private[sql] def groupAfter(s: String, kw: String): Option[String] = {
     val i = indexOfTop(s, kw)
     if (i < 0) return None
@@ -309,25 +404,61 @@ object GraftSql {
           val t = t0.withSession(s)
           val df = s.sql(rest)
           val schema = t.read().schema
-          require(df.columns.length == schema.length,
-            s"INSERT INTO $name: query produces ${df.columns.length} " +
-              s"columns, table has ${schema.length}")
+          // identity columns may be OMITTED (Delta INSERT semantics
+          // for GENERATED BY DEFAULT): an arity matching the
+          // non-identity fields maps positionally onto them and the
+          // append populates the rest
+          val idCols = t.identityColumns.keySet
+          val all = schema.fields.toSeq
+          val fields =
+            if (df.columns.length == all.length) all
+            else if (idCols.nonEmpty &&
+                df.columns.length == all.length - idCols.size)
+              all.filterNot(f => idCols.contains(f.name))
+            else throw new IllegalArgumentException(
+              s"INSERT INTO $name: query produces ${df.columns.length} " +
+                s"columns, table has ${all.length}" +
+                (if (idCols.isEmpty) ""
+                 else s" (${all.length - idCols.size} without the " +
+                   s"identity column(s) ${idCols.mkString(", ")})"))
           // store-assignment casts, Spark INSERT semantics: a VALUES
           // literal arrives as DECIMAL and must coerce to the table's
           // type; under ANSI, an uncastable value fails the statement
-          val aligned = df.toDF(schema.fieldNames.toSeq: _*)
-            .select(schema.fields.toSeq.map(f =>
+          val aligned = df.toDF(fields.map(_.name): _*)
+            .select(fields.map(f =>
               expr(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
           t.append(aligned)
         })
       }
-    case OptimizeRe(name, zorderCols) =>
+    // OPTIMIZE <name> [WHERE <partition pred>] [ZORDER BY (c[, ...])]
+    // — the WHERE/ZORDER boundary found by the quote-aware scan (a
+    // string literal inside the predicate may contain either keyword).
+    case OptimizeRe(name, tail) =>
       table(name).map { t0 =>
-        GraftDmlCommand(s"OPTIMIZE $name", s =>
-          Option(zorderCols) match {
-            case Some(cols) => t0.withSession(s).zorder(splitTop(cols))
-            case None       => t0.withSession(s).compact()
-          })
+        val zIdx = indexOfTop(tail, "ZORDER")
+        val (head, zPart) =
+          if (zIdx >= 0) (tail.substring(0, zIdx).trim,
+            tail.substring(zIdx).trim)
+          else (tail.trim, "")
+        val zCols: Seq[String] = zPart match {
+          case ""                => Nil
+          case ZorderTailRe(cs)  => splitTop(cs).map(_.trim)
+          case other => throw new IllegalArgumentException(
+            s"OPTIMIZE $name: expected ZORDER BY (cols), got: $other")
+        }
+        val pred: Option[String] =
+          if (head.isEmpty) None
+          else if (indexOfTop(head, "WHERE") == 0)
+            Some(head.substring(5).trim)
+          else throw new IllegalArgumentException(
+            s"OPTIMIZE $name: expected [WHERE <pred>] [ZORDER BY " +
+              s"(cols)], got: $head")
+        GraftDmlCommand(s"OPTIMIZE $name", s => (pred, zCols) match {
+          case (None, Nil)    => t0.withSession(s).compact()
+          case (None, cs)     => t0.withSession(s).zorder(cs)
+          case (Some(p), cs)  =>
+            t0.withSession(s).compactWhere(expr(p), zorderCols = cs)
+        })
       }
     case RestoreRe(name, v) =>
       table(name).map { t0 =>
@@ -380,40 +511,77 @@ object GraftSql {
     // SQL-only registration path, so a consumer needs zero Scala:
     //   REGISTER GRAFT TABLE t AT '/path' [PARTITIONED BY (c)]
     //     [STATS (c1, c2)] [BLOOM (c1)] [WITH DELETION VECTORS]
+    //     [WITH OPTIMIZED WRITES] [WITH AUTO COMPACT [(bytes[, files])]]
     // The clauses ARE the handle's layout contract (partition column,
     // stats/bloom sidecars, deletion vectors) — the same reason DML
     // statements resolve registered handles instead of bare paths.
     case RegisterRe(name, path, tail) =>
-      def cols(m: Option[scala.util.matching.Regex.Match]): Seq[String] =
-        m.map(_.group(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-          .getOrElse(Nil)
-      val partCols = cols(PartByRe.findFirstMatchIn(tail))
-      require(partCols.size <= 1,
-        s"REGISTER GRAFT TABLE $name: PARTITIONED BY takes exactly one " +
-          "column")
       Some(GraftDmlCommand(s"REGISTER GRAFT TABLE $name", s => {
-        val t0 = MergeTable(s, path, partCols.headOption,
-          cols(StatsRe.findFirstMatchIn(tail)),
-          DvRe.findFirstIn(tail).isDefined,
-          cols(BloomRe.findFirstMatchIn(tail)))
-        val t =
-          if (OwRe.findFirstIn(tail).isDefined) t0.withOptimizeWrite else t0
-        register(name, t)
-        // GENERATED (c AS expr[, ...]) — idempotent on re-register:
-        // an existing identical rule is kept, a conflicting one fails
-        groupAfter(tail, "GENERATED").toSeq
-          .flatMap(g => splitTop(g)).foreach {
-            case GenItemRe(c, g) => t.generatedColumns.get(c) match {
-              case Some(existing) => require(existing == g,
-                s"REGISTER GRAFT TABLE $name: generated column $c is " +
-                  s"already ($existing), not ($g) — drop the rule first")
-              case None => t.addGeneratedColumn(c, g)
-            }
-            case item => throw new IllegalArgumentException(
-              s"REGISTER GRAFT TABLE $name: GENERATED items are " +
-                s"'<col> AS <expr>', got: $item")
-          }
+        val t = buildAndRegister(name, path, tail, s)
         t.latestVersion()
+      }))
+    // CREATE GRAFT TABLE <name> [(<col type, ...>)] AT '<path>'
+    //   [<REGISTER clauses>] [AS <query>]
+    // — the table-creation front door (Delta's CREATE TABLE /
+    // CTAS): a column list declares the SCHEMA IN THE LOG (the M
+    // action — the table is readable, typed, and append-checked
+    // before any data lands); AS <query> seeds the first commit
+    // (schema declared from the query when no list is given, so
+    // every CTAS table is schema-enforced from birth). Requires a
+    // FRESH location — attaching to existing history is REGISTER's
+    // job.
+    case CreateRe(name, rest0) =>
+      val asIdx = indexOfTop(rest0, "AS")
+      val (declPart, query) =
+        if (asIdx >= 0) (rest0.substring(0, asIdx).trim,
+          Some(rest0.substring(asIdx + 2).trim))
+        else (rest0.trim, None)
+      val (schemaDdl, afterSchema) =
+        if (declPart.startsWith("(")) {
+          val g = groupAt(declPart)
+          (Some(g._1), g._2.trim)
+        } else (None, declPart)
+      afterSchema match {
+        case CreateTailRe(path, tail) =>
+          require(schemaDdl.isDefined || query.isDefined,
+            s"CREATE GRAFT TABLE $name: give a column list, an AS " +
+              "<query>, or both")
+          Some(GraftDmlCommand(s"CREATE GRAFT TABLE $name", s => {
+            val t = buildAndRegister(name, path, tail, s,
+              verb = "CREATE", requireFresh = true)
+            schemaDdl.foreach(ddl => t.declareSchema(
+              org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+            query.foreach { q =>
+              val df = s.sql(q)
+              val seed = t.declaredSchema match {
+                // align the query positionally onto the declared
+                // schema (INSERT semantics, store-assignment casts)
+                case Some(d) =>
+                  require(df.columns.length == d.length,
+                    s"CREATE GRAFT TABLE $name: query produces " +
+                      s"${df.columns.length} columns, declared " +
+                      s"schema has ${d.length}")
+                  df.toDF(d.fieldNames.toSeq: _*)
+                    .select(d.fields.toSeq.map(f =>
+                      expr(s"`${f.name}`").cast(f.dataType)
+                        .as(f.name)): _*)
+                case None =>
+                  t.declareSchema(df.schema) // CTAS: schema from query
+                  df
+              }
+              t.overwrite(seed)
+            }
+            t.latestVersion()
+          }))
+        case _ => throw new IllegalArgumentException(
+          s"CREATE GRAFT TABLE $name: expected [(<col type, ...>)] " +
+            s"AT '<path>' [clauses] [AS <query>], got: $afterSchema")
+      }
+    case DropTableRe(name) =>
+      Some(GraftDmlCommand(s"DROP GRAFT TABLE $name", _ => {
+        val had = table(name).isDefined
+        unregister(name)
+        if (had) 1L else 0L
       }))
     // ALTER TABLE intercepts only REGISTERED graft names (the table
     // does not exist in Spark's catalog, so delegation could only
@@ -442,10 +610,19 @@ object GraftSql {
           cmd(s"ADD GENERATED COLUMN $c", _.addGeneratedColumn(c, g))
         case AlterDropGenRe(c) => cmd(s"DROP GENERATED COLUMN $c",
           _.dropGeneratedColumn(c))
+        case AlterAddIdRe(c, start, step) =>
+          cmd(s"ADD IDENTITY COLUMN $c", _.addIdentityColumn(c,
+            Option(start).map(_.toLong).getOrElse(1L),
+            Option(step).map(_.toLong).getOrElse(1L)))
+        case AlterDropIdRe(c) => cmd(s"DROP IDENTITY COLUMN $c",
+          _.dropIdentityColumn(c))
+        case AlterAddColumnRe(c, tpe) => cmd(s"ADD COLUMN $c",
+          _.addColumn(c, org.apache.spark.sql.types.DataType.fromDDL(tpe)))
         case other => throw new IllegalArgumentException(
           s"ALTER TABLE $name (a registered graft table): unsupported " +
             s"action '$other' — supported: ADD/DROP CONSTRAINT, " +
-            "RENAME/DROP COLUMN, ADD/DROP GENERATED COLUMN")
+            "ADD/RENAME/DROP COLUMN, ADD/DROP GENERATED COLUMN, " +
+            "ADD/DROP IDENTITY COLUMN")
       }
     case ShowTablesRe() =>
       Some(GraftShowTablesCommand())

@@ -73,7 +73,8 @@ class MergeTableSpec extends SparkSpec {
     // commit's delta (incremental log: metadata IO is O(changed files))
     val delta = Files.readAllLines(root.resolve("_graft_log")
       .resolve(f"${t.latestVersion()}%020d.txt")).asScala
-      .filter(_.nonEmpty).map(_.split('\t')(1)).toSet
+      .filter(l => l.nonEmpty && !l.startsWith("S\t")) // skip the stamp
+      .map(_.split('\t')(1)).toSet
     assert(delta.forall(_.contains("date=2024-01-02")),
       s"delta must only mention the rewritten partition's files: $delta")
   }
@@ -823,7 +824,8 @@ class MergeTableSpec extends SparkSpec {
       Files.readAllLines(log.resolve(f"$v%020d.txt")).asScala
         .count(_.nonEmpty)
     }
-    assert(deltaLines.max <= 3,
+    // 3 change lines + the constant in-commit timestamp stamp line
+    assert(deltaLines.max <= 4,
       s"a commit's delta must stay O(changed files); saw max ${deltaLines.max}")
     // reconstruction: 200 - 199 removes leaves 201 live files
     assert(t.liveEntries().size === 201)
@@ -928,5 +930,105 @@ class MergeTableSpec extends SparkSpec {
     assert(t.restoreAsOf(java.time.Instant.now().plusSeconds(60)) === head)
     assert(t.latestVersion() === head)
     assert(contents(t.read()) === Set(("o1", "2024-01-01", 12.0)))
+  }
+
+  test("compactWhere rewrites ONLY the selected partition; the rest " +
+      "carry over untouched") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, Some("date"))
+    // 4-way repartition fragments each date across several files
+    t.overwrite(orders(
+      ("o1", "2024-01-01", 10.0), ("o2", "2024-01-01", 11.0),
+      ("o3", "2024-01-01", 12.0), ("o4", "2024-01-02", 20.0),
+      ("o5", "2024-01-02", 21.0)).repartition(4))
+    val before = t.liveEntries()
+    assert(before.count(_.partitionValue.contains("2024-01-01")) > 1)
+    val want = contents(t.read())
+
+    t.compactWhere(col("date") === "2024-01-01")
+    val after = t.liveEntries()
+    // selected partition collapsed to one file; content unchanged
+    assert(after.count(_.partitionValue.contains("2024-01-01")) === 1)
+    assert(contents(t.read()) === want)
+    // unselected partition's files are byte-identical carryovers
+    val keptBefore = before.filter(_.partitionValue.contains("2024-01-02"))
+      .map(_.relPath).toSet
+    val keptAfter = after.filter(_.partitionValue.contains("2024-01-02"))
+      .map(_.relPath).toSet
+    assert(keptBefore === keptAfter)
+  }
+
+  test("compactWhere: empty selection is an empty delta; predicate " +
+      "guards fail fast") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, Some("date"))
+    t.overwrite(orders(("o1", "2024-01-01", 10.0)))
+    val files = t.liveEntries().map(_.relPath).toSet
+    t.compactWhere(col("date") === "1999-12-31")
+    assert(t.liveEntries().map(_.relPath).toSet === files)
+    // non-partition column refused
+    intercept[IllegalArgumentException](t.compactWhere(col("amount") > 0))
+    // unpartitioned table refused
+    val u = MergeTable(spark, tmpDir("mt").toString, None)
+    u.overwrite(orders(("o1", "2024-01-01", 10.0)))
+    intercept[IllegalArgumentException](
+      u.compactWhere(col("date") === "2024-01-01"))
+  }
+
+  test("withAutoCompact: small-file debt is paid back by a follow-on " +
+      "commit, automatically") {
+    val root = tmpDir("mt").toString
+    // generous target so every test file counts as "small"; trigger at
+    // 3; non-date partition values so hive inference keeps the string
+    // type append's exact-schema contract requires
+    val t = MergeTable(spark, root, Some("date"))
+      .withAutoCompact(targetBytes = 64L << 20, minFiles = 3)
+    t.overwrite(orders(("o1", "d1", 1.0)))
+    val v1 = t.latestVersion()
+    t.append(orders(("o2", "d1", 2.0)))
+    // two files in the partition — under the 3-file trigger, no auto pass
+    assert(t.liveEntries().size === 2)
+    assert(t.latestVersion() === v1 + 1)
+    // the third append crosses the threshold: its commit, then ONE
+    // auto-compaction commit bin-packing the partition to a single file
+    t.append(orders(("o3", "d1", 3.0)))
+    assert(t.latestVersion() === v1 + 3)
+    assert(t.liveEntries().size === 1)
+    assert(contents(t.read()) === Set(
+      ("o1", "d1", 1.0), ("o2", "d1", 2.0), ("o3", "d1", 3.0)))
+    // a handle WITHOUT the flag on the same table does not auto-compact
+    val plain = MergeTable(spark, root, Some("date"))
+    plain.append(orders(("o4", "d1", 4.0)))
+    plain.append(orders(("o5", "d1", 5.0)))
+    assert(plain.liveEntries().size === 3)
+    // ... and the flagged handle pays the debt back on its next commit
+    t.append(orders(("o6", "d1", 6.0)))
+    assert(t.liveEntries().size === 1)
+    assert(t.read().count() === 6)
+  }
+
+  test("compactWhere with zorderCols Z-clusters inside the scope only") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, Some("date"), statsCols = Seq("amount"))
+    val rows = (1 to 64).map(i =>
+      (s"o$i", if (i % 2 == 0) "2024-01-01" else "2024-01-02", i.toDouble))
+    t.overwrite(rows.toDF("order_id", "date", "amount").repartition(8))
+    val want = contents(t.read())
+    val before = t.liveEntries()
+    t.compactWhere(col("date") === "2024-01-01", filesPerPartition = 2,
+      zorderCols = Seq("amount"))
+    assert(contents(t.read()) === want)
+    val after = t.liveEntries()
+    val sel = after.filter(_.partitionValue.contains("2024-01-01"))
+    assert(sel.size === 2)
+    // clustered: the two files cover disjoint amount ranges
+    val ranges = sel.flatMap(_.stats.get("amount")).flatMap(_.range)
+    assert(ranges.size === 2 &&
+      (ranges(0)._2 < ranges(1)._1 || ranges(1)._2 < ranges(0)._1))
+    // untouched partition carried over
+    assert(before.filter(_.partitionValue.contains("2024-01-02"))
+      .map(_.relPath).toSet ===
+      after.filter(_.partitionValue.contains("2024-01-02"))
+        .map(_.relPath).toSet)
   }
 }

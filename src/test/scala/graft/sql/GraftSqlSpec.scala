@@ -98,6 +98,52 @@ class GraftSqlSpec extends SparkSpec {
     assert(t.latestVersion() >= 2L)
   }
 
+  test("OPTIMIZE ... WHERE via SQL == compactWhere via API") {
+    val (viaSql, viaApi) = freshPair("optw")
+    Seq(viaSql, viaApi).foreach(_.merge(orders(
+      ("o3", "2024-01-01", 30.0), ("o4", "2024-01-01", 40.0)), "order_id"))
+    val want = contents(viaSql.read())
+    spark.sql("OPTIMIZE t_optw WHERE date = '2024-01-01'")
+    viaApi.compactWhere(col("date") === "2024-01-01")
+    assert(contents(viaSql.read()) === contents(viaApi.read()))
+    // file layout agrees partition-for-partition (DESCRIBE DETAIL is
+    // the public num_files surface)
+    def nf(t: MergeTable) = t.detail().select("num_files").as[Long].head()
+    assert(nf(viaSql) === nf(viaApi))
+    // a string literal containing the ZORDER keyword stays inside the
+    // predicate (quote-aware boundary scan, not a bare-keyword regex):
+    // the statement reaches EXECUTION with the literal intact — the
+    // ANSI date-cast error carries it verbatim (a mis-split would have
+    // died at parse time with an "expected ZORDER BY" error instead)
+    val qe = intercept[Exception](
+      spark.sql("OPTIMIZE t_optw WHERE date = 'x ZORDER BY (y)'"))
+    assert(qe.getMessage.contains("x ZORDER BY (y)"))
+    assert(contents(viaSql.read()) === want)
+    // WHERE + ZORDER BY compose: the scoped Z-cluster path
+    spark.sql("OPTIMIZE t_optw WHERE date = '2024-01-01' ZORDER BY (amount)")
+    viaApi.compactWhere(col("date") === "2024-01-01",
+      zorderCols = Seq("amount"))
+    assert(contents(viaSql.read()) === contents(viaApi.read()))
+    // junk between name and clauses is rejected, not silently ignored
+    intercept[Exception](spark.sql("OPTIMIZE t_optw BOGUS 42"))
+  }
+
+  test("REGISTER ... WITH AUTO COMPACT pays small-file debt back via SQL") {
+    val root = tmpDir("sql_ac").toString
+    MergeTable(spark, root, Some("date"))
+      .overwrite(orders(("o1", "2024-01-01", 1.0)))
+    spark.sql(s"REGISTER GRAFT TABLE t_ac AT '$root' " +
+      "PARTITIONED BY (date) WITH AUTO COMPACT (67108864, 3)")
+    spark.sql("INSERT INTO t_ac VALUES ('o2', 2.0, '2024-01-01')")
+    def nFiles: Long = spark.sql("DESCRIBE DETAIL t_ac")
+      .select("num_files").as[Long].head()
+    assert(nFiles === 2L) // under the 3-file trigger
+    spark.sql("INSERT INTO t_ac VALUES ('o3', 3.0, '2024-01-01')")
+    assert(nFiles === 1L) // trigger crossed -> auto bin-pack
+    assert(spark.sql("SELECT count(*) c FROM graft_table('t_ac')")
+      .as[Long].head() === 3L)
+  }
+
   test("unregistered names and ordinary SQL delegate to Spark untouched") {
     // ordinary SQL still parses and runs through the injected parser
     assert(spark.sql("SELECT 1 + 1 AS x").as[Int].head() === 2)
