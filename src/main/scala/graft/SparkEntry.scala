@@ -160,12 +160,19 @@ object SparkEntry {
     // r11 — identity columns: contiguous distributed assignment across
     // two append waves, pinned by the 1..n closed-form invariants
     "q_identity"        -> (graft.lake.LakeQueries.identityAssign _),
+    // r11 — CONVERT in place: a plain parquet dir adopted as commit 1,
+    // then merged on top and read back in full
+    "q_convert"         -> (graft.lake.LakeQueries.convertAdopt _),
     // X148/X149 — the SQL front-end under the gate: the same lifecycle
     // driven purely by SQL strings through the injected parser + TVF
     "q_lake_sql"        -> (graft.sql.SqlQueries.lakeSql _),
     // r11 — composite-key + conditional-clause MERGE via SQL, read back
     // through a bare-name FROM (sql/SqlQueries.scala, GraftRelationResolution)
     "q_merge_cond"      -> (graft.sql.SqlQueries.mergeCond _),
+    // r11 — the SQL-only table lifecycle: CREATE CTAS (declared
+    // schema), metadata-only ADD COLUMN, UPDATE, INSERT, scoped
+    // OPTIMIZE WHERE, bare-name aggregate read-back
+    "q_sql_ddl"         -> (graft.sql.SqlQueries.sqlDdl _),
     // X13/X94 end-to-end — the STREAMING surface under the oracle hash
     // gate: CSV waves drained by AvailableNow runs sharing a checkpoint,
     // per-batch lake writes, final state returned
@@ -837,6 +844,8 @@ object SparkEntry {
     "q_dv_state"      -> graft.lake.LakeQueries.dvStateOracle,
     "q_gen_prune"     -> graft.lake.LakeQueries.genPruneOracle,
     "q_identity"      -> graft.lake.LakeQueries.identityAssignOracle,
+    "q_sql_ddl"       -> graft.sql.SqlQueries.sqlDdlOracle,
+    "q_convert"       -> graft.lake.LakeQueries.convertAdoptOracle,
     "q_stream_mv"     -> graft.streaming.StreamQueries.streamMvOracle,
     "q_stream_replica" -> graft.streaming.StreamQueries.streamReplicaOracle,
     "q_stream_sink"   -> graft.streaming.StreamQueries.streamSinkOracle,

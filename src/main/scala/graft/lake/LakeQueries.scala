@@ -438,4 +438,36 @@ object LakeQueries {
               count(*) AS n_distinct,
               CAST((count(*) * (count(*) + 1)) / 2 AS BIGINT) AS sum_id
        FROM orders"""
+
+  /** X178 — CONVERT-in-place under the oracle gate: write a PLAIN
+    * hive-partitioned parquet dir (no manifest), adopt it with
+    * `convertInPlace` (zero bytes moved — the commit references the
+    * files where they lie and declares the hive-inferred schema), then
+    * prove the adopted table is a first-class lake table by running a
+    * MERGE wave on top and reading everything back. The hash matches
+    * only if adopted files scan correctly through the declared-schema
+    * path (manifest-attached partition values included), the merge
+    * rewrote exactly the matched rows, and untouched adopted files
+    * still serve their originals. */
+  def convertAdopt(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch("graft_q_conv") + "/lake"
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    base.write.partitionBy("o_orderstatus").parquet(dir)
+    val t = MergeTable(s, dir, Some("o_orderstatus"))
+    t.convertInPlace()
+    t.merge(base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 5.0), "o_orderkey")
+    t.read()
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+        col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val convertAdoptOracle: String =
+    """SELECT o_orderkey,
+              round(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 5.0
+                         ELSE o_totalprice END, 2) AS price,
+              o_orderstatus
+       FROM orders ORDER BY o_orderkey"""
 }

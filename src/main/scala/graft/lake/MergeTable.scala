@@ -2935,6 +2935,75 @@ final class MergeTable private (
     * files a clone may still reference — vacuum sources only when no
     * clone needs them (or re-materialize the clone via
     * [[snapshotDir]]). */
+  /** Delta's `CONVERT TO DELTA`: adopt a PLAIN parquet directory (flat,
+    * or single-column hive-partitioned `pc=v/` dirs) as this table's
+    * first commit — IN PLACE, zero bytes copied or rewritten at any
+    * size. The commit references the existing files where they lie
+    * (the manifest path machinery is layout-agnostic; partition values
+    * come from the dir names exactly as a hive reader sees them) and
+    * records the hive-inferred schema as the DECLARED log schema in
+    * the same atomic commit, so every read takes the declared-schema
+    * path (one scan node, manifest-attached partition column) and
+    * every later feature — MERGE, DELETE, time travel, ADD COLUMN,
+    * constraints — works immediately. Cost: one driver file listing +
+    * one footer-only schema probe; O(files) metadata, never O(data).
+    *
+    * Converted files never carry per-file stats (stats appear on files
+    * a later commit writes; compact() re-establishes them table-wide),
+    * and [[vacuum]] never reaps them even when superseded — it only
+    * deletes `commit-*` dirs, so adopted originals are structurally
+    * safe from the engine (conservative; delete them out-of-band once
+    * history no longer references them). */
+  def convertInPlace(): Long = {
+    require(latestVersion() == 0L,
+      s"convertInPlace: $root already holds graft history " +
+        s"(version ${latestVersion()})")
+    val files = Using.resource(Files.walk(root)) { st =>
+      st.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString)
+        .filterNot(rel => rel.startsWith("_") || rel.startsWith("."))
+        .toSeq.sorted
+    }
+    require(files.nonEmpty, s"convertInPlace: no parquet files under $root")
+    files.foreach { rel =>
+      val depth = rel.count(_ == '/')
+      require(depth <= 1,
+        s"convertInPlace: '$rel' nests deeper than one hive level — " +
+          "only flat or single-column pc=v layouts convert (file-key " +
+          "identity is the last two path components)")
+      // with a partition column, EVERY file must sit under a pc= dir —
+      // a root-level file would read NULL partition values (its value
+      // lives in the data column the manifest attach then shadows)
+      partitionCol.foreach { pc =>
+        require(depth == 1 && rel.startsWith(pc + "="),
+          s"convertInPlace: '$rel' is not under a '$pc=' directory")
+      }
+    }
+    val entries = files.map { rel =>
+      val pv = partitionCol.flatMap { pc =>
+        rel.split('/').find(_.startsWith(pc + "="))
+          .map(s => unescapePathValue(s.substring(pc.length + 1)))
+          .filter(_ != HiveDefaultPartition)
+      }
+      FileEntry(rel, pv)
+    }
+    // one footer-only probe; hive inference types the partition column
+    val schema = spark.read
+      .option("basePath", root.toString)
+      .parquet(root.toString).schema
+    partitionCol.foreach(pc => require(schema.fieldNames.contains(pc),
+      s"convertInPlace: partition column '$pc' not inferred from the " +
+        s"layout (schema: ${schema.fieldNames.mkString(", ")})"))
+    retryingCommit { () =>
+      val (v, live) = latest()
+      require(v == 0L && live.isEmpty,
+        s"convertInPlace: a concurrent writer committed at $root")
+      (CommitDelta(entries, Nil, mSchema = Some(schema.json)), v)
+    }
+  }
+
   def cloneTo(dest: String): MergeTable = {
     val destPath = Paths.get(dest)
     // An existing regular file must fail THIS require (not surface later
@@ -3734,8 +3803,10 @@ object MergeTable {
   private def commitDirOf(relPath: String): String = {
     val parts = relPath.split('/')
     val i = parts.indexWhere(p => CommitDirName.matches(p))
-    require(i >= 0, s"no commit dir in manifest path $relPath")
-    parts.take(i + 1).mkString("/")
+    // converted-in-place files (convertInPlace) carry no commit-
+    // component — group them by their containing dir ("" at root)
+    if (i < 0) parts.init.mkString("/")
+    else parts.take(i + 1).mkString("/")
   }
 
   /** Spark escapes special chars in partition dir names (URL-style). */

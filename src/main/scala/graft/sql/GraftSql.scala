@@ -46,6 +46,8 @@ import graft.lake.{MatchClause, MergeTable}
   *   CREATE GRAFT TABLE <name> [(<col type, ...>)] AT '<path>'
   *     [<REGISTER clauses>] [AS <query>]    → declared-schema create / CTAS
   *   DROP GRAFT TABLE <name>                → unregister (data untouched)
+  *   CONVERT TO GRAFT TABLE <name> AT '<path>' [PARTITIONED BY (c)]
+  *                             → adopt a plain parquet dir in place
   *   ALTER TABLE <name> ADD CONSTRAINT n CHECK (p) | DROP CONSTRAINT n
   *     | ADD COLUMN c <type>  (metadata-only schema evolution)
   *     | RENAME COLUMN a TO b | DROP COLUMN c
@@ -132,6 +134,8 @@ object GraftSql {
     """(?is)^AT\s+'([^']+)'(.*)$""".r
   private val DropTableRe =
     """(?is)^\s*DROP\s+GRAFT\s+TABLE\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+  private val ConvertRe =
+    """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+TABLE\s+([A-Za-z_][\w]*)\s+AT\s+'([^']+)'(.*?)\s*;?\s*$""".r
   private val AlterRe =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+(.+?)\s*;?\s*$""".r
   private val AlterAddConRe =
@@ -582,6 +586,16 @@ object GraftSql {
         val had = table(name).isDefined
         unregister(name)
         if (had) 1L else 0L
+      }))
+    // CONVERT TO GRAFT TABLE <name> AT '<path>' [PARTITIONED BY (c)]
+    //   [clauses] — adopt a plain parquet directory in place (Delta's
+    // CONVERT TO DELTA): zero bytes moved, the first commit references
+    // the files where they lie and declares the hive-inferred schema.
+    case ConvertRe(name, path, tail) =>
+      Some(GraftDmlCommand(s"CONVERT TO GRAFT TABLE $name", s => {
+        val t = buildAndRegister(name, path, tail, s,
+          verb = "CONVERT", requireFresh = true)
+        t.convertInPlace()
       }))
     // ALTER TABLE intercepts only REGISTERED graft names (the table
     // does not exist in Spark's catalog, so delegation could only

@@ -93,6 +93,53 @@ object SqlQueries {
         "FROM q_mcond_t ORDER BY o_custkey, o_orderkey")
   }
 
+  /** X176/X177 under the oracle gate: the full SQL-only TABLE
+    * LIFECYCLE — `CREATE GRAFT TABLE ... AS <query>` (CTAS declares
+    * the schema in the log, partitioned, auto-compacting), a
+    * metadata-only `ALTER TABLE ADD COLUMN`, an unconditional UPDATE
+    * computing the new column, a sentinel INSERT (positional, post-ADD
+    * arity), a partition-scoped `OPTIMIZE ... WHERE` (X172, content
+    * must be byte-stable across the rewrite), and a bare-name
+    * aggregate read-back. The hash matches only if the declared-schema
+    * read path supplies NULL-then-updated values for the added column
+    * on pre-evolution files AND the scoped rewrite/auto-compactions
+    * changed nothing logically. */
+  def sqlDdl(s: SparkSession, d: String): DataFrame = {
+    val p = scratch("graft_q_ddl")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .createOrReplaceTempView("q_ddl_src")
+    s.sql(s"CREATE GRAFT TABLE q_ddl_t AT '$p' " +
+      "PARTITIONED BY (o_orderstatus) WITH AUTO COMPACT (67108864, 2) " +
+      "AS SELECT * FROM q_ddl_src")
+    s.sql("ALTER TABLE q_ddl_t ADD COLUMN price_band STRING")
+    s.sql("UPDATE q_ddl_t SET price_band = " +
+      "CASE WHEN o_totalprice >= 150000.0 THEN 'high' ELSE 'low' END")
+    // read schema order after ADD COLUMN: (o_orderkey, o_totalprice,
+    // price_band, o_orderstatus) — the INSERT is positional on it
+    s.sql("INSERT INTO q_ddl_t VALUES (-1, 0.0, 'none', 'F')")
+    s.sql("OPTIMIZE q_ddl_t WHERE o_orderstatus = 'F'")
+    s.sql("SELECT o_orderstatus, price_band, count(*) AS n, " +
+      "CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total " +
+      "FROM q_ddl_t GROUP BY o_orderstatus, price_band " +
+      "ORDER BY o_orderstatus, price_band")
+  }
+
+  val sqlDdlOracle: String =
+    """WITH base AS (
+         SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+       banded AS (
+         SELECT o_orderkey, o_totalprice, o_orderstatus,
+                CASE WHEN o_totalprice >= 150000.0 THEN 'high'
+                     ELSE 'low' END AS price_band
+         FROM base),
+       full_t AS (
+         SELECT * FROM banded
+         UNION ALL SELECT -1, 0.0, 'F', 'none')
+       SELECT o_orderstatus, price_band, count(*) AS n,
+              CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+       FROM full_t GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val mergeCondOracle: String =
     """WITH base AS (
          SELECT o_custkey, o_orderkey, o_totalprice FROM orders),

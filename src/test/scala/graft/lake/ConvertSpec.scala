@@ -1,0 +1,84 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** `convertInPlace` (Delta's CONVERT TO DELTA): adopt a plain parquet
+  * directory as a graft table's first commit — zero bytes copied, the
+  * manifest references the files where they lie, and the declared
+  * schema (X176) makes every read take the layout-agnostic path. */
+class ConvertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def orders(rows: (String, String, Double)*): DataFrame =
+    rows.toDF("order_id", "date", "amount")
+
+  private def contents(df: DataFrame): Set[(String, String, Double)] =
+    df.select("order_id", "date", "amount")
+      .as[(String, String, Double)].collect().toSet
+
+  test("a hive-partitioned plain dir converts in place and round-trips") {
+    val root = tmpDir("conv").resolve("lake").toString
+    val data = orders(("o1", "d1", 1.0), ("o2", "d2", 2.0), ("o3", "d1", 3.0))
+    data.write.partitionBy("date").parquet(root)
+    // adopt it: no byte of data moves
+    val before = Files.walk(Paths.get(root)).filter(p =>
+      p.toString.endsWith(".parquet")).count()
+    val t = MergeTable(spark, root, Some("date"))
+    assert(t.convertInPlace() === 1L)
+    assert(contents(t.read()) === contents(data))
+    assert(t.declaredSchema.isDefined)
+    val after = Files.walk(Paths.get(root)).filter(p =>
+      p.toString.endsWith(".parquet")).count()
+    assert(before === after, "convert copies nothing")
+    // the whole lake surface works immediately on adopted files
+    t.merge(orders(("o2", "d2", 99.0), ("o4", "d3", 4.0)), "order_id")
+    assert(contents(t.read()) === Set(
+      ("o1", "d1", 1.0), ("o2", "d2", 99.0),
+      ("o3", "d1", 3.0), ("o4", "d3", 4.0)))
+    assert(contents(t.readVersion(1L)) === contents(data),
+      "time travel to the adopted snapshot")
+    // vacuum never reaps adopted originals (they are not commit-* dirs)
+    t.vacuum(0L)
+    assert(contents(t.read()).size === 4)
+    // metadata-only evolution works on a converted table too
+    t.addColumn("note", org.apache.spark.sql.types.StringType)
+    assert(t.read().filter(col("note").isNull).count() === 4)
+  }
+
+  test("flat (unpartitioned) dirs convert; guards fail fast") {
+    val root = tmpDir("conv").resolve("lake").toString
+    val data = orders(("o1", "d1", 1.0), ("o2", "d2", 2.0))
+    data.write.parquet(root)
+    val t = MergeTable(spark, root, None)
+    t.convertInPlace()
+    assert(contents(t.read()) === contents(data))
+    // converting twice refused
+    intercept[IllegalArgumentException](t.convertInPlace())
+    // empty dir refused
+    intercept[IllegalArgumentException](
+      MergeTable(spark, tmpDir("conv").toString, None).convertInPlace())
+    // partition column not in the layout refused
+    val root2 = tmpDir("conv").resolve("lake").toString
+    data.write.parquet(root2)
+    intercept[IllegalArgumentException](
+      MergeTable(spark, root2, Some("date")).convertInPlace())
+  }
+
+  test("SQL: CONVERT TO GRAFT TABLE adopts and registers in one statement") {
+    val root = tmpDir("conv_sql").resolve("lake").toString
+    orders(("o1", "d1", 1.0), ("o2", "d2", 2.0))
+      .write.partitionBy("date").parquet(root)
+    spark.sql(
+      s"CONVERT TO GRAFT TABLE t_conv AT '$root' PARTITIONED BY (date)")
+    assert(spark.sql("SELECT count(*) c FROM t_conv").as[Long].head() === 2L)
+    spark.sql("UPDATE t_conv SET amount = amount + 1 WHERE order_id = 'o1'")
+    assert(spark.sql(
+      "SELECT amount FROM t_conv WHERE order_id = 'o1'")
+      .as[Double].head() === 2.0)
+  }
+}
