@@ -291,18 +291,44 @@ final class MergeTable private (
     * times (generated-column population, enforcement, rule lookup) —
     * r11 measured the repeated per-commit refolds as a visible bench
     * tax on lifecycle-heavy queries. */
-  private val constraintsMemo =
-    new java.util.concurrent.ConcurrentHashMap[Long, Map[String, String]]()
+  /** ALL non-file log metadata at version `v`, folded in ONE pass over
+    * the checkpoint + deltas and memoized by version: CHECK
+    * constraints (C/D), column mapping (E/X), the txn ledger (T,
+    * MAX-folded), and the declared schema (M, last wins). One fold
+    * replaces the four separate per-family folds this file used to
+    * run — each parsed the SAME checkpoint and delta files again, and
+    * lifecycle-heavy queries measurably paid for it. The fold is a
+    * pure function of the immutable committed-log prefix, so
+    * version-keyed memoization is exact (vacuum preserves folded
+    * state through its checkpoint). */
+  private final case class MetaState(
+      constraints: Map[String, String],
+      renames: Map[String, String],
+      drops: Set[String],
+      txns: Map[String, Long],
+      schema: Option[org.apache.spark.sql.types.StructType])
 
-  private def constraintsAt(v: Long): Map[String, String] =
-    constraintsMemo.computeIfAbsent(v, constraintsAtUncached(_))
+  private val metaMemo =
+    new java.util.concurrent.ConcurrentHashMap[Long, MetaState]()
 
-  private def constraintsAtUncached(v: Long): Map[String, String] = {
+  private def metaAt(v: Long): MetaState =
+    metaMemo.computeIfAbsent(v, metaAtUncached(_))
+
+  private def metaAtUncached(v: Long): MetaState = {
     val ckpt = checkpointAtOrBelow(v)
-    val acc = mutable.LinkedHashMap.empty[String, String]
+    val cons = mutable.LinkedHashMap.empty[String, String]
+    val ren = mutable.LinkedHashMap.empty[String, String]
+    val drops = mutable.LinkedHashSet.empty[String]
+    val txns = mutable.LinkedHashMap.empty[String, Long]
+    var schemaJson: Option[String] = None
     def fold(p: Path): Unit = readLogFile(p).foreach {
-      case AddConstraint(n, pr) => acc.update(n, pr)
-      case DropConstraint(n)    => acc.remove(n)
+      case AddConstraint(n, pr) => cons.update(n, pr)
+      case DropConstraint(n)    => cons.remove(n)
+      case RenameCol(ph, lg)    => ren.update(ph, lg)
+      case DropCol(ph)          => ren.remove(ph); drops.add(ph)
+      case SetTxn(app, bv) =>
+        txns.update(app, math.max(bv, txns.getOrElse(app, Long.MinValue)))
+      case SetSchema(j)         => schemaJson = Some(j)
       case _                    => ()
     }
     if (ckpt != 0L) fold(logDir.resolve(f"$ckpt%020d$CkptSuffix"))
@@ -310,8 +336,13 @@ final class MergeTable private (
       val p = logDir.resolve(f"$w%020d.txt")
       if (Files.exists(p)) fold(p)
     }
-    acc.toMap
+    MetaState(cons.toMap, ren.toMap, drops.toSet, txns.toMap,
+      schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]))
   }
+
+  private def constraintsAt(v: Long): Map[String, String] =
+    metaAt(v).constraints
 
   /** The table's current CHECK constraints (name → SQL predicate). */
   def constraints: Map[String, String] = {
@@ -326,21 +357,7 @@ final class MergeTable private (
     * the streaming sink's exactly-once ledger (Delta's `txn` action).
     * MAX-folded: replayed or out-of-order writers can only observe a
     * watermark at least as high as any committed one. */
-  private def txnsAt(v: Long): Map[String, Long] = {
-    val ckpt = checkpointAtOrBelow(v)
-    val m = mutable.LinkedHashMap.empty[String, Long]
-    def fold(p: Path): Unit = readLogFile(p).foreach {
-      case SetTxn(app, bv) =>
-        m.update(app, math.max(bv, m.getOrElse(app, Long.MinValue)))
-      case _ => ()
-    }
-    if (ckpt != 0L) fold(logDir.resolve(f"$ckpt%020d$CkptSuffix"))
-    ((ckpt + 1) to v).foreach { w =>
-      val p = logDir.resolve(f"$w%020d.txt")
-      if (Files.exists(p)) fold(p)
-    }
-    m.toMap
-  }
+  private def txnsAt(v: Long): Map[String, Long] = metaAt(v).txns
 
   /** The highest transaction version committed for `appId`, if any —
     * a writer that tracks its own monotonic version (a streaming
@@ -352,30 +369,10 @@ final class MergeTable private (
     * metaData action: when present, the log (not the parquet footers)
     * is the source of truth for the table's PHYSICAL schema. Last `M`
     * action wins; checkpoint-folded and vacuum-safe like every other
-    * metadata channel. Memoized like [[constraintsAt]]. */
-  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
-    Long, Option[org.apache.spark.sql.types.StructType]]()
-
+    * metadata channel. Served from the unified [[metaAt]] fold. */
   private def schemaAt(v: Long)
       : Option[org.apache.spark.sql.types.StructType] =
-    if (v == 0L) None else schemaMemo.computeIfAbsent(v, schemaAtUncached(_))
-
-  private def schemaAtUncached(v: Long)
-      : Option[org.apache.spark.sql.types.StructType] = {
-    val ckpt = checkpointAtOrBelow(v)
-    var cur: Option[String] = None
-    def fold(p: Path): Unit = readLogFile(p).foreach {
-      case SetSchema(j) => cur = Some(j)
-      case _            => ()
-    }
-    if (ckpt != 0L) fold(logDir.resolve(f"$ckpt%020d$CkptSuffix"))
-    ((ckpt + 1) to v).foreach { w =>
-      val p = logDir.resolve(f"$w%020d.txt")
-      if (Files.exists(p)) fold(p)
-    }
-    cur.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
-      .asInstanceOf[org.apache.spark.sql.types.StructType])
-  }
+    if (v == 0L) None else metaAt(v).schema
 
   /** The declared (log-recorded) PHYSICAL schema, when this table was
     * created with one ([[declareSchema]], SQL `CREATE GRAFT TABLE`) —
@@ -429,29 +426,11 @@ final class MergeTable private (
             nullable = true)).json)), v)
     }
 
-  /** Memoized like [[constraintsAt]] — [[presentLogical]] refolds the
-    * mapping on every read. */
-  private val mappingMemo = new java.util.concurrent.ConcurrentHashMap[
-    Long, (Map[String, String], Set[String])]()
-
-  private def mappingAt(v: Long): (Map[String, String], Set[String]) =
-    mappingMemo.computeIfAbsent(v, mappingAtUncached(_))
-
-  private def mappingAtUncached(v: Long): (Map[String, String], Set[String]) = {
-    val ckpt = checkpointAtOrBelow(v)
-    val ren = mutable.LinkedHashMap.empty[String, String]
-    val drops = mutable.LinkedHashSet.empty[String]
-    def fold(p: Path): Unit = readLogFile(p).foreach {
-      case RenameCol(ph, lg) => ren.update(ph, lg)
-      case DropCol(ph)       => ren.remove(ph); drops.add(ph)
-      case _                 => ()
-    }
-    if (ckpt != 0L) fold(logDir.resolve(f"$ckpt%020d$CkptSuffix"))
-    ((ckpt + 1) to v).foreach { w =>
-      val p = logDir.resolve(f"$w%020d.txt")
-      if (Files.exists(p)) fold(p)
-    }
-    (ren.toMap, drops.toSet)
+  /** Served from the unified [[metaAt]] fold — [[presentLogical]]
+    * consults the mapping on every read. */
+  private def mappingAt(v: Long): (Map[String, String], Set[String]) = {
+    val m = metaAt(v)
+    (m.renames, m.drops)
   }
 
   private def currentMapping(): (Map[String, String], Set[String]) = {
@@ -827,32 +806,71 @@ final class MergeTable private (
     // matching every row of every touched file) writes a part-less
     // commit dir — inferring parquet schema over it would throw
     if (statsCols.isEmpty || entries.isEmpty) entries
-    else {
-      val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
-        min(col(c).cast("long")).as(s"mn_$c"),
-        max(col(c).cast("long")).as(s"mx_$c"),
-        count(col(c)).as(s"nn_$c")))
-      val byKey = spark.read
-        .option("basePath", target.toString)
-        .parquet(target.toString)
-        .groupBy(input_file_name().as("f"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
-        .map { r =>
-          val rows = r.getLong(1)
-          val m = statsCols.zipWithIndex.map { case (c, i) =>
-            val (mnI, mxI, nnI) = (2 + 3 * i, 3 + 3 * i, 4 + 3 * i)
-            val range =
-              if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
-              else Some((r.getLong(mnI), r.getLong(mxI)))
-            c -> ColStat(range, Some((rows - r.getLong(nnI), rows)))
-          }.toMap
-          fileKey(r.getString(0)) -> m
-        }
-        .toMap
-      entries.map(e => e.copy(
-        stats = byKey.getOrElse(fileKey(e.relPath), Map.empty)))
+    else statsForFiles(entries)
+
+  /** Per-file stats for an ARBITRARY live-entry subset — the shared
+    * engine under [[withStats]] (fresh commits) and [[collectStats]]
+    * (retrofits): one mergeSchema multi-path scan grouped by file
+    * identity; a file lacking a stats'd column reads it as all-NULL,
+    * which the nullCount contract represents exactly. */
+  private def statsForFiles(entries: Seq[FileEntry]): Seq[FileEntry] = {
+    val scan = spark.read
+      .option("mergeSchema", "true")
+      .parquet(entries.map(e => root.resolve(e.relPath).toString): _*)
+    val present = scan.columns.toSet
+    require(statsCols.forall(present.contains),
+      s"MergeTable at $root: stats column(s) " +
+        s"${statsCols.filterNot(present.contains).mkString(", ")} not " +
+        "present in the data files (stats columns must be data " +
+        "columns, not the partition column)")
+    val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"mn_$c"),
+      max(col(c).cast("long")).as(s"mx_$c"),
+      count(col(c)).as(s"nn_$c")))
+    val byKey = scan
+      .groupBy(substring_index(col("_metadata.file_path"), "/", -2).as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val rows = r.getLong(1)
+        val m = statsCols.zipWithIndex.map { case (c, i) =>
+          val (mnI, mxI, nnI) = (2 + 3 * i, 3 + 3 * i, 4 + 3 * i)
+          val range =
+            if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+            else Some((r.getLong(mnI), r.getLong(mxI)))
+          c -> ColStat(range, Some((rows - r.getLong(nnI), rows)))
+        }.toMap
+        r.getString(0) -> m
+      }
+      .toMap
+    entries.map(e => e.copy(
+      stats = byKey.getOrElse(fileKey(e.relPath), Map.empty)))
+  }
+
+  /** RETROFIT file statistics (SQL: `ANALYZE TABLE t COMPUTE
+    * STATISTICS`): collect manifest stats for every live file MISSING
+    * any declared stats column — one commit that re-Adds those entries
+    * with stats attached, zero rows rewritten. The natural companion
+    * to [[convertInPlace]] (adopted files carry no stats, so
+    * [[readRange]]/[[scan]] can't skip them until either a rewrite or
+    * this) and to a handle whose statsCols grew after data landed.
+    * Cost: O(stat-less file bytes) in one scan; already-stats'd files
+    * are untouched. The change feed across the commit is EMPTY — the
+    * CDF file-set signature is (relPath, dv), which this commit
+    * preserves. No-op (no commit) when every file is covered. */
+  def collectStats(): Long = {
+    require(statsCols.nonEmpty,
+      s"MergeTable at $root: no stats columns declared on this handle")
+    def missing(live: Seq[FileEntry]): Seq[FileEntry] =
+      live.filter(e => statsCols.exists(c => !e.stats.contains(c)))
+    if (missing(latest()._2).isEmpty) return latestVersion()
+    retryingCommit { () =>
+      val (v, live) = latest()
+      val todo = missing(live)
+      if (todo.isEmpty) (CommitDelta(Nil, Nil), v)
+      else (CommitDelta(statsForFiles(todo), Nil), v)
     }
+  }
 
   /** S5 — full overwrite (the reference's first-load path,
     * ref: orders_etl.py:93-96). Overwrite replaces the whole table, so on

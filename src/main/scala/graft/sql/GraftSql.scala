@@ -48,6 +48,8 @@ import graft.lake.{MatchClause, MergeTable}
   *   DROP GRAFT TABLE <name>                → unregister (data untouched)
   *   CONVERT TO GRAFT TABLE <name> AT '<path>' [PARTITIONED BY (c)]
   *                             → adopt a plain parquet dir in place
+  *   ANALYZE TABLE <name> COMPUTE STATISTICS
+  *                             → retrofit manifest file stats
   *   ALTER TABLE <name> ADD CONSTRAINT n CHECK (p) | DROP CONSTRAINT n
   *     | ADD COLUMN c <type>  (metadata-only schema evolution)
   *     | RENAME COLUMN a TO b | DROP COLUMN c
@@ -136,6 +138,8 @@ object GraftSql {
     """(?is)^\s*DROP\s+GRAFT\s+TABLE\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val ConvertRe =
     """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+TABLE\s+([A-Za-z_][\w]*)\s+AT\s+'([^']+)'(.*?)\s*;?\s*$""".r
+  private val AnalyzeRe =
+    """(?is)^\s*ANALYZE\s+TABLE\s+([A-Za-z_][\w]*)\s+COMPUTE\s+STATISTICS\s*;?\s*$""".r
   private val AlterRe =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+(.+?)\s*;?\s*$""".r
   private val AlterAddConRe =
@@ -597,6 +601,14 @@ object GraftSql {
           verb = "CONVERT", requireFresh = true)
         t.convertInPlace()
       }))
+    // ANALYZE TABLE <registered graft name> COMPUTE STATISTICS →
+    // retrofit manifest file stats (collectStats); any other ANALYZE
+    // (unregistered names, column variants) delegates to Spark's own.
+    case AnalyzeRe(name) =>
+      table(name).map { t0 =>
+        GraftDmlCommand(s"ANALYZE TABLE $name", s =>
+          t0.withSession(s).collectStats())
+      }
     // ALTER TABLE intercepts only REGISTERED graft names (the table
     // does not exist in Spark's catalog, so delegation could only
     // produce a misleading not-found error); an unsupported action on

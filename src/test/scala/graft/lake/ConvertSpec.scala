@@ -69,6 +69,51 @@ class ConvertSpec extends SparkSpec {
       MergeTable(spark, root2, Some("date")).convertInPlace())
   }
 
+  test("collectStats retrofits manifest stats onto adopted files — " +
+      "file skipping turns on without rewriting a row") {
+    val root = tmpDir("conv").resolve("lake").toString
+    (1 to 64).map(i => (i.toLong, s"d${i % 4}", i.toDouble))
+      .toDF("k", "date", "amount")
+      .repartition(4, col("k") % 4) // k ranges interleave per file
+      .sortWithinPartitions("k")
+      .write.partitionBy("date").parquet(root)
+    val t = MergeTable(spark, root, Some("date"), Seq("k"))
+    t.convertInPlace()
+    assert(t.liveEntries().forall(_.stats.isEmpty), "adopted = stat-less")
+    val vPre = t.latestVersion()
+    val filesPre = t.liveEntries().map(_.relPath).toSet
+    t.collectStats()
+    // same files, zero rows rewritten, stats now recorded on each
+    assert(t.liveEntries().map(_.relPath).toSet === filesPre)
+    assert(t.liveEntries().forall(_.stats.contains("k")))
+    assert(t.read().count() === 64)
+    // the change feed across the stats commit is empty
+    assert(t.changes(vPre, t.latestVersion(), "k").count() === 0)
+    // idempotent: everything covered -> no new commit
+    val v = t.latestVersion()
+    assert(t.collectStats() === v)
+    // stats columns must be data columns
+    val u = MergeTable(spark, root, Some("date"), Seq("date"))
+    intercept[IllegalArgumentException](u.collectStats())
+  }
+
+  test("SQL: ANALYZE TABLE COMPUTE STATISTICS routes to collectStats " +
+      "for registered names only") {
+    val root = tmpDir("conv_an").resolve("lake").toString
+    orders(("o1", "d1", 1.0), ("o2", "d2", 2.0))
+      .write.partitionBy("date").parquet(root)
+    val t = MergeTable(spark, root, Some("date"), Seq("amount"))
+    t.convertInPlace()
+    graft.sql.GraftSql.register("t_an", t)
+    spark.sql("ANALYZE TABLE t_an COMPUTE STATISTICS")
+    assert(t.liveEntries().forall(_.stats.contains("amount")))
+    // unregistered names delegate to Spark's own ANALYZE (which then
+    // rejects the unknown table itself — we did not swallow it)
+    val e = intercept[Exception](
+      spark.sql("ANALYZE TABLE not_a_graft_table COMPUTE STATISTICS"))
+    assert(!e.isInstanceOf[scala.MatchError])
+  }
+
   test("SQL: CONVERT TO GRAFT TABLE adopts and registers in one statement") {
     val root = tmpDir("conv_sql").resolve("lake").toString
     orders(("o1", "d1", 1.0), ("o2", "d2", 2.0))
