@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{expr, lit}
 import org.apache.spark.sql.types.{DataType, LongType, StructType}
 
 import graft.lake.{MatchClause, MergeTable}
@@ -28,6 +28,7 @@ import graft.lake.{MatchClause, MergeTable}
   *     [WITH SCHEMA EVOLUTION]                  → [[MergeTable.merge]]
   *   UPDATE <name> SET c = e[, ...] [WHERE p]   → [[MergeTable.update]]
   *   DELETE FROM <name> [WHERE p]               → [[MergeTable.delete]]
+  *   INSERT INTO <name> [(a, b, ...)] <query>   → [[MergeTable.append]]
   *   OPTIMIZE <name> [WHERE <partition pred>]
   *     [ZORDER BY (c[, ...])]    → compact / zorder / compactWhere
   *   RESTORE <name> TO VERSION AS OF <v>        → [[MergeTable.restore]]
@@ -402,39 +403,79 @@ object GraftSql {
             t0.withSession(s).delete(w.map(expr)
               .getOrElse(org.apache.spark.sql.functions.lit(true)))))
       }
-    // INSERT INTO <name> <query> — appends the query's rows as a new
-    // commit ([[MergeTable.append]]); columns map BY POSITION to the
-    // table schema (Spark/Delta INSERT semantics), so `VALUES (...)`
-    // tuples and SELECTs both work without column-name gymnastics.
-    case InsertHeadRe(name, rest) =>
+    // INSERT INTO <name> [(a, b, ...)] <query> — appends the query's
+    // rows as a new commit ([[MergeTable.append]]). Without a column
+    // list, columns map BY POSITION to the table schema (Spark/Delta
+    // INSERT semantics); WITH one, the query maps positionally onto
+    // the LISTED columns and every omitted column fills in — NULL for
+    // plain columns, engine-populated for generated and identity ones.
+    case InsertHeadRe(name, rest0) =>
       table(name).map { t0 =>
+        // a leading balanced paren group followed by VALUES/SELECT is
+        // a column list; "INSERT INTO t (SELECT ...)" keeps being a
+        // parenthesized query (nothing follows the group)
+        val (colList, rest) =
+          if (rest0.trim.startsWith("(")) {
+            val (body, after) = groupAt(rest0.trim)
+            val a = after.trim
+            if (indexOfTop(a, "VALUES") == 0 || indexOfTop(a, "SELECT") == 0)
+              (Some(splitTop(body).map(_.trim).filter(_.nonEmpty)), a)
+            else (None, rest0)
+          } else (None, rest0)
         GraftDmlCommand(s"INSERT INTO $name", s => {
           val t = t0.withSession(s)
           val df = s.sql(rest)
           val schema = t.read().schema
-          // identity columns may be OMITTED (Delta INSERT semantics
-          // for GENERATED BY DEFAULT): an arity matching the
-          // non-identity fields maps positionally onto them and the
-          // append populates the rest
+          val genCols = t.generatedColumns.keySet
           val idCols = t.identityColumns.keySet
           val all = schema.fields.toSeq
-          val fields =
-            if (df.columns.length == all.length) all
-            else if (idCols.nonEmpty &&
-                df.columns.length == all.length - idCols.size)
-              all.filterNot(f => idCols.contains(f.name))
-            else throw new IllegalArgumentException(
-              s"INSERT INTO $name: query produces ${df.columns.length} " +
-                s"columns, table has ${all.length}" +
-                (if (idCols.isEmpty) ""
-                 else s" (${all.length - idCols.size} without the " +
-                   s"identity column(s) ${idCols.mkString(", ")})"))
-          // store-assignment casts, Spark INSERT semantics: a VALUES
-          // literal arrives as DECIMAL and must coerce to the table's
-          // type; under ANSI, an uncastable value fails the statement
-          val aligned = df.toDF(fields.map(_.name): _*)
-            .select(fields.map(f =>
-              expr(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+          val aligned = colList match {
+            case Some(cols) =>
+              val known = all.map(_.name).toSet
+              val bad = cols.filterNot(known.contains)
+              require(bad.isEmpty,
+                s"INSERT INTO $name: unknown column(s) ${bad.mkString(", ")}")
+              require(cols.distinct.length == cols.length,
+                s"INSERT INTO $name: duplicate column in list")
+              require(df.columns.length == cols.length,
+                s"INSERT INTO $name: query produces " +
+                  s"${df.columns.length} columns, list names ${cols.length}")
+              val byName = all.map(f => f.name -> f).toMap
+              val base = df.toDF(cols: _*)
+                .select(cols.map(c => expr(s"`$c`")
+                  .cast(byName(c).dataType).as(c)): _*)
+              // omitted plain columns read NULL; omitted generated /
+              // identity columns stay ABSENT so their populators run
+              // (a null would fail the generated invariant)
+              all.filterNot(f => cols.contains(f.name) ||
+                  genCols.contains(f.name) || idCols.contains(f.name))
+                .foldLeft(base)((d, f) =>
+                  d.withColumn(f.name, lit(null).cast(f.dataType)))
+            case None =>
+              // identity columns may be OMITTED (Delta INSERT
+              // semantics for GENERATED BY DEFAULT): an arity matching
+              // the non-identity fields maps positionally onto them
+              // and the append populates the rest
+              val fields =
+                if (df.columns.length == all.length) all
+                else if (idCols.nonEmpty &&
+                    df.columns.length == all.length - idCols.size)
+                  all.filterNot(f => idCols.contains(f.name))
+                else throw new IllegalArgumentException(
+                  s"INSERT INTO $name: query produces " +
+                    s"${df.columns.length} columns, table has " +
+                    s"${all.length}" +
+                    (if (idCols.isEmpty) ""
+                     else s" (${all.length - idCols.size} without the " +
+                       s"identity column(s) ${idCols.mkString(", ")})"))
+              // store-assignment casts, Spark INSERT semantics: a
+              // VALUES literal arrives as DECIMAL and must coerce to
+              // the table's type; under ANSI, an uncastable value
+              // fails the statement
+              df.toDF(fields.map(_.name): _*)
+                .select(fields.map(f =>
+                  expr(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+          }
           t.append(aligned)
         })
       }

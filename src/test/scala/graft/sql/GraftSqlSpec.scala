@@ -144,6 +144,32 @@ class GraftSqlSpec extends SparkSpec {
       .as[Long].head() === 3L)
   }
 
+  test("INSERT INTO with a column list: reordered, omitted-null, and " +
+      "engine-populated columns") {
+    val t = MergeTable(spark, tmpDir("sql_il").toString, None)
+    t.addIdentityColumn("rid")
+    t.overwrite(orders(("o1", "d1", 1.0)))
+    GraftSql.register("t_il", t)
+    // reversed order + omitted amount (NULL) + omitted identity
+    spark.sql("INSERT INTO t_il (date, order_id) VALUES ('d2', 'o2')")
+    val r = spark.sql("SELECT order_id, date, amount, rid FROM t_il " +
+      "WHERE order_id = 'o2'").collect().head
+    assert(r.getString(1) === "d2" && r.isNullAt(2) && r.getLong(3) === 2L)
+    // unknown and duplicate list entries fail loudly
+    intercept[Exception](spark.sql(
+      "INSERT INTO t_il (nope) VALUES ('x')"))
+    intercept[Exception](spark.sql(
+      "INSERT INTO t_il (date, date) VALUES ('a', 'b')"))
+    // arity mismatch against the list fails
+    intercept[Exception](spark.sql(
+      "INSERT INTO t_il (date, order_id) VALUES ('a')"))
+    // a parenthesized QUERY is not a column list
+    spark.sql("INSERT INTO t_il (SELECT order_id, 'd3', 3.0, 30 " +
+      "FROM graft_table('t_il') WHERE order_id = 'o1')")
+    assert(spark.sql("SELECT count(*) c FROM graft_table('t_il')")
+      .as[Long].head() === 3L)
+  }
+
   test("unregistered names and ordinary SQL delegate to Spark untouched") {
     // ordinary SQL still parses and runs through the injected parser
     assert(spark.sql("SELECT 1 + 1 AS x").as[Int].head() === 2)
