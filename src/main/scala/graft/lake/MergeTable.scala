@@ -124,8 +124,11 @@ final class MergeTable private (
     * compaction itself pays O(small-file bytes) and rewrites nothing
     * right-sized, and its change feed is empty (logical content
     * unchanged), so CDF subscribers never see it. Structurally
-    * loop-free: the compaction pass leaves at most ONE under-sized
-    * file per partition, below any `minFiles >= 2`. */
+    * loop-free: the trigger fires only when bin-packing would REDUCE
+    * the partition's file count (>= minFiles small files of which the
+    * two smallest combine under the target), and the pass rewrites
+    * only multi-file bins — so every compaction strictly shrinks the
+    * file count and the trigger cannot re-fire on its own output. */
   def withAutoCompact(targetBytes: Long = 32L << 20,
       minFiles: Int = 4): MergeTable = {
     require(targetBytes > 0 && minFiles >= 2,
@@ -387,8 +390,16 @@ final class MergeTable private (
     * [[addColumn]] possible. The partition column, when configured,
     * must be part of the schema. Physical names: declare BEFORE
     * renaming columns, or use physical names. */
-  def declareSchema(schema: org.apache.spark.sql.types.StructType): Long = {
-    require(schema.fields.nonEmpty, "declareSchema: empty schema")
+  def declareSchema(schema0: org.apache.spark.sql.types.StructType): Long = {
+    require(schema0.fields.nonEmpty, "declareSchema: empty schema")
+    // ENGINE-POPULATED columns (generated rules, identity) are part of
+    // the schema by definition: every write path adds them, so a
+    // declared schema lacking them would reject the engine's own
+    // writes (CREATE ... GENERATED (...) AS <query> could never
+    // succeed — the rules register before the schema declares). Append
+    // any missing ones, generated columns typed by analyzing their
+    // expression against the declared columns.
+    val schema = expandEngineColumns(schema0)
     partitionCol.foreach(pc => require(schema.fieldNames.contains(pc),
       s"declareSchema: partition column '$pc' missing from $schema"))
     require(schema.fieldNames.map(_.toLowerCase).distinct.length ==
@@ -397,6 +408,25 @@ final class MergeTable private (
       val (v, _) = latest()
       (CommitDelta(Nil, Nil, mSchema = Some(schema.json)), v)
     }
+  }
+
+  private def expandEngineColumns(
+      base: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val gen = generatedColumns
+    val ids = identityColumns
+    if (gen.isEmpty && ids.isEmpty) return base
+    var df = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], base)
+    gen.toSeq.sortBy(_._1).foreach { case (c, g) =>
+      if (!df.columns.exists(_.equalsIgnoreCase(c)))
+        df = df.withColumn(c, expr(g))
+    }
+    val idFields = ids.keys.toSeq.sorted
+      .filterNot(c => df.columns.exists(_.equalsIgnoreCase(c)))
+      .map(c => org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.LongType, nullable = false))
+    org.apache.spark.sql.types.StructType(df.schema.fields ++ idFields)
   }
 
   /** Delta's `ALTER TABLE ... ADD COLUMN` — METADATA-ONLY schema
@@ -666,7 +696,18 @@ final class MergeTable private (
       tryCommit(delta, expected) match {
         case Some(v) =>
           if (v % CheckpointInterval == 0) writeCheckpoint(v)
-          if (autoCompact.isDefined && !inAutoCompact.get) maybeAutoCompact()
+          // the user's commit already SUCCEEDED at v — the follow-on
+          // compaction is best-effort derived work, so its failures
+          // (a concurrent vacuum racing the size probe, commit-retry
+          // exhaustion under contention) must never make the committed
+          // write look failed (a caller that retried would double-write)
+          if (autoCompact.isDefined && !inAutoCompact.get) {
+            try maybeAutoCompact()
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                logger.warn(s"auto-compact after commit $v skipped: $e")
+            }
+          }
           return v
         case None => tries += 1
       }
@@ -688,9 +729,22 @@ final class MergeTable private (
   private def maybeAutoCompact(): Unit = {
     val (target, minFiles) = autoCompact.get
     val (_, live) = latest()
-    val needy = live.groupBy(_.partitionValue).valuesIterator.exists(es =>
-      es.count(e => Files.size(root.resolve(e.relPath)) < target)
-        >= minFiles)
+    // a file a concurrent compaction+vacuum removed between latest()
+    // and the probe reads as "not small" (the stale snapshot's commit
+    // attempt would lose the race anyway — no reason to throw here)
+    def sizeOf(e: FileEntry): Long =
+      try Files.size(root.resolve(e.relPath))
+      catch { case _: java.io.IOException => Long.MaxValue }
+    // needy iff compactSmall would actually REDUCE the file count:
+    // >= minFiles small files AND the two smallest combine under the
+    // target (which guarantees first-fit-decreasing packs a multi-file
+    // bin — see compactSmall). Without the combinability test, a
+    // partition of e.g. 30MB+10MB files under a 32MB target would
+    // re-trigger a futile identical repack on EVERY subsequent commit.
+    val needy = live.groupBy(_.partitionValue).valuesIterator.exists { es =>
+      val small = es.map(sizeOf).filter(_ < target).sorted
+      small.size >= minFiles && small.take(2).sum <= target
+    }
     if (needy) {
       inAutoCompact.set(true)
       try compactSmall(target, minFiles)
@@ -843,8 +897,14 @@ final class MergeTable private (
         r.getString(0) -> m
       }
       .toMap
+    // a file contributing no group has ZERO rows (e.g. the empty part
+    // file of a rewrite that kept nothing): record explicit zero-row
+    // stats — readers can skip it entirely, and collectStats sees it
+    // as covered instead of re-Adding it on every call, forever
+    val zeroRows = statsCols
+      .map(c => c -> ColStat(None, Some((0L, 0L)))).toMap
     entries.map(e => e.copy(
-      stats = byKey.getOrElse(fileKey(e.relPath), Map.empty)))
+      stats = byKey.getOrElse(fileKey(e.relPath), zeroRows)))
   }
 
   /** RETROFIT file statistics (SQL: `ANALYZE TABLE t COMPUTE
@@ -877,15 +937,11 @@ final class MergeTable private (
     * a commit collision the same entries re-publish at the fresh version
     * (last-full-writer-wins is the overwrite contract). */
   def overwrite(df0: DataFrame): Long = {
-    // identity may assign OUTSIDE the loop here: a racing writer's rows
-    // are removed by the overwrite itself, so live-row uniqueness holds
-    // even if a lost race replays these entries (IdentityColumns doc)
-    val (df, idTxns) = withIdentity(withGenerated(df0), latestVersion())
-    enforceConstraints(df, "overwrite")
+    val df1 = withGenerated(df0)
     // a DECLARED schema is binding: overwrite replaces rows, not the
     // contract (Delta requires overwriteSchema to change it) — evolve
     // through declareSchema/addColumn instead
-    declaredSchema.foreach { d =>
+    def checkDeclared(df: DataFrame): Unit = declaredSchema.foreach { d =>
       val phys = toPhysical(df).schema
       require(phys.fields.map(f => (f.name, f.dataType)).toSet ==
         d.fields.map(f => (f.name, f.dataType)).toSet,
@@ -893,10 +949,33 @@ final class MergeTable private (
           s"!= declared {${d.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")}}" +
           " — use declareSchema/addColumn to evolve the contract")
     }
-    val (_, entries) = writeData(df)
-    retryingCommit { () =>
-      val (version, live) = latest()
-      (CommitDelta(entries, live.map(_.relPath), txns = idTxns), version)
+    val assignsIdentity =
+      identityColumns.keys.exists(c => !df1.columns.contains(c))
+    if (!assignsIdentity) {
+      enforceConstraints(df1, "overwrite")
+      checkDeclared(df1)
+      val (_, entries) = writeData(df1)
+      retryingCommit { () =>
+        val (version, live) = latest()
+        (CommitDelta(entries, live.map(_.relPath)), version)
+      }
+    } else {
+      // identity assignment reads the allocation watermark, so (as in
+      // append) the WHOLE write runs inside the optimistic loop: a
+      // lost race re-assigns from the fresh watermark. Assigning
+      // outside would keep LIVE-row uniqueness (the overwrite removes
+      // the racer's rows) but replayed entries could reuse values a
+      // racing append already committed — visible to time-travel/CDF
+      // readers of the superseded version, breaking IdentityColumns'
+      // unique-across-history contract.
+      retryingCommit { () =>
+        val (version, live) = latest()
+        val (df, idTxns) = withIdentity(df1, version)
+        enforceConstraints(df, "overwrite")
+        checkDeclared(df)
+        val (_, entries) = writeData(df)
+        (CommitDelta(entries, live.map(_.relPath), txns = idTxns), version)
+      }
     }
   }
 
@@ -1382,8 +1461,11 @@ final class MergeTable private (
     * collision can only MERGE two bins into one larger output file,
     * never split one. Logical content is unchanged — the change feed
     * across a compaction commit is empty. A partition with fewer than
-    * two under-sized files is left alone; if nothing qualifies, the
-    * commit is an empty delta. */
+    * two under-sized files is left alone, as is any small file no
+    * other small file fits next to (rewriting a single-file bin would
+    * emit the same under-sized file again — churn, and a repack loop
+    * under [[withAutoCompact]]); if nothing qualifies, the commit is
+    * an empty delta. */
   def compactSmall(targetBytes: Long,
       minFilesPerPartition: Int = 2): Long = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
@@ -1396,28 +1478,35 @@ final class MergeTable private (
         .filter(_._2 < targetBytes)
         .groupBy(_._1.partitionValue)
         .filter(_._2.size >= minFilesPerPartition)
-      if (small.isEmpty) (CommitDelta(Nil, Nil), version)
-      else {
-        val binOf = Map.newBuilder[String, Int]
-        var nBins = 0
-        small.values.foreach { group =>
-          val fill = mutable.ArrayBuffer.empty[Long]
-          group.sortBy(-_._2).foreach { case (e, sz) =>
-            val i = fill.indexWhere(_ + sz <= targetBytes)
-            val bin =
-              if (i >= 0) { fill(i) += sz; i }
-              else { fill += sz; fill.length - 1 }
-            binOf += fileKey(e.relPath) -> (nBins + bin)
-          }
-          nBins += fill.length
+      // Pack, then rewrite ONLY multi-file bins: a single-file bin
+      // (a small file nothing else fits next to) would be rewritten
+      // into an identical under-sized file — pure churn, and under
+      // withAutoCompact a commit-triggered infinite repack loop (e.g.
+      // 30MB+10MB files, 32MB target: FFD packs them into the same two
+      // under-sized files forever). Every rewritten bin merges >= 2
+      // files, so the commit strictly reduces the file count.
+      val bins = mutable.ArrayBuffer.empty[Seq[FileEntry]]
+      small.values.foreach { group =>
+        val fill = mutable.ArrayBuffer.empty[Long]
+        val members = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[FileEntry]]
+        group.sortBy(-_._2).foreach { case (e, sz) =>
+          val i = fill.indexWhere(_ + sz <= targetBytes)
+          if (i >= 0) { fill(i) += sz; members(i) += e }
+          else { fill += sz; members += mutable.ArrayBuffer(e) }
         }
-        val touched = small.values.flatten.map(_._1).toSeq
+        bins ++= members.filter(_.size >= 2).map(_.toSeq)
+      }
+      if (bins.isEmpty) (CommitDelta(Nil, Nil), version)
+      else {
+        val binOf = bins.zipWithIndex.flatMap { case (es, i) =>
+          es.map(e => fileKey(e.relPath) -> i)
+        }.toSeq
+        val touched = bins.flatten.toSeq
         import spark.implicits._
-        val binDf = broadcast(
-          binOf.result().toSeq.toDF(FileTag, BinCol))
+        val binDf = broadcast(binOf.toDF(FileTag, BinCol))
         val packed = readEntriesTagged(touched, keep = Seq(FileTag))
           .join(binDf, Seq(FileTag))
-          .repartition(nBins, col(BinCol))
+          .repartition(bins.length, col(BinCol))
           .drop(BinCol, FileTag)
         val (_, entries) = writeData(packed)
         (CommitDelta(entries, touched.map(_.relPath)), version)
@@ -1788,13 +1877,41 @@ final class MergeTable private (
     * invariant. The registration is an atomic log commit: it serializes
     * with concurrent writers through the same optimistic-retry protocol
     * as data commits, and [[vacuum]]'s checkpoints carry it. */
-  def addConstraint(name: String, predicate: String): Long = {
+  def addConstraint(name: String, predicate: String): Long =
+    addConstraintImpl(name, predicate, None)
+
+  /** [[addConstraint]], atomically EXTENDING a declared schema with the
+    * engine-populated column the rule governs ([[addGeneratedColumn]] /
+    * [[addIdentityColumn]] on a declared-schema table): without the
+    * extension in the SAME commit, the declared-schema equality checks
+    * on every write path would reject the very column the engine adds.
+    * `engineCol = (column, type-from-declared-schema)`. Only an EMPTY
+    * table may extend — existing rows have no value to satisfy the new
+    * rule, the same fail-fast the validation pass gives any CHECK. */
+  private def addConstraintImpl(name: String, predicate: String,
+      engineCol: Option[(String,
+        org.apache.spark.sql.types.StructType =>
+          org.apache.spark.sql.types.DataType)]): Long = {
     require(name.matches("[A-Za-z0-9_]+"),
       s"constraint name must be [A-Za-z0-9_]+: $name")
     retryingCommit { () =>
       val (version, live) = latest()
       require(!constraintsAt(version).contains(name),
         s"MergeTable at $root already has constraint $name")
+      val mS = engineCol.flatMap { case (c, typeOf) =>
+        schemaAt(version).flatMap { d =>
+          if (d.fieldNames.exists(_.equalsIgnoreCase(c))) None
+          else {
+            require(live.isEmpty,
+              s"cannot add engine-populated column '$c' to a non-empty " +
+                s"table whose declared schema lacks it — existing rows " +
+                "have no value for it")
+            Some(org.apache.spark.sql.types.StructType(d.fields :+
+              org.apache.spark.sql.types.StructField(c, typeOf(d),
+                nullable = true)).json)
+          }
+        }
+      }
       if (live.nonEmpty) {
         val bad = readEntries(live)
           .filter(not(coalesce(expr(predicate), lit(true))))
@@ -1803,7 +1920,8 @@ final class MergeTable private (
           s"cannot add constraint $name: existing row violates " +
             s"($predicate): ${bad.headOption.getOrElse("")}")
       }
-      (CommitDelta(Nil, Nil, cAdds = Seq(name -> predicate)), version)
+      (CommitDelta(Nil, Nil, cAdds = Seq(name -> predicate),
+        mSchema = mS), version)
     }
   }
 
@@ -1863,8 +1981,11 @@ final class MergeTable private (
     * expression loudly on the next write (same failure mode as a
     * constraint referencing the renamed column). */
   def addGeneratedColumn(name: String, exprSql: String): Long =
-    addConstraint(GeneratedColumns.Prefix + name,
-      GeneratedColumns.predicateOf(name, exprSql))
+    addConstraintImpl(GeneratedColumns.Prefix + name,
+      GeneratedColumns.predicateOf(name, exprSql),
+      Some((name, d => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], d)
+        .withColumn(name, expr(exprSql)).schema(name).dataType)))
 
   /** Drop a generated-column rule (the column itself stays, as a
     * normal column). */
@@ -1900,8 +2021,9 @@ final class MergeTable private (
     require(!partitionCol.contains(name),
       s"identity column $name cannot be the partition column (every " +
         "row would open its own partition)")
-    addConstraint(IdentityColumns.Prefix + name,
-      IdentityColumns.predicateOf(name, IdentityColumns.Rule(start, step)))
+    addConstraintImpl(IdentityColumns.Prefix + name,
+      IdentityColumns.predicateOf(name, IdentityColumns.Rule(start, step)),
+      Some((name, _ => org.apache.spark.sql.types.LongType)))
   }
 
   /** Drop an identity rule (the column itself stays, as a normal
@@ -2999,6 +3121,15 @@ final class MergeTable private (
           s"convertInPlace: '$rel' is not under a '$pc=' directory")
       }
     }
+    // A root-level file keys as "<table-dir>/<file>" ([[fileKey]]); a
+    // one-level dir that HAPPENS to share the table dir's name would
+    // produce the same key for a same-named file — reject the (purely
+    // pathological) mixed layout rather than mis-correlate silently.
+    files.filter(!_.contains('/')).foreach { f =>
+      require(!files.contains(s"$rootDirName/$f"),
+        s"convertInPlace: '$f' and '$rootDirName/$f' share a file key " +
+          s"(the subdirectory is named like the table dir '$rootDirName')")
+    }
     val entries = files.map { rel =>
       val pv = partitionCol.flatMap { pc =>
         rel.split('/').find(_.startsWith(pc + "="))
@@ -3552,6 +3683,37 @@ final class MergeTable private (
         s"MergeTable at $root has no data and no history")
     }
   }
+
+  /** The last two path components — "<partition-or-commit-dir>/<part-file>"
+    * — the file identity every path↔manifest correlation keys on.
+    * Basenames ALONE are not unique: within one commit, two partition
+    * dirs hold part files with the SAME task index + job UUID (e.g. a
+    * single-task write into two date partitions both emits
+    * `part-00000-<uuid>`), so a basename-keyed map would attach one
+    * partition's value (or stats) to the other's file. Two components
+    * disambiguate within a commit; across commits the job UUID does.
+    *
+    * A ROOT-LEVEL relPath (a flat [[convertInPlace]] adoption — the
+    * only source of single-component relPaths) has no dir component,
+    * but the scan-side tag is always the last two components of the
+    * ABSOLUTE path, i.e. `<table-dir>/<file>`. Key it the same way, or
+    * every path↔manifest correlation (DELETE/UPDATE touched-file
+    * discovery, compactSmall bin maps, stats attach, deletion vectors)
+    * would silently miss adopted files. */
+  private def fileKey(path: String): String = {
+    val parts = path.split('/')
+    if (parts.length >= 2) parts.takeRight(2).mkString("/")
+    else rootDirName + "/" + path
+  }
+
+  /** The table directory's own name — the second-to-last component the
+    * scan tag sees for root-level files. */
+  private lazy val rootDirName: String = {
+    val n = root.toAbsolutePath.normalize.getFileName
+    require(n != null, s"MergeTable at filesystem root '$root' is not " +
+      "supported (file identity needs a table dir name)")
+    n.toString
+  }
 }
 
 object MergeTable {
@@ -3797,17 +3959,6 @@ object MergeTable {
     new MergeTable(spark, Paths.get(root), partitionCol, statsCols,
       deletionVectors, bloomCols)
   }
-
-  /** The last two path components — "<partition-or-commit-dir>/<part-file>"
-    * — the file identity every path↔manifest correlation keys on.
-    * Basenames ALONE are not unique: within one commit, two partition
-    * dirs hold part files with the SAME task index + job UUID (e.g. a
-    * single-task write into two date partitions both emits
-    * `part-00000-<uuid>`), so a basename-keyed map would attach one
-    * partition's value (or stats) to the other's file. Two components
-    * disambiguate within a commit; across commits the job UUID does. */
-  private def fileKey(path: String): String =
-    path.split('/').takeRight(2).mkString("/")
 
   /** The exact dir-name shape [[writeData]] produces: `commit-` + the
     * first 12 chars of a random UUID string (8 hex, '-', 3 hex). An

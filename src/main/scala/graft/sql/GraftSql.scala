@@ -604,14 +604,25 @@ object GraftSql {
               val df = s.sql(q)
               val seed = t.declaredSchema match {
                 // align the query positionally onto the declared
-                // schema (INSERT semantics, store-assignment casts)
+                // schema (INSERT semantics, store-assignment casts).
+                // declareSchema expanded the declared schema with
+                // ENGINE-POPULATED columns (GENERATED rules, identity)
+                // — the query may produce all of them, or just the
+                // user columns (overwrite fills the rest).
                 case Some(d) =>
-                  require(df.columns.length == d.length,
+                  val engine = t.generatedColumns.keySet ++
+                    t.identityColumns.keySet
+                  val target =
+                    if (df.columns.length == d.length) d.fields.toSeq
+                    else d.fields.toSeq
+                      .filterNot(f => engine.contains(f.name))
+                  require(df.columns.length == target.length,
                     s"CREATE GRAFT TABLE $name: query produces " +
                       s"${df.columns.length} columns, declared " +
-                      s"schema has ${d.length}")
-                  df.toDF(d.fieldNames.toSeq: _*)
-                    .select(d.fields.toSeq.map(f =>
+                      s"schema has ${d.length} (${target.length} " +
+                      "user-populated)")
+                  df.toDF(target.map(_.name): _*)
+                    .select(target.map(f =>
                       expr(s"`${f.name}`").cast(f.dataType)
                         .as(f.name)): _*)
                 case None =>

@@ -69,6 +69,45 @@ class ConvertSpec extends SparkSpec {
       MergeTable(spark, root2, Some("date")).convertInPlace())
   }
 
+  test("flat conversion: DML actually touches adopted root-level files " +
+      "(file-key parity between single-component relPaths and scan tags)") {
+    val root = tmpDir("conv_flat").resolve("lake").toString
+    val data = orders(("o1", "d1", 1.0), ("o2", "d2", 2.0), ("o3", "d3", 3.0))
+    data.repartition(3).write.parquet(root)
+    val t = MergeTable(spark, root, None, statsCols = Seq("amount"))
+    t.convertInPlace()
+    // DELETE must discover the adopted file (a key mismatch would make
+    // this a silent no-op — the adopted-file identity bug class)
+    t.delete(col("order_id") === "o2")
+    assert(contents(t.read()) ===
+      Set(("o1", "d1", 1.0), ("o3", "d3", 3.0)))
+    // UPDATE rewrites through the same touched-file discovery
+    t.update(col("order_id") === "o1", Map("amount" -> lit(10.0)))
+    assert(contents(t.read()) ===
+      Set(("o1", "d1", 10.0), ("o3", "d3", 3.0)))
+    // stats retrofit keys per-file stats by the same identity
+    t.collectStats()
+    assert(t.liveEntries().forall(_.stats.contains("amount")))
+  }
+
+  test("flat conversion: compactSmall merges adopted files without " +
+      "dropping rows") {
+    val root = tmpDir("conv_pack").resolve("lake").toString
+    (1 to 60).map(i => (s"o$i", s"d${i % 3}", i.toDouble))
+      .toDF("order_id", "date", "amount")
+      .repartition(6).write.parquet(root)
+    val t = MergeTable(spark, root, None)
+    t.convertInPlace()
+    assert(t.liveEntries().size === 6)
+    // the bin map inner-joins on the file identity: a key mismatch on
+    // adopted files would DROP their rows while removing the files —
+    // silent data loss, so count preservation is the assertion
+    t.compactSmall(1L << 20)
+    assert(t.liveEntries().size === 1)
+    assert(t.read().count() === 60L)
+    assert(t.read().agg(sum("amount")).as[Double].head() === 1830.0)
+  }
+
   test("collectStats retrofits manifest stats onto adopted files — " +
       "file skipping turns on without rewriting a row") {
     val root = tmpDir("conv").resolve("lake").toString

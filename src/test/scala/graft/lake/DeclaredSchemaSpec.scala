@@ -127,4 +127,55 @@ class DeclaredSchemaSpec extends SparkSpec {
     assert(java.nio.file.Files.list(java.nio.file.Paths.get(p3))
       .findFirst().isPresent)
   }
+
+  test("CREATE ... GENERATED ... AS <query>: the declared schema absorbs " +
+      "engine-populated columns, so the seed and later writes succeed") {
+    // column list + generated PARTITION column the query does not produce
+    val p = tmpDir("dsch_gen").toString
+    spark.sql("CREATE GRAFT TABLE t_gen (order_id STRING, ts TIMESTAMP) " +
+      s"AT '$p' PARTITIONED BY (day) GENERATED (day AS to_date(ts)) " +
+      "AS SELECT 'o1', timestamp'2024-03-05 10:00:00'")
+    assert(spark.sql("SELECT cast(day AS STRING) d FROM t_gen")
+      .as[String].head() === "2024-03-05")
+    val t = graft.sql.GraftSql.table("t_gen").get
+    assert(t.declaredSchema.exists(_.fieldNames.contains("day")),
+      "declared schema includes the generated column")
+    // later engine-filled writes conform to the same declared schema
+    spark.sql("INSERT INTO t_gen (order_id, ts) " +
+      "VALUES ('o2', timestamp'2024-03-06 09:00:00')")
+    assert(spark.sql("SELECT count(*) c FROM t_gen").as[Long].head() === 2L)
+    // pure CTAS (no column list) + GENERATED: schema declared from the
+    // query PLUS the rule's column
+    val p2 = tmpDir("dsch_gen").toString
+    spark.sql(s"CREATE GRAFT TABLE t_gen2 AT '$p2' " +
+      "GENERATED (big AS amount > 1.5) " +
+      "AS SELECT 'o1' AS order_id, 2.0 AS amount")
+    assert(spark.sql("SELECT big FROM t_gen2").as[Boolean].head())
+    assert(graft.sql.GraftSql.table("t_gen2").get
+      .declaredSchema.exists(_.fieldNames.contains("big")))
+  }
+
+  test("ADD GENERATED/IDENTITY COLUMN on an empty declared-schema table " +
+      "extends the schema atomically; non-empty tables refuse") {
+    val t = MergeTable(spark, tmpDir("dsch_id").toString, None)
+    t.declareSchema(StructType(Seq(StructField("v", StringType))))
+    t.addIdentityColumn("id")
+    assert(t.declaredSchema.map(_.fieldNames.toSeq) === Some(Seq("v", "id")))
+    t.addGeneratedColumn("v_up", "upper(v)")
+    assert(t.declaredSchema.exists(f =>
+      f.fieldNames.contains("v_up") &&
+        f("v_up").dataType === StringType))
+    t.append(Seq("a", "b").toDF("v"))
+    val rows = t.read().select("v", "v_up", "id")
+      .as[(String, String, Long)].collect()
+    assert(rows.map(r => (r._1, r._2)).toSet === Set(("a", "A"), ("b", "B")))
+    // which row gets which identity value is unspecified; the SET is not
+    assert(rows.map(_._3).toSet === Set(1L, 2L))
+    // a NON-empty declared-schema table lacking the column refuses the
+    // rule (existing rows have no value to satisfy it)
+    val u = MergeTable(spark, tmpDir("dsch_id").toString, None)
+    u.declareSchema(StructType(Seq(StructField("v", StringType))))
+    u.append(Seq("x").toDF("v"))
+    intercept[IllegalArgumentException](u.addIdentityColumn("id"))
+  }
 }

@@ -1007,6 +1007,32 @@ class MergeTableSpec extends SparkSpec {
     assert(t.read().count() === 6)
   }
 
+  test("compactSmall/auto-compact skip files that cannot combine — " +
+      "no futile repack loop") {
+    val root = tmpDir("mt").toString
+    val plain = MergeTable(spark, root, Some("date"))
+    plain.overwrite(orders(("o1", "d1", 1.0)))
+    plain.append(orders(("o2", "d1", 2.0)))
+    val sizes = plain.liveEntries().map(e =>
+      java.nio.file.Files.size(
+        java.nio.file.Paths.get(root).resolve(e.relPath)))
+    // each file alone is under the target, but no two combine — a
+    // rewrite could only emit the same under-sized files again
+    val target = sizes.max + 1
+    val files = plain.liveEntries().map(_.relPath).toSet
+    plain.compactSmall(target)
+    assert(plain.liveEntries().map(_.relPath).toSet === files,
+      "uncombinable small files are left alone, not churned")
+    val v = plain.latestVersion()
+    // the auto-compact trigger must not fire either (before the
+    // combinability test it re-fired an identical repack on EVERY
+    // commit to the table, forever)
+    val t = MergeTable(spark, root, Some("date")).withAutoCompact(target, 2)
+    t.append(orders(("o3", "d2", 3.0)))
+    assert(t.latestVersion() === v + 1, "no follow-on compaction commit")
+    assert(t.liveEntries().map(_.relPath).toSet.intersect(files) === files)
+  }
+
   test("compactWhere with zorderCols Z-clusters inside the scope only") {
     val root = tmpDir("mt").toString
     val t = MergeTable(spark, root, Some("date"), statsCols = Seq("amount"))
