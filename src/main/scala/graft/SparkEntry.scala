@@ -163,6 +163,9 @@ object SparkEntry {
     // r11 — CONVERT in place: a plain parquet dir adopted as commit 1,
     // then merged on top and read back in full
     "q_convert"         -> (graft.lake.LakeQueries.convertAdopt _),
+    // r12 — multi-column (returnflag x linestatus) partitioning:
+    // layout, tuple-scoped OPTIMIZE WHERE, tuple-probed MERGE, pruned read
+    "q_multipart"       -> (graft.lake.LakeQueries.multiPart _),
     // X148/X149 — the SQL front-end under the gate: the same lifecycle
     // driven purely by SQL strings through the injected parser + TVF
     "q_lake_sql"        -> (graft.sql.SqlQueries.lakeSql _),
@@ -846,6 +849,7 @@ object SparkEntry {
     "q_identity"      -> graft.lake.LakeQueries.identityAssignOracle,
     "q_sql_ddl"       -> graft.sql.SqlQueries.sqlDdlOracle,
     "q_convert"       -> graft.lake.LakeQueries.convertAdoptOracle,
+    "q_multipart"     -> graft.lake.LakeQueries.multiPartOracle,
     "q_stream_mv"     -> graft.streaming.StreamQueries.streamMvOracle,
     "q_stream_replica" -> graft.streaming.StreamQueries.streamReplicaOracle,
     "q_stream_sink"   -> graft.streaming.StreamQueries.streamSinkOracle,

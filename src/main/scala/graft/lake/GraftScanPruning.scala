@@ -160,8 +160,13 @@ class GraftScanPruning(spark: SparkSession) extends Rule[LogicalPlan] {
     * map. */
   private def pruneByFileMap(left: LogicalPlan,
       fileMap: LocalRelation, admitted: Set[String]): Option[LogicalPlan] = {
+    // Key depth mirrors MergeTable.fileKeyDepth (2 + one component per
+    // extra partition level); the map's own keys carry it — all keys of
+    // one table have the same component count.
+    val keyDepth = admitted.headOption.map(_.count(_ == '/') + 1)
+      .getOrElse(2).max(2)
     def fileKeyOf(path: String): String =
-      path.split('/').takeRight(2).mkString("/")
+      path.split('/').takeRight(keyDepth).mkString("/")
     def swap(plan: LogicalPlan): Option[LogicalPlan] = plan match {
       // No tag on the bail paths: the map may not have FOLDED yet when
       // the pattern first matches (the partition filter collapses into

@@ -470,4 +470,46 @@ object LakeQueries {
                          ELSE o_totalprice END, 2) AS price,
               o_orderstatus
        FROM orders ORDER BY o_orderkey"""
+
+  /** MULTI-COLUMN partitioning under the oracle gate: a
+    * (l_returnflag × l_linestatus) two-level layout built from
+    * `lineitem`, exercised end-to-end — seed overwrite, a
+    * tuple-scoped OPTIMIZE WHERE over BOTH columns, a MERGE whose
+    * touched-partition probe collects value TUPLES, and a final
+    * pruned read. The oracle replays the upsert arithmetically (the
+    * layout operations are logically content-preserving). */
+  def multiPart(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch("graft_q_mpart") + "/lake"
+    val base = Tables.lineitem(s, d).select(
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("pk"),
+      col("l_quantity"), col("l_returnflag"), col("l_linestatus"))
+    val t = MergeTable(s, dir, Seq("l_returnflag", "l_linestatus"), Nil,
+      deletionVectors = false, bloomCols = Nil)
+    t.overwrite(base)
+    t.compactWhere(col("l_returnflag") === "A" && col("l_linestatus") === "F")
+    t.merge(base.filter(col("pk") % 97 === 0)
+      .withColumn("l_quantity", col("l_quantity") + 100.0), "pk")
+    t.read()
+      .filter(col("l_returnflag") =!= "N" || col("l_linestatus") === "F")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val multiPartOracle: String =
+    """WITH b AS (SELECT l_orderkey * 8 + l_linenumber AS pk, l_quantity,
+                         l_returnflag, l_linestatus
+                  FROM lineitem),
+         m AS (SELECT pk,
+                      CASE WHEN pk % 97 = 0 THEN l_quantity + 100.0
+                           ELSE l_quantity END AS l_quantity,
+                      l_returnflag, l_linestatus
+               FROM b)
+       SELECT l_returnflag, l_linestatus,
+              CAST(count(*) AS BIGINT) AS n,
+              round(sum(l_quantity), 2) AS qty
+       FROM m
+       WHERE l_returnflag <> 'N' OR l_linestatus = 'F'
+       GROUP BY 1, 2 ORDER BY 1, 2"""
 }

@@ -71,7 +71,7 @@ import org.apache.spark.sql.functions._
 final class MergeTable private (
     val spark: SparkSession,
     val root: Path,
-    val partitionCol: Option[String],
+    val partitionCols: Seq[String],
     val statsCols: Seq[String],
     val deletionVectors: Boolean = false,
     val bloomCols: Seq[String] = Nil,
@@ -80,6 +80,11 @@ final class MergeTable private (
     val autoCompact: Option[(Long, Int)] = None) {
 
   import MergeTable._
+
+  /** The primary (first) partition column — compatibility accessor for
+    * single-column callers; multi-column layouts use
+    * [[partitionCols]]. */
+  def partitionCol: Option[String] = partitionCols.headOption
 
   /** The primary (first) stats column — the one the 2-arg [[readRange]]
     * prunes on, and the one legacy single-stat manifests attribute
@@ -96,7 +101,7 @@ final class MergeTable private (
     * hook (see [[LogStore]]). Reads are unaffected; only the atomic
     * create-if-absent publish goes through the seam. */
   def withLogStore(ls: LogStore): MergeTable =
-    new MergeTable(spark, root, partitionCol, statsCols,
+    new MergeTable(spark, root, partitionCols, statsCols,
       deletionVectors, bloomCols, ls, optimizeWrite, autoCompact)
 
   /** The same handle with OPTIMIZED WRITES on (Delta's
@@ -109,7 +114,7 @@ final class MergeTable private (
     * per commit and must be paid back by compact(). Unpartitioned
     * tables are unchanged ([[compactSmall]] is their remedy). */
   def withOptimizeWrite: MergeTable =
-    new MergeTable(spark, root, partitionCol, statsCols,
+    new MergeTable(spark, root, partitionCols, statsCols,
       deletionVectors, bloomCols, logStore, optimizeWrite = true,
       autoCompact)
 
@@ -134,7 +139,7 @@ final class MergeTable private (
     require(targetBytes > 0 && minFiles >= 2,
       s"withAutoCompact: need targetBytes > 0 and minFiles >= 2, got " +
         s"($targetBytes, $minFiles)")
-    new MergeTable(spark, root, partitionCol, statsCols,
+    new MergeTable(spark, root, partitionCols, statsCols,
       deletionVectors, bloomCols, logStore, optimizeWrite,
       Some((targetBytes, minFiles)))
   }
@@ -147,7 +152,7 @@ final class MergeTable private (
     * reads/writes run on changes. */
   def withSession(s: SparkSession): MergeTable =
     if (s eq spark) this
-    else new MergeTable(s, root, partitionCol, statsCols,
+    else new MergeTable(s, root, partitionCols, statsCols,
       deletionVectors, bloomCols, logStore, optimizeWrite, autoCompact)
 
   // ---- log ----------------------------------------------------------------
@@ -400,7 +405,7 @@ final class MergeTable private (
     // any missing ones, generated columns typed by analyzing their
     // expression against the declared columns.
     val schema = expandEngineColumns(schema0)
-    partitionCol.foreach(pc => require(schema.fieldNames.contains(pc),
+    partitionCols.foreach(pc => require(schema.fieldNames.contains(pc),
       s"declareSchema: partition column '$pc' missing from $schema"))
     require(schema.fieldNames.map(_.toLowerCase).distinct.length ==
       schema.fields.length, s"declareSchema: duplicate names in $schema")
@@ -530,8 +535,8 @@ final class MergeTable private (
     }.getOrElse(logical)
 
   private def guardMappable(name: String, op: String): Unit = {
-    require(!partitionCol.contains(name),
-      s"$op: '$name' is the partition column")
+    require(!partitionCols.contains(name),
+      s"$op: '$name' is a partition column")
     require(!statsCols.contains(physicalOf(name)),
       s"$op: '$name' carries manifest file statistics")
     require(!bloomCols.contains(physicalOf(name)),
@@ -761,32 +766,32 @@ final class MergeTable private (
     val df = toPhysical(dfIn)
     val commitDir = s"commit-${UUID.randomUUID().toString.take(12)}"
     val target = root.resolve(commitDir)
-    partitionCol match {
-      case Some(pc) =>
-        // optimizeWrite: co-locate each hive partition in one task so
-        // the commit adds ~one file per partition, not tasks×partitions
-        val out = if (optimizeWrite) df.repartition(col(pc)) else df
-        out.write.partitionBy(pc).mode("overwrite").parquet(target.toString)
-      case None =>
-        df.write.mode("overwrite").parquet(target.toString)
-    }
+    if (partitionCols.nonEmpty) {
+      // optimizeWrite: co-locate each hive partition in one task so
+      // the commit adds ~one file per partition, not tasks×partitions
+      val out =
+        if (optimizeWrite) df.repartition(partitionCols.map(col): _*)
+        else df
+      out.write.partitionBy(partitionCols: _*).mode("overwrite")
+        .parquet(target.toString)
+    } else df.write.mode("overwrite").parquet(target.toString)
     val entries = Using.resource(Files.walk(target)) { stream =>
       stream.iterator().asScala
         .filter(p => p.getFileName.toString.endsWith(".parquet") &&
           Files.isRegularFile(p))
         .map { p =>
           val rel = root.relativize(p).toString
-          val pv = partitionCol.flatMap { pc =>
-            target.relativize(p).iterator().asScala
-              .map(_.toString)
-              .find(_.startsWith(pc + "="))
+          val segs = target.relativize(p).iterator().asScala
+            .map(_.toString).toSeq
+          // Spark writes NULL partition values as the hive default dir;
+          // normalize to None so the touched-partition set (which maps a
+          // null source value to None) agrees with the written files.
+          val vals = partitionCols.map { pc =>
+            segs.find(_.startsWith(pc + "="))
               .map(s => unescapePathValue(s.substring(pc.length + 1)))
-              // Spark writes NULL partition values as the hive default dir;
-              // normalize to None so the touched-partition set (which maps a
-              // null source value to None) agrees with the written files.
               .filter(_ != HiveDefaultPartition)
           }
-          FileEntry(rel, pv)
+          FileEntry(rel, encodePartValues(vals))
         }.toSeq
     }
     (commitDir, withBlooms(withStats(target, entries)))
@@ -813,7 +818,7 @@ final class MergeTable private (
       val scan = spark.read
         .parquet(entries.map(e => root.resolve(e.relPath).toString): _*)
         .withColumn(BfFile,
-          substring_index(col("_metadata.file_path"), "/", -2))
+          fileTagExpr(col("_metadata.file_path")))
       val hashed = bloomCols.map { c =>
         val v = col(c).cast("long")
         scan.filter(v.isNotNull).select(
@@ -882,7 +887,7 @@ final class MergeTable private (
       max(col(c).cast("long")).as(s"mx_$c"),
       count(col(c)).as(s"nn_$c")))
     val byKey = scan
-      .groupBy(substring_index(col("_metadata.file_path"), "/", -2).as("f"))
+      .groupBy(fileTagExpr(col("_metadata.file_path")).as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
@@ -1005,23 +1010,18 @@ final class MergeTable private (
         if (live.isEmpty) {
           val (_, entries) = writeData(src)
           (CommitDelta(entries, Nil, mSchema = evolvedSchema(src)), version)
-        } else partitionCol match {
-          case Some(pc) =>
+        } else if (partitionCols.nonEmpty) {
             // Partitions needing rewrite = those holding a matched key, plus
-            // those receiving inserts. Distinct partition *values* are log-
+            // those receiving inserts. Distinct partition *tuples* are log-
             // scale metadata — safe to collect (cardinality-guarded).
-            val srcParts = src.select(col(pc).cast("string")).distinct()
-              .collect().map(r => Option(r.getString(0))).toSet
+            val srcParts = partitionTuplesOf(src)
             require(srcParts.size <= MaxPartitionsPerMerge,
               s"merge touches ${srcParts.size} partitions (> " +
                 s"$MaxPartitionsPerMerge); repartition the source or " +
                 "raise the guard — partition values are driver metadata")
-            val matchedParts = readEntries(live)
-              .join(src.select(col(pk)).distinct(), Seq(pk), "left_semi")
-              .select(col(pc).cast("string")).distinct()
-              .collect().map(r => Option(r.getString(0))).toSet
-            val touched: Set[Option[String]] =
-              srcParts.map(_.asInstanceOf[Option[String]]) ++ matchedParts
+            val matchedParts = partitionTuplesOf(readEntries(live)
+              .join(src.select(col(pk)).distinct(), Seq(pk), "left_semi"))
+            val touched = srcParts ++ matchedParts
             val touchedFiles =
               live.filter(e => touched.contains(e.partitionValue))
             val remaining = readEntries(touchedFiles)
@@ -1032,7 +1032,7 @@ final class MergeTable private (
             // untouched partitions' files are implicitly carried over.
             (CommitDelta(newEntries, touchedFiles.map(_.relPath),
               mSchema = evolvedSchema(out)), version)
-          case None =>
+        } else {
             // Unpartitioned: inherently a full-table rewrite, as in Delta
             // without partition pruning.
             if (live.size >= FullRewriteWarnFiles)
@@ -1223,39 +1223,36 @@ final class MergeTable private (
           }
         } else {
           val srcKeys = src.select(keys.map(col): _*).distinct()
-          val touchedFiles = partitionCol match {
+          val touchedFiles =
             // WHEN NOT MATCHED BY SOURCE must examine every live row —
             // any partition may hold an unmatched target row
-            case _ if notMatchedBySourceDelete.isDefined => live
-            case Some(pc) =>
+            if (notMatchedBySourceDelete.isDefined) live
+            else if (partitionCols.nonEmpty) {
               // updates/inserts can land rows in the SOURCE rows'
               // partitions (an update may move a row across partitions);
               // matched keys pin the target partitions that rewrite.
               val srcParts: Set[Option[String]] =
                 if (!writesRows) Set.empty
                 else {
-                  val ps = src.select(col(pc).cast("string")).distinct()
-                    .collect().map(r => Option(r.getString(0))).toSet
+                  val ps = partitionTuplesOf(src)
                   require(ps.size <= MaxPartitionsPerMerge,
                     s"merge touches ${ps.size} partitions (> " +
                       s"$MaxPartitionsPerMerge); repartition the source or " +
                       "raise the guard — partition values are driver metadata")
-                  ps.map(x => x: Option[String])
+                  ps
                 }
-              val matchedParts = readEntries(live)
-                .join(srcKeys, keys, "left_semi")
-                .select(col(pc).cast("string")).distinct()
-                .collect().map(r => Option(r.getString(0))).toSet
+              val matchedParts = partitionTuplesOf(
+                readEntries(live).join(srcKeys, keys, "left_semi"))
               val touched = srcParts ++ matchedParts
               live.filter(e => touched.contains(e.partitionValue))
-            case None =>
+            } else {
               if (live.size >= FullRewriteWarnFiles)
                 logger.warn(
                   s"MergeTable at $root: unpartitioned MERGE rewrites all " +
                     s"${live.size} live files; declare a partition column " +
                     "to get partition-level file skipping")
               live
-          }
+            }
           val tgt = readEntries(touchedFiles)
           val tCols = tgt.columns.toSeq
           val sCols = src.columns.toSeq
@@ -1392,20 +1389,15 @@ final class MergeTable private (
         if (live.isEmpty) {
           val (_, entries) = writeData(upserts)
           (CommitDelta(entries, Nil), version)
-        } else partitionCol match {
-          case Some(pc) =>
-            val insParts = upserts.select(col(pc).cast("string")).distinct()
-              .collect().map(r => Option(r.getString(0))).toSet
+        } else if (partitionCols.nonEmpty) {
+            val insParts = partitionTuplesOf(upserts)
             require(insParts.size <= MaxPartitionsPerMerge,
               s"mergeCdc touches ${insParts.size} partitions (> " +
                 s"$MaxPartitionsPerMerge); repartition the feed or raise " +
                 "the guard — partition values are driver metadata")
-            val matchedParts = readEntries(live)
-              .join(keys, Seq(pk), "left_semi")
-              .select(col(pc).cast("string")).distinct()
-              .collect().map(r => Option(r.getString(0))).toSet
-            val touched: Set[Option[String]] =
-              insParts.map(_.asInstanceOf[Option[String]]) ++ matchedParts
+            val matchedParts = partitionTuplesOf(
+              readEntries(live).join(keys, Seq(pk), "left_semi"))
+            val touched = insParts ++ matchedParts
             val touchedFiles =
               live.filter(e => touched.contains(e.partitionValue))
             val remaining = readEntries(touchedFiles)
@@ -1413,7 +1405,7 @@ final class MergeTable private (
             val out = remaining.unionByName(upserts)
             val (_, newEntries) = writeData(out)
             (CommitDelta(newEntries, touchedFiles.map(_.relPath)), version)
-          case None =>
+        } else {
             if (live.size >= FullRewriteWarnFiles)
               logger.warn(
                 s"MergeTable at $root: unpartitioned CDC apply rewrites " +
@@ -1577,8 +1569,8 @@ final class MergeTable private (
     * nothing (or an empty table) publishes an empty delta. */
   def compactWhere(predicate: Column, filesPerPartition: Int = 1,
       zorderCols: Seq[String] = Nil): Long = {
-    val pc = partitionCol.getOrElse(throw new IllegalArgumentException(
-      s"MergeTable at $root: OPTIMIZE WHERE requires a partitioned table"))
+    require(partitionCols.nonEmpty,
+      s"MergeTable at $root: OPTIMIZE WHERE requires a partitioned table")
     require(zorderCols.size <= 3,
       s"zorder takes 1-3 columns (16 bits each, long-width Z), got " +
         zorderCols)
@@ -1586,7 +1578,7 @@ final class MergeTable private (
       val (version, live) = latest()
       if (live.isEmpty) (CommitDelta(Nil, Nil), version)
       else {
-        val passing = selectedPartitions(live, predicate, pc)
+        val passing = selectedPartitions(live, predicate)
         val selected = live.filter(e => passing.contains(e.partitionValue))
         if (selected.isEmpty) (CommitDelta(Nil, Nil), version)
         else {
@@ -1594,7 +1586,7 @@ final class MergeTable private (
           val df0 = readEntries(selected)
           val df =
             if (zorderCols.nonEmpty) clusterZ(df0, zorderCols, parts)
-            else df0.repartition(parts, col(pc))
+            else df0.repartition(parts, partitionCols.map(col): _*)
           val (_, entries) = writeData(df)
           (CommitDelta(entries, selected.map(_.relPath)), version)
         }
@@ -1602,30 +1594,42 @@ final class MergeTable private (
     }
   }
 
-  /** The partition values of `live` selected by `predicate` —
-    * evaluated over the distinct values (numPartitions-scale metadata)
-    * cast to the read schema's partition type, so the test agrees with
-    * what a reader of the partition column would see. NULL predicate
-    * results keep the partition UNSELECTED (SQL WHERE semantics). */
-  private def selectedPartitions(live: Seq[FileEntry], predicate: Column,
-      pc: String): Set[Option[String]] = {
-    val values = live.map(_.partitionValue).distinct
-    val pcType = readEntries(live).schema(pc).dataType
-    import spark.implicits._
-    // The evaluation frame carries the PARTITION COLUMN ONLY, so the
+  /** The partition tuples of `live` (encoded, as in the manifest)
+    * selected by `predicate` — evaluated over the DISTINCT tuples
+    * (numPartitions-scale metadata), each column cast to the read
+    * schema's partition type, so the test agrees with what a reader of
+    * the partition columns would see. NULL predicate results keep the
+    * partition UNSELECTED (SQL WHERE semantics). */
+  private def selectedPartitions(live: Seq[FileEntry],
+      predicate: Column): Set[Option[String]] = {
+    val tuples = live.map(_.partitionValue).distinct
+    val schema = readEntries(live).schema
+    val pcTypes = partitionCols.map(c => schema(c).dataType)
+    val evalSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__graft_pv",
+        org.apache.spark.sql.types.StringType) +:
+        partitionCols.map(c => org.apache.spark.sql.types.StructField(
+          "__graft_raw_" + c, org.apache.spark.sql.types.StringType)))
+    val rows = tuples.map(pv => org.apache.spark.sql.Row.fromSeq(
+      pv.orNull +: partValuesOf(pv).map(_.orNull)))
+    import scala.jdk.CollectionConverters._
+    // The evaluation frame carries the PARTITION COLUMNS ONLY, so the
     // only-partition-predicates rule enforces itself: any other column
     // reference fails analysis (rethrown with a targeted message).
+    val frame = partitionCols.zip(pcTypes).foldLeft(
+      spark.createDataFrame(rows.asJava, evalSchema)) {
+        case (d, (c, t)) => d.withColumn(c, col("__graft_raw_" + c).cast(t))
+      }
     val passed =
-      try values.map(_.orNull).toDF("__graft_pv")
-        .withColumn(pc, col("__graft_pv").cast(pcType))
-        .filter(predicate)
+      try frame.filter(predicate)
         .select("__graft_pv")
         .collect().map(r => Option(r.getString(0)))
       catch {
         case e: org.apache.spark.sql.AnalysisException =>
           throw new IllegalArgumentException(
             s"OPTIMIZE WHERE predicate must reference only the " +
-              s"partition column '$pc': ${e.getMessage}")
+              s"partition column(s) ${partitionCols.mkString(", ")}: " +
+              e.getMessage)
       }
     passed.toSet
   }
@@ -1778,7 +1782,7 @@ final class MergeTable private (
     if (missing.isEmpty) fromStats
     else fromStats ++ spark.read
       .parquet(missing.map(e => root.resolve(e.relPath).toString): _*)
-      .groupBy(substring_index(col("_metadata.file_path"), "/", -2))
+      .groupBy(fileTagExpr(col("_metadata.file_path")))
       .count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
@@ -1811,8 +1815,9 @@ final class MergeTable private (
     * every unmatched row alongside. Delta's DV-based UPDATE shape. */
   def update(predicate: Column, set: Map[String, Column]): Long = {
     require(set.nonEmpty, "update needs at least one SET column")
-    require(!partitionCol.exists(set.contains),
-      s"cannot update partition column $partitionCol; delete + merge instead")
+    require(!partitionCols.exists(set.contains),
+      s"cannot update partition column(s) $partitionCols; delete + merge " +
+        "instead")
     retryingCommit { () =>
       val (version, live) = latest()
       if (live.isEmpty) (CommitDelta(Nil, Nil), version)
@@ -2018,8 +2023,8 @@ final class MergeTable private (
   def addIdentityColumn(name: String, start: Long = 1L,
       step: Long = 1L): Long = {
     require(step != 0L, s"identity column $name: step must be non-zero")
-    require(!partitionCol.contains(name),
-      s"identity column $name cannot be the partition column (every " +
+    require(!partitionCols.contains(name),
+      s"identity column $name cannot be a partition column (every " +
         "row would open its own partition)")
     addConstraintImpl(IdentityColumns.Prefix + name,
       IdentityColumns.predicateOf(name, IdentityColumns.Rule(start, step)),
@@ -2121,7 +2126,7 @@ final class MergeTable private (
   private def recomputeGenerated(df: DataFrame,
       explicitlySet: Set[String]): DataFrame =
     generatedColumns.foldLeft(df) { case (d, (c, g)) =>
-      if (explicitlySet.contains(c) || partitionCol.contains(c)) d
+      if (explicitlySet.contains(c) || partitionCols.contains(c)) d
       else d.withColumn(c, expr(g))
     }
 
@@ -2134,21 +2139,25 @@ final class MergeTable private (
     * this is always a may-match SUPERSET — same contract as
     * [[compilePrune]], with which it composes conjunctively. */
   private def compileGenPrune(cond: cxp.Expression): FileEntry => Boolean = {
-    if (partitionCol.isEmpty) return NoPrune // nothing to transfer onto
-    val rule = for {
-      pc <- partitionCol
-      g <- generatedColumns.get(pc)
-      f <- GeneratedColumns.formOf(spark, g)
-    } yield (g, f)
-    rule match {
-      case None => NoPrune
-      case Some((g, form)) => compileGenPruneWith(cond, g, form)
+    if (partitionCols.isEmpty) return NoPrune // nothing to transfer onto
+    // one transfer rule per GENERATED partition column; their prunes
+    // compose conjunctively (each is an independent may-match superset)
+    val rules = partitionCols.flatMap { pc =>
+      for {
+        g <- generatedColumns.get(pc)
+        f <- GeneratedColumns.formOf(spark, g)
+      } yield (pc, g, f)
     }
+    if (rules.isEmpty) NoPrune
+    else rules.map { case (pc, g, form) =>
+      compileGenPruneWith(cond, g, form, fe => partValueOf(fe, pc))
+    }.reduce((a, b) => fe => a(fe) && b(fe))
   }
 
   private def compileGenPruneWith(e: cxp.Expression, g: String,
-      form: GeneratedColumns.GenForm): FileEntry => Boolean = {
-    def rec(x: cxp.Expression) = compileGenPruneWith(x, g, form)
+      form: GeneratedColumns.GenForm,
+      pvOf: FileEntry => Option[String]): FileEntry => Boolean = {
+    def rec(x: cxp.Expression) = compileGenPruneWith(x, g, form, pvOf)
     /** The resolved, foldable literal side's EXTERNAL value (analyzed
       * conditions fold casts the analyzer inserted). Only engages when
       * the OTHER side is the bare source attribute (comparison in the
@@ -2182,16 +2191,16 @@ final class MergeTable private (
       case cxp.Or(l, r) =>
         val (cl, cr) = (rec(l), rec(r)); fe => cl(fe) || cr(fe)
       case cxp.EqualTo(a, b) =>
-        genEq(Seq(bound(a, b).orElse(bound(b, a))))
+        genEq(Seq(bound(a, b).orElse(bound(b, a))), pvOf)
       case cxp.In(a, list) =>
-        genEq(list.map(l => bound(a, l)))
+        genEq(list.map(l => bound(a, l)), pvOf)
       case cxp.InSet(a, set) =>
         // post-optimization IN rendering: values are internal; rebuild
         // literals of the attribute's type
         a match {
           case ar: cxp.AttributeReference if ar.name == form.src =>
             genEq(set.toSeq.map(v =>
-              bound(ar, cxp.Literal.create(v, ar.dataType))))
+              bound(ar, cxp.Literal.create(v, ar.dataType))), pvOf)
           case _ => NoPrune
         }
       // matching rows of `range(x, y)` satisfy x >= y (strict bounds
@@ -2200,10 +2209,10 @@ final class MergeTable private (
       // Ranges transfer ONLY through monotonic shapes — `month(ts)`
       // cycles, so `ts >= T` says nothing about the month partition.
       case _ if !form.monotonic => NoPrune
-      case cxp.GreaterThan(a, b)        => genRange(bound, a, b)
-      case cxp.GreaterThanOrEqual(a, b) => genRange(bound, a, b)
-      case cxp.LessThan(a, b)           => genRange(bound, b, a)
-      case cxp.LessThanOrEqual(a, b)    => genRange(bound, b, a)
+      case cxp.GreaterThan(a, b)        => genRange(bound, a, b, pvOf)
+      case cxp.GreaterThanOrEqual(a, b) => genRange(bound, a, b, pvOf)
+      case cxp.LessThan(a, b)           => genRange(bound, b, a, pvOf)
+      case cxp.LessThanOrEqual(a, b)    => genRange(bound, b, a, pvOf)
       case _ => NoPrune
     }
   }
@@ -2213,11 +2222,12 @@ final class MergeTable private (
     * transferred (a partially-transferred IN must not prune on the
     * transferred subset alone). A null-partition file holds only
     * rows whose source is null, which no non-null equality matches. */
-  private def genEq(bounds: Seq[Option[String]]): FileEntry => Boolean =
+  private def genEq(bounds: Seq[Option[String]],
+      pvOf: FileEntry => Option[String]): FileEntry => Boolean =
     if (bounds.isEmpty || bounds.exists(_.isEmpty)) NoPrune
     else {
       val vals = bounds.flatten.toSet
-      fe => fe.partitionValue.exists(vals.contains)
+      fe => pvOf(fe).exists(vals.contains)
     }
 
   /** Orient `x >= y` around whichever side is the source attribute:
@@ -2225,10 +2235,11 @@ final class MergeTable private (
     * `lit >= attr` the mirror; neither side matching keeps all. */
   private def genRange(
       bound: (cxp.Expression, cxp.Expression) => Option[String],
-      x: cxp.Expression, y: cxp.Expression): FileEntry => Boolean =
+      x: cxp.Expression, y: cxp.Expression,
+      pvOf: FileEntry => Option[String]): FileEntry => Boolean =
     bound(x, y) match {
-      case Some(_) => genGe(bound(x, y), low = true)
-      case None    => genGe(bound(y, x), low = false)
+      case Some(_) => genGe(bound(x, y), low = true, pvOf)
+      case None    => genGe(bound(y, x), low = false, pvOf)
     }
 
   /** Range transfer (monotonic shapes only): `src >= L` keeps files
@@ -2237,12 +2248,13 @@ final class MergeTable private (
     * longs, else raw string (ISO dates and prefixes order
     * lexicographically). Null-partition files hold only null-source
     * rows, which satisfy no range predicate. */
-  private def genGe(bound: Option[String], low: Boolean)
+  private def genGe(bound: Option[String], low: Boolean,
+      pvOf: FileEntry => Option[String])
       : FileEntry => Boolean = bound match {
     case None => NoPrune
     case Some(b) =>
       val bNum = scala.util.Try(b.trim.toLong).toOption
-      fe => fe.partitionValue.exists { pv =>
+      fe => pvOf(fe).exists { pv =>
         (bNum, scala.util.Try(pv.trim.toLong).toOption) match {
           case (Some(bn), Some(pn)) => if (low) pn >= bn else pn <= bn
           case _ => if (low) pv >= b else pv <= b
@@ -2425,8 +2437,11 @@ final class MergeTable private (
     * the log level before Spark ever lists them. */
   def read(partitionFilter: Option[String => Boolean] = None): DataFrame = {
     val (_, live) = latest()
-    val pruned = (partitionFilter, partitionCol) match {
-      case (Some(f), Some(_)) =>
+    val pruned = partitionFilter match {
+      // f sees the manifest-encoded value: the raw value on a
+      // single-column table, the escaped '/'-joined tuple on a
+      // multi-column one
+      case Some(f) if partitionCols.nonEmpty =>
         live.filter(_.partitionValue.forall(f))
       case _ => live
     }
@@ -2723,13 +2738,13 @@ final class MergeTable private (
     case cxp.IsNotNull(a) => attrOf(a) match {
       case Some(c) => fe =>
         notNullEntryMay(c, fe) &&
-          (!partitionCol.contains(c) || fe.partitionValue.isDefined)
+          (!partitionCols.contains(c) || partValueOf(fe, c).isDefined)
       case None => NoPrune
     }
     case cxp.IsNull(a) => attrOf(a) match {
       case Some(c) => fe =>
         fe.stats.get(c).forall(cs => cs.nullsRows.forall(_._1 > 0)) &&
-          (!partitionCol.contains(c) || fe.partitionValue.isEmpty)
+          (!partitionCols.contains(c) || partValueOf(fe, c).isEmpty)
       case None => NoPrune
     }
     case _ => NoPrune
@@ -2772,8 +2787,8 @@ final class MergeTable private (
     lazy val bloomPass: Set[String] =
       bloomAdmittedFiles(c, longs.toSeq, live)
     fe => {
-      val partOk = !partitionCol.contains(c) || !allPart ||
-        nonNull.isEmpty || fe.partitionValue.forall { pv =>
+      val partOk = !partitionCols.contains(c) || !allPart ||
+        nonNull.isEmpty || partValueOf(fe, c).forall { pv =>
           strs.contains(pv) ||
             (allLong && scala.util.Try(pv.trim.toLong).toOption
               .exists(p => java.util.Arrays.binarySearch(longs, p) >= 0))
@@ -2795,8 +2810,8 @@ final class MergeTable private (
     * strings), the [[rangeEntries]] test as a closure. */
   private def compileRange(c: String, lo: Long,
       hi: Long): FileEntry => Boolean = fe => {
-    val partOk = !partitionCol.contains(c) ||
-      fe.partitionValue.forall(pv =>
+    val partOk = !partitionCols.contains(c) ||
+      partValueOf(fe, c).forall(pv =>
         scala.util.Try(pv.trim.toLong).toOption
           .forall(p => p >= lo && p <= hi))
     partOk && fe.stats.get(c).forall { cs =>
@@ -3107,18 +3122,23 @@ final class MergeTable private (
         .toSeq.sorted
     }
     require(files.nonEmpty, s"convertInPlace: no parquet files under $root")
+    val maxDepth = math.max(1, partitionCols.size)
     files.foreach { rel =>
       val depth = rel.count(_ == '/')
-      require(depth <= 1,
-        s"convertInPlace: '$rel' nests deeper than one hive level — " +
-          "only flat or single-column pc=v layouts convert (file-key " +
-          "identity is the last two path components)")
-      // with a partition column, EVERY file must sit under a pc= dir —
-      // a root-level file would read NULL partition values (its value
-      // lives in the data column the manifest attach then shadows)
-      partitionCol.foreach { pc =>
-        require(depth == 1 && rel.startsWith(pc + "="),
-          s"convertInPlace: '$rel' is not under a '$pc=' directory")
+      require(depth <= maxDepth,
+        s"convertInPlace: '$rel' nests deeper than the declared hive " +
+          s"levels (${partitionCols.mkString("/")})")
+      // with partition columns, EVERY file must sit under the full
+      // pc0=/pc1=/... chain IN ORDER — a shallower file would read NULL
+      // partition values (its value lives in the data column the
+      // manifest attach then shadows)
+      if (partitionCols.nonEmpty) {
+        val segs = rel.split('/')
+        require(segs.length == partitionCols.size + 1 &&
+          partitionCols.zip(segs).forall { case (pc, seg) =>
+            seg.startsWith(pc + "=") },
+          s"convertInPlace: '$rel' is not under a '" +
+            partitionCols.map(_ + "=<v>").mkString("/") + "' directory chain")
       }
     }
     // A root-level file keys as "<table-dir>/<file>" ([[fileKey]]); a
@@ -3131,18 +3151,19 @@ final class MergeTable private (
           s"(the subdirectory is named like the table dir '$rootDirName')")
     }
     val entries = files.map { rel =>
-      val pv = partitionCol.flatMap { pc =>
-        rel.split('/').find(_.startsWith(pc + "="))
-          .map(s => unescapePathValue(s.substring(pc.length + 1)))
+      val segs = rel.split('/').toSeq
+      val vals = partitionCols.map { pc =>
+        segs.find(_.startsWith(pc + "="))
+          .map(x => unescapePathValue(x.substring(pc.length + 1)))
           .filter(_ != HiveDefaultPartition)
       }
-      FileEntry(rel, pv)
+      FileEntry(rel, encodePartValues(vals))
     }
-    // one footer-only probe; hive inference types the partition column
+    // one footer-only probe; hive inference types the partition columns
     val schema = spark.read
       .option("basePath", root.toString)
       .parquet(root.toString).schema
-    partitionCol.foreach(pc => require(schema.fieldNames.contains(pc),
+    partitionCols.foreach(pc => require(schema.fieldNames.contains(pc),
       s"convertInPlace: partition column '$pc' not inferred from the " +
         s"layout (schema: ${schema.fieldNames.mkString(", ")})"))
     retryingCommit { () =>
@@ -3163,7 +3184,7 @@ final class MergeTable private (
         !Using.resource(Files.list(destPath))(_.findFirst().isPresent)),
       s"clone destination $dest is not an empty directory")
     val (srcV, live) = latest()
-    val clone = new MergeTable(spark, destPath, partitionCol, statsCols,
+    val clone = new MergeTable(spark, destPath, partitionCols, statsCols,
       deletionVectors, bloomCols, logStore)
     Files.createDirectories(destPath)
     // Deletion-vector refs are root-relative paths exactly like data
@@ -3296,7 +3317,9 @@ final class MergeTable private (
     import spark.implicits._
     Seq((
       "graft", root.toAbsolutePath.normalize.toString,
-      partitionCol.orNull, v, live.size.toLong, bytes,
+      (if (partitionCols.isEmpty) null
+       else partitionCols.mkString(",")),
+      v, live.size.toLong, bytes,
       live.count(_.dv.isDefined).toLong, checks.toLong, gen.size.toLong
     )).toDF("format", "location", "partition_column", "version",
       "num_files", "size_bytes", "num_files_with_deletion_vectors",
@@ -3488,48 +3511,72 @@ final class MergeTable private (
     // cast to the schema's type. Per-dir footer resolution is a driver
     // metadata read (no jobs); part-file names embed a job UUID so they
     // are unique across dirs (the same invariant `withStats` keys on).
-    val (dataFields, partField) = declared match {
-      case Some(s) =>
-        (s.fields.filterNot(f => partitionCol.contains(f.name)).toVector,
-          partitionCol.flatMap(pc => s.fields.find(_.name == pc)))
-      case None =>
-        val dirSchemas = byDir.toSeq.sortBy(_._1)
-          .map { case (dir, es) => hiveRead(dir, es).schema }
-        // A dir whose every file sits in the hive default (null)
-        // partition infers NullType for the partition column — prefer a
-        // dir with a real inferred type; all-null falls back to a typed
-        // null literal below.
-        (dirSchemas.flatMap(_.fields)
-          .filterNot(f => partitionCol.contains(f.name))
-          .foldLeft(Vector.empty[org.apache.spark.sql.types.StructField]) {
-            (acc, f) => if (acc.exists(_.name == f.name)) acc else acc :+ f
-          },
-          partitionCol.flatMap { pc =>
-            val fs = dirSchemas.flatMap(_.fields.find(_.name == pc))
-            fs.find(_.dataType != org.apache.spark.sql.types.NullType)
-              .orElse(fs.headOption)
-          })
-    }
+    val (dataFields, partFields) = resolvePartFields(declared, byDir)
     val base = spark.read
       .schema(org.apache.spark.sql.types.StructType(dataFields))
       .parquet(entries.map(e => root.resolve(e.relPath).toString): _*)
-    (partitionCol, partField) match {
-      case (Some(pc), Some(pf)) =>
-        import spark.implicits._
-        val fpMap = entries
-          .map(e => (fileKey(e.relPath), e.partitionValue.orNull))
-          .toDF("__graft_file", "__graft_pv")
-        val pv =
-          if (pf.dataType == org.apache.spark.sql.types.NullType) lit(null)
-          else col("__graft_pv").cast(pf.dataType)
-        base
-          .withColumn("__graft_file",
-            substring_index(input_file_name(), "/", -2))
-          .join(broadcast(fpMap), Seq("__graft_file"), "left")
-          .withColumn(pc, pv)
-          .select(dataFields.map(f => col(f.name)) :+ col(pc): _*)
-      case _ => base
-    }
+    if (partitionCols.nonEmpty && partFields.size == partitionCols.size) {
+      val attached = base
+        .withColumn("__graft_file", fileTagExpr(input_file_name()))
+        .join(broadcast(partValueMap(entries, "__graft_file")),
+          Seq("__graft_file"), "left")
+      val withParts = partitionCols.zip(partFields).foldLeft(attached) {
+        case (d, (pc, pf)) =>
+          val pv =
+            if (pf.dataType == org.apache.spark.sql.types.NullType)
+              lit(null)
+            else col(PvColPrefix + pc).cast(pf.dataType)
+          d.withColumn(pc, pv)
+      }
+      withParts.select(
+        dataFields.map(f => col(f.name)) ++ partitionCols.map(col): _*)
+    } else base
+  }
+
+  /** The (data fields, partition fields) split for a multi-dir read:
+    * data fields from the declared schema or the per-dir footer union;
+    * one hive-typed field per partition column. A dir whose every file
+    * sits in the hive default (null) partition infers NullType for a
+    * partition column — prefer a dir with a real inferred type;
+    * all-null falls back to a typed null literal at the attach. */
+  private def resolvePartFields(
+      declared: Option[org.apache.spark.sql.types.StructType],
+      byDir: Map[String, Seq[FileEntry]])
+      : (Vector[org.apache.spark.sql.types.StructField],
+         Seq[org.apache.spark.sql.types.StructField]) = declared match {
+    case Some(s) =>
+      (s.fields.filterNot(f => partitionCols.contains(f.name)).toVector,
+        partitionCols.flatMap(pc => s.fields.find(_.name == pc)))
+    case None =>
+      val dirSchemas = byDir.toSeq.sortBy(_._1)
+        .map { case (dir, es) => hiveRead(dir, es).schema }
+      (dirSchemas.flatMap(_.fields)
+        .filterNot(f => partitionCols.contains(f.name))
+        .foldLeft(Vector.empty[org.apache.spark.sql.types.StructField]) {
+          (acc, f) => if (acc.exists(_.name == f.name)) acc else acc :+ f
+        },
+        partitionCols.flatMap { pc =>
+          val fs = dirSchemas.flatMap(_.fields.find(_.name == pc))
+          fs.find(_.dataType != org.apache.spark.sql.types.NullType)
+            .orElse(fs.headOption)
+        })
+  }
+
+  /** The broadcast (file key -> per-column partition value) attach map
+    * — the log, not the path layout, is the read's source of truth for
+    * partition values (as in Delta). One string column per partition
+    * column, named [[PvColPrefix]]`<col>`. */
+  private def partValueMap(entries: Seq[FileEntry],
+      keyCol: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(keyCol,
+        org.apache.spark.sql.types.StringType) +:
+        partitionCols.map(c => org.apache.spark.sql.types.StructField(
+          PvColPrefix + c, org.apache.spark.sql.types.StringType)))
+    val rows = entries.map(e => org.apache.spark.sql.Row.fromSeq(
+      fileKey(e.relPath) +: partValuesOf(e.partitionValue).map(_.orNull)))
+    spark.createDataFrame(rows.asJava, schema)
   }
 
   /** Read `entries` with the file identity ([[FileTag]] = [[fileKey]])
@@ -3565,7 +3612,7 @@ final class MergeTable private (
       declared: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     def tagged(scan: DataFrame): DataFrame = scan
       .withColumn(FileTag,
-        substring_index(col("_metadata.file_path"), "/", -2))
+        fileTagExpr(col("_metadata.file_path")))
       .withColumn(PosCol, col("_metadata.row_index"))
     val byDir = entries.groupBy(e => commitDirOf(e.relPath))
     // Base scan + partition restore: the same two shapes as readEntries
@@ -3577,43 +3624,26 @@ final class MergeTable private (
         val df = tagged(hiveRead(byDir.head._1, byDir.head._2))
         (df, df.columns.filterNot(Set(FileTag, PosCol)).toSeq)
       } else {
-        val (dataFields, partField) = declared match {
-          case Some(s) =>
-            (s.fields.filterNot(f => partitionCol.contains(f.name)).toVector,
-              partitionCol.flatMap(pc => s.fields.find(_.name == pc)))
-          case None =>
-            val dirSchemas = byDir.toSeq.sortBy(_._1)
-              .map { case (dir, es) => hiveRead(dir, es).schema }
-            (dirSchemas.flatMap(_.fields)
-              .filterNot(f => partitionCol.contains(f.name))
-              .foldLeft(
-                Vector.empty[org.apache.spark.sql.types.StructField]) {
-                (acc, f) => if (acc.exists(_.name == f.name)) acc else acc :+ f
-              },
-              partitionCol.flatMap { pc =>
-                val fs = dirSchemas.flatMap(_.fields.find(_.name == pc))
-                fs.find(_.dataType != org.apache.spark.sql.types.NullType)
-                  .orElse(fs.headOption)
-              })
-        }
+        val (dataFields, partFields) = resolvePartFields(declared, byDir)
         val base = tagged(spark.read
           .schema(org.apache.spark.sql.types.StructType(dataFields))
           .parquet(entries.map(e => root.resolve(e.relPath).toString): _*))
-        (partitionCol, partField) match {
-          case (Some(pc), Some(pf)) =>
-            import spark.implicits._
-            val fpMap = entries
-              .map(e => (fileKey(e.relPath), e.partitionValue.orNull))
-              .toDF(FileTag, "__graft_pv")
-            val pv =
-              if (pf.dataType == org.apache.spark.sql.types.NullType)
-                lit(null)
-              else col("__graft_pv").cast(pf.dataType)
-            (base.join(broadcast(fpMap), Seq(FileTag), "left")
-              .withColumn(pc, pv).drop("__graft_pv"),
-              dataFields.map(_.name) :+ pc)
-          case _ => (base, dataFields.map(_.name).toSeq)
-        }
+        if (partitionCols.nonEmpty &&
+            partFields.size == partitionCols.size) {
+          val joined =
+            base.join(broadcast(partValueMap(entries, FileTag)),
+              Seq(FileTag), "left")
+          val withParts = partitionCols.zip(partFields).foldLeft(joined) {
+            case (d, (pc, pf)) =>
+              val pv =
+                if (pf.dataType == org.apache.spark.sql.types.NullType)
+                  lit(null)
+                else col(PvColPrefix + pc).cast(pf.dataType)
+              d.withColumn(pc, pv)
+          }
+          (withParts.drop(partitionCols.map(PvColPrefix + _): _*),
+            dataFields.map(_.name) ++ partitionCols)
+        } else (base, dataFields.map(_.name).toSeq)
       }
     val masked = applyVectors(restored, entries)
     masked.select((dataCols ++ keep).map(col): _*)
@@ -3684,6 +3714,53 @@ final class MergeTable private (
     }
   }
 
+  // ---- partition-tuple encoding --------------------------------------
+
+  /** Encode a per-column partition-value tuple (aligned with
+    * [[partitionCols]]) into the single manifest field
+    * ([[FileEntry.partitionValue]]). Single-column tables store the raw
+    * value — byte-compatible with every pre-multi-column log — and
+    * multi-column tables store the URL-escaped values joined with '/',
+    * a null slot as the hive default token. The encoding is injective,
+    * so grouping/equality on the encoded field IS grouping/equality on
+    * the tuple. */
+  private def encodePartValues(vals: Seq[Option[String]]): Option[String] =
+    if (partitionCols.isEmpty) None
+    else if (partitionCols.size == 1) vals.head
+    else Some(vals.map(_.fold(HiveDefaultPartition)(escapePathValue))
+      .mkString("/"))
+
+  /** Decode the manifest field back into the per-column tuple. */
+  private def partValuesOf(pv: Option[String]): Seq[Option[String]] =
+    if (partitionCols.isEmpty) Nil
+    else if (partitionCols.size == 1) Seq(pv)
+    else pv match {
+      case None => Seq.fill(partitionCols.size)(None)
+      case Some(s) =>
+        val parts = s.split("/", -1)
+        require(parts.length == partitionCols.size,
+          s"MergeTable at $root: manifest partition value '$s' does not " +
+            s"decode against partition columns $partitionCols")
+        parts.toSeq.map(t =>
+          if (t == HiveDefaultPartition) None
+          else Some(unescapePathValue(t)))
+    }
+
+  /** The decoded value of partition column `c` for an entry. Caller
+    * guarantees `c` is a partition column. */
+  private def partValueOf(fe: FileEntry, c: String): Option[String] =
+    partValuesOf(fe.partitionValue)(partitionCols.indexOf(c))
+
+  /** The distinct partition-value tuples of `df`, ENCODED like the
+    * manifest field — driver-side log-scale metadata (cardinality is
+    * the caller's contract). */
+  private def partitionTuplesOf(df: DataFrame): Set[Option[String]] =
+    df.select(partitionCols.map(c => col(c).cast("string")): _*)
+      .distinct().collect()
+      .map(r => encodePartValues(
+        partitionCols.indices.map(i => Option(r.getString(i)))))
+      .toSet
+
   /** The last two path components — "<partition-or-commit-dir>/<part-file>"
     * — the file identity every path↔manifest correlation keys on.
     * Basenames ALONE are not unique: within one commit, two partition
@@ -3702,9 +3779,23 @@ final class MergeTable private (
     * would silently miss adopted files. */
   private def fileKey(path: String): String = {
     val parts = path.split('/')
-    if (parts.length >= 2) parts.takeRight(2).mkString("/")
-    else rootDirName + "/" + path
+    if (parts.length >= fileKeyDepth)
+      parts.takeRight(fileKeyDepth).mkString("/")
+    else (rootDirName +: parts.toSeq).takeRight(fileKeyDepth).mkString("/")
   }
+
+  /** Components in a file key. Two suffice up through one partition
+    * level; a MULTI-level layout needs every partition dir in the key —
+    * one task writing (a=1,b=1) and (a=2,b=1) emits the same
+    * `b=1/part-00000-<uuid>` tail under both parents, so a two-component
+    * key would collide across sibling partitions (duplicating rows at
+    * the partition-value attach, mis-binning compaction). */
+  private val fileKeyDepth: Int = math.max(2, partitionCols.size + 1)
+
+  /** The scan-side file-identity tag — the same trailing components of
+    * the ABSOLUTE path as [[fileKey]] keeps of the relPath. */
+  private def fileTagExpr(pathCol: Column): Column =
+    substring_index(pathCol, "/", -fileKeyDepth)
 
   /** The table directory's own name — the second-to-last component the
     * scan tag sees for root-level files. */
@@ -3744,6 +3835,10 @@ object MergeTable {
   private val SeqRank = "__graft_seq_rank"
   private val SeqPeer = "__graft_seq_peer"
   private val FileTag = "__graft_file_tag"
+
+  /** Prefix of the per-partition-column value columns the attach map
+    * carries (one per partition column). */
+  private val PvColPrefix = "__graft_pv_"
   /** Scan-level row position within the physical file
     * (`_metadata.row_index`) — the coordinate deletion vectors are
     * expressed in. Stable because committed files are immutable. */
@@ -3906,7 +4001,7 @@ object MergeTable {
   def apply(spark: SparkSession, root: String,
       partitionCol: Option[String] = None,
       statsCol: Option[String] = None): MergeTable =
-    new MergeTable(spark, Paths.get(root), partitionCol, statsCol.toSeq)
+    new MergeTable(spark, Paths.get(root), partitionCol.toSeq, statsCol.toSeq)
 
   /** As above with MULTIPLE stats columns (Delta's first-N-columns
     * stats contract, made explicit): every listed long-castable column
@@ -3916,7 +4011,7 @@ object MergeTable {
   def apply(spark: SparkSession, root: String,
       partitionCol: Option[String],
       statsCols: Seq[String]): MergeTable =
-    new MergeTable(spark, Paths.get(root), partitionCol, statsCols)
+    new MergeTable(spark, Paths.get(root), partitionCol.toSeq, statsCols)
 
   /** As above with DELETION VECTORS enabled (Delta's
     * `delta.enableDeletionVectors` table feature): [[MergeTable.delete]]
@@ -3956,7 +4051,30 @@ object MergeTable {
     require(!bloomCols.exists(c => c.exists(",+\t:".contains(_))),
       "bloom column names may not contain ',', '+', ':' or tab " +
         "(manifest token separators)")
-    new MergeTable(spark, Paths.get(root), partitionCol, statsCols,
+    new MergeTable(spark, Paths.get(root), partitionCol.toSeq, statsCols,
+      deletionVectors, bloomCols)
+  }
+
+  /** Open a table partitioned on MULTIPLE columns (Delta's
+    * `partitionBy(a, b, ...)`): the layout nests one hive level per
+    * column (`a=x/b=y/part-*.parquet`), the manifest records the full
+    * value tuple per file, and every partition-aware path — pruning
+    * (both optimizer-rule patterns), OPTIMIZE WHERE, MERGE's
+    * touched-partition probe, generated-column derivation — operates
+    * per column. */
+  def apply(spark: SparkSession, root: String,
+      partitionCols: Seq[String],
+      statsCols: Seq[String],
+      deletionVectors: Boolean,
+      bloomCols: Seq[String]): MergeTable = {
+    require(partitionCols.distinct.length == partitionCols.length,
+      s"duplicate partition columns: $partitionCols")
+    require(!statsCols.exists(_.startsWith(DvTok)),
+      s"stats column names may not start with '$DvTok' (manifest token prefix)")
+    require(!bloomCols.exists(c => c.exists(",+\t:".contains(_))),
+      "bloom column names may not contain ',', '+', ':' or tab " +
+        "(manifest token separators)")
+    new MergeTable(spark, Paths.get(root), partitionCols, statsCols,
       deletionVectors, bloomCols)
   }
 
@@ -3981,6 +4099,12 @@ object MergeTable {
   /** Spark escapes special chars in partition dir names (URL-style). */
   private def unescapePathValue(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Inverse of [[unescapePathValue]] — used by the multi-column
+    * manifest tuple encoding (escapes '/', so the joined form splits
+    * unambiguously). */
+  private def escapePathValue(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
 
   private def deleteRecursively(p: Path): Unit = {
     import scala.jdk.CollectionConverters._

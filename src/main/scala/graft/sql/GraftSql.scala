@@ -250,9 +250,7 @@ object GraftSql {
       m.map(_.group(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
     val partCols = cols(PartByRe.findFirstMatchIn(tail))
-    require(partCols.size <= 1,
-      s"$verb GRAFT TABLE $name: PARTITIONED BY takes exactly one column")
-    val t0 = MergeTable(s, path, partCols.headOption,
+    val t0 = MergeTable(s, path, partCols,
       cols(StatsRe.findFirstMatchIn(tail)),
       DvRe.findFirstIn(tail).isDefined,
       cols(BloomRe.findFirstMatchIn(tail)))
@@ -981,7 +979,9 @@ case class GraftShowTablesCommand() extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] =
     GraftSql.registered.sortBy(_._1).map { case (n, t) =>
       Row(n, t.root.toAbsolutePath.normalize.toString,
-        t.partitionCol.orNull, t.deletionVectors, t.optimizeWrite)
+        (if (t.partitionCols.isEmpty) null
+         else t.partitionCols.mkString(",")),
+        t.deletionVectors, t.optimizeWrite)
     }
   override def simpleString(maxFields: Int): String =
     "GraftDml(SHOW GRAFT TABLES)"
