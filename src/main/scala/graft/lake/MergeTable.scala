@@ -409,7 +409,7 @@ final class MergeTable private (
       s"declareSchema: partition column '$pc' missing from $schema"))
     require(schema.fieldNames.map(_.toLowerCase).distinct.length ==
       schema.fields.length, s"declareSchema: duplicate names in $schema")
-    retryingCommit { () =>
+    retryingCommit("SET SCHEMA") { () =>
       val (v, _) = latest()
       (CommitDelta(Nil, Nil, mSchema = Some(schema.json)), v)
     }
@@ -442,7 +442,23 @@ final class MergeTable private (
     * physical schema, so the feature works on existing tables too. */
   def addColumn(name: String,
       dataType: org.apache.spark.sql.types.DataType): Long =
-    retryingCommit { () =>
+    addColumn(name, dataType, None)
+
+  /** [[addColumn]] with a DECLARED DEFAULT (SQL: `ALTER TABLE t ADD
+    * COLUMN c type DEFAULT expr`): the default rides the declared
+    * schema's StructField metadata and applies to FUTURE writes that
+    * omit the column (SQL INSERT with a column list, COPY INTO from
+    * sources lacking it); existing rows — and rows written before a
+    * later default change — read NULL, exactly like a plain addColumn
+    * (metadata-only, zero rewrites). The expression must be constant-
+    * foldable and castable to the column's type — validated here, not
+    * at first use. */
+  def addColumn(name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      default: Option[String]): Long =
+    retryingCommit("ADD COLUMN",
+      Map("column" -> name, "type" -> dataType.simpleString) ++
+        default.map("default" -> _)) { () =>
       val (v, live) = latest()
       val base = schemaAt(v).getOrElse {
         require(live.nonEmpty,
@@ -457,9 +473,99 @@ final class MergeTable private (
           "dropped column name")
       (CommitDelta(Nil, Nil, mSchema = Some(
         org.apache.spark.sql.types.StructType(base.fields :+
-          org.apache.spark.sql.types.StructField(name, dataType,
-            nullable = true)).json)), v)
+          defaultField(name, dataType, default)).json)), v)
     }
+
+  /** Build a declared-schema field, validating + recording a DEFAULT
+    * expression in its metadata when given. */
+  private[graft] def defaultField(name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      default: Option[String]): org.apache.spark.sql.types.StructField =
+    default match {
+      case None =>
+        org.apache.spark.sql.types.StructField(name, dataType,
+          nullable = true)
+      case Some(d) =>
+        // constant + castable, checked against an EMPTY frame (no
+        // column references allowed in a default)
+        val probe =
+          try spark.range(1).select(expr(d).cast(dataType).as(name))
+            .queryExecution.analyzed
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new IllegalArgumentException(
+                s"DEFAULT for '$name' does not evaluate as $dataType: " +
+                  e.getMessage)
+          }
+        require(probe.references.isEmpty,
+          s"DEFAULT for '$name' must be a constant expression, got: $d")
+        org.apache.spark.sql.types.StructField(name, dataType,
+          nullable = true,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(DefaultKey, d).build())
+    }
+
+  /** Declared column defaults: column → default expression SQL, from
+    * the declared schema's field metadata. */
+  def columnDefaults: Map[String, String] =
+    declaredSchema.map(_.fields.toSeq.flatMap { f =>
+      if (f.metadata.contains(DefaultKey))
+        Some(f.name -> f.metadata.getString(DefaultKey))
+      else None
+    }.toMap).getOrElse(Map.empty)
+
+  /** Delta's TYPE WIDENING (`ALTER TABLE t ALTER COLUMN c TYPE t2`):
+    * a metadata-only declared-schema change for a WIDENING conversion
+    * (byte/short/int -> long, int -> double, float -> double, ...).
+    * Old files keep their narrow physical type — the parquet reader
+    * widens at the scan, so zero bytes rewrite at any table size; new
+    * writes land the wide type; time travel shows the AS-OF type
+    * (schema-as-of rides the same M channel as addColumn). Narrowing
+    * and unrelated conversions are refused — they would need a rewrite
+    * (or lose data), which is compact()'s job, not a metadata flip. */
+  def alterColumnType(name: String,
+      to: org.apache.spark.sql.types.DataType): Long =
+    retryingCommit("ALTER COLUMN TYPE",
+      Map("column" -> name, "type" -> to.simpleString)) { () =>
+      val (v, live) = latest()
+      val base = schemaAt(v).getOrElse {
+        require(live.nonEmpty,
+          s"MergeTable at $root: no declared schema and no data — " +
+            "declareSchema first")
+        readEntriesPhys(live).schema
+      }
+      val phys = physicalOf(name)
+      val i = base.fieldNames.indexOf(phys)
+      require(i >= 0,
+        s"alterColumnType: no column '$name' (physical '$phys') in " +
+          s"{${base.fieldNames.mkString(", ")}}")
+      val from = base.fields(i).dataType
+      require(widens(from, to),
+        s"alterColumnType: ${from.simpleString} -> ${to.simpleString} " +
+          "is not a widening conversion (narrowing needs a rewrite; " +
+          "only byte/short/int->long, byte/short/int->int, " +
+          "int->double, float->double widen in place)")
+      (CommitDelta(Nil, Nil, mSchema = Some(
+        org.apache.spark.sql.types.StructType(
+          base.fields.updated(i, base.fields(i).copy(dataType = to)))
+          .json)), v)
+    }
+
+  /** The widening matrix the parquet reader supports losslessly. */
+  private def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (f, t) if f == t => false // a no-op flip is a caller bug
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType)            => true
+      case (IntegerType, LongType)                        => true
+      // 32-bit ints embed exactly in a double's 53-bit mantissa
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (FloatType, DoubleType)                          => true
+      case _                                                => false
+    }
+  }
 
   /** Served from the unified [[metaAt]] fold — [[presentLogical]]
     * consults the mapping on every read. */
@@ -577,7 +683,8 @@ final class MergeTable private (
         s"renamed column (now '${columnMapping.getOrElse(newName, "")}') " +
         "— reusing it would shadow that column's file data")
     guardMappable(oldName, "renameColumn")
-    retryingCommit { () =>
+    retryingCommit("RENAME COLUMN",
+      Map("from" -> oldName, "to" -> newName)) { () =>
       (CommitDelta(Nil, Nil,
         mRenames = Seq(physicalOf(oldName) -> newName)), latestVersion())
     }
@@ -593,7 +700,8 @@ final class MergeTable private (
     require(cols.contains(name),
       s"dropColumn: no column '$name' (have ${cols.mkString(", ")})")
     guardMappable(name, "dropColumn")
-    retryingCommit { () =>
+    retryingCommit("DROP COLUMN",
+      Map("column" -> name)) { () =>
       (CommitDelta(Nil, Nil, mDrops = Seq(physicalOf(name))),
         latestVersion())
     }
@@ -637,7 +745,9 @@ final class MergeTable private (
     * from the fresh snapshot on None, not re-publish a delta derived
     * from a stale one (that would drop the other writer's changes —
     * lost update). */
-  private[lake] def tryCommit(delta: CommitDelta, expected: Long): Option[Long] = {
+  private[lake] def tryCommit(delta: CommitDelta, expected: Long,
+      op: String = "", params: Map[String, String] = Map.empty)
+      : Option[Long] = {
     Files.createDirectories(logDir)
     val v = expected + 1
     // IN-COMMIT TIMESTAMP (Delta's inCommitTimestamp feature): the
@@ -651,8 +761,21 @@ final class MergeTable private (
     // feature. Pre-feature commits (no S line) fall back to mtime.
     val parentTs = if (expected == 0L) 0L else commitTsOf(expected).getOrElse(0L)
     val stamp = math.max(System.currentTimeMillis(), parentTs + 1L)
+    // OPERATION METADATA rides the same first-line header channel
+    // (Delta's commitInfo): the op label and its parameters, base64
+    // (predicates contain tabs/newlines). Pre-feature commits have a
+    // 2-field header and read back with a null operation.
+    val header =
+      if (op.isEmpty) s"S\t$stamp"
+      else {
+        val b64 = java.util.Base64.getEncoder
+        val kv = params.toSeq.sortBy(_._1)
+          .map { case (k, x) => s"$k=$x" }.mkString("\n")
+        s"S\t$stamp\t" + b64.encodeToString(op.getBytes("UTF-8")) +
+          "\t" + b64.encodeToString(kv.getBytes("UTF-8"))
+      }
     if (logStore.putIfAbsent(logDir.resolve(f"$v%020d.txt"),
-        s"S\t$stamp\n" + deltaBody(delta))) Some(v)
+        header + "\n" + deltaBody(delta))) Some(v)
     else None
   }
 
@@ -666,9 +789,50 @@ final class MergeTable private (
     else {
       val first = Using.resource(Files.newBufferedReader(p))(_.readLine())
       if (first != null && first.startsWith("S\t"))
-        Some(first.substring(2).toLong)
+        Some(first.split('\t')(1).toLong)
       else Some(Files.getLastModifiedTime(p).toMillis)
     }
+  }
+
+  /** Operation label for the constraint channel's three rule kinds:
+    * plain CHECK constraints, generated-column rules, identity rules
+    * all commit through [[addConstraintImpl]]/[[dropConstraint]]. */
+  private def constraintOp(verb: String, name: String): String =
+    if (name.startsWith(GeneratedColumns.Prefix))
+      s"$verb GENERATED COLUMN"
+    else if (name.startsWith(IdentityColumns.Prefix))
+      s"$verb IDENTITY COLUMN"
+    else s"$verb CONSTRAINT"
+
+  /** The user-facing name behind a constraint-channel rule name. */
+  private def engineColFreeName(name: String): String =
+    name.stripPrefix(GeneratedColumns.Prefix)
+      .stripPrefix(IdentityColumns.Prefix)
+
+  /** The operation label + parameters of version `v`'s commit (the
+    * header's 3rd/4th fields) — None for pre-feature or vacuum-pruned
+    * commits. One buffered first-line read, like [[commitTsOf]]. */
+  private def commitOpOf(v: Long)
+      : Option[(String, Map[String, String])] = {
+    val p = logDir.resolve(f"$v%020d.txt")
+    if (!Files.exists(p)) return None
+    val first = Using.resource(Files.newBufferedReader(p))(_.readLine())
+    if (first == null || !first.startsWith("S\t")) return None
+    // an empty params token leaves a trailing tab split() drops —
+    // accept the 3-field form
+    val fields = first.split('\t')
+    if (fields.length < 3) return None
+    val dec = java.util.Base64.getDecoder
+    val op = new String(dec.decode(fields(2)), "UTF-8")
+    val kv =
+      if (fields.length < 4) ""
+      else new String(dec.decode(fields(3)), "UTF-8")
+    val params = kv.split('\n').filter(_.contains('='))
+      .map { line =>
+        val i = line.indexOf('=')
+        line.substring(0, i) -> line.substring(i + 1)
+      }.toMap
+    Some((op, params))
   }
 
   /** Publish a full checkpoint at `v` (create-if-absent; a checkpoint is
@@ -694,11 +858,13 @@ final class MergeTable private (
     * from the CURRENT snapshot; on commit collision the computation reruns
     * against the fresh snapshot. Every Nth version also publishes a full
     * checkpoint, bounding later reads' delta folds. */
-  private def retryingCommit(attempt: () => (CommitDelta, Long)): Long = {
+  private def retryingCommit(op: String,
+      params: Map[String, String] = Map.empty)(
+      attempt: () => (CommitDelta, Long)): Long = {
     var tries = 0
     while (tries < MaxCommitRetries) {
       val (delta, expected) = attempt()
-      tryCommit(delta, expected) match {
+      tryCommit(delta, expected, op, params) match {
         case Some(v) =>
           if (v % CheckpointInterval == 0) writeCheckpoint(v)
           // the user's commit already SUCCEEDED at v — the follow-on
@@ -929,7 +1095,7 @@ final class MergeTable private (
     def missing(live: Seq[FileEntry]): Seq[FileEntry] =
       live.filter(e => statsCols.exists(c => !e.stats.contains(c)))
     if (missing(latest()._2).isEmpty) return latestVersion()
-    retryingCommit { () =>
+    retryingCommit("ANALYZE") { () =>
       val (v, live) = latest()
       val todo = missing(live)
       if (todo.isEmpty) (CommitDelta(Nil, Nil), v)
@@ -960,7 +1126,7 @@ final class MergeTable private (
       enforceConstraints(df1, "overwrite")
       checkDeclared(df1)
       val (_, entries) = writeData(df1)
-      retryingCommit { () =>
+      retryingCommit("WRITE", Map("mode" -> "Overwrite")) { () =>
         val (version, live) = latest()
         (CommitDelta(entries, live.map(_.relPath)), version)
       }
@@ -973,7 +1139,7 @@ final class MergeTable private (
       // racing append already committed — visible to time-travel/CDF
       // readers of the superseded version, breaking IdentityColumns'
       // unique-across-history contract.
-      retryingCommit { () =>
+      retryingCommit("WRITE", Map("mode" -> "Overwrite")) { () =>
         val (version, live) = latest()
         val (df, idTxns) = withIdentity(df1, version)
         enforceConstraints(df, "overwrite")
@@ -981,6 +1147,70 @@ final class MergeTable private (
         val (_, entries) = writeData(df)
         (CommitDelta(entries, live.map(_.relPath), txns = idTxns), version)
       }
+    }
+  }
+
+  /** Delta's `replaceWhere` (SQL: `INSERT OVERWRITE t WHERE <pred>`):
+    * atomically REPLACE the partitions `predicate` selects with `df` —
+    * the selected partitions' files are removed and the new data added
+    * in ONE commit, so a reader sees the old scope or the new scope,
+    * never a mix; untouched partitions' files are carried over
+    * unchanged (the day-backfill primitive at any table size: cost is
+    * O(new data) + O(selected partitions' metadata)). The predicate
+    * must reference ONLY partition columns (the same driver-side
+    * distinct-tuple evaluation as OPTIMIZE WHERE), and EVERY incoming
+    * row must satisfy it — a row that would land outside the replaced
+    * scope fails the statement (Delta validates replaceWhere the same
+    * way), so the operation can never silently leak rows into
+    * partitions it did not clear. */
+  def overwriteWhere(df0: DataFrame, predicate: Column): Long = {
+    require(partitionCols.nonEmpty,
+      s"MergeTable at $root: replaceWhere requires a partitioned table")
+    val df1 = withGenerated(df0)
+    retryingCommit("WRITE",
+      Map("mode" -> "Overwrite",
+        "replaceWhere" -> predicate.toString)) { () =>
+      val (version, live) = latest()
+      val (df, idTxns) = withIdentity(df1, version)
+      enforceConstraints(df, "replaceWhere")
+      declaredSchema.foreach { d =>
+        val phys = toPhysical(df).schema
+        require(phys.fields.map(f => (f.name, f.dataType)).toSet ==
+          d.fields.map(f => (f.name, f.dataType)).toSet,
+          s"replaceWhere: schema {${phys.map(f =>
+            s"${f.name}:${f.dataType.simpleString}").mkString(",")}} != " +
+            s"declared {${d.map(f =>
+              s"${f.name}:${f.dataType.simpleString}").mkString(",")}}")
+      }
+      // scope containment: predicate may reference only partition
+      // columns, and every incoming row must satisfy it
+      val refs = conditionOf(Nil, predicate)
+        .map(_.references.map(_.name).toSeq).getOrElse {
+          // empty-frame analysis can fail for a declared-less empty
+          // table; analyze against the incoming frame instead
+          df.filter(predicate).queryExecution.analyzed.collectFirst {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              f.condition.references.map(_.name).toSeq
+          }.getOrElse(Nil)
+        }
+      require(refs.nonEmpty && refs.forall(partitionCols.contains),
+        s"replaceWhere predicate must reference only the partition " +
+          s"column(s) ${partitionCols.mkString(", ")}, got: $predicate")
+      val leak = df.filter(not(coalesce(predicate, lit(false))))
+        .limit(1).collect()
+      require(leak.isEmpty,
+        s"replaceWhere: row ${leak.headOption.getOrElse("")} does not " +
+          s"satisfy ($predicate) — rows may not land outside the " +
+          "replaced scope")
+      val removed =
+        if (live.isEmpty) Nil
+        else {
+          val passing = selectedPartitions(live, predicate)
+          live.filter(e => passing.contains(e.partitionValue))
+        }
+      val (_, entries) = writeData(df)
+      (CommitDelta(entries, removed.map(_.relPath), txns = idTxns),
+        version)
     }
   }
 
@@ -1005,7 +1235,8 @@ final class MergeTable private (
     enforceConstraints(source, "MERGE source")
     val src = source.cache()
     try {
-      retryingCommit { () =>
+      retryingCommit("MERGE",
+      Map("key" -> pk)) { () =>
         val (version, live) = latest()
         if (live.isEmpty) {
           val (_, entries) = writeData(src)
@@ -1120,7 +1351,10 @@ final class MergeTable private (
       enforceConstraints(df1, "append")
       checkSchema(df1, latest()._2)
       val (_, entries) = writeData(df1)
-      try retryingCommit { () =>
+      try retryingCommit("WRITE", Map("mode" -> "Append") ++
+          txn.map { case (a, bv) =>
+            Map("txnAppId" -> a, "txnVersion" -> bv.toString)
+          }.getOrElse(Map.empty)) { () =>
         val (v, _) = latest()
         txn.foreach { case (app, bv) =>
           if (txnsAt(v).get(app).exists(_ >= bv))
@@ -1135,7 +1369,10 @@ final class MergeTable private (
       // commit overlapping ranges (the correctness half of the
       // exactly-once identity contract; the orphaned data dir of a
       // lost attempt is vacuum-reclaimed like any lost race)
-      try retryingCommit { () =>
+      try retryingCommit("WRITE", Map("mode" -> "Append") ++
+          txn.map { case (a, bv) =>
+            Map("txnAppId" -> a, "txnVersion" -> bv.toString)
+          }.getOrElse(Map.empty)) { () =>
         val (v, live) = latest()
         txn.foreach { case (app, bv) =>
           if (txnsAt(v).get(app).exists(_ >= bv))
@@ -1203,7 +1440,8 @@ final class MergeTable private (
     }
     val src = source.cache()
     try {
-      retryingCommit { () =>
+      retryingCommit("MERGE",
+      Map("keys" -> keys.mkString(","))) { () =>
         val (version, live) = latest()
         // Delta's multi-match guard: clause outcomes must not depend on
         // which of several matching source rows is seen first.
@@ -1382,7 +1620,8 @@ final class MergeTable private (
       "CDC-apply upserts")
     val src = collapsed.cache()
     try {
-      retryingCommit { () =>
+      retryingCommit("MERGE",
+      Map("key" -> pk, "feed" -> "cdc")) { () =>
         val (version, live) = latest()
         val upserts = src.filter(col(ChangeType) =!= "delete").drop(ChangeType)
         val keys = src.select(col(pk)).distinct()
@@ -1425,7 +1664,7 @@ final class MergeTable private (
     * `clusterBy` (LINEAR clustering — locality on the leading column
     * only; for multi-dimensional locality see [[zorder]]). */
   def compact(filesPerPartition: Int = 1, clusterBy: Seq[Column] = Nil): Long =
-    retryingCommit { () =>
+    retryingCommit("OPTIMIZE") { () =>
       val (version, live) = latest()
       val df0 = readEntries(live)
       val df =
@@ -1463,7 +1702,8 @@ final class MergeTable private (
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     require(minFilesPerPartition >= 2,
       s"minFilesPerPartition must be >= 2: $minFilesPerPartition")
-    retryingCommit { () =>
+    retryingCommit("OPTIMIZE",
+      Map("binPack" -> targetBytes.toString, "trigger" -> (if (inAutoCompact.get) "auto" else "manual"))) { () =>
       val (version, live) = latest()
       val small = live
         .map(e => (e, Files.size(root.resolve(e.relPath))))
@@ -1525,7 +1765,8 @@ final class MergeTable private (
   def zorder(cols: Seq[String], filesPerPartition: Int = 1): Long = {
     require(cols.nonEmpty && cols.size <= 3,
       s"zorder takes 1-3 columns (16 bits each, long-width Z), got $cols")
-    retryingCommit { () =>
+    retryingCommit("OPTIMIZE",
+      Map("zOrderBy" -> cols.mkString(","))) { () =>
       val (version, live) = latest()
       val df = clusterZ(readEntries(live), cols, filesPerPartition)
       val (_, entries) = writeData(df)
@@ -1574,7 +1815,8 @@ final class MergeTable private (
     require(zorderCols.size <= 3,
       s"zorder takes 1-3 columns (16 bits each, long-width Z), got " +
         zorderCols)
-    retryingCommit { () =>
+    retryingCommit("OPTIMIZE",
+      Map("predicate" -> predicate.toString) ++ (if (zorderCols.isEmpty) Map.empty else Map("zOrderBy" -> zorderCols.mkString(",")))) { () =>
       val (version, live) = latest()
       if (live.isEmpty) (CommitDelta(Nil, Nil), version)
       else {
@@ -1668,7 +1910,8 @@ final class MergeTable private (
   def clusterHilbert(cols: Seq[String], filesPerPartition: Int = 1): Long = {
     require(cols.size == 2,
       s"clusterHilbert takes exactly 2 columns (16-bit Hilbert), got $cols")
-    retryingCommit { () =>
+    retryingCommit("OPTIMIZE",
+      Map("hilbertBy" -> cols.mkString(","))) { () =>
       val (version, live) = latest()
       val df0 = readEntries(live)
       val scaled = scaled16(df0, cols)
@@ -1697,7 +1940,8 @@ final class MergeTable private (
     * O(matched rows) instead of O(touched-file bytes). A file whose
     * vector grows to cover every physical row is dropped from the
     * manifest outright. */
-  def delete(predicate: Column): Long = retryingCommit { () =>
+  def delete(predicate: Column): Long = retryingCommit("DELETE",
+      Map("predicate" -> predicate.toString)) { () =>
     val (version, live) = latest()
     if (live.isEmpty) (CommitDelta(Nil, Nil), version)
     else if (deletionVectors) {
@@ -1792,7 +2036,7 @@ final class MergeTable private (
     * leaving every vector-free file untouched — the maintenance step
     * that caps read-side anti-join debt without [[compact]]'s full-table
     * rewrite. [[vacuum]] then reaps the orphaned vector dirs. */
-  def purgeVectors(): Long = retryingCommit { () =>
+  def purgeVectors(): Long = retryingCommit("PURGE") { () =>
     val (version, live) = latest()
     val vectored = live.filter(_.dv.isDefined)
     if (vectored.isEmpty) (CommitDelta(Nil, Nil), version)
@@ -1818,7 +2062,8 @@ final class MergeTable private (
     require(!partitionCols.exists(set.contains),
       s"cannot update partition column(s) $partitionCols; delete + merge " +
         "instead")
-    retryingCommit { () =>
+    retryingCommit("UPDATE",
+      Map("predicate" -> predicate.toString, "set" -> set.keys.toSeq.sorted.mkString(","))) { () =>
       val (version, live) = latest()
       if (live.isEmpty) (CommitDelta(Nil, Nil), version)
       else if (deletionVectors) {
@@ -1899,7 +2144,8 @@ final class MergeTable private (
           org.apache.spark.sql.types.DataType)]): Long = {
     require(name.matches("[A-Za-z0-9_]+"),
       s"constraint name must be [A-Za-z0-9_]+: $name")
-    retryingCommit { () =>
+    retryingCommit(constraintOp("ADD", name),
+        Map("name" -> engineColFreeName(name))) { () =>
       val (version, live) = latest()
       require(!constraintsAt(version).contains(name),
         s"MergeTable at $root already has constraint $name")
@@ -1932,7 +2178,8 @@ final class MergeTable private (
 
   /** DROP CONSTRAINT; fails fast on an unknown name. */
   def dropConstraint(name: String): Long =
-    retryingCommit { () =>
+    retryingCommit(constraintOp("DROP", name),
+        Map("name" -> engineColFreeName(name))) { () =>
       val (version, _) = latest()
       require(constraintsAt(version).contains(name),
         s"MergeTable at $root has no constraint $name " +
@@ -2326,6 +2573,14 @@ final class MergeTable private (
     * every older delta is pruned. */
   def vacuum(retainMs: Long): Unit = {
     require(retainMs >= 0L, s"vacuum: negative retention $retainMs")
+    // the VACUUM is recorded in history as an (empty-delta) commit —
+    // Delta writes VACUUM START/END commitInfo for the same reason:
+    // reclamation must be auditable from the log alone
+    if (latestVersion() > 0L)
+      retryingCommit("VACUUM",
+        Map("retainMs" -> retainMs.toString)) { () =>
+        (CommitDelta(Nil, Nil), latest()._1)
+      }
     val (latestV, _) = latest()
     if (latestV > 0L) writeCheckpoint(latestV)
     val plan = vacuumPlan(retainMs)
@@ -3063,7 +3318,8 @@ final class MergeTable private (
     require(version >= 1 && version <= head,
       s"cannot restore to $version: table is at $head")
     if (version == head) return head // already there — commit nothing
-    retryingCommit { () =>
+    retryingCommit("RESTORE",
+      Map("version" -> version.toString)) { () =>
       val (cur, live) = latest()
       val target = snapshotAt(version)
       val targetPaths = target.map(_.relPath).toSet
@@ -3166,7 +3422,7 @@ final class MergeTable private (
     partitionCols.foreach(pc => require(schema.fieldNames.contains(pc),
       s"convertInPlace: partition column '$pc' not inferred from the " +
         s"layout (schema: ${schema.fieldNames.mkString(", ")})"))
-    retryingCommit { () =>
+    retryingCommit("CONVERT") { () =>
       val (v, live) = latest()
       require(v == 0L && live.isEmpty,
         s"convertInPlace: a concurrent writer committed at $root")
@@ -3204,10 +3460,13 @@ final class MergeTable private (
     val (srcRen, srcDrops) =
       if (srcV == 0L) (Map.empty[String, String], Set.empty[String])
       else mappingAt(srcV)
-    val v = clone.tryCommit(CommitDelta(rebased, Nil,
+    val v = clone.tryCommit(op = "CLONE",
+      params = Map("source" -> root.toAbsolutePath.normalize.toString),
+      delta = CommitDelta(rebased, Nil,
       cAdds = (if (srcV == 0L) Nil else constraintsAt(srcV).toSeq),
       mRenames = srcRen.toSeq, mDrops = srcDrops.toSeq,
-      mSchema = (if (srcV == 0L) None else schemaAt(srcV)).map(_.json)), 0L)
+      mSchema = (if (srcV == 0L) None else schemaAt(srcV)).map(_.json)),
+      expected = 0L)
     require(v.contains(1L), s"clone commit lost a race at fresh $dest")
     clone
   }
@@ -3225,17 +3484,21 @@ final class MergeTable private (
       if (!Files.exists(p)) None
       else {
         val actions = readLogFile(p)
+        val opInfo = commitOpOf(v)
         Some((v,
           java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(
             commitTsOf(v).getOrElse(
               Files.getLastModifiedTime(p).toMillis))),
+          opInfo.map(_._1).orNull,
+          opInfo.map(_._2.toSeq.sortBy(_._1)
+            .map { case (k, x) => s"$k=$x" }.mkString("; ")).orNull,
           actions.count(_.isInstanceOf[Add]).toLong,
           actions.count(_.isInstanceOf[Remove]).toLong,
           Files.exists(logDir.resolve(f"$v%020d$CkptSuffix"))))
       }
     }
-    rows.toDF("version", "committed_at", "n_added", "n_removed",
-      "has_checkpoint")
+    rows.toDF("version", "committed_at", "operation",
+      "operation_parameters", "n_added", "n_removed", "has_checkpoint")
   }
 
   /** Time travel by timestamp (Delta's `timestampAsOf`; the reference's
@@ -3270,17 +3533,33 @@ final class MergeTable private (
       pattern: Option[String] = None,
       maxFilesPerTrigger: Option[Int] = None): Long = {
     val path = pattern.map(p => s"${src.stripSuffix("/")}/$p").getOrElse(src)
-    val sch =
-      if (latestVersion() > 0L && liveEntries().nonEmpty) read().schema
-      else {
-        val r = spark.read.format(format).option("header", "true")
-        try r.load(path).schema
-        catch { case scala.util.control.NonFatal(e) =>
-          throw new IllegalArgumentException(
-            s"COPY INTO at $root: cannot infer a schema from '$path' for " +
-              "the FIRST load into an empty table — the source has no " +
-              "readable files", e)
-        }
+    val srcSchema =
+      try spark.read.format(format).option("header", "true")
+        .load(path).schema
+      catch { case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(
+          s"COPY INTO at $root: cannot infer a schema from '$path' — " +
+            "the source has no readable files", e)
+      }
+    val tableSchema =
+      if (latestVersion() > 0L &&
+          (liveEntries().nonEmpty || declaredSchema.isDefined)) read().schema
+      else srcSchema
+    // Columns the SOURCE lacks are engine-filled: the declared DEFAULT
+    // when one exists, else NULL (pre-defaults behavior). The stream
+    // reads with the table types for the columns the source HAS, so
+    // arriving files conform exactly as before.
+    val srcHas = srcSchema.fieldNames.map(_.toLowerCase).toSet
+    val missing = tableSchema.fields.toSeq
+      .filterNot(f => srcHas.contains(f.name.toLowerCase))
+    val defaults = columnDefaults
+    val sch = org.apache.spark.sql.types.StructType(
+      tableSchema.fields.filter(f => srcHas.contains(f.name.toLowerCase)))
+    def fill(b: DataFrame): DataFrame =
+      missing.foldLeft(b) { (d, f) =>
+        d.withColumn(f.name, defaults.get(f.name)
+          .map(x => expr(x).cast(f.dataType))
+          .getOrElse(lit(null).cast(f.dataType)))
       }
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -3296,7 +3575,7 @@ final class MergeTable private (
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        if (!b.isEmpty) appendWithTxn(b, appId, id)
+        if (!b.isEmpty) appendWithTxn(fill(b), appId, id)
         ()
       }
       .start()
@@ -3835,6 +4114,10 @@ object MergeTable {
   private val SeqRank = "__graft_seq_rank"
   private val SeqPeer = "__graft_seq_peer"
   private val FileTag = "__graft_file_tag"
+
+  /** StructField-metadata key carrying a declared column DEFAULT
+    * expression (SQL text) in the log schema. */
+  private[lake] val DefaultKey = "graft.default"
 
   /** Prefix of the per-partition-column value columns the attach map
     * carries (one per partition column). */

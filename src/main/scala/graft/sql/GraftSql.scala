@@ -106,6 +106,8 @@ object GraftSql {
     """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][\w]*)\s*(.*)$""".r
   private val InsertHeadRe =
     """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][\w]*)\s+(.+)$""".r
+  private val InsertOverwriteRe =
+    """(?is)^\s*INSERT\s+OVERWRITE\s+([A-Za-z_][\w]*)\s+(.+)$""".r
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+([A-Za-z_][\w]*)\s*(.*?)\s*;?\s*$""".r
   private val ZorderTailRe = """(?is)^ZORDER\s+BY\s*\((.*)\)\s*$""".r
@@ -161,6 +163,8 @@ object GraftSql {
     """(?is)^DROP\s+IDENTITY\s+COLUMN\s+([A-Za-z_][\w]*)$""".r
   private val AlterAddColumnRe =
     """(?is)^ADD\s+COLUMN\s+([A-Za-z_][\w]*)\s+(.+)$""".r
+  private val AlterColTypeRe =
+    """(?is)^ALTER\s+COLUMN\s+([A-Za-z_][\w]*)\s+TYPE\s+(.+)$""".r
   private val ShowTablesRe =
     """(?is)^\s*SHOW\s+GRAFT\s+TABLES\s*;?\s*$""".r
   private val CloneRe =
@@ -182,8 +186,18 @@ object GraftSql {
     val cur = new StringBuilder
     var depth = 0
     var quote: Char = 0
-    s.foreach { c =>
-      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      // backslash-escaped chars inside '/" literals stay literal (the
+      // scanner must not let \' close the string); backticked
+      // identifiers have no escape convention
+      if (quote != 0) {
+        cur += c
+        if (c == '\\' && quote != '`' && i + 1 < s.length) {
+          i += 1; cur += s.charAt(i)
+        } else if (c == quote) quote = 0
+      }
       else c match {
         case '\'' | '"' | '`' => quote = c; cur += c
         case '(' => depth += 1; cur += c
@@ -191,6 +205,7 @@ object GraftSql {
         case ',' if depth == 0 => out += cur.result(); cur.clear()
         case _ => cur += c
       }
+      i += 1
     }
     if (cur.nonEmpty) out += cur.result()
     out.result().map(_.trim).filter(_.nonEmpty)
@@ -223,7 +238,10 @@ object GraftSql {
     var j = 0
     while (j < s.length) {
       val c = s.charAt(j)
-      if (quote != 0) { if (c == quote) quote = 0 }
+      if (quote != 0) {
+        if (c == '\\' && quote != '`' && j + 1 < s.length) j += 1
+        else if (c == quote) quote = 0
+      }
       else c match {
         case '\'' | '"' | '`' => quote = c
         case '(' => depth += 1
@@ -285,6 +303,26 @@ object GraftSql {
     t
   }
 
+  /** Parse a CREATE column list that may carry per-column DEFAULTs:
+    * `(a INT, b STRING DEFAULT 'x', ...)` — StructType.fromDDL rejects
+    * the DEFAULT clause, so split per column (quote-aware) and record
+    * defaults in field metadata through [[MergeTable.defaultField]]. */
+  private def schemaFromDdl(t: MergeTable, ddl: String): StructType = {
+    val fields = splitTop(ddl).map { item =>
+      val di = indexOfTop(item, "DEFAULT")
+      val (decl, dflt) =
+        if (di < 0) (item.trim, None)
+        else (item.substring(0, di).trim,
+          Some(item.substring(di + "DEFAULT".length).trim))
+      val single = StructType.fromDDL(decl)
+      require(single.fields.length == 1,
+        s"CREATE GRAFT TABLE: malformed column declaration '$item'")
+      val f = single.fields.head
+      t.defaultField(f.name, f.dataType, dflt)
+    }
+    StructType(fields)
+  }
+
   private[sql] def groupAfter(s: String, kw: String): Option[String] = {
     val i = indexOfTop(s, kw)
     if (i < 0) return None
@@ -297,7 +335,10 @@ object GraftSql {
     var j = open
     while (j < s.length) {
       val c = s.charAt(j)
-      if (quote != 0) { if (c == quote) quote = 0 }
+      if (quote != 0) {
+        if (c == '\\' && quote != '`' && j + 1 < s.length) j += 1
+        else if (c == quote) quote = 0
+      }
       else c match {
         case '\'' | '"' | '`' => quote = c
         case '(' => depth += 1
@@ -326,7 +367,10 @@ object GraftSql {
     var i = 0
     while (i < n) {
       val c = s.charAt(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
+      if (quote != 0) {
+        if (c == '\\' && quote != '`' && i + 1 < n) i += 1
+        else if (c == quote) quote = 0
+      }
       else c match {
         case '\'' | '"' | '`' => quote = c
         case '('              => depth += 1
@@ -407,6 +451,51 @@ object GraftSql {
     // INSERT semantics); WITH one, the query maps positionally onto
     // the LISTED columns and every omitted column fills in — NULL for
     // plain columns, engine-populated for generated and identity ones.
+    // INSERT OVERWRITE <name> [WHERE <partition pred>] <query> —
+    // without WHERE a full overwrite; with WHERE Delta's replaceWhere
+    // (atomic partition-scoped replacement). The predicate ends where
+    // the top-level SELECT/VALUES begins.
+    case InsertOverwriteRe(name, rest0) =>
+      table(name).map { t0 =>
+        val rest = stripSemi(rest0).trim
+        val (pred, queryStr) =
+          if (indexOfTop(rest, "WHERE") == 0) {
+            val after = rest.substring(5).trim
+            val qi = {
+              val si = indexOfTop(after, "SELECT")
+              val vi = indexOfTop(after, "VALUES")
+              if (si < 0) vi else if (vi < 0) si else math.min(si, vi)
+            }
+            require(qi > 0,
+              s"INSERT OVERWRITE $name: expected WHERE <pred> " +
+                "SELECT|VALUES <query>")
+            (Some(after.substring(0, qi).trim), after.substring(qi))
+          } else (None, rest)
+        GraftDmlCommand(s"INSERT OVERWRITE $name", s => {
+          val t = t0.withSession(s)
+          val df = s.sql(
+            if (indexOfTop(queryStr, "VALUES") == 0)
+              s"SELECT * FROM ($queryStr)"
+            else queryStr)
+          val idCols = t.identityColumns.keySet
+          val all = t.read().schema.fields.toSeq
+          val fields =
+            if (df.columns.length == all.length) all
+            else if (idCols.nonEmpty &&
+                df.columns.length == all.length - idCols.size)
+              all.filterNot(f => idCols.contains(f.name))
+            else throw new IllegalArgumentException(
+              s"INSERT OVERWRITE $name: query produces " +
+                s"${df.columns.length} columns, table has ${all.length}")
+          val aligned = df.toDF(fields.map(_.name): _*)
+            .select(fields.map(f =>
+              expr(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+          pred match {
+            case Some(px) => t.overwriteWhere(aligned, expr(px))
+            case None     => t.overwrite(aligned)
+          }
+        })
+      }
     case InsertHeadRe(name, rest0) =>
       table(name).map { t0 =>
         // a leading balanced paren group followed by VALUES/SELECT is
@@ -442,13 +531,17 @@ object GraftSql {
               val base = df.toDF(cols: _*)
                 .select(cols.map(c => expr(s"`$c`")
                   .cast(byName(c).dataType).as(c)): _*)
-              // omitted plain columns read NULL; omitted generated /
-              // identity columns stay ABSENT so their populators run
-              // (a null would fail the generated invariant)
+              // omitted plain columns take their declared DEFAULT when
+              // one exists, else NULL; omitted generated / identity
+              // columns stay ABSENT so their populators run (a null
+              // would fail the generated invariant)
+              val dflts = t.columnDefaults
               all.filterNot(f => cols.contains(f.name) ||
                   genCols.contains(f.name) || idCols.contains(f.name))
                 .foldLeft(base)((d, f) =>
-                  d.withColumn(f.name, lit(null).cast(f.dataType)))
+                  d.withColumn(f.name, dflts.get(f.name)
+                    .map(x => expr(x).cast(f.dataType))
+                    .getOrElse(lit(null).cast(f.dataType))))
             case None =>
               // identity columns may be OMITTED (Delta INSERT
               // semantics for GENERATED BY DEFAULT): an arity matching
@@ -596,8 +689,7 @@ object GraftSql {
           Some(GraftDmlCommand(s"CREATE GRAFT TABLE $name", s => {
             val t = buildAndRegister(name, path, tail, s,
               verb = "CREATE", requireFresh = true)
-            schemaDdl.foreach(ddl => t.declareSchema(
-              org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+            schemaDdl.foreach(ddl => t.declareSchema(schemaFromDdl(t, ddl)))
             query.foreach { q =>
               val df = s.sql(q)
               val seed = t.declaredSchema match {
@@ -692,12 +784,24 @@ object GraftSql {
             Option(step).map(_.toLong).getOrElse(1L)))
         case AlterDropIdRe(c) => cmd(s"DROP IDENTITY COLUMN $c",
           _.dropIdentityColumn(c))
-        case AlterAddColumnRe(c, tpe) => cmd(s"ADD COLUMN $c",
-          _.addColumn(c, org.apache.spark.sql.types.DataType.fromDDL(tpe)))
+        case AlterColTypeRe(c, tpe) => cmd(s"ALTER COLUMN $c TYPE",
+          _.alterColumnType(c,
+            org.apache.spark.sql.types.DataType.fromDDL(tpe.trim)))
+        case AlterAddColumnRe(c, tpe0) =>
+          // optional trailing DEFAULT <expr> (quote-aware boundary)
+          val di = indexOfTop(tpe0, "DEFAULT")
+          val (tpe, dflt) =
+            if (di < 0) (tpe0.trim, None)
+            else (tpe0.substring(0, di).trim,
+              Some(tpe0.substring(di + "DEFAULT".length).trim))
+          cmd(s"ADD COLUMN $c",
+            _.addColumn(c,
+              org.apache.spark.sql.types.DataType.fromDDL(tpe), dflt))
         case other => throw new IllegalArgumentException(
           s"ALTER TABLE $name (a registered graft table): unsupported " +
             s"action '$other' — supported: ADD/DROP CONSTRAINT, " +
-            "ADD/RENAME/DROP COLUMN, ADD/DROP GENERATED COLUMN, " +
+            "ADD/RENAME/DROP COLUMN, ALTER COLUMN TYPE, " +
+            "ADD/DROP GENERATED COLUMN, " +
             "ADD/DROP IDENTITY COLUMN")
       }
     case ShowTablesRe() =>
@@ -936,6 +1040,10 @@ object GraftHistoryCommand {
   private[sql] val Schema: StructType = StructType(Seq(
     StructField("version", LongType, nullable = false),
     StructField("committed_at", TimestampType, nullable = true),
+    StructField("operation", org.apache.spark.sql.types.StringType,
+      nullable = true),
+    StructField("operation_parameters",
+      org.apache.spark.sql.types.StringType, nullable = true),
     StructField("n_added", LongType, nullable = false),
     StructField("n_removed", LongType, nullable = false),
     StructField("has_checkpoint", BooleanType, nullable = false)))

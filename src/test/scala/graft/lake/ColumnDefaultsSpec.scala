@@ -1,0 +1,83 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Declared column DEFAULTs riding the log schema's StructField
+  * metadata: CREATE-time and ALTER-time declaration, filled by SQL
+  * INSERT column lists and COPY INTO when the writer omits the column;
+  * existing rows stay NULL (metadata-only, zero rewrites). */
+class ColumnDefaultsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CREATE ... DEFAULT: INSERT column lists fill the default; " +
+      "explicit values win") {
+    val p = tmpDir("dflt").toString
+    spark.sql("CREATE GRAFT TABLE t_dflt (id STRING, qty INT, " +
+      s"src STRING DEFAULT 'manual', score DOUBLE DEFAULT 0.5) AT '$p'")
+    spark.sql("INSERT INTO t_dflt (id, qty) VALUES ('a', 1)")
+    spark.sql("INSERT INTO t_dflt (id, qty, src) VALUES ('b', 2, 'feed')")
+    val rows = spark.sql("SELECT id, src, score FROM t_dflt")
+      .as[(String, String, Double)].collect().toSet
+    assert(rows === Set(("a", "manual", 0.5), ("b", "feed", 0.5)))
+    // the full-arity positional form still takes explicit values
+    spark.sql("INSERT INTO t_dflt VALUES ('c', 3, 'x', 9.0)")
+    assert(spark.sql("SELECT score FROM t_dflt WHERE id = 'c'")
+      .as[Double].head() === 9.0)
+  }
+
+  test("ALTER TABLE ADD COLUMN ... DEFAULT is metadata-only: old rows " +
+      "read NULL, later inserts fill the default") {
+    val p = tmpDir("dflt").toString
+    spark.sql(s"CREATE GRAFT TABLE t_dflt2 (id STRING, qty INT) AT '$p'")
+    spark.sql("INSERT INTO t_dflt2 VALUES ('old', 1)")
+    val filesPre = graft.sql.GraftSql.table("t_dflt2").get
+      .liveEntries().map(_.relPath).toSet
+    spark.sql("ALTER TABLE t_dflt2 ADD COLUMN lang STRING DEFAULT 'en'")
+    assert(graft.sql.GraftSql.table("t_dflt2").get
+      .liveEntries().map(_.relPath).toSet === filesPre, "zero rewrites")
+    assert(spark.sql("SELECT lang FROM t_dflt2 WHERE id = 'old'")
+      .collect().head.isNullAt(0), "pre-default rows read NULL")
+    spark.sql("INSERT INTO t_dflt2 (id, qty) VALUES ('new', 2)")
+    assert(spark.sql("SELECT lang FROM t_dflt2 WHERE id = 'new'")
+      .as[String].head() === "en")
+  }
+
+  test("default + generated + identity interplay: one INSERT omitting " +
+      "all three fills each through its own channel") {
+    val p = tmpDir("dflt").toString
+    spark.sql("CREATE GRAFT TABLE t_mix (v STRING, " +
+      s"tag STRING DEFAULT 'raw') AT '$p' GENERATED (v_up AS upper(v))")
+    spark.sql("ALTER TABLE t_mix ADD IDENTITY COLUMN rid")
+    spark.sql("INSERT INTO t_mix (v) VALUES ('a'), ('b')")
+    val rows = spark.sql("SELECT v, v_up, tag, rid FROM t_mix")
+      .as[(String, String, String, Long)].collect()
+    assert(rows.map(r => (r._1, r._2, r._3)).toSet ===
+      Set(("a", "A", "raw"), ("b", "B", "raw")))
+    assert(rows.map(_._4).toSet === Set(1L, 2L))
+  }
+
+  test("COPY INTO fills declared defaults for source-absent columns") {
+    val p = tmpDir("dflt").toString
+    spark.sql("CREATE GRAFT TABLE t_cpy (id STRING, qty INT, " +
+      s"src STRING DEFAULT 'copy') AT '$p'")
+    val feed = tmpDir("dflt_feed").resolve("files").toString
+    Seq(("a", 1), ("b", 2)).toDF("id", "qty").write.parquet(feed)
+    graft.sql.GraftSql.table("t_cpy").get.copyInto(feed)
+    assert(spark.sql("SELECT src FROM t_cpy").as[String].collect().toSeq
+      === Seq("copy", "copy"))
+  }
+
+  test("a DEFAULT must be a constant castable to the column type") {
+    val t = MergeTable(spark, tmpDir("dflt").toString, None)
+    t.declareSchema(StructType(Seq(StructField("id", StringType))))
+    intercept[IllegalArgumentException](
+      t.addColumn("bad", IntegerType, Some("id")))
+    intercept[IllegalArgumentException](
+      t.addColumn("bad", IntegerType, Some("not_a_col + 1")))
+    t.addColumn("ok", IntegerType, Some("2 + 3"))
+    assert(t.columnDefaults === Map("ok" -> "2 + 3"))
+  }
+}

@@ -853,10 +853,12 @@ class MergeTableSpec extends SparkSpec {
       .select("order_id").as[String].collect().toSet
     assert(ch === Set("o9", "o10", "o11"))
     // vacuum: latest snapshot survives on its own checkpoint; history gone
+    // (vacuum itself commits an auditable empty delta first — v13)
     val before = contents(t.read())
     t.vacuum(0L)
     assert(contents(t.read()) === before)
-    assert(Files.exists(log.resolve(f"${12L}%020d.ckpt")))
+    assert(t.latestVersion() === 13L, "vacuum records a VACUUM commit")
+    assert(Files.exists(log.resolve(f"${13L}%020d.ckpt")))
     intercept[IllegalStateException](t.readVersion(9).collect())
     // writes continue cleanly after vacuum
     t.merge(orders(("o99", "2024-03-01", 99.0)), "order_id")
@@ -1005,6 +1007,41 @@ class MergeTableSpec extends SparkSpec {
     t.append(orders(("o6", "d1", 6.0)))
     assert(t.liveEntries().size === 1)
     assert(t.read().count() === 6)
+  }
+
+  test("overwriteWhere (replaceWhere): atomic partition-scoped " +
+      "replacement — untouched partitions byte-identical, CDF in scope") {
+    val root = tmpDir("mt").toString
+    val t = MergeTable(spark, root, Some("date"))
+    t.overwrite(orders(
+      ("o1", "d1", 1.0), ("o2", "d1", 2.0), ("o3", "d2", 3.0)))
+    val vPre = t.latestVersion()
+    val before = t.liveEntries().map(_.relPath).toSet
+    // backfill d1 atomically: remove its files + write the new slice
+    t.overwriteWhere(orders(("o9", "d1", 9.0)), col("date") === "d1")
+    assert(contents(t.read()) ===
+      Set(("o9", "d1", 9.0), ("o3", "d2", 3.0)))
+    assert(t.latestVersion() === vPre + 1, "ONE commit")
+    // untouched partition carried over byte-identical (same relPath)
+    val d2Files = before.filter(_.contains("date=d2"))
+    assert(d2Files.subsetOf(t.liveEntries().map(_.relPath).toSet))
+    // the change feed across the commit touches ONLY the scope
+    val feed = t.changes(vPre, t.latestVersion(), "order_id")
+      .select("order_id", MergeTable.ChangeType)
+      .as[(String, String)].collect().toSet
+    assert(feed === Set(("o1", "delete"), ("o2", "delete"),
+      ("o9", "insert")))
+    // rows landing OUTSIDE the scope are refused (Delta's validation)
+    intercept[IllegalArgumentException](
+      t.overwriteWhere(orders(("oX", "d2", 1.0)), col("date") === "d1"))
+    // non-partition predicate refused
+    intercept[IllegalArgumentException](
+      t.overwriteWhere(orders(("oY", "d1", 1.0)), col("amount") > 0))
+    // unpartitioned table refused
+    val u = MergeTable(spark, tmpDir("mt").toString, None)
+    u.overwrite(orders(("o1", "d1", 1.0)))
+    intercept[IllegalArgumentException](
+      u.overwriteWhere(orders(("o2", "d1", 2.0)), col("date") === "d1"))
   }
 
   test("compactSmall/auto-compact skip files that cannot combine — " +

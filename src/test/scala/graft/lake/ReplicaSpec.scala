@@ -312,6 +312,28 @@ class ReplicaSpec extends SparkSpec {
     assert(byV(3L)._2 >= 0L && byV(3L)._3 === 1L,
       "delete removed o2's file")
     assert(t.history().schema.fieldNames.contains("committed_at"))
+    // operation labels (Delta's commitInfo): every commit carries its op
+    t.compact()
+    t.restore(3L)
+    t.vacuum(java.lang.Long.MAX_VALUE / 2)
+    val ops = t.history().select("version", "operation")
+      .as[(Long, String)].collect().toMap
+    assert(ops(1L) === "WRITE" && ops(2L) === "MERGE" &&
+      ops(3L) === "DELETE" && ops(4L) === "OPTIMIZE" &&
+      ops(5L) === "RESTORE" && ops(6L) === "VACUUM")
+    val params = t.history().filter(col("version") === 3L)
+      .select("operation_parameters").as[String].head()
+    assert(params.contains("predicate="), s"DELETE params carry it: $params")
+    // a PRE-FEATURE commit (2-field header) reads back with a NULL
+    // operation, not an error
+    val log1 = java.nio.file.Paths.get(t.root.toString, "_graft_log",
+      f"${1L}%020d.txt")
+    val lines = java.nio.file.Files.readAllLines(log1)
+    lines.set(0, lines.get(0).split('\t').take(2).mkString("\t"))
+    java.nio.file.Files.write(log1, lines)
+    val legacy = t.history().filter(col("version") === 1L)
+      .select("operation").collect().head
+    assert(legacy.isNullAt(0), "legacy header -> null operation")
   }
 
   test("replica change feed mirrors the source window's net effect") {

@@ -244,11 +244,14 @@ class GraftSqlSpec extends SparkSpec {
     GraftSql.register("t_hist", t)
     val viaSql = spark.sql("DESCRIBE HISTORY t_hist")
     assert(viaSql.columns.toSeq ===
-      Seq("version", "committed_at", "n_added", "n_removed", "has_checkpoint"))
-    assert(viaSql.select("version", "n_added")
-      .as[(Long, Long)].collect().toSeq ===
-      t.history().select("version", "n_added")
-        .as[(Long, Long)].collect().toSeq)
+      Seq("version", "committed_at", "operation", "operation_parameters",
+        "n_added", "n_removed", "has_checkpoint"))
+    assert(viaSql.select("version", "operation", "n_added")
+      .as[(Long, String, Long)].collect().toSeq ===
+      t.history().select("version", "operation", "n_added")
+        .as[(Long, String, Long)].collect().toSeq)
+    assert(viaSql.select("operation").as[String].collect().toSet ===
+      Set("WRITE", "MERGE"))
     assert(viaSql.count() === 2L)
   }
 
@@ -417,6 +420,49 @@ class GraftSqlSpec extends SparkSpec {
       .toDF("order_id", "date", "amount"), "order_id")
     assert(contents(viaSql.read()) === contents(viaApi.read()))
     assert(contents(viaSql.read()).map(_._1) === Set("o2", "x ON y"))
+  }
+
+  test("INSERT OVERWRITE ... WHERE replaces only the selected " +
+      "partitions; without WHERE it is a full overwrite") {
+    val dir = tmpDir("sql_iow").toString
+    val t = MergeTable(spark, dir, Some("date"))
+    t.overwrite(Seq(("o1", "d1", 1.0), ("o2", "d2", 2.0))
+      .toDF("order_id", "date", "amount"))
+    GraftSql.register("t_iow", t)
+    // positional alignment follows the TABLE's column order — the
+    // partition column reads LAST on a footer-schema table
+    spark.sql("INSERT OVERWRITE t_iow WHERE date = 'd1' " +
+      "SELECT 'o9', 9.0, 'd1'")
+    assert(contents(t.read()) ===
+      Set(("o9", "d1", 9.0), ("o2", "d2", 2.0)))
+    // VALUES form
+    spark.sql("INSERT OVERWRITE t_iow WHERE date = 'd2' " +
+      "VALUES ('o8', 8.0, 'd2'), ('o7', 7.0, 'd2')")
+    assert(contents(t.read()) ===
+      Set(("o9", "d1", 9.0), ("o8", "d2", 8.0), ("o7", "d2", 7.0)))
+    // leaking row refused
+    intercept[Exception](spark.sql(
+      "INSERT OVERWRITE t_iow WHERE date = 'd1' SELECT 'oX', 1.0, 'd2'"))
+    // no WHERE: full overwrite
+    spark.sql("INSERT OVERWRITE t_iow VALUES ('z', 0.5, 'd3')")
+    assert(contents(t.read()) === Set(("z", "d3", 0.5)))
+  }
+
+  test("backslash-escaped quotes inside literals do not close them " +
+      "(scanner escape discipline)") {
+    val (viaSql, viaApi) = freshPair("bsl")
+    // the \' must NOT end the literal: a naive toggle scan would split
+    // at the literal's inner ' WHERE ' and mis-parse the statement
+    spark.sql(
+      """UPDATE t_bsl SET order_id = 'a\' WHERE b' WHERE order_id = 'o1'""")
+    viaApi.update(col("order_id") === "o1",
+      Map("order_id" -> expr("""'a\' WHERE b'""")))
+    assert(contents(viaSql.read()) === contents(viaApi.read()))
+    // escaped backslash before the closing quote: \\' DOES close
+    spark.sql(
+      """DELETE FROM t_bsl WHERE order_id = concat('o2', '\\') OR false""")
+    assert(contents(viaSql.read()).map(_._1).contains("o2"),
+      "predicate with escaped backslash parsed and matched nothing")
   }
 
   test("MERGE with composite keys and conditional clauses via SQL == API") {
