@@ -29,6 +29,9 @@ import graft.lake.{MatchClause, MergeTable}
   *   UPDATE <name> SET c = e[, ...] [WHERE p]   → [[MergeTable.update]]
   *   DELETE FROM <name> [WHERE p]               → [[MergeTable.delete]]
   *   INSERT INTO <name> [(a, b, ...)] <query>   → [[MergeTable.append]]
+  *   INSERT OVERWRITE <name> [WHERE <partition pred>] <query>
+  *     → [[MergeTable.overwrite]] / [[MergeTable.overwriteWhere]]
+  *       (Delta's replaceWhere: atomic partition-scoped replacement)
   *   OPTIMIZE <name> [WHERE <partition pred>]
   *     [ZORDER BY (c[, ...])]    → compact / zorder / compactWhere
   *   RESTORE <name> TO VERSION AS OF <v>        → [[MergeTable.restore]]
@@ -52,7 +55,9 @@ import graft.lake.{MatchClause, MergeTable}
   *   ANALYZE TABLE <name> COMPUTE STATISTICS
   *                             → retrofit manifest file stats
   *   ALTER TABLE <name> ADD CONSTRAINT n CHECK (p) | DROP CONSTRAINT n
-  *     | ADD COLUMN c <type>  (metadata-only schema evolution)
+  *     | ADD COLUMN c <type> [DEFAULT <expr>]  (metadata-only; the
+  *       default fills INSERT column lists / COPY INTO omissions)
+  *     | ALTER COLUMN c TYPE <t>  (metadata-only type WIDENING)
   *     | RENAME COLUMN a TO b | DROP COLUMN c
   *     | ADD GENERATED COLUMN c AS (expr) | DROP GENERATED COLUMN c
   *     | ADD IDENTITY COLUMN c [START WITH s] [STEP k]
