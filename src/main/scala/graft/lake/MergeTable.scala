@@ -497,8 +497,10 @@ final class MergeTable private (
                 s"DEFAULT for '$name' does not evaluate as $dataType: " +
                   e.getMessage)
           }
-        require(probe.references.isEmpty,
-          s"DEFAULT for '$name' must be a constant expression, got: $d")
+        require(probe.references.isEmpty &&
+            probe.expressions.forall(_.deterministic),
+          s"DEFAULT for '$name' must be a constant, deterministic " +
+            s"expression, got: $d")
         org.apache.spark.sql.types.StructField(name, dataType,
           nullable = true,
           metadata = new org.apache.spark.sql.types.MetadataBuilder()
@@ -769,8 +771,12 @@ final class MergeTable private (
       if (op.isEmpty) s"S\t$stamp"
       else {
         val b64 = java.util.Base64.getEncoder
+        // values carry arbitrary text (predicates with newlines /
+        // '=') — b64 each value so the k=v framing round-trips
         val kv = params.toSeq.sortBy(_._1)
-          .map { case (k, x) => s"$k=$x" }.mkString("\n")
+          .map { case (k, x) =>
+            s"$k=" + b64.encodeToString(x.getBytes("UTF-8"))
+          }.mkString("\n")
         s"S\t$stamp\t" + b64.encodeToString(op.getBytes("UTF-8")) +
           "\t" + b64.encodeToString(kv.getBytes("UTF-8"))
       }
@@ -783,15 +789,36 @@ final class MergeTable private (
     * else the delta file's mtime (legacy), None when the delta was
     * vacuum-pruned. One buffered first-line read — O(1) per call
     * regardless of manifest size (the stamp is always line one). */
-  private def commitTsOf(v: Long): Option[Long] = {
+  private def commitTsOf(v: Long): Option[Long] =
+    headerOf(v).map(_._1)
+
+  /** One buffered first-line read serving BOTH header consumers (the
+    * in-commit timestamp and the operation metadata) — [[history]]
+    * would otherwise open every delta file twice for the same line. */
+  private def headerOf(v: Long)
+      : Option[(Long, Option[(String, Map[String, String])])] = {
     val p = logDir.resolve(f"$v%020d.txt")
-    if (!Files.exists(p)) None
-    else {
-      val first = Using.resource(Files.newBufferedReader(p))(_.readLine())
-      if (first != null && first.startsWith("S\t"))
-        Some(first.split('\t')(1).toLong)
-      else Some(Files.getLastModifiedTime(p).toMillis)
-    }
+    if (!Files.exists(p)) return None
+    val first = Using.resource(Files.newBufferedReader(p))(_.readLine())
+    if (first == null || !first.startsWith("S\t"))
+      return Some((Files.getLastModifiedTime(p).toMillis, None))
+    val fields = first.split('\t')
+    val stamp = fields(1).toLong
+    // an empty params token leaves a trailing tab split() drops —
+    // accept the 3-field form
+    if (fields.length < 3) return Some((stamp, None))
+    val dec = java.util.Base64.getDecoder
+    val op = new String(dec.decode(fields(2)), "UTF-8")
+    val kv =
+      if (fields.length < 4) ""
+      else new String(dec.decode(fields(3)), "UTF-8")
+    val params = kv.split('\n').filter(_.contains('='))
+      .map { line =>
+        val i = line.indexOf('=')
+        line.substring(0, i) ->
+          new String(dec.decode(line.substring(i + 1)), "UTF-8")
+      }.toMap
+    Some((stamp, Some((op, params))))
   }
 
   /** Operation label for the constraint channel's three rule kinds:
@@ -809,31 +836,11 @@ final class MergeTable private (
     name.stripPrefix(GeneratedColumns.Prefix)
       .stripPrefix(IdentityColumns.Prefix)
 
-  /** The operation label + parameters of version `v`'s commit (the
-    * header's 3rd/4th fields) — None for pre-feature or vacuum-pruned
-    * commits. One buffered first-line read, like [[commitTsOf]]. */
+  /** The operation label + parameters of version `v`'s commit —
+    * None for pre-feature or vacuum-pruned commits. */
   private def commitOpOf(v: Long)
-      : Option[(String, Map[String, String])] = {
-    val p = logDir.resolve(f"$v%020d.txt")
-    if (!Files.exists(p)) return None
-    val first = Using.resource(Files.newBufferedReader(p))(_.readLine())
-    if (first == null || !first.startsWith("S\t")) return None
-    // an empty params token leaves a trailing tab split() drops —
-    // accept the 3-field form
-    val fields = first.split('\t')
-    if (fields.length < 3) return None
-    val dec = java.util.Base64.getDecoder
-    val op = new String(dec.decode(fields(2)), "UTF-8")
-    val kv =
-      if (fields.length < 4) ""
-      else new String(dec.decode(fields(3)), "UTF-8")
-    val params = kv.split('\n').filter(_.contains('='))
-      .map { line =>
-        val i = line.indexOf('=')
-        line.substring(0, i) -> line.substring(i + 1)
-      }.toMap
-    Some((op, params))
-  }
+      : Option[(String, Map[String, String])] =
+    headerOf(v).flatMap(_._2)
 
   /** Publish a full checkpoint at `v` (create-if-absent; a checkpoint is
     * DERIVED data, so losing the race — or crashing before writing it —
@@ -1173,13 +1180,20 @@ final class MergeTable private (
       val (version, live) = latest()
       val (df, idTxns) = withIdentity(df1, version)
       enforceConstraints(df, "replaceWhere")
-      declaredSchema.foreach { d =>
-        val phys = toPhysical(df).schema
-        require(phys.fields.map(f => (f.name, f.dataType)).toSet ==
+      // the incoming slice must conform to the TABLE schema — kept
+      // partitions and the new files share every later scan, so a
+      // drifted write would silently null-fill or break the read
+      // (declared schema when there is one, the live files' else)
+      val tableSchema: Option[org.apache.spark.sql.types.StructType] =
+        declaredSchema.orElse(
+          if (live.isEmpty) None else Some(readEntries(live).schema))
+      tableSchema.foreach { d =>
+        val got = df.schema
+        require(got.fields.map(f => (f.name, f.dataType)).toSet ==
           d.fields.map(f => (f.name, f.dataType)).toSet,
-          s"replaceWhere: schema {${phys.map(f =>
+          s"replaceWhere: schema {${got.map(f =>
             s"${f.name}:${f.dataType.simpleString}").mkString(",")}} != " +
-            s"declared {${d.map(f =>
+            s"table {${d.map(f =>
               s"${f.name}:${f.dataType.simpleString}").mkString(",")}}")
       }
       // scope containment: predicate may reference only partition
@@ -1323,6 +1337,11 @@ final class MergeTable private (
     appendImpl(df0, Some(appId -> txnV))
   }
 
+  private def appendOp(txn: Option[(String, Long)]): Map[String, String] =
+    Map("mode" -> "Append") ++ txn.map { case (a, bv) =>
+      Map("txnAppId" -> a, "txnVersion" -> bv.toString)
+    }.getOrElse(Map.empty)
+
   private def appendImpl(df0: DataFrame,
       txn: Option[(String, Long)]): Long = {
     txn.foreach { case (app, bv) =>
@@ -1351,10 +1370,7 @@ final class MergeTable private (
       enforceConstraints(df1, "append")
       checkSchema(df1, latest()._2)
       val (_, entries) = writeData(df1)
-      try retryingCommit("WRITE", Map("mode" -> "Append") ++
-          txn.map { case (a, bv) =>
-            Map("txnAppId" -> a, "txnVersion" -> bv.toString)
-          }.getOrElse(Map.empty)) { () =>
+      try retryingCommit("WRITE", appendOp(txn)) { () =>
         val (v, _) = latest()
         txn.foreach { case (app, bv) =>
           if (txnsAt(v).get(app).exists(_ >= bv))
@@ -1369,10 +1385,7 @@ final class MergeTable private (
       // commit overlapping ranges (the correctness half of the
       // exactly-once identity contract; the orphaned data dir of a
       // lost attempt is vacuum-reclaimed like any lost race)
-      try retryingCommit("WRITE", Map("mode" -> "Append") ++
-          txn.map { case (a, bv) =>
-            Map("txnAppId" -> a, "txnVersion" -> bv.toString)
-          }.getOrElse(Map.empty)) { () =>
+      try retryingCommit("WRITE", appendOp(txn)) { () =>
         val (v, live) = latest()
         txn.foreach { case (app, bv) =>
           if (txnsAt(v).get(app).exists(_ >= bv))
@@ -3484,10 +3497,11 @@ final class MergeTable private (
       if (!Files.exists(p)) None
       else {
         val actions = readLogFile(p)
-        val opInfo = commitOpOf(v)
+        val hdr = headerOf(v)
+        val opInfo = hdr.flatMap(_._2)
         Some((v,
           java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(
-            commitTsOf(v).getOrElse(
+            hdr.map(_._1).getOrElse(
               Files.getLastModifiedTime(p).toMillis))),
           opInfo.map(_._1).orNull,
           opInfo.map(_._2.toSeq.sortBy(_._1)
@@ -3533,18 +3547,29 @@ final class MergeTable private (
       pattern: Option[String] = None,
       maxFilesPerTrigger: Option[Int] = None): Long = {
     val path = pattern.map(p => s"${src.stripSuffix("/")}/$p").getOrElse(src)
-    val srcSchema =
-      try spark.read.format(format).option("header", "true")
-        .load(path).schema
-      catch { case scala.util.control.NonFatal(e) =>
-        throw new IllegalArgumentException(
-          s"COPY INTO at $root: cannot infer a schema from '$path' — " +
-            "the source has no readable files", e)
-      }
-    val tableSchema =
+    val tableSchemaOpt =
       if (latestVersion() > 0L &&
-          (liveEntries().nonEmpty || declaredSchema.isDefined)) read().schema
-      else srcSchema
+          (liveEntries().nonEmpty || declaredSchema.isDefined))
+        Some(read().schema)
+      else None
+    // The source-schema probe exists to find SOURCE-ABSENT columns to
+    // default-fill. On a drained/empty source dir it fails — which
+    // must stay a NO-OP for an established table (the scheduled
+    // incremental-run pattern), and an error only for the FIRST load
+    // (nothing to infer a schema from).
+    val srcSchemaOpt =
+      try Some(spark.read.format(format).option("header", "true")
+        .load(path).schema)
+      catch { case scala.util.control.NonFatal(e) =>
+        if (tableSchemaOpt.isEmpty)
+          throw new IllegalArgumentException(
+            s"COPY INTO at $root: cannot infer a schema from '$path' " +
+              "for the FIRST load into an empty table — the source " +
+              "has no readable files", e)
+        None
+      }
+    val srcSchema = srcSchemaOpt.getOrElse(tableSchemaOpt.get)
+    val tableSchema = tableSchemaOpt.getOrElse(srcSchema)
     // Columns the SOURCE lacks are engine-filled: the declared DEFAULT
     // when one exists, else NULL (pre-defaults behavior). The stream
     // reads with the table types for the columns the source HAS, so
@@ -3586,6 +3611,32 @@ final class MergeTable private (
   /** Delta's `DESCRIBE DETAIL`: ONE row of table-level metadata — all
     * of it driver-side manifest/log state plus one `Files.size` sweep
     * over live files (O(live files) metadata, no jobs). */
+  /** `SHOW PARTITIONS` (hive-parity surface Delta itself lacks): one
+    * row per LIVE partition tuple with its file count — pure manifest
+    * metadata, no data IO, O(live files) driver work at any table
+    * size. Values are the hive dir strings (the null partition reads
+    * as NULL), ordered by tuple for determinism. */
+  def partitions(): DataFrame = {
+    require(partitionCols.nonEmpty,
+      s"MergeTable at $root: SHOW PARTITIONS needs a partitioned table")
+    val (_, live) = latest()
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(
+      partitionCols.map(c => org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType)) :+
+        org.apache.spark.sql.types.StructField("num_files",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = live.groupBy(_.partitionValue).toSeq
+      .map { case (pv, es) =>
+        (partValuesOf(pv).map(_.orNull), es.size.toLong)
+      }
+      .sortBy(_._1.map(v => if (v == null) "" else v).mkString("\u0000"))
+      .map { case (vals, n) =>
+        org.apache.spark.sql.Row.fromSeq(vals :+ n)
+      }
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   def detail(): DataFrame = {
     val (v, live) = latest()
     val bytes = live.map(e =>

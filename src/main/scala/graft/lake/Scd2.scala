@@ -55,10 +55,15 @@ object Scd2 {
         concat(col(pk).cast("string"), lit("@"), lit(asOf)))
 
   /** The current slice, partition-pruned at the log level when the
-    * table is partitioned by [[Slice]] (the recommended layout). */
+    * table is partitioned EXACTLY by [[Slice]] (the recommended
+    * layout). The filter sees the manifest-ENCODED partition value —
+    * the raw slice string only on a single-column layout, so a
+    * multi-column layout (slice × something) must NOT take this path
+    * (the encoded tuple would never equal the raw token and the prune
+    * would silently drop every file); it reads unpruned instead. */
   private def currentSlice(t: MergeTable): DataFrame = {
     val base =
-      if (t.partitionCol.contains(Slice)) t.read(Some(_ == SliceOpen))
+      if (t.partitionCols == Seq(Slice)) t.read(Some(_ == SliceOpen))
       else t.read()
     base.filter(col(Current))
   }

@@ -135,6 +135,8 @@ object GraftSql {
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val DetailRe =
     """(?is)^\s*DESCRIBE\s+DETAIL\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
+  private val ShowPartsRe =
+    """(?is)^\s*SHOW\s+PARTITIONS\s+([A-Za-z_][\w]*)\s*;?\s*$""".r
   private val GenItemRe = """(?is)^\s*([A-Za-z_][\w]*)\s+AS\s+(.+?)\s*$""".r
   private val RegisterRe =
     """(?is)^\s*REGISTER\s+GRAFT\s+TABLE\s+([A-Za-z_][\w]*)\s+AT\s+'([^']+)'(.*?)\s*;?\s*$""".r
@@ -310,11 +312,65 @@ object GraftSql {
 
   /** Parse a CREATE column list that may carry per-column DEFAULTs:
     * `(a INT, b STRING DEFAULT 'x', ...)` — StructType.fromDDL rejects
-    * the DEFAULT clause, so split per column (quote-aware) and record
-    * defaults in field metadata through [[MergeTable.defaultField]]. */
+    * the DEFAULT clause, so split per column and record defaults in
+    * field metadata through [[MergeTable.defaultField]]. The scan
+    * tracks ANGLE BRACKETS as well as parens/quotes: complex types
+    * (`MAP<STRING, INT>`, `STRUCT<default: INT>`) carry commas — and
+    * even the word DEFAULT — inside `<...>`, which must not split a
+    * column or start a default clause. */
   private def schemaFromDdl(t: MergeTable, ddl: String): StructType = {
-    val fields = splitTop(ddl).map { item =>
-      val di = indexOfTop(item, "DEFAULT")
+    def splitCols(x: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      var depth = 0
+      var quote: Char = 0
+      var i = 0
+      while (i < x.length) {
+        val c = x.charAt(i)
+        if (quote != 0) {
+          cur += c
+          if (c == '\\' && quote != '`' && i + 1 < x.length) {
+            i += 1; cur += x.charAt(i)
+          } else if (c == quote) quote = 0
+        } else c match {
+          case '\'' | '"' | '`'  => quote = c; cur += c
+          case '(' | '<'        => depth += 1; cur += c
+          case ')' | '>'        => depth -= 1; cur += c
+          case ',' if depth == 0 => out += cur.result(); cur.clear()
+          case _                => cur += c
+        }
+        i += 1
+      }
+      if (cur.nonEmpty) out += cur.result()
+      out.result().map(_.trim).filter(_.nonEmpty)
+    }
+    def defaultAtTop(item: String): Int = {
+      var depth = 0
+      var quote: Char = 0
+      var i = 0
+      def identChar(c: Char) = c.isLetterOrDigit || c == '_'
+      while (i < item.length) {
+        val c = item.charAt(i)
+        if (quote != 0) {
+          if (c == '\\' && quote != '`' && i + 1 < item.length) i += 1
+          else if (c == quote) quote = 0
+        } else c match {
+          case '\'' | '"' | '`' => quote = c
+          case '(' | '<'       => depth += 1
+          case ')' | '>'       => depth -= 1
+          case _ =>
+            if (depth == 0 &&
+                item.regionMatches(true, i, "DEFAULT", 0, 7) &&
+                (i == 0 || !identChar(item.charAt(i - 1))) &&
+                (i + 7 >= item.length || !identChar(item.charAt(i + 7))))
+              return i
+        }
+        i += 1
+      }
+      -1
+    }
+    val fields = splitCols(ddl).map { item =>
+      val di = defaultAtTop(item)
       val (decl, dflt) =
         if (di < 0) (item.trim, None)
         else (item.substring(0, di).trim,
@@ -483,18 +539,26 @@ object GraftSql {
               s"SELECT * FROM ($queryStr)"
             else queryStr)
           val idCols = t.identityColumns.keySet
-          val all = t.read().schema.fields.toSeq
-          val fields =
-            if (df.columns.length == all.length) all
-            else if (idCols.nonEmpty &&
-                df.columns.length == all.length - idCols.size)
-              all.filterNot(f => idCols.contains(f.name))
-            else throw new IllegalArgumentException(
-              s"INSERT OVERWRITE $name: query produces " +
-                s"${df.columns.length} columns, table has ${all.length}")
-          val aligned = df.toDF(fields.map(_.name): _*)
-            .select(fields.map(f =>
-              expr(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+          // an EMPTY table without a declared schema has nothing to
+          // align onto — the first overwrite defines the schema
+          val allOpt = scala.util.Try(t.read().schema.fields.toSeq)
+            .toOption
+          val aligned = allOpt match {
+            case None => df
+            case Some(all) =>
+              val fields =
+                if (df.columns.length == all.length) all
+                else if (idCols.nonEmpty &&
+                    df.columns.length == all.length - idCols.size)
+                  all.filterNot(f => idCols.contains(f.name))
+                else throw new IllegalArgumentException(
+                  s"INSERT OVERWRITE $name: query produces " +
+                    s"${df.columns.length} columns, table has " +
+                    s"${all.length}")
+              df.toDF(fields.map(_.name): _*)
+                .select(fields.map(f =>
+                  expr(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+          }
           pred match {
             case Some(px) => t.overwriteWhere(aligned, expr(px))
             case None     => t.overwrite(aligned)
@@ -653,6 +717,11 @@ object GraftSql {
       table(name).map(t => GraftHistoryCommand(name, t))
     case DetailRe(name) =>
       table(name).map(t => GraftDetailCommand(name, t))
+    // SHOW PARTITIONS over a registered graft name reads the MANIFEST
+    // (one row per live partition tuple); unregistered names delegate
+    // to Spark's own SHOW PARTITIONS
+    case ShowPartsRe(name) =>
+      table(name).map(t => GraftPartitionsCommand(name, t))
     // SQL-only registration path, so a consumer needs zero Scala:
     //   REGISTER GRAFT TABLE t AT '/path' [PARTITIONED BY (c)]
     //     [STATS (c1, c2)] [BLOOM (c1)] [WITH DELETION VECTORS]
@@ -1052,6 +1121,24 @@ object GraftHistoryCommand {
     StructField("n_added", LongType, nullable = false),
     StructField("n_removed", LongType, nullable = false),
     StructField("has_checkpoint", BooleanType, nullable = false)))
+}
+
+/** `SHOW PARTITIONS` over the manifest — output columns depend on
+  * the table's partition columns, which the REGISTERED handle knows
+  * at parse time (no log read at parse; the run() call reads it). */
+case class GraftPartitionsCommand(name: String, t: MergeTable)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      StructType(t.partitionCols.map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType)) :+
+        org.apache.spark.sql.types.StructField("num_files", LongType,
+          nullable = false)))
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    t.withSession(sparkSession).partitions().collect().toSeq
+  override def simpleString(maxFields: Int): String =
+    s"GraftDml(SHOW PARTITIONS $name)"
 }
 
 /** Delta's `DESCRIBE DETAIL` — one metadata row; schema fixed

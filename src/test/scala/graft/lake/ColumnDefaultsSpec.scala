@@ -70,14 +70,32 @@ class ColumnDefaultsSpec extends SparkSpec {
       === Seq("copy", "copy"))
   }
 
-  test("a DEFAULT must be a constant castable to the column type") {
+  test("a DEFAULT must be a constant, deterministic expression " +
+      "castable to the column type") {
     val t = MergeTable(spark, tmpDir("dflt").toString, None)
     t.declareSchema(StructType(Seq(StructField("id", StringType))))
     intercept[IllegalArgumentException](
       t.addColumn("bad", IntegerType, Some("id")))
     intercept[IllegalArgumentException](
       t.addColumn("bad", IntegerType, Some("not_a_col + 1")))
+    intercept[IllegalArgumentException](
+      t.addColumn("bad", DoubleType, Some("rand()")))
     t.addColumn("ok", IntegerType, Some("2 + 3"))
     assert(t.columnDefaults === Map("ok" -> "2 + 3"))
+  }
+
+  test("CREATE column lists with parameterized complex types parse — " +
+      "commas and the word DEFAULT inside <...> stay inside the type") {
+    val p = tmpDir("dflt_cx").toString
+    spark.sql("CREATE GRAFT TABLE t_cx (m MAP<STRING, INT>, " +
+      "s STRUCT<default: INT, n: STRING>, " +
+      s"tag STRING DEFAULT 'x') AT '$p'")
+    val t = graft.sql.GraftSql.table("t_cx").get
+    assert(t.declaredSchema.get.fieldNames.toSeq === Seq("m", "s", "tag"))
+    assert(t.columnDefaults === Map("tag" -> "'x'"))
+    spark.sql("INSERT INTO t_cx (m, s) VALUES " +
+      "(map('a', 1), named_struct('default', 2, 'n', 'z'))")
+    assert(spark.sql("SELECT tag, s.default FROM t_cx")
+      .as[(String, Int)].head() === ("x", 2))
   }
 }

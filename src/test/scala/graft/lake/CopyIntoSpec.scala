@@ -17,6 +17,30 @@ class CopyIntoSpec extends SparkSpec {
   private def contents(t: MergeTable): Set[(Long, Long)] =
     t.read().select("k", "v").as[(Long, Long)].collect().toSet
 
+  test("an incremental run over a DRAINED (unreadable) source is a " +
+      "no-op for an established table, not an error") {
+    val src = tmpDir("cpy_drain").toString
+    rows((1L, 10L)).coalesce(1).write.parquet(s"$src/f1")
+    val t = MergeTable(spark, tmpDir("cpy_t").toString, None)
+    t.copyInto(src + "/*")
+    assert(contents(t) === Set((1L, 10L)))
+    // drain the source (the scheduled-ingestion pattern): the next
+    // run must no-op — the source-schema probe failing is only fatal
+    // for a FIRST load with nothing to infer from
+    deleteRecursively(java.nio.file.Paths.get(src, "f1"))
+    val v = t.latestVersion()
+    t.copyInto(src + "/*")
+    assert(t.latestVersion() === v)
+    assert(contents(t) === Set((1L, 10L)))
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(java.nio.file.Files.walk(p))(
+      _.iterator().asScala.toSeq).reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
   test("each source file loads exactly once across re-invocations; new " +
       "files load incrementally; bounded batches compose") {
     val src = tmpDir("cpy_src").toString

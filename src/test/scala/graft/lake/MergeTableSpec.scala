@@ -1042,6 +1042,12 @@ class MergeTableSpec extends SparkSpec {
     u.overwrite(orders(("o1", "d1", 1.0)))
     intercept[IllegalArgumentException](
       u.overwriteWhere(orders(("o2", "d1", 2.0)), col("date") === "d1"))
+    // schema drift refused even WITHOUT a declared schema: kept
+    // partitions and the new slice share every later scan
+    intercept[IllegalArgumentException](
+      t.overwriteWhere(
+        Seq(("oZ", "d1")).toDF("order_id", "date"),
+        col("date") === "d1"))
   }
 
   test("compactSmall/auto-compact skip files that cannot combine — " +

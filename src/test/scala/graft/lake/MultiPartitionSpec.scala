@@ -150,6 +150,25 @@ class MultiPartitionSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) c FROM mp_t").as[Long].head() === 3L)
     val detail = spark.sql("DESCRIBE DETAIL mp_t").collect().head
     assert(detail.getAs[String]("partition_column") === "d,r")
+    // SHOW PARTITIONS: one manifest row per live tuple, deterministic
+    val parts = spark.sql("SHOW PARTITIONS mp_t")
+    assert(parts.columns.toSeq === Seq("d", "r", "num_files"))
+    assert(parts.select("d", "r").as[(String, String)].collect().toSeq ===
+      Seq(("d1", "eu"), ("d1", "us"), ("d2", "eu")))
+    assert(parts.select("num_files").as[Long].collect().forall(_ >= 1L))
+  }
+
+  test("SHOW PARTITIONS API: null slots surface as NULL; unpartitioned " +
+      "tables are refused") {
+    val t = MergeTable(spark, tmpDir("mp_show").toString, Seq("d", "r"), Nil,
+      deletionVectors = false, bloomCols = Nil)
+    t.overwrite(sales(("s1", "d1", null, 1.0), ("s2", "d1", "eu", 2.0)))
+    val rows = t.partitions().collect()
+    assert(rows.length === 2)
+    assert(rows.exists(r => r.getString(0) == "d1" && r.isNullAt(1)))
+    val u = MergeTable(spark, tmpDir("mp_show").toString, None)
+    u.overwrite(sales(("s1", "d1", "eu", 1.0)))
+    intercept[IllegalArgumentException](u.partitions())
   }
 
   test("convertInPlace adopts a two-level hive layout; guards check " +

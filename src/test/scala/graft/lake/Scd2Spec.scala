@@ -38,6 +38,28 @@ class Scd2Spec extends SparkSpec {
     assert(hist(t) === before, "an unchanged batch must touch nothing")
   }
 
+  test("a multi-column-partitioned backing table (slice × category) " +
+      "stays correct — the slice prune fires only on the exact " +
+      "single-column layout") {
+    // the prune's read(partitionFilter) sees the ENCODED tuple; taking
+    // it on a multi-column layout would match nothing, treat every key
+    // as new, and silently duplicate open rows instead of closing them
+    def dim2(rows: (Long, String, Double)*): DataFrame =
+      rows.toDF("prod_id", "cat", "price")
+    val t = MergeTable(spark, tmpDir("scd").toString,
+      Seq(Scd2.Slice, "cat"), Nil, deletionVectors = false, bloomCols = Nil)
+    Scd2.merge(t, dim2((1L, "toys", 10.0), (2L, "toys", 5.0)),
+      "prod_id", "2024-01-01")
+    Scd2.merge(t,
+      dim2((1L, "toys", 20.0), (2L, "toys", 5.0), (3L, "home", 7.0)),
+      "prod_id", "2024-02-01")
+    assert(hist(t) === Set(
+      (1L, 10.0, "2024-01-01", "2024-02-01", false),
+      (1L, 20.0, "2024-02-01", null, true),
+      (2L, 5.0, "2024-01-01", null, true),
+      (3L, 7.0, "2024-02-01", null, true)))
+  }
+
   test("asOfView answers point-in-time questions over the label axis") {
     val t = MergeTable(spark, tmpDir("scd").toString, Some(Scd2.Slice))
     Scd2.merge(t, dim((1L, "ball", 10.0), (2L, "bat", 5.0)),

@@ -446,6 +446,15 @@ class GraftSqlSpec extends SparkSpec {
     // no WHERE: full overwrite
     spark.sql("INSERT OVERWRITE t_iow VALUES ('z', 0.5, 'd3')")
     assert(contents(t.read()) === Set(("z", "d3", 0.5)))
+    // a freshly registered EMPTY table without a declared schema can
+    // be seeded by INSERT OVERWRITE (the first write defines the
+    // schema — no internal no-data error)
+    val fresh = MergeTable(spark, tmpDir("sql_iow2").toString, None)
+    GraftSql.register("t_iow2", fresh)
+    spark.sql(
+      "INSERT OVERWRITE t_iow2 SELECT 'a' AS order_id, 1.0 AS amount")
+    assert(spark.sql("SELECT count(*) c FROM t_iow2")
+      .as[Long].head() === 1L)
   }
 
   test("backslash-escaped quotes inside literals do not close them " +
