@@ -22,12 +22,25 @@ import org.apache.spark.sql.functions._
   * same table (full scan), with planned-file counts from the optimized
   * plan both ways.
   * Usage: runMain graft.tools.PruneBench B [nParts] [rowsPerPart]
+  *
+  * Pattern B2 (`B2`): pattern B on a TWO-COLUMN (a × b) partitioned
+  * multi-commit-dir layout — the file keys carry three components
+  * (fileKeyDepth scales with partition depth) and the rule infers the
+  * depth from the map's own keys. A conjunctive (a AND b) point
+  * predicate and a single-column (a only) predicate are measured.
+  * Usage: runMain graft.tools.PruneBench B2 [nA] [nB] [rowsPerPart]
   */
 object PruneBench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("B")) {
       patternB(args.lift(1).map(_.toInt).getOrElse(1024),
         args.lift(2).map(_.toInt).getOrElse(2000))
+      return
+    }
+    if (args.headOption.contains("B2")) {
+      patternB2(args.lift(1).map(_.toInt).getOrElse(32),
+        args.lift(2).map(_.toInt).getOrElse(32),
+        args.lift(3).map(_.toInt).getOrElse(2000))
       return
     }
     val nFiles = args.headOption.map(_.toInt).getOrElse(256)
@@ -141,6 +154,66 @@ object PruneBench {
       println(f"$label files=$files " +
         f"point: planned=${plannedFiles(point())} median=$mp%.3f s; " +
         f"isin3: planned=${plannedFiles(multi())} median=$mm%.3f s")
+    }
+
+    val s1 = session(ext = true)
+    s1.sparkContext.setLogLevel("WARN")
+    measure(s1, "with rule   ")
+    s1.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s0 = session(ext = false)
+    s0.sparkContext.setLogLevel("WARN")
+    measure(s0, "without rule")
+    s0.stop()
+  }
+
+  private def patternB2(nA: Int, nB: Int, rowsPer: Int): Unit = {
+    def session(ext: Boolean): SparkSession = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions",
+        if (ext) "graft.functions.GraftExtensions" else "")
+      .config("spark.ui.enabled", "false").getOrCreate()
+
+    val dir = java.nio.file.Files.createTempDirectory("prunebenchB2").toString
+    val n = nA.toLong * nB * rowsPer
+
+    def build(spark: SparkSession): graft.lake.MergeTable = {
+      val t = graft.lake.MergeTable(spark, dir, Seq("a", "b"), Nil,
+        deletionVectors = false, bloomCols = Nil)
+      if (t.latestVersion() == 0L) {
+        val rows = spark.range(n).select(col("id"),
+          concat(lit("a"), col("id") % nA).as("a"),
+          concat(lit("b"), floor(col("id") / nA).cast("long") % nB).as("b"),
+          sha2(col("id").cast("string"), 256).as("payload"))
+        t.overwrite(rows.filter(col("id") % 2 === 0)
+          .repartition(col("a"), col("b")))
+        t.merge(rows.filter(col("id") % 2 === 1)
+          .repartition(col("a"), col("b")), "id")
+      }
+      t
+    }
+
+    def measure(spark: SparkSession, label: String): Unit = {
+      val t = build(spark)
+      val both = () =>
+        t.read().filter(col("a") === "a7" && col("b") === "b3")
+      val one = () => t.read().filter(col("a") === "a7")
+      def timeWarm(mk: () => org.apache.spark.sql.DataFrame): Double = {
+        val runs = (1 to 5).map { _ =>
+          val t0 = System.nanoTime()
+          mk().count()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        runs(runs.size / 2)
+      }
+      val files = t.read().inputFiles.length
+      val mb = timeWarm(both)
+      val mo = timeWarm(one)
+      println(f"$label files=$files " +
+        f"a&b: planned=${plannedFiles(both())} median=$mb%.3f s; " +
+        f"a-only: planned=${plannedFiles(one())} median=$mo%.3f s")
     }
 
     val s1 = session(ext = true)
