@@ -25,7 +25,11 @@ import java.util.UUID
   *     version and one delta would vanish.
   *   - HDFS / ABFS / GCS: atomic `rename` WITHOUT overwrite (their
   *     rename contracts fail on an existing destination, unlike
-  *     Linux rename(2), which silently replaces).
+  *     Linux rename(2), which silently replaces). Implemented as
+  *     [[LogStore.RenameNoOverwrite]] with the filesystem's rename as
+  *     the pluggable primitive; [[LogStore.Rename]] is the local
+  *     conformance mock. Select per table via `spark.graft.logStore`
+  *     (see [[LogStore.forConf]]).
   */
 trait LogStore {
 
@@ -54,4 +58,93 @@ object LogStore {
       finally Files.deleteIfExists(tmp)
     }
   }
+
+  /** Rename-no-overwrite implementation — the HDFS / ABFS / GCS
+    * deployment shape (`LogStore.scala:26-28`'s documented contract,
+    * now implemented): write a same-directory temp file, then publish
+    * it with an atomic rename that FAILS when the destination already
+    * exists. Those filesystems guarantee exactly that contract
+    * natively (HDFS `FileSystem.rename` without the OVERWRITE flag is
+    * checked under the NameNode's namespace lock; ABFS/GCS renames are
+    * single metadata operations) — so on a real cluster the protocol
+    * below is safe across processes with `renamePrimitive` delegating
+    * straight to the filesystem.
+    *
+    * The primitive is pluggable so the PROTOCOL (temp write → rename →
+    * loser-cleanup; no reader ever sees a partial file; exactly one
+    * winner per name) is conformance-testable without a cluster:
+    * [[RenameNoOverwrite.local]] mocks the namespace-lock contract
+    * with a JVM-wide claim table — the same single-JVM arbiter
+    * trade-off as Delta's `S3SingleDriverLogStore` — because Linux
+    * rename(2) itself silently replaces and cannot back the contract
+    * directly (the round-1 lost-update bug; see [[Posix]]).
+    *
+    * Crash safety matches the POSIX impl: a writer dying before the
+    * rename leaves only an invisible `.tmp-*` file (readers resolve
+    * `*.txt` names only), and the rename is all-or-nothing, so the
+    * version name is never burned by a partial publish. */
+  class RenameNoOverwrite(
+      renamePrimitive: (Path, Path) => Boolean) extends LogStore {
+    override def putIfAbsent(target: Path, body: String): Boolean = {
+      val tmp = target.resolveSibling(s".tmp-${UUID.randomUUID()}")
+      Files.writeString(tmp, body)
+      val won =
+        try renamePrimitive(tmp, target)
+        // the primitive reports an existing destination as `false`,
+        // never as an exception — but a racing filesystem may surface
+        // the collision as FileAlreadyExists anyway; both mean "lost"
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      if (!won) Files.deleteIfExists(tmp)
+      won
+    }
+  }
+
+  /** The local mock of the rename-no-overwrite contract: an in-JVM
+    * claim table serializes the exists-check with the (itself atomic)
+    * `ATOMIC_MOVE`, standing in for the NameNode namespace lock that
+    * makes the check-and-rename one operation on real HDFS. Readers
+    * can never observe a partial file (the move is atomic); two
+    * writers can never both win (the claim admits one checker at a
+    * time, and the loser of an interleaved claim reports false —
+    * callers treat false as "recompute from the fresh snapshot", so a
+    * spurious false under contention costs a retry, never
+    * correctness). Single-JVM only, like Delta's
+    * S3SingleDriverLogStore — the multi-process guarantee belongs to
+    * the real filesystem's rename, not to this mock. */
+  object Rename extends RenameNoOverwrite(RenameArbiter.lockedMove)
+
+  /** The claim table behind [[Rename]] — separate from the object so
+    * the primitive reference passed to the superclass constructor never
+    * touches the under-construction module. */
+  private object RenameArbiter {
+    private val claims =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    def lockedMove(src: Path, dst: Path): Boolean = {
+      val key = dst.toAbsolutePath.normalize.toString
+      if (!claims.add(key)) false // another writer is mid-publish
+      else try {
+        if (Files.exists(dst)) false
+        else {
+          Files.move(src, dst,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        }
+      } finally claims.remove(key)
+    }
+  }
+
+  /** The implementation selected by the `spark.graft.logStore` conf:
+    * `posix` (default — hard-link create-if-absent) or `rename`
+    * (temp-write + atomic rename-no-overwrite). Every
+    * [[MergeTable.apply]] overload resolves through here, so a
+    * deployment swaps the commit protocol's storage primitive with one
+    * conf line and no code change. */
+  def forConf(spark: org.apache.spark.sql.SparkSession): LogStore =
+    spark.conf.get("spark.graft.logStore", "posix") match {
+      case "posix"  => Posix
+      case "rename" => Rename
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.logStore: unknown store '$other' " +
+          "(expected 'posix' or 'rename')")
+    }
 }

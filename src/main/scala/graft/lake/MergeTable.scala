@@ -766,7 +766,12 @@ final class MergeTable private (
     // OPERATION METADATA rides the same first-line header channel
     // (Delta's commitInfo): the op label and its parameters, base64
     // (predicates contain tabs/newlines). Pre-feature commits have a
-    // 2-field header and read back with a null operation.
+    // 2-field header and read back with a null operation. Forward
+    // compat is one-directional by design (a single-binary framework):
+    // THIS reader accepts 2- and 4-field headers, but a pre-feature
+    // binary cannot read 4-field logs — a mixed-version deployment
+    // would need Delta's protocol/readerVersion gate before extending
+    // the header again (r12 advice note).
     val header =
       if (op.isEmpty) s"S\t$stamp"
       else {
@@ -863,15 +868,33 @@ final class MergeTable private (
 
   /** Run an optimistic write: `attempt` computes (delta, expectedVersion)
     * from the CURRENT snapshot; on commit collision the computation reruns
-    * against the fresh snapshot. Every Nth version also publishes a full
-    * checkpoint, bounding later reads' delta folds. */
+    * against the fresh snapshot — UNLESS the concurrent commits provably
+    * did not invalidate it given what the operation READ (`scope`, checked
+    * by [[canRebase]]), in which case the SAME delta re-publishes at the
+    * new head with no recompute. That is Delta's ConflictChecker rebase:
+    * on a busy table an append losing to an append, or a merge losing to
+    * a compaction of partitions it never touched, must not pay a full
+    * Spark recompute for a provably-compatible interleaving. Every Nth
+    * version also publishes a full checkpoint, bounding later reads'
+    * delta folds. */
   private def retryingCommit(op: String,
-      params: Map[String, String] = Map.empty)(
+      params: Map[String, String] = Map.empty,
+      scope: ReadScope = ReadScope.Everything)(
       attempt: () => (CommitDelta, Long)): Long = {
     var tries = 0
+    // a lost-but-rebasable delta republishes at `publishAt`; `base` stays
+    // the snapshot version it was COMPUTED against, because every further
+    // loss must re-validate the whole (base, head] window
+    var pending: Option[(CommitDelta, Long)] = None
+    var publishAt = 0L
     while (tries < MaxCommitRetries) {
-      val (delta, expected) = attempt()
-      tryCommit(delta, expected, op, params) match {
+      val (delta, base) = pending.getOrElse {
+        if (tries > 0) occRecomputed.incrementAndGet()
+        attempt()
+      }
+      val target = if (pending.isDefined) publishAt else base
+      pending = None
+      tryCommit(delta, target, op, params) match {
         case Some(v) =>
           if (v % CheckpointInterval == 0) writeCheckpoint(v)
           // the user's commit already SUCCEEDED at v — the follow-on
@@ -887,11 +910,99 @@ final class MergeTable private (
             }
           }
           return v
-        case None => tries += 1
+        case None =>
+          tries += 1
+          val head = latestVersion()
+          if (canRebase(delta, base, scope, head)) {
+            occRebased.incrementAndGet()
+            pending = Some((delta, base))
+            publishAt = head
+          }
       }
     }
     throw new java.util.ConcurrentModificationException(
       s"MergeTable at $root: lost the commit race $MaxCommitRetries times")
+  }
+
+  /** OCC telemetry, cumulative on this handle: lost commits that REBASED
+    * (same delta republished, no recompute) vs RECOMPUTED (attempt
+    * re-run). Package-visible so specs can pin the protocol's shape —
+    * a disjoint concurrent writer must take the rebase path. */
+  private[lake] val occRebased = new java.util.concurrent.atomic.AtomicLong
+  private[lake] val occRecomputed = new java.util.concurrent.atomic.AtomicLong
+
+  /** Logical conflict detection (Delta's ConflictChecker): decide whether
+    * `delta` — computed against snapshot `base`, with read scope `scope` —
+    * may be re-published VERBATIM on top of `head`, i.e. whether the
+    * concurrent commits in (base, head] provably did not invalidate the
+    * computation. Sound, not complete: any doubt (missing delta file,
+    * foreign metadata action, unknown op label) answers false and the
+    * caller recomputes, which is always correct. The checks:
+    *
+    *   - our own metadata deltas (schema/constraint/mapping changes)
+    *     never rebase — ordering against concurrent DDL matters;
+    *   - a concurrent schema/constraint/mapping commit invalidates any
+    *     cached computation (enforcement and generated rules may differ);
+    *   - a concurrent txn on an appId our delta also sets conflicts (the
+    *     exactly-once watermark must be re-read, never blindly max-ed);
+    *   - a file our delta removes that a concurrent commit removed OR
+    *     re-added conflicts — remove/remove is the delete/delete lost
+    *     update, and a re-Add (deletion-vector attach, stats retrofit)
+    *     changed content our computation consumed;
+    *   - scope-specific read invalidation, see [[ReadScope]]. For
+    *     [[ReadScope.Everything]] only commits whose operation label is
+    *     content-preserving (OPTIMIZE / ANALYZE / PURGE / VACUUM) and
+    *     whose file actions stay out of every partition we touched can
+    *     rebase under us.
+    *
+    * Cost: O(live metadata at base + concurrent changed files) on the
+    * DRIVER — never a Spark job; the recompute it avoids is one. */
+  private def canRebase(delta: CommitDelta, base: Long,
+      scope: ReadScope, head: Long): Boolean = {
+    if (delta.cAdds.nonEmpty || delta.cDrops.nonEmpty ||
+        delta.mRenames.nonEmpty || delta.mDrops.nonEmpty ||
+        delta.mSchema.nonEmpty) return false
+    if (head <= base) return false // lost, yet no newer version visible
+    val ourRemoves = delta.removes.toSet
+    val ourTxnApps = delta.txns.iterator.map(_._1).toSet
+    // live relPath → partition map at `base`, advanced commit-by-commit
+    // so concurrently-removed files still resolve to partition values
+    val live = mutable.HashMap.empty[String, Option[String]]
+    snapshotAt(base).foreach(e => live.update(e.relPath, e.partitionValue))
+    // every partition our operation wrote into or rewrote (resolved at
+    // base, BEFORE the map advances)
+    val ourParts: Set[Option[String]] =
+      (delta.adds.iterator.map(_.partitionValue) ++
+        delta.removes.iterator.flatMap(live.get)).toSet
+    var w = base + 1
+    while (w <= head) {
+      val p = logDir.resolve(f"$w%020d.txt")
+      if (!Files.exists(p)) return false // vacuum raced us — recompute
+      val acts = readLogFile(p)
+      val foreign = acts.exists {
+        case _: Add | _: Remove | _: InCommitTs => false
+        case SetTxn(app, _)                     => ourTxnApps.contains(app)
+        case _                                  => true // metadata action
+      }
+      if (foreign) return false
+      val cAdds = acts.collect { case Add(e) => e }
+      val cRemoves = acts.collect { case Remove(f) => f }
+      if (cRemoves.exists(ourRemoves.contains)) return false
+      if (cAdds.exists(e => ourRemoves.contains(e.relPath))) return false
+      val scopeOk = scope match {
+        case ReadScope.Nothing      => true
+        case ReadScope.RemovedFiles => true
+        case ReadScope.Everything =>
+          commitOpOf(w).exists(o => ContentPreservingOps.contains(o._1)) &&
+            !cAdds.exists(e => ourParts.contains(e.partitionValue)) &&
+            !cRemoves.exists(f => live.get(f).exists(ourParts.contains))
+      }
+      if (!scopeOk) return false
+      cRemoves.foreach(live.remove)
+      cAdds.foreach(e => live.update(e.relPath, e.partitionValue))
+      w += 1
+    }
+    true
   }
 
   /** Reentrancy guard for [[withAutoCompact]]'s follow-on commit (the
@@ -1081,8 +1192,20 @@ final class MergeTable private (
     // as covered instead of re-Adding it on every call, forever
     val zeroRows = statsCols
       .map(c => c -> ColStat(None, Some((0L, 0L)))).toMap
-    entries.map(e => e.copy(
-      stats = byKey.getOrElse(fileKey(e.relPath), zeroRows)))
+    entries.map { e =>
+      byKey.get(fileKey(e.relPath)) match {
+        case Some(m) => e.copy(stats = m)
+        case None =>
+          // zero-row stats make readers skip the file PERMANENTLY, so a
+          // future fileKey/tag correlation bug here would be silent data
+          // loss instead of a harmless no-stats degradation — leave an
+          // audit trail for every zero-row attribution (rare: only the
+          // empty part file of a rewrite that kept nothing)
+          logger.warn(s"MergeTable at $root: recording zero-row stats " +
+            s"for ${e.relPath} (no rows grouped under its file key)")
+          e.copy(stats = zeroRows)
+      }
+    }
   }
 
   /** RETROFIT file statistics (SQL: `ANALYZE TABLE t COMPUTE
@@ -1186,9 +1309,16 @@ final class MergeTable private (
       // (declared schema when there is one, the live files' else)
       val tableSchema: Option[org.apache.spark.sql.types.StructType] =
         declaredSchema.orElse(
-          if (live.isEmpty) None else Some(readEntries(live).schema))
+          // physical names here too — the comparison below maps the
+          // incoming frame through toPhysical
+          if (live.isEmpty) None
+          else Some(toPhysical(readEntries(live)).schema))
       tableSchema.foreach { d =>
-        val got = df.schema
+        // compare PHYSICAL names: the declared schema stores them, and
+        // the incoming frame arrives with logical (possibly renamed)
+        // columns — mirroring overwrite's checkDeclared, or a conforming
+        // slice on a renamed-column table is spuriously rejected
+        val got = toPhysical(df).schema
         require(got.fields.map(f => (f.name, f.dataType)).toSet ==
           d.fields.map(f => (f.name, f.dataType)).toSet,
           s"replaceWhere: schema {${got.map(f =>
@@ -1370,7 +1500,8 @@ final class MergeTable private (
       enforceConstraints(df1, "append")
       checkSchema(df1, latest()._2)
       val (_, entries) = writeData(df1)
-      try retryingCommit("WRITE", appendOp(txn)) { () =>
+      try retryingCommit("WRITE", appendOp(txn),
+          scope = ReadScope.Nothing) { () =>
         val (v, _) = latest()
         txn.foreach { case (app, bv) =>
           if (txnsAt(v).get(app).exists(_ >= bv))
@@ -1385,7 +1516,8 @@ final class MergeTable private (
       // commit overlapping ranges (the correctness half of the
       // exactly-once identity contract; the orphaned data dir of a
       // lost attempt is vacuum-reclaimed like any lost race)
-      try retryingCommit("WRITE", appendOp(txn)) { () =>
+      try retryingCommit("WRITE", appendOp(txn),
+          scope = ReadScope.Nothing) { () =>
         val (v, live) = latest()
         txn.foreach { case (app, bv) =>
           if (txnsAt(v).get(app).exists(_ >= bv))
@@ -1677,7 +1809,8 @@ final class MergeTable private (
     * `clusterBy` (LINEAR clustering — locality on the leading column
     * only; for multi-dimensional locality see [[zorder]]). */
   def compact(filesPerPartition: Int = 1, clusterBy: Seq[Column] = Nil): Long =
-    retryingCommit("OPTIMIZE") { () =>
+    retryingCommit("OPTIMIZE",
+        scope = ReadScope.RemovedFiles) { () =>
       val (version, live) = latest()
       val df0 = readEntries(live)
       val df =
@@ -1716,7 +1849,8 @@ final class MergeTable private (
     require(minFilesPerPartition >= 2,
       s"minFilesPerPartition must be >= 2: $minFilesPerPartition")
     retryingCommit("OPTIMIZE",
-      Map("binPack" -> targetBytes.toString, "trigger" -> (if (inAutoCompact.get) "auto" else "manual"))) { () =>
+      Map("binPack" -> targetBytes.toString, "trigger" -> (if (inAutoCompact.get) "auto" else "manual")),
+      scope = ReadScope.RemovedFiles) { () =>
       val (version, live) = latest()
       val small = live
         .map(e => (e, Files.size(root.resolve(e.relPath))))
@@ -1779,7 +1913,8 @@ final class MergeTable private (
     require(cols.nonEmpty && cols.size <= 3,
       s"zorder takes 1-3 columns (16 bits each, long-width Z), got $cols")
     retryingCommit("OPTIMIZE",
-      Map("zOrderBy" -> cols.mkString(","))) { () =>
+      Map("zOrderBy" -> cols.mkString(",")),
+      scope = ReadScope.RemovedFiles) { () =>
       val (version, live) = latest()
       val df = clusterZ(readEntries(live), cols, filesPerPartition)
       val (_, entries) = writeData(df)
@@ -1829,7 +1964,8 @@ final class MergeTable private (
       s"zorder takes 1-3 columns (16 bits each, long-width Z), got " +
         zorderCols)
     retryingCommit("OPTIMIZE",
-      Map("predicate" -> predicate.toString) ++ (if (zorderCols.isEmpty) Map.empty else Map("zOrderBy" -> zorderCols.mkString(",")))) { () =>
+      Map("predicate" -> predicate.toString) ++ (if (zorderCols.isEmpty) Map.empty else Map("zOrderBy" -> zorderCols.mkString(","))),
+      scope = ReadScope.RemovedFiles) { () =>
       val (version, live) = latest()
       if (live.isEmpty) (CommitDelta(Nil, Nil), version)
       else {
@@ -1924,7 +2060,8 @@ final class MergeTable private (
     require(cols.size == 2,
       s"clusterHilbert takes exactly 2 columns (16-bit Hilbert), got $cols")
     retryingCommit("OPTIMIZE",
-      Map("hilbertBy" -> cols.mkString(","))) { () =>
+      Map("hilbertBy" -> cols.mkString(",")),
+      scope = ReadScope.RemovedFiles) { () =>
       val (version, live) = latest()
       val df0 = readEntries(live)
       val scaled = scaled16(df0, cols)
@@ -2049,7 +2186,8 @@ final class MergeTable private (
     * leaving every vector-free file untouched — the maintenance step
     * that caps read-side anti-join debt without [[compact]]'s full-table
     * rewrite. [[vacuum]] then reaps the orphaned vector dirs. */
-  def purgeVectors(): Long = retryingCommit("PURGE") { () =>
+  def purgeVectors(): Long = retryingCommit("PURGE",
+      scope = ReadScope.RemovedFiles) { () =>
     val (version, live) = latest()
     val vectored = live.filter(_.dv.isDefined)
     if (vectored.isEmpty) (CommitDelta(Nil, Nil), version)
@@ -4224,6 +4362,33 @@ object MergeTable {
   private val BloomMaxBits = 1 << 26
   private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
   private val MaxCommitRetries = 5
+
+  /** What a committing operation READ — the information [[canRebase]]
+    * needs to decide whether a concurrent commit invalidated it. Pick the
+    * NARROWEST true scope; `Everything` is always sound. */
+  private[lake] sealed trait ReadScope
+  private[lake] object ReadScope {
+    /** The computation read no table data (blind append): any concurrent
+      * file change coexists with it. Deltas under this scope must have no
+      * removes — they add fresh files only. */
+    case object Nothing extends ReadScope
+    /** The computation read exactly the files its delta removes and its
+      * output is a pure function of them (compaction, clustering,
+      * deletion-vector purge): only a concurrent touch of THOSE files
+      * conflicts, which the remove/re-add overlap checks already cover. */
+    case object RemovedFiles extends ReadScope
+    /** The computation read the whole logical table (merge / delete /
+      * update / overwrite): only content-preserving reorganizations of
+      * partitions it did not touch may rebase under it. */
+    case object Everything extends ReadScope
+  }
+
+  /** Operation labels whose commits never change the table's LOGICAL
+    * content — they reorganize bytes (bin-packing, clustering, DV
+    * materialization) or attach derived metadata (stats, reclamation
+    * audit records). Only these may rebase under a full-table read. */
+  private val ContentPreservingOps =
+    Set("OPTIMIZE", "ANALYZE", "PURGE", "VACUUM")
   /** Unpartitioned merges rewrite every live file; warn once the table is
     * big enough for that to matter. */
   private val FullRewriteWarnFiles = 64
@@ -4335,7 +4500,8 @@ object MergeTable {
   def apply(spark: SparkSession, root: String,
       partitionCol: Option[String] = None,
       statsCol: Option[String] = None): MergeTable =
-    new MergeTable(spark, Paths.get(root), partitionCol.toSeq, statsCol.toSeq)
+    new MergeTable(spark, Paths.get(root), partitionCol.toSeq,
+      statsCol.toSeq, logStore = LogStore.forConf(spark))
 
   /** As above with MULTIPLE stats columns (Delta's first-N-columns
     * stats contract, made explicit): every listed long-castable column
@@ -4345,7 +4511,8 @@ object MergeTable {
   def apply(spark: SparkSession, root: String,
       partitionCol: Option[String],
       statsCols: Seq[String]): MergeTable =
-    new MergeTable(spark, Paths.get(root), partitionCol.toSeq, statsCols)
+    new MergeTable(spark, Paths.get(root), partitionCol.toSeq, statsCols,
+      logStore = LogStore.forConf(spark))
 
   /** As above with DELETION VECTORS enabled (Delta's
     * `delta.enableDeletionVectors` table feature): [[MergeTable.delete]]
@@ -4386,7 +4553,7 @@ object MergeTable {
       "bloom column names may not contain ',', '+', ':' or tab " +
         "(manifest token separators)")
     new MergeTable(spark, Paths.get(root), partitionCol.toSeq, statsCols,
-      deletionVectors, bloomCols)
+      deletionVectors, bloomCols, logStore = LogStore.forConf(spark))
   }
 
   /** Open a table partitioned on MULTIPLE columns (Delta's
@@ -4409,7 +4576,7 @@ object MergeTable {
       "bloom column names may not contain ',', '+', ':' or tab " +
         "(manifest token separators)")
     new MergeTable(spark, Paths.get(root), partitionCols, statsCols,
-      deletionVectors, bloomCols)
+      deletionVectors, bloomCols, logStore = LogStore.forConf(spark))
   }
 
   /** The exact dir-name shape [[writeData]] produces: `commit-` + the

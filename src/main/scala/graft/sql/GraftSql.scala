@@ -319,10 +319,26 @@ object GraftSql {
     * even the word DEFAULT — inside `<...>`, which must not split a
     * column or start a default clause. */
   private def schemaFromDdl(t: MergeTable, ddl: String): StructType = {
+    // '<' opens a type-generic bracket only right after a generic type
+    // name (MAP< / ARRAY< / STRUCT<); anywhere else — a comparison in a
+    // DEFAULT expression like `a INT DEFAULT (1>0)` — '<'/'>' are plain
+    // operators, and counting them as brackets would corrupt the depth
+    // and mis-split subsequent columns (r12 advice finding). '>' only
+    // ever closes what a generic '<' opened.
+    def genericOpen(s: String, i: Int): Boolean = {
+      var j = i - 1
+      while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+      val end = j + 1
+      while (j >= 0 &&
+        (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j -= 1
+      val w = s.substring(j + 1, end).toUpperCase
+      w == "MAP" || w == "ARRAY" || w == "STRUCT"
+    }
     def splitCols(x: String): Seq[String] = {
       val out = Seq.newBuilder[String]
       val cur = new StringBuilder
       var depth = 0
+      var angle = 0
       var quote: Char = 0
       var i = 0
       while (i < x.length) {
@@ -334,10 +350,13 @@ object GraftSql {
           } else if (c == quote) quote = 0
         } else c match {
           case '\'' | '"' | '`'  => quote = c; cur += c
-          case '(' | '<'        => depth += 1; cur += c
-          case ')' | '>'        => depth -= 1; cur += c
-          case ',' if depth == 0 => out += cur.result(); cur.clear()
-          case _                => cur += c
+          case '('               => depth += 1; cur += c
+          case ')'               => depth -= 1; cur += c
+          case '<' if genericOpen(x, i) => angle += 1; cur += c
+          case '>' if angle > 0  => angle -= 1; cur += c
+          case ',' if depth == 0 && angle == 0 =>
+            out += cur.result(); cur.clear()
+          case _                 => cur += c
         }
         i += 1
       }
@@ -346,6 +365,7 @@ object GraftSql {
     }
     def defaultAtTop(item: String): Int = {
       var depth = 0
+      var angle = 0
       var quote: Char = 0
       var i = 0
       def identChar(c: Char) = c.isLetterOrDigit || c == '_'
@@ -356,10 +376,12 @@ object GraftSql {
           else if (c == quote) quote = 0
         } else c match {
           case '\'' | '"' | '`' => quote = c
-          case '(' | '<'       => depth += 1
-          case ')' | '>'       => depth -= 1
+          case '('              => depth += 1
+          case ')'              => depth -= 1
+          case '<' if genericOpen(item, i) => angle += 1
+          case '>' if angle > 0 => angle -= 1
           case _ =>
-            if (depth == 0 &&
+            if (depth == 0 && angle == 0 &&
                 item.regionMatches(true, i, "DEFAULT", 0, 7) &&
                 (i == 0 || !identChar(item.charAt(i - 1))) &&
                 (i + 7 >= item.length || !identChar(item.charAt(i + 7))))

@@ -1,0 +1,172 @@
+package graft.lake
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Logical conflict detection in the optimistic commit (Delta's
+  * ConflictChecker rebase): a commit losing the version race to a
+  * PROVABLY-compatible concurrent commit must re-publish its delta at
+  * the new head WITHOUT re-running the (possibly expensive) computation;
+  * a true conflict must recompute exactly as before. Each case forces a
+  * deterministic lost race through the LogStore seam: an instrumented
+  * store lands a competing commit immediately before the first publish,
+  * then the per-handle OCC counters pin which path ran. */
+class OccRebaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def orders(rows: (String, String, Double)*): DataFrame =
+    rows.toDF("order_id", "date", "amount")
+
+  private def contents(df: DataFrame): Set[(String, String, Double)] =
+    df.select("order_id", "date", "amount")
+      .as[(String, String, Double)].collect().toSet
+
+  /** A store that lets `interleave` land a competing commit immediately
+    * before delegating the FIRST commit publish — a deterministic lost
+    * race (checkpoint publishes, which use the `.ckpt` suffix, don't
+    * trigger it). */
+  private def sneaky(interleave: () => Unit): LogStore = new LogStore {
+    private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    override def putIfAbsent(target: java.nio.file.Path,
+        body: String): Boolean = {
+      if (target.getFileName.toString.endsWith(".txt") &&
+        fired.compareAndSet(false, true)) interleave()
+      LogStore.Posix.putIfAbsent(target, body)
+    }
+  }
+
+  test("append losing to a concurrent append REBASES — no recompute") {
+    val root = tmpDir("occ").toString
+    val setup = MergeTable(spark, root, Some("date"))
+    setup.overwrite(orders(("o1", "d1", 1.0)))
+    val rival = MergeTable(spark, root, Some("date"))
+    val t = MergeTable(spark, root, Some("date"))
+      .withLogStore(sneaky(() => rival.append(orders(("o2", "d2", 2.0)))))
+    t.append(orders(("o3", "d3", 3.0)))
+    assert(t.occRebased.get() === 1L,
+      "a blind append must rebase over a disjoint concurrent append")
+    assert(t.occRecomputed.get() === 0L, "and never recompute for it")
+    assert(contents(t.read()) ===
+      Set(("o1", "d1", 1.0), ("o2", "d2", 2.0), ("o3", "d3", 3.0)))
+    assert(t.latestVersion() === 3L, "both commits landed, versions dense")
+  }
+
+  test("merge losing to a concurrent OPTIMIZE of an UNTOUCHED partition " +
+      "REBASES — the compaction is content-preserving and disjoint") {
+    val root = tmpDir("occ").toString
+    val setup = MergeTable(spark, root, Some("date"))
+    setup.overwrite(orders(("o1", "d1", 1.0), ("o2", "d2", 2.0)))
+    // second file in d1 so the compaction has something to bin-pack
+    setup.append(orders(("o9", "d1", 9.0)))
+    val rival = MergeTable(spark, root, Some("date"))
+    val t = MergeTable(spark, root, Some("date"))
+      .withLogStore(sneaky(() => rival.compactWhere(col("date") === "d1")))
+    // the merge touches ONLY d2 (matched key o2 + insert into d2)
+    t.merge(orders(("o2", "d2", 20.0), ("o5", "d2", 5.0)), "order_id")
+    assert(t.occRebased.get() === 1L,
+      "a merge must rebase over a compaction of partitions it never read")
+    assert(t.occRecomputed.get() === 0L,
+      "the full MERGE recompute is exactly what the rebase avoids")
+    assert(contents(t.read()) === Set(
+      ("o1", "d1", 1.0), ("o9", "d1", 9.0),
+      ("o2", "d2", 20.0), ("o5", "d2", 5.0)))
+  }
+
+  test("merge losing to a concurrent OPTIMIZE of a TOUCHED partition " +
+      "RECOMPUTES — remove/remove overlap is a true conflict") {
+    val root = tmpDir("occ").toString
+    val setup = MergeTable(spark, root, Some("date"))
+    setup.overwrite(orders(("o1", "d1", 1.0)))
+    setup.append(orders(("o9", "d1", 9.0)))
+    val rival = MergeTable(spark, root, Some("date"))
+    val t = MergeTable(spark, root, Some("date"))
+      .withLogStore(sneaky(() => rival.compactWhere(col("date") === "d1")))
+    // the merge rewrites d1 — the same files the compaction rewrote
+    t.merge(orders(("o1", "d1", 10.0)), "order_id")
+    assert(t.occRecomputed.get() === 1L,
+      "both sides rewrote d1's files — the merge must recompute")
+    assert(t.occRebased.get() === 0L)
+    assert(contents(t.read()) ===
+      Set(("o1", "d1", 10.0), ("o9", "d1", 9.0)))
+  }
+
+  test("merge losing to a concurrent APPEND recomputes — new rows could " +
+      "match merge keys, so a data-changing commit never rebases under it") {
+    val root = tmpDir("occ").toString
+    val setup = MergeTable(spark, root, Some("date"))
+    setup.overwrite(orders(("o1", "d1", 1.0)))
+    val rival = MergeTable(spark, root, Some("date"))
+    val t = MergeTable(spark, root, Some("date"))
+      .withLogStore(sneaky(() =>
+        // the concurrent append lands the very key the merge carries —
+        // a rebase would blindly insert a duplicate; the recompute
+        // sees the row and UPDATES it instead
+        rival.append(orders(("o7", "d7", 7.0)))))
+    t.merge(orders(("o7", "d7", 70.0)), "order_id")
+    assert(t.occRecomputed.get() === 1L)
+    assert(t.occRebased.get() === 0L)
+    assert(contents(t.read()) ===
+      Set(("o1", "d1", 1.0), ("o7", "d7", 70.0)),
+      "the recomputed merge must update the concurrently-appended key")
+  }
+
+  test("compaction losing to a concurrent append REBASES — its output is " +
+      "a pure function of the files it removes") {
+    val root = tmpDir("occ").toString
+    val setup = MergeTable(spark, root, Some("date"))
+    setup.overwrite(orders(("o1", "d1", 1.0)))
+    setup.append(orders(("o2", "d1", 2.0)))
+    val rival = MergeTable(spark, root, Some("date"))
+    val t = MergeTable(spark, root, Some("date"))
+      .withLogStore(sneaky(() => rival.append(orders(("o3", "d1", 3.0)))))
+    t.compact()
+    assert(t.occRebased.get() === 1L,
+      "the compaction consumed only its removed files — rebase, don't " +
+        "re-run the rewrite")
+    assert(t.occRecomputed.get() === 0L)
+    assert(contents(t.read()) ===
+      Set(("o1", "d1", 1.0), ("o2", "d1", 2.0), ("o3", "d1", 3.0)),
+      "the concurrently-appended file must survive the rebased compaction")
+  }
+
+  test("append losing to a concurrent METADATA commit recomputes — " +
+      "constraints may have changed what the write must enforce") {
+    val root = tmpDir("occ").toString
+    val setup = MergeTable(spark, root, Some("date"))
+    setup.overwrite(orders(("o1", "d1", 1.0)))
+    val rival = MergeTable(spark, root, Some("date"))
+    val t = MergeTable(spark, root, Some("date"))
+      .withLogStore(sneaky(() =>
+        rival.addConstraint("amount_pos", "amount > 0")))
+    t.append(orders(("o2", "d2", 2.0)))
+    assert(t.occRecomputed.get() === 1L,
+      "a concurrent schema/constraint commit invalidates any cached delta")
+    assert(t.occRebased.get() === 0L)
+    assert(contents(t.read()) === Set(("o1", "d1", 1.0), ("o2", "d2", 2.0)))
+  }
+
+  test("rebased commit keeps history coherent: op labels, timestamps " +
+      "monotone, time travel to every version") {
+    val root = tmpDir("occ").toString
+    val setup = MergeTable(spark, root, Some("date"))
+    setup.overwrite(orders(("o1", "d1", 1.0)))
+    val rival = MergeTable(spark, root, Some("date"))
+    val t = MergeTable(spark, root, Some("date"))
+      .withLogStore(sneaky(() => rival.append(orders(("o2", "d2", 2.0)))))
+    t.append(orders(("o3", "d3", 3.0)))
+    // v1 overwrite, v2 rival append, v3 rebased append
+    assert(contents(t.readVersion(2L)) ===
+      Set(("o1", "d1", 1.0), ("o2", "d2", 2.0)))
+    assert(contents(t.readVersion(3L)) ===
+      Set(("o1", "d1", 1.0), ("o2", "d2", 2.0), ("o3", "d3", 3.0)))
+    val hist = t.history()
+      .select("version", "committed_at", "operation")
+      .as[(Long, java.sql.Timestamp, String)].collect().sortBy(_._1)
+    assert(hist.length === 3)
+    assert(hist.map(_._3).toSeq === Seq("WRITE", "WRITE", "WRITE"))
+    val ts = hist.map(_._2.getTime).toSeq
+    assert(ts === ts.sorted, "in-commit timestamps stay monotone on rebase")
+  }
+}
