@@ -186,6 +186,10 @@ object SparkEntry {
     "q_stream_window"   -> (graft.streaming.StreamQueries.streamWindow _),
     "q_stream_sessions" -> (graft.streaming.StreamQueries.streamSessions _),
     "q_stream_ijoin"    -> (graft.streaming.StreamQueries.streamIntervalJoin _),
+    // r13 — LEFT OUTER interval join: null-impression rows emitted at
+    // watermark-driven state eviction (single AvailableNow run over
+    // mtime-ordered sentinel waves)
+    "q_stream_ojoin"    -> (graft.streaming.StreamQueries.streamIntervalJoinOuter _),
     "q_stream_sessions_cs" -> (graft.streaming.StreamQueries.streamSessionsCustom _),
     // r11 — continuous replication through the graft-cdf subscription
     "q_stream_replica"  -> (graft.streaming.StreamQueries.streamReplica _),
@@ -858,6 +862,7 @@ object SparkEntry {
     "q_stream_window" -> graft.streaming.StreamQueries.streamWindowOracle,
     "q_stream_sessions" -> graft.streaming.StreamQueries.streamSessionsOracle,
     "q_stream_ijoin"  -> graft.streaming.StreamQueries.streamIntervalJoinOracle,
+    "q_stream_ojoin"  -> graft.streaming.StreamQueries.streamIntervalJoinOuterOracle,
     "q_stream_sessions_cs" -> graft.streaming.StreamQueries.streamSessionsCustomOracle,
     "q_doc_pipeline"  -> ext.DocPipeline.pipelineOracle(),
     "q_corpus_pack"   -> ext.DocPipeline.assembledPacksOracle(),

@@ -86,6 +86,39 @@ object EventStreams {
         col("imp_value"), col("click_value"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the attribution-with-
+    * misses shape: every click attributed to the same user's
+    * impressions within the preceding `windowMinutes`, and a click with
+    * NO qualifying impression still emitted exactly once, with null
+    * impression columns. Matched pairs emit on co-presence, like the
+    * inner join; the null row for an unmatched click emits only at
+    * STATE EVICTION — when the watermark proves no in-window impression
+    * can still arrive — so the outer variant's emissions are driven by
+    * watermark ADVANCE across micro-batches, not by data arrival. A
+    * caller that needs every unmatched click flushed (a bounded drain)
+    * must push the watermark past the last click's window with sentinel
+    * waves; the inner join needs no such discipline (see the
+    * determinism note on [[StreamQueries.streamIntervalJoin]]). */
+  def clickAttributionOuter(impressions: DataFrame, clicks: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val imp = impressions
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("imp_user"), col("ts").as("imp_ts"),
+        col("value").as("imp_value"))
+    val clk = clicks
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    clk.join(imp,
+      col("user_id") === col("imp_user") &&
+        col("imp_ts") <= col("click_ts") &&
+        col("imp_ts") >= col("click_ts") -
+          expr(s"INTERVAL $windowMinutes MINUTES"),
+      "leftOuter")
+      .select(col("user_id"), col("imp_ts"), col("click_ts"),
+        col("imp_value"), col("click_value"))
+  }
+
   /** Stream-static enrichment — join each event against a STATIC (or
     * slowly-refreshed) dimension table by key. The static side needs no
     * watermark and holds no streaming state: Spark re-plans it per

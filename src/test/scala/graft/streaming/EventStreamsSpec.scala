@@ -103,6 +103,46 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clickAttributionOuter: matches emit on co-presence; the null row " +
+      "for an unmatched click emits ONLY once the watermark passes its " +
+      "window (the sentinel-discipline argument)") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Raw]
+    val clicks = MemoryStream[Raw]
+    val q = EventStreams.clickAttributionOuter(
+        imps.toDF().select("user_id", "ts", "value"),
+        clicks.toDF().select("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("oattr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def rows(): Set[(Long, Option[Double], Double)] = spark.table("oattr")
+        .select("user_id", "imp_value", "click_value")
+        .as[(Long, Option[Double], Double)].collect().toSet
+      // user 1's click has an in-window impression; user 2's has none
+      imps.addData(Raw(ts(10, 0), 1, "imp", 1.0))
+      clicks.addData(Raw(ts(10, 15), 1, "click", 9.0),
+        Raw(ts(10, 20), 2, "click", 7.0))
+      q.processAllAvailable()
+      assert(rows() === Set((1L, Some(1.0), 9.0)),
+        "batch 1: the MATCH emits on co-presence, the miss must NOT — " +
+          "its window is still open (a late impression could arrive)")
+      // watermark fuel on BOTH sides: 13:00 − 1h delay = 12:00 > 10:20,
+      // but emission happens at the NEXT batch's eviction pass — one
+      // more batch is required (why bounded drains need sentinel waves)
+      imps.addData(Raw(ts(13, 0), 99, "imp", 0.0))
+      clicks.addData(Raw(ts(13, 0), 99, "click", 0.0))
+      q.processAllAvailable()
+      imps.addData(Raw(ts(16, 0), 99, "imp", 0.0))
+      clicks.addData(Raw(ts(16, 0), 99, "click", 0.0))
+      q.processAllAvailable()
+      assert(rows().contains((2L, None, 7.0)),
+        "the unmatched click must emit with null impression columns " +
+          "once the watermark provably closes its join window")
+      assert(rows().count(_._1 == 2L) === 1,
+        "and exactly once")
+    } finally q.stop()
+  }
+
   test("dedupEvents drops replayed event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     final case class E(event_id: Long, ts: Timestamp, value: Double)
