@@ -82,6 +82,9 @@ object SparkEntry {
     "q_dedup_exact"     -> (DedupQueries.dedupExact _),
     "q_dedup_norm"      -> (DedupQueries.dedupNorm _),
     "q_doc_neardup"     -> (DedupQueries.docNeardup _),
+    // r13 — incremental cross-run dedup: new batch probed against the
+    // PERSISTED historical band index (file-skipped; corpus unread)
+    "q_dedup_incr"      -> (DedupQueries.dedupIncremental _),
     "q_doc_simhash"     -> (DedupQueries.docSimhash _),
     "q_ngram_jaccard"   -> (DedupQueries.ngramJaccard _),
     "q_chunk_dedup"     -> (DedupQueries.chunkDedup _),
@@ -562,6 +565,7 @@ object SparkEntry {
          GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
          ORDER BY fp""",
     "q_doc_neardup"   -> DedupQueries.neardupOracle,
+    "q_dedup_incr"    -> DedupQueries.dedupIncrementalOracle,
     "q_doc_simhash"   -> DedupQueries.simhashOracle,
     "q_ngram_jaccard" -> DedupQueries.ngramJaccardOracle,
     "q_doc_simjoin" -> DedupQueries.docSimjoinOracle,

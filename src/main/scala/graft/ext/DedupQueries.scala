@@ -49,7 +49,12 @@ object DedupQueries {
 
   /** doc_id + distinct 3-word shingles + their base hashes (mod P). */
   private def shingled(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    shingledOf(documents(s, d))
+
+  /** [[shingled]] over an arbitrary documents slice (the incremental
+    * tier shingles history and the new batch separately). */
+  private def shingledOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("shingles", expr(
         """array_distinct(CASE WHEN size(toks) >= 3
@@ -142,6 +147,76 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"),
         expr(s"round(cast(n_eq as double) / $NumHashes, 4)")
           .as("est_jaccard"))
+
+  /** Deterministic corpus split for the incremental tier — doc_id % 10
+    * == 0 is the ARRIVING batch (~10%), the rest is history. Shared
+    * with the oracle so both engines replay the same split. */
+  private val NewBatchMod = 10L
+
+  /** How many range-clustered files the persisted band index is written
+    * as: enough that the probe's file skipping is observable at fixture
+    * scale (each file covers one band's bhash subrange). */
+  private val IncrIndexFiles = 16
+
+  /** One row per (doc, band) of the persisted band index: the band key,
+    * its LONG probe hash `bhash` (md5-derived — the file-skipping key
+    * the index is range-clustered, stats'd and bloom-indexed on), and
+    * the full signature, so candidate scoring never revisits the
+    * corpus. */
+  private def bandIndexRows(docs: DataFrame): DataFrame =
+    bandsFrom(sigFrom(shingledOf(docs)))
+      .withColumn("bhash", expr(
+        s"cast(conv(substring(md5(bkey), 1, 8), 16, 10) as bigint) % $P"))
+      .select(col("band"), col("bkey"), col("bhash"), col("doc_id"),
+        col("sig"))
+
+  /** Tier 3b — INCREMENTAL cross-run near-dup (r13): dedup the NEW
+    * batch against the HISTORICAL corpus without rescanning it — the
+    * operator a daily training-data pipeline actually runs.
+    *
+    * Setup, amortized across runs: the history's band index
+    * ([[bandIndexRows]]) is PERSISTED as a [[MergeTable]] partitioned
+    * by `band` and range-clustered + stats'd + bloom-indexed on
+    * `bhash` (the X113 persisted-index pattern applied to the X3 LSH
+    * tier). Probe, the per-batch cost: the new batch's band rows
+    * compute the same bhash; the distinct probe hashes FILE-SKIP the
+    * index through [[MergeTable.probeKeys]] (partition/stats/bloom
+    * membership on driver metadata — no IN-literal ever enters the
+    * plan), and the in-bucket (band, bkey) equi-join + signature-
+    * agreement scoring runs over admitted files only, with both
+    * signatures already in the index rows. Cost: O(new batch +
+    * admitted index bytes); the historical DOCUMENTS are never read.
+    * At 10^10-doc history the index probe touches ~|probed buckets|
+    * file groups, not the corpus — and tomorrow's batch APPENDS its
+    * own band rows to the same index (band-partitioned appends, no
+    * rewrite), which is what makes the pattern incremental run over
+    * run. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val hist = docs.filter(col("doc_id") % NewBatchMod =!= 0L)
+    val fresh = docs.filter(col("doc_id") % NewBatchMod === 0L)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_q_dincr_idx").toString
+    val t = graft.lake.MergeTable(s, idxDir, Some("band"), Seq("bhash"),
+      deletionVectors = false, bloomCols = Seq("bhash"))
+    t.overwrite(bandIndexRows(hist)
+      .repartitionByRange(IncrIndexFiles, col("band"), col("bhash")))
+    val probe = eager(bandIndexRows(fresh))
+    val keys = probe.select("bhash").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val admitted = t.probeKeys("bhash", keys)
+    admitted.alias("h")
+      .join(probe.alias("n"),
+        col("h.band") === col("n.band") && col("h.bkey") === col("n.bkey"))
+      .select(col("h.doc_id").as("doc_hist"), col("n.doc_id").as("doc_new"),
+        expr("""size(filter(zip_with(h.sig, n.sig, (p, q) -> p = q),
+                            b -> b))""").as("n_eq"))
+      .distinct()
+      .filter(col("n_eq") * 2 >= NumHashes)
+      .select(col("doc_hist"), col("doc_new"),
+        expr(s"round(cast(n_eq as double) / $NumHashes, 4)")
+          .as("est_jaccard"))
+  }
 
   /** Tier 4 — SimHash: 16-bit per-document fingerprint from token hashes
     * (bit j votes +1/-1 per token, sign → bit), computed by the native
@@ -548,6 +623,40 @@ object DedupQueries {
                round(CAST(n_eq AS DOUBLE) / $NumHashes, 4) AS est_jaccard
         FROM scored WHERE n_eq * 2 >= $NumHashes
         ORDER BY doc_a, doc_b"""
+
+  /** DuckDB oracle for [[dedupIncremental]]: the same LSH chain over
+    * the full corpus, candidates restricted to history × new-batch by
+    * the shared modulo split. (The persisted index and its file
+    * skipping are the IMPLEMENTATION under test — pruning admits a
+    * superset of files and the bucket equi-join is the exact residual,
+    * so the result must equal this direct replay bit-for-bit.) */
+  def dedupIncrementalOracle: String = {
+    val sigList = AB.map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % $P))"
+    }.mkString("[", ",\n                   ", "]")
+    val bandsSql = (0 until Bands).map { j =>
+      val parts = (0 until Rows).map(r => s"sig[${j * Rows + r + 1}]")
+      s"SELECT doc_id, $j AS band, ${parts.mkString(" || '_' || ")} AS bkey FROM sig"
+    }.mkString("\n               UNION ALL ")
+    s"""$shingledCte,
+        sig AS (SELECT doc_id, $sigList AS sig FROM hs),
+        bands AS ($bandsSql),
+        cand AS (SELECT DISTINCT h.doc_id AS doc_hist, n.doc_id AS doc_new
+                 FROM bands h JOIN bands n
+                   ON h.band = n.band AND h.bkey = n.bkey
+                 WHERE h.doc_id % $NewBatchMod <> 0
+                   AND n.doc_id % $NewBatchMod = 0),
+        scored AS (SELECT doc_hist, doc_new,
+                     len(list_filter(range(1, ${NumHashes + 1}),
+                         i -> a.sig[i] = b.sig[i])) AS n_eq
+                   FROM cand
+                   JOIN sig a ON doc_hist = a.doc_id
+                   JOIN sig b ON doc_new = b.doc_id)
+        SELECT doc_hist, doc_new,
+               round(CAST(n_eq AS DOUBLE) / $NumHashes, 4) AS est_jaccard
+        FROM scored WHERE n_eq * 2 >= $NumHashes
+        ORDER BY doc_hist, doc_new"""
+  }
 
   def simhashOracle: String = {
     val bits = 16
