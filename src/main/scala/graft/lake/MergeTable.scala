@@ -1482,7 +1482,7 @@ final class MergeTable private (
     // readEntries(Nil) resolves it through emptyLikePhys
     def checkSchema(df: DataFrame, live: Seq[FileEntry]): Unit =
       if (live.nonEmpty || declaredSchema.isDefined) {
-        val tableSchema = readEntries(live).schema
+        val tableSchema = logicalSchemaOf(live)
         require(df.columns.toSet == tableSchema.fieldNames.toSet,
           s"append: source schema {${df.columns.mkString(",")}} != table " +
             s"schema {${tableSchema.fieldNames.mkString(",")}}")
@@ -1994,7 +1994,7 @@ final class MergeTable private (
   private def selectedPartitions(live: Seq[FileEntry],
       predicate: Column): Set[Option[String]] = {
     val tuples = live.map(_.partitionValue).distinct
-    val schema = readEntries(live).schema
+    val schema = logicalSchemaOf(live)
     val pcTypes = partitionCols.map(c => schema(c).dataType)
     val evalSchema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("__graft_pv",
@@ -3935,6 +3935,43 @@ final class MergeTable private (
   private def readEntries(entries: Seq[FileEntry]): DataFrame =
     presentLogical(readEntriesPhys(entries))
 
+  /** The PHYSICAL schema [[readEntriesPhysWith]] would produce for
+    * `entries`, computed from (memoized) metadata alone — no throwaway
+    * scan plan over the live paths. r13's LogDepthBench: at 1000 live
+    * files a `readEntries(live).schema` costs ~1.6 s of driver path
+    * resolution, and append's schema check paid it on EVERY commit.
+    * The branch structure mirrors [[readEntriesPhysWith]]; the
+    * deletion-vector divert is schema-neutral (the tagged read drops
+    * its tag columns and selects the same visible columns). */
+  private def physicalSchemaOf(entries: Seq[FileEntry])
+      : org.apache.spark.sql.types.StructType = {
+    val declared = declaredSchema
+    if (entries.isEmpty) return emptyLikePhys().schema
+    val byDir = entries.groupBy(e => commitDirOf(e.relPath))
+    if (declared.isEmpty && byDir.size == 1) {
+      val (dir, es) = byDir.head
+      return dirSchema(dir, es)
+    }
+    val (dataFields, partFields) = resolvePartFields(declared, byDir)
+    if (partitionCols.nonEmpty && partFields.size == partitionCols.size)
+      org.apache.spark.sql.types.StructType(
+        dataFields ++ partitionCols.zip(partFields).map { case (pc, pf) =>
+          org.apache.spark.sql.types.StructField(pc, pf.dataType)
+        })
+    else org.apache.spark.sql.types.StructType(dataFields.toArray)
+  }
+
+  /** The LOGICAL schema [[readEntries]] would produce — the physical
+    * schema presented through the current column mapping. Metadata
+    * only; the schema-consumer paths (append's conformance check,
+    * partition-predicate typing) use this instead of building a full
+    * scan plan they immediately discard. */
+  private def logicalSchemaOf(entries: Seq[FileEntry])
+      : org.apache.spark.sql.types.StructType =
+    presentLogical(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      physicalSchemaOf(entries))).schema
+
   private[lake] def readEntriesPhys(entries: Seq[FileEntry]): DataFrame =
     readEntriesPhysWith(entries, declaredSchema)
 
@@ -4017,7 +4054,7 @@ final class MergeTable private (
         partitionCols.flatMap(pc => s.fields.find(_.name == pc)))
     case None =>
       val dirSchemas = byDir.toSeq.sortBy(_._1)
-        .map { case (dir, es) => hiveRead(dir, es).schema }
+        .map { case (dir, es) => dirSchema(dir, es) }
       (dirSchemas.flatMap(_.fields)
         .filterNot(f => partitionCols.contains(f.name))
         .foldLeft(Vector.empty[org.apache.spark.sql.types.StructField]) {
@@ -4150,6 +4187,26 @@ final class MergeTable private (
     spark.read
       .option("basePath", root.resolve(dir).toString)
       .parquet(es.map(e => root.resolve(e.relPath).toString): _*)
+
+  /** MEMOIZED per-commit-dir schema resolution for the multi-dir read.
+    * Each [[hiveRead]]`.schema` costs a driver-side file listing plus
+    * footer reads (~80 ms) and [[resolvePartFields]] runs one per live
+    * commit dir PER READ — r13's LogDepthBench measured a 100-commit
+    * streaming-append table paying 7.6 s cold and 9.4 s WARM for every
+    * `read()` from exactly this. Commit dirs are immutable (a commit
+    * writes a fresh dir; vacuum removes whole dirs), so the resolution
+    * is a pure function of (dir, live subset) — the subset is part of
+    * the key because hive partition-TYPE inference unions the VALUE
+    * strings of precisely the listed files. JVM-wide on purpose:
+    * queries open fresh handles per call, and the dirs' immutability
+    * makes cross-handle reuse exact. */
+  private def dirSchema(dir: String,
+      es: Seq[FileEntry]): org.apache.spark.sql.types.StructType = {
+    val key = root.resolve(dir).toAbsolutePath.normalize.toString + "|" +
+      es.map(_.relPath).sorted.mkString(",")
+    if (dirSchemaMemo.size > 65536) dirSchemaMemo.clear() // crude bound
+    dirSchemaMemo.computeIfAbsent(key, _ => hiveRead(dir, es).schema)
+  }
 
   /** Empty frame with the table's PHYSICAL schema. Stays physical on
     * purpose: [[readEntriesPhys]] returns it for an empty snapshot, and
@@ -4362,6 +4419,12 @@ object MergeTable {
   private val BloomMaxBits = 1 << 26
   private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
   private val MaxCommitRetries = 5
+
+  /** See [[MergeTable.dirSchema]] — (dir + live subset) → resolved
+    * footer/hive schema, exact by commit-dir immutability. */
+  private val dirSchemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
 
   /** What a committing operation READ — the information [[canRebase]]
     * needs to decide whether a concurrent commit invalidated it. Pick the

@@ -28,6 +28,23 @@ class ColumnDefaultsSpec extends SparkSpec {
       .as[Double].head() === 9.0)
   }
 
+  test("a comparison operator inside a DEFAULT expression does not " +
+      "corrupt the column split (angle brackets are type brackets only " +
+      "after MAP/ARRAY/STRUCT)") {
+    // r12 advice: the scanner once counted every '<'/'>' as bracket
+    // nesting, so `(1>0)` threw the depth off and the NEXT column
+    // declaration mis-split with a misleading 'malformed column' error
+    val p = tmpDir("dflt").toString
+    spark.sql("CREATE GRAFT TABLE t_dflt_cmp (a INT DEFAULT (1>0 ), " +
+      "b STRING DEFAULT 'x<y', c MAP<STRING, INT>, " +
+      s"d INT DEFAULT (2 < 10)) AT '$p'")
+    spark.sql("INSERT INTO t_dflt_cmp (c) VALUES (map('k', 1))")
+    val row = spark.sql("SELECT a, b, d FROM t_dflt_cmp")
+      .as[(Int, String, Int)].head()
+    // (1>0) casts true→1; 'x<y' is literal; (2<10) casts true→1
+    assert(row === ((1, "x<y", 1)))
+  }
+
   test("ALTER TABLE ADD COLUMN ... DEFAULT is metadata-only: old rows " +
       "read NULL, later inserts fill the default") {
     val p = tmpDir("dflt").toString
