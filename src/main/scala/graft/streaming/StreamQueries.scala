@@ -67,6 +67,34 @@ object StreamQueries {
   private def writeWave(df: DataFrame, rawDir: String): Unit =
     df.write.mode("append").option("header", "true").csv(rawDir)
 
+  /** [[writeWave]] as ONE file stamped into a strictly increasing
+    * mtime slot: a `maxFilesPerTrigger = 1` AvailableNow run then
+    * consumes the backlog in wave order as separate micro-batches —
+    * the file source orders its backlog by mtime and its
+    * same-millisecond tie-break is unspecified, so the stamp is what
+    * makes the order a contract. Lets a corpus + sentinel-waves layout
+    * drain in ONE query start instead of one start per wave (the
+    * watermark advances BETWEEN micro-batches exactly as it would
+    * between drains), cutting the per-start fixed cost that dominates
+    * these fixture-scale pipelines. Slots are written into the fixed
+    * past (all real files' mtimes are far above it), so each new
+    * wave's files are stamped exactly once. */
+  private def stampedWave(df: DataFrame, dir: String, slot: Int): Unit = {
+    writeWave(df.coalesce(1), dir)
+    val slot0 = 1_600_000_000_000L
+    scala.util.Using.resource(
+      Files.list(java.nio.file.Paths.get(dir))) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".csv"))
+        .filter(p => Files.getLastModifiedTime(p).toMillis >
+          slot0 + 600_000L)
+        .foreach(p => Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            slot0 + slot * 60_000L)))
+    }
+  }
+
   /** Streaming ingest → CDF SUBSCRIPTION → incremental MV, under the
     * oracle gate (X13 + X60 + X74 + X153 end-to-end): two CSV waves —
     * the base corpus, then updates (key%4=0: v+1000) plus re-keyed
@@ -421,18 +449,21 @@ object StreamQueries {
     * GROUP BY replay.
     *
     * Append mode only emits a window once the watermark passes its
-    * end, and whether a drain's FINAL watermark flushes trailing state
+    * end, and whether a run's FINAL watermark flushes trailing state
     * is an engine detail (no-data micro-batches) no oracle should
     * depend on. Two sentinel waves make emission deterministic without
-    * touching that detail: sentinel 1 (max+2d) is drained AFTER the
-    * corpus, so the corpus drain's committed watermark closes nothing
-    * late; sentinel 2 (max+4d) drains with sentinel 1's watermark
-    * (max+2d−1h) already committed — past every real window's end —
-    * so drain 3 provably emits every remaining real window in its
-    * data batch. Sentinel rows are tagged and filtered from the
+    * touching that detail — since r13 as a stamped-mtime backlog
+    * drained by ONE AvailableNow start under maxFilesPerTrigger=1
+    * (three ordered micro-batches; the watermark advances between
+    * micro-batches exactly as it did between the three former query
+    * starts): the corpus batch (slot 0) commits the max−1h watermark
+    * closing nothing late; the sentinel-2d batch runs with it; the
+    * sentinel-4d batch runs with max+2d−1h committed — past every real
+    * window's end — so it provably emits every remaining real window
+    * in a DATA batch. Sentinel rows are tagged and filtered from the
     * result; whether their own windows ever flush is irrelevant. The
-    * corpus wave is ONE file (one micro-batch), so no intra-drain
-    * batch ordering can drop late rows nondeterministically. */
+    * corpus wave is ONE file (one micro-batch), so no intra-batch
+    * ordering can drop late rows nondeterministically. */
   def streamWindow(s: SparkSession, d: String): DataFrame =
     withStatePartitions(s)(streamWindowImpl(s, d))
 
@@ -446,8 +477,13 @@ object StreamQueries {
     val rawDir = scratch("graft_q_swin_raw")
     val ckpt = scratch("graft_q_swin_ckpt")
     val outDir = scratch("graft_q_swin_out") + "/emitted"
+    // ONE query start over the stamped backlog (r13, the same layout
+    // q_stream_ojoin validated): corpus at slot 0, sentinels at 2/4 —
+    // three ordered micro-batches, the watermark advancing between
+    // them exactly as it did between the three former drains
     def drain(): Unit = {
       val q = s.readStream.format("csv").option("header", "true")
+        .option("maxFilesPerTrigger", 1)
         .schema(schema).load(rawDir)
         .withColumn("ts", to_timestamp(col("ts_s"), fmt))
         .withWatermark("ts", "1 hour")
@@ -465,8 +501,6 @@ object StreamQueries {
         .start()
       q.awaitTermination()
     }
-    writeWave(ev.coalesce(1), rawDir)
-    drain()
     val maxS = Tables.events(s, d)
       .agg(date_format(max(col("ts")), fmt)).head().getString(0)
     def sentinel(days: Int): DataFrame = {
@@ -476,9 +510,9 @@ object StreamQueries {
           to_timestamp(lit(maxS), fmt) + expr(s"INTERVAL $days DAYS"), fmt))
         .select(col("event_id"), col("ts_s"), col("event_type"))
     }
-    writeWave(sentinel(2), rawDir)
-    drain()
-    writeWave(sentinel(4), rawDir)
+    stampedWave(ev, rawDir, 0)
+    stampedWave(sentinel(2), rawDir, 2)
+    stampedWave(sentinel(4), rawDir, 4)
     drain()
     s.read.parquet(outDir).filter(col("event_type") =!= "__s")
       .select(col("day").cast("date").as("day"), col("event_type"),
@@ -507,8 +541,10 @@ object StreamQueries {
     val rawDir = scratch("graft_q_sses_raw")
     val ckpt = scratch("graft_q_sses_ckpt")
     val outDir = scratch("graft_q_sses_out") + "/emitted"
+    // ONE query start over the stamped backlog (r13, see streamWindow)
     def drain(): Unit = {
       val q = s.readStream.format("csv").option("header", "true")
+        .option("maxFilesPerTrigger", 1)
         .schema(schema).load(rawDir)
         .withColumn("ts", to_timestamp(col("ts_s"), fmt))
         .withWatermark("ts", "1 hour")
@@ -527,8 +563,6 @@ object StreamQueries {
         .start()
       q.awaitTermination()
     }
-    writeWave(ev.coalesce(1), rawDir)
-    drain()
     val maxS = Tables.events(s, d)
       .agg(date_format(max(col("ts")), fmt)).head().getString(0)
     def sentinel(days: Int): DataFrame = {
@@ -538,9 +572,9 @@ object StreamQueries {
           to_timestamp(lit(maxS), fmt) + expr(s"INTERVAL $days DAYS"), fmt))
         .select(col("event_id"), col("ts_s"), col("user_id"))
     }
-    writeWave(sentinel(2), rawDir)
-    drain()
-    writeWave(sentinel(4), rawDir)
+    stampedWave(ev, rawDir, 0)
+    stampedWave(sentinel(2), rawDir, 2)
+    stampedWave(sentinel(4), rawDir, 4)
     drain()
     val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
     s.read.parquet(outDir).filter(col("user_id") >= 0)
@@ -645,22 +679,8 @@ object StreamQueries {
     val clkDir = scratch("graft_q_soj_clk")
     val ckpt = scratch("graft_q_soj_ckpt")
     val outDir = scratch("graft_q_soj_out") + "/emitted"
-    // strictly increasing mtime slots, all safely in the past so a
-    // freshly-written file (mtime ≈ now) is always re-stamped once
-    val slot0 = 1_600_000_000_000L
-    def wave(df: DataFrame, dir: String, slot: Int): Unit = {
-      writeWave(df.coalesce(1), dir)
-      scala.util.Using.resource(
-        Files.list(java.nio.file.Paths.get(dir))) { st =>
-        st.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".csv"))
-          .filter(p => Files.getLastModifiedTime(p).toMillis >
-            slot0 + 600_000L)
-          .foreach(p => Files.setLastModifiedTime(p,
-            java.nio.file.attribute.FileTime.fromMillis(
-              slot0 + slot * 60_000L)))
-      }
-    }
+    def wave(df: DataFrame, dir: String, slot: Int): Unit =
+      stampedWave(df, dir, slot)
     def side(tpe: String): DataFrame = ev
       .filter(col("event_type") === tpe)
       .select(date_format(col("ts"), fmt).as("ts_s"),
@@ -732,8 +752,13 @@ object StreamQueries {
     val rawDir = scratch("graft_q_scs_raw")
     val ckpt = scratch("graft_q_scs_ckpt")
     val outDir = scratch("graft_q_scs_out") + "/emitted"
+    // ONE query start over the stamped backlog (r13, see streamWindow):
+    // timers fire per MICRO-BATCH with the watermark committed by the
+    // previous one — the same horizon sequence the three former drains
+    // produced
     def drain(): Unit = {
       val src = s.readStream.format("csv").option("header", "true")
+        .option("maxFilesPerTrigger", 1)
         .schema(schema).load(rawDir)
         .withColumn("ts", to_timestamp(col("ts_s"), fmt))
         .select(col("user_id"), col("ts"), col("value"))
@@ -749,8 +774,6 @@ object StreamQueries {
         .start()
       q.awaitTermination()
     }
-    writeWave(ev.coalesce(1), rawDir)
-    drain()
     val maxS = Tables.events(s, d)
       .agg(date_format(max(col("ts")), fmt)).head().getString(0)
     def sentinel(days: Int): DataFrame = {
@@ -759,9 +782,9 @@ object StreamQueries {
           to_timestamp(lit(maxS), fmt) + expr(s"INTERVAL $days DAYS"), fmt))
         .select(col("ts_s"), col("user_id"), col("value"))
     }
-    writeWave(sentinel(2), rawDir)
-    drain()
-    writeWave(sentinel(4), rawDir)
+    stampedWave(ev, rawDir, 0)
+    stampedWave(sentinel(2), rawDir, 2)
+    stampedWave(sentinel(4), rawDir, 4)
     drain()
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("session_start"))
