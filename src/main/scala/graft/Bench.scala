@@ -56,6 +56,12 @@ object Bench {
     // before the next timing starts.
     def gcSettle(): Unit = {
       spark.catalog.clearCache()
+      // drop the state-store providers the previous query's streaming
+      // drains left cached (each holds its state maps + maintenance
+      // work; across 13+ stateful queries × runs the debt visibly
+      // skews later timings — see GraftStreamShim.unloadStateStores)
+      try org.apache.spark.sql.graftshim.GraftStreamShim.unloadStateStores()
+      catch { case scala.util.control.NonFatal(_) => () }
       System.gc(); Thread.sleep(200)
       System.gc(); Thread.sleep(100)
     }
