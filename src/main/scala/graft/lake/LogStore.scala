@@ -88,14 +88,17 @@ object LogStore {
     override def putIfAbsent(target: Path, body: String): Boolean = {
       val tmp = target.resolveSibling(s".tmp-${UUID.randomUUID()}")
       Files.writeString(tmp, body)
-      val won =
-        try renamePrimitive(tmp, target)
-        // the primitive reports an existing destination as `false`,
-        // never as an exception — but a racing filesystem may surface
-        // the collision as FileAlreadyExists anyway; both mean "lost"
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      if (!won) Files.deleteIfExists(tmp)
-      won
+      // the primitive reports an existing destination as `false`, never
+      // as an exception — but a racing filesystem may surface the
+      // collision as FileAlreadyExists anyway; both mean "lost". The
+      // cleanup is a finally (not an if-lost) so an unexpected
+      // primitive failure — disk full, permissions, a real HDFS
+      // IOException — can't leak `.tmp-*` debris into the log dir; a
+      // successful move leaves nothing at tmp, so deleteIfExists is a
+      // no-op on the win path (mirrors [[Posix]]).
+      try renamePrimitive(tmp, target)
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally Files.deleteIfExists(tmp)
     }
   }
 

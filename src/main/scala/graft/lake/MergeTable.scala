@@ -618,6 +618,20 @@ final class MergeTable private (
     * column that collides with a dropped or renamed-away physical name
     * (silently accepting either would resurrect old file data under
     * the new column). */
+  /** A physical-name schema minus DROPPED columns — the conformance
+    * target for incoming frames mapped through [[toPhysical]]: a
+    * dropped field still lives in old files and in a declared log
+    * schema (drops are metadata-only), but no write may carry it, so a
+    * target that kept it would be unsatisfiable after DROP COLUMN. */
+  private def visibleDeclared(
+      d: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val (_, drops) = currentMapping()
+    if (drops.isEmpty) d
+    else org.apache.spark.sql.types.StructType(
+      d.fields.filterNot(f => drops.contains(f.name)))
+  }
+
   private def toPhysical(df: DataFrame): DataFrame = {
     val (ren, drops) = currentMapping()
     if (ren.isEmpty && drops.isEmpty) return df
@@ -966,9 +980,15 @@ final class MergeTable private (
     val ourRemoves = delta.removes.toSet
     val ourTxnApps = delta.txns.iterator.map(_._1).toSet
     // live relPath → partition map at `base`, advanced commit-by-commit
-    // so concurrently-removed files still resolve to partition values
+    // so concurrently-removed files still resolve to partition values.
+    // A concurrent VACUUM may have pruned the deltas `base` needs — in
+    // keeping with the any-doubt-answers-false contract, that answers
+    // "recompute", never an exception out of the commit loop.
+    val baseSnapshot =
+      try snapshotAt(base)
+      catch { case scala.util.control.NonFatal(_) => return false }
     val live = mutable.HashMap.empty[String, Option[String]]
-    snapshotAt(base).foreach(e => live.update(e.relPath, e.partitionValue))
+    baseSnapshot.foreach(e => live.update(e.relPath, e.partitionValue))
     // every partition our operation wrote into or rewrote (resolved at
     // base, BEFORE the map advances)
     val ourParts: Set[Option[String]] =
@@ -1242,7 +1262,13 @@ final class MergeTable private (
     // a DECLARED schema is binding: overwrite replaces rows, not the
     // contract (Delta requires overwriteSchema to change it) — evolve
     // through declareSchema/addColumn instead
-    def checkDeclared(df: DataFrame): Unit = declaredSchema.foreach { d =>
+    def checkDeclared(df: DataFrame): Unit = declaredSchema.foreach { d0 =>
+      // compare against the VISIBLE declared schema: a dropped column
+      // still lives in the log schema (metadata-only drop), but no
+      // incoming frame may carry it — toPhysical refuses the name — so
+      // keeping it in the target made the check unsatisfiable after
+      // DROP COLUMN (r13 review finding)
+      val d = visibleDeclared(d0)
       val phys = toPhysical(df).schema
       require(phys.fields.map(f => (f.name, f.dataType)).toSet ==
         d.fields.map(f => (f.name, f.dataType)).toSet,
@@ -1308,11 +1334,14 @@ final class MergeTable private (
       // drifted write would silently null-fill or break the read
       // (declared schema when there is one, the live files' else)
       val tableSchema: Option[org.apache.spark.sql.types.StructType] =
-        declaredSchema.orElse(
-          // physical names here too — the comparison below maps the
-          // incoming frame through toPhysical
+        // visible-physical names on the table side: the comparison
+        // below maps the incoming frame through toPhysical, a dropped
+        // column may not appear on either side, and the footer branch
+        // uses the memoized metadata-only schema instead of building a
+        // throwaway scan plan inside the commit attempt (r13 review)
+        declaredSchema.map(visibleDeclared).orElse(
           if (live.isEmpty) None
-          else Some(toPhysical(readEntries(live)).schema))
+          else Some(visibleDeclared(physicalSchemaOf(live))))
       tableSchema.foreach { d =>
         // compare PHYSICAL names: the declared schema stores them, and
         // the incoming frame arrives with logical (possibly renamed)

@@ -332,7 +332,16 @@ object GraftSql {
       while (j >= 0 &&
         (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j -= 1
       val w = s.substring(j + 1, end).toUpperCase
-      w == "MAP" || w == "ARRAY" || w == "STRUCT"
+      if (w != "MAP" && w != "ARRAY" && w != "STRUCT") return false
+      // ... and the bracket must OPEN a type (next token starts with a
+      // letter): a DEFAULT comparing an identifier literally named
+      // map/array/struct against a number — `DEFAULT (map < 5)` — is
+      // an operator, not a generic. (Defaults are constant-validated,
+      // so a letter-leading right side in that position is not a
+      // reachable ambiguity.)
+      var k = i + 1
+      while (k < s.length && s.charAt(k).isWhitespace) k += 1
+      k < s.length && s.charAt(k).isLetter
     }
     def splitCols(x: String): Seq[String] = {
       val out = Seq.newBuilder[String]

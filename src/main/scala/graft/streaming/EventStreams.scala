@@ -69,20 +69,30 @@ object EventStreams {
     * interval condition: Spark plans a streaming symmetric hash join
     * partitioned by the key. */
   def clickAttribution(impressions: DataFrame, clicks: DataFrame,
-      windowMinutes: Int = 30): DataFrame = {
+      windowMinutes: Int = 30): DataFrame =
+    attributionJoin(impressions, clicks, windowMinutes, "inner")
+
+  /** The shared body of both attribution joins — ONE definition of the
+    * watermarks, the interval condition, and the output projection, so
+    * the inner and outer variants can never drift (the join type and
+    * the null-extension semantics it brings are the ONLY difference). */
+  private def attributionJoin(impressions: DataFrame, clicks: DataFrame,
+      windowMinutes: Int, joinType: String): DataFrame = {
     val imp = impressions
       .withWatermark("ts", "1 hour")
-      .select(col("user_id"), col("ts").as("imp_ts"),
+      .select(col("user_id").as("imp_user"), col("ts").as("imp_ts"),
         col("value").as("imp_value"))
     val clk = clicks
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("ts").as("click_ts"),
         col("value").as("click_value"))
     clk.join(imp,
-      clk("user_id") === imp("user_id") &&
+      col("user_id") === col("imp_user") &&
         col("imp_ts") <= col("click_ts") &&
-        col("imp_ts") >= col("click_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
-      .select(clk("user_id"), col("imp_ts"), col("click_ts"),
+        col("imp_ts") >= col("click_ts") -
+          expr(s"INTERVAL $windowMinutes MINUTES"),
+      joinType)
+      .select(col("user_id"), col("imp_ts"), col("click_ts"),
         col("imp_value"), col("click_value"))
   }
 
@@ -100,24 +110,8 @@ object EventStreams {
     * waves; the inner join needs no such discipline (see the
     * determinism note on [[StreamQueries.streamIntervalJoin]]). */
   def clickAttributionOuter(impressions: DataFrame, clicks: DataFrame,
-      windowMinutes: Int = 30): DataFrame = {
-    val imp = impressions
-      .withWatermark("ts", "1 hour")
-      .select(col("user_id").as("imp_user"), col("ts").as("imp_ts"),
-        col("value").as("imp_value"))
-    val clk = clicks
-      .withWatermark("ts", "1 hour")
-      .select(col("user_id"), col("ts").as("click_ts"),
-        col("value").as("click_value"))
-    clk.join(imp,
-      col("user_id") === col("imp_user") &&
-        col("imp_ts") <= col("click_ts") &&
-        col("imp_ts") >= col("click_ts") -
-          expr(s"INTERVAL $windowMinutes MINUTES"),
-      "leftOuter")
-      .select(col("user_id"), col("imp_ts"), col("click_ts"),
-        col("imp_value"), col("click_value"))
-  }
+      windowMinutes: Int = 30): DataFrame =
+    attributionJoin(impressions, clicks, windowMinutes, "leftOuter")
 
   /** Stream-static enrichment — join each event against a STATIC (or
     * slowly-refreshed) dimension table by key. The static side needs no

@@ -679,8 +679,6 @@ object StreamQueries {
     val clkDir = scratch("graft_q_soj_clk")
     val ckpt = scratch("graft_q_soj_ckpt")
     val outDir = scratch("graft_q_soj_out") + "/emitted"
-    def wave(df: DataFrame, dir: String, slot: Int): Unit =
-      stampedWave(df, dir, slot)
     def side(tpe: String): DataFrame = ev
       .filter(col("event_type") === tpe)
       .select(date_format(col("ts"), fmt).as("ts_s"),
@@ -693,12 +691,12 @@ object StreamQueries {
           to_timestamp(lit(maxS), fmt) + expr(s"INTERVAL $days DAYS"), fmt))
         .select(col("ts_s"), col("user_id"), col("value"))
     }
-    wave(side("view"), impDir, 0)
-    wave(side("click"), clkDir, 0)
-    wave(sentinel(2), impDir, 2)
-    wave(sentinel(2), clkDir, 2)
-    wave(sentinel(4), impDir, 4)
-    wave(sentinel(4), clkDir, 4)
+    stampedWave(side("view"), impDir, 0)
+    stampedWave(side("click"), clkDir, 0)
+    stampedWave(sentinel(2), impDir, 2)
+    stampedWave(sentinel(2), clkDir, 2)
+    stampedWave(sentinel(4), impDir, 4)
+    stampedWave(sentinel(4), clkDir, 4)
     def src(dir: String): DataFrame = s.readStream.format("csv")
       .option("header", "true").option("maxFilesPerTrigger", 1)
       .schema(schema).load(dir)

@@ -1,4 +1,6 @@
-package graft.lake
+package graft.tools
+
+import graft.lake.MergeTable
 
 import java.nio.file.Files
 
@@ -19,7 +21,7 @@ import org.apache.spark.sql.SparkSession
   *     segment (each append folds the snapshot for its schema check,
   *     so this exposes any super-linear ingest debt too).
   *
-  * Usage: runMain graft.lake.LogDepthBench [maxCommits] */
+  * Usage: runMain graft.tools.LogDepthBench [maxCommits] */
 object LogDepthBench {
   def main(args: Array[String]): Unit = {
     val maxN = args.headOption.map(_.toInt).getOrElse(10000)

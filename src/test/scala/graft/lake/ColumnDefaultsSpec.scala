@@ -43,6 +43,14 @@ class ColumnDefaultsSpec extends SparkSpec {
       .as[(Int, String, Int)].head()
     // (1>0) casts true→1; 'x<y' is literal; (2<10) casts true→1
     assert(row === ((1, "x<y", 1)))
+    // even an identifier literally named after a generic type compares
+    // as an operator when what follows '<' is not a type token
+    val p2 = tmpDir("dflt").toString
+    spark.sql("CREATE GRAFT TABLE t_dflt_cmp2 (a INT DEFAULT (3 < 5), " +
+      s"b INT DEFAULT (2 > 1), c STRING) AT '$p2'")
+    spark.sql("INSERT INTO t_dflt_cmp2 (c) VALUES ('z')")
+    assert(spark.sql("SELECT a, b FROM t_dflt_cmp2")
+      .as[(Int, Int)].head() === ((1, 1)))
   }
 
   test("ALTER TABLE ADD COLUMN ... DEFAULT is metadata-only: old rows " +

@@ -16,6 +16,32 @@ class ColumnMappingSpec extends SparkSpec {
   private def orders(rows: (String, String, Double)*): DataFrame =
     rows.toDF("order_id", "date", "amount")
 
+  test("overwrite and replaceWhere stay usable after DROP COLUMN on a " +
+      "declared-schema table (conformance target excludes dropped fields)") {
+    // r13 review finding: the declared schema keeps a dropped field
+    // (drops are metadata-only), but toPhysical refuses any frame that
+    // carries the dropped name — so a conformance check against the
+    // FULL declared schema was unsatisfiable from either side
+    val t = MergeTable(spark, tmpDir("cmdrop").toString, Some("date"))
+    t.overwrite(orders(("o1", "d1", 1.0), ("o2", "d2", 2.0)))
+    t.declareSchema(t.read().schema)
+    t.dropColumn("amount")
+    // full overwrite with the visible columns only
+    t.overwrite(Seq(("o3", "d1")).toDF("order_id", "date"))
+    assert(t.read().select("order_id", "date").as[(String, String)]
+      .collect().toSet === Set(("o3", "d1")))
+    // partition-scoped replacement with the visible columns only
+    t.overwrite(Seq(("o4", "d1"), ("o5", "d2")).toDF("order_id", "date"))
+    t.overwriteWhere(Seq(("o6", "d2")).toDF("order_id", "date"),
+      col("date") === "d2")
+    assert(t.read().select("order_id", "date").as[(String, String)]
+      .collect().toSet === Set(("o4", "d1"), ("o6", "d2")))
+    // a frame still carrying the dropped column is refused loudly
+    intercept[IllegalArgumentException] {
+      t.overwrite(orders(("o7", "d1", 7.0)))
+    }
+  }
+
   test("rename is metadata-only: same files, new name, data intact") {
     val t = MergeTable(spark, tmpDir("cm1").toString, Some("date"))
     t.overwrite(orders(("o1", "2024-01-01", 10.0), ("o2", "2024-01-02", 20.0)))
