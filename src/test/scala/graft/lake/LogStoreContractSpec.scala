@@ -166,6 +166,19 @@ class LogStoreContractSpec extends SparkSpec {
     }
   }
 
+  test("rename: an unexpected primitive failure propagates AND leaves " +
+      "no temp debris (cleanup is a finally, not an if-lost)") {
+    val dir = tmpDir("ls-err")
+    val boom = new LogStore.RenameNoOverwrite((_, _) =>
+      throw new java.io.IOException("disk full"))
+    val e = intercept[java.io.IOException] {
+      boom.putIfAbsent(dir.resolve("00000000000000000001.txt"), "x")
+    }
+    assert(e.getMessage === "disk full")
+    assert(visible(dir) === Nil,
+      "a failed publish must not leak .tmp-* files into the log dir")
+  }
+
   test("cross-impl: a rename put against a posix-published name loses " +
       "(and vice versa)") {
     val dir = tmpDir("ls-cross")
