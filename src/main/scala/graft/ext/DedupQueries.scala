@@ -179,10 +179,11 @@ object DedupQueries {
     * by `band` and range-clustered + stats'd + bloom-indexed on
     * `bhash` (the X113 persisted-index pattern applied to the X3 LSH
     * tier). Probe, the per-batch cost: the new batch's band rows
-    * compute the same bhash; the distinct probe hashes FILE-SKIP the
-    * index through [[MergeTable.probeKeys]] (partition/stats/bloom
-    * membership on driver metadata — no IN-literal ever enters the
-    * plan), and the in-bucket (band, bkey) equi-join + signature-
+    * compute the same bhash; the probe-hash RELATION file-skips the
+    * index through the relation-valued [[MergeTable.probeKeys]]
+    * (partition/stats/bloom admission joined in Spark — no IN-literal
+    * ever enters a plan, and no data-scale key set is ever collected
+    * to the driver), and the in-bucket (band, bkey) equi-join + signature-
     * agreement scoring runs over admitted files only, with both
     * signatures already in the index rows. Cost: O(new batch +
     * admitted index bytes); the historical DOCUMENTS are never read.
@@ -202,9 +203,12 @@ object DedupQueries {
     t.overwrite(bandIndexRows(hist)
       .repartitionByRange(IncrIndexFiles, col("band"), col("bhash")))
     val probe = eager(bandIndexRows(fresh))
-    val keys = probe.select("bhash").distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val admitted = t.probeKeys("bhash", keys)
+    // RELATION-valued probe (r14): the batch's distinct band hashes
+    // never leave the cluster — file admission is computed by joining
+    // the key relation against the index's manifest metadata and
+    // sparse bloom sidecars, so driver memory stays flat no matter how
+    // many distinct band hashes the arriving batch carries.
+    val admitted = t.probeKeys("bhash", probe.select("bhash"))
     admitted.alias("h")
       .join(probe.alias("n"),
         col("h.band") === col("n.band") && col("h.bkey") === col("n.bkey"))

@@ -998,7 +998,12 @@ final class MergeTable private (
     while (w <= head) {
       val p = logDir.resolve(f"$w%020d.txt")
       if (!Files.exists(p)) return false // vacuum raced us — recompute
-      val acts = readLogFile(p)
+      // the same race can fire BETWEEN the exists probe and the read
+      // (or the commitOpOf read below): any-doubt-answers-false, an
+      // exception must never escape the commit loop.
+      val acts =
+        try readLogFile(p)
+        catch { case scala.util.control.NonFatal(_) => return false }
       val foreign = acts.exists {
         case _: Add | _: Remove | _: InCommitTs => false
         case SetTxn(app, _)                     => ourTxnApps.contains(app)
@@ -1009,14 +1014,22 @@ final class MergeTable private (
       val cRemoves = acts.collect { case Remove(f) => f }
       if (cRemoves.exists(ourRemoves.contains)) return false
       if (cAdds.exists(e => ourRemoves.contains(e.relPath))) return false
-      val scopeOk = scope match {
-        case ReadScope.Nothing      => true
-        case ReadScope.RemovedFiles => true
-        case ReadScope.Everything =>
-          commitOpOf(w).exists(o => ContentPreservingOps.contains(o._1)) &&
-            !cAdds.exists(e => ourParts.contains(e.partitionValue)) &&
-            !cRemoves.exists(f => live.get(f).exists(ourParts.contains))
-      }
+      val scopeOk =
+        try scope match {
+          case ReadScope.Nothing =>
+            // an append's schema-conformance check ran against `base`;
+            // on a table with NO declared schema a concurrent full
+            // overwrite may have changed the INFERRED schema, so
+            // verbatim republication could publish rows that no longer
+            // conform — recompute (whose closure re-validates) instead.
+            declaredSchema.isDefined || !commitOpOf(w).exists(o =>
+              o._1 == "WRITE" && o._2.get("mode").contains("Overwrite"))
+          case ReadScope.RemovedFiles => true
+          case ReadScope.Everything =>
+            commitOpOf(w).exists(o => ContentPreservingOps.contains(o._1)) &&
+              !cAdds.exists(e => ourParts.contains(e.partitionValue)) &&
+              !cRemoves.exists(f => live.get(f).exists(ourParts.contains))
+        } catch { case scala.util.control.NonFatal(_) => return false }
       if (!scopeOk) return false
       cRemoves.foreach(live.remove)
       cAdds.foreach(e => live.update(e.relPath, e.partitionValue))
@@ -1531,11 +1544,18 @@ final class MergeTable private (
       val (_, entries) = writeData(df1)
       try retryingCommit("WRITE", appendOp(txn),
           scope = ReadScope.Nothing) { () =>
-        val (v, _) = latest()
+        val (v, live) = latest()
         txn.foreach { case (app, bv) =>
           if (txnsAt(v).get(app).exists(_ >= bv))
             throw new TxnAlreadyApplied
         }
+        // re-validate inside the attempt: a lost race that RECOMPUTES
+        // must see the conformance check against the FRESH snapshot (a
+        // concurrent overwrite may have changed an inferred schema);
+        // the rebase path skips this closure, so canRebase answers
+        // false for that exact cell (ReadScope.Nothing × concurrent
+        // overwrite × undeclared schema).
+        checkSchema(df1, live)
         (CommitDelta(entries, Nil, txns = txn.toSeq), v)
       } catch { case _: TxnAlreadyApplied => latestVersion() }
     } else {
@@ -3084,6 +3104,118 @@ final class MergeTable private (
   def probeKeys(c: String, values: Seq[Any]): DataFrame =
     probeKeysVersion(latestVersion(), c, values)
 
+  /** RELATION-VALUED key-set file probe (the literal overload's scale
+    * form): the same partition/stats/bloom file-skipping, but the key
+    * set stays a Spark relation END-TO-END — nothing data-scale is ever
+    * collected to the driver. The driver materializes only METADATA:
+    * the manifest (driver-resident by construction) and admitted
+    * file-key sets (bounded by live file count). Use this when the key
+    * relation's distinct cardinality is unbounded (a batch's band
+    * hashes, a CDC delta's keys at 10^10-row history).
+    *
+    * Stages, each a Spark job over the key relation:
+    *
+    *   1. partition + min/max-range admission — the key relation inner-
+    *      joins the BROADCAST manifest-metadata frame (#files rows) on
+    *      the per-file admission predicate; the distinct admitted file
+    *      keys (metadata-scale) come back to the driver. The pair work
+    *      is O(|keys| × #files) but fully distributed — the shape of
+    *      dynamic file pruning;
+    *   2. bloom refinement, per sidecar (dir, m) group of admitted
+    *      still-bloomed files: the key relation's [[BloomK]] probe
+    *      positions (computed with the SAME Catalyst hash expressions
+    *      the write side used — probe and filter can never drift)
+    *      equi-join the SPARSE bloom sidecar parquet on the 64-bit
+    *      word index; a (key, file) pair survives iff ALL K probed
+    *      bits are set, and surviving file keys (metadata-scale)
+    *      come back. Past [[RelProbeBloomGroupCap]] sidecar groups the
+    *      bloom surface bows out for the REMAINING groups (admit —
+    *      sound superset), mirroring the literal path's product cap.
+    *
+    * The stats/bloom surfaces run under the write side's long-cast
+    * contract, so `keys`' FIRST column must be integral; any other
+    * type degrades to the full read (never a miss), exactly like a
+    * table with no metadata on `c`. Rows of admitted files return
+    * UNFILTERED — the caller owns the row-level residual (typically an
+    * equi-/semi-join against the key relation, which AQE broadcasts at
+    * Δ-scale). Admission parity with the literal overload is pinned by
+    * DedupIncrSpec. */
+  def probeKeys(c: String, keys: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val live = latest()._2
+    val phys = physicalOf(c)
+    val integral = keys.schema.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
+    if (!integral || live.isEmpty) return readEntries(live)
+    val k = keys.select(col(keys.columns.head).cast("long").as("__k"))
+      .filter(col("__k").isNotNull).distinct()
+    val isPart = partitionCols.contains(phys)
+    // manifest → metadata frame: one row per live file with the
+    // admission inputs (partition long, stats range, null discipline)
+    val metaRows = live.map { fe =>
+      val pv = if (isPart) partValueOf(fe, phys) else None
+      val st = fe.stats.get(phys)
+      (fileKey(fe.relPath),
+        !isPart || pv.isEmpty,                                // p_missing
+        pv.flatMap(s => scala.util.Try(s.trim.toLong).toOption), // p_long
+        st.isEmpty,                                           // stats_none
+        st.exists(_.allNull),                                 // all_null
+        st.exists(_.range.isEmpty),                           // range_none
+        st.flatMap(_.range).map(_._1),                        // mn
+        st.flatMap(_.range).map(_._2))                        // mx
+    }
+    val session = spark
+    import session.implicits._
+    val fm = metaRows.toDF("fkey", "p_missing", "p_long",
+      "stats_none", "all_null", "range_none", "mn", "mx")
+    val admitCond =
+      (col("p_missing") || col("p_long") === col("__k")) &&
+        (col("stats_none") || (!col("all_null") &&
+          (col("range_none") ||
+            (col("mn") <= col("__k") && col("__k") <= col("mx")))))
+    val admittedKeys = k.join(broadcast(fm), admitCond, "inner")
+      .select("fkey").distinct()
+      .collect().map(_.getString(0)).toSet
+    val admitted = live.filter(fe => admittedKeys(fileKey(fe.relPath)))
+    val (bloomed, plain) =
+      admitted.partition(_.bloom.exists(_.cols.contains(phys)))
+    if (bloomed.isEmpty) return readEntries(admitted)
+    val groups = bloomed.groupBy(e => (e.bloom.get.relDir, e.bloom.get.m))
+      .toSeq.sortBy(_._1._1)
+    val (refine, admitRest) = groups.splitAt(RelProbeBloomGroupCap)
+    val passed = refine.flatMap { case ((dir, m), es) =>
+      val fkeys = es.map(e => fileKey(e.relPath))
+      // per-key probe positions, exploded to (key, i, word, mask)
+      val pos = k.select(col("__k"),
+          pmod(hash(col("__k")).cast("long"), lit(m.toLong)).as("h1"),
+          pmod(xxhash64(col("__k")), lit(m.toLong)).bitwiseOR(lit(1L))
+            .as("h2"))
+        .select(col("__k"),
+          explode(sequence(lit(0L), lit(BloomK - 1L))).as("i"),
+          col("h1"), col("h2"))
+        .withColumn("p", (col("h1") + col("i") * col("h2")) % lit(m.toLong))
+        .select(col("__k"), col("i"),
+          expr("p div 64").as("w"),
+          expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))")
+            .as("mask"))
+      val side = spark.read.parquet(root.resolve(dir).toString)
+        .filter(col(BfCol) === phys)
+        .join(broadcast(fkeys.toDF("__fk")),
+          col(BfFile) === col("__fk"), "left_semi")
+      side.join(pos, col(BfWord) === col("w"))
+        .filter(col(BfBits).bitwiseAND(col("mask")) =!= 0L)
+        .groupBy(col(BfFile), col("__k"))
+        .agg(countDistinct(col("i")).as("nset"))
+        .filter(col("nset") === lit(BloomK.toLong))
+        .select(col(BfFile)).distinct()
+        .collect().map(_.getString(0))
+    }.toSet ++ admitRest.iterator
+      .flatMap(_._2.map(e => fileKey(e.relPath)))
+    readEntries(plain ++ bloomed.filter(e => passed(fileKey(e.relPath))))
+  }
+
   /** Entries of the snapshot at `version` (test hook for
     * [[scanVersion]] parity assertions). */
   private[lake] def versionEntries(version: Long): Seq[FileEntry] =
@@ -4440,6 +4572,14 @@ object MergeTable {
   /** Hash functions per bloom filter (double hashing: murmur3 base +
     * i × (xxhash64|1) stride, both engines-native and codegen'd). */
   private val BloomK = 3
+
+  /** Sidecar (dir, m) groups the relation-valued [[probeKeys]] bloom-
+    * refines per probe; groups past the cap admit outright (sound
+    * superset — each group is one Spark job over the key relation, so
+    * an unbounded commit history must not turn one probe into
+    * unbounded jobs; compaction folds old sidecars back under the
+    * cap). */
+  private val RelProbeBloomGroupCap = 32
   /** Target bits per row: m = nextPow2(16 × maxFileRows) ⇒ fill ≈ 3/16
     * per K=3 inserts/row ⇒ false-positive rate ≈ (1−e^(−3/16))³ ≈ 0.5%
     * — one in ~200 irrelevant files survives the prune. */

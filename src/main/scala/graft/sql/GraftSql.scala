@@ -333,15 +333,19 @@ object GraftSql {
         (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j -= 1
       val w = s.substring(j + 1, end).toUpperCase
       if (w != "MAP" && w != "ARRAY" && w != "STRUCT") return false
-      // ... and the bracket must OPEN a type (next token starts with a
-      // letter): a DEFAULT comparing an identifier literally named
-      // map/array/struct against a number — `DEFAULT (map < 5)` — is
-      // an operator, not a generic. (Defaults are constant-validated,
-      // so a letter-leading right side in that position is not a
-      // reachable ambiguity.)
+      // ... and the bracket must OPEN a type (next token starts like an
+      // identifier — letter, '_' as in STRUCT<_c0 INT>, or a backquoted
+      // field name STRUCT<`my f` INT>): a DEFAULT comparing an
+      // identifier literally named map/array/struct against a number —
+      // `DEFAULT (map < 5)` — is an operator, not a generic. (Defaults
+      // are constant-validated, so an identifier-leading right side in
+      // that position is not a reachable ambiguity.)
       var k = i + 1
       while (k < s.length && s.charAt(k).isWhitespace) k += 1
-      k < s.length && s.charAt(k).isLetter
+      k < s.length && {
+        val c = s.charAt(k)
+        c.isLetter || c == '_' || c == '`'
+      }
     }
     def splitCols(x: String): Seq[String] = {
       val out = Seq.newBuilder[String]

@@ -157,14 +157,23 @@ object PruneBench {
     }
     val pruned = () => t.probeKeys("bhash", keys)
       .join(probe, Seq("band", "bkey"))
+    // the r14 relation-valued probe: same admission, keys never
+    // collected — the q_dedup_incr scale path
+    val prunedRel = () => t.probeKeys("bhash", probe.select("bhash"))
+      .join(probe, Seq("band", "bkey"))
     val full = () => t.read().join(probe, Seq("band", "bkey"))
     val admitted = t.probeKeys("bhash", keys).inputFiles.length
+    val admittedRel =
+      t.probeKeys("bhash", probe.select("bhash")).inputFiles.length
     val (mp, cp) = timeWarm(pruned)
+    val (mr, cr) = timeWarm(prunedRel)
     val (mf, cf) = timeWarm(full)
     require(cp == cf, s"probe-join drift: $cp != $cf")
+    require(cr == cf, s"rel-probe-join drift: $cr != $cf")
     println(f"patternC index_files=$files admitted=$admitted " +
-      f"keys=${keys.size} probe_join=$mp%.3f s full_join=$mf%.3f s " +
-      f"rows=$cp")
+      f"admitted_rel=$admittedRel keys=${keys.size} " +
+      f"probe_join=$mp%.3f s probe_join_rel=$mr%.3f s " +
+      f"full_join=$mf%.3f s rows=$cp")
     spark.stop()
   }
 

@@ -45,6 +45,38 @@ class DedupIncrSpec extends SparkSpec {
     assert(hits === Set(1005L, 1017L))
   }
 
+  test("relation-valued probeKeys admits EXACTLY the literal probe's " +
+      "file set — partition, stats AND bloom surfaces agree") {
+    val t = MergeTable(spark, tmpDir("incr-rel").toString, Some("band"),
+      Seq("bhash"), deletionVectors = false, bloomCols = Seq("bhash"))
+    val rows = (0 until 4).flatMap { b =>
+      (0 until 400).map(i =>
+        (b, s"k$b-$i", (b * 10000 + i).toLong, (b * 1000 + i).toLong))
+    }.toDF("band", "bkey", "bhash", "doc_id")
+    t.overwrite(rows.repartitionByRange(16, col("band"), col("bhash")))
+    // several key shapes: a dense low-range run, sparse cross-band
+    // points, and misses that only the bloom can reject
+    val shapes: Seq[Seq[Long]] = Seq(
+      (10000L to 10030L).toSeq,
+      Seq(5L, 10399L, 20007L, 30123L),
+      Seq(123456789L, 10500L, 777L)) // 777 misses band 0's 0..399 too
+    shapes.foreach { ks =>
+      val lit = t.probeKeys("bhash", ks.asInstanceOf[Seq[Any]])
+        .inputFiles.toSet
+      val rel = t.probeKeys("bhash", ks.toDF("bhash")).inputFiles.toSet
+      assert(rel === lit, s"admission drift for keys=$ks")
+    }
+    // an EMPTY key relation matches no rows, so the relational probe
+    // admits no files (the literal overload's empty IN-list admits
+    // everything — a superset is always allowed, but the relation path
+    // can afford the tight answer)
+    assert(t.probeKeys("bhash", Seq.empty[Long].toDF("bhash"))
+      .inputFiles.isEmpty)
+    // non-integral key relation degrades to the full read, never a miss
+    val full = t.probeKeys("bhash", Seq("x", "y").toDF("s")).inputFiles.toSet
+    assert(full === t.read().inputFiles.toSet)
+  }
+
   test("q_dedup_incr pairs history with the new batch only, under the " +
       "shared modulo split") {
     val out = DedupQueries.dedupIncremental(spark, "/root/testdata/sf0.001")

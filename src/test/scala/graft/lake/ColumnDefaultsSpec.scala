@@ -123,4 +123,22 @@ class ColumnDefaultsSpec extends SparkSpec {
     assert(spark.sql("SELECT tag, s.default FROM t_cx")
       .as[(String, Int)].head() === ("x", 2))
   }
+
+  test("generic brackets open on identifier-start fields too — " +
+      "STRUCT<_c0 INT> and backquoted struct field names") {
+    val p = tmpDir("dflt_id").toString
+    spark.sql("CREATE GRAFT TABLE t_idf (" +
+      "s STRUCT<_c0: INT, b: INT>, " +
+      "q STRUCT<`my f`: STRING>, " +
+      s"tag STRING DEFAULT 'y') AT '$p'")
+    val t = graft.sql.GraftSql.table("t_idf").get
+    assert(t.declaredSchema.get.fieldNames.toSeq === Seq("s", "q", "tag"))
+    val s = t.declaredSchema.get("s").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(s.fieldNames.toSeq === Seq("_c0", "b"))
+    val q = t.declaredSchema.get("q").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(q.fieldNames.toSeq === Seq("my f"))
+    assert(t.columnDefaults === Map("tag" -> "'y'"))
+  }
 }

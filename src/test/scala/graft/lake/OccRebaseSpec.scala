@@ -169,4 +169,69 @@ class OccRebaseSpec extends SparkSpec {
     val ts = hist.map(_._2.getTime).toSeq
     assert(ts === ts.sorted, "in-commit timestamps stay monotone on rebase")
   }
+
+  test("append losing to a concurrent SCHEMA-CHANGING overwrite on an " +
+      "UNDECLARED-schema table recomputes — and the recompute's fresh " +
+      "conformance check refuses the now-stale rows") {
+    val root = tmpDir("occ").toString
+    val setup = MergeTable(spark, root, Some("date"))
+    setup.overwrite(orders(("o1", "d1", 1.0)))
+    val rival = MergeTable(spark, root, Some("date"))
+    val t = MergeTable(spark, root, Some("date"))
+      .withLogStore(sneaky(() =>
+        // the rival REPLACES the table with a wider inferred schema —
+        // a verbatim rebase of the 3-column append would publish rows
+        // that no longer conform
+        rival.overwrite(Seq(("o5", "d5", 5.0, "n"))
+          .toDF("order_id", "date", "amount", "note"))))
+    val err = intercept[IllegalArgumentException](
+      t.append(orders(("o2", "d2", 2.0))))
+    assert(err.getMessage.contains("append"),
+      s"conformance failure expected, got: ${err.getMessage}")
+    assert(t.occRecomputed.get() === 1L,
+      "Nothing-scope × concurrent overwrite × undeclared schema must " +
+        "take the recompute path, never rebase")
+    assert(t.occRebased.get() === 0L)
+    assert(t.read().columns.toSet ===
+      Set("order_id", "date", "amount", "note"),
+      "the failed append must not have published anything")
+  }
+
+  test("append losing to a concurrent SAME-shape overwrite recomputes " +
+      "and lands — the fresh conformance check passes") {
+    val root = tmpDir("occ").toString
+    val setup = MergeTable(spark, root, Some("date"))
+    setup.overwrite(orders(("o1", "d1", 1.0)))
+    val rival = MergeTable(spark, root, Some("date"))
+    val t = MergeTable(spark, root, Some("date"))
+      .withLogStore(sneaky(() =>
+        rival.overwrite(orders(("o5", "d5", 5.0)))))
+    t.append(orders(("o2", "d2", 2.0)))
+    assert(t.occRecomputed.get() === 1L)
+    assert(t.occRebased.get() === 0L)
+    assert(contents(t.read()) ===
+      Set(("o5", "d5", 5.0), ("o2", "d2", 2.0)))
+  }
+
+  test("append losing to a concurrent overwrite on a DECLARED-schema " +
+      "table still REBASES — the contract is pinned, rows stay valid") {
+    val root = tmpDir("occ").toString
+    import org.apache.spark.sql.types._
+    val setup = MergeTable(spark, root, Some("date"))
+    setup.declareSchema(StructType(Seq(
+      StructField("order_id", StringType),
+      StructField("date", StringType),
+      StructField("amount", DoubleType))))
+    setup.overwrite(orders(("o1", "d1", 1.0)))
+    val rival = MergeTable(spark, root, Some("date"))
+    val t = MergeTable(spark, root, Some("date"))
+      .withLogStore(sneaky(() =>
+        rival.overwrite(orders(("o5", "d5", 5.0)))))
+    t.append(orders(("o2", "d2", 2.0)))
+    assert(t.occRebased.get() === 1L,
+      "a declared schema makes the overwrite conformance-preserving")
+    assert(t.occRecomputed.get() === 0L)
+    assert(contents(t.read()) ===
+      Set(("o5", "d5", 5.0), ("o2", "d2", 2.0)))
+  }
 }
