@@ -65,6 +65,27 @@ object Bench {
       System.gc(); Thread.sleep(200)
       System.gc(); Thread.sleep(100)
     }
+    // Box-health probe (r13 verdict #7): two fixed queries — one
+    // CPU-bound, one streaming/state-bound — timed in ISOLATION before
+    // the suite, best-of-3, recorded as a "probe" block in the JSON.
+    // Same HEAD, different boxes/windows: probe-ratio ≈ box-ratio, so
+    // a 195-vs-250 s suite spread adjudicates mechanically as regime
+    // variance instead of by judgment call. scripts/bench_probe runs
+    // the same pair standalone for before/after checks.
+    val probe = Seq("q_embed_kmeans", "q_stream_window").map { name =>
+      gcSettle()
+      val times = (1 to 3).flatMap { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { materialize(name); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+      name -> (if (times.isEmpty) -1.0 else times.min)
+    }
+    val probeJson = probe
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
       gcSettle()
@@ -115,7 +136,7 @@ object Bench {
     // "regression" that was entirely a heap/GC-regime shift (SURVEY §6.4)
     // — a bench line without both is not comparable across rounds.
     val heapMb = Runtime.getRuntime.maxMemory / (1024L * 1024L)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"cpus":$cpus,"heap_mb":$heapMb,"queries":$qs,"queries_min":$qsMin,"queries_runs":$qsRuns,"errors":$errJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"cpus":$cpus,"heap_mb":$heapMb,"probe":$probeJson,"queries":$qs,"queries_min":$qsMin,"queries_runs":$qsRuns,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // The stdout line alone is lossy in practice: the harness's capture
     // keeps only the TAIL of the line, and at 100+ queries that drops

@@ -77,7 +77,8 @@ final class MergeTable private (
     val bloomCols: Seq[String] = Nil,
     val logStore: LogStore = LogStore.Posix,
     val optimizeWrite: Boolean = false,
-    val autoCompact: Option[(Long, Int)] = None) {
+    val autoCompact: Option[(Long, Int)] = None,
+    val ckptRetention: (Int, Long) = MergeTable.DefaultCkptRetention) {
 
   import MergeTable._
 
@@ -102,7 +103,8 @@ final class MergeTable private (
     * create-if-absent publish goes through the seam. */
   def withLogStore(ls: LogStore): MergeTable =
     new MergeTable(spark, root, partitionCols, statsCols,
-      deletionVectors, bloomCols, ls, optimizeWrite, autoCompact)
+      deletionVectors, bloomCols, ls, optimizeWrite, autoCompact,
+      ckptRetention)
 
   /** The same handle with OPTIMIZED WRITES on (Delta's
     * `delta.autoOptimize.optimizeWrite`): every [[writeData]] of a
@@ -116,7 +118,7 @@ final class MergeTable private (
   def withOptimizeWrite: MergeTable =
     new MergeTable(spark, root, partitionCols, statsCols,
       deletionVectors, bloomCols, logStore, optimizeWrite = true,
-      autoCompact)
+      autoCompact, ckptRetention)
 
   /** The same handle with AUTO COMPACTION on (Delta's
     * `delta.autoOptimize.autoCompact`): after any commit, if some
@@ -141,7 +143,32 @@ final class MergeTable private (
         s"($targetBytes, $minFiles)")
     new MergeTable(spark, root, partitionCols, statsCols,
       deletionVectors, bloomCols, logStore, optimizeWrite,
-      Some((targetBytes, minFiles)))
+      Some((targetBytes, minFiles)), ckptRetention)
+  }
+
+  /** The same handle with a NON-DEFAULT checkpoint retention (r13
+    * verdict #2 — automatic log retention): every checkpoint PUBLISH
+    * already prunes superseded checkpoint text under the handle's
+    * `(keep, retainMs)` window — see [[writeCheckpoint]]; this tunes
+    * the window. `keep` newest checkpoints always survive regardless
+    * of age; older superseded ones are deleted once their publish
+    * mtime falls outside `retainMs` (0 = prune superseded immediately
+    * past the keep set — single-writer/bench shape). Time travel is
+    * NEVER lost by this pruning: commit DELTAS are untouched (only
+    * [[vacuum]] prunes those), so any version still reconstructs from
+    * the newest surviving checkpoint at-or-below it — or from the
+    * empty v0 by folding deltas. What the window buys is fold SPEED
+    * near pruned versions and in-flight-reader grace: a reader that
+    * listed a checkpoint gets `retainMs` to open it (the same
+    * discipline as vacuum's data-file window). */
+  def withCheckpointRetention(keep: Int = DefaultCkptRetention._1,
+      retainMs: Long = DefaultCkptRetention._2): MergeTable = {
+    require(keep >= 1 && retainMs >= 0L,
+      s"withCheckpointRetention: need keep >= 1 and retainMs >= 0, " +
+        s"got ($keep, $retainMs)")
+    new MergeTable(spark, root, partitionCols, statsCols,
+      deletionVectors, bloomCols, logStore, optimizeWrite, autoCompact,
+      (keep, retainMs))
   }
 
   /** The same table handle bound to a DIFFERENT SparkSession — the
@@ -153,7 +180,8 @@ final class MergeTable private (
   def withSession(s: SparkSession): MergeTable =
     if (s eq spark) this
     else new MergeTable(s, root, partitionCols, statsCols,
-      deletionVectors, bloomCols, logStore, optimizeWrite, autoCompact)
+      deletionVectors, bloomCols, logStore, optimizeWrite, autoCompact,
+      ckptRetention)
 
   // ---- log ----------------------------------------------------------------
 
@@ -263,6 +291,13 @@ final class MergeTable private (
         // LOG, not the parquet footers). Last one wins.
         case "M" => SetSchema(new String(
           java.util.Base64.getDecoder.decode(parts(1)), "UTF-8"))
+        // Protocol: "P readerFeats writerFeats" (comma-joined feature
+        // names, '-' for an empty set) — Delta's protocol action. Last
+        // one wins; [[metaAtUncached]] gates on it. A PRE-feature
+        // binary reading a P-bearing log lands in the `other` arm
+        // below — a hard fail, which is exactly the gate's contract
+        // for readers that predate the gate itself.
+        case "P" => Protocol(protoFeats(parts(1)), protoFeats(parts(2)))
         case other => throw new IllegalStateException(
           s"MergeTable at $root: unknown log action '$other' in $p")
       }
@@ -314,7 +349,8 @@ final class MergeTable private (
       renames: Map[String, String],
       drops: Set[String],
       txns: Map[String, Long],
-      schema: Option[org.apache.spark.sql.types.StructType])
+      schema: Option[org.apache.spark.sql.types.StructType],
+      protocol: (Set[String], Set[String]) = (Set.empty, Set.empty))
 
   private val metaMemo =
     new java.util.concurrent.ConcurrentHashMap[Long, MetaState]()
@@ -329,6 +365,7 @@ final class MergeTable private (
     val drops = mutable.LinkedHashSet.empty[String]
     val txns = mutable.LinkedHashMap.empty[String, Long]
     var schemaJson: Option[String] = None
+    var proto: (Set[String], Set[String]) = (Set.empty, Set.empty)
     def fold(p: Path): Unit = readLogFile(p).foreach {
       case AddConstraint(n, pr) => cons.update(n, pr)
       case DropConstraint(n)    => cons.remove(n)
@@ -337,6 +374,7 @@ final class MergeTable private (
       case SetTxn(app, bv) =>
         txns.update(app, math.max(bv, txns.getOrElse(app, Long.MinValue)))
       case SetSchema(j)         => schemaJson = Some(j)
+      case Protocol(r, w)       => proto = (r, w) // last wins (Delta)
       case _                    => ()
     }
     if (ckpt != 0L) fold(logDir.resolve(f"$ckpt%020d$CkptSuffix"))
@@ -344,9 +382,26 @@ final class MergeTable private (
       val p = logDir.resolve(f"$w%020d.txt")
       if (Files.exists(p)) fold(p)
     }
+    // READER gate (Delta's protocol action, r13 verdict #3): a table
+    // version that REQUIRES a reader feature this build does not
+    // implement must fail fast and loud — every read and write path
+    // resolves metadata through this fold, so nothing downstream can
+    // silently mis-read feature-bearing state it does not understand.
+    // Per-VERSION on purpose: pre-upgrade versions carry no
+    // feature-bearing actions, so time travel below the upgrade stays
+    // readable. (The throw happens inside computeIfAbsent, so nothing
+    // is memoized for a refused version — a later engine upgrade
+    // re-evaluates cleanly.)
+    val unknownR = proto._1 -- SupportedReaderFeatures
+    if (unknownR.nonEmpty) throw new IllegalStateException(
+      s"MergeTable at $root: version $v requires reader feature(s) " +
+        s"[${unknownR.toSeq.sorted.mkString(", ")}] this build does not " +
+        s"implement (supported: [${SupportedReaderFeatures.toSeq.sorted
+          .mkString(", ")}]) — upgrade the engine to read this table")
     MetaState(cons.toMap, ren.toMap, drops.toSet, txns.toMap,
       schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]),
+      proto)
   }
 
   private def constraintsAt(v: Long): Map[String, String] =
@@ -356,6 +411,51 @@ final class MergeTable private (
   def constraints: Map[String, String] = {
     val v = latestVersion()
     if (v == 0L) Map.empty else constraintsAt(v)
+  }
+
+  /** The table's protocol requirement `(readerFeatures,
+    * writerFeatures)` — both empty for a table never upgraded (the
+    * implicit baseline protocol every known build supports). */
+  def protocol: (Set[String], Set[String]) = {
+    val v = latestVersion()
+    if (v == 0L) (Set.empty, Set.empty) else metaAt(v).protocol
+  }
+
+  /** Delta's protocol upgrade (the reader/writer-version gate, r13
+    * verdict #3): commit a protocol action REQUIRING the given
+    * features of every engine that subsequently reads or writes this
+    * table — a build missing a required READER feature refuses all
+    * reads and writes at the metadata fold ([[metaAt]]'s gate); one
+    * missing only a WRITER feature can still read but refuses to
+    * publish. Monotone (features union in — an upgrade never relaxes
+    * a requirement), idempotent (no commit when nothing new), and
+    * reader features are implicitly writer features (a writer must
+    * understand everything it republishes).
+    *
+    * Feature names are NOT validated against THIS build's supported
+    * sets, on purpose: stamping a feature ahead of an engine rollout
+    * is the operational move the gate exists for — after stamping one
+    * this build lacks, the very next read of the table (by this
+    * handle too) refuses with the gate's error. Versions BELOW the
+    * upgrade stay readable: they carry no feature-bearing actions. */
+  def upgradeProtocol(readerFeatures: Set[String] = Set.empty,
+      writerFeatures: Set[String] = Set.empty): Long = {
+    (readerFeatures ++ writerFeatures).foreach { f =>
+      require(f.nonEmpty && f.matches("[A-Za-z0-9_.-]+"),
+        s"upgradeProtocol: malformed feature name '$f'")
+    }
+    val cur = protocol
+    val next = (cur._1 ++ readerFeatures,
+      cur._2 ++ cur._1 ++ writerFeatures ++ readerFeatures)
+    if (next == cur) return latestVersion()
+    retryingCommit("UPGRADE PROTOCOL", Map(
+      "readerFeatures" -> MergeTable.protoFmt(next._1),
+      "writerFeatures" -> MergeTable.protoFmt(next._2))) { () =>
+      val (v, _) = latest()
+      val at = if (v == 0L) cur else metaAt(v).protocol
+      (CommitDelta(Nil, Nil, protocol = Some(
+        (at._1 ++ next._1, at._2 ++ at._1 ++ next._2))), v)
+    }
   }
 
   /** Column-mapping state at version `v`: (physical → logical renames,
@@ -751,7 +851,10 @@ final class MergeTable private (
           .encodeToString(app.getBytes("UTF-8")) + s"\t$bv"
       } ++
       delta.mSchema.map(j => "M\t" + java.util.Base64.getEncoder
-        .encodeToString(j.getBytes("UTF-8"))).toSeq).mkString("\n")
+        .encodeToString(j.getBytes("UTF-8"))).toSeq ++
+      delta.protocol.map { case (r, w) =>
+        s"P\t${protoFmt(r)}\t${protoFmt(w)}"
+      }.toSeq).mkString("\n")
 
   /** Try to publish `delta` as version `expected + 1`. Returns the
     * committed version, or None if a concurrent writer took it first.
@@ -863,7 +966,12 @@ final class MergeTable private (
 
   /** Publish a full checkpoint at `v` (create-if-absent; a checkpoint is
     * DERIVED data, so losing the race — or crashing before writing it —
-    * only costs later readers some delta-fold work). */
+    * only costs later readers some delta-fold work). Each publish then
+    * prunes SUPERSEDED checkpoint text under [[ckptRetention]]: without
+    * retention, one O(live)-line checkpoint every
+    * [[MergeTable.CheckpointInterval]] commits accumulates ~O(N²) log
+    * TEXT over N commits (measured ~700 MB at 10k one-row commits,
+    * r13) even though each individual reader only ever opens one. */
   private def writeCheckpoint(v: Long): Unit = {
     val target = logDir.resolve(f"$v%020d$CkptSuffix")
     if (Files.exists(target)) return
@@ -871,13 +979,51 @@ final class MergeTable private (
     // carry the constraint AND column-mapping state too (or vacuum
     // would silently drop them)
     val (ren, drops) = mappingAt(v)
+    // protocol state must ride the checkpoint too — vacuum prunes the
+    // deltas below it, and a reader anchored on the checkpoint alone
+    // must still see (and be gated by) the table's required features
+    val proto = metaAt(v).protocol
     val body = deltaBody(CommitDelta(snapshotAt(v), Nil,
       cAdds = constraintsAt(v).toSeq,
       mRenames = ren.toSeq, mDrops = drops.toSeq,
       txns = txnsAt(v).toSeq,
-      mSchema = schemaAt(v).map(_.json)))
+      mSchema = schemaAt(v).map(_.json),
+      protocol =
+        if (proto._1.isEmpty && proto._2.isEmpty) None else Some(proto)))
     logStore.putIfAbsent(target, body)
-    ()
+    // best-effort, like the checkpoint itself: a failed prune costs
+    // bytes, never correctness
+    try pruneSupersededCheckpoints(v)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        logger.warn(s"checkpoint retention pass at $v skipped: $e")
+    }
+  }
+
+  /** Delete checkpoints superseded by the one at `v` and outside the
+    * retention window: the newest `keep` (by version, the new one
+    * included) always survive, anything older goes once its publish
+    * mtime ages past `retainMs`. DELTAS are never touched here — every
+    * version keeps reconstructing (from an older surviving checkpoint
+    * or the empty v0), so unlike [[vacuum]] this pass never shortens
+    * time travel; it only bounds superseded O(live)-line manifest TEXT
+    * to O(keep + window/checkpoint-cadence) copies. */
+  private def pruneSupersededCheckpoints(v: Long): Unit = {
+    val (keep, retainMs) = ckptRetention
+    if (!Files.isDirectory(logDir)) return
+    val cutoff = System.currentTimeMillis() - retainMs
+    val ckpts = Using.resource(Files.list(logDir)) { s =>
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(CkptSuffix))
+        .map(_.stripSuffix(CkptSuffix).toLong).toSeq
+    }.filter(_ <= v).sorted(Ordering[Long].reverse)
+    ckpts.drop(keep).foreach { cv =>
+      val p = logDir.resolve(f"$cv%020d$CkptSuffix")
+      val aged =
+        try Files.getLastModifiedTime(p).toMillis <= cutoff
+        catch { case _: java.io.IOException => false } // raced: skip
+      if (aged) Files.deleteIfExists(p)
+    }
   }
 
   /** Run an optimistic write: `attempt` computes (delta, expectedVersion)
@@ -908,9 +1054,35 @@ final class MergeTable private (
       }
       val target = if (pending.isDefined) publishAt else base
       pending = None
+      // WRITER gate (Delta's protocol action): refuse to publish on a
+      // table whose protocol demands writer features this build does
+      // not implement — a half-understood table must not be advanced.
+      // (The protocol-UPGRADE commit itself is checked against the
+      // PRE-upgrade state, so stamping a future feature ahead of an
+      // engine rollout remains possible.)
+      if (target > 0L) {
+        val unknownW =
+          metaAt(target).protocol._2 -- SupportedWriterFeatures
+        if (unknownW.nonEmpty) throw new IllegalStateException(
+          s"MergeTable at $root: table requires writer feature(s) " +
+            s"[${unknownW.toSeq.sorted.mkString(", ")}] this build does " +
+            s"not implement (supported: [${SupportedWriterFeatures.toSeq
+              .sorted.mkString(", ")}]) — upgrade the engine to write " +
+            "this table")
+      }
       tryCommit(delta, target, op, params) match {
         case Some(v) =>
-          if (v % CheckpointInterval == 0) writeCheckpoint(v)
+          // the checkpoint (and its retention pass) is DERIVED work —
+          // a failure here (e.g. the reader gate refusing metaAt right
+          // after a protocol upgrade landed at a checkpoint boundary)
+          // must never make the committed write look failed
+          if (v % CheckpointInterval == 0) {
+            try writeCheckpoint(v)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                logger.warn(s"checkpoint at $v skipped: $e")
+            }
+          }
           // the user's commit already SUCCEEDED at v — the follow-on
           // compaction is best-effort derived work, so its failures
           // (a concurrent vacuum racing the size probe, commit-retry
@@ -975,7 +1147,7 @@ final class MergeTable private (
       scope: ReadScope, head: Long): Boolean = {
     if (delta.cAdds.nonEmpty || delta.cDrops.nonEmpty ||
         delta.mRenames.nonEmpty || delta.mDrops.nonEmpty ||
-        delta.mSchema.nonEmpty) return false
+        delta.mSchema.nonEmpty || delta.protocol.nonEmpty) return false
     if (head <= base) return false // lost, yet no newer version visible
     val ourRemoves = delta.removes.toSet
     val ourTxnApps = delta.txns.iterator.map(_._1).toSet
@@ -1186,10 +1358,97 @@ final class MergeTable private (
 
   /** Per-file stats for an ARBITRARY live-entry subset — the shared
     * engine under [[withStats]] (fresh commits) and [[collectStats]]
-    * (retrofits): one mergeSchema multi-path scan grouped by file
-    * identity; a file lacking a stats'd column reads it as all-NULL,
-    * which the nullCount contract represents exactly. */
-  private def statsForFiles(entries: Seq[FileEntry]): Seq[FileEntry] = {
+    * (retrofits). Fast path first: when every stats column is a PLAIN
+    * signed integer in every file, the stats come straight from the
+    * parquet FOOTERS ([[footerStats]]) — numFiles driver metadata
+    * reads, no Spark job. Otherwise one mergeSchema multi-path scan
+    * grouped by file identity; a file lacking a stats'd column reads
+    * it as all-NULL, which the nullCount contract represents
+    * exactly. */
+  private def statsForFiles(entries: Seq[FileEntry]): Seq[FileEntry] =
+    footerStats(entries) match {
+      case Some(byKey) => attachStats(entries, byKey)
+      case None        => aggStatsForFiles(entries)
+    }
+
+  /** Footer fast path for [[statsForFiles]]: per-file min/max/
+    * nullCount/rowCount read from the parquet footers on the DRIVER —
+    * the same numFiles-scale metadata model as the manifest itself,
+    * replacing a Spark job that re-read every fresh commit's data (at
+    * streaming/micro-batch commit cadence that job — and the AQE
+    * broadcast futures under it — was a visible slice of EVERY write;
+    * r14 job diet, measured on the q_stream_cdc drain).
+    *
+    * Sound ONLY where footer min/max IS the long-cast contract's
+    * value: plain signed INT32/INT64 (no date/timestamp/decimal/
+    * unsigned annotation — Spark's `cast(ts as long)` is seconds while
+    * the footer holds micros, a date cast is a type error, unsigned
+    * reinterprets the bits). Anything else — or a missing statistics
+    * block, an unset null count, an unreadable footer — answers None
+    * and the aggregation pass runs as before. A stats column ABSENT
+    * from a file's schema is all-NULL by the mergeSchema contract. */
+  private def footerStats(entries: Seq[FileEntry])
+      : Option[Map[String, Map[String, ColStat]]] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{INT32, INT64}
+    val conf = spark.sessionState.newHadoopConf()
+    val out = Map.newBuilder[String, Map[String, ColStat]]
+    entries.foreach { e =>
+      val p = new org.apache.hadoop.fs.Path(root.resolve(e.relPath).toUri)
+      val footer =
+        try org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+          conf, p,
+          org.apache.parquet.format.converter
+            .ParquetMetadataConverter.NO_FILTER)
+        catch { case scala.util.control.NonFatal(_) => return None }
+      val schema = footer.getFileMetaData.getSchema
+      val blocks = footer.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val stats = statsCols.map { c =>
+        if (!schema.containsField(c))
+          // a file without the column: the agg pass owns this case —
+          // it distinguishes "absent from one file" (all-NULL) from
+          // "absent everywhere" (a caller error its require reports)
+          return None
+        else {
+          val t = schema.getType(schema.getFieldIndex(c))
+          if (!t.isPrimitive) return None
+          val pt = t.asPrimitiveType()
+          val ann = pt.getLogicalTypeAnnotation
+          val annOk = ann == null || (ann match {
+            case i: org.apache.parquet.schema.LogicalTypeAnnotation
+              .IntLogicalTypeAnnotation => i.isSigned
+            case _ => false
+          })
+          val ptn = pt.getPrimitiveTypeName
+          if ((ptn != INT32 && ptn != INT64) || !annOk) return None
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
+          var nulls = 0L
+          var any = false
+          blocks.foreach { b =>
+            val cc = b.getColumns.asScala
+              .find(_.getPath.toDotString == c).getOrElse(return None)
+            val st = cc.getStatistics
+            if (st == null || !st.isNumNullsSet) return None
+            nulls += st.getNumNulls
+            if (st.hasNonNullValue) {
+              any = true
+              mn = math.min(mn,
+                st.genericGetMin.asInstanceOf[Number].longValue)
+              mx = math.max(mx,
+                st.genericGetMax.asInstanceOf[Number].longValue)
+            }
+          }
+          c -> ColStat(if (any) Some((mn, mx)) else None,
+            Some((nulls, rows)))
+        }
+      }.toMap
+      out += fileKey(e.relPath) -> stats
+    }
+    Some(out.result())
+  }
+
+  private def aggStatsForFiles(entries: Seq[FileEntry]): Seq[FileEntry] = {
     val scan = spark.read
       .option("mergeSchema", "true")
       .parquet(entries.map(e => root.resolve(e.relPath).toString): _*)
@@ -1219,6 +1478,11 @@ final class MergeTable private (
         r.getString(0) -> m
       }
       .toMap
+    attachStats(entries, byKey)
+  }
+
+  private def attachStats(entries: Seq[FileEntry],
+      byKey: Map[String, Map[String, ColStat]]): Seq[FileEntry] = {
     // a file contributing no group has ZERO rows (e.g. the empty part
     // file of a rewrite that kept nothing): record explicit zero-row
     // stats — readers can skip it entirely, and collectStats sees it
@@ -1782,17 +2046,21 @@ final class MergeTable private (
         "(insert/update/update_postimage/update_preimage/delete)")
     val events = withGenerated(feed)
       .filter(col(ChangeType) =!= "update_preimage")
-    val collapsed = sequenceBy match {
+    val (collapsed, rankedCache) = sequenceBy match {
       case Some(seq) =>
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col(pk)).orderBy(col(seq).desc)
+        // ONE window spec, ONE shuffle, cached once: row_number picks
+        // the winner; rank over the SAME window detects ties at the
+        // top (row_number 2 with rank 1 ⇔ two events share the key's
+        // newest sequence). The previous shape paid a second
+        // (pk, seq)-partitioned window shuffle for the peer count and
+        // recomputed the whole pipeline for the winners (r14 job diet).
         val ranked = events
           .withColumn(SeqRank, row_number().over(w))
-          .withColumn(SeqPeer, count(lit(1)).over(
-            Window.partitionBy(col(pk), col(seq))))
-        // rank 1 with a sequence peer = two events tied at the key's
-        // newest sequence value — the winner would be arbitrary.
-        val dup = ranked.filter(col(SeqRank) === 1 && col(SeqPeer) > 1)
+          .withColumn(SeqPeer, rank().over(w))
+          .cache()
+        val dup = ranked.filter(col(SeqRank) === 2 && col(SeqPeer) === 1)
           .select(col(pk)).limit(1).collect()
         require(dup.isEmpty,
           s"mergeCdc: duplicate $seq for key ${dup.headOption.map(_.get(0))}" +
@@ -1803,10 +2071,10 @@ final class MergeTable private (
         // SEQUENCE BY stores it too) — that's what lets a sequenced
         // apply compose with a stored-sequence late-event guard like
         // [[graft.streaming.StreamIngest.runCdcAvailableNow]]'s.
-        if (keepSequence ||
+        (if (keepSequence ||
             (latestVersion() > 0L && read().columns.contains(seq))) winners
-        else winners.drop(seq)
-      case None => events
+         else winners.drop(seq), Some(ranked))
+      case None => (events, None)
     }
     requireIdentityCarried(collapsed.drop(ChangeType), "CDC apply")
     enforceConstraints(
@@ -1850,7 +2118,10 @@ final class MergeTable private (
             (CommitDelta(newEntries, live.map(_.relPath)), version)
         }
       }
-    } finally src.unpersist()
+    } finally {
+      src.unpersist()
+      rankedCache.foreach(_.unpersist())
+    }
   }
 
   /** DOC-ONLY OPTIMIZE implemented for real (README.md:119): rewrite live
@@ -4365,8 +4636,7 @@ final class MergeTable private (
       es: Seq[FileEntry]): org.apache.spark.sql.types.StructType = {
     val key = root.resolve(dir).toAbsolutePath.normalize.toString + "|" +
       es.map(_.relPath).sorted.mkString(",")
-    if (dirSchemaMemo.size > 65536) dirSchemaMemo.clear() // crude bound
-    dirSchemaMemo.computeIfAbsent(key, _ => hiveRead(dir, es).schema)
+    dirSchemaMemo.get(key)(hiveRead(dir, es).schema)
   }
 
   /** Empty frame with the table's PHYSICAL schema. Stays physical on
@@ -4501,6 +4771,44 @@ object MergeTable {
     * deltas; per-commit metadata stays O(changed files) with an amortized
     * O(live/N) checkpoint cost — Delta's log-compaction trade. */
   private[lake] val CheckpointInterval = 10L
+
+  /** Default checkpoint retention `(keep, retainMs)`: the newest 3
+    * checkpoints always survive; older superseded ones are pruned 10
+    * minutes after publish. 10 minutes dwarfs any fold in flight (a
+    * reader that listed a checkpoint opens it within milliseconds), so
+    * the window is in-flight-reader-safe the same way vacuum's data
+    * window is; see [[MergeTable.withCheckpointRetention]]. */
+  val DefaultCkptRetention: (Int, Long) = (3, 10L * 60L * 1000L)
+
+  /** Log rendering of a protocol feature set: comma-joined names, '-'
+    * for empty (the P line always carries both tokens). */
+  private def protoFmt(fs: Set[String]): String =
+    if (fs.isEmpty) "-" else fs.toSeq.sorted.mkString(",")
+
+  private def protoFeats(tok: String): Set[String] =
+    if (tok == "-") Set.empty else tok.split(',').toSet
+
+  /** Reader features THIS build implements — the set a table's
+    * protocol action ([[MergeTable.upgradeProtocol]]) is checked
+    * against before any metadata fold is trusted. A feature listed
+    * here changes what bytes/actions MEAN to a reader (deletion
+    * vectors anti-join rows away; column mapping retitles physical
+    * columns; a declared schema overrides footers); a build missing
+    * one would silently mis-read, which is exactly what the gate turns
+    * into a fast, explicit refusal. */
+  val SupportedReaderFeatures: Set[String] = Set(
+    "deletionVectors", "columnMapping", "declaredSchema",
+    "inCommitTimestamp", "bloomIndex", "typeWidening")
+
+  /** Writer features THIS build implements. Write-side semantics a
+    * reader may ignore (constraints are enforced at write time;
+    * generated/identity columns are populated at write time) are
+    * writer-only — Delta's split. Every reader feature is implicitly
+    * a writer feature: a writer must understand everything it
+    * republishes. */
+  val SupportedWriterFeatures: Set[String] = SupportedReaderFeatures ++ Set(
+    "checkConstraints", "generatedColumns", "identityColumns",
+    "txnWatermark", "checkpointRetention")
   private val ZCol = "__graft_z"
   private val BinCol = "__graft_bin"
   /** The change-feed tag column, shared by [[MergeTable.changes]]
@@ -4519,7 +4827,7 @@ object MergeTable {
     * readers, recent time travel, and young shallow clones. */
   val DefaultVacuumRetainMs: Long = 7L * 24 * 3600 * 1000
   private val SeqRank = "__graft_seq_rank"
-  private val SeqPeer = "__graft_seq_peer"
+  private val SeqPeer = "__graft_seq_tierank"
   private val FileTag = "__graft_file_tag"
 
   /** StructField-metadata key carrying a declared column DEFAULT
@@ -4590,10 +4898,13 @@ object MergeTable {
   private val MaxCommitRetries = 5
 
   /** See [[MergeTable.dirSchema]] — (dir + live subset) → resolved
-    * footer/hive schema, exact by commit-dir immutability. */
-  private val dirSchemaMemo =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      org.apache.spark.sql.types.StructType]()
+    * footer/hive schema, exact by commit-dir immutability. LRU-bounded
+    * ([[LruMemo]]): overflow evicts only the least-recently-used dir,
+    * so resolution cost stays monotonic past 65k dirs (the r13 bound
+    * cleared the WHOLE memo at overflow). Package-visible so specs can
+    * pin hit-rate survival across an overflow. */
+  private[lake] val dirSchemaMemo =
+    new LruMemo[String, org.apache.spark.sql.types.StructType](65536)
 
   /** What a committing operation READ — the information [[canRebase]]
     * needs to decide whether a concurrent commit invalidated it. Pick the
@@ -4680,7 +4991,8 @@ object MergeTable {
       mRenames: Seq[(String, String)] = Nil,
       mDrops: Seq[String] = Nil,
       txns: Seq[(String, Long)] = Nil,
-      mSchema: Option[String] = None)
+      mSchema: Option[String] = None,
+      protocol: Option[(Set[String], Set[String])] = None)
 
   /** The Hilbert xy2d fold as one SQL expression over 16-bit inputs
     * `xSql`/`ySql`: a codegen'd `aggregate` HOF over the bit levels
@@ -4724,6 +5036,8 @@ object MergeTable {
       extends LogAction
   private final case class InCommitTs(millis: Long) extends LogAction
   private final case class SetSchema(json: String) extends LogAction
+  private final case class Protocol(reader: Set[String],
+      writer: Set[String]) extends LogAction
 
   /** Open (or lazily create on first write) a table at `root`.
     * `statsCol` names a long-castable column whose per-file min/max is

@@ -219,9 +219,20 @@ object StreamIngest {
         // sequence fail-fast) is mergeCdc's SEQUENCE BY, not ours;
         // keepSequence stores the sequence as a regular column so the
         // cross-batch guard below can read it back.
+        // Cached for the batch: the guards, the key collect and the
+        // merge feed all reread it — uncached, each action re-scanned
+        // the batch's source files (r14 job diet: the q_stream_cdc
+        // drain ran 75 flat ~0.2 s jobs, so the fix is fewer jobs).
         val events =
           batch.filter(col(MergeTable.ChangeType) =!= "update_preimage")
-        if (!events.isEmpty) {
+            .cache()
+        try {
+          // ONE collect answers "any events?" AND feeds the probe: the
+          // distinct key set is empty iff the batch is (a null pk
+          // surfaces as a null key, so all-null batches stay visible).
+          val batchKeys = events.select(col(pk)).distinct()
+            .limit(GuardProbeMaxKeys + 1).collect().map(_.get(0)).toSeq
+        if (batchKeys.nonEmpty) {
           if (tombstoneLateness.nonEmpty) {
             val row = events.agg(max(col(seqCol).cast("long"))).head()
             if (!row.isNullAt(0)) {
@@ -239,8 +250,6 @@ object StreamIngest {
           // and the guards' pk joins ARE the row-level residual the
           // probe contract requires. A null batch pk or an over-wide
           // batch falls back to the full read.
-          val batchKeys = events.select(col(pk)).distinct()
-            .limit(GuardProbeMaxKeys + 1).collect().map(_.get(0)).toSeq
           def guardSide(t: MergeTable): org.apache.spark.sql.DataFrame =
             if (batchKeys.nonEmpty && batchKeys.size <= GuardProbeMaxKeys
                 && !batchKeys.contains(null))
@@ -251,18 +260,27 @@ object StreamIngest {
           // here is what keeps a late update from resurrecting a
           // deleted key (the live guard below can't — the delete
           // removed its (pk, seq) row).
+          // The sidecar is APPEND-ONLY (one (pk, seq) row per delete
+          // event; re-deleted keys accumulate rows until
+          // [[expireTombstones]] ages them out), so the guard view
+          // aggregates to the newest delete per key here — the same
+          // one-row-per-key relation the old per-batch tombstone MERGE
+          // maintained, without paying that merge's read-anti-join-
+          // rewrite machinery on every delete-bearing batch (r14 job
+          // diet).
           val pastDeletes =
             if (tombstones.latestVersion() == 0L) events
             else events.join(
-              guardSide(tombstones).select(col(pk).as("__graft_tomb_pk"),
-                col(seqCol).as("__graft_tomb_seq")),
+              guardSide(tombstones)
+                .groupBy(col(pk).as("__graft_tomb_pk"))
+                .agg(max(col(seqCol)).as("__graft_tomb_seq")),
               col(pk) <=> col("__graft_tomb_pk"), "left")
               .filter(col("__graft_tomb_seq").isNull ||
                 col(seqCol) > col("__graft_tomb_seq"))
               .drop("__graft_tomb_pk", "__graft_tomb_seq")
           // Guard 2 — the target's stored (pk, seq): late events for
           // LIVE keys.
-          val guarded =
+          val guarded = (
             if (table.latestVersion() == 0L) pastDeletes
             else pastDeletes.join(
               guardSide(table).select(col(pk).as("__graft_pk"),
@@ -271,22 +289,33 @@ object StreamIngest {
               .filter(col("__graft_cur_seq").isNull ||
                 col(seqCol) > col("__graft_cur_seq"))
               .drop("__graft_pk", "__graft_cur_seq")
-              .cache()
-          if (!guarded.isEmpty) {
+          ).cache()
+          // ONE aggregation pass (materializing the cache) answers
+          // both "did anything survive the guards?" and "any deletes
+          // to tombstone?" — the previous two isEmpty probes each cost
+          // a job
+          val ctCounts = guarded
+            .groupBy(col(MergeTable.ChangeType)).count().collect()
+            .map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1))
+            .toMap
+          if (ctCounts.valuesIterator.sum > 0L) {
             table.mergeCdc(guarded, pk,
               sequenceBy = Some(seqCol), keepSequence = true)
             // Record this batch's deletes AFTER the data commit (a
             // crash between the two replays into a no-op delete plus
             // this write). One row per key: the newest delete sequence.
-            val deletes = guarded
-              .filter(col(MergeTable.ChangeType) === "delete")
-              .groupBy(col(pk)).agg(max(col(seqCol)).as(seqCol))
-            if (!deletes.isEmpty) tombstones.merge(deletes, pk)
+            if (ctCounts.getOrElse("delete", 0L) > 0L) {
+              val deletes = guarded
+                .filter(col(MergeTable.ChangeType) === "delete")
+                .groupBy(col(pk)).agg(max(col(seqCol)).as(seqCol))
+              tombstones.append(deletes)
+            }
             applied += 1
           }
           guarded.unpersist()
           ()
         }
+        } finally events.unpersist()
       }
       .start()
     query.awaitTermination()

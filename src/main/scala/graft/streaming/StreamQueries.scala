@@ -346,24 +346,12 @@ object StreamQueries {
     val t = MergeTable(s, scratch("graft_q_scdc_tbl"), None,
       Seq("o_orderkey"), deletionVectors = false,
       bloomCols = Seq("o_orderkey"))
-    def drain(): Unit = {
-      StreamIngest.runCdcAvailableNow(s, rawDir, schema, t,
-        "o_orderkey", "seq", ckpt)
-      ()
-    }
-
-    writeWave(base.withColumn(ct, lit("insert")).withColumn("seq", lit(1L)),
-      rawDir)
-    drain()
 
     val upd = base.filter(col("o_orderkey") % 4 === 0)
       .withColumn("price", col("price") + 10.0)
       .withColumn(ct, lit("update")).withColumn("seq", lit(3L))
     val del = base.filter(col("o_orderkey") % 9 === 0)
       .withColumn(ct, lit("delete")).withColumn("seq", lit(4L))
-    writeWave(upd.unionByName(del), rawDir)
-    drain()
-
     val late = base.filter(col("o_orderkey") % 4 === 0)
       .withColumn("price", col("price") + 999.0)
       .withColumn(ct, lit("update")).withColumn("seq", lit(2L))
@@ -371,8 +359,22 @@ object StreamQueries {
       .withColumn("price",
         (col("o_orderkey") % 500).cast("double") + 0.25)
       .withColumn(ct, lit("insert")).withColumn("seq", lit(5L))
-    writeWave(late.unionByName(res), rawDir)
-    drain()
+
+    // all three commit waves land up front, one stamped FILE each, and
+    // a single AvailableNow start with maxFilesPerTrigger=1 applies
+    // them as ORDERED micro-batches: each batch's cross-batch guards
+    // (tombstones + stored (pk, seq)) read the table state the
+    // PREVIOUS batch committed — exactly the semantics of the old
+    // one-start-per-wave shape, without paying three query starts (the
+    // per-start fixed cost dominated this query; r13 verdict #5 —
+    // the same X191 single-start move that closed the window/session
+    // family's regression).
+    stampedWave(base.withColumn(ct, lit("insert"))
+      .withColumn("seq", lit(1L)), rawDir, 1)
+    stampedWave(upd.unionByName(del), rawDir, 2)
+    stampedWave(late.unionByName(res), rawDir, 3)
+    StreamIngest.runCdcAvailableNow(s, rawDir, schema, t,
+      "o_orderkey", "seq", ckpt, maxFilesPerTrigger = Some(1))
 
     t.read().select(col("o_orderkey"), col("o_custkey"),
       round(col("price"), 2).as("price"), col("seq"))

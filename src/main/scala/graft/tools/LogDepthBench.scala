@@ -19,12 +19,21 @@ import org.apache.spark.sql.SparkSession
   *     — what every query after the first pays);
   *   - append_ms: mean per-commit ingest cost over the preceding
   *     segment (each append folds the snapshot for its schema check,
-  *     so this exposes any super-linear ingest debt too).
+  *     so this exposes any super-linear ingest debt too);
+  *   - log_kb / ckpts: TOTAL `_graft_log` bytes and surviving
+  *     checkpoint count — the r14 retention evidence. Superseded
+  *     checkpoints are O(live files) lines each, one per 10 commits:
+  *     unpruned that is ~O(N²) text over N commits (~700 MB at 10k,
+  *     measured r13); with checkpoint retention the log stays deltas
+  *     (linear, ~2 lines each) + `keep` checkpoints.
   *
-  * Usage: runMain graft.tools.LogDepthBench [maxCommits] */
+  * Usage: runMain graft.tools.LogDepthBench [maxCommits] [ckptRetainMs]
+  * (retainMs default 0 — prune superseded immediately past the keep
+  * set, the deterministic bench shape; production default is 10 min) */
 object LogDepthBench {
   def main(args: Array[String]): Unit = {
     val maxN = args.headOption.map(_.toInt).getOrElse(10000)
+    val retainMs = args.drop(1).headOption.map(_.toLong).getOrElse(0L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,6 +43,7 @@ object LogDepthBench {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_logdepth").toString
     val t = MergeTable(spark, root, Some("p"), Some("k"))
+      .withCheckpointRetention(retainMs = retainMs)
     val row = Seq((1L, "p0", 1L)).toDF("id", "p", "k")
     val marks = Seq(100, 500, 1000, 2000, 5000, 10000).filter(_ <= maxN)
     var n = 0
@@ -53,9 +63,18 @@ object LogDepthBench {
         val cold = timeOpen(fresh)
         val warm = timeOpen(fresh)
         val files = fresh.read().inputFiles.length
+        val logDir = java.nio.file.Paths.get(root, "_graft_log")
+        var logBytes = 0L
+        var ckpts = 0
+        scala.util.Using.resource(Files.list(logDir)) { s =>
+          s.iterator().forEachRemaining { p =>
+            logBytes += Files.size(p)
+            if (p.getFileName.toString.endsWith(".ckpt")) ckpts += 1
+          }
+        }
         println(f"DEPTH $n%6d commits: cold_open=$cold%.3f s " +
           f"warm_open=$warm%.3f s append_ms=$appendMs%.1f " +
-          f"live_files=$files")
+          f"live_files=$files log_kb=${logBytes / 1024}%d ckpts=$ckpts%d")
         segStart = System.nanoTime(); segCommits = 0
       }
     }

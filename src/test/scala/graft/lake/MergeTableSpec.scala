@@ -3,6 +3,7 @@ package graft.lake
 import java.nio.file.Files
 
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -863,6 +864,48 @@ class MergeTableSpec extends SparkSpec {
     // writes continue cleanly after vacuum
     t.merge(orders(("o99", "2024-03-01", 99.0)), "order_id")
     assert(contents(t.read()).size === 13)
+  }
+
+  test("checkpoint retention prunes superseded checkpoint text; time " +
+      "travel inside the log still reconstructs every version") {
+    val root = tmpDir("mt")
+    // keep=2, retainMs=0: superseded checkpoints past the newest two go
+    // at the next checkpoint publish (the deterministic test shape; the
+    // production default keeps a 10-minute in-flight-reader window)
+    val t = MergeTable(spark, root.toString, Some("date"))
+      .withCheckpointRetention(keep = 2, retainMs = 0L)
+    t.overwrite(orders(("o0", "d1", 0.0)))
+    (1 to 34).foreach { i =>
+      t.append(orders((s"o$i", "d1", i.toDouble)))
+    }
+    val log = root.resolve("_graft_log")
+    def ckpts: Seq[Long] = Using.resource(Files.list(log)) { s =>
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".ckpt")).map(_.stripSuffix(".ckpt").toLong)
+        .toSeq.sorted
+    }
+    // checkpoints were published at 10, 20, 30 — retention keeps 20, 30
+    assert(ckpts === Seq(20L, 30L),
+      s"superseded checkpoints must be pruned at publish time, got $ckpts")
+    // every DELTA survives, so EVERY version still reconstructs —
+    // including ones below the oldest surviving checkpoint
+    Seq(1L, 5L, 9L, 15L, 25L, 35L).foreach { v =>
+      assert(contents(t.readVersion(v)).size === v.toInt,
+        s"version $v must reconstruct after checkpoint pruning")
+    }
+    // CDF spanning pruned-checkpoint territory
+    val ch = t.changes(3, 6, "order_id")
+      .select("order_id").as[String].collect().toSet
+    assert(ch === Set("o3", "o4", "o5"))
+    // a fresh DEFAULT-retention handle sees an intact table and its
+    // 10-minute window leaves the surviving checkpoints alone
+    val fresh = MergeTable(spark, root.toString, Some("date"))
+    assert(contents(fresh.read()).size === 35)
+    (36 to 41).foreach { i =>
+      fresh.append(orders((s"o$i", "d1", i.toDouble)))
+    }
+    assert(ckpts === Seq(20L, 30L, 40L),
+      "default retention must not delete inside the 10-minute window")
   }
 
   test("two handles to the same table serialize through the log") {

@@ -170,6 +170,111 @@ class OccRebaseSpec extends SparkSpec {
     assert(ts === ts.sorted, "in-commit timestamps stay monotone on rebase")
   }
 
+  // ---- r14 conflict-matrix widening (r13 verdict #6): the cells
+  // Delta's ConflictChecker actually exercises, each pinned to the
+  // provably-safe (rebase) or unsafe (recompute) path ----------------
+
+  test("matrix: compaction losing to a concurrent MERGE on a DISJOINT " +
+      "partition REBASES — its output is a function of its removed files") {
+    val root = tmpDir("occ").toString
+    val setup = MergeTable(spark, root, Some("date"))
+    setup.overwrite(orders(("o1", "d1", 1.0), ("o2", "d2", 2.0)))
+    setup.append(orders(("o3", "d1", 3.0)))
+    val rival = MergeTable(spark, root, Some("date"))
+    val t = MergeTable(spark, root, Some("date"))
+      .withLogStore(sneaky(() =>
+        // the merge rewrites ONLY d2 — none of the compaction's inputs
+        rival.merge(orders(("o2", "d2", 20.0)), "order_id")))
+    t.compactWhere(col("date") === "d1")
+    assert(t.occRebased.get() === 1L,
+      "a data-changing commit in a partition the compaction never " +
+        "touched cannot invalidate the rewrite")
+    assert(t.occRecomputed.get() === 0L)
+    assert(contents(t.read()) ===
+      Set(("o1", "d1", 1.0), ("o3", "d1", 3.0), ("o2", "d2", 20.0)))
+  }
+
+  test("matrix: compaction losing to a concurrent MERGE of the SAME " +
+      "partition RECOMPUTES — remove/remove is the lost-update cell") {
+    val root = tmpDir("occ").toString
+    val setup = MergeTable(spark, root, Some("date"))
+    setup.overwrite(orders(("o1", "d1", 1.0)))
+    setup.append(orders(("o3", "d1", 3.0)))
+    val rival = MergeTable(spark, root, Some("date"))
+    val t = MergeTable(spark, root, Some("date"))
+      .withLogStore(sneaky(() =>
+        rival.merge(orders(("o1", "d1", 10.0)), "order_id")))
+    t.compactWhere(col("date") === "d1")
+    assert(t.occRecomputed.get() === 1L,
+      "both sides removed d1's files — replaying the stale rewrite " +
+        "would resurrect the pre-merge rows")
+    assert(t.occRebased.get() === 0L)
+    assert(contents(t.read()) ===
+      Set(("o1", "d1", 10.0), ("o3", "d1", 3.0)))
+  }
+
+  test("matrix: append losing to a concurrent DV-attaching DELETE " +
+      "REBASES — a blind write reads nothing a vector attach changes") {
+    val root = tmpDir("occ").toString
+    val setup = MergeTable(spark, root, Some("date"), Nil,
+      deletionVectors = true)
+    setup.overwrite(orders(("o1", "d1", 1.0), ("o2", "d1", 2.0)))
+    val rival = MergeTable(spark, root, Some("date"), Nil,
+      deletionVectors = true)
+    val t = MergeTable(spark, root, Some("date"), Nil,
+      deletionVectors = true)
+      .withLogStore(sneaky(() =>
+        rival.delete(col("order_id") === "o2"))) // re-Add o2's file + DV
+    t.append(orders(("o5", "d5", 5.0)))
+    assert(t.occRebased.get() === 1L,
+      "the DV re-Add touches no file the append removes — rebase")
+    assert(t.occRecomputed.get() === 0L)
+    assert(contents(t.read()) ===
+      Set(("o1", "d1", 1.0), ("o5", "d5", 5.0)))
+  }
+
+  test("matrix: DV-attaching DELETE losing to a concurrent OPTIMIZE of " +
+      "an UNTOUCHED partition REBASES; losing to an APPEND recomputes") {
+    // cell 1: compaction elsewhere is content-preserving and disjoint
+    val root = tmpDir("occ").toString
+    val setup = MergeTable(spark, root, Some("date"), Nil,
+      deletionVectors = true)
+    setup.overwrite(orders(("o1", "d1", 1.0), ("o2", "d2", 2.0)))
+    setup.append(orders(("o3", "d2", 3.0)))
+    val rival = MergeTable(spark, root, Some("date"), Nil,
+      deletionVectors = true)
+    val t = MergeTable(spark, root, Some("date"), Nil,
+      deletionVectors = true)
+      .withLogStore(sneaky(() =>
+        rival.compactWhere(col("date") === "d2")))
+    t.delete(col("order_id") === "o1") // vectors d1 only
+    assert(t.occRebased.get() === 1L,
+      "compacting d2 cannot change what a d1-scoped delete read")
+    assert(t.occRecomputed.get() === 0L)
+    assert(contents(t.read()) ===
+      Set(("o2", "d2", 2.0), ("o3", "d2", 3.0)))
+
+    // cell 2: an APPEND could add rows the predicate matches — the
+    // stale vector set would silently miss them
+    val root2 = tmpDir("occ").toString
+    val setup2 = MergeTable(spark, root2, Some("date"), Nil,
+      deletionVectors = true)
+    setup2.overwrite(orders(("a1", "d1", 1.0)))
+    val rival2 = MergeTable(spark, root2, Some("date"), Nil,
+      deletionVectors = true)
+    val t2 = MergeTable(spark, root2, Some("date"), Nil,
+      deletionVectors = true)
+      .withLogStore(sneaky(() =>
+        rival2.append(orders(("a2", "d1", -2.0)))))
+    t2.delete(col("amount") < 0.0)
+    assert(t2.occRecomputed.get() === 1L,
+      "the concurrent append landed a row the predicate matches — " +
+        "the delete must recompute against the fresh snapshot")
+    assert(t2.occRebased.get() === 0L)
+    assert(contents(t2.read()) === Set(("a1", "d1", 1.0)),
+      "the recomputed delete must also remove the appended negative row")
+  }
+
   test("append losing to a concurrent SCHEMA-CHANGING overwrite on an " +
       "UNDECLARED-schema table recomputes — and the recompute's fresh " +
       "conformance check refuses the now-stale rows") {
