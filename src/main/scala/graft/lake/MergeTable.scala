@@ -1060,9 +1060,11 @@ final class MergeTable private (
       // (The protocol-UPGRADE commit itself is checked against the
       // PRE-upgrade state, so stamping a future feature ahead of an
       // engine rollout remains possible.)
+      val curProto =
+        if (target == 0L) (Set.empty[String], Set.empty[String])
+        else metaAt(target).protocol
       if (target > 0L) {
-        val unknownW =
-          metaAt(target).protocol._2 -- SupportedWriterFeatures
+        val unknownW = curProto._2 -- SupportedWriterFeatures
         if (unknownW.nonEmpty) throw new IllegalStateException(
           s"MergeTable at $root: table requires writer feature(s) " +
             s"[${unknownW.toSeq.sorted.mkString(", ")}] this build does " +
@@ -1070,7 +1072,25 @@ final class MergeTable private (
               .sorted.mkString(", ")}]) — upgrade the engine to write " +
             "this table")
       }
-      tryCommit(delta, target, op, params) match {
+      // AUTOMATIC feature enablement (Delta's table-feature upgrade):
+      // the commit that first USES a gated feature — or the first
+      // commit of a handle CONFIGURED for one (DV flag) — carries the
+      // protocol requirement in the same atomic publish, so a table is
+      // never feature-bearing without declaring it. Re-derived against
+      // `target` on every attempt (recompute OR rebase republication),
+      // so a concurrent commit stamping the same features collapses
+      // this to a no-op; an explicit upgradeProtocol delta keeps its
+      // own P action untouched.
+      val stamped =
+        if (delta.protocol.isDefined) delta
+        else {
+          val (fr, fw) = featuresOf(delta)
+          if (fr.subsetOf(curProto._1) &&
+              (fw ++ fr).subsetOf(curProto._2 ++ curProto._1)) delta
+          else delta.copy(protocol = Some((curProto._1 ++ fr,
+            curProto._2 ++ curProto._1 ++ fw ++ fr)))
+        }
+      tryCommit(stamped, target, op, params) match {
         case Some(v) =>
           // the checkpoint (and its retention pass) is DERIVED work —
           // a failure here (e.g. the reader gate refusing metaAt right
@@ -1108,6 +1128,32 @@ final class MergeTable private (
     }
     throw new java.util.ConcurrentModificationException(
       s"MergeTable at $root: lost the commit race $MaxCommitRetries times")
+  }
+
+  /** The protocol features a commit delta (plus this handle's
+    * configuration) REQUIRES — the auto-enablement input. Reader
+    * features are semantics a reader must understand or it silently
+    * mis-reads (DV anti-join, mapping retitles, a declared schema
+    * overriding footers); constraint-channel rules are write-time
+    * semantics a reader may ignore (writer features), split by their
+    * name prefix into the three families they declare. The DV CONFIG
+    * flag stamps on the handle's first commit — before the first
+    * vector lands — so a DV-enabled table warns early and later
+    * vector-attach commits stay protocol-free (hence rebasable). */
+  private def featuresOf(delta: CommitDelta): (Set[String], Set[String]) = {
+    val r = Set.newBuilder[String]
+    val w = Set.newBuilder[String]
+    if (deletionVectors || delta.adds.exists(_.dv.isDefined))
+      r += "deletionVectors"
+    if (delta.mRenames.nonEmpty || delta.mDrops.nonEmpty)
+      r += "columnMapping"
+    if (delta.mSchema.nonEmpty) r += "declaredSchema"
+    delta.cAdds.foreach { case (n, _) =>
+      if (n.startsWith(IdentityColumns.Prefix)) w += "identityColumns"
+      else if (n.startsWith(GeneratedColumns.Prefix)) w += "generatedColumns"
+      else w += "checkConstraints"
+    }
+    (r.result(), w.result())
   }
 
   /** OCC telemetry, cumulative on this handle: lost commits that REBASED

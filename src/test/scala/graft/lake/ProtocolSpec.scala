@@ -88,6 +88,42 @@ class ProtocolSpec extends SparkSpec {
       "the P action must ride the checkpoint, or vacuum would drop it")
   }
 
+  test("AUTOMATIC enablement: the commit that first uses a gated " +
+      "feature stamps the protocol in the same atomic publish") {
+    // plain table: no features, no protocol
+    val plain = MergeTable(spark, tmpDir("proto").toString, Some("date"))
+    plain.overwrite(orders(("o1", "d1", 1.0)))
+    plain.append(orders(("o2", "d2", 2.0)))
+    assert(plain.protocol === (Set.empty[String], Set.empty[String]),
+      "feature-free commits must not stamp anything")
+
+    // DV-CONFIGURED handle: stamped on the FIRST commit (before any
+    // vector lands), so later vector attaches stay protocol-free
+    val dv = MergeTable(spark, tmpDir("proto").toString, Some("date"),
+      Nil, deletionVectors = true)
+    dv.overwrite(orders(("o1", "d1", 1.0)))
+    assert(dv.protocol._1 === Set("deletionVectors"))
+
+    // metadata commits stamp their own family, in the same commit
+    val t = MergeTable(spark, tmpDir("proto").toString, Some("date"))
+    t.overwrite(orders(("o1", "d1", 1.0)))
+    t.addConstraint("amount_pos", "amount > 0")
+    assert(t.protocol._2.contains("checkConstraints") &&
+      !t.protocol._1.contains("checkConstraints"),
+      "constraints are writer-only: readers may ignore them")
+    t.renameColumn("order_id", "oid")
+    assert(t.protocol._1.contains("columnMapping"))
+    val t2 = MergeTable(spark, tmpDir("proto").toString, None)
+    t2.addIdentityColumn("id")
+    t2.declareSchema(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType))))
+    assert(t2.protocol._2.contains("identityColumns"))
+    assert(t2.protocol._1.contains("declaredSchema"))
+  }
+
   test("upgrades are monotone unions and malformed names are rejected") {
     val t = MergeTable(spark, tmpDir("proto").toString, Some("date"))
     t.overwrite(orders(("o1", "d1", 1.0)))
