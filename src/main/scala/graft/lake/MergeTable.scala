@@ -3334,15 +3334,16 @@ final class MergeTable private (
   }
 
   /** The [[BloomK]] bit positions `value` hashes to in an m-bit filter —
-    * computed with the SAME Catalyst expressions the write side used
-    * (murmur3 + xxhash64 over the long-cast value), via a 1-row plan,
-    * so probe and filter can never drift. */
+    * computed by EVALUATING the same Catalyst expressions the write
+    * side used (murmur3 seed 42 + xxhash64 seed 42 over the long
+    * value) directly on the DRIVER: bit-identical to the 1-row-plan
+    * probe it replaces (parity pinned by BloomIndexSpec against that
+    * exact plan), with ZERO Spark jobs per probe — the plan-based
+    * probe cost one job per (dir, m) group per probeKeys call, a
+    * visible tax on every CDC guard and join-view refresh at
+    * micro-batch cadence (r14 job diet). */
   private def probePositions(value: Long, m: Int): Seq[Long] = {
-    val r = spark.range(1).select(
-      pmod(hash(lit(value)).cast("long"), lit(m.toLong)).as("h1"),
-      pmod(xxhash64(lit(value)), lit(m.toLong)).bitwiseOR(lit(1L)).as("h2"))
-      .head()
-    val (h1, h2) = (r.getLong(0), r.getLong(1))
+    val (h1, h2) = MergeTable.bloomHashes(value, m)
     (0 until BloomK).map(i => (h1 + i.toLong * h2) % m)
   }
 
@@ -3785,18 +3786,11 @@ final class MergeTable private (
     bloomed.groupBy(e => (e.bloom.get.relDir, e.bloom.get.m))
       .toSeq.sortBy(_._1._1)
       .flatMap { case ((dir, m), es) =>
-        val pos: Map[Long, Seq[Long]] = spark
-          .createDataset(values)(org.apache.spark.sql.Encoders.scalaLong)
-          .toDF("v")
-          .select(col("v"),
-            pmod(hash(col("v")).cast("long"), lit(m.toLong)).as("h1"),
-            pmod(xxhash64(col("v")), lit(m.toLong)).bitwiseOR(lit(1L))
-              .as("h2"))
-          .collect()
-          .map { r =>
-            val (h1, h2) = (r.getLong(1), r.getLong(2))
-            r.getLong(0) -> (0 until BloomK).map(i => (h1 + i.toLong * h2) % m)
-          }.toMap
+        // driver-evaluated probe positions ([[MergeTable.bloomHashes]])
+        // — the plan-based batch probe here cost one Spark job per
+        // (dir, m) group per call
+        val pos: Map[Long, Seq[Long]] =
+          values.map(v => v -> probePositions(v, m)).toMap
         val needWords = pos.values.flatten.map(_ / 64).toSet
         val keys = es.map(e => fileKey(e.relPath)).toSet
         val rd = spark.read.parquet(root.resolve(dir).toString)
@@ -4833,6 +4827,21 @@ object MergeTable {
 
   private def protoFeats(tok: String): Set[String] =
     if (tok == "-") Set.empty else tok.split(',').toSet
+
+  /** `(h1, h2)` of the bloom double-hashing scheme for a LONG value —
+    * the write side's `pmod(hash(v).cast("long"), m)` and
+    * `pmod(xxhash64(v), m) | 1`, evaluated through the engine's OWN
+    * expression implementations (Murmur3Hash/XxHash64, both seed 42 —
+    * the `functions.hash`/`functions.xxhash64` defaults), so probe and
+    * filter can never drift. Driver-side: no plan, no job. */
+  private[lake] def bloomHashes(value: Long, m: Int): (Long, Long) = {
+    val in = Seq(cxp.Literal(value))
+    val mm = m.toLong
+    val h1raw = cxp.Murmur3Hash(in, 42).eval(null)
+      .asInstanceOf[Int].toLong
+    val h2raw = cxp.XxHash64(in, 42L).eval(null).asInstanceOf[Long]
+    (((h1raw % mm) + mm) % mm, ((((h2raw % mm) + mm) % mm) | 1L))
+  }
 
   /** Reader features THIS build implements — the set a table's
     * protocol action ([[MergeTable.upgradeProtocol]]) is checked

@@ -168,4 +168,24 @@ class BloomIndexSpec extends SparkSpec {
         deletionVectors = false, bloomCols = Seq("a+b"))
     }
   }
+
+  test("driver-evaluated probe hashes are bit-identical to the write " +
+      "side's Catalyst plan — probe and filter can never drift") {
+    val rnd = new scala.util.Random(7)
+    val ms = Seq(1 << 10, 1 << 16, 1 << 20)
+    val values = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue) ++
+      Seq.fill(40)(rnd.nextLong())
+    ms.foreach { m =>
+      // the exact 1-row plan the probe used before r14 — now the
+      // parity oracle for the driver-side eval
+      values.foreach { v =>
+        val r = spark.range(1).select(
+          pmod(hash(lit(v)).cast("long"), lit(m.toLong)).as("h1"),
+          pmod(xxhash64(lit(v)), lit(m.toLong)).bitwiseOR(lit(1L))
+            .as("h2")).head()
+        assert(MergeTable.bloomHashes(v, m) ===
+          ((r.getLong(0), r.getLong(1))), s"drift for v=$v m=$m")
+      }
+    }
+  }
 }
