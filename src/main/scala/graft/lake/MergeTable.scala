@@ -441,7 +441,10 @@ final class MergeTable private (
   def upgradeProtocol(readerFeatures: Set[String] = Set.empty,
       writerFeatures: Set[String] = Set.empty): Long = {
     (readerFeatures ++ writerFeatures).foreach { f =>
-      require(f.nonEmpty && f.matches("[A-Za-z0-9_.-]+"),
+      // must contain a letter/digit: a name of only '.'/'-'/'_' could
+      // collide with the log's '-' empty-set sentinel and round-trip
+      // to NO requirement — a silently absent gate
+      require(f.matches("[A-Za-z0-9_.-]+") && f.exists(_.isLetterOrDigit),
         s"upgradeProtocol: malformed feature name '$f'")
     }
     val cur = protocol
@@ -1003,26 +1006,48 @@ final class MergeTable private (
   /** Delete checkpoints superseded by the one at `v` and outside the
     * retention window: the newest `keep` (by version, the new one
     * included) always survive, anything older goes once its publish
-    * mtime ages past `retainMs`. DELTAS are never touched here — every
-    * version keeps reconstructing (from an older surviving checkpoint
-    * or the empty v0), so unlike [[vacuum]] this pass never shortens
-    * time travel; it only bounds superseded O(live)-line manifest TEXT
-    * to O(keep + window/checkpoint-cadence) copies. */
+    * mtime ages past `retainMs` — EXCEPT a checkpoint still ANCHORING
+    * versions whose older deltas a [[vacuum]] pruned. DELTAS are never
+    * touched here, and vacuum only ever removes a PREFIX of them, so a
+    * candidate is deletable exactly when the versions it anchors can
+    * re-fold from the next surviving checkpoint below it (or v0) —
+    * i.e. when every delta above that lower anchor still exists.
+    * Without the anchor check, retention could delete the checkpoint a
+    * prior vacuum folded history onto, making versions INSIDE vacuum's
+    * own readability window unreconstructable (r14 review finding).
+    * With it, this pass never shortens time travel; it only bounds
+    * superseded O(live)-line manifest TEXT to
+    * O(keep + window/checkpoint-cadence) copies. */
   private def pruneSupersededCheckpoints(v: Long): Unit = {
     val (keep, retainMs) = ckptRetention
     if (!Files.isDirectory(logDir)) return
     val cutoff = System.currentTimeMillis() - retainMs
-    val ckpts = Using.resource(Files.list(logDir)) { s =>
-      s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.endsWith(CkptSuffix))
-        .map(_.stripSuffix(CkptSuffix).toLong).toSeq
-    }.filter(_ <= v).sorted(Ordering[Long].reverse)
-    ckpts.drop(keep).foreach { cv =>
+    val (ckpts, minDelta) = Using.resource(Files.list(logDir)) { s =>
+      var mn = Long.MaxValue
+      val cs = Seq.newBuilder[Long]
+      s.iterator().asScala.map(_.getFileName.toString).foreach { n =>
+        if (n.endsWith(CkptSuffix)) cs += n.stripSuffix(CkptSuffix).toLong
+        else if (n.endsWith(".txt"))
+          mn = math.min(mn, n.stripSuffix(".txt").toLong)
+      }
+      (cs.result(), mn)
+    }
+    val candidates =
+      ckpts.filter(_ <= v).sorted(Ordering[Long].reverse).drop(keep)
+    // oldest-first: a candidate kept (young, or load-bearing anchor)
+    // becomes the lower anchor for the candidates above it
+    var anchor = 0L
+    candidates.sorted.foreach { cv =>
       val p = logDir.resolve(f"$cv%020d$CkptSuffix")
+      // the versions [cv, next-ckpt) re-fold from `anchor` iff every
+      // delta in (anchor, ..] survives; vacuum prunes a prefix, so
+      // that is exactly "the oldest surviving delta is <= anchor + 1"
+      val refoldable = minDelta <= anchor + 1L
       val aged =
         try Files.getLastModifiedTime(p).toMillis <= cutoff
         catch { case _: java.io.IOException => false } // raced: skip
-      if (aged) Files.deleteIfExists(p)
+      if (refoldable && aged) Files.deleteIfExists(p)
+      else anchor = cv
     }
   }
 
@@ -1236,12 +1261,27 @@ final class MergeTable private (
         try scope match {
           case ReadScope.Nothing =>
             // an append's schema-conformance check ran against `base`;
-            // on a table with NO declared schema a concurrent full
-            // overwrite may have changed the INFERRED schema, so
-            // verbatim republication could publish rows that no longer
-            // conform — recompute (whose closure re-validates) instead.
-            declaredSchema.isDefined || !commitOpOf(w).exists(o =>
-              o._1 == "WRITE" && o._2.get("mode").contains("Overwrite"))
+            // on a table with NO declared schema the UNION-inferred
+            // schema can drift under any concurrent commit that
+            // replaces or removes live files (overwrite, RESTORE, a
+            // rewrite-delete erasing a column's last carrier) or adds
+            // files with an evolved shape (schema-evolving MERGE) —
+            // verbatim republication could then publish rows that no
+            // longer conform. Rebase only over commits that provably
+            // preserve the inferred schema: content-preserving
+            // rewrites, plain appends (themselves conformance-checked
+            // against the same schema), and removal-free DELETEs (a
+            // deletion-vector attach re-Adds the same files) — else
+            // recompute, whose closure re-validates (r14 review
+            // finding widening the overwrite-only guard).
+            declaredSchema.isDefined || {
+              val op = commitOpOf(w)
+              op.exists(o => ContentPreservingOps.contains(o._1)) ||
+                (cRemoves.isEmpty && op.exists(o =>
+                  (o._1 == "WRITE" &&
+                    o._2.get("mode").contains("Append")) ||
+                    o._1 == "DELETE"))
+            }
           case ReadScope.RemovedFiles => true
           case ReadScope.Everything =>
             commitOpOf(w).exists(o => ContentPreservingOps.contains(o._1)) &&
@@ -4083,12 +4123,28 @@ final class MergeTable private (
     val (srcRen, srcDrops) =
       if (srcV == 0L) (Map.empty[String, String], Set.empty[String])
       else mappingAt(srcV)
-    val v = clone.tryCommit(op = "CLONE",
-      params = Map("source" -> root.toAbsolutePath.normalize.toString),
-      delta = CommitDelta(rebased, Nil,
+    // the PROTOCOL travels too: the clone's v1 carries the source's
+    // required features unioned with what its own delta introduces —
+    // this commit publishes through tryCommit directly, so the
+    // retryingCommit auto-stamp never sees it, and a clone of a
+    // feature-bearing table must not be feature-bearing-undeclared
+    // (r14 review finding)
+    val cloneDelta0 = CommitDelta(rebased, Nil,
       cAdds = (if (srcV == 0L) Nil else constraintsAt(srcV).toSeq),
       mRenames = srcRen.toSeq, mDrops = srcDrops.toSeq,
-      mSchema = (if (srcV == 0L) None else schemaAt(srcV)).map(_.json)),
+      mSchema = (if (srcV == 0L) None else schemaAt(srcV)).map(_.json))
+    val srcProto =
+      if (srcV == 0L) (Set.empty[String], Set.empty[String])
+      else metaAt(srcV).protocol
+    val (fr, fw) = clone.featuresOf(cloneDelta0)
+    val proto = (srcProto._1 ++ fr,
+      srcProto._2 ++ srcProto._1 ++ fw ++ fr)
+    val cloneDelta =
+      if (proto._1.isEmpty && proto._2.isEmpty) cloneDelta0
+      else cloneDelta0.copy(protocol = Some(proto))
+    val v = clone.tryCommit(op = "CLONE",
+      params = Map("source" -> root.toAbsolutePath.normalize.toString),
+      delta = cloneDelta,
       expected = 0L)
     require(v.contains(1L), s"clone commit lost a race at fresh $dest")
     clone

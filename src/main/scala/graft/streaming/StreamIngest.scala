@@ -33,7 +33,7 @@ object StreamIngest {
     * up to this many distinct batch pks collect (driver metadata) and
     * prune the guard-side table reads; wider batches read the guard
     * tables whole. */
-  private val GuardProbeMaxKeys = 100000
+  private[graft] val GuardProbeMaxKeys = 100000
 
   /** The shared raw-zone file source. `maxFilesPerTrigger` caps each
     * micro-batch's file count; `Trigger.AvailableNow` honors it, so a

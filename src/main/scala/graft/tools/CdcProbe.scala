@@ -113,7 +113,11 @@ object CdcProbe {
     else {
       // batch-mode replay of the drain's per-micro-batch pipeline —
       // same jobs, real callsites in stage names (the stream masks
-      // them all as 'start at')
+      // them all as 'start at'). DELIBERATE copy of
+      // StreamIngest.runCdcAvailableNow's guard pipeline: keep the two
+      // in sync when the guard logic changes, or the breakdown stops
+      // measuring production.
+      val cap = StreamIngest.GuardProbeMaxKeys
       val pk = "o_orderkey"; val seqCol = "seq"
       val tomb = MergeTable(s, t.root.resolve("_tombstones").toString)
       val files = scala.util.Using.resource(
@@ -127,10 +131,10 @@ object CdcProbe {
           .csv(f.toString)
           .filter(col(ct) =!= "update_preimage").cache()
         val batchKeys = events.select(col(pk)).distinct()
-          .limit(100001).collect().map(_.get(0)).toSeq
+          .limit(cap + 1).collect().map(_.get(0)).toSeq
         if (batchKeys.nonEmpty) {
           def guardSide(tt: MergeTable) =
-            if (batchKeys.size <= 100000 && !batchKeys.contains(null))
+            if (batchKeys.size <= cap && !batchKeys.contains(null))
               tt.probeKeys(pk, batchKeys)
             else tt.read()
           val pastDeletes =

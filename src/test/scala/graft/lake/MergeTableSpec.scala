@@ -908,6 +908,38 @@ class MergeTableSpec extends SparkSpec {
       "default retention must not delete inside the 10-minute window")
   }
 
+  test("checkpoint retention never deletes the checkpoint a prior " +
+      "vacuum folded history onto — post-vacuum versions stay readable") {
+    val root = tmpDir("mt")
+    val t = MergeTable(spark, root.toString, Some("date"))
+      .withCheckpointRetention(keep = 2, retainMs = 0L)
+    t.overwrite(orders(("o0", "d1", 0.0)))                 // v1
+    (1 to 14).foreach(i =>
+      t.append(orders((s"o$i", "d1", i.toDouble))))        // ..v15, ckpt 10
+    t.vacuum(0L) // v16: VACUUM commit + checkpoint 16; deltas 1-15 pruned
+    val anchor = t.latestVersion()
+    (1 to 25).foreach(i =>
+      t.append(orders((s"p$i", "d1", i.toDouble))))        // ..v41
+    val log = root.resolve("_graft_log")
+    val ckpts = Using.resource(Files.list(log)) { s =>
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".ckpt")).map(_.stripSuffix(".ckpt").toLong)
+        .toSeq.sorted
+    }
+    assert(ckpts.contains(anchor),
+      s"the vacuum-anchor checkpoint $anchor must survive retention " +
+        s"(its older deltas are gone), got $ckpts")
+    assert(ckpts.count(_ > anchor) <= 2 && ckpts.size <= 3,
+      s"checkpoints past the anchor must still be pruned to keep=2: $ckpts")
+    // every version FROM the anchor still reconstructs (vacuum's own
+    // readability window), including ones whose nearer checkpoints the
+    // retention pass deleted
+    ((anchor + 1) to (anchor + 10)).foreach { v =>
+      assert(contents(t.readVersion(v)).size === 15 + (v - anchor).toInt,
+        s"version $v must reconstruct from the protected anchor")
+    }
+  }
+
   test("two handles to the same table serialize through the log") {
     val root = tmpDir("mt").toString
     val t = MergeTable(spark, root, None)

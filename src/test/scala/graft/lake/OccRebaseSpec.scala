@@ -218,7 +218,12 @@ class OccRebaseSpec extends SparkSpec {
     val root = tmpDir("occ").toString
     val setup = MergeTable(spark, root, Some("date"), Nil,
       deletionVectors = true)
-    setup.overwrite(orders(("o1", "d1", 1.0), ("o2", "d1", 2.0)))
+    // ONE part file holding both rows: the delete then ATTACHES a
+    // vector (re-Add, no Remove) instead of fully erasing a file —
+    // the cell under test; a fully-erasing delete removes files and
+    // correctly RECOMPUTES under the undeclared-schema guard
+    setup.overwrite(orders(("o1", "d1", 1.0), ("o2", "d1", 2.0))
+      .coalesce(1))
     val rival = MergeTable(spark, root, Some("date"), Nil,
       deletionVectors = true)
     val t = MergeTable(spark, root, Some("date"), Nil,

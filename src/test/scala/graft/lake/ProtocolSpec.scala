@@ -124,6 +124,21 @@ class ProtocolSpec extends SparkSpec {
     assert(t2.protocol._1.contains("declaredSchema"))
   }
 
+  test("a CLONE carries the source's protocol — a clone of a feature-" +
+      "bearing table is never feature-bearing-undeclared") {
+    val src = MergeTable(spark, tmpDir("proto").toString, Some("date"),
+      Nil, deletionVectors = true)
+    src.overwrite(orders(("o1", "d1", 1.0), ("o2", "d1", 2.0)))
+    src.delete(org.apache.spark.sql.functions.col("order_id") === "o2")
+    src.upgradeProtocol(writerFeatures = Set("checkConstraints"))
+    val clone = src.cloneTo(tmpDir("proto_clone").resolve("t").toString)
+    assert(clone.protocol._1.contains("deletionVectors"),
+      "the clone's v1 rides dv refs — its protocol must say so")
+    assert(clone.protocol._2.contains("checkConstraints"),
+      "explicitly-stamped source features must travel too")
+    assert(clone.read().count() === 1L)
+  }
+
   test("upgrades are monotone unions and malformed names are rejected") {
     val t = MergeTable(spark, tmpDir("proto").toString, Some("date"))
     t.overwrite(orders(("o1", "d1", 1.0)))
