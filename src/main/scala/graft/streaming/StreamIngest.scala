@@ -29,11 +29,19 @@ import graft.lake.MergeTable
   */
 object StreamIngest {
 
-  /** Batch key-count bound for the CDC guards' file-skipping probe —
-    * up to this many distinct batch pks collect (driver metadata) and
-    * prune the guard-side table reads; wider batches read the guard
-    * tables whole. */
-  private[graft] val GuardProbeMaxKeys = 100000
+  /** Batch key-count bound for the CDC guards' LITERAL file-skipping
+    * probe — up to this many distinct batch pks collect (driver
+    * metadata) and prune the guard-side table reads; wider batches
+    * keep file skipping through the RELATION-valued probe (the key
+    * set never leaves the cluster), falling back to the full read
+    * only when the batch carries NULL pks the sampled key window
+    * cannot rule out (the guards join null-safely, so a stored null
+    * row must stay visible). Tunable via the `graft.guard.probe.
+    * maxKeys` system property (specs exercise the over-wide path with
+    * a tiny cap). */
+  private[graft] def GuardProbeMaxKeys: Int =
+    sys.props.get("graft.guard.probe.maxKeys")
+      .flatMap(_.toIntOption).getOrElse(100000)
 
   /** The shared raw-zone file source. `maxFilesPerTrigger` caps each
     * micro-batch's file count; `Trigger.AvailableNow` honors it, so a
@@ -248,12 +256,19 @@ object StreamIngest {
           // skipping via pk stats/bloom when the table records them —
           // tables without degrade to the full read, never to a miss),
           // and the guards' pk joins ARE the row-level residual the
-          // probe contract requires. A null batch pk or an over-wide
-          // batch falls back to the full read.
+          // probe contract requires. Over-wide batches stay file-
+          // skipped through the relation-valued probe; only a batch
+          // that may carry NULL pks reads the guard tables whole (the
+          // <=> joins must still see stored null rows, and the probe
+          // relation drops nulls).
+          val cap = GuardProbeMaxKeys
+          lazy val overWideHasNulls =
+            !events.filter(col(pk).isNull).isEmpty
           def guardSide(t: MergeTable): org.apache.spark.sql.DataFrame =
-            if (batchKeys.nonEmpty && batchKeys.size <= GuardProbeMaxKeys
-                && !batchKeys.contains(null))
+            if (batchKeys.size <= cap && !batchKeys.contains(null))
               t.probeKeys(pk, batchKeys)
+            else if (!overWideHasNulls)
+              t.probeKeys(pk, events.select(col(pk)))
             else t.read()
           // Guard 1 — tombstones: an event at or below its key's
           // deleted-at sequence is a pre-delete straggler; dropping it

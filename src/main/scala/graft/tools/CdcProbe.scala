@@ -133,9 +133,13 @@ object CdcProbe {
         val batchKeys = events.select(col(pk)).distinct()
           .limit(cap + 1).collect().map(_.get(0)).toSeq
         if (batchKeys.nonEmpty) {
+          lazy val overWideHasNulls =
+            !events.filter(col(pk).isNull).isEmpty
           def guardSide(tt: MergeTable) =
             if (batchKeys.size <= cap && !batchKeys.contains(null))
               tt.probeKeys(pk, batchKeys)
+            else if (!overWideHasNulls)
+              tt.probeKeys(pk, events.select(col(pk)))
             else tt.read()
           val pastDeletes =
             if (tomb.latestVersion() == 0L) events

@@ -426,6 +426,67 @@ class StreamIngestSpec extends SparkSpec {
     }
   }
 
+  test("CDC guards stay correct on OVER-WIDE batches through the " +
+      "relation-valued probe (no full-read fallback, no key collect)") {
+    // Same state machine, cap forced to 2 so every 4-key batch exceeds
+    // the literal probe's bound: the guards must route through the r14
+    // relation-valued probeKeys — wrong admission there loses a stored
+    // (pk, seq) guard row and admits a late event.
+    import org.apache.spark.sql.types.LongType
+    val cdcSchema = StructType(Seq(
+      StructField("order_id", LongType),
+      StructField("amount", StringType),
+      StructField(MergeTable.ChangeType, StringType),
+      StructField("seq", LongType)))
+    sys.props("graft.guard.probe.maxKeys") = "2"
+    try {
+      val rnd = new scala.util.Random(20260816L)
+      val raw = tmpDir("rawwide")
+      val ckpt = tmpDir("ckptwide").toString
+      val t = MergeTable(spark, tmpDir("tblwide").toString, None,
+        Seq("order_id"), deletionVectors = false,
+        bloomCols = Seq("order_id"))
+      val keys = Seq(100L, 5000L, 123456L, 9999999L)
+      val events = rnd.shuffle(for {
+        k <- keys; seq <- 1L to 6L
+      } yield {
+        val kind = rnd.nextInt(10) match {
+          case 0 | 1 => "delete"
+          case 2     => "insert"
+          case _     => "update"
+        }
+        (k, s"$k-$seq", kind, seq)
+      })
+      val drains = events.grouped((events.size + 3) / 4).toSeq
+      var live = Map.empty[Long, (String, Long)]
+      var tomb = Map.empty[Long, Long]
+      drains.zipWithIndex.foreach { case (batch, i) =>
+        Files.writeString(raw.resolve(s"c$i.csv"),
+          (s"order_id,amount,${MergeTable.ChangeType},seq" +:
+            batch.map { case (k, a, c, q) => s"$k,$a,$c,$q" })
+            .mkString("\n"))
+        StreamIngest.runCdcAvailableNow(spark, raw.toString, cdcSchema,
+          t, "order_id", "seq", ckpt)
+        batch.groupBy(_._1).foreach { case (k, evs) =>
+          val admitted = evs.filter { case (_, _, _, q) =>
+            q > tomb.getOrElse(k, Long.MinValue) &&
+              q > live.get(k).map(_._2).getOrElse(Long.MinValue)
+          }
+          if (admitted.nonEmpty) {
+            val (_, a, c, q) = admitted.maxBy(_._4)
+            if (c == "delete") { live -= k; tomb += (k -> q) }
+            else live += (k -> (a, q))
+          }
+        }
+        val got = t.read().select("order_id", "amount", "seq")
+          .as[(Long, String, Long)].collect()
+          .map { case (k, a, q) => k -> (a, q) }.toMap
+        assert(got === live,
+          s"drain $i diverged through the relation-probe guard path")
+      }
+    } finally sys.props.remove("graft.guard.probe.maxKeys")
+  }
+
   test("maxFilesPerTrigger drains a backfill as bounded micro-batches " +
       "with identical final state") {
     // A 4-file backlog with cap=1 must arrive as 4 micro-batch MERGEs
