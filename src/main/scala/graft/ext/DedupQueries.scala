@@ -302,6 +302,72 @@ object DedupQueries {
         round(col("n_foreign").cast("double") / col("n_chunks"), 4))
   }
 
+  /** Window width (in tokens) for [[substrDedup]] — the ExactSubstr
+    * threshold scaled to the fixtures' 10-99-token documents (the paper
+    * uses 50 tokens against multi-kilotoken web pages; the INVARIANT
+    * under test — any shared run of ≥ k tokens is found at every
+    * offset — is width-independent). */
+  private val SubstrK = 20
+
+  /** Tier 9 — EXACT SUBSTRING dedup (the ExactSubstr discipline of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better": a span duplicated VERBATIM anywhere else in the corpus is
+    * memorization fuel even when the whole documents are dissimilar —
+    * MinHash at the document level never sees it). The paper builds one
+    * corpus-wide suffix array, which is inherently single-machine; the
+    * distributed equivalent is rolling k-token windows at EVERY offset:
+    * any shared run of ≥ k tokens contains at least one aligned k-window
+    * on each side, so window-fingerprint equality finds exactly the
+    * ≥ k-token shared runs (no false negatives; md5 collisions are the
+    * only false-positive source, as in the suffix-array variant with
+    * hashed comparisons).
+    *
+    * Emits one row per MAXIMAL duplicated span: consecutive duplicated
+    * window offsets merge by the gaps-and-islands rule (offset minus
+    * per-doc rank is constant within a run), `span_tokens` counts the
+    * union of the run's windows. A window is "duplicated" iff its
+    * fingerprint occurs in ≥ 2 DISTINCT documents — tested as
+    * `min(doc_id) <> max(doc_id)`, which stays map-side combinable where
+    * `countDistinct` would carry a per-fp doc set through the shuffle
+    * (boilerplate windows — license headers, cookie banners — are the
+    * textbook hot key; their partial aggregates collapse to two longs).
+    *
+    * Scale shape: the window relation is O(total tokens) rows but three
+    * narrow columns (doc_id, pos, fp); dup detection is one partial-agg
+    * shuffle on fp; marking is one semi-join on fp (AQE-skew-splittable);
+    * the island merge is a window function partitioned by doc_id — per
+    * partition bounded by ONE document's length at any corpus size. */
+  def substrDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = SubstrK
+    val win = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(1, size(toks) - ${k - 1}),
+                i -> md5(concat_ws(' ', slice(toks, i, $k))))"""))
+          .as(Seq("off", "fp")))
+      .select(col("doc_id"), (col("off") + 1).cast("long").as("pos"),
+        col("fp"))
+    val dupFp = win.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .select(col("fp"))
+    val islands = win.join(dupFp, Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    islands
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + k).as("span_tokens"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_tokens"),
+        col("n_windows"))
+  }
+
   /** (doc_id, fp) for every fixed 10-token chunk — the narrow chunk
     * relation shared by [[chunkDedup]] and [[decontaminate]]. */
   private def chunked(s: SparkSession, d: String): DataFrame =
@@ -574,6 +640,34 @@ object DedupQueries {
                     AS DOUBLE) / count(*), 4) AS dup_ratio
        FROM c JOIN o USING (fp)
        GROUP BY doc_id ORDER BY doc_id"""
+
+  /** DuckDB oracle for [[substrDedup]] — same k-token rolling windows
+    * (1-based offsets, DuckDB list slices are 1-based inclusive like
+    * Spark's `slice`), same `min <> max` cross-doc rule, same
+    * gaps-and-islands merge. `generate_series` yields BIGINT so `pos`
+    * matches the Spark side's explicit long cast. */
+  val substrDedupOracle: String = {
+    val k = SubstrK
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+       w AS (SELECT doc_id, i AS pos,
+               md5(array_to_string(toks[i:i + ${k - 1}], ' ')) AS fp
+             FROM t, UNNEST(generate_series(1, len(toks) - ${k - 1}))
+                     AS u(i)
+             WHERE len(toks) >= $k),
+       d AS (SELECT fp FROM w GROUP BY fp
+             HAVING min(doc_id) <> max(doc_id)),
+       m AS (SELECT doc_id, pos FROM w JOIN d USING (fp)),
+       isl AS (SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS grp
+               FROM m)
+       SELECT doc_id, min(pos) AS span_start,
+              max(pos) - min(pos) + $k AS span_tokens,
+              count(*) AS n_windows
+       FROM isl GROUP BY doc_id, grp
+       ORDER BY doc_id, span_start"""
+  }
 
   private val shingledCte =
     s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks

@@ -78,7 +78,8 @@ final class MergeTable private (
     val logStore: LogStore = LogStore.Posix,
     val optimizeWrite: Boolean = false,
     val autoCompact: Option[(Long, Int)] = None,
-    val ckptRetention: (Int, Long) = MergeTable.DefaultCkptRetention) {
+    val ckptRetention: (Int, Long) = MergeTable.DefaultCkptRetention,
+    val rowTracking: Boolean = false) {
 
   import MergeTable._
 
@@ -104,7 +105,7 @@ final class MergeTable private (
   def withLogStore(ls: LogStore): MergeTable =
     new MergeTable(spark, root, partitionCols, statsCols,
       deletionVectors, bloomCols, ls, optimizeWrite, autoCompact,
-      ckptRetention)
+      ckptRetention, rowTracking)
 
   /** The same handle with OPTIMIZED WRITES on (Delta's
     * `delta.autoOptimize.optimizeWrite`): every [[writeData]] of a
@@ -118,7 +119,7 @@ final class MergeTable private (
   def withOptimizeWrite: MergeTable =
     new MergeTable(spark, root, partitionCols, statsCols,
       deletionVectors, bloomCols, logStore, optimizeWrite = true,
-      autoCompact, ckptRetention)
+      autoCompact, ckptRetention, rowTracking)
 
   /** The same handle with AUTO COMPACTION on (Delta's
     * `delta.autoOptimize.autoCompact`): after any commit, if some
@@ -143,7 +144,7 @@ final class MergeTable private (
         s"($targetBytes, $minFiles)")
     new MergeTable(spark, root, partitionCols, statsCols,
       deletionVectors, bloomCols, logStore, optimizeWrite,
-      Some((targetBytes, minFiles)), ckptRetention)
+      Some((targetBytes, minFiles)), ckptRetention, rowTracking)
   }
 
   /** The same handle with a NON-DEFAULT checkpoint retention (r13
@@ -168,8 +169,34 @@ final class MergeTable private (
         s"got ($keep, $retainMs)")
     new MergeTable(spark, root, partitionCols, statsCols,
       deletionVectors, bloomCols, logStore, optimizeWrite, autoCompact,
-      (keep, retainMs))
+      (keep, retainMs), rowTracking)
   }
+
+  /** The same handle with ROW TRACKING on (Delta's row-ID table
+    * feature): every data commit allots each new file a contiguous
+    * block of fresh 64-bit row ids ([[MergeTable.RowIdInfo]] in the
+    * manifest; a log-carried high-water mark guarantees ids are NEVER
+    * reused) and records the adding commit as the rows' default
+    * row-commit-version. [[readWithRowIds]] surfaces both as `row_id`
+    * / `row_commit` — the stable row identity incremental consumers
+    * (CDC materialization, feature stores, training-data lineage) key
+    * on, which `monotonically_increasing_id` cannot give (it changes
+    * on every read). Content-preserving rewrites (the OPTIMIZE family:
+    * [[compact]], [[compactSmall]], [[compactWhere]], [[zorder]],
+    * [[purgeVectors]]) MATERIALIZE ids physically through the rewrite,
+    * so reorganizing 100 TB never changes any row's identity;
+    * DV-based DELETE/UPDATE leave unmatched rows in place (stable for
+    * free). Copy-on-write DML rewrites assign fresh ids to the rows
+    * they rewrite — Delta's exact contract without
+    * `rowTracking.preserved`. Enable AT TABLE BIRTH: files committed
+    * before enablement carry no allotment and [[readWithRowIds]]
+    * refuses mixed tables. Auto-stamps the `rowTracking` READER
+    * feature (materialized columns + the W action change what the log
+    * and footers mean). */
+  def withRowTracking: MergeTable =
+    new MergeTable(spark, root, partitionCols, statsCols,
+      deletionVectors, bloomCols, logStore, optimizeWrite, autoCompact,
+      ckptRetention, rowTracking = true)
 
   /** The same table handle bound to a DIFFERENT SparkSession — the
     * multi-session hook ([[graft.sql.GraftSql]] rebinds a registered
@@ -181,7 +208,7 @@ final class MergeTable private (
     if (s eq spark) this
     else new MergeTable(s, root, partitionCols, statsCols,
       deletionVectors, bloomCols, logStore, optimizeWrite, autoCompact,
-      ckptRetention)
+      ckptRetention, rowTracking)
 
   // ---- log ----------------------------------------------------------------
 
@@ -230,8 +257,16 @@ final class MergeTable private (
           // file), multi-column, any order; a legacy manifest holds one
           // bare `min\tmax` pair, which belongs to the table's primary
           // stats column by contract.
-          val (dvToks, rest0) = parts.drop(3).partition(_.startsWith(DvTok))
+          val (dvToks, rest00) = parts.drop(3).partition(_.startsWith(DvTok))
+          val (riToks, rest0) = rest00.partition(_.startsWith(RiTok))
           val (bfToks, rest) = rest0.partition(_.startsWith(BfTok))
+          val ri = riToks.headOption.map { tok =>
+            tok.stripPrefix(RiTok).split(',') match {
+              case Array(b, rw, v) => RowIdInfo(b.toLong, rw.toLong, v.toLong)
+              case _ => throw new IllegalStateException(
+                s"bad row-id token '$tok' in $p")
+            }
+          }
           val dv = dvToks.headOption.map { tok =>
             val body = tok.stripPrefix(DvTok)
             val cut = body.lastIndexOf(',')
@@ -267,7 +302,7 @@ final class MergeTable private (
               statsCol.map(_ ->
                 ColStat(Some((rest(0).toLong, rest(1).toLong)))).toMap
             else Map.empty
-          Add(FileEntry(parts(1), pv, stats, dv, bf))
+          Add(FileEntry(parts(1), pv, stats, dv, bf, ri))
         // Constraint metadata rides the same log: "C name b64(predicate)"
         // adds, "D name" drops. The predicate is base64-coded — free-form
         // SQL can contain the log's tab separator.
@@ -298,6 +333,9 @@ final class MergeTable private (
         // below — a hard fail, which is exactly the gate's contract
         // for readers that predate the gate itself.
         case "P" => Protocol(protoFeats(parts(1)), protoFeats(parts(2)))
+        // Row-id high-water mark: "W hwm" — the rowTracking feature's
+        // never-reuse guarantee (MAX-folded, checkpoint-carried).
+        case "W" => SetRowIdHwm(parts(1).toLong)
         case other => throw new IllegalStateException(
           s"MergeTable at $root: unknown log action '$other' in $p")
       }
@@ -350,7 +388,8 @@ final class MergeTable private (
       drops: Set[String],
       txns: Map[String, Long],
       schema: Option[org.apache.spark.sql.types.StructType],
-      protocol: (Set[String], Set[String]) = (Set.empty, Set.empty))
+      protocol: (Set[String], Set[String]) = (Set.empty, Set.empty),
+      rowIdHwm: Long = 0L)
 
   private val metaMemo =
     new java.util.concurrent.ConcurrentHashMap[Long, MetaState]()
@@ -366,6 +405,7 @@ final class MergeTable private (
     val txns = mutable.LinkedHashMap.empty[String, Long]
     var schemaJson: Option[String] = None
     var proto: (Set[String], Set[String]) = (Set.empty, Set.empty)
+    var hwm = 0L
     def fold(p: Path): Unit = readLogFile(p).foreach {
       case AddConstraint(n, pr) => cons.update(n, pr)
       case DropConstraint(n)    => cons.remove(n)
@@ -375,6 +415,7 @@ final class MergeTable private (
         txns.update(app, math.max(bv, txns.getOrElse(app, Long.MinValue)))
       case SetSchema(j)         => schemaJson = Some(j)
       case Protocol(r, w)       => proto = (r, w) // last wins (Delta)
+      case SetRowIdHwm(h)       => hwm = math.max(hwm, h)
       case _                    => ()
     }
     if (ckpt != 0L) fold(logDir.resolve(f"$ckpt%020d$CkptSuffix"))
@@ -401,7 +442,7 @@ final class MergeTable private (
     MetaState(cons.toMap, ren.toMap, drops.toSet, txns.toMap,
       schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType]),
-      proto)
+      proto, hwm)
   }
 
   private def constraintsAt(v: Long): Map[String, String] =
@@ -831,6 +872,8 @@ final class MergeTable private (
       delta.adds.map { e =>
         val base = s"A\t${e.relPath}\t${e.partitionValue.getOrElse(NoPartition)}" +
           e.dv.fold("")(d => s"\t$DvTok${d.relDir},${d.card}") +
+          e.rowIds.fold("")(ri =>
+            s"\t$RiTok${ri.base},${ri.rows},${ri.version}") +
           e.bloom.fold("")(b =>
             s"\t$BfTok${b.relDir},${b.m},${b.cols.mkString("+")}")
         if (e.stats.isEmpty) base
@@ -857,7 +900,8 @@ final class MergeTable private (
         .encodeToString(j.getBytes("UTF-8"))).toSeq ++
       delta.protocol.map { case (r, w) =>
         s"P\t${protoFmt(r)}\t${protoFmt(w)}"
-      }.toSeq).mkString("\n")
+      }.toSeq ++
+      delta.rowIdHwm.map(h => s"W\t$h").toSeq).mkString("\n")
 
   /** Try to publish `delta` as version `expected + 1`. Returns the
     * committed version, or None if a concurrent writer took it first.
@@ -992,7 +1036,10 @@ final class MergeTable private (
       txns = txnsAt(v).toSeq,
       mSchema = schemaAt(v).map(_.json),
       protocol =
-        if (proto._1.isEmpty && proto._2.isEmpty) None else Some(proto)))
+        if (proto._1.isEmpty && proto._2.isEmpty) None else Some(proto),
+      // the row-id high-water mark must survive vacuum folding history
+      // onto this checkpoint — or ids of removed files would be reused
+      rowIdHwm = Some(metaAt(v).rowIdHwm).filter(_ > 0L)))
     logStore.putIfAbsent(target, body)
     // best-effort, like the checkpoint itself: a failed prune costs
     // bytes, never correctness
@@ -1072,8 +1119,11 @@ final class MergeTable private (
     // loss must re-validate the whole (base, head] window
     var pending: Option[(CommitDelta, Long)] = None
     var publishAt = 0L
+    // per-file footer row counts for row-id allotment — the files are
+    // immutable once written, so the counts survive recomputes/rebases
+    lazy val ridRowsMemo = mutable.HashMap.empty[String, Long]
     while (tries < MaxCommitRetries) {
-      val (delta, base) = pending.getOrElse {
+      val (delta0, base) = pending.getOrElse {
         if (tries > 0) occRecomputed.incrementAndGet()
         attempt()
       }
@@ -1097,6 +1147,13 @@ final class MergeTable private (
               .sorted.mkString(", ")}]) — upgrade the engine to write " +
             "this table")
       }
+      // ROW-ID ALLOTMENT (row tracking): derived against `target` on
+      // EVERY attempt — recompute or rebase republication — so a lost
+      // race never republishes bases a concurrent allocator also
+      // handed out; entries that already carry an allotment (RESTORE
+      // re-adds, DV re-adds, clone-carried files) keep it, which is
+      // exactly the id-stability contract.
+      val delta = allotRowIds(delta0, target, ridRowsMemo)
       // AUTOMATIC feature enablement (Delta's table-feature upgrade):
       // the commit that first USES a gated feature — or the first
       // commit of a handle CONFIGURED for one (DV flag) — carries the
@@ -1144,15 +1201,58 @@ final class MergeTable private (
         case None =>
           tries += 1
           val head = latestVersion()
-          if (canRebase(delta, base, scope, head)) {
+          if (canRebase(delta0, base, scope, head)) {
             occRebased.incrementAndGet()
-            pending = Some((delta, base))
+            pending = Some((delta0, base))
             publishAt = head
           }
       }
     }
     throw new java.util.ConcurrentModificationException(
       s"MergeTable at $root: lost the commit race $MaxCommitRetries times")
+  }
+
+  /** Row-id allotment for a commit's fresh files (row tracking): each
+    * add WITHOUT an allotment gets a contiguous block of ids starting
+    * at the table's high-water mark at `target` (footer row count =
+    * block width; the adding version = default row-commit-version),
+    * and the delta carries the advanced mark as a W action. Active
+    * when this handle enables the feature OR the table's protocol
+    * already requires it (any supporting writer must maintain it).
+    * Entries already carrying an allotment — RESTORE/DV re-adds,
+    * clone-carried files — keep it verbatim and advance nothing: their
+    * ids pre-date this commit, which is the stability contract. Pure
+    * driver metadata (numFiles footer reads, memoized across commit
+    * retries). */
+  private def allotRowIds(delta: CommitDelta, target: Long,
+      rowsMemo: mutable.HashMap[String, Long]): CommitDelta = {
+    val active = rowTracking ||
+      (target > 0L && metaAt(target).protocol._2.contains("rowTracking"))
+    if (!active || delta.adds.isEmpty ||
+        delta.adds.forall(_.rowIds.isDefined)) return delta
+    val hwm = if (target == 0L) 0L else metaAt(target).rowIdHwm
+    var next = hwm
+    val adds = delta.adds.map { e =>
+      if (e.rowIds.isDefined) e
+      else {
+        val rows = rowsMemo.getOrElseUpdate(e.relPath, footerRowCount(e))
+        val ri = RowIdInfo(next, rows, target + 1)
+        next += rows
+        e.copy(rowIds = Some(ri))
+      }
+    }
+    delta.copy(adds = adds, rowIdHwm = Some(next))
+  }
+
+  /** Footer row count of a freshly written (immutable) file — driver
+    * metadata, the same model as [[footerStats]]. */
+  private def footerRowCount(e: FileEntry): Long = {
+    val p = new org.apache.hadoop.fs.Path(root.resolve(e.relPath).toUri)
+    org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      spark.sessionState.newHadoopConf(), p,
+      org.apache.parquet.format.converter.ParquetMetadataConverter
+        .NO_FILTER)
+      .getBlocks.asScala.map(_.getRowCount).sum
   }
 
   /** The protocol features a commit delta (plus this handle's
@@ -1173,6 +1273,13 @@ final class MergeTable private (
     if (delta.mRenames.nonEmpty || delta.mDrops.nonEmpty)
       r += "columnMapping"
     if (delta.mSchema.nonEmpty) r += "declaredSchema"
+    // row tracking is READER-impacting: the W action and ri tokens are
+    // new log grammar, and materialized `_graft_rid`/`_graft_rcv`
+    // columns live in footers — a pre-feature reader would surface
+    // them as data columns (silent mis-read, the gate's exact case)
+    if (rowTracking || delta.rowIdHwm.isDefined ||
+        delta.adds.exists(_.rowIds.isDefined))
+      r += "rowTracking"
     delta.cAdds.foreach { case (n, _) =>
       if (n.startsWith(IdentityColumns.Prefix)) w += "identityColumns"
       else if (n.startsWith(GeneratedColumns.Prefix)) w += "generatedColumns"
@@ -1249,6 +1356,10 @@ final class MergeTable private (
         catch { case scala.util.control.NonFatal(_) => return false }
       val foreign = acts.exists {
         case _: Add | _: Remove | _: InCommitTs => false
+        // a concurrent row-id allocation only advances the high-water
+        // mark; the republished delta re-allots against the new head
+        // (retryingCommit re-derives allotments every attempt)
+        case _: SetRowIdHwm                     => false
         case SetTxn(app, _)                     => ourTxnApps.contains(app)
         case _                                  => true // metadata action
       }
@@ -1337,7 +1448,11 @@ final class MergeTable private (
   /** Write `df` into a fresh commit dir; return its new file entries.
     * The frame arrives LOGICAL (all internal flows are logical);
     * files are written PHYSICAL so a rename never rewrites data. */
-  private def writeData(dfIn: DataFrame): (String, Seq[FileEntry]) = {
+  private def writeData(dfIn: DataFrame,
+      allowHidden: Boolean = false): (String, Seq[FileEntry]) = {
+    require(allowHidden || !dfIn.columns.exists(HiddenCols.contains),
+      s"MergeTable at $root: column names ${HiddenCols.mkString("/")} " +
+        "are reserved for row tracking")
     val df = toPhysical(dfIn)
     val commitDir = s"commit-${UUID.randomUUID().toString.take(12)}"
     val target = root.resolve(commitDir)
@@ -2218,13 +2333,13 @@ final class MergeTable private (
     retryingCommit("OPTIMIZE",
         scope = ReadScope.RemovedFiles) { () =>
       val (version, live) = latest()
-      val df0 = readEntries(live)
+      val df0 = readForRewrite(live)
       val df =
         if (clusterBy.nonEmpty)
           df0.repartitionByRange(filesPerPartition, clusterBy: _*)
             .sortWithinPartitions(clusterBy: _*)
         else df0.repartition(filesPerPartition)
-      val (_, entries) = writeData(df)
+      val (_, entries) = writeData(df, allowHidden = true)
       (CommitDelta(entries, live.map(_.relPath)), version)
     }
 
@@ -2289,11 +2404,17 @@ final class MergeTable private (
         val touched = bins.flatten.toSeq
         import spark.implicits._
         val binDf = broadcast(binOf.toDF(FileTag, BinCol))
-        val packed = readEntriesTagged(touched, keep = Seq(FileTag))
+        val tracked = touched.forall(_.rowIds.isDefined)
+        val src =
+          if (tracked)
+            presentLogical(
+              readEntriesRowIdsPhys(touched, keep = Seq(FileTag)))
+          else readEntriesTagged(touched, keep = Seq(FileTag))
+        val packed = src
           .join(binDf, Seq(FileTag))
           .repartition(bins.length, col(BinCol))
           .drop(BinCol, FileTag)
-        val (_, entries) = writeData(packed)
+        val (_, entries) = writeData(packed, allowHidden = true)
         (CommitDelta(entries, touched.map(_.relPath)), version)
       }
     }
@@ -2322,8 +2443,8 @@ final class MergeTable private (
       Map("zOrderBy" -> cols.mkString(",")),
       scope = ReadScope.RemovedFiles) { () =>
       val (version, live) = latest()
-      val df = clusterZ(readEntries(live), cols, filesPerPartition)
-      val (_, entries) = writeData(df)
+      val df = clusterZ(readForRewrite(live), cols, filesPerPartition)
+      val (_, entries) = writeData(df, allowHidden = true)
       (CommitDelta(entries, live.map(_.relPath)), version)
     }
   }
@@ -2380,11 +2501,11 @@ final class MergeTable private (
         if (selected.isEmpty) (CommitDelta(Nil, Nil), version)
         else {
           val parts = math.max(1, passing.size * filesPerPartition)
-          val df0 = readEntries(selected)
+          val df0 = readForRewrite(selected)
           val df =
             if (zorderCols.nonEmpty) clusterZ(df0, zorderCols, parts)
             else df0.repartition(parts, partitionCols.map(col): _*)
-          val (_, entries) = writeData(df)
+          val (_, entries) = writeData(df, allowHidden = true)
           (CommitDelta(entries, selected.map(_.relPath)), version)
         }
       }
@@ -2598,7 +2719,8 @@ final class MergeTable private (
     val vectored = live.filter(_.dv.isDefined)
     if (vectored.isEmpty) (CommitDelta(Nil, Nil), version)
     else {
-      val (_, entries) = writeData(readEntries(vectored))
+      val (_, entries) =
+        writeData(readForRewrite(vectored), allowHidden = true)
       (CommitDelta(entries, vectored.map(_.relPath)), version)
     }
   }
@@ -4132,7 +4254,11 @@ final class MergeTable private (
     val cloneDelta0 = CommitDelta(rebased, Nil,
       cAdds = (if (srcV == 0L) Nil else constraintsAt(srcV).toSeq),
       mRenames = srcRen.toSeq, mDrops = srcDrops.toSeq,
-      mSchema = (if (srcV == 0L) None else schemaAt(srcV)).map(_.json))
+      mSchema = (if (srcV == 0L) None else schemaAt(srcV)).map(_.json),
+      // the row-id high-water mark travels too: writes on the clone
+      // must never mint ids colliding with the carried files' ranges
+      rowIdHwm = (if (srcV == 0L) None
+                  else Some(metaAt(srcV).rowIdHwm).filter(_ > 0L)))
     val srcProto =
       if (srcV == 0L) (Set.empty[String], Set.empty[String])
       else metaAt(srcV).protocol
@@ -4463,6 +4589,108 @@ final class MergeTable private (
   private def readEntries(entries: Seq[FileEntry]): DataFrame =
     presentLogical(readEntriesPhys(entries))
 
+  /** Drop the materialized row-tracking columns wherever a
+    * footer-derived schema could surface them — they are engine state,
+    * never data ([[MergeTable.RidCol]]). Declared-schema reads never
+    * see them (the explicit scan schema omits them). */
+  private def dropHidden(df: DataFrame): DataFrame =
+    if (df.columns.exists(HiddenCols.contains)) df.drop(HiddenCols.toSeq: _*)
+    else df
+
+  /** PHYSICAL read of `entries` surfacing each row's ABSOLUTE row id
+    * and row commit version in [[MergeTable.RidCol]]/[[MergeTable.RcvCol]]:
+    * the scan schema includes the materialized columns (files without
+    * them read NULL), and NULL falls back to the manifest allotment —
+    * `base + row_index` for the id, the adding commit for the version
+    * — attached per file through a broadcast of numFiles metadata
+    * rows. Deletion vectors are anti-joined out at the scan like every
+    * tagged read. Every entry must carry an allotment. */
+  private def readEntriesRowIdsPhys(entries: Seq[FileEntry],
+      keep: Seq[String] = Nil): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val byDir = entries.groupBy(e => commitDirOf(e.relPath))
+    val (dataFields0, partFields) =
+      resolvePartFields(declaredSchema, byDir)
+    val longT = org.apache.spark.sql.types.LongType
+    val dataFields = dataFields0 ++ Seq(
+      org.apache.spark.sql.types.StructField(RidCol, longT),
+      org.apache.spark.sql.types.StructField(RcvCol, longT))
+    val base = spark.read
+      .schema(org.apache.spark.sql.types.StructType(dataFields))
+      .parquet(entries.map(e => root.resolve(e.relPath).toString): _*)
+      .withColumn(FileTag, fileTagExpr(col("_metadata.file_path")))
+      .withColumn(PosCol, col("_metadata.row_index"))
+    val restored =
+      if (partitionCols.nonEmpty && partFields.size == partitionCols.size) {
+        val joined = base.join(broadcast(partValueMap(entries, FileTag)),
+          Seq(FileTag), "left")
+        partitionCols.zip(partFields).foldLeft(joined) {
+          case (d, (pc, pf)) =>
+            val pv =
+              if (pf.dataType == org.apache.spark.sql.types.NullType)
+                lit(null)
+              else col(PvColPrefix + pc).cast(pf.dataType)
+            d.withColumn(pc, pv)
+        }
+      } else base
+    val masked = applyVectors(restored, entries)
+    val riSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(FileTag,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(RiBaseCol, longT),
+      org.apache.spark.sql.types.StructField(RiVerCol, longT)))
+    val riRows = entries.map { e =>
+      val ri = e.rowIds.getOrElse(throw new IllegalStateException(
+        s"MergeTable at $root: file ${e.relPath} carries no row-id " +
+          "allotment — row tracking must be enabled at table birth " +
+          "(withRowTracking before the first data commit)"))
+      org.apache.spark.sql.Row(fileKey(e.relPath), ri.base, ri.version)
+    }
+    val withIds = masked
+      .join(broadcast(spark.createDataFrame(riRows.asJava, riSchema)),
+        Seq(FileTag), "left")
+      .withColumn(RidCol,
+        coalesce(col(RidCol), col(RiBaseCol) + col(PosCol)))
+      .withColumn(RcvCol, coalesce(col(RcvCol), col(RiVerCol)))
+    val visible = dataFields0.map(_.name) ++
+      (if (partFields.size == partitionCols.size) partitionCols else Nil)
+    withIds.select(
+      (visible ++ Seq(RidCol, RcvCol) ++ keep).map(col): _*)
+  }
+
+  /** The table with two extra columns, Delta's row-tracking surface:
+    * `row_id` — a 64-bit identity minted when the row's file was
+    * committed, UNIQUE over the table's whole history (never reused,
+    * even across deletes and vacuum) and STABLE across every
+    * content-preserving reorganization (the OPTIMIZE family
+    * materializes it through rewrites; DV-based DELETE/UPDATE never
+    * move surviving rows) — and `row_commit`, the version that last
+    * wrote the row's bytes. Copy-on-write DML mints fresh ids for the
+    * rows it rewrites (Delta's contract without
+    * `rowTracking.preserved`). This is what incremental consumers key
+    * on at 100 TB: a stable join key per row that survives OPTIMIZE,
+    * which no expression over row CONTENT (and no
+    * `monotonically_increasing_id`) can provide. */
+  def readWithRowIds(): DataFrame = {
+    val (_, live) = latest()
+    if (live.isEmpty)
+      return readEntries(live)
+        .withColumn("row_id", lit(null).cast("long"))
+        .withColumn("row_commit", lit(null).cast("long"))
+    presentLogical(readEntriesRowIdsPhys(live))
+      .withColumnRenamed(RidCol, "row_id")
+      .withColumnRenamed(RcvCol, "row_commit")
+  }
+
+  /** Rewrite-side read for the OPTIMIZE family: on a row-tracked
+    * snapshot, carry each row's absolute id/version as the MATERIALIZED
+    * physical columns so [[writeData]] persists them through the
+    * rewrite; otherwise the plain logical read. */
+  private def readForRewrite(entries: Seq[FileEntry]): DataFrame =
+    if (entries.nonEmpty && entries.forall(_.rowIds.isDefined))
+      presentLogical(readEntriesRowIdsPhys(entries))
+    else readEntries(entries)
+
   /** The PHYSICAL schema [[readEntriesPhysWith]] would produce for
     * `entries`, computed from (memoized) metadata alone — no throwaway
     * scan plan over the live paths. r13's LogDepthBench: at 1000 live
@@ -4478,7 +4706,9 @@ final class MergeTable private (
     val byDir = entries.groupBy(e => commitDirOf(e.relPath))
     if (declared.isEmpty && byDir.size == 1) {
       val (dir, es) = byDir.head
-      return dirSchema(dir, es)
+      return org.apache.spark.sql.types.StructType(
+        dirSchema(dir, es).fields.filterNot(f =>
+          HiddenCols.contains(f.name)))
     }
     val (dataFields, partFields) = resolvePartFields(declared, byDir)
     if (partitionCols.nonEmpty && partFields.size == partitionCols.size)
@@ -4529,7 +4759,7 @@ final class MergeTable private (
           "run compact() to coalesce small files")
     if (declared.isEmpty && byDir.size == 1) {
       val (dir, es) = byDir.head
-      return hiveRead(dir, es)
+      return dropHidden(hiveRead(dir, es))
     }
     // ONE scan node regardless of commit-dir count (a long merge history
     // previously contributed one scan node per live dir, degrading every
@@ -4584,7 +4814,8 @@ final class MergeTable private (
       val dirSchemas = byDir.toSeq.sortBy(_._1)
         .map { case (dir, es) => dirSchema(dir, es) }
       (dirSchemas.flatMap(_.fields)
-        .filterNot(f => partitionCols.contains(f.name))
+        .filterNot(f => partitionCols.contains(f.name) ||
+          HiddenCols.contains(f.name))
         .foldLeft(Vector.empty[org.apache.spark.sql.types.StructField]) {
           (acc, f) => if (acc.exists(_.name == f.name)) acc else acc :+ f
         },
@@ -4655,7 +4886,9 @@ final class MergeTable private (
     val (restored, dataCols): (DataFrame, Seq[String]) =
       if (declared.isEmpty && byDir.size == 1) {
         val df = tagged(hiveRead(byDir.head._1, byDir.head._2))
-        (df, df.columns.filterNot(Set(FileTag, PosCol)).toSeq)
+        (df, df.columns
+          .filterNot(c => c == FileTag || c == PosCol ||
+            HiddenCols.contains(c)).toSeq)
       } else {
         val (dataFields, partFields) = resolvePartFields(declared, byDir)
         val base = tagged(spark.read
@@ -4909,7 +5142,7 @@ object MergeTable {
     * into a fast, explicit refusal. */
   val SupportedReaderFeatures: Set[String] = Set(
     "deletionVectors", "columnMapping", "declaredSchema",
-    "inCommitTimestamp", "bloomIndex", "typeWidening")
+    "inCommitTimestamp", "bloomIndex", "typeWidening", "rowTracking")
 
   /** Writer features THIS build implements. Write-side semantics a
     * reader may ignore (constraints are enforced at write time;
@@ -4980,6 +5213,22 @@ object MergeTable {
   /** Manifest token prefix for a file's bloom-index ref:
     * `bf=<relDir>,<m>,<colA+colB>`. */
   private val BfTok = "bf="
+  /** Manifest token prefix for a file's row-tracking allotment:
+    * `ri=<base>,<rows>,<addVersion>` (see [[RowIdInfo]]). */
+  private val RiTok = "ri="
+  /** MATERIALIZED row-tracking columns (Delta's materialized row-ID /
+    * row-commit-version columns): content-preserving rewrites write the
+    * absolute id / commit version physically so they survive the rows'
+    * change of file and position. HIDDEN from every plain read — they
+    * exist in footers but never in a read schema — and surfaced only by
+    * [[MergeTable.readWithRowIds]] (as `row_id` / `row_commit`). */
+  private[lake] val RidCol = "_graft_rid"
+  private[lake] val RcvCol = "_graft_rcv"
+  private val HiddenCols = Set(RidCol, RcvCol)
+  /** Broadcast attach-frame column names for the per-file row-id
+    * allotment ([[RowIdInfo.base]] / [[RowIdInfo.version]]). */
+  private val RiBaseCol = "__graft_ri_base"
+  private val RiVerCol = "__graft_ri_ver"
   /** Columns of a bloom-index parquet: the [[fileKey]] of the data
     * file, the indexed column name, the 64-bit word index, and the
     * word's bits. Sparse — only non-zero words are stored, and a probe
@@ -5076,11 +5325,23 @@ object MergeTable {
     * vector per file. */
   private[lake] final case class DvRef(relDir: String, card: Long)
 
+  /** A file's row-tracking allotment (Delta's row-ID table feature):
+    * `base` is the first fresh row id this file may mint — a row whose
+    * materialized [[RidCol]] is NULL reads `base + row_index` — `rows`
+    * the file's footer row count (the allotment width), and `version`
+    * the commit that added the file (the default row-commit-version a
+    * NULL [[RcvCol]] falls back to, Delta's defaultRowCommitVersion).
+    * Rewrites that MATERIALIZE every row's id carry the token too; its
+    * fallback range simply goes unused. */
+  private[lake] final case class RowIdInfo(base: Long, rows: Long,
+      version: Long)
+
   private[lake] final case class FileEntry(relPath: String,
       partitionValue: Option[String],
       stats: Map[String, ColStat] = Map.empty,
       dv: Option[DvRef] = None,
-      bloom: Option[BloomRef] = None)
+      bloom: Option[BloomRef] = None,
+      rowIds: Option[RowIdInfo] = None)
 
   /** A file's bloom-filter index ref: the root-relative parquet dir
     * holding its sparse bloom words (`(file, col, word, bits)` rows —
@@ -5103,7 +5364,8 @@ object MergeTable {
       mDrops: Seq[String] = Nil,
       txns: Seq[(String, Long)] = Nil,
       mSchema: Option[String] = None,
-      protocol: Option[(Set[String], Set[String])] = None)
+      protocol: Option[(Set[String], Set[String])] = None,
+      rowIdHwm: Option[Long] = None)
 
   /** The Hilbert xy2d fold as one SQL expression over 16-bit inputs
     * `xSql`/`ySql`: a codegen'd `aggregate` HOF over the bit levels
@@ -5149,6 +5411,12 @@ object MergeTable {
   private final case class SetSchema(json: String) extends LogAction
   private final case class Protocol(reader: Set[String],
       writer: Set[String]) extends LogAction
+  /** Row-id high-water mark: "W hwm" — MAX-folded (concurrent or
+    * replayed allocators can only observe a mark at least as high as
+    * any committed one); checkpoint-carried so vacuum never loses it
+    * and ids are NEVER reused, even after every allocated-to file is
+    * removed. */
+  private final case class SetRowIdHwm(hwm: Long) extends LogAction
 
   /** Open (or lazily create on first write) a table at `root`.
     * `statsCol` names a long-castable column whose per-file min/max is

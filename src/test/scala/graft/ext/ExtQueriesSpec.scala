@@ -144,6 +144,37 @@ class ExtQueriesSpec extends SparkSpec {
     assert(flagged.forall(r => !evalIds.contains(r.getAs[Long]("doc_id"))))
   }
 
+  test("substrDedup finds maximal cross-doc spans at any offset, " +
+    "ignores within-doc repeats") {
+    val d = tmpDir("substr")
+    val S = (1 to 22).map(i => s"s$i")         // the planted 22-token run
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val docA = words("p", 5) ++ S ++ words("q", 5)          // S at offset 6
+    val docB = words("r", 3) ++ S ++ words("t", 8)          // S at offset 4
+    val v = words("v", 20)
+    val docC = v ++ words("m", 3) ++ v                      // within-doc only
+    val docD = words("z", 25)                               // unrelated
+    val docE = S.take(20) ++ words("x", 10) ++ S.drop(2)    // two islands
+    Seq(0L -> docA, 1L -> docB, 2L -> docC, 3L -> docD, 4L -> docE)
+      .map { case (id, ts) =>
+        (id, ts.mkString(" "), "en", "srcS", ts.mkString(" ").length.toLong)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val spans = DedupQueries.substrDedup(spark, d.toString).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_tokens"), r.getAs[Long]("n_windows"))).toSet
+    // S is 22 tokens → 3 windows per full copy, merged into ONE maximal
+    // span; docE carries two 20-token fragments split by noise → TWO
+    // islands; the within-doc repeat (docC) and the unrelated doc (docD)
+    // must be absent under the cross-doc rule
+    assert(spans === Set(
+      (0L, 6L, 22L, 3L),
+      (1L, 4L, 22L, 3L),
+      (4L, 1L, 20L, 1L),
+      (4L, 31L, 20L, 1L)))
+  }
+
   test("dedupClusters collapses the transitive near-dup chain to one root") {
     // planted pairs are (0,1), (0,2), (1,2) → one cluster rooted at 0
     val rows = DedupQueries.dedupClusters(spark, dir).collect()

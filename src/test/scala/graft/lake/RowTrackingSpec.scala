@@ -1,0 +1,172 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** ROW TRACKING (Delta's row-ID table feature): every data commit
+  * allots fresh, never-reused 64-bit row ids from a log-carried
+  * high-water mark; `readWithRowIds` surfaces them with each row's
+  * last-write commit version; the OPTIMIZE family materializes ids
+  * physically so reorganizations never change a row's identity. */
+class RowTrackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(t: MergeTable): Map[String, (Long, Long)] =
+    t.readWithRowIds().collect()
+      .map(r => r.getAs[String]("id") ->
+        (r.getAs[Long]("row_id"), r.getAs[Long]("row_commit")))
+      .toMap
+
+  test("appends mint unique contiguous-per-commit ids with the adding " +
+      "version; the table auto-stamps the reader feature") {
+    val t = MergeTable(spark, tmpDir("rt").toString, Some("p"))
+      .withRowTracking
+    t.append(Seq(("a", "x"), ("b", "x"), ("c", "y")).toDF("id", "p"))
+    assert(t.readWithRowIds().columns.takeRight(2).toSeq ===
+      Seq("row_id", "row_commit"))
+    t.append(Seq(("d", "y"), ("e", "z")).toDF("id", "p"))
+    val m = ids(t)
+    assert(m.values.map(_._1).toSeq.sorted === Seq(0L, 1L, 2L, 3L, 4L),
+      "ids are dense from zero across commits, no collisions")
+    assert(Set("a", "b", "c").map(m(_)._2) === Set(1L))
+    assert(Set("d", "e").map(m(_)._2) === Set(2L))
+    assert(t.protocol._1.contains("rowTracking"),
+      "first tracked commit stamps the READER feature")
+    // the hidden columns never leak into a plain read
+    assert(!t.read().columns.exists(_.startsWith("_graft_r")))
+  }
+
+  test("the OPTIMIZE family preserves every row's id and commit " +
+      "version through rewrites") {
+    val t = MergeTable(spark, tmpDir("rt").toString, Some("p"))
+      .withRowTracking
+    t.append(Seq(("a", "x", 1), ("b", "x", 2)).toDF("id", "p", "n"))
+    t.append(Seq(("c", "x", 3), ("d", "y", 4)).toDF("id", "p", "n"))
+    val before = ids(t)
+    val filesBefore = t.liveEntries().map(_.relPath).toSet
+
+    t.compact()
+    assert(t.liveEntries().map(_.relPath).toSet !== filesBefore,
+      "compact really rewrote the files")
+    assert(ids(t) === before, "compact changed no row's identity")
+
+    t.zorder(Seq("n"))
+    assert(ids(t) === before, "zorder changed no row's identity")
+
+    t.compactWhere(col("p") === lit("x"), filesPerPartition = 1)
+    assert(ids(t) === before, "scoped optimize changed no row's identity")
+
+    // bin-packing: write two small files into one partition, pack them
+    t.append(Seq(("e", "x", 5)).toDF("id", "p", "n"))
+    t.append(Seq(("f", "x", 6)).toDF("id", "p", "n"))
+    val withTail = ids(t)
+    t.compactSmall(targetBytes = 1L << 20)
+    assert(ids(t) === withTail, "bin-packing changed no row's identity")
+    // a plain read after materialized rewrites still hides the columns
+    assert(!t.read().columns.exists(_.startsWith("_graft_r")))
+  }
+
+  test("ids are never reused: delete-all + vacuum + checkpoint still " +
+      "advance the high-water mark") {
+    val t = MergeTable(spark, tmpDir("rt").toString, None)
+      .withRowTracking
+    t.append(Seq(("a", 1), ("b", 2), ("c", 3)).toDF("id", "n"))
+    t.delete(col("n") > 0) // removes every file
+    t.vacuum(0L)           // prunes history onto a checkpoint
+    t.append(Seq(("z", 9)).toDF("id", "n"))
+    val m = ids(t)
+    assert(m.keySet === Set("z"))
+    assert(m("z")._1 >= 3L,
+      s"id ${m("z")._1} must sit above the pre-delete high-water mark")
+  }
+
+  test("DV-based DELETE keeps surviving rows' ids in place; " +
+      "copy-on-write UPDATE mints fresh ids for rewritten rows") {
+    val dv = MergeTable(spark, tmpDir("rt").toString, None, Nil,
+      deletionVectors = true).withRowTracking
+    dv.append(Seq(("a", 1), ("b", 2), ("c", 3)).toDF("id", "n"))
+    val before = ids(dv)
+    dv.delete(col("id") === lit("b"))
+    val after = ids(dv)
+    assert(after.keySet === Set("a", "c"))
+    assert(after("a") === before("a") && after("c") === before("c"),
+      "rows untouched by a DV delete keep id AND version")
+
+    val cow = MergeTable(spark, tmpDir("rt").toString, None)
+      .withRowTracking
+    cow.append(Seq(("a", 1), ("b", 2)).toDF("id", "n"))
+    val pre = ids(cow)
+    cow.update(col("id") === lit("a"), Map("n" -> lit(7)))
+    val post = ids(cow)
+    assert(post("a")._1 !== pre("a")._1,
+      "a copy-on-write rewrite mints fresh ids (Delta without " +
+        "rowTracking.preserved)")
+    assert(post.values.map(_._1).toSet.size === 2, "still unique")
+  }
+
+  test("RESTORE republishes the old files with their original ids") {
+    val t = MergeTable(spark, tmpDir("rt").toString, None)
+      .withRowTracking
+    t.append(Seq(("a", 1)).toDF("id", "n"))
+    val v1 = t.latestVersion()
+    val m1 = ids(t)
+    t.overwrite(Seq(("b", 2)).toDF("id", "n"))
+    t.restore(v1)
+    assert(ids(t) === m1, "restore restored identity, not fresh ids")
+  }
+
+  test("a clone carries the high-water mark: its own writes never " +
+      "collide with carried ids") {
+    val src = MergeTable(spark, tmpDir("rt").toString, None)
+      .withRowTracking
+    src.append(Seq(("a", 1), ("b", 2)).toDF("id", "n"))
+    val clone = src.cloneTo(tmpDir("rtclone").resolve("c").toString)
+      .withRowTracking
+    clone.append(Seq(("z", 9)).toDF("id", "n"))
+    val m = ids(clone)
+    assert(m.values.map(_._1).toSet.size === 3, "no id collisions")
+    assert(m("z")._1 >= 2L, "the clone allotted above the carried mark")
+    assert(m("a") === ids(src)("a"), "carried rows keep source identity")
+  }
+
+  test("mixed tables are refused; the reserved column names are " +
+      "refused on user writes; untracked tables are untouched") {
+    val t0 = MergeTable(spark, tmpDir("rt").toString, None)
+    t0.append(Seq(("a", 1)).toDF("id", "n")) // untracked commit
+    val t = MergeTable(spark, t0.root.toString, None).withRowTracking
+    t.append(Seq(("b", 2)).toDF("id", "n"))  // tracked commit
+    val e = intercept[IllegalStateException](t.readWithRowIds().collect())
+    assert(e.getMessage.contains("row tracking"))
+
+    val u = MergeTable(spark, tmpDir("rt").toString, None)
+    intercept[IllegalArgumentException](
+      u.append(Seq(("a", 1L)).toDF("id", "_graft_rid")))
+    u.append(Seq(("a", 1)).toDF("id", "n"))
+    assert(u.liveEntries().forall(_.rowIds.isEmpty),
+      "no allotment without the feature")
+    assert(u.protocol._1.isEmpty)
+  }
+
+  test("concurrent appends allot disjoint ids (rebase re-allots " +
+      "against the new head)") {
+    val root = tmpDir("rt").toString
+    MergeTable(spark, root, None).withRowTracking
+      .append(Seq(("seed", 0)).toDF("id", "n"))
+    val threads = (1 to 6).map { i =>
+      new Thread(() => {
+        MergeTable(spark, root, None).withRowTracking
+          .append(Seq((s"t$i-a", i), (s"t$i-b", i)).toDF("id", "n"))
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val t = MergeTable(spark, root, None).withRowTracking
+    val allIds = t.readWithRowIds().select("row_id").as[Long].collect()
+    assert(allIds.length === 13)
+    assert(allIds.toSet.size === 13,
+      "every concurrently-allotted id is globally unique")
+    assert(t.readWithRowIds().select("row_id", "row_commit").collect()
+      .forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+  }
+}
