@@ -54,13 +54,33 @@ object IncrementalJoin {
     * and dangling probe use the dim snapshot at `dimToV` and the fact
     * probe reads the snapshot at `factToV`, so a refresh replayed after
     * later commits still reproduces the window's view state. */
+  /** Cache AND materialize now — the Δ-scale relations below sit on
+    * multiple join sides plus emptiness/merge passes, and each is a
+    * lazily-recomputed CDF diff (a full-outer join over changed
+    * partitions); uncached, the diffs re-ran 5+ times per refresh. At
+    * 100 TB these are exactly the Δ intermediates a view-maintenance
+    * job persists. */
+  private def eager(df: DataFrame): DataFrame = {
+    df.cache(); df.count(); df
+  }
+
   def refresh(view: MergeTable, facts: MergeTable, dims: MergeTable,
       pk: String, jk: String,
       factFromV: Long, factToV: Long,
       dimFromV: Long, dimToV: Long): Long = {
     val ct = MergeTable.ChangeType
-    val dFact = facts.changes(factFromV, factToV, pk)
-    val dDim = dims.changes(dimFromV, dimToV, jk)
+    val dFact = eager(facts.changes(factFromV, factToV, pk))
+    val dDim = eager(dims.changes(dimFromV, dimToV, jk))
+    try refreshCached(view, facts, dims, pk, jk, factToV, dimToV,
+      dFact, dDim)
+    finally { dFact.unpersist(); dDim.unpersist() }
+  }
+
+  private def refreshCached(view: MergeTable, facts: MergeTable,
+      dims: MergeTable, pk: String, jk: String,
+      factToV: Long, dimToV: Long,
+      dFact: DataFrame, dDim: DataFrame): Long = {
+    val ct = MergeTable.ChangeType
     val dims1 = dims.readVersion(dimToV)
 
     // Fact-side: post-image rows recompute their own view rows.
@@ -92,19 +112,23 @@ object IncrementalJoin {
     val probed = probedBase
       .join(dFact.select(col(pk)).distinct(), Seq(pk), "left_anti")
 
-    val candidates = changedFactRows.unionByName(probed)
-    val joined = candidates.join(dims1, Seq(jk), "inner")
-      .withColumn(ct, lit("update_postimage"))
-    // Inner-join semantics: a candidate with no current dim row must
-    // not be in the view — covers dim deletes AND fact updates that
-    // moved jk to a dangling key.
-    val dangling = candidates.join(dims1, Seq(jk), "left_anti")
-      .select(col(pk)).withColumn(ct, lit("delete"))
-    val deletes = factDeletePks.withColumn(ct, lit("delete"))
-      .unionByName(dangling)
+    // candidates sits on TWO join sides (the re-join and the dangling
+    // anti-join) and includes the probe read — cache it too
+    val candidates = eager(changedFactRows.unionByName(probed))
+    try {
+      val joined = candidates.join(dims1, Seq(jk), "inner")
+        .withColumn(ct, lit("update_postimage"))
+      // Inner-join semantics: a candidate with no current dim row must
+      // not be in the view — covers dim deletes AND fact updates that
+      // moved jk to a dangling key.
+      val dangling = candidates.join(dims1, Seq(jk), "left_anti")
+        .select(col(pk)).withColumn(ct, lit("delete"))
+      val deletes = factDeletePks.withColumn(ct, lit("delete"))
+        .unionByName(dangling)
 
-    val feed = joined.unionByName(deletes, allowMissingColumns = true)
-    if (feed.isEmpty) view.latestVersion()
-    else view.mergeCdc(feed, pk)
+      val feed = joined.unionByName(deletes, allowMissingColumns = true)
+      if (feed.isEmpty) view.latestVersion()
+      else view.mergeCdc(feed, pk)
+    } finally candidates.unpersist()
   }
 }
