@@ -105,6 +105,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_changes"),
       new ExpressionInfo(graft.sql.GraftSql.getClass.getName, "graft_changes"),
       graft.sql.GraftSql.changesFunction))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_rows"),
+      new ExpressionInfo(graft.sql.GraftSql.getClass.getName, "graft_rows"),
+      graft.sql.GraftSql.rowsFunction))
     ext.injectFunction((
       FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),

@@ -1122,6 +1122,24 @@ object GraftSql {
     val toV = lit(args(3)).asInstanceOf[Number].longValue()
     t.changes(fromV, toV, pk).queryExecution.logical
   }
+
+  /** The `graft_rows(name)` table-valued function — the ROW-TRACKING
+    * read surface as SQL ([[MergeTable.readWithRowIds]]): the table's
+    * columns plus `row_id` (the stable, never-reused 64-bit row
+    * identity) and `row_commit` (the version that last wrote the row's
+    * bytes). Requires a row-tracked table (enabled at birth via
+    * `withRowTracking`); same literal-argument / analysis-time
+    * resolution contract as `graft_table`. */
+  def rowsFunction(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1, "graft_rows(name) takes 1 argument")
+    require(args.head.foldable,
+      s"graft_rows arguments must be literals, got ${args.head}")
+    val name = String.valueOf(args.head.eval())
+    val t = table(name).getOrElse(throw new IllegalArgumentException(
+      s"graft_rows: no table registered as '$name' — call " +
+        "GraftSql.register first"))
+    t.readWithRowIds().queryExecution.logical
+  }
 }
 
 /** `DESCRIBE HISTORY <name>` — the commit log as a result set

@@ -53,6 +53,27 @@ class OccRebaseSpec extends SparkSpec {
     assert(t.latestVersion() === 3L, "both commits landed, versions dense")
   }
 
+  test("a row-tracked append losing to a concurrent row-tracked append " +
+      "REBASES, and the republication re-allots disjoint ids") {
+    val root = tmpDir("occ").toString
+    MergeTable(spark, root, Some("date")).withRowTracking
+      .overwrite(orders(("o1", "d1", 1.0)))
+    val rival = MergeTable(spark, root, Some("date")).withRowTracking
+    val t = MergeTable(spark, root, Some("date")).withRowTracking
+      .withLogStore(sneaky(() =>
+        rival.append(orders(("o2", "d2", 2.0), ("o4", "d4", 4.0)))))
+    t.append(orders(("o3", "d3", 3.0)))
+    assert(t.occRebased.get() === 1L && t.occRecomputed.get() === 0L,
+      "a concurrent W (row-id watermark) action is not a foreign " +
+        "metadata conflict — the rebase path must still fire")
+    val ids = t.readWithRowIds()
+      .select("order_id", "row_id").as[(String, Long)].collect().toMap
+    assert(ids.values.toSet.size === 4,
+      "the republished allotment must not collide with the rival's")
+    assert(ids("o3") >= 3L,
+      "the loser re-allots ABOVE the winner's advanced high-water mark")
+  }
+
   test("merge losing to a concurrent OPTIMIZE of an UNTOUCHED partition " +
       "REBASES — the compaction is content-preserving and disjoint") {
     val root = tmpDir("occ").toString

@@ -148,6 +148,21 @@ class RowTrackingSpec extends SparkSpec {
     assert(u.protocol._1.isEmpty)
   }
 
+  test("graft_rows TVF surfaces row_id/row_commit in SQL") {
+    val t = MergeTable(spark, tmpDir("rt").toString, None)
+      .withRowTracking
+    t.append(Seq(("a", 1), ("b", 2)).toDF("id", "n"))
+    graft.sql.GraftSql.register("t_rt", t)
+    try {
+      val rows = spark.sql(
+        "SELECT id, row_id, row_commit FROM graft_rows('t_rt') " +
+          "ORDER BY row_id").collect()
+      assert(rows.map(_.getString(0)).toSet === Set("a", "b"))
+      assert(rows.map(_.getLong(1)).toSet === Set(0L, 1L))
+      assert(rows.forall(_.getLong(2) === 1L))
+    } finally graft.sql.GraftSql.unregister("t_rt")
+  }
+
   test("concurrent appends allot disjoint ids (rebase re-allots " +
       "against the new head)") {
     val root = tmpDir("rt").toString
