@@ -91,6 +91,7 @@ object SparkEntry {
     // r14 — exact-substring dedup: maximal verbatim ≥20-token shared
     // spans via rolling window fingerprints (the ExactSubstr shape)
     "q_substr_dedup"    -> (DedupQueries.substrDedup _),
+    "q_substr_clean"    -> (DedupQueries.substrClean _),
     "q_doc_simjoin"     -> (DedupQueries.docSimjoin _),
     "q_text_repetition" -> (TextQueries.textRepetition _),
     "q_doc_sample"      -> (TextQueries.docSample _),
@@ -574,6 +575,7 @@ object SparkEntry {
     "q_doc_simjoin" -> DedupQueries.docSimjoinOracle,
     "q_chunk_dedup"   -> DedupQueries.chunkDedupOracle,
     "q_substr_dedup"  -> DedupQueries.substrDedupOracle,
+    "q_substr_clean"  -> DedupQueries.substrCleanOracle,
     "q_doc_sample" ->
       """SELECT doc_id, lang,
                ('0x' || substr(md5(doc_id || ':sample'), 1, 8))::BIGINT % 100

@@ -368,6 +368,66 @@ object DedupQueries {
         col("n_windows"))
   }
 
+  /** Tier 9b — EXACT SUBSTRING dedup APPLIED (the transformation the
+    * ExactSubstr paper actually ships): excise every duplicated
+    * k-token window from every document EXCEPT the span's earliest
+    * carrier (min doc_id per fingerprint keeps its copy), then
+    * reassemble each document from its surviving tokens. One row per
+    * document: original token count, tokens removed, and the md5 of
+    * the cleaned text (the narrow proof of the reassembly — carrying
+    * megabytes of cleaned text through the gate would test IO, not
+    * the operator).
+    *
+    * Scale shape: same O(total tokens) narrow relations as
+    * [[substrDedup]] plus one covered-position explode (≤ k rows per
+    * removed window, distinct-folded) and one anti-join of token
+    * positions against it; the reassembly is a per-doc sort inside one
+    * aggregate — bounded by a single document's length at any corpus
+    * size. */
+  def substrClean(s: SparkSession, d: String): DataFrame = {
+    val k = SubstrK
+    val toks = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val win = toks
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(1, size(toks) - ${k - 1}),
+                i -> md5(concat_ws(' ', slice(toks, i, $k))))"""))
+          .as(Seq("off", "fp")))
+      .select(col("doc_id"), (col("off") + 1).cast("long").as("pos"),
+        col("fp"))
+    // the span's earliest carrier keeps its copy; every other carrier's
+    // windows are excised (the paper's keep-one discipline)
+    val owners = win.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("owner"), max(col("doc_id")).as("hi"))
+      .filter(col("owner") =!= col("hi"))
+      .select(col("fp"), col("owner"))
+    val removed = win.join(owners, Seq("fp"))
+      .filter(col("doc_id") > col("owner"))
+      .select(col("doc_id"), col("pos"))
+    val covered = removed
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${k - 1})")).as("tp"))
+      .distinct()
+    val tokPos = toks.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("tp0", "tok")))
+      .select(col("doc_id"), (col("tp0") + 1).cast("long").as("tp"),
+        col("tok"))
+    val kept = tokPos.join(covered, Seq("doc_id", "tp"), "left_anti")
+    val cleaned = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(tp, tok))), x -> x.tok)")))
+          .as("clean_fp"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("clean_fp"), md5(lit(""))).as("clean_fp"))
+  }
+
   /** (doc_id, fp) for every fixed 10-token chunk — the narrow chunk
     * relation shared by [[chunkDedup]] and [[decontaminate]]. */
   private def chunked(s: SparkSession, d: String): DataFrame =
@@ -667,6 +727,40 @@ object DedupQueries {
               count(*) AS n_windows
        FROM isl GROUP BY doc_id, grp
        ORDER BY doc_id, span_start"""
+  }
+
+  /** DuckDB oracle for [[substrClean]] — identical windows, owner
+    * rule, covered-position union, anti-join, and ordered reassembly
+    * (`string_agg(tok, ' ' ORDER BY tp)` ≡ the sorted-collect
+    * concat). */
+  val substrCleanOracle: String = {
+    val k = SubstrK
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+       w AS (SELECT doc_id, i AS pos,
+               md5(array_to_string(toks[i:i + ${k - 1}], ' ')) AS fp
+             FROM t, UNNEST(generate_series(1, len(toks) - ${k - 1}))
+                     AS u(i)
+             WHERE len(toks) >= $k),
+       o AS (SELECT fp, min(doc_id) AS owner FROM w GROUP BY fp
+             HAVING min(doc_id) <> max(doc_id)),
+       rem AS (SELECT w.doc_id, w.pos FROM w JOIN o USING (fp)
+               WHERE w.doc_id > o.owner),
+       cov AS (SELECT DISTINCT doc_id, u.tp
+               FROM rem, UNNEST(generate_series(pos, pos + ${k - 1}))
+                         AS u(tp)),
+       tp AS (SELECT doc_id, i AS tp, toks[i] AS tok
+              FROM t, UNNEST(generate_series(1, len(toks))) AS u(i)),
+       kept AS (SELECT tp.* FROM tp ANTI JOIN cov USING (doc_id, tp)),
+       cl AS (SELECT doc_id, count(*) AS n_kept,
+                md5(string_agg(tok, ' ' ORDER BY tp)) AS clean_fp
+              FROM kept GROUP BY doc_id)
+       SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+              CAST(len(toks) - coalesce(n_kept, 0) AS BIGINT)
+                AS n_removed,
+              coalesce(clean_fp, md5('')) AS clean_fp
+       FROM t LEFT JOIN cl ON t.doc_id = cl.doc_id
+       ORDER BY t.doc_id"""
   }
 
   private val shingledCte =

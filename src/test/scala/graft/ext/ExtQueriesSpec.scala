@@ -175,6 +175,36 @@ class ExtQueriesSpec extends SparkSpec {
       (4L, 31L, 20L, 1L)))
   }
 
+  test("substrClean excises duplicated spans everywhere but the " +
+    "earliest carrier and reassembles the survivors in order") {
+    val d = tmpDir("substrclean")
+    val S = (1 to 22).map(i => s"s$i")
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val docA = words("p", 5) ++ S ++ words("q", 5)
+    val docB = words("r", 3) ++ S ++ words("t", 8)
+    val docE = S.take(20) ++ words("x", 10) ++ S.drop(2)
+    Seq(0L -> docA, 1L -> docB, 4L -> docE)
+      .map { case (id, ts) =>
+        (id, ts.mkString(" "), "en", "srcC", ts.mkString(" ").length.toLong)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    def md5Of(s2: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s2.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = DedupQueries.substrClean(spark, d.toString).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_fp"))).toMap
+    // the earliest carrier keeps its copy verbatim
+    assert(rows(0L) === (32L, 0L, md5Of(docA.mkString(" "))))
+    // docB loses exactly the 22-token S copy, survivors stay in order
+    assert(rows(1L) === (33L, 22L,
+      md5Of((words("r", 3) ++ words("t", 8)).mkString(" "))))
+    // docE loses both fragments (covered unions fold the overlap)
+    assert(rows(4L) === (50L, 40L, md5Of(words("x", 10).mkString(" "))))
+  }
+
   test("dedupClusters collapses the transitive near-dup chain to one root") {
     // planted pairs are (0,1), (0,2), (1,2) → one cluster rooted at 0
     val rows = DedupQueries.dedupClusters(spark, dir).collect()
