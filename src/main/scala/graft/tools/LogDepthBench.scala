@@ -28,12 +28,16 @@ import org.apache.spark.sql.SparkSession
   *     (linear, ~2 lines each) + `keep` checkpoints.
   *
   * Usage: runMain graft.tools.LogDepthBench [maxCommits] [ckptRetainMs]
+  * [rowTracking(0|1)] — the third arg enables withRowTracking so the
+  * per-commit allotment cost (one footer read per fresh file + the W
+  * action) shows up in the same append_ms column.
   * (retainMs default 0 — prune superseded immediately past the keep
   * set, the deterministic bench shape; production default is 10 min) */
 object LogDepthBench {
   def main(args: Array[String]): Unit = {
     val maxN = args.headOption.map(_.toInt).getOrElse(10000)
     val retainMs = args.drop(1).headOption.map(_.toLong).getOrElse(0L)
+    val rowTrack = args.drop(2).headOption.exists(_ == "1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -42,8 +46,9 @@ object LogDepthBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     val root = Files.createTempDirectory("graft_logdepth").toString
-    val t = MergeTable(spark, root, Some("p"), Some("k"))
+    val t0 = MergeTable(spark, root, Some("p"), Some("k"))
       .withCheckpointRetention(retainMs = retainMs)
+    val t = if (rowTrack) t0.withRowTracking else t0
     val row = Seq((1L, "p0", 1L)).toDF("id", "p", "k")
     val marks = Seq(100, 500, 1000, 2000, 5000, 10000).filter(_ <= maxN)
     var n = 0

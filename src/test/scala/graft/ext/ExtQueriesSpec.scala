@@ -175,6 +175,61 @@ class ExtQueriesSpec extends SparkSpec {
       (4L, 31L, 20L, 1L)))
   }
 
+  test("substrDedup matches a brute-force span oracle on randomized " +
+    "corpora with planted shared runs") {
+    val k = 20
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val vocab = (1 to 30).map(i => s"w$i")
+      def rand(n: Int) = Vector.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      // base corpus + two planted runs spliced into overlapping homes
+      val runA = rand(k + 5)
+      val runB = rand(k)
+      val docs: Seq[(Long, Vector[String])] = (0 until 10).map { id =>
+        val base = rand(15 + rnd.nextInt(40))
+        val at = rnd.nextInt(base.size + 1)
+        val toks = id match {
+          case 1 | 8 => base.take(at) ++ runA ++ base.drop(at)
+          case 2     => base.take(at) ++ runB ++ base.drop(at)
+          // one doc carries BOTH runs back-to-back — adjacent spans
+          // must merge into one island
+          case 5     => base.take(at) ++ runA ++ runB ++ base.drop(at)
+          case _     => base
+        }
+        id.toLong -> toks
+      }
+      // brute-force oracle: every k-window keyed by its literal text,
+      // cross-doc-duplicated keys, per-doc gaps-and-islands merge
+      val wins = docs.flatMap { case (id, ts) =>
+        (1 to ts.size - k + 1).map(p =>
+          (id, p.toLong, ts.slice(p - 1, p - 1 + k).mkString(" ")))
+      }
+      val dupKeys = wins.groupBy(_._3)
+        .filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val expected = docs.flatMap { case (id, _) =>
+        val ps = wins.filter(w => w._1 == id && dupKeys(w._3))
+          .map(_._2).sorted
+        val islands = ps.foldLeft(Vector.empty[Vector[Long]]) { (acc, p) =>
+          if (acc.nonEmpty && acc.last.last == p - 1)
+            acc.init :+ (acc.last :+ p)
+          else acc :+ Vector(p)
+        }
+        islands.map(i =>
+          (id, i.head, i.last - i.head + k, i.size.toLong))
+      }.toSet
+      val d = tmpDir(s"substrprop$trial")
+      docs.map { case (id, ts) =>
+        (id, ts.mkString(" "), "en", "srcP", ts.mkString(" ").length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$d/documents.parquet")
+      val got = DedupQueries.substrDedup(spark, d.toString).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+          r.getAs[Long]("span_tokens"), r.getAs[Long]("n_windows"))).toSet
+      assert(got === expected, s"trial $trial")
+      assert(expected.nonEmpty, s"trial $trial planted runs must surface")
+    }
+  }
+
   test("substrClean excises duplicated spans everywhere but the " +
     "earliest carrier and reassembles the survivors in order") {
     val d = tmpDir("substrclean")
