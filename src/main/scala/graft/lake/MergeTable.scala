@@ -4606,11 +4606,16 @@ final class MergeTable private (
     * rows. Deletion vectors are anti-joined out at the scan like every
     * tagged read. Every entry must carry an allotment. */
   private def readEntriesRowIdsPhys(entries: Seq[FileEntry],
-      keep: Seq[String] = Nil): DataFrame = {
+      keep: Seq[String] = Nil): DataFrame =
+    readEntriesRowIdsPhysWith(entries, declaredSchema, keep)
+
+  private def readEntriesRowIdsPhysWith(entries: Seq[FileEntry],
+      declared: Option[org.apache.spark.sql.types.StructType],
+      keep: Seq[String]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val byDir = entries.groupBy(e => commitDirOf(e.relPath))
     val (dataFields0, partFields) =
-      resolvePartFields(declaredSchema, byDir)
+      resolvePartFields(declared, byDir)
     val longT = org.apache.spark.sql.types.LongType
     val dataFields = dataFields0 ++ Seq(
       org.apache.spark.sql.types.StructField(RidCol, longT),
@@ -4678,6 +4683,27 @@ final class MergeTable private (
         .withColumn("row_id", lit(null).cast("long"))
         .withColumn("row_commit", lit(null).cast("long"))
     presentLogical(readEntriesRowIdsPhys(live))
+      .withColumnRenamed(RidCol, "row_id")
+      .withColumnRenamed(RcvCol, "row_commit")
+  }
+
+  /** [[readWithRowIds]] under time travel: the snapshot AT `version`
+    * with each row's identity — ids are assigned AT COMMIT and ride
+    * the manifest, so a row visible at both versions carries the SAME
+    * `row_id` in both reads (the lineage key across history), and
+    * `row_commit` is at most `version` by construction. As-of schema
+    * and column mapping apply exactly as in [[readVersion]]. */
+  def readVersionWithRowIds(version: Long): DataFrame = {
+    val entries = snapshotAt(version)
+    val declared = if (version == 0L) None else schemaAt(version)
+    val mapping: (Map[String, String], Set[String]) =
+      if (version == 0L) (Map.empty, Set.empty) else mappingAt(version)
+    if (entries.isEmpty)
+      return readVersion(version)
+        .withColumn("row_id", lit(null).cast("long"))
+        .withColumn("row_commit", lit(null).cast("long"))
+    presentLogicalAs(
+      readEntriesRowIdsPhysWith(entries, declared, Nil), mapping)
       .withColumnRenamed(RidCol, "row_id")
       .withColumnRenamed(RcvCol, "row_commit")
   }

@@ -148,6 +148,27 @@ class RowTrackingSpec extends SparkSpec {
     assert(u.protocol._1.isEmpty)
   }
 
+  test("time travel carries row identity: a row visible at two " +
+      "versions has the SAME row_id in both reads") {
+    val t = MergeTable(spark, tmpDir("rt").toString, None)
+      .withRowTracking
+    t.append(Seq(("a", 1), ("b", 2)).toDF("id", "n"))
+    val v1 = t.latestVersion()
+    t.append(Seq(("c", 3)).toDF("id", "n"))
+    t.compact() // ids materialize through the rewrite
+    def at(v: Long): Map[String, (Long, Long)] =
+      t.readVersionWithRowIds(v).collect()
+        .map(r => r.getAs[String]("id") ->
+          (r.getAs[Long]("row_id"), r.getAs[Long]("row_commit"))).toMap
+    val m1 = at(v1)
+    val now = ids(t)
+    assert(m1.keySet === Set("a", "b"))
+    assert(now.keySet === Set("a", "b", "c"))
+    assert(m1("a") === now("a") && m1("b") === now("b"),
+      "identity is the lineage key ACROSS versions and rewrites")
+    assert(now.values.forall(_._2 <= t.latestVersion()))
+  }
+
   test("graft_rows TVF surfaces row_id/row_commit in SQL") {
     val t = MergeTable(spark, tmpDir("rt").toString, None)
       .withRowTracking
