@@ -202,6 +202,12 @@ object SparkEntry {
     "q_stream_replica"  -> (graft.streaming.StreamQueries.streamReplica _),
     // r11 — the streaming sink's exactly-once appends under the gate
     "q_stream_sink"     -> (graft.streaming.StreamQueries.streamSink _),
+    // r14 — watermarked streaming dedup (dropDuplicatesWithinWatermark):
+    // in-watermark re-deliveries suppressed, state evicted at the
+    // watermark horizon (beyond-horizon retry re-emits, by contract)
+    "q_stream_dedup"    -> (graft.streaming.StreamQueries.streamDedup _),
+    // r14 — FSCK: log-vs-storage repair after storage ate a partition
+    "q_fsck"            -> (graft.lake.LakeQueries.fsckRepair _),
     // §7.5 — multimodal binary columns (stub decode, real plumbing)
     "q_media_features"  -> ((s: SparkSession, d: String) =>
       ext.Multimodal.decoded(s, ext.Multimodal.mediaTable(Tables.documents(s, d)))),
@@ -874,6 +880,8 @@ object SparkEntry {
     "q_stream_ijoin"  -> graft.streaming.StreamQueries.streamIntervalJoinOracle,
     "q_stream_ojoin"  -> graft.streaming.StreamQueries.streamIntervalJoinOuterOracle,
     "q_stream_sessions_cs" -> graft.streaming.StreamQueries.streamSessionsCustomOracle,
+    "q_stream_dedup"  -> graft.streaming.StreamQueries.streamDedupOracle,
+    "q_fsck"          -> graft.lake.LakeQueries.fsckRepairOracle,
     "q_doc_pipeline"  -> ext.DocPipeline.pipelineOracle(),
     "q_corpus_pack"   -> ext.DocPipeline.assembledPacksOracle(),
     "q_corpus_curate" -> ext.DocPipeline.curatedPacksOracle(),

@@ -158,6 +158,52 @@ object LakeQueries {
        FROM orders
        ORDER BY o_orderkey"""
 
+  /** FSCK under the oracle gate (log-vs-storage repair, r14): a
+    * partitioned table loses one partition's data files BEHIND THE
+    * LOG'S BACK (the object-store lifecycle-policy / partial-restore
+    * shape), [[MergeTable.fsckDryRun]] names exactly the missing
+    * entries, [[MergeTable.fsck]] commits the repair, and the table
+    * reads clean with the surviving partitions — while the repair
+    * commit's own snapshot CHECKSUM verifies (the log still folds to
+    * what the repair published). The oracle is the surviving
+    * partitions' rows, so a fsck that dropped too much or too little
+    * hash-mismatches. */
+  def fsckRepair(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      substring(col("o_orderpriority"), 1, 1).as("pri"))
+    val root = scratch("graft_q_fsck")
+    val t = MergeTable(s, root, Some("pri"))
+    t.overwrite(base)
+    // storage eats every file of the '1' partition
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root))) { st =>
+      st.iterator().asScala.toSeq
+        .filter(p => p.toString.contains("pri=1") &&
+          p.toString.endsWith(".parquet"))
+        .foreach(java.nio.file.Files.delete)
+    }
+    val dry = t.fsckDryRun()
+    require(dry.nonEmpty && dry.forall(_.contains("pri=1")),
+      s"fsck dry run should name exactly the eaten partition, got $dry")
+    require(t.fsck() > 1L, "fsck should commit a repair")
+    require(t.fsckDryRun().isEmpty, "fsck should leave a clean table")
+    require(t.verifyChecksum(),
+      "the repair commit's snapshot checksum should verify")
+    // the hive layout re-infers the partition value's type on read
+    // (pri '2'..'5' → int); the gate compares STRINGS, so cast back
+    t.read().select(col("o_orderkey"), col("o_custkey"),
+      col("pri").cast("string").as("pri"))
+  }
+
+  val fsckRepairOracle: String =
+    """SELECT o_orderkey, o_custkey,
+              substr(o_orderpriority, 1, 1) AS pri
+       FROM orders
+       WHERE substr(o_orderpriority, 1, 1) <> '1'
+       ORDER BY o_orderkey"""
+
   /** Incremental MV maintenance under the oracle gate (X74 end-to-end):
     * a per-customer SUM/COUNT aggregate is materialized ONCE at v1 and
     * then maintained purely from the change feed across two commits —

@@ -341,10 +341,51 @@ final class MergeTable private (
       }
     }
 
+  /** Version-keyed snapshot memo. Exact for the same reason [[metaAt]]'s
+    * is: a committed version's snapshot is a pure function of the
+    * immutable published-log prefix (vacuum only makes OLD versions
+    * unreadable, never changes a readable one's content). LRU-bounded
+    * by entry count — a snapshot of a million-file table is tens of MB
+    * of driver metadata, so the memo keeps only the handful of versions
+    * a lifecycle actually alternates between (current + time-travel
+    * anchors); access-order eviction. Wins are direct: [[snapshotAt]]
+    * had ~12 call sites each re-folding checkpoint + deltas, and every
+    * commit now also derives a checksum from the same snapshot. */
+  private val snapMemo =
+    new java.util.LinkedHashMap[Long, Seq[FileEntry]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, Seq[FileEntry]]): Boolean =
+        size > SnapMemoMax
+    }
+
+  private def snapshotAt(v: Long): Seq[FileEntry] = {
+    val hit = snapMemo.synchronized(snapMemo.get(v))
+    if (hit != null) return hit
+    // incremental fold first: the sequential-commit shape (parent
+    // memoized, delta present) applies ONE delta — O(changed files)
+    // per commit instead of a checkpoint re-anchor's O(live) parse,
+    // which is what a 10k-commit streaming ingest pays per append
+    val prev =
+      if (v > 1L) snapMemo.synchronized(snapMemo.get(v - 1)) else null
+    val deltaP = logDir.resolve(f"$v%020d.txt")
+    val s =
+      if (prev != null && Files.exists(deltaP)) {
+        val base = mutable.LinkedHashMap(prev.map(e => e.relPath -> e): _*)
+        readLogFile(deltaP).foreach {
+          case Add(e)    => base.update(e.relPath, e)
+          case Remove(f) => base.remove(f)
+          case _         => ()
+        }
+        base.values.toSeq
+      } else snapshotAtUncached(v) // outside the lock: pure, so a
+    snapMemo.synchronized(snapMemo.put(v, s)) // racing double-compute
+    s                                         // is benign
+  }
+
   /** Snapshot reconstruction: newest checkpoint ≤ `v`, then fold the
     * commit deltas (ckpt, v]. Fails fast (instead of silently resolving a
     * partial snapshot) when a needed delta was pruned by [[vacuum]]. */
-  private def snapshotAt(v: Long): Seq[FileEntry] = {
+  private def snapshotAtUncached(v: Long): Seq[FileEntry] = {
     val ckpt = checkpointAtOrBelow(v)
     val base: mutable.LinkedHashMap[String, FileEntry] = mutable.LinkedHashMap(
       (if (ckpt == 0L) Seq.empty
@@ -867,24 +908,32 @@ final class MergeTable private (
     }
   }
 
+  /** The canonical log serialization of one file entry (the `A` line).
+    * Factored out of [[deltaBody]] because the snapshot CHECKSUM
+    * ([[writeCrc]]) hashes exactly this text per live entry — the crc
+    * is then a pure function of what the log itself records, and a
+    * checkpoint round-trip (parse + re-serialize) is byte-stable:
+    * optional tokens have a fixed order and stats sort by column. */
+  private def addLine(e: FileEntry): String = {
+    val base = s"A\t${e.relPath}\t${e.partitionValue.getOrElse(NoPartition)}" +
+      e.dv.fold("")(d => s"\t$DvTok${d.relDir},${d.card}") +
+      e.rowIds.fold("")(ri =>
+        s"\t$RiTok${ri.base},${ri.rows},${ri.version}") +
+      e.bloom.fold("")(b =>
+        s"\t$BfTok${b.relDir},${b.m},${b.cols.mkString("+")}")
+    if (e.stats.isEmpty) base
+    else base + e.stats.toSeq.sortBy(_._1).map { case (c, cs) =>
+      val r = cs.range.fold(":")(p => s"${p._1}:${p._2}")
+      cs.nullsRows match {
+        case Some((nn, rw)) => s"\t$c:$r:$nn:$rw"
+        case None           => s"\t$c:$r"
+      }
+    }.mkString
+  }
+
   private def deltaBody(delta: CommitDelta): String =
     (delta.removes.map(f => s"R\t$f") ++
-      delta.adds.map { e =>
-        val base = s"A\t${e.relPath}\t${e.partitionValue.getOrElse(NoPartition)}" +
-          e.dv.fold("")(d => s"\t$DvTok${d.relDir},${d.card}") +
-          e.rowIds.fold("")(ri =>
-            s"\t$RiTok${ri.base},${ri.rows},${ri.version}") +
-          e.bloom.fold("")(b =>
-            s"\t$BfTok${b.relDir},${b.m},${b.cols.mkString("+")}")
-        if (e.stats.isEmpty) base
-        else base + e.stats.toSeq.sortBy(_._1).map { case (c, cs) =>
-          val r = cs.range.fold(":")(p => s"${p._1}:${p._2}")
-          cs.nullsRows match {
-            case Some((nn, rw)) => s"\t$c:$r:$nn:$rw"
-            case None           => s"\t$c:$r"
-          }
-        }.mkString
-      } ++
+      delta.adds.map(addLine) ++
       delta.cDrops.map(n => s"D\t$n") ++
       delta.cAdds.map { case (n, pr) =>
         s"C\t$n\t" + java.util.Base64.getEncoder
@@ -950,8 +999,17 @@ final class MergeTable private (
           "\t" + b64.encodeToString(kv.getBytes("UTF-8"))
       }
     if (logStore.putIfAbsent(logDir.resolve(f"$v%020d.txt"),
-        header + "\n" + deltaBody(delta))) Some(v)
-    else None
+        header + "\n" + deltaBody(delta))) {
+      // snapshot checksum sidecar (Delta's .crc): derived, best-effort
+      // — the commit already SUCCEEDED, so a failed checksum write
+      // only costs verification coverage for this version
+      try writeCrc(v)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          logger.warn(s"checksum sidecar at $v skipped: $e")
+      }
+      Some(v)
+    } else None
   }
 
   /** The commit time of version `v`: its in-commit stamp when present,
@@ -1096,6 +1154,111 @@ final class MergeTable private (
       if (refoldable && aged) Files.deleteIfExists(p)
       else anchor = cv
     }
+  }
+
+  // ---- snapshot checksums (Delta's .crc / VERSION CHECKSUM) ---------------
+
+  private def crcPath(v: Long): Path = logDir.resolve(f"$v%020d.crc")
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Order-independent digest of a live entry set: XOR of the first
+    * 64 bits of md5 over each entry's canonical `A` line ([[addLine]]).
+    * XOR-folding makes the digest incremental-friendly and set-shaped —
+    * two snapshots match iff they carry the same entries with the same
+    * stats/dv/bloom/row-id state, regardless of fold order. */
+  private def entryXorOf(entries: Seq[FileEntry]): String = {
+    var acc = 0L
+    entries.foreach { e =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(addLine(e).getBytes("UTF-8"))
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      acc ^= h
+    }
+    f"$acc%016x"
+  }
+
+  /** The checksum-relevant state of version `v`, recomputed from the
+    * log: (live file count, entry-set digest, metadata digest, row-id
+    * high-water mark). The metadata digest covers every non-file fold
+    * family in CANONICAL (sorted) form, so it is independent of both
+    * log order and of whether the fold anchored on a checkpoint or
+    * replayed raw deltas. */
+  private def crcStateOf(v: Long): (Long, String, String, Long) = {
+    val entries = snapshotAt(v)
+    val m = metaAt(v)
+    val metaDump = (
+      m.constraints.toSeq.sortBy(_._1)
+        .map { case (n, p) => s"C\t$n\t$p" } ++
+      m.renames.toSeq.sortBy(_._1)
+        .map { case (p, l) => s"E\t$p\t$l" } ++
+      m.drops.toSeq.sorted.map(p => s"X\t$p") ++
+      m.txns.toSeq.sortBy(_._1).map { case (a, bv) => s"T\t$a\t$bv" } ++
+      m.schema.map(s => s"M\t${s.json}").toSeq ++
+      Seq("P\t" + m.protocol._1.toSeq.sorted.mkString(",") +
+        "\t" + m.protocol._2.toSeq.sorted.mkString(","))
+    ).mkString("\n")
+    (entries.size.toLong, entryXorOf(entries), md5Hex(metaDump),
+      m.rowIdHwm)
+  }
+
+  /** Publish the snapshot checksum sidecar for committed version `v`
+    * (Delta's per-commit `.crc`): one line recording the live file
+    * count, the entry-set digest, the metadata digest, and the row-id
+    * high-water mark AS THE COMMITTER SAW THEM. Derived data, like
+    * checkpoints — losing it costs verification coverage for that
+    * version, never correctness — but once present it lets ANY later
+    * engine prove the log still folds to the state the committer
+    * published: bit-rot in a delta or checkpoint, a mis-merged log
+    * copy, or a fold-logic divergence between engine versions all
+    * surface as a loud [[verifyChecksum]] mismatch instead of silent
+    * wrong reads. */
+  private def writeCrc(v: Long): Unit = {
+    val p = crcPath(v)
+    if (Files.exists(p)) return
+    val (nf, xor, meta, hwm) = crcStateOf(v)
+    logStore.putIfAbsent(p, s"K\t$nf\t$xor\t$meta\t$hwm")
+  }
+
+  /** Verify version `v`'s snapshot against its committed checksum
+    * sidecar. Returns true when a sidecar exists and every field
+    * matches, false when no sidecar was recorded (pre-feature commit,
+    * or a lost best-effort write); THROWS naming each diverged field
+    * when the recomputed state does not match what the committer
+    * recorded — the log text was corrupted or tampered with after
+    * commit, and nothing downstream should trust reads at `v`. */
+  def verifyChecksum(v: Long): Boolean = {
+    val p = crcPath(v)
+    if (!Files.exists(p)) return false
+    val parts =
+      new String(Files.readAllBytes(p), "UTF-8").trim.split('\t')
+    require(parts.length == 5 && parts(0) == "K",
+      s"MergeTable at $root: malformed checksum sidecar $p")
+    val (nf, xor, meta, hwm) = crcStateOf(v)
+    val mism = Seq(
+      ("numFiles", parts(1), nf.toString),
+      ("entryXor", parts(2), xor),
+      ("metadataHash", parts(3), meta),
+      ("rowIdHwm", parts(4), hwm.toString))
+      .collect { case (n, stored, now) if stored != now =>
+        s"$n (committed $stored, log now folds to $now)" }
+    if (mism.nonEmpty) throw new IllegalStateException(
+      s"MergeTable at $root: snapshot checksum MISMATCH at version $v" +
+        s" — ${mism.mkString("; ")} — the log/checkpoint text diverged" +
+        " from the state recorded at commit time; do not trust reads" +
+        " of this version")
+    true
+  }
+
+  /** [[verifyChecksum]] of the latest version (false on an empty
+    * table). */
+  def verifyChecksum(): Boolean = {
+    val v = latestVersion()
+    v > 0L && verifyChecksum(v)
   }
 
   /** Run an optimistic write: `attempt` computes (delta, expectedVersion)
@@ -3267,6 +3430,10 @@ final class MergeTable private (
     plan.dvDirs.foreach(deleteRecursively)
     plan.bfDirs.foreach(deleteRecursively)
     plan.logFiles.foreach(Files.deleteIfExists(_))
+    // drop memoized snapshots: versions below the fold anchor are now
+    // unreadable BY CONTRACT (fail fast), and a cached one would
+    // otherwise keep resolving — possibly onto just-deleted files
+    snapMemo.synchronized(snapMemo.clear())
   }
 
   /** Delta's `VACUUM ... DRY RUN`: the root-relative paths a
@@ -3280,6 +3447,60 @@ final class MergeTable private (
     val plan = vacuumPlan(retainMs)
     (plan.dataDirs ++ plan.dvDirs ++ plan.bfDirs ++ plan.logFiles)
       .map(p => root.relativize(p).toString).sorted
+  }
+
+  // ---- FSCK (log-vs-storage repair) ---------------------------------------
+
+  /** The latest snapshot's entries whose BACKING STORAGE is gone,
+    * split into (unreadable — data file or deletion-vector dir
+    * missing, so the entry must be DROPPED) and (bloom-dangling — data
+    * intact but the bloom sidecar dir is gone, so only the bloom REF
+    * needs clearing). A missing deletion vector drops the whole entry
+    * rather than clearing the ref: clearing it would RESURRECT the
+    * rows the vector deleted, silently wrong; dropping loses the
+    * file's surviving rows, loudly visible in the dry run. A missing
+    * bloom sidecar is pure index metadata — clearing the ref costs
+    * probe pruning on that file, never rows. */
+  private def fsckPlan(): (Seq[FileEntry], Seq[FileEntry]) = {
+    val (_, live) = latest()
+    val gone = live.filter { e =>
+      !Files.isRegularFile(root.resolve(e.relPath)) ||
+        e.dv.exists(d => !Files.isDirectory(root.resolve(d.relDir)))
+    }
+    val goneSet = gone.map(_.relPath).toSet
+    val bloomDangling = live.filter(e => !goneSet.contains(e.relPath) &&
+      e.bloom.exists(b => !Files.isDirectory(root.resolve(b.relDir))))
+    (gone, bloomDangling)
+  }
+
+  /** Delta's `FSCK REPAIR TABLE ... DRY RUN`: the live entries a
+    * [[fsck]] would drop because their data file (or deletion-vector
+    * dir) no longer exists in storage — an object-store lifecycle
+    * policy, a manual delete, or a partial restore ate them behind the
+    * log's back — without repairing anything. Complements
+    * [[verifyChecksum]]: the checksum proves the LOG still folds to
+    * what the committer published; fsck proves STORAGE still holds
+    * what the log references. */
+  def fsckDryRun(): Seq[String] = fsckPlan()._1.map(_.relPath).sorted
+
+  /** Delta's `FSCK REPAIR TABLE`: commit removes for every live entry
+    * whose backing storage is gone (and clear dangling bloom refs), so
+    * reads stop failing on files that no longer exist. Availability
+    * over completeness — the dropped entries' rows are LOST, which is
+    * already true in storage; run [[fsckDryRun]] first. Returns the
+    * repair commit's version, or 0 when the table needed no repair. */
+  def fsck(): Long = {
+    val (gone0, dangling0) = fsckPlan()
+    if (gone0.isEmpty && dangling0.isEmpty) return 0L
+    retryingCommit("FSCK", Map(
+      "removedEntries" -> gone0.size.toString,
+      "clearedBloomRefs" -> dangling0.size.toString)) { () =>
+      // replanned per attempt: a concurrent commit may have already
+      // removed (or rewritten) some of the affected entries
+      val (gone, dangling) = fsckPlan()
+      (CommitDelta(dangling.map(_.copy(bloom = None)),
+        gone.map(_.relPath)), latestVersion())
+    }
   }
 
   private case class VacuumPlan(dataDirs: Seq[Path], dvDirs: Seq[Path],
@@ -3358,7 +3579,11 @@ final class MergeTable private (
           val n = p.getFileName.toString
           (n.endsWith(".txt") && n.stripSuffix(".txt").toLong < keepFromV) ||
             (n.endsWith(CkptSuffix) &&
-              n.stripSuffix(CkptSuffix).toLong < keepFromV)
+              n.stripSuffix(CkptSuffix).toLong < keepFromV) ||
+            // checksum sidecars of pruned versions go with their deltas
+            // (the version is unreadable, so nothing verifies it again)
+            (n.endsWith(".crc") &&
+              n.stripSuffix(".crc").toLong < keepFromV)
         }
         .toSeq
     }
@@ -5126,6 +5351,9 @@ object MergeTable {
     * deltas; per-commit metadata stays O(changed files) with an amortized
     * O(live/N) checkpoint cost — Delta's log-compaction trade. */
   private[lake] val CheckpointInterval = 10L
+
+  /** Max versions the per-handle snapshot memo retains (LRU). */
+  private[lake] val SnapMemoMax = 8
 
   /** Default checkpoint retention `(keep, retainMs)`: the newest 3
     * checkpoints always survive; older superseded ones are pruned 10

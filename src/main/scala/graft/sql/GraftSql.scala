@@ -36,6 +36,7 @@ import graft.lake.{MatchClause, MergeTable}
   *     [ZORDER BY (c[, ...])]    → compact / zorder / compactWhere
   *   RESTORE <name> TO VERSION AS OF <v>        → [[MergeTable.restore]]
   *   VACUUM <name> [RETAIN n HOURS] [DRY RUN]   → [[MergeTable.vacuum]]
+  *   FSCK REPAIR TABLE <name> [DRY RUN]         → [[MergeTable.fsck]]
   *   RESTORE <name> TO TIMESTAMP AS OF 'ts'     → [[MergeTable.restoreAsOf]]
   *   COPY INTO <name> FROM '<path>'
   *     [FILEFORMAT = PARQUET|CSV] [PATTERN = '<glob>']
@@ -120,6 +121,9 @@ object GraftSql {
     """(?is)^\s*RESTORE\s+([A-Za-z_][\w]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$""".r
   private val RestoreTsRe =
     """(?is)^\s*RESTORE\s+([A-Za-z_][\w]*)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*$""".r
+  private val FsckRe =
+    """(?is)^\s*FSCK\s+REPAIR\s+TABLE\s+([A-Za-z_][\w]*)(\s+DRY\s+RUN)?\s*$""".r
+
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([A-Za-z_][\w]*)(?:\s+RETAIN\s+(\d+)\s+HOURS?)?(\s+DRY\s+RUN)?\s*$""".r
   private val CopyIntoRe =
@@ -713,6 +717,17 @@ object GraftSql {
       table(name).map { t0 =>
         GraftDmlCommand(s"RESTORE $name", s =>
           t0.withSession(s).restoreAsOf(parseTs(ts)))
+      }
+    case FsckRe(name, dryRun) =>
+      // Delta's FSCK REPAIR TABLE: drop live entries whose backing
+      // storage is gone (see MergeTable.fsck's availability-over-
+      // completeness contract; DRY RUN lists what a repair would drop)
+      table(name).map { t0 =>
+        if (dryRun != null)
+          GraftPathListCommand(s"FSCK REPAIR TABLE $name DRY RUN",
+            s => t0.withSession(s).fsckDryRun())
+        else GraftDmlCommand(s"FSCK REPAIR TABLE $name",
+          s => t0.withSession(s).fsck())
       }
     case VacuumRe(name, hours, dryRun) =>
       table(name).map { t0 =>

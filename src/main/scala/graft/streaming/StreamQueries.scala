@@ -872,6 +872,92 @@ object StreamQueries {
               CAST(sum(event_id % 1000) AS BIGINT) AS v_sum
        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Watermarked STREAMING DEDUPLICATION under the oracle gate
+    * (Spark's `dropDuplicatesWithinWatermark`, the at-least-once →
+    * exactly-once ingest repair every training-data feed needs: an
+    * upstream bus re-delivers, the corpus must not double-count).
+    * Four stamped waves, ONE AvailableNow start (see [[stampedWave]]):
+    *
+    *   slot 0 — the full events corpus (30 days of event time);
+    *   slot 2 — byte-identical RE-DELIVERY of every `event_id % 5 = 0`
+    *            row: the dedup state (watermark delay 40 d ≥ twice the
+    *            corpus span / 2) is still holding every key, so all
+    *            are suppressed;
+    *   slot 4 — a sentinel 90 d past the corpus max: the NEXT batch's
+    *            watermark jumps to max+50 d, past every key's
+    *            `ts + 40 d` expiry;
+    *   slot 6 — a second sentinel: ITS batch runs under the jumped
+    *            watermark, so its end-of-batch maintenance evicts the
+    *            ENTIRE corpus state (watermarks — and therefore
+    *            eviction — trail the data that moved them by one
+    *            batch; the bounded-state contract: at 100 TB/day the
+    *            operator holds a watermark window of keys, never the
+    *            corpus);
+    *   slot 8 — re-delivery of every `event_id % 7 = 3` key with a
+    *            FRESH event time above the watermark (a retry beyond
+    *            the dedup horizon): state is gone, so these emit
+    *            AGAIN — exactly the documented within-watermark
+    *            contract (the guarantee is one-sided: dups are dropped
+    *            AT LEAST within the delay), made visible as `n = 2`.
+    *
+    * The final count per key is therefore closed-form: 2 for
+    * `% 7 = 3` keys, 1 otherwise — a hash mismatch catches a dedup
+    * that failed (wave-2 key at 2), state that never evicted (wave-4
+    * key at 1), or a checkpoint that replayed a batch. */
+  def streamDedup(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s)(streamDedupImpl(s, d))
+
+  private def streamDedupImpl(s: SparkSession, d: String): DataFrame = {
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val schema = new StructType()
+      .add("event_id", LongType).add("ts_s", StringType)
+    val ev = Tables.events(s, d).select(col("event_id"),
+      date_format(col("ts"), fmt).as("ts_s"))
+    val rawDir = scratch("graft_q_sdup_raw")
+    val ckpt = scratch("graft_q_sdup_ckpt")
+    val outDir = scratch("graft_q_sdup_out") + "/emitted"
+    def drain(): Unit = {
+      val q = s.readStream.format("csv").option("header", "true")
+        .option("maxFilesPerTrigger", 1)
+        .schema(schema).load(rawDir)
+        .withColumn("ts", to_timestamp(col("ts_s"), fmt))
+        .withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"))
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) b.write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val maxS = Tables.events(s, d)
+      .agg(date_format(max(col("ts")), fmt)).head().getString(0)
+    def shifted(df: DataFrame, days: Int): DataFrame =
+      df.withColumn("ts_s", date_format(
+        to_timestamp(lit(maxS), fmt) + expr(s"INTERVAL $days DAYS"), fmt))
+        .select(col("event_id"), col("ts_s"))
+    stampedWave(ev, rawDir, 0)
+    stampedWave(ev.filter(col("event_id") % 5 === 0), rawDir, 2)
+    stampedWave(shifted(
+      s.range(-1, 0).toDF("event_id"), 90), rawDir, 4)
+    stampedWave(shifted(
+      s.range(-2, -1).toDF("event_id"), 90), rawDir, 6)
+    stampedWave(shifted(
+      ev.filter(col("event_id") % 7 === 3), 91), rawDir, 8)
+    drain()
+    s.read.parquet(outDir).filter(col("event_id") >= 0)
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n"))
+  }
+
+  val streamDedupOracle: String =
+    """SELECT event_id,
+              CAST(CASE WHEN event_id % 7 = 3 THEN 2 ELSE 1 END
+                AS BIGINT) AS n
+       FROM events ORDER BY event_id"""
+
   val streamCdcOracle: String =
     """SELECT o_orderkey, o_custkey,
               round(CASE WHEN o_orderkey % 18 = 0

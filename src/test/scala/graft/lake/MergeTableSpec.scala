@@ -464,9 +464,12 @@ class MergeTableSpec extends SparkSpec {
     val counting = new LogStore {
       override def putIfAbsent(target: java.nio.file.Path,
           body: String): Boolean = {
-        attempts.incrementAndGet()
+        // count COMMIT publishes only — derived sidecars (checksums,
+        // checkpoints) ride the same seam but are not commits
+        val isDelta = target.getFileName.toString.endsWith(".txt")
+        if (isDelta) attempts.incrementAndGet()
         val won = LogStore.Posix.putIfAbsent(target, body)
-        if (won) wins.incrementAndGet()
+        if (won && isDelta) wins.incrementAndGet()
         won
       }
     }
