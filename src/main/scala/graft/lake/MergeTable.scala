@@ -79,7 +79,8 @@ final class MergeTable private (
     val optimizeWrite: Boolean = false,
     val autoCompact: Option[(Long, Int)] = None,
     val ckptRetention: (Int, Long) = MergeTable.DefaultCkptRetention,
-    val rowTracking: Boolean = false) {
+    val rowTracking: Boolean = false,
+    val verifyOnRead: Boolean = false) {
 
   import MergeTable._
 
@@ -105,7 +106,7 @@ final class MergeTable private (
   def withLogStore(ls: LogStore): MergeTable =
     new MergeTable(spark, root, partitionCols, statsCols,
       deletionVectors, bloomCols, ls, optimizeWrite, autoCompact,
-      ckptRetention, rowTracking)
+      ckptRetention, rowTracking, verifyOnRead)
 
   /** The same handle with OPTIMIZED WRITES on (Delta's
     * `delta.autoOptimize.optimizeWrite`): every [[writeData]] of a
@@ -119,7 +120,7 @@ final class MergeTable private (
   def withOptimizeWrite: MergeTable =
     new MergeTable(spark, root, partitionCols, statsCols,
       deletionVectors, bloomCols, logStore, optimizeWrite = true,
-      autoCompact, ckptRetention, rowTracking)
+      autoCompact, ckptRetention, rowTracking, verifyOnRead)
 
   /** The same handle with AUTO COMPACTION on (Delta's
     * `delta.autoOptimize.autoCompact`): after any commit, if some
@@ -144,7 +145,8 @@ final class MergeTable private (
         s"($targetBytes, $minFiles)")
     new MergeTable(spark, root, partitionCols, statsCols,
       deletionVectors, bloomCols, logStore, optimizeWrite,
-      Some((targetBytes, minFiles)), ckptRetention, rowTracking)
+      Some((targetBytes, minFiles)), ckptRetention, rowTracking,
+      verifyOnRead)
   }
 
   /** The same handle with a NON-DEFAULT checkpoint retention (r13
@@ -169,7 +171,7 @@ final class MergeTable private (
         s"got ($keep, $retainMs)")
     new MergeTable(spark, root, partitionCols, statsCols,
       deletionVectors, bloomCols, logStore, optimizeWrite, autoCompact,
-      (keep, retainMs), rowTracking)
+      (keep, retainMs), rowTracking, verifyOnRead)
   }
 
   /** The same handle with ROW TRACKING on (Delta's row-ID table
@@ -196,7 +198,25 @@ final class MergeTable private (
   def withRowTracking: MergeTable =
     new MergeTable(spark, root, partitionCols, statsCols,
       deletionVectors, bloomCols, logStore, optimizeWrite, autoCompact,
-      ckptRetention, rowTracking = true)
+      ckptRetention, rowTracking = true, verifyOnRead = verifyOnRead)
+
+  /** The same handle with READ-PATH CHECKSUM VERIFICATION on: the
+    * first time this handle resolves a version's snapshot, it is
+    * checked against the [[verifyChecksum]] sidecar the committer
+    * published — a mismatch throws BEFORE any data is served, so a
+    * corrupted or tampered log can never feed downstream consumers
+    * silently. Cost: one O(live entries) digest per version per
+    * handle (memoized — every later resolution of that version is a
+    * set lookup); versions without a sidecar pass through unchecked
+    * (absence is not corruption — pre-feature history, lost
+    * best-effort writes). Off by default: the explicit
+    * [[verifyChecksum]] API serves audits; this mode is for pipelines
+    * whose threat model includes the LOG STORE itself (shared object
+    * buckets, replicated logs). */
+  def withChecksumVerification: MergeTable =
+    new MergeTable(spark, root, partitionCols, statsCols,
+      deletionVectors, bloomCols, logStore, optimizeWrite, autoCompact,
+      ckptRetention, rowTracking, verifyOnRead = true)
 
   /** The same table handle bound to a DIFFERENT SparkSession — the
     * multi-session hook ([[graft.sql.GraftSql]] rebinds a registered
@@ -208,7 +228,7 @@ final class MergeTable private (
     if (s eq spark) this
     else new MergeTable(s, root, partitionCols, statsCols,
       deletionVectors, bloomCols, logStore, optimizeWrite, autoCompact,
-      ckptRetention, rowTracking)
+      ckptRetention, rowTracking, verifyOnRead)
 
   // ---- log ----------------------------------------------------------------
 
@@ -360,7 +380,13 @@ final class MergeTable private (
 
   private def snapshotAt(v: Long): Seq[FileEntry] = {
     val hit = snapMemo.synchronized(snapMemo.get(v))
-    if (hit != null) return hit
+    if (hit != null) {
+      // read-path verification ([[withChecksumVerification]]): even a
+      // memo hit must not serve a version whose sidecar never passed
+      if (verifyOnRead && !crcChecked.contains(v) &&
+          compareCrc(v, hit)) crcChecked.add(v)
+      return hit
+    }
     // incremental fold first: the sequential-commit shape (parent
     // memoized, delta present) applies ONE delta — O(changed files)
     // per commit instead of a checkpoint re-anchor's O(live) parse,
@@ -378,6 +404,11 @@ final class MergeTable private (
         }
         base.values.toSeq
       } else snapshotAtUncached(v) // outside the lock: pure, so a
+    // verify BEFORE memoizing under [[withChecksumVerification]]: a
+    // mismatching snapshot must never enter the memo (it would serve
+    // on later hits while crcChecked still lacks the version)
+    if (verifyOnRead && !crcChecked.contains(v) &&
+        compareCrc(v, s)) crcChecked.add(v)
     snapMemo.synchronized(snapMemo.put(v, s)) // racing double-compute
     s                                         // is benign
   }
@@ -1188,21 +1219,22 @@ final class MergeTable private (
     * family in CANONICAL (sorted) form, so it is independent of both
     * log order and of whether the fold anchored on a checkpoint or
     * replayed raw deltas. */
+  private def metaHashOf(m: MetaState): String = md5Hex((
+    m.constraints.toSeq.sortBy(_._1)
+      .map { case (n, p) => s"C\t$n\t$p" } ++
+    m.renames.toSeq.sortBy(_._1)
+      .map { case (p, l) => s"E\t$p\t$l" } ++
+    m.drops.toSeq.sorted.map(p => s"X\t$p") ++
+    m.txns.toSeq.sortBy(_._1).map { case (a, bv) => s"T\t$a\t$bv" } ++
+    m.schema.map(s => s"M\t${s.json}").toSeq ++
+    Seq("P\t" + m.protocol._1.toSeq.sorted.mkString(",") +
+      "\t" + m.protocol._2.toSeq.sorted.mkString(","))
+  ).mkString("\n"))
+
   private def crcStateOf(v: Long): (Long, String, String, Long) = {
     val entries = snapshotAt(v)
     val m = metaAt(v)
-    val metaDump = (
-      m.constraints.toSeq.sortBy(_._1)
-        .map { case (n, p) => s"C\t$n\t$p" } ++
-      m.renames.toSeq.sortBy(_._1)
-        .map { case (p, l) => s"E\t$p\t$l" } ++
-      m.drops.toSeq.sorted.map(p => s"X\t$p") ++
-      m.txns.toSeq.sortBy(_._1).map { case (a, bv) => s"T\t$a\t$bv" } ++
-      m.schema.map(s => s"M\t${s.json}").toSeq ++
-      Seq("P\t" + m.protocol._1.toSeq.sorted.mkString(",") +
-        "\t" + m.protocol._2.toSeq.sorted.mkString(","))
-    ).mkString("\n")
-    (entries.size.toLong, entryXorOf(entries), md5Hex(metaDump),
+    (entries.size.toLong, entryXorOf(entries), metaHashOf(m),
       m.rowIdHwm)
   }
 
@@ -1231,19 +1263,27 @@ final class MergeTable private (
     * when the recomputed state does not match what the committer
     * recorded — the log text was corrupted or tampered with after
     * commit, and nothing downstream should trust reads at `v`. */
-  def verifyChecksum(v: Long): Boolean = {
+  def verifyChecksum(v: Long): Boolean =
+    compareCrc(v, snapshotAt(v))
+
+  /** Shared comparison core: check version `v`'s ALREADY-RESOLVED
+    * entry set (plus the memoized metadata fold) against the sidecar.
+    * Returns false when no sidecar exists; throws on mismatch. Taking
+    * the entries as an argument keeps the read-path hook
+    * ([[snapshotAt]] under [[verifyOnRead]]) recursion-free. */
+  private def compareCrc(v: Long, entries: Seq[FileEntry]): Boolean = {
     val p = crcPath(v)
     if (!Files.exists(p)) return false
     val parts =
       new String(Files.readAllBytes(p), "UTF-8").trim.split('\t')
     require(parts.length == 5 && parts(0) == "K",
       s"MergeTable at $root: malformed checksum sidecar $p")
-    val (nf, xor, meta, hwm) = crcStateOf(v)
+    val m = metaAt(v)
     val mism = Seq(
-      ("numFiles", parts(1), nf.toString),
-      ("entryXor", parts(2), xor),
-      ("metadataHash", parts(3), meta),
-      ("rowIdHwm", parts(4), hwm.toString))
+      ("numFiles", parts(1), entries.size.toString),
+      ("entryXor", parts(2), entryXorOf(entries)),
+      ("metadataHash", parts(3), metaHashOf(m)),
+      ("rowIdHwm", parts(4), m.rowIdHwm.toString))
       .collect { case (n, stored, now) if stored != now =>
         s"$n (committed $stored, log now folds to $now)" }
     if (mism.nonEmpty) throw new IllegalStateException(
@@ -1253,6 +1293,12 @@ final class MergeTable private (
         " of this version")
     true
   }
+
+  /** Versions this handle has already verified against their sidecar
+    * (read-path mode only) — verify once, then O(1). Populated ONLY
+    * after a PASSED check, so a mismatch keeps throwing on retries. */
+  private val crcChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
 
   /** [[verifyChecksum]] of the latest version (false on an empty
     * table). */
@@ -4313,6 +4359,88 @@ final class MergeTable private (
           col(pk) +:
             cols.map(c => col(s"e.img.$c").as(c)) :+
             col("e.ct").as("_change_type"): _*)
+  }
+
+  /** Change data feed keyed on ROW IDENTITY (row tracking × CDF): the
+    * PHYSICAL lineage feed between two versions — `insert` for ids
+    * present only at `toV`, `delete` for ids present only at `fromV`,
+    * `update_preimage`/`update_postimage` pairs for ids present at
+    * both whose STORED bytes changed (a widened column type, an
+    * engine-materialized value). No primary key needed and no
+    * uniqueness assumption beyond the allocator's — this is the feed
+    * for consumers keyed on [[readWithRowIds]]'s `row_id` (feature
+    * stores, training-data lineage). Because the OPTIMIZE family
+    * MATERIALIZES ids through rewrites, a pure compaction emits
+    * NOTHING here (identity and content both survive), while
+    * copy-on-write DML surfaces as delete + insert of the rewritten
+    * rows under their old and fresh ids — Delta's exact
+    * non-`rowTracking.preserved` contract, observable. Reads prune to
+    * partitions whose file sets (incl. deletion vectors) differ, like
+    * [[changes]]. */
+  def changesByRowId(fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV,
+      s"changesByRowId: fromV $fromV must be <= toV $toV")
+    val ea = snapshotAt(fromV)
+    val eb = snapshotAt(toV)
+    require((ea ++ eb).forall(_.rowIds.isDefined),
+      s"MergeTable at $root: changesByRowId needs row tracking on " +
+        "every live file of both versions (enable withRowTracking at " +
+        "table birth)")
+    def byPart(es: Seq[FileEntry])
+        : Map[Option[String], Set[(String, Option[DvRef])]] =
+      es.groupBy(_.partitionValue).map { case (p, fs) =>
+        p -> fs.map(e => (e.relPath, e.dv)).toSet
+      }
+    val (pa, pb) = (byPart(ea), byPart(eb))
+    val changedParts = (pa.keySet ++ pb.keySet)
+      .filter(p => pa.get(p) != pb.get(p))
+    def side(v: Long, es: Seq[FileEntry]): DataFrame = {
+      val sel = es.filter(e => changedParts(e.partitionValue))
+      val declared = if (v == 0L) None else schemaAt(v)
+      val mapping: (Map[String, String], Set[String]) =
+        if (v == 0L) (Map.empty, Set.empty) else mappingAt(v)
+      if (sel.isEmpty)
+        readVersionWithRowIds(v).filter(lit(false))
+      else presentLogicalAs(
+        readEntriesRowIdsPhysWith(sel, declared, Nil), mapping)
+        .withColumnRenamed(RidCol, "row_id")
+        .withColumnRenamed(RcvCol, "row_commit")
+    }
+    val a = side(fromV, ea)
+    val b = side(toV, eb)
+    // union of columns across a schema evolution, like [[changes]]
+    val types =
+      (a.schema.fields ++ b.schema.fields).map(f => f.name -> f.dataType).toMap
+    val cols = (a.columns.toSeq ++ b.columns.toSeq).distinct
+      .filterNot(c => c == "row_id" || c == "row_commit")
+    def packed(df: DataFrame, keyAs: String, as: String): DataFrame = {
+      val have = df.columns.toSet
+      df.select(col("row_id").as(keyAs), struct(cols.map(c =>
+        if (have(c)) col(c) else lit(null).cast(types(c)).as(c)): _*).as(as))
+    }
+    packed(a, "_rid_pre", "_pre")
+      .join(packed(b, "_rid_post", "_post"),
+        col("_rid_pre") === col("_rid_post"), "full_outer")
+      .withColumn("row_id", coalesce(col("_rid_post"), col("_rid_pre")))
+      .withColumn("_change_type",
+        when(col("_pre").isNull, "insert")
+          .when(col("_post").isNull, "delete")
+          .when(!(col("_pre") <=> col("_post")), "update"))
+      .filter(col("_change_type").isNotNull)
+      .select(col("row_id"), explode(
+        when(col("_change_type") === "insert",
+          array(struct(col("_post").as("img"), lit("insert").as("ct"))))
+          .when(col("_change_type") === "delete",
+            array(struct(col("_pre").as("img"), lit("delete").as("ct"))))
+          .otherwise(array(
+            struct(col("_post").as("img"),
+              lit("update_postimage").as("ct")),
+            struct(col("_pre").as("img"),
+              lit("update_preimage").as("ct"))))).as("e"))
+      .select(
+        col("row_id") +:
+          cols.map(c => col(s"e.img.$c").as(c)) :+
+          col("e.ct").as("_change_type"): _*)
   }
 
   /** Delta's RESTORE TABLE: roll the table back to historical

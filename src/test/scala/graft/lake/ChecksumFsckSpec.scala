@@ -78,6 +78,32 @@ class ChecksumFsckSpec extends SparkSpec {
     assert(e3.getMessage.contains("MISMATCH"))
   }
 
+  test("withChecksumVerification refuses a tampered snapshot before " +
+      "serving it; plain handles stay permissive") {
+    val root = tmpDir("crcv").toString
+    val t = MergeTable(spark, root, Some("date"))
+    t.overwrite(orders(("o1", "da", 1.0)))
+    t.append(orders(("o2", "db", 2.0)))
+    // clean table: the verifying handle serves identical results
+    val vt = MergeTable(spark, root, Some("date")).withChecksumVerification
+    assert(vt.read().count() === 2L)
+    // tamper v2's manifest partition token — the silent-corruption
+    // shape: the data files stay readable, only the log lies
+    val d2 = Paths.get(root).resolve("_graft_log")
+      .resolve(f"${2L}%020d.txt")
+    val body = new String(Files.readAllBytes(d2), "UTF-8")
+    assert(body.contains("\tdb"))
+    Files.write(d2, body.replace("\tdb", "\tzz").getBytes("UTF-8"))
+    // a fresh PLAIN handle happily serves the lie (opt-in contract)...
+    assert(MergeTable(spark, root, Some("date")).read().count() === 2L)
+    // ...the verifying handle refuses at snapshot-resolution time
+    val vt2 = MergeTable(spark, root, Some("date")).withChecksumVerification
+    val e = intercept[IllegalStateException](vt2.read())
+    assert(e.getMessage.contains("entryXor"))
+    // and keeps refusing (a failed check is never memoized as passed)
+    intercept[IllegalStateException](vt2.read())
+  }
+
   test("a missing sidecar is absence (false), not corruption") {
     val root = tmpDir("crc").toString
     val t = MergeTable(spark, root, Some("date"))

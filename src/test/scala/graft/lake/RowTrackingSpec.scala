@@ -37,6 +37,52 @@ class RowTrackingSpec extends SparkSpec {
     assert(!t.read().columns.exists(_.startsWith("_graft_r")))
   }
 
+  test("changesByRowId: the physical lineage feed — DV deletes by id, " +
+      "COW rewrites as old-id delete + fresh-id insert, pure " +
+      "compaction emits NOTHING") {
+    val t = MergeTable(spark, tmpDir("rt").toString, Some("p"),
+      Seq("n"), deletionVectors = true)
+      .withRowTracking
+    val v1 = t.append(
+      Seq(("a", "x", 1), ("b", "x", 2), ("c", "y", 3))
+        .toDF("id", "p", "n").coalesce(1))
+    val idsAtV1 = ids(t)
+    // DV delete: same file, id 'b' vanishes from the feed's post side
+    val v2 = t.delete(col("id") === "b")
+    val dels = t.changesByRowId(v1, v2).collect()
+    assert(dels.map(r => (r.getAs[String]("id"),
+      r.getAs[String]("_change_type"))).toSeq === Seq(("b", "delete")))
+    assert(dels.head.getAs[Long]("row_id") === idsAtV1("b")._1,
+      "the delete is keyed by the row's STABLE id")
+    // COW update (plain merge rewrite): old id deleted, fresh id inserted
+    val v3 = t.merge(Seq(("a", "x", 9)).toDF("id", "p", "n"), "id")
+    val cow = t.changesByRowId(v2, v3)
+      .select("id", "_change_type", "row_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val aOld = idsAtV1("a")._1
+    assert(cow.exists(c => c._1 == "a" && c._2 == "delete" && c._3 == aOld))
+    assert(cow.exists(c => c._1 == "a" && c._2 == "insert" && c._3 != aOld),
+      "a copy-on-write rewrite mints a fresh id (Delta's contract " +
+        "without rowTracking.preserved)")
+    assert(cow.size === 2, s"exactly one delete + one insert: $cow")
+    // pure compaction: bytes + identity both survive → EMPTY feed
+    val v4 = t.compact()
+    assert(v4 > v3)
+    assert(t.changesByRowId(v3, v4).isEmpty,
+      "a content-preserving rewrite is invisible to the lineage feed")
+    // an append is inserts-only, under fresh ids
+    val v5 = t.append(Seq(("e", "z", 5)).toDF("id", "p", "n"))
+    val ins = t.changesByRowId(v4, v5).collect()
+    assert(ins.map(r => (r.getAs[String]("id"),
+      r.getAs[String]("_change_type"))).toSeq === Seq(("e", "insert")))
+    // a mixed/untracked table refuses
+    val plain = MergeTable(spark, tmpDir("rt").toString, Some("p"))
+    plain.append(Seq(("a", "x")).toDF("id", "p"))
+    val err = intercept[IllegalArgumentException](
+      plain.changesByRowId(1L, 1L))
+    assert(err.getMessage.contains("row tracking"))
+  }
+
   test("the OPTIMIZE family preserves every row's id and commit " +
       "version through rewrites") {
     val t = MergeTable(spark, tmpDir("rt").toString, Some("p"))
