@@ -337,6 +337,29 @@ class GraftSqlSpec extends SparkSpec {
       "RESTORE t_vdry TO TIMESTAMP AS OF '1999-01-01'").collect())
   }
 
+  test("FSCK REPAIR TABLE via SQL: DRY RUN lists missing entries " +
+      "without repairing; the repair commits and reads recover") {
+    val (viaSql, _) = freshPair("fsck")
+    // storage eats the 2024-01-02 partition's file behind the log
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(
+      java.nio.file.Files.walk(viaSql.root)) { st =>
+      st.iterator().asScala.toSeq
+        .filter(p => p.toString.contains("date=2024-01-02") &&
+          p.toString.endsWith(".parquet"))
+        .foreach(java.nio.file.Files.delete)
+    }
+    val dry = spark.sql("FSCK REPAIR TABLE t_fsck DRY RUN")
+      .as[String].collect().toSeq
+    assert(dry.size === 1 && dry.head.contains("date=2024-01-02"))
+    // the dry run repaired nothing
+    assert(viaSql.fsckDryRun().size === 1)
+    val v = spark.sql("FSCK REPAIR TABLE t_fsck").as[Long].head()
+    assert(v === viaSql.latestVersion())
+    assert(viaSql.fsckDryRun().isEmpty)
+    assert(contents(viaSql.read()) === Set(("o1", "2024-01-01", 10.0)))
+  }
+
   test("ALTER TABLE family: constraints enforce via SQL, column mapping " +
       "renames/drops, generated-column rules add/drop; unsupported " +
       "actions and unregistered names route correctly") {
