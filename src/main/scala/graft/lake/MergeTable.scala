@@ -379,23 +379,33 @@ final class MergeTable private (
     }
 
   private def snapshotAt(v: Long): Seq[FileEntry] = {
+    val deltaP = logDir.resolve(f"$v%020d.txt")
+    // a memo hit is valid only while the version's OWN delta survives:
+    // vacuum prunes a strict prefix of deltas, so "delta v exists"
+    // exactly discriminates still-readable from pruned — one stat per
+    // resolution keeps the fail-fast contract across OTHER handles'
+    // vacuums (this handle's own vacuum also clears its memo) and
+    // self-heals the compute-vs-vacuum put race (a stale entry
+    // re-cached after the clear fails this check on its next hit)
     val hit = snapMemo.synchronized(snapMemo.get(v))
-    if (hit != null) {
+    if (hit != null && Files.exists(deltaP)) {
       // read-path verification ([[withChecksumVerification]]): even a
       // memo hit must not serve a version whose sidecar never passed
       if (verifyOnRead && !crcChecked.contains(v) &&
           compareCrc(v, hit)) crcChecked.add(v)
       return hit
     }
+    if (hit != null) snapMemo.synchronized(snapMemo.remove(v))
     // incremental fold first: the sequential-commit shape (parent
     // memoized, delta present) applies ONE delta — O(changed files)
     // per commit instead of a checkpoint re-anchor's O(live) parse,
     // which is what a 10k-commit streaming ingest pays per append
     val prev =
       if (v > 1L) snapMemo.synchronized(snapMemo.get(v - 1)) else null
-    val deltaP = logDir.resolve(f"$v%020d.txt")
+    val prevOk = prev != null &&
+      Files.exists(logDir.resolve(f"${v - 1}%020d.txt"))
     val s =
-      if (prev != null && Files.exists(deltaP)) {
+      if (prevOk && Files.exists(deltaP)) {
         val base = mutable.LinkedHashMap(prev.map(e => e.relPath -> e): _*)
         readLogFile(deltaP).foreach {
           case Add(e)    => base.update(e.relPath, e)
@@ -3519,28 +3529,36 @@ final class MergeTable private (
     (gone, bloomDangling)
   }
 
-  /** Delta's `FSCK REPAIR TABLE ... DRY RUN`: the live entries a
-    * [[fsck]] would drop because their data file (or deletion-vector
-    * dir) no longer exists in storage — an object-store lifecycle
-    * policy, a manual delete, or a partial restore ate them behind the
-    * log's back — without repairing anything. Complements
-    * [[verifyChecksum]]: the checksum proves the LOG still folds to
-    * what the committer published; fsck proves STORAGE still holds
-    * what the log references. */
-  def fsckDryRun(): Seq[String] = fsckPlan()._1.map(_.relPath).sorted
+  /** Delta's `FSCK REPAIR TABLE ... DRY RUN`: EVERYTHING a [[fsck]]
+    * would touch, without repairing anything — the relPaths of live
+    * entries it would DROP (data file or deletion-vector dir gone from
+    * storage: an object-store lifecycle policy, a manual delete, a
+    * partial restore), plus, marked `(clear bloom ref)`, entries whose
+    * data is intact but whose bloom sidecar vanished (the repair only
+    * clears the ref). An EMPTY dry run therefore implies [[fsck]] is a
+    * no-op. Complements [[verifyChecksum]]: the checksum proves the
+    * LOG still folds to what the committer published; fsck proves
+    * STORAGE still holds what the log references. */
+  def fsckDryRun(): Seq[String] = {
+    val (gone, dangling) = fsckPlan()
+    (gone.map(_.relPath) ++
+      dangling.map(_.relPath + " (clear bloom ref)")).sorted
+  }
 
   /** Delta's `FSCK REPAIR TABLE`: commit removes for every live entry
     * whose backing storage is gone (and clear dangling bloom refs), so
     * reads stop failing on files that no longer exist. Availability
     * over completeness — the dropped entries' rows are LOST, which is
     * already true in storage; run [[fsckDryRun]] first. Returns the
-    * repair commit's version, or 0 when the table needed no repair. */
+    * repair commit's version, or 0 when the table needed no repair.
+    * The repair's actual scope is auditable from the COMMIT itself
+    * ([[history]]'s add/remove counts) — the plan is recomputed on
+    * every optimistic attempt, so no pre-computed count could honestly
+    * describe what won the race. */
   def fsck(): Long = {
     val (gone0, dangling0) = fsckPlan()
     if (gone0.isEmpty && dangling0.isEmpty) return 0L
-    retryingCommit("FSCK", Map(
-      "removedEntries" -> gone0.size.toString,
-      "clearedBloomRefs" -> dangling0.size.toString)) { () =>
+    retryingCommit("FSCK") { () =>
       // replanned per attempt: a concurrent commit may have already
       // removed (or rewritten) some of the affected entries
       val (gone, dangling) = fsckPlan()
@@ -4304,30 +4322,41 @@ final class MergeTable private (
     val (pa, pb) = (byPart(ea), byPart(eb))
     val changedParts = (pa.keySet ++ pb.keySet)
       .filter(p => pa.get(p) != pb.get(p))
-    val a = readEntries(ea.filter(e => changedParts(e.partitionValue)))
-    val b = readEntries(eb.filter(e => changedParts(e.partitionValue)))
-    // UNION of the two versions' columns, not intersection: after an
-    // evolveSchema merge an update confined to an evolved column must
-    // still register as a change (and the feed must carry the evolved
-    // column). The version lacking a column reads it as a typed null.
+    diffFeed(
+      readEntries(ea.filter(e => changedParts(e.partitionValue))),
+      readEntries(eb.filter(e => changedParts(e.partitionValue))),
+      pk, updateImages)
+  }
+
+  /** Shared full-outer diff core behind BOTH change feeds —
+    * [[changes]] (keyed on a logical pk) and [[changesByRowId]] (keyed
+    * on the physical row id): pack each side's non-key columns into
+    * one struct under the UNION of the two sides' columns (schema
+    * evolution: the side lacking a column reads it as a typed null),
+    * full-outer join on the null-safe key, classify
+    * insert/delete/update, then emit either single post-image rows or
+    * Delta's update pre/post image pairs. */
+  private def diffFeed(a: DataFrame, b: DataFrame, key: String,
+      updateImages: Boolean): DataFrame = {
     val types =
       (a.schema.fields ++ b.schema.fields).map(f => f.name -> f.dataType).toMap
     val cols = (a.columns.toSeq ++ b.columns.toSeq).distinct
-      .filterNot(_ == pk)
+      .filterNot(_ == key)
     def packed(df: DataFrame, keyAs: String, as: String): DataFrame = {
       val have = df.columns.toSet
-      df.select(col(pk).as(keyAs), struct(cols.map(c =>
+      df.select(col(key).as(keyAs), struct(cols.map(c =>
         if (have(c)) col(c) else lit(null).cast(types(c)).as(c)): _*).as(as))
     }
     // Null-safe (<=>) join key: a plain-equality join never matches a
     // null pk, so an UNCHANGED null-pk row in a touched partition would
     // surface as a spurious delete + insert. The pk is assumed unique per
     // snapshot (the same contract MERGE itself relies on), which with <=>
-    // extends to "at most one null-pk row".
+    // extends to "at most one null-pk row". (Row ids are non-null by
+    // construction; <=> degenerates to === for them.)
     val diffed = packed(a, "_pk_pre", "_pre")
       .join(packed(b, "_pk_post", "_post"),
         col("_pk_pre") <=> col("_pk_post"), "full_outer")
-      .withColumn(pk, coalesce(col("_pk_post"), col("_pk_pre")))
+      .withColumn(key, coalesce(col("_pk_post"), col("_pk_pre")))
       .withColumn("_change_type",
         when(col("_pre").isNull, "insert")
           .when(col("_post").isNull, "delete")
@@ -4335,7 +4364,7 @@ final class MergeTable private (
       .filter(col("_change_type").isNotNull)
     if (!updateImages)
       diffed.select(
-        col(pk) +:
+        col(key) +:
           // post-image for insert/update (field-level coalesce would leak
           // pre-image values into columns an update set to NULL),
           // pre-image for delete
@@ -4345,7 +4374,7 @@ final class MergeTable private (
     else
       // one narrow pass: updates explode to their two images
       diffed
-        .select(col(pk), explode(
+        .select(col(key), explode(
           when(col("_change_type") === "insert",
             array(struct(col("_post").as("img"), lit("insert").as("ct"))))
             .when(col("_change_type") === "delete",
@@ -4356,7 +4385,7 @@ final class MergeTable private (
               struct(col("_pre").as("img"),
                 lit("update_preimage").as("ct"))))).as("e"))
         .select(
-          col(pk) +:
+          col(key) +:
             cols.map(c => col(s"e.img.$c").as(c)) :+
             col("e.ct").as("_change_type"): _*)
   }
@@ -4396,51 +4425,31 @@ final class MergeTable private (
       .filter(p => pa.get(p) != pb.get(p))
     def side(v: Long, es: Seq[FileEntry]): DataFrame = {
       val sel = es.filter(e => changedParts(e.partitionValue))
+      if (sel.isEmpty)
+        // metadata-cost empty side (the common pure-append poll: a
+        // version contributes no changed partitions): the NONEMPTY
+        // side supplies every payload column for the diff's
+        // union-of-columns typing, so this side only needs the key —
+        // never a plan over the version's live files
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("row_id",
+              org.apache.spark.sql.types.LongType))))
       val declared = if (v == 0L) None else schemaAt(v)
       val mapping: (Map[String, String], Set[String]) =
         if (v == 0L) (Map.empty, Set.empty) else mappingAt(v)
-      if (sel.isEmpty)
-        readVersionWithRowIds(v).filter(lit(false))
-      else presentLogicalAs(
+      presentLogicalAs(
         readEntriesRowIdsPhysWith(sel, declared, Nil), mapping)
         .withColumnRenamed(RidCol, "row_id")
         .withColumnRenamed(RcvCol, "row_commit")
     }
-    val a = side(fromV, ea)
-    val b = side(toV, eb)
-    // union of columns across a schema evolution, like [[changes]]
-    val types =
-      (a.schema.fields ++ b.schema.fields).map(f => f.name -> f.dataType).toMap
-    val cols = (a.columns.toSeq ++ b.columns.toSeq).distinct
-      .filterNot(c => c == "row_id" || c == "row_commit")
-    def packed(df: DataFrame, keyAs: String, as: String): DataFrame = {
-      val have = df.columns.toSet
-      df.select(col("row_id").as(keyAs), struct(cols.map(c =>
-        if (have(c)) col(c) else lit(null).cast(types(c)).as(c)): _*).as(as))
-    }
-    packed(a, "_rid_pre", "_pre")
-      .join(packed(b, "_rid_post", "_post"),
-        col("_rid_pre") === col("_rid_post"), "full_outer")
-      .withColumn("row_id", coalesce(col("_rid_post"), col("_rid_pre")))
-      .withColumn("_change_type",
-        when(col("_pre").isNull, "insert")
-          .when(col("_post").isNull, "delete")
-          .when(!(col("_pre") <=> col("_post")), "update"))
-      .filter(col("_change_type").isNotNull)
-      .select(col("row_id"), explode(
-        when(col("_change_type") === "insert",
-          array(struct(col("_post").as("img"), lit("insert").as("ct"))))
-          .when(col("_change_type") === "delete",
-            array(struct(col("_pre").as("img"), lit("delete").as("ct"))))
-          .otherwise(array(
-            struct(col("_post").as("img"),
-              lit("update_postimage").as("ct")),
-            struct(col("_pre").as("img"),
-              lit("update_preimage").as("ct"))))).as("e"))
-      .select(
-        col("row_id") +:
-          cols.map(c => col(s"e.img.$c").as(c)) :+
-          col("e.ct").as("_change_type"): _*)
+    // the shared diff core ([[diffFeed]]), always with update images:
+    // a physical-lineage consumer needs both sides of a stored-byte
+    // change. row_commit rides as a payload column — rewrites
+    // MATERIALIZE it, so it never manufactures a spurious update.
+    diffFeed(side(fromV, ea), side(toV, eb), "row_id",
+      updateImages = true)
   }
 
   /** Delta's RESTORE TABLE: roll the table back to historical

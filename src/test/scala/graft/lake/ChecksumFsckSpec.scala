@@ -173,7 +173,14 @@ class ChecksumFsckSpec extends SparkSpec {
     Files.walk(bfRoot).iterator().asScala.toSeq.reverse
       .filterNot(_ == bfRoot).foreach(Files.delete)
     val dry = t.fsckDryRun()
-    assert(dry.size === 1 && dry.head.contains("date=d1"))
+    // the dry run reports EVERYTHING the repair will touch: the d1
+    // entry to drop AND the d2 entry's bloom-ref clear — an empty dry
+    // run must always imply a no-op fsck
+    assert(dry.size === 2)
+    assert(dry.exists(p => p.contains("date=d1") &&
+      !p.contains("(clear bloom ref)")))
+    assert(dry.exists(p => p.contains("date=d2") &&
+      p.contains("(clear bloom ref)")))
     assert(t.fsck() > 0L)
     // the DV'd file is gone whole (row 2 lost WITH row 1 — loudly, via
     // the dry run — instead of row 1 silently resurrected); row 3's
