@@ -41,6 +41,22 @@ trait LogStore {
     * observes a partially-written `target` — publish via a
     * temporary + atomic-link/rename, not a direct streaming write. */
   def putIfAbsent(target: Path, body: String): Boolean
+
+  /** Read the full published content at `target` (None when absent) —
+    * the read half of the seam, so sidecar verification
+    * ([[MergeTable.verifyChecksum]]'s `compareCrc`) consults the SAME
+    * store the committer published through: an implementation whose
+    * writes do not immediately materialize to the local filesystem
+    * would otherwise publish sidecars that never verify (r14 ADVICE).
+    * The default delegates to the filesystem, which every bundled
+    * implementation (hard-link, rename, and the in-memory conditional
+    * fake — all of which materialize to disk on success) satisfies;
+    * bulk LOG reads ([[MergeTable]]'s delta/checkpoint folds) still go
+    * straight to the filesystem by contract — a LogStore impl MUST
+    * leave published files POSIX-visible. */
+  def read(target: Path): Option[String] =
+    if (!Files.exists(target)) None
+    else Some(new String(Files.readAllBytes(target), "UTF-8"))
 }
 
 object LogStore {
@@ -136,9 +152,64 @@ object LogStore {
     }
   }
 
+  /** In-memory fake of the S3 conditional-PUT deployment shape
+    * (`PutObject` + `If-None-Match: *`, the post-2024 S3 primitive this
+    * trait's scaladoc names) — the test double that pins the SEMANTICS
+    * so the real S3 impl is a client call, not design work (r14
+    * verdict #5). Faithful to the service contract in the two ways
+    * that matter to the protocol:
+    *
+    *   1. The condition is evaluated at COMMIT time, not at upload
+    *      start: two writers may both be mid-"upload" (here: both past
+    *      the method entry) and the service admits exactly ONE — the
+    *      loser's fully-streamed bytes are DISCARDED atomically (the
+    *      409-after-partial-write case: a 409 response never leaves a
+    *      partial or replaced object visible). Modeled by the atomic
+    *      `putIfAbsent` on the object map being the single commit
+    *      point; a loser's body never reaches `target`.
+    *   2. Reads of published names go through the store's own view
+    *      ([[LogStore.read]] override), so a sidecar published here
+    *      verifies here even before (or without) filesystem
+    *      materialization.
+    *
+    * The winner ALSO materializes to the local filesystem, because the
+    * engine's bulk log folds read POSIX directly (the trait contract);
+    * like [[Rename]], the cross-PROCESS guarantee belongs to the real
+    * service — this is a single-JVM arbiter (Delta's
+    * S3SingleDriverLogStore trade-off), which is exactly what a
+    * contract suite needs. */
+  object Memory extends LogStore {
+    private val objects =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+    private def keyOf(target: Path): String =
+      target.toAbsolutePath.normalize.toString
+    override def putIfAbsent(target: Path, body: String): Boolean = {
+      // pre-fake history published by another store (or a prior JVM —
+      // the map is process-lifetime) still owns the name: without the
+      // filesystem check, the later ATOMIC_MOVE would silently REPLACE
+      // an existing target (Linux rename(2)) — a lost update
+      if (Files.exists(target)) return false
+      val won = objects.putIfAbsent(keyOf(target), body) == null
+      if (won) {
+        val tmp = target.resolveSibling(s".tmp-${UUID.randomUUID()}")
+        Files.writeString(tmp, body)
+        try Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        finally Files.deleteIfExists(tmp)
+      }
+      won
+    }
+    override def read(target: Path): Option[String] =
+      Option(objects.get(keyOf(target))).orElse(super.read(target))
+    /** Test hook: forget every in-memory object (a "service restart" —
+      * the filesystem materializations survive, as S3 objects would). */
+    private[lake] def reset(): Unit = objects.clear()
+  }
+
   /** The implementation selected by the `spark.graft.logStore` conf:
-    * `posix` (default — hard-link create-if-absent) or `rename`
-    * (temp-write + atomic rename-no-overwrite). Every
+    * `posix` (default — hard-link create-if-absent), `rename`
+    * (temp-write + atomic rename-no-overwrite), or `memory` (the
+    * conditional-PUT fake — single-JVM, test/dev only). Every
     * [[MergeTable.apply]] overload resolves through here, so a
     * deployment swaps the commit protocol's storage primitive with one
     * conf line and no code change. */
@@ -146,8 +217,9 @@ object LogStore {
     spark.conf.get("spark.graft.logStore", "posix") match {
       case "posix"  => Posix
       case "rename" => Rename
+      case "memory" => Memory
       case other => throw new IllegalArgumentException(
         s"spark.graft.logStore: unknown store '$other' " +
-          "(expected 'posix' or 'rename')")
+          "(expected 'posix', 'rename' or 'memory')")
     }
 }

@@ -307,7 +307,16 @@ final class MergeTable private (
           val stats: Map[String, ColStat] =
             if (rest.nonEmpty && rest.head.contains(':'))
               rest.map { tok =>
+                def b64d(x: String): String = new String(
+                  java.util.Base64.getDecoder.decode(x), "UTF-8")
                 tok.split(":", -1) match {
+                  case Array(c, "S", mn, mx) =>
+                    c -> ColStat(None, None, Some((b64d(mn),
+                      if (mx.isEmpty) None else Some(b64d(mx)))))
+                  case Array(c, "S", mn, mx, nn, rw) =>
+                    c -> ColStat(None, Some((nn.toLong, rw.toLong)),
+                      Some((b64d(mn),
+                        if (mx.isEmpty) None else Some(b64d(mx)))))
                   case Array(c, mn, mx) =>
                     c -> ColStat(Some((mn.toLong, mx.toLong)))
                   case Array(c, mn, mx, nn, rw) =>
@@ -964,7 +973,19 @@ final class MergeTable private (
         s"\t$BfTok${b.relDir},${b.m},${b.cols.mkString("+")}")
     if (e.stats.isEmpty) base
     else base + e.stats.toSeq.sortBy(_._1).map { case (c, cs) =>
-      val r = cs.range.fold(":")(p => s"${p._1}:${p._2}")
+      // string ranges serialize as `c:S:b64(min):b64(max):nn:rw` — the
+      // `S` marker cannot collide with the legacy numeric form (its
+      // second field is a Long rendering or empty), and base64 keeps
+      // free-form string bounds clear of the `:`/tab separators. An
+      // absent max bound (truncation could not produce one) is the
+      // empty string.
+      val r = cs.strRange match {
+        case Some((mn, mx)) =>
+          val enc = java.util.Base64.getEncoder
+          "S:" + enc.encodeToString(mn.getBytes("UTF-8")) + ":" +
+            mx.fold("")(m => enc.encodeToString(m.getBytes("UTF-8")))
+        case None => cs.range.fold(":")(p => s"${p._1}:${p._2}")
+      }
       cs.nullsRows match {
         case Some((nn, rw)) => s"\t$c:$r:$nn:$rw"
         case None           => s"\t$c:$r"
@@ -1043,8 +1064,10 @@ final class MergeTable private (
         header + "\n" + deltaBody(delta))) {
       // snapshot checksum sidecar (Delta's .crc): derived, best-effort
       // — the commit already SUCCEEDED, so a failed checksum write
-      // only costs verification coverage for this version
-      try writeCrc(v)
+      // only costs verification coverage for this version. The just-
+      // committed delta rides along so the digest derives
+      // incrementally from v-1's sidecar (O(changed) hashing).
+      try writeCrc(v, Some(delta))
       catch {
         case scala.util.control.NonFatal(e) =>
           logger.warn(s"checksum sidecar at $v skipped: $e")
@@ -1205,6 +1228,18 @@ final class MergeTable private (
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** First 64 bits of md5 over one entry's canonical `A` line — the
+    * per-entry unit both the full ([[entryXorOf]]) and the incremental
+    * ([[writeCrc]]'s delta path) digest folds XOR together. */
+  private def lineHash64(e: FileEntry): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(addLine(e).getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
   /** Order-independent digest of a live entry set: XOR of the first
     * 64 bits of md5 over each entry's canonical `A` line ([[addLine]]).
     * XOR-folding makes the digest incremental-friendly and set-shaped —
@@ -1212,14 +1247,7 @@ final class MergeTable private (
     * stats/dv/bloom/row-id state, regardless of fold order. */
   private def entryXorOf(entries: Seq[FileEntry]): String = {
     var acc = 0L
-    entries.foreach { e =>
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(addLine(e).getBytes("UTF-8"))
-      var h = 0L
-      var i = 0
-      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-      acc ^= h
-    }
+    entries.foreach(e => acc ^= lineHash64(e))
     f"$acc%016x"
   }
 
@@ -1241,13 +1269,6 @@ final class MergeTable private (
       "\t" + m.protocol._2.toSeq.sorted.mkString(","))
   ).mkString("\n"))
 
-  private def crcStateOf(v: Long): (Long, String, String, Long) = {
-    val entries = snapshotAt(v)
-    val m = metaAt(v)
-    (entries.size.toLong, entryXorOf(entries), metaHashOf(m),
-      m.rowIdHwm)
-  }
-
   /** Publish the snapshot checksum sidecar for committed version `v`
     * (Delta's per-commit `.crc`): one line recording the live file
     * count, the entry-set digest, the metadata digest, and the row-id
@@ -1259,12 +1280,63 @@ final class MergeTable private (
     * copy, or a fold-logic divergence between engine versions all
     * surface as a loud [[verifyChecksum]] mismatch instead of silent
     * wrong reads. */
-  private def writeCrc(v: Long): Unit = {
+  private def writeCrc(v: Long, delta: Option[CommitDelta] = None): Unit = {
     val p = crcPath(v)
-    if (Files.exists(p)) return
-    val (nf, xor, meta, hwm) = crcStateOf(v)
-    logStore.putIfAbsent(p, s"K\t$nf\t$xor\t$meta\t$hwm")
+    if (logStore.read(p).isDefined) return
+    // INCREMENTAL digest (r14 ADVICE): the XOR fold is set-shaped, so
+    // version v's digest derives from v-1's COMMITTED sidecar by
+    // XOR-ing out the lines the delta removes or replaces and XOR-ing
+    // in its adds — O(changed files) of MD5 work instead of one MD5
+    // per LIVE file per commit (an N-commit ingest on a large table
+    // paid O(N × live) hashing). The working map mirrors the snapshot
+    // fold's apply order (removes, then adds; a re-Add replaces), so
+    // the derived digest is bit-identical to the full recompute —
+    // pinned by ChecksumFsckSpec. Falls back to the full recompute
+    // when the parent sidecar or the memoized parent snapshot is
+    // missing (first commit, pre-feature history, evicted memo).
+    val fromDelta: Option[(Long, String)] = delta.flatMap { d =>
+      if (v <= 1L) None
+      else for {
+        (pn, px) <- readCrcLine(v - 1)
+        prev <- Option(snapMemo.synchronized(snapMemo.get(v - 1)))
+      } yield {
+        val byPath = mutable.HashMap.empty[String, FileEntry]
+        prev.foreach(e => byPath.update(e.relPath, e))
+        var acc = java.lang.Long.parseUnsignedLong(px, 16)
+        var n = pn
+        d.removes.foreach { f =>
+          byPath.remove(f).foreach { old =>
+            acc ^= lineHash64(old); n -= 1
+          }
+        }
+        d.adds.foreach { e =>
+          byPath.put(e.relPath, e) match {
+            case Some(old) => acc ^= lineHash64(old) ^ lineHash64(e)
+            case None      => acc ^= lineHash64(e); n += 1
+          }
+        }
+        (n, f"$acc%016x")
+      }
+    }
+    val (nf, xor) = fromDelta.getOrElse {
+      val entries = snapshotAt(v)
+      (entries.size.toLong, entryXorOf(entries))
+    }
+    val m = metaAt(v)
+    logStore.putIfAbsent(p,
+      s"K\t$nf\t$xor\t${metaHashOf(m)}\t${m.rowIdHwm}")
   }
+
+  /** Parse version `v`'s checksum sidecar into (numFiles, entryXor) —
+    * None when absent or malformed. Reads through the [[LogStore]]
+    * seam (r14 ADVICE: sidecar IO must be symmetric across it). */
+  private def readCrcLine(v: Long): Option[(Long, String)] =
+    logStore.read(crcPath(v)).flatMap { s =>
+      val parts = s.trim.split('\t')
+      if (parts.length == 5 && parts(0) == "K")
+        scala.util.Try((parts(1).toLong, parts(2))).toOption
+      else None
+    }
 
   /** Verify version `v`'s snapshot against its committed checksum
     * sidecar. Returns true when a sidecar exists and every field
@@ -1283,9 +1355,11 @@ final class MergeTable private (
     * ([[snapshotAt]] under [[verifyOnRead]]) recursion-free. */
   private def compareCrc(v: Long, entries: Seq[FileEntry]): Boolean = {
     val p = crcPath(v)
-    if (!Files.exists(p)) return false
-    val parts =
-      new String(Files.readAllBytes(p), "UTF-8").trim.split('\t')
+    // through the LogStore seam, like the publish (r14 ADVICE): an
+    // implementation that materializes lazily must still verify its
+    // own sidecars
+    val content = logStore.read(p).getOrElse(return false)
+    val parts = content.trim.split('\t')
     require(parts.length == 5 && parts(0) == "K",
       s"MergeTable at $root: malformed checksum sidecar $p")
     val m = metaAt(v)
@@ -1499,6 +1573,10 @@ final class MergeTable private (
     if (rowTracking || delta.rowIdHwm.isDefined ||
         delta.adds.exists(_.rowIds.isDefined))
       r += "rowTracking"
+    // string file statistics are READER-impacting: the `c:S:...` stats
+    // token is new manifest grammar a pre-r15 parser hard-fails on
+    if (delta.adds.exists(_.stats.values.exists(_.strRange.isDefined)))
+      r += "stringStats"
     delta.cAdds.foreach { case (n, _) =>
       if (n.startsWith(IdentityColumns.Prefix)) w += "identityColumns"
       else if (n.startsWith(GeneratedColumns.Prefix)) w += "generatedColumns"
@@ -1840,9 +1918,21 @@ final class MergeTable private (
             case _ => false
           })
           val ptn = pt.getPrimitiveTypeName
-          if ((ptn != INT32 && ptn != INT64) || !annOk) return None
+          val isStr = ptn ==
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+              .BINARY && ann.isInstanceOf[
+                org.apache.parquet.schema.LogicalTypeAnnotation
+                  .StringLogicalTypeAnnotation]
+          if (!isStr && ((ptn != INT32 && ptn != INT64) || !annOk))
+            return None
           var mn = Long.MaxValue
           var mx = Long.MinValue
+          // string bounds fold by CODE POINT; a writer-truncated footer
+          // bound is already a sound lower/upper bound (parquet-mr's
+          // BinaryTruncator keeps that contract), and our own
+          // truncation at the end preserves it
+          var smn: String = null
+          var smx: String = null
           var nulls = 0L
           var any = false
           blocks.foreach { b =>
@@ -1853,14 +1943,31 @@ final class MergeTable private (
             nulls += st.getNumNulls
             if (st.hasNonNullValue) {
               any = true
-              mn = math.min(mn,
-                st.genericGetMin.asInstanceOf[Number].longValue)
-              mx = math.max(mx,
-                st.genericGetMax.asInstanceOf[Number].longValue)
+              if (isStr) {
+                val bmn = st.genericGetMin
+                  .asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .toStringUsingUTF8
+                val bmx = st.genericGetMax
+                  .asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .toStringUsingUTF8
+                if (smn == null || MergeTable.cpCompare(bmn, smn) < 0)
+                  smn = bmn
+                if (smx == null || MergeTable.cpCompare(bmx, smx) > 0)
+                  smx = bmx
+              } else {
+                mn = math.min(mn,
+                  st.genericGetMin.asInstanceOf[Number].longValue)
+                mx = math.max(mx,
+                  st.genericGetMax.asInstanceOf[Number].longValue)
+              }
             }
           }
-          c -> ColStat(if (any) Some((mn, mx)) else None,
-            Some((nulls, rows)))
+          c -> (if (isStr)
+            ColStat(None, Some((nulls, rows)),
+              if (any) Some((MergeTable.statsTruncMin(smn),
+                MergeTable.statsTruncMax(smx))) else None)
+          else ColStat(if (any) Some((mn, mx)) else None,
+            Some((nulls, rows))))
         }
       }.toMap
       out += fileKey(e.relPath) -> stats
@@ -1878,9 +1985,17 @@ final class MergeTable private (
         s"${statsCols.filterNot(present.contains).mkString(", ")} not " +
         "present in the data files (stats columns must be data " +
         "columns, not the partition column)")
+    // STRING stats columns collect raw string min/max (truncated at
+    // attach — see [[MergeTable.statsTruncMin]]/[[statsTruncMax]]);
+    // everything else keeps the long-cast contract
+    val isStr: Map[String, Boolean] = statsCols.map(c => c ->
+      (scan.schema(scan.schema.fieldIndex(c)).dataType ==
+        org.apache.spark.sql.types.StringType)).toMap
     val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
-      min(col(c).cast("long")).as(s"mn_$c"),
-      max(col(c).cast("long")).as(s"mx_$c"),
+      (if (isStr(c)) min(col(c)) else min(col(c).cast("long")))
+        .as(s"mn_$c"),
+      (if (isStr(c)) max(col(c)) else max(col(c).cast("long")))
+        .as(s"mx_$c"),
       count(col(c)).as(s"nn_$c")))
     val byKey = scan
       .groupBy(fileTagExpr(col("_metadata.file_path")).as("f"))
@@ -1890,10 +2005,19 @@ final class MergeTable private (
         val rows = r.getLong(1)
         val m = statsCols.zipWithIndex.map { case (c, i) =>
           val (mnI, mxI, nnI) = (2 + 3 * i, 3 + 3 * i, 4 + 3 * i)
-          val range =
-            if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
-            else Some((r.getLong(mnI), r.getLong(mxI)))
-          c -> ColStat(range, Some((rows - r.getLong(nnI), rows)))
+          val counts = Some((rows - r.getLong(nnI), rows))
+          c -> (if (isStr(c)) {
+            val sr =
+              if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+              else Some((MergeTable.statsTruncMin(r.getString(mnI)),
+                MergeTable.statsTruncMax(r.getString(mxI))))
+            ColStat(None, counts, sr)
+          } else {
+            val range =
+              if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+              else Some((r.getLong(mnI), r.getLong(mxI)))
+            ColStat(range, counts)
+          })
         }.toMap
         r.getString(0) -> m
       }
@@ -3558,13 +3682,19 @@ final class MergeTable private (
   def fsck(): Long = {
     val (gone0, dangling0) = fsckPlan()
     if (gone0.isEmpty && dangling0.isEmpty) return 0L
-    retryingCommit("FSCK") { () =>
+    try retryingCommit("FSCK") { () =>
       // replanned per attempt: a concurrent commit may have already
-      // removed (or rewritten) some of the affected entries
+      // removed (or rewritten) some of the affected entries — and may
+      // have repaired EVERYTHING, in which case publishing an
+      // all-empty 'FSCK' commit would be a spurious version bump
+      // (audit-history noise, r14 ADVICE); short-circuit to "no
+      // repair needed" instead
       val (gone, dangling) = fsckPlan()
+      if (gone.isEmpty && dangling.isEmpty)
+        throw new FsckAlreadyClean
       (CommitDelta(dangling.map(_.copy(bloom = None)),
         gone.map(_.relPath)), latestVersion())
-    }
+    } catch { case _: FsckAlreadyClean => 0L }
   }
 
   private case class VacuumPlan(dataDirs: Seq[Path], dvDirs: Seq[Path],
@@ -3692,6 +3822,30 @@ final class MergeTable private (
         s"— not $c; reopen with it in statsCols")
     readEntries(rangeEntries(c, lo, hi))
       .filter(col(c).cast("long").between(lo, hi))
+  }
+
+  /** [[readRange]] for a STRING stats column (r15, Delta's truncated
+    * string min/max): the rows with `c` in [lo, hi] (code-point order —
+    * Spark's own string comparison), scanning only live files whose
+    * recorded TRUNCATED string range intersects the bound. Files
+    * without string stats for `c` are scanned (safe fallback), files
+    * whose recorded prefix-min exceeds `hi` or whose recorded upper
+    * bound undercuts `lo` are skipped — both directions sound under
+    * the truncation contract ([[MergeTable.statsTruncMax]]). */
+  def readRange(c: String, lo: String, hi: String): DataFrame = {
+    require(statsCols.contains(c),
+      s"MergeTable at $root records stats for ${statsCols.mkString(", ")} " +
+        s"— not $c; reopen with it in statsCols")
+    readEntries(rangeEntriesStr(c, lo, hi))
+      .filter(col(c).between(lo, hi))
+  }
+
+  /** Live entries surviving the [lo, hi] STRING stats prune on `c`
+    * (exposed for tests; the [[compileRangeStr]] window as a scan). */
+  private[lake] def rangeEntriesStr(c: String, lo: String,
+      hi: String): Seq[FileEntry] = {
+    val p = compileRangeStr(c, Some(lo), Some(hi))
+    latest()._2.filter(p)
   }
 
   /** Latest live file entries (exposed for tests to assert which files a
@@ -3913,11 +4067,15 @@ final class MergeTable private (
     import org.apache.spark.sql.types._
     val live = latest()._2
     val phys = physicalOf(c)
-    val integral = keys.schema.head.dataType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _                                             => false
+    if (live.isEmpty) return readEntries(live)
+    keys.schema.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      // STRING keys (r15): partition + truncated-string-stats admission
+      // in the same distributed join shape; the bloom surface stays
+      // long-cast and bows out (admit — sound superset)
+      case StringType => return probeKeysStrRel(phys, keys, live)
+      case _          => return readEntries(live)
     }
-    if (!integral || live.isEmpty) return readEntries(live)
     val k = keys.select(col(keys.columns.head).cast("long").as("__k"))
       .filter(col("__k").isNotNull).distinct()
     val isPart = partitionCols.contains(phys)
@@ -3983,6 +4141,48 @@ final class MergeTable private (
     }.toSet ++ admitRest.iterator
       .flatMap(_._2.map(e => fileKey(e.relPath)))
     readEntries(plain ++ bloomed.filter(e => passed(fileKey(e.relPath))))
+  }
+
+  /** The relation-valued probe's STRING path: one distributed join of
+    * the (distinct, non-null) key relation against the broadcast
+    * manifest-metadata frame, admitting a file when the key matches
+    * its partition value (exact) or sits inside its truncated string
+    * range ([[ColStat.strRange]] — Spark's string comparison IS the
+    * code-point order the truncation bounds are valid in). Files
+    * without metadata on `phys` admit (degrade to read, never to a
+    * miss); the long-cast bloom surface never engages for strings. */
+  private def probeKeysStrRel(phys: String, keys: DataFrame,
+      live: Seq[FileEntry]): DataFrame = {
+    val k = keys.select(col(keys.columns.head).cast("string").as("__k"))
+      .filter(col("__k").isNotNull).distinct()
+    val isPart = partitionCols.contains(phys)
+    val metaRows = live.map { fe =>
+      val pv = if (isPart) partValueOf(fe, phys) else None
+      val st = fe.stats.get(phys)
+      (fileKey(fe.relPath),
+        !isPart || pv.isEmpty,                                // p_missing
+        pv.orNull,                                            // p_str
+        st.isEmpty,                                           // stats_none
+        st.exists(_.allNull),                                 // all_null
+        st.exists(_.strRange.isEmpty),                        // range_none
+        st.flatMap(_.strRange).map(_._1).orNull,              // mn
+        st.flatMap(_.strRange).flatMap(_._2).orNull,          // mx
+        st.flatMap(_.strRange).exists(_._2.isEmpty))          // mx_open
+    }
+    val session = spark
+    import session.implicits._
+    val fm = metaRows.toDF("fkey", "p_missing", "p_str", "stats_none",
+      "all_null", "range_none", "mn", "mx", "mx_open")
+    val admitCond =
+      (col("p_missing") || col("p_str") === col("__k")) &&
+        (col("stats_none") || (!col("all_null") &&
+          (col("range_none") ||
+            (col("mn") <= col("__k") &&
+              (col("mx_open") || col("__k") <= col("mx"))))))
+    val admittedKeys = k.join(broadcast(fm), admitCond, "inner")
+      .select("fkey").distinct()
+      .collect().map(_.getString(0)).toSet
+    readEntries(live.filter(fe => admittedKeys(fileKey(fe.relPath))))
   }
 
   /** Entries of the snapshot at `version` (test hook for
@@ -4087,13 +4287,19 @@ final class MergeTable private (
   }
 
   /** `a cmp b` normalized so the MATCHING rows have `a >= b`: prunes when
-    * one side is an attribute and the other an integral literal. */
+    * one side is an attribute and the other an integral literal — or,
+    * r15, a STRING literal against the truncated string stats. */
   private def compileCmpGe(a: cxp.Expression,
       b: cxp.Expression): FileEntry => Boolean =
     (attrOf(a), litLong(b), attrOf(b), litLong(a)) match {
       case (Some(c), Some(v), _, _) => compileRange(c, v, Long.MaxValue)
       case (_, _, Some(c), Some(v)) => compileRange(c, Long.MinValue, v)
-      case _                        => NoPrune
+      case _ =>
+        (attrOf(a), litStr(b), attrOf(b), litStr(a)) match {
+          case (Some(c), Some(v), _, _) => compileRangeStr(c, Some(v), None)
+          case (_, _, Some(c), Some(v)) => compileRangeStr(c, None, Some(v))
+          case _                        => NoPrune
+        }
     }
 
   private def compileEqLike(a: cxp.Expression, b: cxp.Expression,
@@ -4118,6 +4324,10 @@ final class MergeTable private (
     val strs = nonNull.flatMap(litPartStr).toSet
     val allLong = nonNull.forall(l => litLongOf(l).isDefined)
     val allPart = nonNull.forall(l => litPartStr(l).isDefined)
+    // string-literal membership engages the TRUNCATED string stats
+    // (r15): a file admits iff some literal sits inside its strRange
+    val strLits = nonNull.flatMap(litStrOf)
+    val allStr = nonNull.forall(l => litStrOf(l).isDefined)
     // ONE batched probe for all values, deferred until a bloom'd file
     // actually reaches the check.
     lazy val bloomPass: Set[String] =
@@ -4136,9 +4346,16 @@ final class MergeTable private (
             i < longs.length && longs(i) <= mx
           }
         }
+      val statsOkStr = !allStr || strLits.isEmpty ||
+        fe.stats.get(c).forall { cs =>
+          !cs.allNull && cs.strRange.forall { case (mn, mxOpt) =>
+            strLits.exists(s => MergeTable.cpCompare(s, mn) >= 0 &&
+              mxOpt.forall(mx => MergeTable.cpCompare(s, mx) <= 0))
+          }
+        }
       val bloomOk = !allLong || longs.isEmpty ||
         !fe.bloom.exists(_.cols.contains(c)) || bloomPass(fe.relPath)
-      partOk && statsOk && bloomOk
+      partOk && statsOk && statsOkStr && bloomOk
     }
   }
 
@@ -4153,6 +4370,30 @@ final class MergeTable private (
     partOk && fe.stats.get(c).forall { cs =>
       !cs.allNull && cs.range.forall { case (mn, mx) =>
         mx >= lo && mn <= hi
+      }
+    }
+  }
+
+  /** Range prune on `c`'s TRUNCATED string stats ([[ColStat.strRange]])
+    * plus exact string partition values — the string analog of
+    * [[compileRange]] for the matching window [lo, hi] (either side
+    * open). Sound by the truncation bounds: the recorded min is a
+    * PREFIX of the true minimum (<= it in code-point order), the
+    * recorded max is >= the true maximum (exact when short, bumped
+    * prefix when truncated, absent when unbumpable — which disengages
+    * the lo test). All comparisons code-point ([[MergeTable.cpCompare]]
+    * — java's UTF-16 char order must never decide a skip). */
+  private def compileRangeStr(c: String, lo: Option[String],
+      hi: Option[String]): FileEntry => Boolean = fe => {
+    val partOk = !partitionCols.contains(c) ||
+      partValueOf(fe, c).forall(pv =>
+        lo.forall(l => MergeTable.cpCompare(pv, l) >= 0) &&
+          hi.forall(h => MergeTable.cpCompare(pv, h) <= 0))
+    partOk && fe.stats.get(c).forall { cs =>
+      !cs.allNull && cs.strRange.forall { case (mn, mxOpt) =>
+        hi.forall(h => MergeTable.cpCompare(mn, h) <= 0) &&
+          lo.forall(l =>
+            mxOpt.forall(mx => MergeTable.cpCompare(mx, l) >= 0))
       }
     }
   }
@@ -4204,6 +4445,21 @@ final class MergeTable private (
         Some(v.asInstanceOf[Long])
       case _ => None
     }
+  }
+
+  private def litStr(e: cxp.Expression): Option[String] =
+    unwrapLit(e).flatMap(litStrOf)
+
+  /** The literal's string value, ONLY for StringType — the comparison
+    * domain of the truncated string stats ([[MergeTable.StrStatLen]]).
+    * Non-string literals (including renderable ones) must not engage
+    * the string-range surface: their ORDER need not match code-point
+    * order. */
+  private def litStrOf(l: cxp.Literal): Option[String] = l match {
+    case cxp.Literal(null, _) => None
+    case cxp.Literal(v, org.apache.spark.sql.types.StringType) =>
+      Some(v.toString)
+    case _ => None
   }
 
   /** The literal's partition-string rendering: string literals verbatim,
@@ -4423,9 +4679,14 @@ final class MergeTable private (
     val (pa, pb) = (byPart(ea), byPart(eb))
     val changedParts = (pa.keySet ++ pb.keySet)
       .filter(p => pa.get(p) != pb.get(p))
-    def side(v: Long, es: Seq[FileEntry]): DataFrame = {
-      val sel = es.filter(e => changedParts(e.partitionValue))
-      if (sel.isEmpty)
+    val selA = ea.filter(e => changedParts(e.partitionValue))
+    val selB = eb.filter(e => changedParts(e.partitionValue))
+    def side(sel: Seq[FileEntry], v: Long,
+        forceSchema: Boolean): DataFrame = {
+      val declared = if (v == 0L) None else schemaAt(v)
+      val mapping: (Map[String, String], Set[String]) =
+        if (v == 0L) (Map.empty, Set.empty) else mappingAt(v)
+      if (sel.isEmpty && !forceSchema)
         // metadata-cost empty side (the common pure-append poll: a
         // version contributes no changed partitions): the NONEMPTY
         // side supplies every payload column for the diff's
@@ -4436,9 +4697,24 @@ final class MergeTable private (
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("row_id",
               org.apache.spark.sql.types.LongType))))
-      val declared = if (v == 0L) None else schemaAt(v)
-      val mapping: (Map[String, String], Set[String]) =
-        if (v == 0L) (Map.empty, Set.empty) else mappingAt(v)
+      if (sel.isEmpty) {
+        // BOTH sides empty (fromV == toV, or only metadata-only
+        // commits between): the feed's schema must still match a
+        // normal poll's (r14 ADVICE — downstream consumers union or
+        // write with a fixed schema), so this side is built from the
+        // declared schema at `v` exactly like the pk feed's empty
+        // reads, never a bespoke row_id-only frame. Column order
+        // mirrors the nonempty read: data fields, then partition
+        // columns, then the identity pair.
+        val base = emptyLikePhysWith(declared)
+        val (pc, dc) = base.columns.partition(partitionCols.contains)
+        val shaped = base.select((dc ++ pc).map(col): _*)
+          .withColumn(RidCol, lit(null).cast("long"))
+          .withColumn(RcvCol, lit(null).cast("long"))
+        return presentLogicalAs(shaped, mapping)
+          .withColumnRenamed(RidCol, "row_id")
+          .withColumnRenamed(RcvCol, "row_commit")
+      }
       presentLogicalAs(
         readEntriesRowIdsPhysWith(sel, declared, Nil), mapping)
         .withColumnRenamed(RidCol, "row_id")
@@ -4448,7 +4724,11 @@ final class MergeTable private (
     // a physical-lineage consumer needs both sides of a stored-byte
     // change. row_commit rides as a payload column — rewrites
     // MATERIALIZE it, so it never manufactures a spurious update.
-    diffFeed(side(fromV, ea), side(toV, eb), "row_id",
+    // toV == 0 (a poll against the empty table) has no schema to
+    // shape by — keep the key-only frame there (legacy behavior)
+    val bothEmpty = selA.isEmpty && selB.isEmpty && toV > 0L
+    diffFeed(side(selA, fromV, forceSchema = false),
+      side(selB, toV, forceSchema = bothEmpty), "row_id",
       updateImages = true)
   }
 
@@ -5019,8 +5299,8 @@ final class MergeTable private (
       .withColumn(RidCol,
         coalesce(col(RidCol), col(RiBaseCol) + col(PosCol)))
       .withColumn(RcvCol, coalesce(col(RcvCol), col(RiVerCol)))
-    val visible = dataFields0.map(_.name) ++
-      (if (partFields.size == partitionCols.size) partitionCols else Nil)
+    val visible = declaredColumnOrder(declared, dataFields0.map(_.name) ++
+      (if (partFields.size == partitionCols.size) partitionCols else Nil))
     withIds.select(
       (visible ++ Seq(RidCol, RcvCol) ++ keep).map(col): _*)
   }
@@ -5099,12 +5379,31 @@ final class MergeTable private (
           HiddenCols.contains(f.name)))
     }
     val (dataFields, partFields) = resolvePartFields(declared, byDir)
-    if (partitionCols.nonEmpty && partFields.size == partitionCols.size)
-      org.apache.spark.sql.types.StructType(
+    if (partitionCols.nonEmpty && partFields.size == partitionCols.size) {
+      val fields =
         dataFields ++ partitionCols.zip(partFields).map { case (pc, pf) =>
           org.apache.spark.sql.types.StructField(pc, pf.dataType)
-        })
-    else org.apache.spark.sql.types.StructType(dataFields.toArray)
+        }
+      org.apache.spark.sql.types.StructType(
+        declaredColumnOrder(declared, fields.map(_.name))
+          .flatMap(n => fields.find(_.name == n)).toArray)
+    } else org.apache.spark.sql.types.StructType(dataFields.toArray)
+  }
+
+  /** Reorder a read's visible columns into DECLARED order when the
+    * table declares a schema and the resolved column set matches it —
+    * the partition column surfaces at its declared position, exactly
+    * as the empty-table read already presents it. Before r15 the
+    * multi-dir reads appended restored partition columns LAST, so the
+    * same table read empty vs non-empty changed column order, and SQL
+    * positional `INSERT INTO t VALUES ...` on a non-empty partitioned
+    * declared table cast values against the wrong columns. */
+  private def declaredColumnOrder(
+      declared: Option[org.apache.spark.sql.types.StructType],
+      cols: Seq[String]): Seq[String] = declared match {
+    case Some(s) if s.fields.length == cols.length &&
+        s.fieldNames.forall(cols.contains) => s.fieldNames.toSeq
+    case _ => cols
   }
 
   /** The LOGICAL schema [[readEntries]] would produce — the physical
@@ -5179,8 +5478,8 @@ final class MergeTable private (
             else col(PvColPrefix + pc).cast(pf.dataType)
           d.withColumn(pc, pv)
       }
-      withParts.select(
-        dataFields.map(f => col(f.name)) ++ partitionCols.map(col): _*)
+      withParts.select(declaredColumnOrder(declared,
+        dataFields.map(_.name) ++ partitionCols).map(col): _*)
     } else base
   }
 
@@ -5296,7 +5595,8 @@ final class MergeTable private (
               d.withColumn(pc, pv)
           }
           (withParts.drop(partitionCols.map(PvColPrefix + _): _*),
-            dataFields.map(_.name) ++ partitionCols)
+            declaredColumnOrder(declared,
+              dataFields.map(_.name) ++ partitionCols))
         } else (base, dataFields.map(_.name).toSeq)
       }
     val masked = applyVectors(restored, entries)
@@ -5533,7 +5833,8 @@ object MergeTable {
     * into a fast, explicit refusal. */
   val SupportedReaderFeatures: Set[String] = Set(
     "deletionVectors", "columnMapping", "declaredSchema",
-    "inCommitTimestamp", "bloomIndex", "typeWidening", "rowTracking")
+    "inCommitTimestamp", "bloomIndex", "typeWidening", "rowTracking",
+    "stringStats")
 
   /** Writer features THIS build implements. Write-side semantics a
     * reader may ignore (constraints are enforced at write time;
@@ -5702,8 +6003,73 @@ object MergeTable {
     * recorded it) and null/row counts (absent in legacy manifests). */
   private[lake] final case class ColStat(
       range: Option[(Long, Long)],
-      nullsRows: Option[(Long, Long)] = None) {
+      nullsRows: Option[(Long, Long)] = None,
+      strRange: Option[(String, Option[String])] = None) {
     def allNull: Boolean = nullsRows.exists { case (n, r) => n == r }
+  }
+
+  /** String file statistics (r14 verdict #4, Delta's truncated string
+    * min/max): a STRING-typed stats column records a TRUNCATED range in
+    * the manifest — `strRange = (minPrefix, maxBound)` where
+    * `minPrefix` is the true minimum cut to [[MergeTable.StrStatLen]]
+    * code points (a prefix is always <= the value it prefixes — a
+    * valid lower bound) and `maxBound` is the true maximum when it
+    * fits, else the truncated prefix with its last incrementable code
+    * point bumped (Delta's max-side increment rule — strictly > any
+    * value sharing the prefix, a valid upper bound), or None when no
+    * code point can be bumped (every one is U+10FFFF) — unbounded
+    * above, range pruning on the max side simply disengages. All
+    * comparisons are BY CODE POINT ([[cpCompare]]) — the order
+    * Spark's UTF8String binary comparison and DuckDB's UTF-8 byte
+    * comparison both implement; java.lang.String's UTF-16 char order
+    * disagrees above U+FFFF and must never decide a file skip. */
+  private[lake] val StrStatLen = 32
+
+  private[lake] def statsTruncMin(s: String): String =
+    if (s.length <= StrStatLen) s
+    else {
+      // cut at a char boundary that is also a CODE POINT boundary — a
+      // dangling high surrogate would re-encode as a replacement char
+      val cut =
+        if (Character.isHighSurrogate(s.charAt(StrStatLen - 1)))
+          StrStatLen - 1
+        else StrStatLen
+      s.substring(0, cut)
+    }
+
+  private[lake] def statsTruncMax(s: String): Option[String] =
+    if (s.length <= StrStatLen) Some(s)
+    else {
+      val cps = statsTruncMin(s).codePoints().toArray
+      var i = cps.length - 1
+      while (i >= 0) {
+        if (cps(i) < 0x10FFFF) {
+          // the successor must be a valid scalar value: bumping into
+          // the surrogate block would not round-trip through UTF-8
+          val next =
+            if (cps(i) + 1 >= 0xD800 && cps(i) + 1 <= 0xDFFF) 0xE000
+            else cps(i) + 1
+          val out = cps.take(i) :+ next
+          return Some(new String(out, 0, out.length))
+        }
+        i -= 1
+      }
+      None
+    }
+
+  /** Code-point order — identical to UTF-8 unsigned-byte order, which
+    * is what Spark's UTF8String (and DuckDB) compare strings by. */
+  private[lake] def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
   }
 
   /** A file's deletion vector: the root-relative parquet dir holding its
@@ -5786,6 +6152,11 @@ object MergeTable {
   /** Control-flow sentinel: a txn-gated commit found its watermark
     * already recorded by a concurrent writer mid-loop. */
   private final class TxnAlreadyApplied extends RuntimeException
+
+  /** Control-flow sentinel: an [[MergeTable.fsck]] attempt found a
+    * concurrent commit already repaired every affected entry — commit
+    * nothing (no spurious empty 'FSCK' version). */
+  private final class FsckAlreadyClean extends RuntimeException
 
   private sealed trait LogAction
   private final case class Add(entry: FileEntry) extends LogAction

@@ -80,21 +80,188 @@ import graft.lake.{MatchClause, MergeTable}
 object GraftSql {
 
   /** name → configured handle; names are case-insensitive (SQL
-    * convention). Registration is per-JVM — the registry is shared by
-    * every session the JVM holds, like Spark's own builtin function
-    * registry. */
+    * convention). The in-memory registry is per-JVM — shared by every
+    * session the JVM holds, like Spark's own builtin function
+    * registry — and, when `spark.graft.catalog.dir` names a
+    * directory, backed by a PERSISTED catalog (r14 verdict #2): each
+    * registration writes the handle's full layout contract (path,
+    * partition/stats/bloom columns, deletion vectors, optimized
+    * writes, auto compact, checkpoint retention, row tracking,
+    * checksum verification, log store) as one small file there, and a
+    * lookup that misses in memory — a restarted JVM, a fresh Spark
+    * Connect server — rebuilds the handle from that contract, so DML
+    * keeps working without a re-issued `REGISTER GRAFT TABLE`. A
+    * re-register whose layout CONTRADICTS the persisted contract is
+    * refused (it would silently write, e.g., a stats-less commit into
+    * a stats'd table); `DROP GRAFT TABLE` / [[unregister]] deletes
+    * the persisted entry along with the in-memory one. With the conf
+    * unset, behavior is the pre-r15 in-memory-only registry. */
   private val tables = TrieMap.empty[String, MergeTable]
 
-  def register(name: String, table: MergeTable): Unit =
-    tables.put(name.toLowerCase, table)
+  private val CatalogConf = "spark.graft.catalog.dir"
+  private val CatalogSuffix = ".graft"
 
-  def unregister(name: String): Unit = tables.remove(name.toLowerCase)
+  private def catalogDir(s: SparkSession): Option[java.nio.file.Path] =
+    s.conf.get(CatalogConf, "") match {
+      case "" => None
+      case d  => Some(java.nio.file.Paths.get(d))
+    }
 
-  def table(name: String): Option[MergeTable] = tables.get(name.toLowerCase)
+  private def sessionFor(): Option[SparkSession] =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
 
-  /** Snapshot of the registry — the [[graft.lake.GraftScanPruning]]
-    * optimizer rule sweeps it to recognize which relations are lake
-    * tables it may file-prune. */
+  private def logStoreName(ls: graft.lake.LogStore): String = ls match {
+    case graft.lake.LogStore.Posix  => "posix"
+    case graft.lake.LogStore.Rename => "rename"
+    case graft.lake.LogStore.Memory => "memory"
+    // a custom store can't be named across a restart — record that it
+    // re-resolves from the conf at rebuild time
+    case _                          => "conf"
+  }
+
+  /** The layout contract, serialized canonically (sorted k=v lines) —
+    * what the persisted catalog stores and what the contradiction
+    * check compares. Everything here is HANDLE configuration a bare
+    * path cannot recover; table-log state (declared schema, generated
+    * rules, constraints, protocol) deliberately stays in the log. */
+  private[sql] def contractOf(t: MergeTable): String = Seq(
+    "autoCompact=" + t.autoCompact.fold("-") {
+      case (b, f) => s"$b,$f" },
+    s"bloomCols=${t.bloomCols.mkString(",")}",
+    s"ckptRetention=${t.ckptRetention._1},${t.ckptRetention._2}",
+    s"deletionVectors=${t.deletionVectors}",
+    s"logStore=${logStoreName(t.logStore)}",
+    s"optimizeWrite=${t.optimizeWrite}",
+    s"partitionCols=${t.partitionCols.mkString(",")}",
+    s"path=${t.root.toAbsolutePath.normalize}",
+    s"rowTracking=${t.rowTracking}",
+    s"statsCols=${t.statsCols.mkString(",")}",
+    s"verifyOnRead=${t.verifyOnRead}").mkString("\n")
+
+  /** Rebuild a handle from a persisted contract, bound to `s`. */
+  private def buildFromContract(s: SparkSession,
+      contract: String): MergeTable = {
+    val kv = contract.linesIterator.filter(_.contains('='))
+      .map { l =>
+        val i = l.indexOf('=')
+        l.take(i) -> l.drop(i + 1)
+      }.toMap
+    def cols(k: String): Seq[String] = kv.getOrElse(k, "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    def flag(k: String): Boolean =
+      kv.get(k).exists(_.toBoolean)
+    var t = MergeTable(s, kv("path"), cols("partitionCols"),
+      cols("statsCols"), flag("deletionVectors"), cols("bloomCols"))
+    kv.get("logStore").foreach {
+      case "posix"  => t = t.withLogStore(graft.lake.LogStore.Posix)
+      case "rename" => t = t.withLogStore(graft.lake.LogStore.Rename)
+      case "memory" => t = t.withLogStore(graft.lake.LogStore.Memory)
+      case _        => () // "conf": MergeTable.apply already resolved it
+    }
+    if (flag("optimizeWrite")) t = t.withOptimizeWrite
+    kv.get("autoCompact").filter(_ != "-").foreach { ac =>
+      val Array(b, f) = ac.split(','); t = t.withAutoCompact(b.toLong, f.toInt)
+    }
+    kv.get("ckptRetention").foreach { cr =>
+      val Array(k, ms) = cr.split(',')
+      if ((k.toInt, ms.toLong) != MergeTable.DefaultCkptRetention)
+        t = t.withCheckpointRetention(k.toInt, ms.toLong)
+    }
+    if (flag("rowTracking")) t = t.withRowTracking
+    if (flag("verifyOnRead")) t = t.withChecksumVerification
+    t
+  }
+
+  private def catalogFile(dir: java.nio.file.Path,
+      key: String): java.nio.file.Path = dir.resolve(key + CatalogSuffix)
+
+  def register(name: String, table: MergeTable): Unit = {
+    val key = name.toLowerCase
+    catalogDir(table.spark).foreach { dir =>
+      val f = catalogFile(dir, key)
+      val contract = contractOf(table)
+      val prior =
+        if (java.nio.file.Files.exists(f))
+          Some(java.nio.file.Files.readString(f))
+        else None
+      prior match {
+        case Some(p) if p != contract =>
+          throw new IllegalArgumentException(
+            s"REGISTER GRAFT TABLE $name: the persisted catalog at " +
+              s"$dir records a DIFFERENT layout contract for this " +
+              "name — registering over it could silently write " +
+              "commits that violate the table's layout. Persisted:\n" +
+              p.linesIterator.map("  " + _).mkString("\n") +
+              "\nRequested:\n" +
+              contract.linesIterator.map("  " + _).mkString("\n") +
+              s"\nDROP GRAFT TABLE $name (or UNREGISTER) first if the " +
+              "change is intentional")
+        case Some(_) => () // identical — idempotent re-register
+        case None =>
+          java.nio.file.Files.createDirectories(dir)
+          // temp + atomic replace: a concurrent lister never sees a
+          // partial contract
+          val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+          java.nio.file.Files.writeString(tmp, contract)
+          java.nio.file.Files.move(tmp, f,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    tables.put(key, table)
+  }
+
+  def unregister(name: String): Unit = {
+    val key = name.toLowerCase
+    tables.remove(key)
+    for {
+      s <- sessionFor()
+      dir <- catalogDir(s)
+    } java.nio.file.Files.deleteIfExists(catalogFile(dir, key))
+  }
+
+  def table(name: String): Option[MergeTable] = {
+    val key = name.toLowerCase
+    tables.get(key).orElse {
+      // persisted-catalog fallback: rebuild the handle from its
+      // contract, bound to the session doing the lookup, and cache it
+      for {
+        s <- sessionFor()
+        dir <- catalogDir(s)
+        f = catalogFile(dir, key)
+        if java.nio.file.Files.exists(f)
+      } yield {
+        val t = buildFromContract(s, java.nio.file.Files.readString(f))
+        tables.putIfAbsent(key, t).getOrElse(t)
+      }
+    }
+  }
+
+  /** Names (and contracts) in the persisted catalog, whether or not
+    * they are loaded in memory — SHOW GRAFT TABLES unions these in. */
+  private[sql] def persistedEntries(s: SparkSession)
+      : Seq[(String, String)] =
+    catalogDir(s).filter(java.nio.file.Files.isDirectory(_)).toSeq
+      .flatMap { dir =>
+        scala.util.Using.resource(java.nio.file.Files.list(dir)) { st =>
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(CatalogSuffix))
+            .map(p => p.getFileName.toString.stripSuffix(CatalogSuffix) ->
+              java.nio.file.Files.readString(p))
+            .toList
+        }
+      }
+
+  /** Test hook: simulate a JVM restart — clear the in-memory registry
+    * WITHOUT touching the persisted catalog. */
+  private[graft] def resetInMemory(): Unit = tables.clear()
+
+  /** Snapshot of the in-memory registry — the
+    * [[graft.lake.GraftScanPruning]] optimizer rule sweeps it on every
+    * query to recognize which relations are lake tables it may
+    * file-prune, so this stays IO-free (persisted-but-unloaded names
+    * enter it on first [[table]] lookup). */
   def registered: Seq[(String, MergeTable)] = tables.toSeq
 
   // ---- the statement grammar ----------------------------------------------
@@ -1244,13 +1411,28 @@ case class GraftShowTablesCommand() extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     org.apache.spark.sql.catalyst.types.DataTypeUtils
       .toAttributes(GraftShowTablesCommand.Schema)
-  override def run(sparkSession: SparkSession): Seq[Row] =
-    GraftSql.registered.sortBy(_._1).map { case (n, t) =>
-      Row(n, t.root.toAbsolutePath.normalize.toString,
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val inMem = GraftSql.registered.toMap
+    // persisted-but-unloaded names (a restarted JVM before any lookup)
+    // surface from their catalog contracts without building handles
+    val persistedOnly = GraftSql.persistedEntries(sparkSession)
+      .filterNot { case (n, _) => inMem.contains(n) }
+      .map { case (n, contract) =>
+        val kv = contract.linesIterator.filter(_.contains('='))
+          .map { l => val i = l.indexOf('=')
+            l.take(i) -> l.drop(i + 1) }.toMap
+        n -> Row(n, kv.getOrElse("path", ""),
+          kv.get("partitionCols").filter(_.nonEmpty).orNull,
+          kv.get("deletionVectors").exists(_.toBoolean),
+          kv.get("optimizeWrite").exists(_.toBoolean))
+      }
+    (inMem.toSeq.map { case (n, t) =>
+      n -> Row(n, t.root.toAbsolutePath.normalize.toString,
         (if (t.partitionCols.isEmpty) null
          else t.partitionCols.mkString(",")),
         t.deletionVectors, t.optimizeWrite)
-    }
+    } ++ persistedOnly).sortBy(_._1).map(_._2)
+  }
   override def simpleString(maxFields: Int): String =
     "GraftDml(SHOW GRAFT TABLES)"
 }

@@ -115,9 +115,11 @@ object SqlQueries {
     s.sql("ALTER TABLE q_ddl_t ADD COLUMN price_band STRING")
     s.sql("UPDATE q_ddl_t SET price_band = " +
       "CASE WHEN o_totalprice >= 150000.0 THEN 'high' ELSE 'low' END")
-    // read schema order after ADD COLUMN: (o_orderkey, o_totalprice,
-    // price_band, o_orderstatus) — the INSERT is positional on it
-    s.sql("INSERT INTO q_ddl_t VALUES (-1, 0.0, 'none', 'F')")
+    // DECLARED schema order after ADD COLUMN: (o_orderkey,
+    // o_totalprice, o_orderstatus, price_band) — the CTAS declared the
+    // first three, ADD COLUMN appended the band, and reads/INSERTs
+    // follow that order with the partition column at its declared slot
+    s.sql("INSERT INTO q_ddl_t VALUES (-1, 0.0, 'F', 'none')")
     s.sql("OPTIMIZE q_ddl_t WHERE o_orderstatus = 'F'")
     s.sql("SELECT o_orderstatus, price_band, count(*) AS n, " +
       "CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total " +

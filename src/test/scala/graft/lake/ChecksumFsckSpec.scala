@@ -154,6 +154,63 @@ class ChecksumFsckSpec extends SparkSpec {
     assert(t.verifyChecksum())
   }
 
+  test("incremental crc (r15): remove / in-place-replace / re-add " +
+      "deltas derive the same digest a fresh handle's full refold " +
+      "verifies") {
+    val root = tmpDir("crci").toString
+    val t = MergeTable(spark, root, Some("date"), Seq("id"),
+      deletionVectors = true, bloomCols = Seq("id"))
+    t.overwrite(items((1L, "d1", 1.0), (2L, "d1", 2.0),
+      (3L, "d2", 3.0)).coalesce(1))
+    t.append(items((4L, "d2", 4.0)))          // pure add
+    t.delete($"id" === 2L)                    // in-place replace (DV re-add)
+    t.merge(items((3L, "d2", 9.0)), "id")     // remove + add
+    t.compact()                               // rewrite every partition
+    t.restore(2L)                             // re-adds old state, removes new
+    val latest = t.latestVersion()
+    assert(latest >= 6L)
+    // every sidecar after v1 was derived INCREMENTALLY from its
+    // parent's (the committing handle had the parent snapshot
+    // memoized); a fresh handle recomputes each digest from the raw
+    // log — a divergence anywhere in the remove/replace/re-add
+    // arithmetic would THROW here, not return false
+    val fresh = MergeTable(spark, root, Some("date"), Seq("id"),
+      deletionVectors = true, bloomCols = Seq("id"))
+    (1L to latest).foreach { v =>
+      assert(fresh.verifyChecksum(v), s"version $v should verify")
+    }
+  }
+
+  test("fsck: when a concurrent repair already fixed everything, the " +
+      "loser returns 0 and never publishes an empty FSCK commit") {
+    val root = tmpDir("fsck-race").toString
+    val t = MergeTable(spark, root, Some("date"))
+    t.overwrite(orders(("o1", "d1", 1.0)))
+    t.append(orders(("o2", "d2", 2.0)))
+    val victim = Files.walk(Paths.get(root)).iterator().asScala
+      .find(p => p.toString.contains("date=d2") &&
+        p.toString.endsWith(".parquet")).get
+    Files.delete(victim)
+    val v0 = t.latestVersion()
+    // two uncoordinated handles race the same repair: exactly one may
+    // commit; the other — whether it loses the OCC race mid-flight or
+    // plans after the winner landed — must see an empty replanned
+    // delta and short-circuit to 0 instead of bumping the version
+    // with an all-empty 'FSCK' commit (r14 ADVICE)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t2 = MergeTable(spark, root, Some("date"))
+    val f1 = Future(t.fsck())
+    val f2 = Future(t2.fsck())
+    val rs = Seq(Await.result(f1, 120.seconds),
+      Await.result(f2, 120.seconds)).sorted
+    assert(rs.head === 0L, "the loser must report no-repair-needed")
+    assert(rs.last === v0 + 1, "exactly one repair commit")
+    assert(t.latestVersion() === v0 + 1,
+      "no spurious version bump from an empty FSCK delta")
+  }
+
   test("fsck drops an entry whose deletion vector is gone (never " +
       "resurrects deleted rows) and clears a dangling bloom ref " +
       "(never drops intact data)") {

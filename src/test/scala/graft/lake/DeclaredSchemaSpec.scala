@@ -50,8 +50,11 @@ class DeclaredSchemaSpec extends SparkSpec {
     t.addColumn("note", StringType)
     assert(t.liveEntries().map(_.relPath).toSet === filesPre,
       "metadata-only: the file set is untouched")
+    // DECLARED order (r15): the bootstrap captured (order_id, amount,
+    // date) from the physical read, addColumn appended note — and the
+    // read presents that declared order, partition column included
     assert(t.read().columns.toSeq ===
-      Seq("order_id", "amount", "note", "date"))
+      Seq("order_id", "amount", "date", "note"))
     assert(t.read().filter(col("note").isNull).count() === 2L)
     // new writes carry the column; old and new rows coexist in one scan
     t.append(Seq(("o3", 3.0, "hello", "d3"))

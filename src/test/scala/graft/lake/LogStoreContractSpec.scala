@@ -31,7 +31,8 @@ import graft.SparkSpec
 class LogStoreContractSpec extends SparkSpec {
 
   private val impls: Seq[(String, LogStore)] =
-    Seq("posix" -> LogStore.Posix, "rename" -> LogStore.Rename)
+    Seq("posix" -> LogStore.Posix, "rename" -> LogStore.Rename,
+      "memory" -> LogStore.Memory)
 
   private def visible(dir: Path): Seq[String] =
     scala.util.Using.resource(Files.list(dir))(
@@ -217,6 +218,68 @@ class LogStoreContractSpec extends SparkSpec {
         .as[(String, Double)].collect().toSet
       assert(rows === Set(("o1", 1.0), ("o2", 2.0), ("o3", 3.0)))
       assert(t.latestVersion() === 3L, "exactly two post-overwrite commits")
+    } finally spark.conf.unset("spark.graft.logStore")
+  }
+
+  test("memory: read() serves the store's own view — a sidecar published " +
+      "through the seam verifies even when the filesystem copy is gone") {
+    val dir = tmpDir("ls-mem-read")
+    val target = dir.resolve("00000000000000000001.crc")
+    assert(LogStore.Memory.putIfAbsent(target, "K\t1\tx\ty\t0") === true)
+    // simulate a store that materializes lazily (or an object lost from
+    // the local cache): the SEAM read must still serve the content —
+    // this is the r14 ADVICE asymmetry (publish via the store, verify
+    // via Files.*) turned into a pinned contract
+    Files.delete(target)
+    assert(LogStore.Memory.read(target) === Some("K\t1\tx\ty\t0"))
+    assert(LogStore.Posix.read(target) === None,
+      "the default (filesystem) read sees the deletion — only the " +
+        "owning store's view survives")
+  }
+
+  test("memory: 409-after-partial-write — a losing conditional PUT " +
+      "discards its fully-streamed body atomically (no replace, no torn " +
+      "object)") {
+    val dir = tmpDir("ls-mem-409")
+    val target = dir.resolve("00000000000000000001.txt")
+    // first writer commits; the second writer's upload COMPLETES (the
+    // method runs to its commit point) but the condition evaluates
+    // false — S3's 409 — and neither the target nor the store's view
+    // may carry any trace of the loser's bytes
+    assert(LogStore.Memory.putIfAbsent(target, "winner") === true)
+    assert(LogStore.Memory.putIfAbsent(target, "loser-bytes") === false)
+    assert(Files.readString(target) === "winner")
+    assert(LogStore.Memory.read(target) === Some("winner"))
+  }
+
+  test("memory: service restart — the materialized object still owns its " +
+      "name (no lost update against pre-restart history)") {
+    val dir = tmpDir("ls-mem-restart")
+    val target = dir.resolve("00000000000000000001.txt")
+    assert(LogStore.Memory.putIfAbsent(target, "pre-restart") === true)
+    LogStore.Memory.reset() // the in-memory map dies with the process
+    assert(LogStore.Memory.putIfAbsent(target, "usurper") === false,
+      "a name published before the restart must still refuse new claims")
+    assert(Files.readString(target) === "pre-restart")
+    assert(LogStore.Memory.read(target) === Some("pre-restart"),
+      "after a restart the read falls back to the materialized object")
+  }
+
+  test("conf swap: spark.graft.logStore=memory drives a full MergeTable " +
+      "lifecycle (commits, checksum verification) through the fake") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.logStore", "memory")
+    try {
+      val root = tmpDir("mt-memory").toString
+      val t = MergeTable(spark, root, Some("date"), Some("amount"))
+        .withChecksumVerification
+      assert(t.logStore eq LogStore.Memory)
+      t.overwrite(Seq(("o1", "d", 5L)).toDF("order_id", "date", "amount"))
+      t.merge(Seq(("o2", "d", 7L)).toDF("order_id", "date", "amount"),
+        "order_id")
+      assert(t.read().count() === 2L)
+      assert(t.verifyChecksum(), "sidecars published through the memory " +
+        "store must verify through the same seam")
     } finally spark.conf.unset("spark.graft.logStore")
   }
 
