@@ -179,19 +179,39 @@ class GraftScanPruning(spark: SparkSession) extends Rule[LogicalPlan] {
           case h: HadoopFsRelation => h
           case _                   => return None
         }
-        val all = fsRel.location.rootPaths
-        val pruned = all.filter(p => admitted(fileKeyOf(p.toUri.getPath)))
-        if (pruned.size == all.size) None
-        else if (pruned.isEmpty) Some(LocalRelation(rel.output))
-        else {
-          val idx = new org.apache.spark.sql.execution.datasources
-            .InMemoryFileIndex(spark, pruned, fsRel.options,
-              if (fsRel.partitionSchema.nonEmpty)
-                Some(fsRel.partitionSchema)
-              else None)
-          val out = rel.copy(relation = fsRel.copy(location = idx)(spark))
-          out.setTagValue(ExaminedMap, true)
-          Some(out)
+        fsRel.location match {
+          // manifest-backed scan (r15): prune by rebuilding the index
+          // over the admitted (path, length) pairs — zero listing I/O
+          case m: ManifestFileIndex =>
+            val kept = m.files.filter { case (p, _) =>
+              admitted(fileKeyOf(p.toUri.getPath))
+            }
+            if (kept.size == m.files.size) None
+            else if (kept.isEmpty) Some(LocalRelation(rel.output))
+            else {
+              val idx = new ManifestFileIndex(m.rootPaths.head, kept)
+              val out =
+                rel.copy(relation = fsRel.copy(location = idx)(spark))
+              out.setTagValue(ExaminedMap, true)
+              Some(out)
+            }
+          case loc =>
+            val all = loc.rootPaths
+            val pruned =
+              all.filter(p => admitted(fileKeyOf(p.toUri.getPath)))
+            if (pruned.size == all.size) None
+            else if (pruned.isEmpty) Some(LocalRelation(rel.output))
+            else {
+              val idx = new org.apache.spark.sql.execution.datasources
+                .InMemoryFileIndex(spark, pruned, fsRel.options,
+                  if (fsRel.partitionSchema.nonEmpty)
+                    Some(fsRel.partitionSchema)
+                  else None)
+              val out =
+                rel.copy(relation = fsRel.copy(location = idx)(spark))
+              out.setTagValue(ExaminedMap, true)
+              Some(out)
+            }
         }
       case p @ Project(_, inner) =>
         swap(inner).map(nc => p.copy(child = nc))
@@ -226,7 +246,11 @@ class GraftScanPruning(spark: SparkSession) extends Rule[LogicalPlan] {
       case h: HadoopFsRelation => h
       case _                   => return None
     }
-    val relFiles = fsRel.location.rootPaths.map(_.toUri.getPath).toSet
+    // per-FILE set: the manifest-backed index roots at the TABLE, so
+    // rootPaths is no longer a file list — inputFiles is, for every
+    // index shape (r15)
+    val relFiles = fsRel.location.inputFiles.toSeq
+      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
     if (relFiles.isEmpty) return None
     val owner = registry.iterator.map(_._2)
       .flatMap { t =>
@@ -255,13 +279,28 @@ class GraftScanPruning(spark: SparkSession) extends Rule[LogicalPlan] {
         // via the manifest join, and the compacted hive read whose
         // partition column is native — the original partitionSchema is
         // re-used for inference so value-subset type drift can't
-        // happen).
-        val prunedPaths = pruned.map(e => new org.apache.hadoop.fs.Path(
-          t.root.resolve(e.relPath).toUri))
-        val idx = new org.apache.spark.sql.execution.datasources
-          .InMemoryFileIndex(spark, prunedPaths, fsRel.options,
-            if (fsRel.partitionSchema.nonEmpty) Some(fsRel.partitionSchema)
-            else None)
+        // happen). A manifest-backed original rebuilds manifest-backed
+        // (pruning stays listing-free); a hive original keeps the
+        // InMemoryFileIndex path its partition inference needs.
+        val idx: org.apache.spark.sql.execution.datasources.FileIndex =
+          fsRel.location match {
+            case m: ManifestFileIndex =>
+              val prunedSet = pruned.map(e => t.root.resolve(e.relPath)
+                .toAbsolutePath.normalize.toString).toSet
+              new ManifestFileIndex(m.rootPaths.head,
+                m.files.filter { case (p, _) =>
+                  prunedSet(p.toUri.getPath)
+                })
+            case _ =>
+              val prunedPaths =
+                pruned.map(e => new org.apache.hadoop.fs.Path(
+                  t.root.resolve(e.relPath).toUri))
+              new org.apache.spark.sql.execution.datasources
+                .InMemoryFileIndex(spark, prunedPaths, fsRel.options,
+                  if (fsRel.partitionSchema.nonEmpty)
+                    Some(fsRel.partitionSchema)
+                  else None)
+          }
         val out = rel.copy(relation = fsRel.copy(location = idx)(spark))
         out.setTagValue(Examined, true)
         Some(out)

@@ -91,7 +91,7 @@ object PruneBench {
         case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
           lr.relation match {
             case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              h.location.rootPaths.size
+              h.location.inputFiles.length
             case _ => -1
           }
       }.sum
@@ -107,7 +107,7 @@ object PruneBench {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {
           case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            h.location.rootPaths.size
+            h.location.inputFiles.length
           case _ => 0
         }
     }.sum

@@ -63,4 +63,17 @@ object GraftStreamShim {
     * because `StateStore` is `private[sql]`. */
   def unloadStateStores(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+
+  /** A DataFrame over an arbitrary analyzed-or-not logical plan —
+    * `Dataset.ofRows` is `private[sql]`. The graft manifest-backed
+    * scan ([[graft.lake.ManifestFileIndex]]) needs it to hand Spark a
+    * `LogicalRelation(HadoopFsRelation(...))` whose FileIndex serves
+    * file statuses from MANIFEST metadata instead of driver-side
+    * listing — the same construction Delta's `TahoeLogFileIndex`
+    * reaches through its own `org.apache.spark.sql` subpackage. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[ClassicSession], plan)
 }

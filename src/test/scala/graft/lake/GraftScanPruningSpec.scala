@@ -32,7 +32,10 @@ class GraftScanPruningSpec extends SparkSpec {
   private def plannedFiles(df: DataFrame): Set[String] =
     df.queryExecution.optimizedPlan.collect {
       case LogicalRelation(h: HadoopFsRelation, _, _, _, _) =>
-        h.location.rootPaths.map(_.toUri.getPath).toSet
+        // inputFiles, not rootPaths: the manifest-backed FileIndex
+        // (r15) roots at the TABLE while serving per-file statuses
+        h.location.inputFiles.map(f =>
+          new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
     }.flatten.toSet
 
   test("a pushed Filter over a registered table reads only admitted files") {

@@ -26,7 +26,10 @@ class MultiPartitionSpec extends SparkSpec {
   private def plannedFiles(df: DataFrame): Set[String] =
     df.queryExecution.optimizedPlan.collect {
       case LogicalRelation(h: HadoopFsRelation, _, _, _, _) =>
-        h.location.rootPaths.map(_.toUri.getPath).toSet
+        // inputFiles, not rootPaths: the manifest-backed FileIndex
+        // (r15) roots at the TABLE while serving per-file statuses
+        h.location.inputFiles.map(f =>
+          java.net.URI.create(f).getPath).toSet
     }.flatten.toSet
 
   test("two-column layout: hive dirs nest in order, tuples round-trip, " +
