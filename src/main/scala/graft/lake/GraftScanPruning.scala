@@ -246,6 +246,20 @@ class GraftScanPruning(spark: SparkSession) extends Rule[LogicalPlan] {
       case h: HadoopFsRelation => h
       case _                   => return None
     }
+    // CHEAP ownership pre-check on rootPaths (I/O-free for every index
+    // shape) before materializing the per-file set: inputFiles on a
+    // lazily-listed index of some UNRELATED table (a metastore
+    // CatalogFileIndex at 10^5+ files) would force a full listing in
+    // the optimizer (r15 review). A graft relation's rootPaths — the
+    // table root (manifest index) or its file paths (spark.read) —
+    // always sit at-or-under a registered root.
+    val ownerRoots = registry.map(_._2.root.toAbsolutePath.normalize
+      .toString)
+    val underSomeRoot = fsRel.location.rootPaths.exists { p =>
+      val s = p.toUri.getPath
+      ownerRoots.exists(r => s == r || s.startsWith(r + "/"))
+    }
+    if (!underSomeRoot) return None
     // per-FILE set: the manifest-backed index roots at the TABLE, so
     // rootPaths is no longer a file list — inputFiles is, for every
     // index shape (r15)

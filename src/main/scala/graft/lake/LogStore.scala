@@ -192,10 +192,24 @@ object LogStore {
       val won = objects.putIfAbsent(keyOf(target), body) == null
       if (won) {
         val tmp = target.resolveSibling(s".tmp-${UUID.randomUUID()}")
-        Files.writeString(tmp, body)
-        try Files.move(tmp, target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        finally Files.deleteIfExists(tmp)
+        try {
+          Files.writeString(tmp, body)
+          // hard-link publish (the Posix technique), NOT a rename: a
+          // rename(2) silently REPLACES a target another process
+          // created between the exists-check and here — the exact
+          // lost update the check guards. A materialization failure
+          // rolls the map reservation back, so read() never serves a
+          // body whose publish threw (r15 review).
+          Files.createLink(target, tmp)
+        } catch {
+          case e: Throwable =>
+            objects.remove(keyOf(target), body)
+            e match {
+              case _: java.nio.file.FileAlreadyExistsException =>
+                return false
+              case _ => throw e
+            }
+        } finally Files.deleteIfExists(tmp)
       }
       won
     }

@@ -1214,20 +1214,21 @@ final class MergeTable private (
         if (!Files.isDirectory(pqDir)) {
           val tmp = logDir.resolve(
             s".tmp-$dirName-${java.util.UUID.randomUUID()}")
-          import spark.implicits._
-          spark.createDataset(
-              entries.zipWithIndex.map { case (e, i) => toPqRow(i, e) })
-            .repartition(math.max(1, entries.size / 500000))
-            .write.parquet(tmp.toString)
-          try Files.move(tmp, pqDir,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            // lost the publish race (or a non-atomic store): the
-            // surviving dir is a full copy of the same pure function
-            case scala.util.control.NonFatal(_)
-                if Files.isDirectory(pqDir) =>
-              deleteRecursively(tmp)
-          }
+          try {
+            import spark.implicits._
+            spark.createDataset(
+                entries.zipWithIndex.map { case (e, i) => toPqRow(i, e) })
+              .repartition(math.max(1, entries.size / 500000))
+              .write.parquet(tmp.toString)
+            try Files.move(tmp, pqDir,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              // lost the publish race (or a non-atomic store): the
+              // surviving dir is a full copy of the same pure function
+              case scala.util.control.NonFatal(_)
+                  if Files.isDirectory(pqDir) => ()
+            }
+          } finally deleteRecursively(tmp) // no-op after a clean move
         }
         Some(s"Q\t$dirName\t${entries.size}")
       }
@@ -1272,6 +1273,23 @@ final class MergeTable private (
     val (keep, retainMs) = ckptRetention
     if (!Files.isDirectory(logDir)) return
     val cutoff = System.currentTimeMillis() - retainMs
+    // reap ORPHANED parquet-checkpoint temp dirs (a JVM that died
+    // mid-publish leaves `.tmp-<v>.ckptpq-<uuid>` behind, which no
+    // version-suffixed filter ever matches — r15 review); an in-flight
+    // publish is protected by the same grace window as checkpoints,
+    // floored at 10 minutes so retainMs=0 bench shapes can't reap a
+    // concurrent writer's live temp
+    val tmpCutoff =
+      System.currentTimeMillis() - math.max(retainMs, 600000L)
+    Using.resource(Files.list(logDir)) { s =>
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(".tmp-") &&
+          p.getFileName.toString.contains(CkptPqSuffix))
+        .filter(p =>
+          try Files.getLastModifiedTime(p).toMillis <= tmpCutoff
+          catch { case _: java.io.IOException => false })
+        .toList
+    }.foreach(deleteRecursively)
     val (ckpts, minDelta) = Using.resource(Files.list(logDir)) { s =>
       var mn = Long.MaxValue
       val cs = Seq.newBuilder[Long]
@@ -4809,11 +4827,16 @@ final class MergeTable private (
         // write with a fixed schema), so this side is built from the
         // declared schema at `v` exactly like the pk feed's empty
         // reads, never a bespoke row_id-only frame. Column order
-        // mirrors the nonempty read: data fields, then partition
-        // columns, then the identity pair.
+        // mirrors the nonempty read: the DECLARED order when one
+        // exists (r15 review — the nonempty poll presents it via
+        // declaredColumnOrder, so this side must too, or a declared
+        // schema with a non-trailing partition column breaks the
+        // stable-schema law this branch exists for), else data fields
+        // then partition columns, then the identity pair.
         val base = emptyLikePhysWith(declared)
         val (pc, dc) = base.columns.partition(partitionCols.contains)
-        val shaped = base.select((dc ++ pc).map(col): _*)
+        val shaped = base.select(
+          declaredColumnOrder(declared, (dc ++ pc).toSeq).map(col): _*)
           .withColumn(RidCol, lit(null).cast("long"))
           .withColumn(RcvCol, lit(null).cast("long"))
         return presentLogicalAs(shaped, mapping)
@@ -5940,8 +5963,18 @@ object MergeTable {
     * pattern — vacuum can prune the deltas beneath a parquet
     * checkpoint, making it load-bearing, so a pre-feature reader must
     * refuse loudly rather than resolve an empty snapshot from the
-    * A-line-less text file). */
-  private[lake] val DefaultPqCkptEntries = 20000L
+    * A-line-less text file).
+    *
+    * The default sits at the MEASURED crossover's side of caution
+    * (CkptScaleBench, r15): at 100k entries the text fold costs
+    * 0.126 s (~1.3 µs/line) while the parquet fold pays ~0.65 s of
+    * fixed Spark-job overhead — text wins until roughly 5×10^5
+    * entries, beyond which linear driver parse (and the O(live) text
+    * serialization on every checkpoint PUBLISH) overtakes the flat
+    * job cost. Tables headed past 10^6 files should opt in earlier
+    * via [[MergeTable.withParquetCheckpointThreshold]] for the
+    * driver-memory headroom. */
+  private[graft] val DefaultPqCkptEntries = 500000L
   private val CkptPqSuffix = ".ckptpq"
 
   /** Max versions the per-handle snapshot memo retains (LRU). */

@@ -134,6 +134,7 @@ object GraftSql {
     s"optimizeWrite=${t.optimizeWrite}",
     s"partitionCols=${t.partitionCols.mkString(",")}",
     s"path=${t.root.toAbsolutePath.normalize}",
+    s"pqCkptEntries=${t.pqCkptEntries}",
     s"rowTracking=${t.rowTracking}",
     s"statsCols=${t.statsCols.mkString(",")}",
     s"verifyOnRead=${t.verifyOnRead}").mkString("\n")
@@ -169,6 +170,9 @@ object GraftSql {
     }
     if (flag("rowTracking")) t = t.withRowTracking
     if (flag("verifyOnRead")) t = t.withChecksumVerification
+    kv.get("pqCkptEntries").map(_.toLong)
+      .filter(_ != graft.lake.MergeTable.DefaultPqCkptEntries)
+      .foreach(n => t = t.withParquetCheckpointThreshold(n))
     t
   }
 
@@ -199,13 +203,29 @@ object GraftSql {
         case Some(_) => () // identical — idempotent re-register
         case None =>
           java.nio.file.Files.createDirectories(dir)
-          // temp + atomic replace: a concurrent lister never sees a
-          // partial contract
+          // CREATE-IF-ABSENT publish (hard link, the LogStore.Posix
+          // technique): two JVMs sharing the catalog dir may race this
+          // registration — a replace-existing move would let the last
+          // writer silently win with a CONTRADICTING layout (r15
+          // review, the exact hazard the check above refuses). The
+          // loser re-reads the winner's contract and either passes
+          // (identical) or throws the same contradiction error.
           val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
           java.nio.file.Files.writeString(tmp, contract)
-          java.nio.file.Files.move(tmp, f,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          try {
+            java.nio.file.Files.createLink(f, tmp)
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              val winner = java.nio.file.Files.readString(f)
+              if (winner != contract)
+                throw new IllegalArgumentException(
+                  s"REGISTER GRAFT TABLE $name: lost a concurrent " +
+                    s"registration race and the winning contract " +
+                    s"DIFFERS — persisted:\n" +
+                    winner.linesIterator.map("  " + _).mkString("\n") +
+                    "\nRequested:\n" +
+                    contract.linesIterator.map("  " + _).mkString("\n"))
+          } finally java.nio.file.Files.deleteIfExists(tmp)
       }
     }
     tables.put(key, table)
@@ -213,9 +233,15 @@ object GraftSql {
 
   def unregister(name: String): Unit = {
     val key = name.toLowerCase
+    // resolve the catalog dir from the REGISTERED handle's own session
+    // first (r15 review): an unregister from a thread with no active
+    // session — or one with a different conf — must still delete the
+    // persisted entry, or the "dropped" name resurrects on the next
+    // lookup
+    val owner = tables.get(key).map(_.spark)
     tables.remove(key)
     for {
-      s <- sessionFor()
+      s <- owner.orElse(sessionFor())
       dir <- catalogDir(s)
     } java.nio.file.Files.deleteIfExists(catalogFile(dir, key))
   }

@@ -28,7 +28,7 @@ import org.apache.spark.sql.SparkSession
   * all (r13's X190 finding says scan construction dominates — this
   * tool keeps that honest at 10^5 files).
   *
-  * Usage: runMain graft.tools.CkptScaleBench [nFiles] [nFiles2 ...]
+  * Usage: runMain graft.lake.tools.CkptScaleBench [nFiles] [nFiles2 ...]
   */
 object CkptScaleBench {
   def main(args: Array[String]): Unit = {
