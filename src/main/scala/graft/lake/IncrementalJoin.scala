@@ -64,6 +64,12 @@ object IncrementalJoin {
     df.cache(); df.count(); df
   }
 
+  /** [[eager]] that also returns the materialized count — callers use
+    * it to answer emptiness questions without another action. */
+  private def eagerN(df: DataFrame): (DataFrame, Long) = {
+    df.cache(); (df, df.count())
+  }
+
   def refresh(view: MergeTable, facts: MergeTable, dims: MergeTable,
       pk: String, jk: String,
       factFromV: Long, factToV: Long,
@@ -114,7 +120,8 @@ object IncrementalJoin {
 
     // candidates sits on TWO join sides (the re-join and the dangling
     // anti-join) and includes the probe read — cache it too
-    val candidates = eager(changedFactRows.unionByName(probed))
+    val (candidates, candN) =
+      eagerN(changedFactRows.unionByName(probed))
     try {
       val joined = candidates.join(dims1, Seq(jk), "inner")
         .withColumn(ct, lit("update_postimage"))
@@ -127,7 +134,14 @@ object IncrementalJoin {
         .unionByName(dangling)
 
       val feed = joined.unionByName(deletes, allowMissingColumns = true)
-      if (feed.isEmpty) view.latestVersion()
+      // |feed| = |candidates| + |factDeletePks|: every candidate lands
+      // in exactly one of joined/dangling (inner vs anti on the same
+      // dim side), so emptiness needs NO action over the join-heavy
+      // feed — candN is free from the eager count, and the delete-pk
+      // probe only runs (a cache-scan) when candN == 0 (r15 job diet:
+      // feed.isEmpty re-executed both joins and their broadcasts).
+      val feedEmpty = candN == 0L && factDeletePks.isEmpty
+      if (feedEmpty) view.latestVersion()
       else view.mergeCdc(feed, pk)
     } finally candidates.unpersist()
   }

@@ -2355,14 +2355,14 @@ final class MergeTable private (
         } else if (partitionCols.nonEmpty) {
             // Partitions needing rewrite = those holding a matched key, plus
             // those receiving inserts. Distinct partition *tuples* are log-
-            // scale metadata — safe to collect (cardinality-guarded).
-            val srcParts = partitionTuplesOf(src)
+            // scale metadata — safe to collect (cardinality-guarded); both
+            // sides discover in ONE action (mergeTouchedParts).
+            val (srcParts, matchedParts) = mergeTouchedParts(
+              src, src.select(col(pk)).distinct(), Seq(pk), live)
             require(srcParts.size <= MaxPartitionsPerMerge,
               s"merge touches ${srcParts.size} partitions (> " +
                 s"$MaxPartitionsPerMerge); repartition the source or " +
                 "raise the guard — partition values are driver metadata")
-            val matchedParts = partitionTuplesOf(readEntries(live)
-              .join(src.select(col(pk)).distinct(), Seq(pk), "left_semi"))
             val touched = srcParts ++ matchedParts
             val touchedFiles =
               live.filter(e => touched.contains(e.partitionValue))
@@ -2588,18 +2588,18 @@ final class MergeTable private (
               // updates/inserts can land rows in the SOURCE rows'
               // partitions (an update may move a row across partitions);
               // matched keys pin the target partitions that rewrite.
-              val srcParts: Set[Option[String]] =
-                if (!writesRows) Set.empty
-                else {
-                  val ps = partitionTuplesOf(src)
-                  require(ps.size <= MaxPartitionsPerMerge,
-                    s"merge touches ${ps.size} partitions (> " +
-                      s"$MaxPartitionsPerMerge); repartition the source or " +
-                      "raise the guard — partition values are driver metadata")
-                  ps
-                }
-              val matchedParts = partitionTuplesOf(
-                readEntries(live).join(srcKeys, keys, "left_semi"))
+              // Both sides discover in ONE action (mergeTouchedParts);
+              // a delete-only merge (writesRows=false) keeps the
+              // matched-side-only collect.
+              val (srcParts, matchedParts) =
+                if (!writesRows)
+                  (Set.empty[Option[String]], partitionTuplesOf(
+                    readEntries(live).join(srcKeys, keys, "left_semi")))
+                else mergeTouchedParts(src, srcKeys, keys, live)
+              require(srcParts.size <= MaxPartitionsPerMerge,
+                s"merge touches ${srcParts.size} partitions (> " +
+                  s"$MaxPartitionsPerMerge); repartition the source or " +
+                  "raise the guard — partition values are driver metadata")
               val touched = srcParts ++ matchedParts
               live.filter(e => touched.contains(e.partitionValue))
             } else {
@@ -2707,35 +2707,44 @@ final class MergeTable private (
         "(insert/update/update_postimage/update_preimage/delete)")
     val events = withGenerated(feed)
       .filter(col(ChangeType) =!= "update_preimage")
-    val (collapsed, rankedCache) = sequenceBy match {
+    val collapsed = sequenceBy match {
       case Some(seq) =>
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col(pk)).orderBy(col(seq).desc)
-        // ONE window spec, ONE shuffle, cached once: row_number picks
+        // ONE window spec, ONE shuffle, consumed ONCE: row_number picks
         // the winner; rank over the SAME window detects ties at the
         // top (row_number 2 with rank 1 ⇔ two events share the key's
-        // newest sequence). The previous shape paid a second
-        // (pk, seq)-partitioned window shuffle for the peer count and
-        // recomputed the whole pipeline for the winners (r14 job diet).
-        val ranked = events
+        // newest sequence). The tie check is FUSED into the winner
+        // filter as a raise_error branch, so the feed pipeline executes
+        // a single time — the previous shape paid a dedicated
+        // limit(1).collect() action (plus a cache of the full ranked
+        // relation) just to answer "any tie?" before the winners ran
+        // again (r15 job diet: on the q_stream_cdc drain every
+        // mergeCdc's extra action cost a job + its broadcast
+        // materializations). Fail-fast is preserved: the error fires in
+        // the FIRST action that executes the feed, always before the
+        // commit publishes ([[DupSeqMarker]] is translated back to the
+        // contract's IllegalArgumentException below).
+        val winners = events
           .withColumn(SeqRank, row_number().over(w))
           .withColumn(SeqPeer, rank().over(w))
-          .cache()
-        val dup = ranked.filter(col(SeqRank) === 2 && col(SeqPeer) === 1)
-          .select(col(pk)).limit(1).collect()
-        require(dup.isEmpty,
-          s"mergeCdc: duplicate $seq for key ${dup.headOption.map(_.get(0))}" +
-            " — SEQUENCE BY must be unique per key")
-        val winners = ranked.filter(col(SeqRank) === 1).drop(SeqRank, SeqPeer)
+          .filter(
+            when(col(SeqRank) === 2 && col(SeqPeer) === 1,
+              raise_error(concat(
+                lit(s"$DupSeqMarker: duplicate $seq for key "),
+                col(pk).cast("string"),
+                lit(" — SEQUENCE BY must be unique per key"))))
+            .otherwise(col(SeqRank) === 1))
+          .drop(SeqRank, SeqPeer)
         // The sequence is feed metadata UNLESS the caller keeps it, or
         // the target already stores it as a regular column (Delta's
         // SEQUENCE BY stores it too) — that's what lets a sequenced
         // apply compose with a stored-sequence late-event guard like
         // [[graft.streaming.StreamIngest.runCdcAvailableNow]]'s.
-        (if (keepSequence ||
+        if (keepSequence ||
             (latestVersion() > 0L && read().columns.contains(seq))) winners
-         else winners.drop(seq), Some(ranked))
-      case None => (events, None)
+        else winners.drop(seq)
+      case None => events
     }
     requireIdentityCarried(collapsed.drop(ChangeType), "CDC apply")
     enforceConstraints(
@@ -2743,7 +2752,7 @@ final class MergeTable private (
       "CDC-apply upserts")
     val src = collapsed.cache()
     try {
-      retryingCommit("MERGE",
+      try retryingCommit("MERGE",
       Map("key" -> pk, "feed" -> "cdc")) { () =>
         val (version, live) = latest()
         val upserts = src.filter(col(ChangeType) =!= "delete").drop(ChangeType)
@@ -2752,13 +2761,12 @@ final class MergeTable private (
           val (_, entries) = writeData(upserts)
           (CommitDelta(entries, Nil), version)
         } else if (partitionCols.nonEmpty) {
-            val insParts = partitionTuplesOf(upserts)
+            val (insParts, matchedParts) =
+              mergeTouchedParts(upserts, keys, Seq(pk), live)
             require(insParts.size <= MaxPartitionsPerMerge,
               s"mergeCdc touches ${insParts.size} partitions (> " +
                 s"$MaxPartitionsPerMerge); repartition the feed or raise " +
                 "the guard — partition values are driver metadata")
-            val matchedParts = partitionTuplesOf(
-              readEntries(live).join(keys, Seq(pk), "left_semi"))
             val touched = insParts ++ matchedParts
             val touchedFiles =
               live.filter(e => touched.contains(e.partitionValue))
@@ -2778,11 +2786,32 @@ final class MergeTable private (
             val (_, newEntries) = writeData(remaining.unionByName(upserts))
             (CommitDelta(newEntries, live.map(_.relPath)), version)
         }
+      } catch {
+        // The fused tie check raises inside a Spark task; unwrap the
+        // job-failure layers back to the SEQUENCE BY contract's
+        // IllegalArgumentException (pinned by ReplicaSpec).
+        case e: Throwable if dupSeqMessageOf(e).isDefined =>
+          throw new IllegalArgumentException(dupSeqMessageOf(e).get)
       }
-    } finally {
-      src.unpersist()
-      rankedCache.foreach(_.unpersist())
+    } finally src.unpersist()
+  }
+
+  /** The first [[MergeTable.DupSeqMarker]]-tagged message in `e`'s cause
+    * chain, with the marker stripped — None when the failure is not the
+    * fused duplicate-sequence check. */
+  private def dupSeqMessageOf(e: Throwable): Option[String] = {
+    var t = e
+    var depth = 0
+    while (t != null && depth < 16) {
+      val m = t.getMessage
+      if (m != null && m.contains(MergeTable.DupSeqMarker)) {
+        val i = m.indexOf(MergeTable.DupSeqMarker)
+        return Some(m.substring(i + MergeTable.DupSeqMarker.length + 2))
+      }
+      t = t.getCause
+      depth += 1
     }
+    None
   }
 
   /** DOC-ONLY OPTIMIZE implemented for real (README.md:119): rewrite live
@@ -5894,6 +5923,32 @@ final class MergeTable private (
         partitionCols.indices.map(i => Option(r.getString(i)))))
       .toSet
 
+  /** BOTH partition-discovery questions of a keyed merge in ONE action:
+    * (source rows' distinct partition tuples, live partitions holding a
+    * key of `keys`) — previously two separate collect jobs per
+    * partitioned MERGE/CDC-apply commit (r15 job diet: at micro-batch
+    * commit cadence each extra action costs a job plus its broadcast
+    * materializations). Tuples encode like the manifest field. */
+  private def mergeTouchedParts(src: DataFrame, keys: DataFrame,
+      keyCols: Seq[String], live: Seq[FileEntry])
+      : (Set[Option[String]], Set[Option[String]]) = {
+    val tag = "__graft_src_side"
+    def tuples(df: DataFrame, fromSrc: Boolean): DataFrame =
+      df.select(partitionCols.map(c => col(c).cast("string")) :+
+        lit(fromSrc).as(tag): _*)
+    val rows = tuples(src, fromSrc = true)
+      .unionByName(tuples(
+        readEntries(live).join(keys, keyCols, "left_semi"),
+        fromSrc = false))
+      .distinct().collect()
+    def side(fromSrc: Boolean): Set[Option[String]] = rows.iterator
+      .filter(_.getBoolean(partitionCols.size) == fromSrc)
+      .map(r => encodePartValues(
+        partitionCols.indices.map(i => Option(r.getString(i)))))
+      .toSet
+    (side(fromSrc = true), side(fromSrc = false))
+  }
+
   /** The last two path components — "<partition-or-commit-dir>/<part-file>"
     * — the file identity every path↔manifest correlation keys on.
     * Basenames ALONE are not unique: within one commit, two partition
@@ -6052,6 +6107,11 @@ object MergeTable {
   val DefaultVacuumRetainMs: Long = 7L * 24 * 3600 * 1000
   private val SeqRank = "__graft_seq_rank"
   private val SeqPeer = "__graft_seq_tierank"
+  /** Message tag of the fused SEQUENCE-BY tie check ([[mergeCdc]]):
+    * the raise_error fires inside a task, so the contract's
+    * IllegalArgumentException is rebuilt from the cause chain by this
+    * marker. */
+  private[lake] val DupSeqMarker = "__graft_dup_seq"
   private val FileTag = "__graft_file_tag"
 
   /** StructField-metadata key carrying a declared column DEFAULT

@@ -270,40 +270,35 @@ object StreamIngest {
             else if (!overWideHasNulls)
               t.probeKeys(pk, events.select(col(pk)))
             else t.read()
-          // Guard 1 — tombstones: an event at or below its key's
-          // deleted-at sequence is a pre-delete straggler; dropping it
-          // here is what keeps a late update from resurrecting a
-          // deleted key (the live guard below can't — the delete
-          // removed its (pk, seq) row).
-          // The sidecar is APPEND-ONLY (one (pk, seq) row per delete
-          // event; re-deleted keys accumulate rows until
-          // [[expireTombstones]] ages them out), so the guard view
-          // aggregates to the newest delete per key here — the same
-          // one-row-per-key relation the old per-batch tombstone MERGE
-          // maintained, without paying that merge's read-anti-join-
-          // rewrite machinery on every delete-bearing batch (r14 job
-          // diet).
-          val pastDeletes =
-            if (tombstones.latestVersion() == 0L) events
-            else events.join(
-              guardSide(tombstones)
-                .groupBy(col(pk).as("__graft_tomb_pk"))
-                .agg(max(col(seqCol)).as("__graft_tomb_seq")),
-              col(pk) <=> col("__graft_tomb_pk"), "left")
-              .filter(col("__graft_tomb_seq").isNull ||
-                col(seqCol) > col("__graft_tomb_seq"))
-              .drop("__graft_tomb_pk", "__graft_tomb_seq")
-          // Guard 2 — the target's stored (pk, seq): late events for
-          // LIVE keys.
+          // BOTH rejection guards in ONE join (r15 job diet — the two
+          // separate joins each materialized their own broadcast per
+          // batch): an event must outrank its key's newest TOMBSTONE
+          // sequence (a pre-delete straggler must not resurrect a
+          // deleted key — the live guard can't reject it, the delete
+          // removed its row) AND its key's stored LIVE sequence (late
+          // events for live keys). `seq > tomb ∧ seq > cur` ≡
+          // `seq > max(tomb, cur)`, so the two guard relations union
+          // into one newest-sequence-per-key view first. The sidecar
+          // is APPEND-ONLY (one (pk, seq) row per delete event until
+          // [[expireTombstones]] ages them out) — the groupBy max is
+          // the same one-row-per-key collapse the old per-batch
+          // tombstone MERGE maintained (r14 job diet).
+          val guardRels =
+            (if (tombstones.latestVersion() == 0L) Nil
+             else Seq(guardSide(tombstones)
+               .select(col(pk), col(seqCol)))) ++
+            (if (table.latestVersion() == 0L) Nil
+             else Seq(guardSide(table).select(col(pk), col(seqCol))))
           val guarded = (
-            if (table.latestVersion() == 0L) pastDeletes
-            else pastDeletes.join(
-              guardSide(table).select(col(pk).as("__graft_pk"),
-                col(seqCol).as("__graft_cur_seq")),
-              col(pk) <=> col("__graft_pk"), "left")
-              .filter(col("__graft_cur_seq").isNull ||
-                col(seqCol) > col("__graft_cur_seq"))
-              .drop("__graft_pk", "__graft_cur_seq")
+            if (guardRels.isEmpty) events
+            else events.join(
+              guardRels.reduce(_ unionByName _)
+                .groupBy(col(pk).as("__graft_guard_pk"))
+                .agg(max(col(seqCol)).as("__graft_guard_seq")),
+              col(pk) <=> col("__graft_guard_pk"), "left")
+              .filter(col("__graft_guard_seq").isNull ||
+                col(seqCol) > col("__graft_guard_seq"))
+              .drop("__graft_guard_pk", "__graft_guard_seq")
           ).cache()
           // ONE aggregation pass (materializing the cache) answers
           // both "did anything survive the guards?" and "any deletes

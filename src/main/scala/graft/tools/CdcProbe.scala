@@ -141,19 +141,17 @@ object CdcProbe {
             else if (!overWideHasNulls)
               tt.probeKeys(pk, events.select(col(pk)))
             else tt.read()
-          val pastDeletes =
-            if (tomb.latestVersion() == 0L) events
-            else events.join(
-              guardSide(tomb).groupBy(col(pk).as("__tpk"))
-                .agg(max(col(seqCol)).as("__tseq")),
-              col(pk) <=> col("__tpk"), "left")
-              .filter(col("__tseq").isNull || col(seqCol) > col("__tseq"))
-              .drop("__tpk", "__tseq")
+          val guardRels =
+            (if (tomb.latestVersion() == 0L) Nil
+             else Seq(guardSide(tomb).select(col(pk), col(seqCol)))) ++
+            (if (t.latestVersion() == 0L) Nil
+             else Seq(guardSide(t).select(col(pk), col(seqCol))))
           val guarded = (
-            if (t.latestVersion() == 0L) pastDeletes
-            else pastDeletes.join(
-              guardSide(t).select(col(pk).as("__gpk"),
-                col(seqCol).as("__gseq")),
+            if (guardRels.isEmpty) events
+            else events.join(
+              guardRels.reduce(_ unionByName _)
+                .groupBy(col(pk).as("__gpk"))
+                .agg(max(col(seqCol)).as("__gseq")),
               col(pk) <=> col("__gpk"), "left")
               .filter(col("__gseq").isNull || col(seqCol) > col("__gseq"))
               .drop("__gpk", "__gseq")).cache()
