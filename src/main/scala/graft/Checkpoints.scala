@@ -34,13 +34,22 @@ object Checkpoints {
     * including unset — uses `localCheckpoint()`. */
   val ReliableKey = "spark.graft.checkpoint.reliable"
 
+  /** Session conf key, PLAN-AUDIT ONLY: `"true"` makes [[truncate]] a
+    * no-op so `explain` shows the full operator tree instead of a
+    * checkpointed `Scan ExistingRDD` stub (a checkpoint truncates the
+    * plan — that is its job — which blinds every shuffle/join audit of
+    * the iterative operators). Never set it for real runs: the loops
+    * rely on truncation for lineage and memory discipline. */
+  val SkipKey = "spark.graft.checkpoint.skip"
+
   /** Materialize `df` now and truncate its lineage, per the session's
     * durability policy. Eager in both modes: the loops' adaptive sizing
     * (partition counts, convergence sums) reads the materialized state
     * immediately. */
   def truncate(df: DataFrame): DataFrame = {
     val s = df.sparkSession
-    if (s.conf.get(ReliableKey, "false").toBoolean) {
+    if (s.conf.get(SkipKey, "false").toBoolean) df
+    else if (s.conf.get(ReliableKey, "false").toBoolean) {
       require(s.sparkContext.getCheckpointDir.isDefined,
         s"$ReliableKey=true needs sc.setCheckpointDir(...) — reliable " +
           "checkpoints persist partitions to a fault-tolerant store")

@@ -1004,36 +1004,37 @@ object AnalyticQueries {
     val oriented = ded.join(dA, "a").join(dB, "b")
       .select(
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
-          struct(col("a").as("u"), col("b").as("v"),
-                 col("db").as("dv")))
-          .otherwise(struct(col("b").as("u"), col("a").as("v"),
-                 col("da").as("dv"))).as("e"))
-      .select(col("e.u"), col("e.v"), col("e.dv"))
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u"), col("e.v"))
       .truncated
-    // Wedges: ordered out-neighbor pairs per apex. The out-list is
-    // sorted by the SAME (degree, node) order, so each emitted (v, w)
-    // candidate is itself correctly oriented for the close join.
-    val wedges = oriented
-      .groupBy(col("u"))
-      .agg(array_sort(collect_list(struct(col("dv"), col("v")))).as("ns"))
-      .filter(size(col("ns")) >= 2)
-      .select(col("u"), explode(expr(
-        """flatten(transform(ns, (x, i) ->
-             transform(slice(ns, i + 2, size(ns)),
-                       y -> struct(x.v AS v, y.v AS w))))""")).as("p"))
-      .select(col("u"), col("p.v"), col("p.w"))
-    // Close step: the wedge relation is the BIG side (Σ C(outdeg,2) —
-    // 41M rows on the sf0.1 co-purchase graph vs 1.2M edges); shuffling
-    // it on (v,w) was the measured bottleneck (11.5 s of the query's
-    // 16). The oriented HALF-size edge list is ~16 bytes/edge —
-    // broadcast it while it fits comfortably (≤2M edges ≈ 32 MB) so
-    // wedges stream map-side, never shuffle; beyond that the plain
-    // hash join partitions both sides — the 100 TB path, no code
-    // change. (The count is free: `oriented` is checkpointed.)
-    val closeSide = oriented.select(col("u").as("v"), col("v").as("w"))
-    val tris = wedges.join(
-      if (oriented.count() <= 2000000L) broadcast(closeSide) else closeSide,
-      Seq("v", "w"))
+    // Close step, EDGE-ITERATOR form (r15): a triangle {a≺b≺c} in the
+    // (degree, node) total order holds oriented edges (a,b), (a,c),
+    // (b,c) and is closed EXACTLY ONCE — at edge (a,b), by the common
+    // oriented out-neighbor c ∈ N⁺(a) ∩ N⁺(b) (edges (a,c)/(b,c) close
+    // nothing: b ∉ N⁺(c)). The per-edge intersection does the work the
+    // r14 shape did by MATERIALIZING every wedge — Σ C(outdeg,2) rows
+    // (41M at sf0.1 vs 1.2M edges) exploded, hash-probed and exploded
+    // again 3× per triangle; here the same O(E^1.5) wedge volume is
+    // walked INSIDE array_intersect (codegen, no intermediate rows) and
+    // only true triangles surface. Out-degrees stay O(√E) by the
+    // orientation (arboricity bound), so adjacency arrays are bounded
+    // on ANY graph. The node-scale adjacency relation broadcasts while
+    // the edge list fits comfortably (≤2M edges); beyond that both
+    // joins fall back to hash joins whose shuffled bytes are the same
+    // O(Σ outdeg²) the wedge relation itself would have been — the
+    // 100 TB path, no code change. (The count is free: `oriented` is
+    // checkpointed.)
+    val adj = oriented.groupBy(col("u")).agg(collect_list(col("v")).as("ns"))
+    val small = oriented.count() <= 2000000L
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val tris = oriented
+      .join(maybeB(adj.select(col("u").as("__cu"), col("ns").as("__nsu"))),
+        col("u") === col("__cu"))
+      .join(maybeB(adj.select(col("u").as("__cv"), col("ns").as("__nsv"))),
+        col("v") === col("__cv"))
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("__nsu"), col("__nsv"))).as("w"))
     val counts = tris.select(explode(array(col("u"), col("v"), col("w")))
         .as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))

@@ -5,6 +5,10 @@ object PlanAudit {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // audit-only: show the full tree through Checkpoints.truncate
+      // stubs (see Checkpoints.SkipKey) — plans, not results, so the
+      // loops' memory discipline doesn't apply here
+      .config(graft.Checkpoints.SkipKey, "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
