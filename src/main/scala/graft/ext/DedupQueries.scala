@@ -47,6 +47,25 @@ object DedupQueries {
     df
   }
 
+  /** Materialize a CENTROID-SCALE relation (C ≈ √(N/8) IVF centroids,
+    * M×K PQ codebooks — bounded metadata, never data-scale) as a
+    * DRIVER-LOCAL relation: one collect, then every downstream
+    * `broadcast(...)` of it is job-free (a LocalRelation's broadcast
+    * future collects on the driver — no Spark job, no re-execution of
+    * the training subtree per consuming action). The eager-cache shape
+    * this replaces paid one cache-scan broadcast JOB per consuming
+    * action — the dominant job class of the lifecycle queries (r15
+    * JobProfile: 74 of q_embed_ivf_refresh's 109 jobs were broadcast
+    * materializations). Values round-trip collect/createDataFrame
+    * exactly (same JVM doubles/floats), so results are bit-identical —
+    * the same driver-side centroid discipline Spark MLlib's KMeans
+    * uses. */
+  private[ext] def localized(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** doc_id + distinct 3-word shingles + their base hashes (mod P). */
   private def shingled(s: SparkSession, d: String): DataFrame =
     shingledOf(documents(s, d))

@@ -504,8 +504,14 @@ object SimilarityQueries {
     val seed = e.filter(col("vec_id") < c)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
         col("nrm").as("cnrm"))
-    (1 to rounds).foldLeft(seed) { (cn, _) =>
-      DedupQueries.eager(lloydStep(assignTo(e, cn)))
+    // Centroid tables are DRIVER-LOCAL between rounds (see
+    // [[DedupQueries.localized]]): same one-action-per-round cost as the
+    // eager-cache shape, but every downstream broadcast of the result —
+    // each assignment pass, and every consuming action of a lifecycle
+    // caller — stops costing a broadcast-materialization job.
+    if (rounds == 0) seed
+    else (1 to rounds).foldLeft(DedupQueries.localized(seed)) { (cn, _) =>
+      DedupQueries.localized(lloydStep(assignTo(e, cn)))
     }
   }
 
@@ -1129,8 +1135,11 @@ object SimilarityQueries {
   private[ext] def pqTrain(sub: DataFrame, k: Int, rounds: Int): DataFrame = {
     val seed = sub.filter(col("vec_id") < k)
       .select(col("sub"), col("vec_id").as("cent_id"), col("svec").as("cvec"))
-    (1 to rounds).foldLeft(seed) { (cn, _) =>
-      DedupQueries.eager(pqLloyd(pqAssign(sub, cn)))
+    // M×K codebooks stay driver-local between rounds, same rationale as
+    // [[trainedCentroids]].
+    if (rounds == 0) seed
+    else (1 to rounds).foldLeft(DedupQueries.localized(seed)) { (cn, _) =>
+      DedupQueries.localized(pqLloyd(pqAssign(sub, cn)))
     }
   }
 

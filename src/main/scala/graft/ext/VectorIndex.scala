@@ -59,6 +59,14 @@ final class VectorIndex private[ext] (s: SparkSession, root: String) {
 
   private def ct = MergeTable.ChangeType
 
+  /** A persisted centroid-scale artifact (IVF centroids, PQ codebooks)
+    * read back DRIVER-LOCAL ([[DedupQueries.localized]]): one collect,
+    * then every broadcast of it across a search's or refresh's actions
+    * is job-free instead of re-scanning the table per consuming action
+    * (r15 job diet — the lifecycle queries' dominant job class). */
+  private def localRead(t: MergeTable): DataFrame =
+    DedupQueries.localized(t.read())
+
   /** Queries (query_id, embedding) assigned to their `nprobe` nearest
     * IVF cells by the persisted centroids — the broadcast assignment of
     * [[SimilarityQueries.assignTo]] (nprobe=1, the argmax) /
@@ -70,7 +78,7 @@ final class VectorIndex private[ext] (s: SparkSession, root: String) {
     SimilarityQueries.assignTopN(
       normedOf(s, queries.select(col("query_id").as("vec_id"),
         col("embedding"))),
-      centroids.read(), nprobe)
+      localRead(centroids), nprobe)
 
   /** The cell relation restricted to `wanted` cells via PARTITION
     * pruning — only those cells' files are read. The wanted set is at
@@ -127,7 +135,7 @@ final class VectorIndex private[ext] (s: SparkSession, root: String) {
       .join(qCells, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
-    val cent = pqCentroids.read()
+    val cent = localRead(pqCentroids)
     val dt = pqSubRel(queries.select(col("query_id").as("vec_id"),
         col("embedding")), PqSubs)
       .withColumnRenamed("vec_id", "query_id")
@@ -218,7 +226,7 @@ final class VectorIndex private[ext] (s: SparkSession, root: String) {
     val cellsFeed = {
       val up =
         if (hasUps)
-          assignTo(normedOf(s, ups), centroids.read())
+          assignTo(normedOf(s, ups), localRead(centroids))
             .withColumn(ct, lit("update"))
         else null
       val del =
@@ -237,7 +245,7 @@ final class VectorIndex private[ext] (s: SparkSession, root: String) {
     val codesFeed = {
       val up =
         if (hasUps)
-          wideCodes(pqAssign(pqSubRel(ups, PqSubs), pqCentroids.read()))
+          wideCodes(pqAssign(pqSubRel(ups, PqSubs), localRead(pqCentroids)))
             .withColumn(ct, lit("update"))
         else null
       val del =
@@ -279,11 +287,11 @@ object VectorIndex {
     // round-trip is exact for float/double, so this equals assigning
     // against the in-memory table — but reading back makes the
     // persisted artifact the single source of truth)
-    idx.cells.overwrite(assignTo(e, idx.centroids.read()))
+    idx.cells.overwrite(assignTo(e, idx.localRead(idx.centroids)))
     val sub = pqSubRel(emb, PqSubs)
     idx.pqCentroids.overwrite(pqTrain(sub, PqK, PqRounds))
     idx.codes.overwrite(idx.wideCodes(
-      pqAssign(sub, idx.pqCentroids.read())
+      pqAssign(sub, idx.localRead(idx.pqCentroids))
         .select(col("vec_id"), col("sub"), col("code"))))
     idx
   }

@@ -1879,6 +1879,7 @@ final class MergeTable private (
       out.write.partitionBy(partitionCols: _*).mode("overwrite")
         .parquet(target.toString)
     } else df.write.mode("overwrite").parquet(target.toString)
+    val writtenSchema = df.schema
     val entries = Using.resource(Files.walk(target)) { stream =>
       stream.iterator().asScala
         .filter(p => p.getFileName.toString.endsWith(".parquet") &&
@@ -1898,6 +1899,18 @@ final class MergeTable private (
           FileEntry(rel, encodePartValues(vals))
         }.toSeq
     }
+    // Seed the dir-schema memo with the WRITTEN schema, recursively
+    // nullable-ized — exactly what footer inference returns for files
+    // this writer just produced (probed: read-back differs from the
+    // written schema ONLY in nullability, at every nesting level). The
+    // first read of the fresh commit dir then skips its footer-
+    // inference Spark job (r15 job diet: 15-20 such jobs per lifecycle
+    // query, one per commit). Partitioned dirs still infer: hive
+    // partition-TYPE inference unions the listed VALUE strings, which
+    // the written frame does not determine.
+    if (partitionCols.isEmpty && entries.nonEmpty)
+      dirSchemaMemo.get(dirSchemaKey(commitDir, entries))(
+        MergeTable.allNullable(writtenSchema))
     (commitDir, withBlooms(withStats(target, entries)))
   }
 
@@ -4264,35 +4277,53 @@ final class MergeTable private (
     val groups = bloomed.groupBy(e => (e.bloom.get.relDir, e.bloom.get.m))
       .toSeq.sortBy(_._1._1)
     val (refine, admitRest) = groups.splitAt(RelProbeBloomGroupCap)
-    val passed = refine.flatMap { case ((dir, m), es) =>
-      val fkeys = es.map(e => fileKey(e.relPath))
-      // per-key probe positions, exploded to (key, i, word, mask)
-      val pos = k.select(col("__k"),
-          pmod(hash(col("__k")).cast("long"), lit(m.toLong)).as("h1"),
-          pmod(xxhash64(col("__k")), lit(m.toLong)).bitwiseOR(lit(1L))
-            .as("h2"))
-        .select(col("__k"),
-          explode(sequence(lit(0L), lit(BloomK - 1L))).as("i"),
-          col("h1"), col("h2"))
-        .withColumn("p", (col("h1") + col("i") * col("h2")) % lit(m.toLong))
-        .select(col("__k"), col("i"),
-          expr("p div 64").as("w"),
-          expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))")
-            .as("mask"))
-      val side = spark.read.parquet(root.resolve(dir).toString)
-        .filter(col(BfCol) === phys)
-        .join(broadcast(fkeys.toDF("__fk")),
-          col(BfFile) === col("__fk"), "left_semi")
-      side.join(pos, col(BfWord) === col("w"))
-        .filter(col(BfBits).bitwiseAND(col("mask")) =!= 0L)
-        .groupBy(col(BfFile), col("__k"))
-        .agg(countDistinct(col("i")).as("nset"))
-        .filter(col("nset") === lit(BloomK.toLong))
-        .select(col(BfFile)).distinct()
-        .collect().map(_.getString(0))
-    }.toSet ++ admitRest.iterator
+    // ONE refinement job for ALL sidecar groups (r15 job diet: the
+    // per-group shape cost one Spark job per (dir, m) group per probe —
+    // a CDC drain whose target gains one sidecar per batch commit paid
+    // O(batches²) refinement jobs over the drain). Probe positions
+    // depend only on (key, m), so the key relation explodes per
+    // DISTINCT m (typically 1-2 values); each sidecar row joins the
+    // positions of ITS group's m via a broadcast (fileKey → m) map —
+    // per-file semantics identical to the per-group shape (parity still
+    // pinned by DedupIncrSpec / BloomIndexSpec).
+    val passed: Set[String] =
+      if (refine.isEmpty) Set.empty
+      else {
+        val posByM = refine.map(_._1._2).distinct.map { m =>
+          k.select(lit(m.toLong).as("__pm"), col("__k"),
+              pmod(hash(col("__k")).cast("long"), lit(m.toLong)).as("h1"),
+              pmod(xxhash64(col("__k")), lit(m.toLong)).bitwiseOR(lit(1L))
+                .as("h2"))
+            .select(col("__pm"), col("__k"),
+              explode(sequence(lit(0L), lit(BloomK - 1L))).as("i"),
+              col("h1"), col("h2"))
+            .withColumn("p",
+              (col("h1") + col("i") * col("h2")) % col("__pm"))
+            .select(col("__pm"), col("__k"), col("i"),
+              expr("p div 64").as("w"),
+              expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))")
+                .as("mask"))
+        }.reduce(_ unionByName _)
+        val fkm = refine.flatMap { case ((_, m), es) =>
+          es.map(e => (fileKey(e.relPath), m.toLong))
+        }.toDF("__fk", "__fm")
+        val dirs = refine.map(_._1._1).distinct
+          .map(d => root.resolve(d).toString)
+        spark.read.parquet(dirs: _*)
+          .filter(col(BfCol) === phys)
+          .join(broadcast(fkm), col(BfFile) === col("__fk"), "inner")
+          .join(posByM,
+            col("__fm") === col("__pm") && col(BfWord) === col("w"))
+          .filter(col(BfBits).bitwiseAND(col("mask")) =!= 0L)
+          .groupBy(col(BfFile), col("__k"))
+          .agg(countDistinct(col("i")).as("nset"))
+          .filter(col("nset") === lit(BloomK.toLong))
+          .select(col(BfFile)).distinct()
+          .collect().map(_.getString(0)).toSet
+      }
+    val admitted2 = passed ++ admitRest.iterator
       .flatMap(_._2.map(e => fileKey(e.relPath)))
-    readEntries(plain ++ bloomed.filter(e => passed(fileKey(e.relPath))))
+    readEntries(plain ++ bloomed.filter(e => admitted2(fileKey(e.relPath))))
   }
 
   /** The relation-valued probe's STRING path: one distributed join of
@@ -4650,24 +4681,8 @@ final class MergeTable private (
         // (dir, m) group per call
         val pos: Map[Long, Seq[Long]] =
           values.map(v => v -> probePositions(v, m)).toMap
-        val needWords = pos.values.flatten.map(_ / 64).toSet
-        val keys = es.map(e => fileKey(e.relPath)).toSet
-        val rd = spark.read.parquet(root.resolve(dir).toString)
-          .filter(col(BfCol) === c)
-        // Narrow probes push the word set into the sidecar read; wide
-        // IN-lists just take the (word-bounded) column slice whole.
-        val sliced =
-          if (needWords.size <= 256)
-            rd.filter(col(BfWord).isin(needWords.toSeq: _*))
-          else rd
-        val got = sliced
-          .select(col(BfFile), col(BfWord), col(BfBits))
-          .collect()
-          .filter(r => keys(r.getString(0)))
-          .groupBy(_.getString(0))
-          .map { case (f, rs) =>
-            f -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
-          }
+        val got = bloomSliceOf(dir, c, pos.values.flatten.map(_ / 64).toSet,
+          es.map(e => fileKey(e.relPath)).toSet)
         es.filter { e =>
           val words = got.getOrElse(fileKey(e.relPath), Map.empty[Long, Long])
           values.exists { v =>
@@ -4676,6 +4691,55 @@ final class MergeTable private (
           }
         }.map(_.relPath)
       }.toSet
+  }
+
+  /** One bloom-sidecar group's word map for column `c`:
+    * fileKey → (word → bits), covering at least `needWords` × `keys`.
+    * SMALL sidecar dirs (on-disk bytes under
+    * [[MergeTable.BloomSliceMemoMaxBytes]]) are read WHOLE, once per
+    * JVM, into [[MergeTable.bloomSliceMemo]] — sidecar dirs are
+    * immutable (a commit writes a fresh `bf-*` dir; vacuum removes
+    * whole dirs), so every later probe of the same sidecar is
+    * zero-job (r15 job diet: CDC guards and join-view refreshes
+    * re-probed the same sidecars once per batch/refresh, one Spark
+    * collect per (dir, m) group each time). Big sidecars keep the
+    * bounded word-sliced read — the memo must never turn a
+    * K-words-per-value probe into a whole-filter read at 100 TB. */
+  private def bloomSliceOf(dir: String, c: String, needWords: Set[Long],
+      keys: Set[String]): Map[String, Map[Long, Long]] = {
+    val abs = root.resolve(dir).toAbsolutePath.normalize
+    def slurp(whole: Boolean): Map[String, Map[Long, Long]] = {
+      val rd = spark.read.parquet(abs.toString).filter(col(BfCol) === c)
+      // Narrow probes push the word set into the sidecar read; wide
+      // IN-lists just take the (word-bounded) column slice whole.
+      val sliced =
+        if (!whole && needWords.size <= 256)
+          rd.filter(col(BfWord).isin(needWords.toSeq: _*))
+        else rd
+      val rows = sliced.select(col(BfFile), col(BfWord), col(BfBits))
+        .collect()
+      (if (whole) rows.iterator else rows.iterator.filter(
+        r => keys(r.getString(0)))).toSeq
+        .groupBy(_.getString(0))
+        .map { case (f, rs) =>
+          f -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
+        }
+    }
+    val small =
+      try {
+        var sum = 0L
+        Using.resource(Files.list(abs)) { st =>
+          val it = st.iterator()
+          while (it.hasNext && sum <= MergeTable.BloomSliceMemoMaxBytes) {
+            val p = it.next()
+            if (Files.isRegularFile(p)) sum += Files.size(p)
+          }
+        }
+        sum <= MergeTable.BloomSliceMemoMaxBytes
+      } catch { case _: java.io.IOException => false }
+    if (small)
+      MergeTable.bloomSliceMemo.get((abs.toString, c))(slurp(whole = true))
+    else slurp(whole = false)
   }
 
   /** Time travel — snapshot of historical `version`, presented under
@@ -5600,10 +5664,14 @@ final class MergeTable private (
       logger.warn(
         s"MergeTable at $root: live files span ${byDir.size} commit dirs; " +
           "run compact() to coalesce small files")
-    if (declared.isEmpty && byDir.size == 1) {
-      val (dir, es) = byDir.head
-      return dropHidden(hiveRead(dir, es))
-    }
+    // NOTE (r15): single-dir reads deliberately take the SAME
+    // manifest-backed path as multi-dir ones. The old single-dir
+    // `hiveRead` shortcut paid Spark's DataFrameReader planning on
+    // EVERY read — a per-read footer-inference job plus per-path
+    // driver resolution — while the manifest scan is zero-listing and
+    // the dir schema is memo-served (seeded at write time for
+    // unpartitioned dirs). Lifecycle tables live in exactly one commit
+    // dir most of their life, so they paid that job on every read.
     // ONE scan node regardless of commit-dir count (a long merge history
     // previously contributed one scan node per live dir, degrading every
     // read plan linearly): scan ALL live files in a single multi-path
@@ -5725,13 +5793,11 @@ final class MergeTable private (
     // (single-dir hive read / multi-dir union-schema read with the
     // partition value re-attached from manifest metadata), with the tag
     // columns added directly on the scan node in both.
+    // Single-dir reads go manifest-backed too — same rationale as
+    // [[readEntriesPhysWith]] (r15: the hiveRead shortcut cost a
+    // footer-inference job per read).
     val (restored, dataCols): (DataFrame, Seq[String]) =
-      if (declared.isEmpty && byDir.size == 1) {
-        val df = tagged(hiveRead(byDir.head._1, byDir.head._2))
-        (df, df.columns
-          .filterNot(c => c == FileTag || c == PosCol ||
-            HiddenCols.contains(c)).toSeq)
-      } else {
+      {
         val (dataFields, partFields) = resolvePartFields(declared, byDir)
         val base = tagged(manifestScan(entries,
           org.apache.spark.sql.types.StructType(dataFields)))
@@ -5839,11 +5905,15 @@ final class MergeTable private (
     * queries open fresh handles per call, and the dirs' immutability
     * makes cross-handle reuse exact. */
   private def dirSchema(dir: String,
-      es: Seq[FileEntry]): org.apache.spark.sql.types.StructType = {
-    val key = root.resolve(dir).toAbsolutePath.normalize.toString + "|" +
+      es: Seq[FileEntry]): org.apache.spark.sql.types.StructType =
+    dirSchemaMemo.get(dirSchemaKey(dir, es))(hiveRead(dir, es).schema)
+
+  /** The [[dirSchemaMemo]] key for commit dir `dir` read through the
+    * live subset `es` — shared by the read-side resolution and the
+    * write-side seed so they can never drift. */
+  private def dirSchemaKey(dir: String, es: Seq[FileEntry]): String =
+    root.resolve(dir).toAbsolutePath.normalize.toString + "|" +
       es.map(_.relPath).sorted.mkString(",")
-    dirSchemaMemo.get(key)(hiveRead(dir, es).schema)
-  }
 
   /** Empty frame with the table's PHYSICAL schema. Stays physical on
     * purpose: [[readEntriesPhys]] returns it for an empty snapshot, and
@@ -6112,6 +6182,31 @@ object MergeTable {
     * IllegalArgumentException is rebuilt from the cause chain by this
     * marker. */
   private[lake] val DupSeqMarker = "__graft_dup_seq"
+
+  /** `dt` with every nullability flag — field, array element, map
+    * value — set true: the schema parquet footer inference returns for
+    * files written with `dt` (the write-side [[dirSchemaMemo]] seed's
+    * equality contract, pinned by MergeTableSpec). */
+  private[lake] def allNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.map(f =>
+        f.copy(dataType = allNullable(f.dataType), nullable = true)))
+      case at: ArrayType =>
+        at.copy(elementType = allNullable(at.elementType),
+          containsNull = true)
+      case mt: MapType =>
+        mt.copy(keyType = allNullable(mt.keyType),
+          valueType = allNullable(mt.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  private[lake] def allNullable(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    allNullable(st: org.apache.spark.sql.types.DataType)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
   private val FileTag = "__graft_file_tag"
 
   /** StructField-metadata key carrying a declared column DEFAULT
@@ -6215,6 +6310,19 @@ object MergeTable {
     * entry ≈ 200 MB worst case is overcounted: the cap bounds it to
     * ~1M × (path + box) well under driver headroom). */
   private[lake] val fileSizeMemo = new LruMemo[String, Long](1 << 20)
+
+  /** (absolute bloom-sidecar dir, column) → full word map, for SMALL
+    * sidecars only (≤ [[BloomSliceMemoMaxBytes]] on disk — checked
+    * before reading, so a big filter never materializes on the
+    * driver). Exact by sidecar-dir immutability (fresh `bf-*` dir per
+    * commit; vacuum removes whole dirs). 256 entries × ≤8 MB bounds
+    * the worst case at 2 GB, realistically a few KB per entry — the
+    * probes that hit this memo are CDC guards and join-view refreshes
+    * re-reading the same recent commits' sidecars every batch. */
+  private[lake] val bloomSliceMemo =
+    new LruMemo[(String, String), Map[String, Map[Long, Long]]](256)
+
+  private[lake] val BloomSliceMemoMaxBytes: Long = 8L << 20
 
   /** What a committing operation READ — the information [[canRebase]]
     * needs to decide whether a concurrent commit invalidated it. Pick the
@@ -6630,3 +6738,4 @@ object MatchClause {
   def delete(cond: Column): MatchClause =
     MatchClause(Some(cond), isUpdate = false)
 }
+

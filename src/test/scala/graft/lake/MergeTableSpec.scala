@@ -1178,4 +1178,26 @@ class MergeTableSpec extends SparkSpec {
       after.filter(_.partitionValue.contains("2024-01-02"))
         .map(_.relPath).toSet)
   }
+
+  test("write-time dir-schema seed equals footer inference exactly") {
+    val root = tmpDir("mtseed").toString
+    val t = MergeTable(spark, root)
+    // nested non-null types — the shapes whose nullability footer
+    // inference rewrites at every level
+    val df = spark.range(0, 5).toDF("k")
+      .withColumn("s", concat(lit("x"), col("k")))
+      .withColumn("arr", array(col("k").cast("float")))
+      .withColumn("st", struct(col("k").as("a"), lit("b").as("b")))
+    t.overwrite(df)
+    val misses0 = MergeTable.dirSchemaMemo.misses
+    val got = t.read().schema
+    // the seeded memo served the read: no inference miss...
+    assert(MergeTable.dirSchemaMemo.misses === misses0)
+    // ...and the seed IS what inference would have returned
+    val commitDir = Using.resource(Files.list(
+      java.nio.file.Paths.get(root)))(_.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("commit-")).toSeq).head
+    val inferred = spark.read.parquet(commitDir.toString).schema
+    assert(got === inferred)
+  }
 }
