@@ -1911,7 +1911,7 @@ final class MergeTable private (
     if (partitionCols.isEmpty && entries.nonEmpty)
       dirSchemaMemo.get(dirSchemaKey(commitDir, entries))(
         MergeTable.allNullable(writtenSchema))
-    (commitDir, withBlooms(withStats(target, entries)))
+    (commitDir, withBlooms(withStats(target, entries), writtenSchema))
   }
 
   /** Attach a bloom-index ref to every fresh entry, writing one sparse
@@ -1927,13 +1927,24 @@ final class MergeTable private (
     * ([[BloomBitsPerRow]] bits/row ⇒ ~0.5% false-positive rate), and is
     * recorded in the manifest token so probes against mixed-m history
     * hash per-commit correctly. */
-  private def withBlooms(entries: Seq[FileEntry]): Seq[FileEntry] =
+  private def withBlooms(entries: Seq[FileEntry],
+      dataSchema: org.apache.spark.sql.types.StructType): Seq[FileEntry] =
     if (bloomCols.isEmpty || entries.isEmpty) entries
     else {
       val maxRows = fileRowCounts(entries).values.foldLeft(1L)(math.max)
       val m = bloomBits(maxRows)
-      val scan = spark.read
-        .parquet(entries.map(e => root.resolve(e.relPath).toString): _*)
+      // manifest-backed, bloom-columns-only scan of the freshly written
+      // files (r15: the plain spark.read.parquet here paid
+      // DataFrameReader listing + footer inference per bloom'd COMMIT —
+      // at micro-batch cadence, once per batch)
+      val bloomFields = org.apache.spark.sql.types.StructType(
+        dataSchema.fields.filter(f => bloomCols.contains(f.name)))
+      require(bloomFields.length == bloomCols.size,
+        s"MergeTable at $root: bloom column(s) " +
+          s"${bloomCols.filterNot(dataSchema.fieldNames.contains)
+            .mkString(", ")} not present in the data files (bloom " +
+          "columns must be data columns, not the partition column)")
+      val scan = manifestScan(entries, MergeTable.allNullable(bloomFields))
         .withColumn(BfFile,
           fileTagExpr(col("_metadata.file_path")))
       val hashed = bloomCols.map { c =>
