@@ -48,7 +48,15 @@ object Checkpoints {
     * immediately. */
   def truncate(df: DataFrame): DataFrame = {
     val s = df.sparkSession
-    if (s.conf.get(SkipKey, "false").toBoolean) df
+    if (s.conf.get(SkipKey, "false").toBoolean) {
+      // Loud: with truncation off, iterative loops lose lineage cuts
+      // and eager materialization (unbounded plan growth). Plan-audit
+      // tooling only — never a real run.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$SkipKey=true: checkpoint truncation DISABLED session-wide — " +
+          "plan-audit mode, never use for real runs")
+      df
+    }
     else if (s.conf.get(ReliableKey, "false").toBoolean) {
       require(s.sparkContext.getCheckpointDir.isDefined,
         s"$ReliableKey=true needs sc.setCheckpointDir(...) — reliable " +

@@ -12,6 +12,22 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Raise base-scan parallelism to the session default when the file
+    * layout under-splits (optimization guide §2.5, input skew: a single
+    * small file — or a single parquet row group — plans ONE scan task,
+    * serializing every per-row computation above it; measured: the whole
+    * doc/text/embed family ran its tokenize/shingle/norm stage on one
+    * core, r16). The repartition is KEYED, so the row→partition mapping
+    * is deterministic under task retries (SPARK-38388), and fires only
+    * when the scan plans fewer partitions than the session's
+    * parallelism — at production scale these tables span many
+    * files/row-groups and this is a no-op. */
+  private[graft] def fanned(df: DataFrame, key: String): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (want <= 1 || df.rdd.getNumPartitions >= want) df
+    else df.repartition(want, org.apache.spark.sql.functions.col(key))
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
@@ -47,6 +63,13 @@ object Tables {
       case _ => df
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame =
+    fanned(table(s, d, "documents"), "doc_id")
+  // embeddings deliberately NOT fanned: measured r16, the embed
+  // family's per-pass compute at this SF is smaller than the added
+  // exchange/task overhead, and lifecycle writes (VectorIndex scratch
+  // tables) would inherit the fan as 32-file commits — a paired A/B
+  // showed q_embed_ivfpq 0.83× and q_embed_ivf_refresh 0.55×.
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
 }

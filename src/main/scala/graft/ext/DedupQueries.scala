@@ -41,10 +41,14 @@ object DedupQueries {
     * self-joins, and a lazy cache lets the first action race 4 concurrent
     * computations of the same subtree before any of them populates it
     * (measured 7× slowdown on the LSH queries' cold run). */
-  private[ext] def eager(df: DataFrame): DataFrame = {
+  private[ext] def eager(df: DataFrame): DataFrame = eagerCounted(df)._1
+
+  /** [[eager]] returning the materializing count too — callers that
+    * need the row count (IVF's C = f(N)) reuse it instead of paying a
+    * second count action (r16 job diet). */
+  private[ext] def eagerCounted(df: DataFrame): (DataFrame, Long) = {
     df.cache()
-    df.count()
-    df
+    (df, df.count())
   }
 
   /** Materialize a CENTROID-SCALE relation (C ≈ √(N/8) IVF centroids,
@@ -61,10 +65,38 @@ object DedupQueries {
     * the same driver-side centroid discipline Spark MLlib's KMeans
     * uses. */
   private[ext] def localized(df: DataFrame): DataFrame = {
-    val rows = df.collect()
-    df.sparkSession.createDataFrame(
+    val cap = LocalizedMaxRows
+    // ENFORCED driver budget (r15 verdict #3): collect at most cap+1
+    // rows; a relation that overflows the centroid-scale contract falls
+    // back to the distributed eager-cache path instead of flooding the
+    // driver. limit() is exact here — under the cap it returns every
+    // row, over it the result is discarded. initialNumPartitions is
+    // scoped UP for this one collect: CollectLimit's default 1→4×
+    // incremental probing costs 3-4 Spark jobs per localize on an
+    // under-limit relation (measured r16: +20 jobs on
+    // q_embed_ivf_refresh); one all-partition pass is the single-job
+    // shape the old plain collect() had.
+    val sess = df.sparkSession
+    val ipKey = "spark.sql.limit.initialNumPartitions"
+    val prev = sess.conf.getOption(ipKey)
+    sess.conf.set(ipKey, Int.MaxValue.toString)
+    val rows =
+      try df.limit(cap + 1).collect()
+      finally prev match {
+        case Some(v) => sess.conf.set(ipKey, v)
+        case None    => sess.conf.unset(ipKey)
+      }
+    if (rows.length > cap) eager(df)
+    else df.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), df.schema)
   }
+
+  /** Row budget for [[localized]] — centroid-scale relations are far
+    * below it; a data-scale relation must never land on the driver.
+    * Overridable for specs via `graft.localized.maxRows`. */
+  private[ext] def LocalizedMaxRows: Int =
+    sys.props.get("graft.localized.maxRows")
+      .flatMap(_.toIntOption).getOrElse(1 << 20)
 
   /** doc_id + distinct 3-word shingles + their base hashes (mod P). */
   private def shingled(s: SparkSession, d: String): DataFrame =
@@ -1004,10 +1036,18 @@ object DedupQueries {
       .distinct())
     // Verify stage — the ngramJaccard discipline: shrink the heavy array
     // relation to candidate docs only, then join both sides and count.
-    val inCand = eager(base.join(
+    // The candidate docs' token ARRAYS are rebuilt from the CACHED token
+    // relation (collect_list over candidate docs only) instead of from
+    // `base`, whose tokenize/shingle chain is NOT cached and re-ran
+    // whole here (r16: the second-largest job of the query). Tokens are
+    // distinct per doc upstream, so array_intersect/size are
+    // order-insensitive and the rebuilt arrays verify identically.
+    val inCand = eager(tok.join(
       cand.select(col("doc_a").as("doc_id"))
         .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct(),
-      Seq("doc_id"), "left_semi"))
+      Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(first(col("n")).as("n"), collect_list(col("token")).as("toks")))
     cand
       .join(inCand.as("a"), col("doc_a") === col("a.doc_id"))
       .join(inCand.as("b"), col("doc_b") === col("b.doc_id"))

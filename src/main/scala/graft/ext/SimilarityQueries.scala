@@ -487,10 +487,12 @@ object SimilarityQueries {
       rounds: Int = LloydRounds): DataFrame = {
     // The normed corpus feeds rounds+1 assignment passes — cache it once
     // (at 100 TB this is the persisted normed-embedding intermediate
-    // every ANN system maintains, same stance as the cells cache).
-    val e =
-      if (rounds == 0) normed(s, d) else DedupQueries.eager(normed(s, d))
-    assignTo(e, trainedCentroids(e, embeddings(s, d).count(), rounds))
+    // every ANN system maintains, same stance as the cells cache). The
+    // materializing count doubles as the corpus count (r16 job diet).
+    val (e, n) =
+      if (rounds == 0) (normed(s, d), embeddings(s, d).count())
+      else DedupQueries.eagerCounted(normed(s, d))
+    assignTo(e, trainedCentroids(e, n, rounds))
   }
 
   /** The trained IVF centroid table (cent_id, cvec, cnrm) for a normed
@@ -1120,14 +1122,18 @@ object SimilarityQueries {
   /** Subspace relation: one row per (vec_id, sub) with the double-cast
     * sub-vector — eager-cached because training + assignment make
     * rounds+1 passes over it. */
-  private[ext] def pqSubRel(e: DataFrame, subs: Int): DataFrame = {
+  private[ext] def pqSubRel(e: DataFrame, subs: Int,
+      cache: Boolean = true): DataFrame = {
     val dim = e.select(size(col("embedding"))).head().getInt(0)
     require(dim % subs == 0, s"dim $dim not divisible into $subs subspaces")
     val subLen = dim / subs
-    DedupQueries.eager(
-      e.select(col("vec_id"), posexplode(array((0 until subs).map(i =>
-        expr(s"transform(slice(embedding, ${i * subLen + 1}, $subLen), " +
-          "x -> cast(x as double))")): _*)).as(Seq("sub", "svec"))))
+    val rel = e.select(col("vec_id"), posexplode(array((0 until subs).map(i =>
+      expr(s"transform(slice(embedding, ${i * subLen + 1}, $subLen), " +
+        "x -> cast(x as double))")): _*)).as(Seq("sub", "svec")))
+    // `cache = false` for QUERY-side sub relations a caller localizes
+    // whole: caching a request-batch-sized relation costs a count job
+    // per call for nothing (r16 job diet).
+    if (cache) DedupQueries.eager(rel) else rel
   }
 
   /** First-K seeds refined by `rounds` fixed-point Lloyd steps; each

@@ -105,7 +105,12 @@ final class VectorIndex private[ext] (s: SparkSession, root: String) {
     val q = assignedQueries(queries, nprobe)
       .select(col("vec_id").as("query_id"), col("cell"),
         col("embedding").as("qvec"), col("nrm").as("qnrm"))
-    val qc = DedupQueries.eager(q)
+    // The assigned QUERY relation is driver-bounded by contract (it is
+    // the search request batch); localized, its downstream broadcasts
+    // are job-free and the assignment subtree runs exactly once (r16
+    // job diet: the eager-cache shape paid a count job + one broadcast
+    // materialization job per consuming action).
+    val qc = DedupQueries.localized(q)
     val corpus = cellsIn(queryCellIds(qc))
       .select(col("vec_id").as("neighbor_id"), col("cell"),
         col("embedding").as("cvec"), col("nrm").as("cnrm"))
@@ -128,7 +133,9 @@ final class VectorIndex private[ext] (s: SparkSession, root: String) {
     * Output (query_id, neighbor_id, adist_fp, rank). */
   def searchIvfPq(queries: DataFrame, k: Int = 3,
       nprobe: Int = 1): DataFrame = {
-    val qCells = DedupQueries.eager(assignedQueries(queries, nprobe)
+    // Driver-bounded query batch — localized, same rationale as
+    // [[searchIvf]]'s qc.
+    val qCells = DedupQueries.localized(assignedQueries(queries, nprobe)
       .select(col("vec_id").as("query_id"), col("cell")))
     val cand = cellsIn(queryCellIds(qCells))
       .select(col("vec_id"), col("cell"))
@@ -136,14 +143,17 @@ final class VectorIndex private[ext] (s: SparkSession, root: String) {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
     val cent = localRead(pqCentroids)
-    val dt = pqSubRel(queries.select(col("query_id").as("vec_id"),
-        col("embedding")), PqSubs)
+    // (queries × M × K) rows — driver-bounded by the request batch;
+    // localized so the scored join's broadcast of it is job-free.
+    val dt = DedupQueries.localized(
+      pqSubRel(queries.select(col("query_id").as("vec_id"),
+        col("embedding")), PqSubs, cache = false)
       .withColumnRenamed("vec_id", "query_id")
       .join(broadcast(cent), Seq("sub"))
       .select(col("query_id"), col("sub"), col("cent_id"),
         expr("CAST(floor(aggregate(zip_with(svec, cvec, " +
           "(x, c) -> (x - c) * (x - c)), 0D, (acc, v) -> acc + v) " +
-          "* 1000000.0) AS BIGINT)").as("dfp"))
+          "* 1000000.0) AS BIGINT)").as("dfp")))
     val codeRel = codes.read()
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
     val scored = cand.join(codeRel, Seq("vec_id"))
@@ -172,9 +182,13 @@ final class VectorIndex private[ext] (s: SparkSession, root: String) {
     * (query_id, neighbor_id, sim, rank). */
   def searchIvfPqRerank(queries: DataFrame, k: Int = 3,
       shortlist: Int = 16, nprobe: Int = 1): DataFrame = {
-    val short = searchIvfPq(queries, shortlist, nprobe)
-      .select(col("query_id"), col("neighbor_id"))
-    val qCells = DedupQueries.eager(assignedQueries(queries, nprobe)
+    // The ADC shortlist is (queries × shortlist) rows — driver-bounded
+    // by the search request like the assigned queries below; localized,
+    // the stage-1 pipeline executes exactly once and stage 2's
+    // broadcasts of both relations are job-free (r16 job diet).
+    val short = DedupQueries.localized(searchIvfPq(queries, shortlist, nprobe)
+      .select(col("query_id"), col("neighbor_id")))
+    val qCells = DedupQueries.localized(assignedQueries(queries, nprobe)
       .select(col("vec_id").as("query_id"), col("cell"),
         col("embedding").as("qvec"), col("nrm").as("qnrm")))
     val qVecs = qCells.dropDuplicates(Seq("query_id"))
@@ -201,7 +215,16 @@ final class VectorIndex private[ext] (s: SparkSession, root: String) {
     * one atomic [[MergeTable.mergeCdc]] commit that rewrites only the
     * touched cell partitions — O(changed vectors), never a retrain or a
     * corpus rescan. */
-  def refresh(feed: DataFrame): Unit = {
+  /** Phase label for job attribution (guide §1.5) — broadcast futures
+    * inherit it via withThreadLocalCaptured. */
+  private def labeled[T](what: String)(f: => T): T = {
+    val sc = s.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"graft:$what")
+    try f finally sc.setJobDescription(prev)
+  }
+
+  def refresh(feed: DataFrame): Unit = labeled("vindex-refresh") {
     // Eager-cache the feed ONCE: it is typically a lazily-recomputed
     // CDF diff (a full-outer join over the source's changed
     // partitions), and everything below derives from it — two
@@ -219,8 +242,15 @@ final class VectorIndex private[ext] (s: SparkSession, root: String) {
     val ups = feed.filter(col(ct).isin("insert", "update", "update_postimage"))
       .select(col("vec_id"), col("embedding"))
     val dels = feed.filter(col(ct) === "delete").select(col("vec_id"))
-    val hasUps = !ups.isEmpty
-    val hasDels = !dels.isEmpty
+    // ONE aggregation pass over the cached feed answers both emptiness
+    // questions (r16 job diet: the two isEmpty probes each cost a
+    // Spark job per refresh).
+    val counts = feed.groupBy(col(ct)).count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1))
+      .toMap
+    val hasUps = Seq("insert", "update", "update_postimage")
+      .exists(counts.getOrElse(_, 0L) > 0L)
+    val hasDels = counts.getOrElse("delete", 0L) > 0L
     if (!hasUps && !hasDels) return
 
     val cellsFeed = {
@@ -280,9 +310,12 @@ object VectorIndex {
   def build(s: SparkSession, emb: DataFrame, root: String): VectorIndex = {
     import SimilarityQueries._
     val idx = new VectorIndex(s, root)
-    val e = DedupQueries.eager(normedOf(s, emb))
+    idx.labeled("vindex-build") {
+    // One materialization answers the corpus count too (r16 job diet:
+    // emb.count() was a second full-scan action).
+    val (e, n) = DedupQueries.eagerCounted(normedOf(s, emb))
     idx.centroids.overwrite(
-      trainedCentroids(e, emb.count(), LloydRounds))
+      trainedCentroids(e, n, LloydRounds))
     // assignment runs against the PERSISTED centroid values (parquet
     // round-trip is exact for float/double, so this equals assigning
     // against the in-memory table — but reading back makes the
@@ -294,6 +327,7 @@ object VectorIndex {
       pqAssign(sub, idx.localRead(idx.pqCentroids))
         .select(col("vec_id"), col("sub"), col("code"))))
     idx
+    }
   }
 
   /** Open an existing index; fails fast if any artifact is missing. */

@@ -85,6 +85,19 @@ final class MergeTable private (
 
   import MergeTable._
 
+  // Bloom columns must be DATA columns: partitionBy strips partition
+  // columns from the data files, so a bloom over one would scan
+  // all-NULL values, silently write an empty sidecar slice, and later
+  // probes would prune files that DO hold matching rows — bloom false
+  // negatives, i.e. wrong results. Fail at construction, not mid-query
+  // (r15 advice: withBlooms' writtenSchema check passed for partition
+  // columns because df.schema still carries them pre-strip).
+  require(bloomCols.intersect(partitionCols).isEmpty,
+    s"MergeTable at $root: bloom column(s) " +
+      s"${bloomCols.intersect(partitionCols).mkString(", ")} are " +
+      "partition column(s) — bloom columns must be data columns " +
+      "(partition pruning already covers the partition column)")
+
   /** The primary (first) partition column — compatibility accessor for
     * single-column callers; multi-column layouts use
     * [[partitionCols]]. */
@@ -1505,9 +1518,27 @@ final class MergeTable private (
     * Spark recompute for a provably-compatible interleaving. Every Nth
     * version also publishes a full checkpoint, bounding later reads'
     * delta folds. */
+  /** Run `f` under a `graft:`-prefixed Spark job description (guide
+    * §1.5): every job — including broadcast futures, which inherit
+    * thread-locals via withThreadLocalCaptured — launched inside is
+    * attributable to the phase in the UI and in JobProfile's census.
+    * Descriptions nest; the previous one is restored on exit. */
+  private[lake] def labeled[T](what: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"graft:$what:${root.getFileName}")
+    try f finally sc.setJobDescription(prev)
+  }
+
   private def retryingCommit(op: String,
       params: Map[String, String] = Map.empty,
       scope: ReadScope = ReadScope.Everything)(
+      attempt: () => (CommitDelta, Long)): Long =
+    labeled(s"commit-$op")(retryingCommitImpl(op, params, scope)(attempt))
+
+  private def retryingCommitImpl(op: String,
+      params: Map[String, String],
+      scope: ReadScope)(
       attempt: () => (CommitDelta, Long)): Long = {
     var tries = 0
     // a lost-but-rebasable delta republishes at `publishAt`; `base` stays
@@ -1863,7 +1894,11 @@ final class MergeTable private (
     * The frame arrives LOGICAL (all internal flows are logical);
     * files are written PHYSICAL so a rename never rewrites data. */
   private def writeData(dfIn: DataFrame,
-      allowHidden: Boolean = false): (String, Seq[FileEntry]) = {
+      allowHidden: Boolean = false): (String, Seq[FileEntry]) =
+    labeled("writeData")(writeDataImpl(dfIn, allowHidden))
+
+  private def writeDataImpl(dfIn: DataFrame,
+      allowHidden: Boolean): (String, Seq[FileEntry]) = {
     require(allowHidden || !dfIn.columns.exists(HiddenCols.contains),
       s"MergeTable at $root: column names ${HiddenCols.mkString("/")} " +
         "are reserved for row tracking")
@@ -6017,11 +6052,11 @@ final class MergeTable private (
     def tuples(df: DataFrame, fromSrc: Boolean): DataFrame =
       df.select(partitionCols.map(c => col(c).cast("string")) :+
         lit(fromSrc).as(tag): _*)
-    val rows = tuples(src, fromSrc = true)
+    val rows = labeled("touchedParts")(tuples(src, fromSrc = true)
       .unionByName(tuples(
         readEntries(live).join(keys, keyCols, "left_semi"),
         fromSrc = false))
-      .distinct().collect()
+      .distinct().collect())
     def side(fromSrc: Boolean): Set[Option[String]] = rows.iterator
       .filter(_.getBoolean(partitionCols.size) == fromSrc)
       .map(r => encodePartValues(

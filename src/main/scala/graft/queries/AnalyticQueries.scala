@@ -824,6 +824,9 @@ object AnalyticQueries {
     * one edge-shuffle aggregate over the PAIR graph, never the fact
     * table. */
   def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    // NOT fanned (r16 A/B): keying the scan by l_orderkey before the
+    // aggregate replaces the partial-aggregated shuffle (~order-count
+    // sets) with a raw-row shuffle (|lineitem| rows) — measured 0.94×.
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
     // Pair build as ONE orderkey aggregate + a narrow per-order pair
     // explode — not a lineitem self-join (two exchanges + a sort; ~2×
@@ -950,6 +953,7 @@ object AnalyticQueries {
     * [[graphPagerank]]'s global centrality. Top-[[TriTopK]] nodes by
     * triangle participation, with degree. */
   def graphTriangles(s: SparkSession, d: String): DataFrame = {
+    // NOT fanned — same measured reasoning as [[graphPagerank]].
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
     val pairs = li.groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("ps"))

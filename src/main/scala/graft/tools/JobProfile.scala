@@ -28,7 +28,15 @@ object JobProfile {
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          val desc = j.stageInfos.map(_.name).distinct.mkString(" | ")
+          // Prefer the graft phase label (setJobDescription — broadcast
+          // futures inherit it via withThreadLocalCaptured) over raw
+          // stage callsites: the label answers "which ACTION/phase",
+          // which is the fixed-cost question.
+          val label = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .filter(_.startsWith("graft:"))
+          val desc = label.getOrElse(
+            j.stageInfos.map(_.name).distinct.mkString(" | "))
           val execId = Option(j.properties)
             .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
             .getOrElse("-")
